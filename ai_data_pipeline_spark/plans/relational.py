@@ -1,0 +1,646 @@
+"""Relational core: SURVEY.md §2B Q01–Q18.
+
+Everything here is stock DataFrame API — zero UDFs, zero RDDs — so
+Catalyst gets full predicate pushdown / column pruning / join
+selection. Scale notes per query explain why the plan survives a
+1000-executor, 100 TB deployment.
+
+Oracle float-parity rules (learned the hard way; the driver hashes
+values computed independently by Spark and DuckDB):
+
+1. RAW IS SAFE. A column read from parquet, or any per-row
+   expression tree evaluated identically on both engines, yields
+   bit-identical doubles — output it unrounded.
+2. NEVER ``ROUND(double, n)`` where the exact rational value can be
+   exactly ``.xx5``: Spark rounds the shortest *decimal string*
+   (BigDecimal HALF_UP) while DuckDB rounds the *binary* double, and
+   on an exact half they disagree (e.g. rational 0.35 → double
+   0.34999…; Spark prints "0.35" and rounds up, DuckDB rounds the
+   binary down).
+3. AGGREGATE IN INTEGERS. Money columns are ≤4-decimal: convert to
+   exact integer units (``ROUND(x*10000)`` is never a half because
+   the data sits within 5e-7 of an integer), SUM as BIGINT
+   (order-independent — double sums drift with shuffle order), do
+   half-up rounding with integer div, and divide by 100.0 only for
+   display (an exact-cents value has a ≤2-decimal shortest repr on
+   both engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ai_data_pipeline_spark.catalog import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def money4(col) -> Column:
+    """Exact 1e-4 fixed-point units of a ≤4-decimal money column.
+
+    DuckDB twin: ``CAST(ROUND(x * 10000) AS BIGINT)``.
+    """
+    return F.round(F.col(col) * 10000, 0).cast("long")
+
+
+def unit_round_div(num: Column, den: Column) -> Column:
+    """Half-up integer division num/den for non-negative operands:
+    ``(2*num + den) // (2*den)``. DuckDB twin uses ``//``.
+
+    The quotient is computed as ``(a - a % b) / b`` so the double
+    division is of an exact multiple (IEEE-exact below 2^53) — a
+    plain ``a / b`` double division could land one ulp above an
+    integer and truncate wrong.
+    """
+    a = 2 * num + den
+    b = 2 * den
+    return ((a - a % b) / b).cast("long")
+
+
+# DuckDB SQL fragments mirroring the helpers above.
+_SQL_M4 = "CAST(ROUND({x} * 10000) AS BIGINT)"
+
+
+# ---------------------------------------------------------------------------
+# Q01 — scan + filter + project (reference R1/R14 shape).
+# Scale: the shipdate range predicate and 4-column projection push
+# into the parquet scan (PushedFilters / ReadSchema) — at 100 TB this
+# is the difference between reading 4 columns of one year and the
+# whole table.
+# ---------------------------------------------------------------------------
+
+def q01_scan_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.col("l_extendedprice").alias("price"),
+            "l_returnflag",
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q02 — broadcast equi-join (nation ⋈ region).
+# Scale: region is O(10) rows at any SF — an explicit broadcast hint
+# removes the shuffle entirely; the join runs map-side on every
+# executor.
+# ---------------------------------------------------------------------------
+
+def q02_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (
+        nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("n_nationkey", "n_name", F.col("r_name").alias("region_name"))
+        .orderBy("n_nationkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q03 — 3-way join + hash aggregation (revenue by nation).
+# Scale: nation broadcasts; customer⋈orders and ⋈lineitem shuffle on
+# their join keys with partial (map-side) aggregation before the final
+# 25-group hash agg — the shuffled agg payload is one long per
+# (partition, nation).
+# Revenue is computed exactly: extendedprice in cents (2-dec data) ×
+# discount in basis points (2-dec data) stays integral end-to-end.
+# ---------------------------------------------------------------------------
+
+def q03_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    n = _t(spark, sf_dir, "nation")
+    ext_c = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    disc_bp = F.round(F.col("l_discount") * 10000, 0).cast("long")
+    rev_u = ext_c * (10000 - disc_bp)  # cents × 1e4 units, exact
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .withColumn("rev_u", rev_u)
+        .groupBy("n_name")
+        .agg(F.sum("rev_u").alias("s"))
+        .select(
+            "n_name",
+            (unit_round_div(F.col("s"), F.lit(10000).cast("long")) / 100.0).alias("revenue"),
+        )
+        .orderBy("n_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q04 — left outer join + null handling (customers with/without orders).
+# COUNT(o_orderkey) counts only matched rows: customers without
+# orders get 0, exercising outer-join null semantics.
+# ---------------------------------------------------------------------------
+
+def q04_left_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("order_cnt"))
+        .orderBy("c_custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q05 — left-semi join (customers having ≥1 order).
+# Scale: semi-join never materializes the probe side's payload — at
+# 100 TB this beats join+distinct by the width of the orders row.
+# ---------------------------------------------------------------------------
+
+def q05_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q06 — left-anti join (parts never ordered).
+# ---------------------------------------------------------------------------
+
+def q06_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        p.join(li, p.p_partkey == li.l_partkey, "left_anti")
+        .select("p_partkey", "p_name")
+        .orderBy("p_partkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q07 — theta / range join: lineitems shipped within 30 days of their
+# order date. The equi key (l_orderkey = o_orderkey) carries the
+# shuffle; the range predicate is evaluated post-match, so this stays
+# a hash join, not a cartesian.
+# ---------------------------------------------------------------------------
+
+def q07_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    cond = (
+        (li.l_orderkey == o.o_orderkey)
+        & (li.l_shipdate >= o.o_orderdate)
+        & (li.l_shipdate <= F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"))
+    )
+    return (
+        o.join(li, cond)
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("o_orderstatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q08 — aggregation suite (TPC-H Q1 shape): count/sum/avg/min/max +
+# exact count(distinct), grouped by returnflag/linestatus.
+# Scale: all aggregates except count(distinct) combine map-side;
+# count(distinct) expands with one extra shuffle on (group, value) —
+# that is Spark's exact-distinct plan and the right trade at scale.
+# ---------------------------------------------------------------------------
+
+def q08_agg_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    qty_c = F.round(F.col("l_quantity") * 100, 0).cast("long")
+    price_c = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    return (
+        li.withColumn("qty_c", qty_c)
+        .withColumn("price_c", price_c)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("qty_c").alias("sq"),
+            F.sum("price_c").alias("sp"),
+            F.min("l_extendedprice").alias("min_price"),
+            F.max("l_extendedprice").alias("max_price"),
+            F.countDistinct("l_partkey").alias("nd_parts"),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            F.col("cnt").alias("n"),
+            (F.col("sq") / 100.0).alias("sum_qty"),
+            (unit_round_div(F.col("sp"), F.col("cnt")) / 100.0).alias("avg_price"),
+            "min_price",
+            "max_price",
+            "nd_parts",
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q09 — ROLLUP revenue by (nation, mktsegment).
+# ---------------------------------------------------------------------------
+
+def q09_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    n = _t(spark, sf_dir, "nation")
+    joined = (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .withColumn("tp4", money4("o_totalprice"))
+    )
+    return (
+        joined.rollup("n_name", "c_mktsegment")
+        .agg(F.sum("tp4").alias("s"))
+        .select(
+            "n_name",
+            "c_mktsegment",
+            (unit_round_div(F.col("s"), F.lit(100).cast("long")) / 100.0).alias("revenue"),
+        )
+        .orderBy(F.asc_nulls_first("n_name"), F.asc_nulls_first("c_mktsegment"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q10 — CUBE counts by (orderstatus, orderpriority).
+# ---------------------------------------------------------------------------
+
+def q10_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.asc_nulls_first("o_orderstatus"), F.asc_nulls_first("o_orderpriority"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q11 — ranking window: top-3 customers by acctbal per nation.
+# Scale: one shuffle on the partition key (nation), rank computed
+# in-partition; the rk<=3 filter cuts output before any further
+# exchange. Deterministic tie-break on c_custkey.
+# ---------------------------------------------------------------------------
+
+def q11_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    w = Window.partitionBy("n_name").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 3)
+        .select("n_name", "c_custkey", F.col("c_acctbal").alias("acctbal"), "rk")
+        .orderBy("n_name", "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q12 — analytic window: lag + running sum per customer.
+# Running total summed in exact 1e-4 units so the result is
+# accumulation-order independent.
+# ---------------------------------------------------------------------------
+
+def q12_analytic_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").withColumn("tp4", money4("o_totalprice"))
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.col("o_totalprice").alias("price"),
+            F.lag("o_totalprice").over(w).alias("prev_price"),
+            (
+                unit_round_div(F.sum("tp4").over(wsum), F.lit(100).cast("long")) / 100.0
+            ).alias("running_total"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q13 — range frame: 7-day moving average of daily order totals.
+# Implemented over an integer day index so the range frame is
+# numeric on both engines (Spark rangeBetween needs a numeric/long
+# ordering column; DuckDB mirrors with RANGE BETWEEN 6 PRECEDING).
+# ---------------------------------------------------------------------------
+
+def q13_moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").withColumn("tp4", money4("o_totalprice"))
+    daily = (
+        o.groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(F.sum("tp4").alias("s4"))
+        .withColumn("day_num", F.datediff(F.col("d"), F.lit("1970-01-01")).cast("long"))
+    )
+    w = Window.orderBy("day_num").rangeBetween(-6, 0)
+    hundred = F.lit(100).cast("long")
+    return (
+        daily.select(
+            "d",
+            (unit_round_div(F.col("s4"), hundred) / 100.0).alias("total"),
+            (
+                unit_round_div(F.sum("s4").over(w), hundred * F.count(F.lit(1)).over(w))
+                / 100.0
+            ).alias("ma7"),
+        )
+        .orderBy("d")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q14 — global top-k: top-10 orders by totalprice.
+# Scale: orderBy+limit compiles to TakeOrderedAndProject — each
+# partition keeps its local top-10, the driver merges; no global sort.
+# ---------------------------------------------------------------------------
+
+def q14_global_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_custkey", F.col("o_totalprice").alias("price"))
+        .orderBy(F.desc("price"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q15 — set operations.
+# ---------------------------------------------------------------------------
+
+def q15a_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    return s.intersect(c).orderBy("nationkey")
+
+
+def q15b_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.subtract(s).orderBy("nationkey")
+
+
+# ---------------------------------------------------------------------------
+# Q16 — string functions: regexp_extract + substring over part attrs.
+# ---------------------------------------------------------------------------
+
+def q16_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    return (
+        p.select(
+            F.substring("p_type", 1, 3).alias("type_prefix"),
+            F.regexp_extract("p_brand", r"Brand#([0-9]+)", 1).cast("int").alias("brand_num"),
+            F.round(F.col("p_retailprice") * 100, 0).cast("long").alias("price_c"),
+        )
+        .groupBy("type_prefix", "brand_num")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("price_c").alias("sp"))
+        .select(
+            "type_prefix",
+            "brand_num",
+            F.col("cnt").alias("n"),
+            (unit_round_div(F.col("sp"), F.col("cnt")) / 100.0).alias("avg_price"),
+        )
+        .orderBy("type_prefix", "brand_num")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q17 — date functions: orders per month.
+# ---------------------------------------------------------------------------
+
+def q17_date_trunc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").withColumn("tp4", money4("o_totalprice"))
+    return (
+        o.groupBy(F.to_date(F.date_trunc("month", "o_orderdate")).alias("month"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("tp4").alias("s4"))
+        .select(
+            "month",
+            "n",
+            (unit_round_div(F.col("s4"), F.lit(100).cast("long")) / 100.0).alias("total"),
+        )
+        .orderBy("month")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q18 — JSON function: get_json_object over events.props
+# (reference R6 uses the same from_json/regexp machinery; see
+# operators/json_fallback.py for the 3-stage fallback itself).
+# avg in exact hundredths: k is integral, so avg_k = half-up of
+# (100*sum)/n, divided by 100.0 for display.
+# ---------------------------------------------------------------------------
+
+def q18_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("k").alias("sk"))
+        .select(
+            "event_type",
+            F.col("cnt").alias("n"),
+            F.col("sk").alias("sum_k"),
+            (unit_round_div(100 * F.col("sk"), F.col("cnt")) / 100.0).alias("avg_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+QUERIES = {
+    "q01_scan_filter_project": q01_scan_filter_project,
+    "q02_broadcast_join": q02_broadcast_join,
+    "q03_revenue_by_nation": q03_revenue_by_nation,
+    "q04_left_join_counts": q04_left_join_counts,
+    "q05_semi_join": q05_semi_join,
+    "q06_anti_join": q06_anti_join,
+    "q07_range_join": q07_range_join,
+    "q08_agg_suite": q08_agg_suite,
+    "q09_rollup": q09_rollup,
+    "q10_cube": q10_cube,
+    "q11_topk_per_group": q11_topk_per_group,
+    "q12_analytic_window": q12_analytic_window,
+    "q13_moving_average": q13_moving_average,
+    "q14_global_topk": q14_global_topk,
+    "q15a_intersect": q15a_intersect,
+    "q15b_except": q15b_except,
+    "q16_string_functions": q16_string_functions,
+    "q17_date_trunc": q17_date_trunc,
+    "q18_json_extract": q18_json_extract,
+}
+
+
+ORACLE = {
+    "q01_scan_filter_project": """
+        SELECT l_orderkey, l_linenumber, l_extendedprice AS price, l_returnflag
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        ORDER BY l_orderkey, l_linenumber
+    """,
+    "q02_broadcast_join": """
+        SELECT n_nationkey, n_name, r_name AS region_name
+        FROM nation JOIN region ON n_regionkey = r_regionkey
+        ORDER BY n_nationkey
+    """,
+    "q03_revenue_by_nation": """
+        WITH rev AS (
+            SELECT c_nationkey,
+                   CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                   * (10000 - CAST(ROUND(l_discount * 10000) AS BIGINT)) AS rev_u
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON o_orderkey = l_orderkey
+        )
+        SELECT n_name,
+               CAST((2 * SUM(rev_u) + 10000) // 20000 AS BIGINT) / 100.0 AS revenue
+        FROM rev JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+        ORDER BY n_name
+    """,
+    "q04_left_join_counts": """
+        SELECT c_custkey, COUNT(o_orderkey) AS order_cnt
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey
+        ORDER BY c_custkey
+    """,
+    "q05_semi_join": """
+        SELECT c_custkey, c_name
+        FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        ORDER BY c_custkey
+    """,
+    "q06_anti_join": """
+        SELECT p_partkey, p_name
+        FROM part
+        WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+        ORDER BY p_partkey
+    """,
+    "q07_range_join": """
+        SELECT o_orderstatus, COUNT(*) AS n
+        FROM orders JOIN lineitem
+          ON l_orderkey = o_orderkey
+         AND l_shipdate >= o_orderdate
+         AND l_shipdate <= o_orderdate + INTERVAL 30 DAY
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+    """,
+    "q08_agg_suite": """
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+               CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_qty,
+               CAST((2 * SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) + COUNT(*))
+                    // (2 * COUNT(*)) AS BIGINT) / 100.0 AS avg_price,
+               MIN(l_extendedprice) AS min_price,
+               MAX(l_extendedprice) AS max_price,
+               COUNT(DISTINCT l_partkey) AS nd_parts
+        FROM lineitem
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    "q09_rollup": """
+        SELECT n_name, c_mktsegment,
+               CAST((2 * SUM(CAST(ROUND(o_totalprice * 10000) AS BIGINT)) + 100)
+                    // 200 AS BIGINT) / 100.0 AS revenue
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY ROLLUP(n_name, c_mktsegment)
+        ORDER BY n_name NULLS FIRST, c_mktsegment NULLS FIRST
+    """,
+    "q10_cube": """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        FROM orders
+        GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+    "q11_topk_per_group": """
+        SELECT n_name, c_custkey, acctbal, rk
+        FROM (
+            SELECT n_name, c_custkey, c_acctbal AS acctbal,
+                   ROW_NUMBER() OVER (PARTITION BY n_name ORDER BY c_acctbal DESC, c_custkey) AS rk
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+        )
+        WHERE rk <= 3
+        ORDER BY n_name, rk
+    """,
+    "q12_analytic_window": """
+        SELECT o_custkey, o_orderkey, o_totalprice AS price,
+               LAG(o_totalprice) OVER w AS prev_price,
+               CAST((2 * SUM(CAST(ROUND(o_totalprice * 10000) AS BIGINT))
+                         OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + 100)
+                    // 200 AS BIGINT) / 100.0 AS running_total
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        ORDER BY o_custkey, o_orderkey
+    """,
+    "q13_moving_average": """
+        WITH daily AS (
+            SELECT CAST(o_orderdate AS DATE) AS d,
+                   SUM(CAST(ROUND(o_totalprice * 10000) AS BIGINT)) AS s4
+            FROM orders GROUP BY 1
+        ), indexed AS (
+            SELECT d, s4, date_diff('day', DATE '1970-01-01', d) AS day_num FROM daily
+        )
+        SELECT d,
+               CAST((2 * s4 + 100) // 200 AS BIGINT) / 100.0 AS total,
+               CAST((2 * SUM(s4) OVER w + 100 * COUNT(*) OVER w)
+                    // (200 * COUNT(*) OVER w) AS BIGINT) / 100.0 AS ma7
+        FROM indexed
+        WINDOW w AS (ORDER BY day_num RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+        ORDER BY d
+    """,
+    "q14_global_topk": """
+        SELECT o_orderkey, o_custkey, o_totalprice AS price
+        FROM orders
+        ORDER BY price DESC, o_orderkey
+        LIMIT 10
+    """,
+    "q15a_intersect": """
+        SELECT s_nationkey AS nationkey FROM supplier
+        INTERSECT
+        SELECT c_nationkey AS nationkey FROM customer
+        ORDER BY nationkey
+    """,
+    "q15b_except": """
+        SELECT c_nationkey AS nationkey FROM customer
+        EXCEPT
+        SELECT s_nationkey AS nationkey FROM supplier
+        ORDER BY nationkey
+    """,
+    "q16_string_functions": """
+        SELECT substr(p_type, 1, 3) AS type_prefix,
+               CAST(regexp_extract(p_brand, 'Brand#([0-9]+)', 1) AS INTEGER) AS brand_num,
+               COUNT(*) AS n,
+               CAST((2 * SUM(CAST(ROUND(p_retailprice * 100) AS BIGINT)) + COUNT(*))
+                    // (2 * COUNT(*)) AS BIGINT) / 100.0 AS avg_price
+        FROM part
+        GROUP BY type_prefix, brand_num
+        ORDER BY type_prefix, brand_num
+    """,
+    "q17_date_trunc": """
+        SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+               COUNT(*) AS n,
+               CAST((2 * SUM(CAST(ROUND(o_totalprice * 10000) AS BIGINT)) + 100)
+                    // 200 AS BIGINT) / 100.0 AS total
+        FROM orders
+        GROUP BY month
+        ORDER BY month
+    """,
+    "q18_json_extract": """
+        SELECT event_type, COUNT(*) AS n,
+               CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+               CAST((2 * 100 * SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) + COUNT(*))
+                    // (2 * COUNT(*)) AS BIGINT) / 100.0 AS avg_k
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+}

@@ -1,0 +1,42 @@
+"""Every declared queries()/oracle_sql() pair must match the DuckDB
+oracle at sf0.001 — the local twin of the driver's t2 gate."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+from ai_data_pipeline_spark.oracle import compare, duckdb_connection
+from tests.conftest import SF_SMOKE
+
+_QUERIES = entrymod.queries()
+_ORACLES = entrymod.oracle_sql()
+
+
+@pytest.fixture(scope="module")
+def duck():
+    return duckdb_connection(SF_SMOKE)
+
+
+@pytest.mark.parametrize("name", sorted(_QUERIES))
+def test_query_matches_oracle(name, spark, duck):
+    df = _QUERIES[name](spark, SF_SMOKE)
+    if name not in _ORACLES:
+        # non-SQL-expressible op: weaker check — runs, stable schema, rows >= 0
+        rows = df.collect()
+        assert df.columns, f"{name} returned no columns"
+        assert rows is not None
+        return
+    rep = compare(df, duck, _ORACLES[name])
+    assert rep["match"], f"{name}: {rep}"
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert set(df.columns) == {"n_name", "revenue"}
+
+
+def test_every_oracle_has_query():
+    assert set(_ORACLES) <= set(_QUERIES)
