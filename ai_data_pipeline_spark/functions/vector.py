@@ -1,0 +1,86 @@
+"""Vector math over ``array<float|double>`` columns — pure Catalyst
+higher-order functions (zip_with / aggregate), no Python in the loop.
+
+Reference parity: the FAISS IndexFlatL2 retrieval core
+(`rag_chatbot/main.py:26-36`) reduces to a squared-L2 expression +
+top-k; see operators/similarity.py.
+
+Determinism note (oracle parity): ``aggregate`` folds left-to-right
+in array order, which matches DuckDB's ``list_sum`` over the same
+positional ``list_transform`` — identical operand order → identical
+IEEE doubles → results are emitted raw, never rounded.
+
+Scale: these expressions run inside whole-stage codegen over packed
+Arrow/Tungsten arrays; a 64-d distance is ~64 fused multiply-adds
+per row with zero boxing. At 100 TB prefer these over any pandas UDF
+for distance math.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def squared_l2(a: Column | str, b: Column | str) -> Column:
+    """Σ (a_i - b_i)² — squared euclidean distance.
+
+    Matches IndexFlatL2 semantics (`rag_chatbot/main.py:26-28`): FAISS
+    returns *squared* distances, and the reference's 1.0 rejection
+    threshold compares against the square — preserved as-is.
+    """
+    a, b = F.col(a) if isinstance(a, str) else a, F.col(b) if isinstance(b, str) else b
+    # cast inside the lambda: float32×float32 would stay float32 in
+    # Spark but the oracle twin computes in double — widen first so
+    # both engines do identical double arithmetic
+    diffs = F.zip_with(
+        a, b, lambda x, y: (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))
+    )
+    return F.aggregate(diffs, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def dot(a: Column | str, b: Column | str) -> Column:
+    a, b = F.col(a) if isinstance(a, str) else a, F.col(b) if isinstance(b, str) else b
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def norm(a: Column | str) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column | str, b: Column | str) -> Column:
+    """dot(a,b) / (|a|·|b|); null-safe-ish: zero vectors yield NULL
+    (division by zero) rather than NaN-poisoning downstream sorts."""
+    d = norm(a) * norm(b)
+    return F.when(d != 0, dot(a, b) / d)
+
+
+def array_lit(values, dtype: str = "double") -> Column:
+    """A literal array column from Python floats (query vectors)."""
+    return F.array(*[F.lit(float(v)).cast(dtype) for v in values])
+
+
+# --- DuckDB twins (oracle SQL fragments) -----------------------------------
+
+def sql_squared_l2(vec_expr: str, lit_list: str, dim: int) -> str:
+    """DuckDB fragment computing squared L2 between a list column and
+    a literal list, with the same left-to-right summation order as
+    ``squared_l2`` (positional transform + list_sum)."""
+    d = f"(CAST(({vec_expr})[i] AS DOUBLE) - CAST(({lit_list})[i] AS DOUBLE))"
+    return f"list_sum(list_transform(range(1, {dim + 1}), i -> {d} * {d}))"
+
+
+def sql_dot(a_expr: str, b_expr: str, dim: int) -> str:
+    return (
+        f"list_sum(list_transform(range(1, {dim + 1}), "
+        f"i -> CAST(({a_expr})[i] AS DOUBLE) * CAST(({b_expr})[i] AS DOUBLE)))"
+    )
+
+
+def sql_norm(a_expr: str, dim: int) -> str:
+    return f"sqrt({sql_dot(a_expr, a_expr, dim)})"
+
+
+def sql_lit_list(values) -> str:
+    return "[" + ", ".join(repr(float(v)) for v in values) + "]"

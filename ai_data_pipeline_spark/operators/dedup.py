@@ -1,0 +1,321 @@
+"""Deduplication family for training-data pipelines.
+
+Exact, n-gram Jaccard, MinHash+LSH, SimHash, embedding-cosine — each
+a DataFrame→DataFrame function designed for 100 TB:
+
+- exact: hash-groupBy on a digest (shuffle carries 16-byte digests,
+  not documents);
+- n-gram Jaccard: shingle-explode + equi-join on the shingle digest —
+  the join key is content-derived so co-occurring docs colocate;
+  rare-shingle filtering bounds the blowup of common shingles;
+- MinHash+LSH: fixed-seed hash family (xxhash64(seed, shingle)),
+  signature = per-seed MIN aggregate (map-side combinable!), banding
+  → candidate pairs via self-join on (band, band-digest). At scale
+  the only wide exchange carries (doc_id, 8-byte band digest) rows;
+- SimHash: 64 per-bit weighted sums (one groupBy, all map-side
+  combinable), Hamming candidates via 16-bit segment blocking
+  (pigeonhole: hamming ≤ 3 ⇒ ≥1 of 4 segments equal);
+- embedding cosine: blocked all-pairs (optional blocking column)
+  with the JVM-side cosine expression.
+
+The reference has only implicit dedup-adjacent behavior (its JSONL
+sink duplicates on rerun, `app/main.py:99` — fixed in sinks.py); the
+dedup operators here are the scale-path additions the north star
+demands.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ai_data_pipeline_spark.functions.text import normalized_text, word_ngrams
+from ai_data_pipeline_spark.functions.vector import cosine
+
+
+# ---------------------------------------------------------------------------
+# exact
+# ---------------------------------------------------------------------------
+
+def exact_dedup(df: DataFrame, cols: list[str], id_col: str) -> DataFrame:
+    """Keep one row (lowest id) per distinct value of ``cols``.
+
+    Digest-first: groupBy on md5 of the concatenated key so the
+    shuffle payload is the digest, not the full text.
+    """
+    digest = F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in cols]))
+    w = Window.partitionBy("_digest").orderBy(F.asc(id_col))
+    return (
+        df.withColumn("_digest", digest)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_digest", "_rn")
+    )
+
+
+def exact_dup_stats(df: DataFrame, text_col: str, group_col: str) -> DataFrame:
+    """Per-group duplication profile (raw + normalized-text dups)."""
+    return (
+        df.select(
+            F.col(group_col).alias("grp"),
+            F.md5(F.col(text_col).cast("binary")).alias("h_raw"),
+            F.md5(normalized_text(text_col).cast("binary")).alias("h_norm"),
+        )
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("h_raw").alias("n_distinct"),
+            (F.count(F.lit(1)) - F.countDistinct("h_raw")).alias("n_exact_dups"),
+            (F.count(F.lit(1)) - F.countDistinct("h_norm")).alias("n_norm_dups"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard
+# ---------------------------------------------------------------------------
+
+def shingle_table(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """[id, shingle] — distinct word n-grams per document."""
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(word_ngrams(text_col, n)).alias("shingle"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 2,
+    min_jaccard: float = 0.0,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """All-pairs Jaccard similarity over distinct word n-gram sets.
+
+    Output: [id_a, id_b, inter, n_a, n_b, jaccard] with id_a < id_b.
+
+    Scale levers: ``max_shingle_freq`` drops stop-shingles (a shingle
+    in f docs contributes f² join rows — the classic skew bomb);
+    min_jaccard prunes output. Both engines compute jaccard as the
+    same int/int division → raw doubles are comparison-safe.
+    """
+    sh = shingle_table(df, id_col, text_col, n)
+    if max_shingle_freq is not None:
+        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("f"))
+        sh = sh.join(freq.filter(F.col("f") <= max_shingle_freq), "shingle").select(
+            "id", "shingle"
+        )
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+        .withColumn("jaccard", F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")))
+        .filter(F.col("jaccard") >= min_jaccard)
+        .select("id_a", "id_b", "inter", "n_a", "n_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 16,
+) -> DataFrame:
+    """[id, sig array<bigint>] — deterministic MinHash signatures.
+
+    Hash family: xxhash64(seed_j, shingle), fixed seeds 0..H-1 — no
+    random state, reproducible across runs/clusters (unlike MLlib's
+    MinHashLSH random coefficients). The per-seed MIN aggregates
+    combine map-side, so the shuffle carries H longs per document.
+    """
+    sh = shingle_table(df, id_col, text_col, n)
+    aggs = [
+        F.min(F.xxhash64(F.lit(j), F.col("shingle"))).alias(f"h{j}") for j in range(num_hashes)
+    ]
+    sig = sh.groupBy("id").agg(*aggs)
+    return sig.select("id", F.array(*[F.col(f"h{j}") for j in range(num_hashes)]).alias("sig"))
+
+
+def minhash_lsh_candidates(
+    sigs: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Banding: split each signature into ``bands`` equal groups of
+    ``num_hashes // bands`` rows; docs sharing any band digest become
+    candidates.
+
+    Output: [id_a, id_b, n_bands] (id_a < id_b), n_bands = how many
+    bands collided (monotone in estimated Jaccard).
+    """
+    if num_hashes % bands != 0:
+        raise ValueError("num_hashes must be divisible by bands")
+    rpb = num_hashes // bands
+    band_digest = lambda b: F.xxhash64(  # noqa: E731
+        F.concat_ws(
+            ",",
+            *[F.element_at(F.col("sig"), b * rpb + r + 1).cast("string") for r in range(rpb)],
+        )
+    )
+    banded = sigs.select(
+        "id",
+        F.posexplode(F.array(*[band_digest(b) for b in range(bands)])).alias(
+            "band", "band_digest"
+        ),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_digest") == F.col("b.band_digest"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_bands"))
+    )
+
+
+def minhash_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    min_jaccard: float = 0.5,
+) -> DataFrame:
+    """LSH candidates verified by exact Jaccard (candidate pairs only
+    — the verification join touches candidates, not all pairs).
+    Output: [id_a, id_b, jaccard]."""
+    cands = minhash_lsh_candidates(
+        minhash_signatures(df, id_col, text_col, n, num_hashes), num_hashes, bands
+    )
+    exact = ngram_jaccard_pairs(df, id_col, text_col, n, min_jaccard=0.0)
+    return (
+        cands.join(exact, ["id_a", "id_b"])
+        .filter(F.col("jaccard") >= min_jaccard)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """[id, simhash bigint] — 64-bit SimHash over whitespace tokens.
+
+    Token weight = term frequency (explode keeps duplicates). Bit i
+    of the result = sign of Σ_tokens (bit i of xxhash64(token) ? +1
+    : -1). One groupBy with 64 map-side-combinable SUMs.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
+    ).filter(F.length("tok") > 0)
+    h = F.xxhash64(F.col("tok"))
+    sums = [
+        F.sum(
+            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(64)
+    ]
+    agg = toks.groupBy("id").agg(*sums)
+    sim = None
+    for i in range(64):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, i)
+        sim = term if sim is None else sim.bitwiseOR(term)
+    return agg.select("id", sim.alias("simhash"))
+
+
+def simhash_neardup_pairs(sims: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Candidate pairs with Hamming(simhash) ≤ max_hamming via
+    4×16-bit segment blocking (pigeonhole for max_hamming ≤ 3), then
+    exact popcount verification. Output: [id_a, id_b, hamming]."""
+    segs = sims.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("seg"),
+                        F.shiftright(F.col("simhash"), s * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("seg_val"),
+                    )
+                    for s in range(4)
+                ]
+            )
+        ).alias("sv"),
+    ).select("id", "simhash", F.col("sv.seg").alias("seg"), F.col("sv.seg_val").alias("seg_val"))
+    a = segs.alias("a")
+    b = segs.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.seg") == F.col("b.seg"))
+            & (F.col("a.seg_val") == F.col("b.seg_val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+        )
+        .distinct()
+    )
+    return pairs.filter(F.col("hamming") <= max_hamming)
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-dup
+# ---------------------------------------------------------------------------
+
+def embedding_neardup_pairs(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str | None = None,
+    min_cosine: float | None = None,
+) -> DataFrame:
+    """All-pairs cosine similarity, optionally blocked.
+
+    Blocking is the scale lever: with a block column (cluster id,
+    LSH bucket, IVF cell — see similarity.ivf_assign) the join is
+    equi on the block and the quadratic blowup is per-block. Without
+    one this is a corpus² scan — only for small/sampled corpora.
+    Output: [id_a, id_b, sim].
+    """
+    cols = [F.col(id_col).alias("id"), F.col(vec_col).alias("vec")] + (
+        [F.col(block_col).alias("blk")] if block_col else []
+    )
+    v = emb.select(*cols)
+    a, b = v.alias("a"), v.alias("b")
+    cond = F.col("a.id") < F.col("b.id")
+    if block_col:
+        cond = (F.col("a.blk") == F.col("b.blk")) & cond
+    out = a.join(b, cond).select(
+        F.col("a.id").alias("id_a"),
+        F.col("b.id").alias("id_b"),
+        cosine(F.col("a.vec"), F.col("b.vec")).alias("sim"),
+    )
+    if min_cosine is not None:
+        out = out.filter(F.col("sim") >= min_cosine)
+    return out

@@ -1,0 +1,82 @@
+"""R6: the reference's 3-stage JSON validate/extract fallback
+(`app/main.py:29-35,46-61`) as a single Catalyst expression.
+
+Stages (first success wins, exactly the reference's order):
+1. parse the raw response as JSON;
+2. parse the contents of a ```` ```json {...} ``` ```` fenced block
+   (DOTALL, non-greedy — `app/main.py:50`);
+3. parse the first single-backtick span (`app/main.py:55`).
+
+A record failing all three is NULL (dropped by the caller with a
+side-count, R7). No UDF: from_json returns NULL on malformed input,
+so the whole fallback is coalesce(from_json(...), ...) — fully
+codegen'd, which matters when validating billions of LLM responses.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType, StructField, StructType
+
+QA_SCHEMA = StructType(
+    [
+        StructField("question", StringType()),
+        StructField("answer", StringType()),
+    ]
+)
+
+FENCED_RE = r"(?s)```json\s*(\{.*?\})\s*```"
+BACKTICK_RE = r"(?s)`(.*?)`"
+
+
+def _try_parse(c: Column, schema) -> Column:
+    """from_json that is NULL on malformed input.
+
+    Spark's from_json(struct schema) returns a struct of NULLs for
+    malformed JSON (PERMISSIVE), which would stop a coalesce chain —
+    so parse-success is probed with a map schema (maps DO return
+    NULL on malformed input) and the struct parse is gated on it.
+    json.loads-parity: any valid JSON *object* counts as stage
+    success even if the contract keys are absent (`app/main.py:46-61`
+    records wrong-key objects as-is; validity is checked later).
+    """
+    ok = F.from_json(c, "map<string,string>").isNotNull()
+    return F.when(ok, F.from_json(c, schema))
+
+
+def extract_json(raw: Column | str, schema=QA_SCHEMA) -> Column:
+    """3-stage fallback parse → struct (NULL if all stages fail)."""
+    c = F.col(raw) if isinstance(raw, str) else raw
+    stage1 = _try_parse(c, schema)
+    stage2 = _try_parse(F.nullif(F.regexp_extract(c, FENCED_RE, 1), F.lit("")), schema)
+    stage3 = _try_parse(F.nullif(F.regexp_extract(c, BACKTICK_RE, 1), F.lit("")), schema)
+    return F.coalesce(stage1, stage2, stage3)
+
+
+def validate_qa(df: DataFrame, raw_col: str = "raw_response") -> DataFrame:
+    """Apply the fallback and split valid/invalid with a side-count
+    observable (R7: `app/main.py:60-61,112-114`).
+
+    Adds: qa struct, is_valid. Use ``df.observe`` upstream if you
+    need streaming-safe counters.
+    """
+    parsed = df.withColumn("qa", extract_json(raw_col))
+    return parsed.withColumn(
+        "is_valid", F.col("qa").isNotNull() & F.col("qa.question").isNotNull() & F.col("qa.answer").isNotNull()
+    )
+
+
+def valid_records(
+    df: DataFrame,
+    raw_col: str = "raw_response",
+    lineage: tuple[str, ...] = ("source_file", "window_index", "subchunk_index"),
+) -> DataFrame:
+    """R7+R8: keep valid records, flatten, attach lineage columns
+    (`app/main.py:106-110` record shape)."""
+    v = validate_qa(df, raw_col).filter(F.col("is_valid"))
+    return v.select(
+        F.col("qa.question").alias("question"),
+        F.col("qa.answer").alias("answer"),
+        *[F.col(c) for c in lineage if c in df.columns],
+    )

@@ -1,0 +1,106 @@
+"""Text analysis for training-data curation: language id, quality
+scoring, token counting, fingerprinting.
+
+All JVM-side expressions (no UDFs): these run per-document in the
+scan stage with zero shuffle — exactly what you want when profiling
+100 TB of raw text. Every function has a DuckDB-expressible twin
+(same arithmetic, same division order) so outputs are oracle-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ai_data_pipeline_spark.functions.text import (
+    token_count_bpe_ish,
+    token_count_ws,
+    normalized_text,
+    ws_tokens,
+)
+
+# Tiny per-language stopword profiles for the n-gram/stopword
+# heuristic language-ID. Real deployments swap in bigger profiles;
+# the operator shape (score per language → argmax) is the point.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to"),
+    "fr": ("le", "la", "de", "et", "les"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "es": ("el", "la", "de", "y", "los"),
+    "zh": ("的", "是", "了", "在", "我"),
+}
+
+
+def stopword_ratio(text_col: str, stopwords: tuple[str, ...]) -> Column:
+    """Fraction of whitespace tokens that are in ``stopwords``.
+
+    Computed as int/int division (identical on DuckDB) — safe to
+    emit raw.
+    """
+    toks = ws_tokens(text_col)
+    hits = F.size(F.filter(toks, lambda w: w.isin(*stopwords)))
+    n = F.size(toks)
+    return F.when(n > 0, hits / n).otherwise(F.lit(0.0))
+
+
+def lang_id(text_col: str) -> Column:
+    """Heuristic language guess: argmax stopword-hit-count across
+    LANG_STOPWORDS, ties broken by language code order; 'und'
+    (undetermined) when no stopword hits at all."""
+    toks = ws_tokens(text_col)
+    best = None
+    for code in sorted(LANG_STOPWORDS):
+        hits = F.size(F.filter(toks, lambda w: w.isin(*LANG_STOPWORDS[code])))
+        # max by (hits, reverse-code): greatest() picks highest hits,
+        # first code on ties because later candidates only replace on
+        # strictly-greater hits.
+        cand = F.struct(hits.alias("h"), F.lit(code).alias("c"))
+        if best is None:
+            best = cand
+        else:
+            best = F.when(cand["h"] > best["h"], cand).otherwise(best)
+    return F.when(best["h"] > 0, best["c"]).otherwise(F.lit("und"))
+
+
+def punct_ratio(text_col: str) -> Column:
+    """Punctuation chars / total chars (0 for empty text)."""
+    c = F.col(text_col)
+    total = F.length(c)
+    punct = F.length(c) - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
+    return F.when(total > 0, punct / total).otherwise(F.lit(0.0))
+
+
+def quality_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document quality features: lengths, token counts, ratios.
+
+    Output: [id, n_chars, n_tokens_ws, n_tokens_bpe, avg_token_len,
+    stopword_ratio_en, punct_ratio].
+    """
+    toks = ws_tokens(text_col)
+    n_tok = F.size(toks)
+    total_tok_chars = F.aggregate(
+        F.transform(toks, lambda w: F.length(w).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.length(text_col).cast("long").alias("n_chars"),
+        token_count_ws(text_col).alias("n_tokens_ws"),
+        token_count_bpe_ish(text_col).alias("n_tokens_bpe"),
+        F.when(n_tok > 0, total_tok_chars / n_tok).otherwise(F.lit(0.0)).alias("avg_token_len"),
+        stopword_ratio(text_col, LANG_STOPWORDS["en"]).alias("stopword_ratio_en"),
+        punct_ratio(text_col).alias("punct_ratio"),
+    )
+
+
+def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Canonical document fingerprint: md5 over normalized text plus
+    a 16-bucket shard key (first hex nibble) for downstream
+    partitioned dedup joins. Output: [id, fp, bucket]."""
+    fp = F.md5(normalized_text(text_col).cast("binary"))
+    return df.select(
+        F.col(id_col).alias("id"),
+        fp.alias("fp"),
+        F.conv(F.substring(fp, 1, 1), 16, 10).cast("int").alias("bucket"),
+    )

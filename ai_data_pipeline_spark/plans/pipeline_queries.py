@@ -1,0 +1,633 @@
+"""LLM-data-pipeline query set: SURVEY.md §2B Q19–Q22 plus the
+scale-path operator family (dedup, similarity search, text analysis,
+as-of/session/streaming-shaped analytics, multimodal plumbing).
+
+Same oracle-parity discipline as relational.py: identical aliases,
+identical per-row arithmetic (doubles emitted raw — see the policy
+header there), integer aggregation where accumulation order could
+matter. Queries with no SQL-expressible twin (custom hash families,
+pandas-UDF pipelines) have no ORACLE entry — the driver records a
+rows-only check and the pytest goldens pin their semantics instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ai_data_pipeline_spark.catalog import load_events, load_table
+from ai_data_pipeline_spark.functions.text import (
+    BPE_ISH_PATTERN,
+    normalized_text,
+    token_count_bpe_ish,
+    token_count_ws,
+    ws_tokens,
+)
+from ai_data_pipeline_spark.functions.vector import (
+    array_lit,
+    cosine,
+    sql_dot,
+    sql_lit_list,
+    sql_norm,
+    sql_squared_l2,
+    squared_l2,
+)
+from ai_data_pipeline_spark.operators import dedup, similarity
+from ai_data_pipeline_spark.operators.asof import asof_join, sessionize
+from ai_data_pipeline_spark.operators.chunker import chunk_documents
+from ai_data_pipeline_spark.operators.multimodal import extract_blob_meta, to_blob_table
+from ai_data_pipeline_spark.operators.text_analysis import LANG_STOPWORDS
+from ai_data_pipeline_spark.plans.constants import (
+    EMBED_DIM,
+    Q19_QUERY_VEC,
+    Q22_QUERY_VECS,
+    Q22_SENTINEL,
+    Q22_THRESHOLD,
+    Q27_QUERY_VECS,
+    Q28_CENTROIDS,
+)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Q19 — exact squared-L2 distance to a constant query vector, top-5
+# (R17 semantics over the embeddings table).
+# ---------------------------------------------------------------------------
+
+def q19_l2_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return (
+        emb.withColumn("dist", squared_l2("embedding", array_lit(Q19_QUERY_VEC)))
+        .orderBy(F.asc("dist"), F.asc("vec_id"))
+        .select("vec_id", "label", "dist")
+        .limit(5)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q20 — exact-duplicate profile of the documents table (hash groupBy;
+# the shuffle carries 16-byte digests, not documents).
+# ---------------------------------------------------------------------------
+
+def q20_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        dedup.exact_dup_stats(docs, "text", "source")
+        .withColumnRenamed("grp", "source")
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q21 — chunker parity (R2→R3→R4). No SQL twin (recursive greedy
+# merge is not SQL-expressible) — golden-tested against the pure-
+# Python pipeline in tests/test_chunker.py; the driver records
+# rows-only.
+# ---------------------------------------------------------------------------
+
+def q21_chunker(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    chunks = chunk_documents(docs, "doc_id", "text", page_chars=200, chunk_size=300, chunk_overlap=60)
+    return (
+        chunks.select(
+            "doc_id",
+            "window_index",
+            "subchunk_index",
+            F.length("chunk_text").cast("long").alias("n_chars"),
+            F.md5(F.col("chunk_text").cast("binary")).alias("chunk_md5"),
+        )
+        .orderBy("doc_id", "window_index", "subchunk_index")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q22 — the reference's retrieval query (R15→R17→R18→R19): 1-NN per
+# query vector with threshold rejection; answer = label (string) or
+# the sentinel. Strict > rejects; == threshold accepted
+# (rag_chatbot/main.py:42).
+# ---------------------------------------------------------------------------
+
+def q22_knn_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = similarity.queries_df(spark, Q22_QUERY_VECS)
+    return (
+        similarity.knn_l2_with_threshold(
+            emb, queries, threshold=Q22_THRESHOLD, sentinel=Q22_SENTINEL, answer_col="label"
+        )
+        .orderBy("qid")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q23 — n-gram Jaccard near-dup: top-20 most similar document pairs
+# by word-bigram Jaccard. Join key is the shingle (content-derived
+# colocation); output pairs deterministic via (jaccard desc, ids).
+# ---------------------------------------------------------------------------
+
+def q23_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=2)
+        .orderBy(F.desc("jaccard"), F.asc("id_a"), F.asc("id_b"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q24 — MinHash+LSH near-dup candidates (custom fixed-seed xxhash64
+# family → no SQL twin; unit-tested, driver rows-only). Output is the
+# LSH-verified pair list at unigram Jaccard ≥ 0.6.
+# ---------------------------------------------------------------------------
+
+def q24_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        dedup.minhash_neardup_pairs(docs, "doc_id", "text", n=1, num_hashes=16, bands=4, min_jaccard=0.6)
+        .orderBy(F.desc("jaccard"), F.asc("id_a"), F.asc("id_b"))
+        .limit(50)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q25 — SimHash near-dup (xxhash64 bit family → no SQL twin).
+# ---------------------------------------------------------------------------
+
+def q25_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    sims = dedup.simhash(docs, "doc_id", "text")
+    pairs = dedup.simhash_neardup_pairs(sims, max_hamming=16)
+    return pairs.orderBy(F.asc("hamming"), F.asc("id_a"), F.asc("id_b")).limit(50)
+
+
+# ---------------------------------------------------------------------------
+# Q26 — embedding-cosine near-dup: top-20 most similar embedding
+# pairs (all-pairs at this scale; block via ivf_assign cells at
+# 100 TB — see operators/dedup.py docstring).
+# ---------------------------------------------------------------------------
+
+def q26_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return (
+        dedup.embedding_neardup_pairs(emb)
+        .orderBy(F.desc("sim"), F.asc("id_a"), F.asc("id_b"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q27 — similarity search baseline: brute-force cosine top-3 for 5
+# fixed query vectors (broadcast query side, corpus stays put).
+# ---------------------------------------------------------------------------
+
+def q27_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = similarity.queries_df(spark, Q27_QUERY_VECS)
+    return similarity.cosine_topk(emb, queries, k=3).orderBy("qid", "rk")
+
+
+# ---------------------------------------------------------------------------
+# Q28 — IVF ANN: deterministic 8-centroid inverted file, probe 2
+# cells, exact cosine top-3 within probed cells. The scale path for
+# Q27 (prunes the corpus scan to nprobe/n_cells).
+# ---------------------------------------------------------------------------
+
+def q28_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus = similarity.ivf_assign(emb, Q28_CENTROIDS)
+    queries = similarity.queries_df(spark, Q27_QUERY_VECS)
+    return similarity.ivf_search_cosine(corpus, queries, Q28_CENTROIDS, k=3, nprobe=2).orderBy(
+        "qid", "rk"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q29 — language/text profile per lang: ratio-of-sums (exact integer
+# sums → order-independent), not avg-of-ratios.
+# ---------------------------------------------------------------------------
+
+def q29_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = ws_tokens("text")
+    en = LANG_STOPWORDS["en"]
+    per_doc = docs.select(
+        "lang",
+        F.size(toks).cast("long").alias("n_tok"),
+        F.size(F.filter(toks, lambda w: w.isin(*en))).cast("long").alias("n_stop"),
+        F.length("text").cast("long").alias("n_chars"),
+        (F.length("text") - F.length(F.regexp_replace(F.col("text"), r"[^\w\s]", "")))
+        .cast("long")
+        .alias("n_punct"),
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("tokens"),
+            F.sum("n_stop").alias("stop_hits"),
+            F.sum("n_chars").alias("chars"),
+            F.sum("n_punct").alias("punct"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "tokens",
+            (F.col("stop_hits") / F.col("tokens")).alias("stop_ratio"),
+            (F.col("punct") / F.col("chars")).alias("punct_ratio"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q30 — quality scoring: per-document features and a composite score,
+# top-20. All per-row arithmetic (identical on both engines).
+# ---------------------------------------------------------------------------
+
+def q30_quality_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = ws_tokens("text")
+    n_tok = F.size(toks).cast("long")
+    tok_chars = F.aggregate(
+        F.transform(toks, lambda w: F.length(w).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    en = LANG_STOPWORDS["en"]
+    n_stop = F.size(F.filter(toks, lambda w: w.isin(*en))).cast("long")
+    scored = docs.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        F.when(n_tok > 0, tok_chars / n_tok).otherwise(F.lit(0.0)).alias("avg_token_len"),
+        F.when(n_tok > 0, n_stop / n_tok).otherwise(F.lit(0.0)).alias("stop_ratio"),
+    ).withColumn(
+        "quality",
+        F.col("n_tokens") * 0.01 + F.col("avg_token_len") * 1.0 + F.col("stop_ratio") * 5.0,
+    )
+    return scored.orderBy(F.desc("quality"), F.asc("doc_id")).limit(20)
+
+
+# ---------------------------------------------------------------------------
+# Q31 — token counting per source: whitespace + BPE-ish regex.
+# ---------------------------------------------------------------------------
+
+def q31_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "source",
+            token_count_ws("text").alias("t_ws"),
+            token_count_bpe_ish("text").alias("t_bpe"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("t_ws").alias("tokens_ws"),
+            F.sum("t_bpe").alias("tokens_bpe"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q32 — document fingerprinting: md5 of normalized text + 16-way
+# shard bucket (the partitioned-dedup key at scale).
+# ---------------------------------------------------------------------------
+
+def q32_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    fp = F.md5(normalized_text("text").cast("binary"))
+    return (
+        docs.select(
+            "doc_id",
+            fp.alias("fp"),
+            F.conv(F.substring(fp, 1, 1), 16, 10).cast("long").alias("bucket"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q33 — as-of join: each purchase matched to the user's latest
+# preceding view (exact ns-epoch comparison; DuckDB twin uses its
+# native ASOF JOIN).
+# ---------------------------------------------------------------------------
+
+def q33_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_events(spark, sf_dir)
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts_ns"
+    )
+    views = e.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_event_id"), F.col("user_id"), F.col("ts_ns")
+    )
+    out = asof_join(
+        purchases,
+        views,
+        key="user_id",
+        left_time="ts_ns",
+        right_time="ts_ns",
+        left_id="event_id",
+    )
+    return out.select("event_id", "user_id", F.col("r_view_event_id").alias("view_event_id")).orderBy(
+        "event_id"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q34 — sessionization (batch): 30-minute gap sessions per user on
+# exact ns timestamps; one window pass, one shuffle on user_id.
+# ---------------------------------------------------------------------------
+
+def q34_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_events(spark, sf_dir)
+    s = sessionize(e, key="user_id", time_col="ts_ns", gap=30 * 60 * 1_000_000_000)
+    return (
+        s.groupBy("user_id")
+        .agg(
+            F.max("session_id").cast("long").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q35 — tumbling-window aggregation (the batch twin of the streaming
+# windowed count; see streaming/pipelines.py for the readStream
+# version with watermarking). Window start emitted as epoch seconds —
+# timezone-proof on both engines.
+# ---------------------------------------------------------------------------
+
+def q35_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_events(spark, sf_dir)
+    v4 = F.round(F.col("value") * 10000, 0).cast("long")  # exact 4-dec units
+    return (
+        e.withColumn("v4", v4)
+        .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v4").alias("sv4"))
+        .select(
+            F.col("w.start").cast("long").alias("wstart_s"),
+            "event_type",
+            "n",
+            (F.col("sv4") / 10000.0).alias("sum_value"),
+        )
+        .orderBy("wstart_s", "event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q36 — multimodal plumbing: documents as opaque blobs → mapInPandas
+# metadata extraction (byte length, digest, fake-decoded dimensions).
+# The oracle reproduces the fake decode arithmetic in SQL, proving
+# the Arrow round-trip is byte-exact.
+# ---------------------------------------------------------------------------
+
+def q36_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    blobs = to_blob_table(docs, "doc_id", "text", "image")
+    return (
+        extract_blob_meta(blobs)
+        .select("id", "n_bytes", "digest", "width", "height", "status")
+        .orderBy("id")
+    )
+
+
+QUERIES = {
+    "q19_l2_topk": q19_l2_topk,
+    "q20_exact_dedup": q20_exact_dedup,
+    "q21_chunker": q21_chunker,
+    "q22_knn_threshold": q22_knn_threshold,
+    "q23_ngram_jaccard": q23_ngram_jaccard,
+    "q24_minhash_lsh": q24_minhash_lsh,
+    "q25_simhash": q25_simhash,
+    "q26_cosine_neardup": q26_cosine_neardup,
+    "q27_cosine_topk": q27_cosine_topk,
+    "q28_ivf_ann": q28_ivf_ann,
+    "q29_lang_profile": q29_lang_profile,
+    "q30_quality_topk": q30_quality_topk,
+    "q31_token_counts": q31_token_counts,
+    "q32_fingerprint": q32_fingerprint,
+    "q33_asof_join": q33_asof_join,
+    "q34_sessionize": q34_sessionize,
+    "q35_tumbling_window": q35_tumbling_window,
+    "q36_multimodal_meta": q36_multimodal_meta,
+}
+
+
+# --- DuckDB oracle twins ----------------------------------------------------
+
+_Q19_VEC = sql_lit_list(Q19_QUERY_VEC)
+_L2_Q19 = sql_squared_l2("embedding", _Q19_VEC, EMBED_DIM)
+
+_SQL_WS = "list_filter(string_split_regex(trim({x}), '\\s+'), w -> len(w) > 0)"
+_SQL_NORM = (
+    "trim(regexp_replace(regexp_replace(lower({x}), '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g'))"
+)
+_SQL_BIGRAMS = (
+    "list_transform(range(1, greatest(len({ws}) - 1, 0) + 1), "
+    "i -> ({ws})[i] || ' ' || ({ws})[i + 1])"
+).format(ws=_SQL_WS.format(x="text"))
+
+_EN_STOP = "('en' IN ('en')) AND w IN ('the', 'a', 'of', 'and', 'to')"  # unused; kept simple below
+
+
+def _q22_values() -> str:
+    rows = ", ".join(
+        f"({i}, {sql_lit_list(v)})" for i, v in enumerate(Q22_QUERY_VECS)
+    )
+    return f"(VALUES {rows}) AS q(qid, qvec)"
+
+
+_L2_Q22 = sql_squared_l2("embedding", "qvec", EMBED_DIM)
+
+
+def _q27_values() -> str:
+    rows = ", ".join(
+        f"({i}, {sql_lit_list(v)})" for i, v in enumerate(Q27_QUERY_VECS)
+    )
+    return f"(VALUES {rows}) AS q(qid, qvec)"
+
+
+_COS_Q27 = (
+    f"({sql_dot('embedding', 'qvec', EMBED_DIM)}) / "
+    f"(({sql_norm('embedding', EMBED_DIM)}) * ({sql_norm('qvec', EMBED_DIM)}))"
+)
+
+_COS_PAIR = (
+    f"({sql_dot('a.embedding', 'b.embedding', EMBED_DIM)}) / "
+    f"(({sql_norm('a.embedding', EMBED_DIM)}) * ({sql_norm('b.embedding', EMBED_DIM)}))"
+)
+
+# fake_image_meta twin: byte k of md5 digest from hex chars (1-based
+# positions 2k+1, 2k+2); strpos over the hex alphabet gives the nibble.
+_HEXPOS = "(strpos('0123456789abcdef', substr(md5(text), {p}, 1)) - 1)"
+_BYTE0 = f"(16 * {_HEXPOS.format(p=1)} + {_HEXPOS.format(p=2)})"
+_BYTE1 = f"(16 * {_HEXPOS.format(p=3)} + {_HEXPOS.format(p=4)})"
+
+
+ORACLE = {
+    "q19_l2_topk": f"""
+        SELECT vec_id, label, {_L2_Q19} AS dist
+        FROM embeddings
+        ORDER BY dist, vec_id
+        LIMIT 5
+    """,
+    "q20_exact_dedup": f"""
+        SELECT source,
+               COUNT(*) AS n_docs,
+               COUNT(DISTINCT md5(text)) AS n_distinct,
+               COUNT(*) - COUNT(DISTINCT md5(text)) AS n_exact_dups,
+               COUNT(*) - COUNT(DISTINCT md5({_SQL_NORM.format(x='text')})) AS n_norm_dups
+        FROM documents
+        GROUP BY source
+        ORDER BY source
+    """,
+    "q22_knn_threshold": f"""
+        WITH dists AS (
+            SELECT qid, vec_id, label, {_L2_Q22} AS dist
+            FROM embeddings, {_q22_values()}
+        ), ranked AS (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS rk
+            FROM dists
+        )
+        SELECT qid, vec_id, dist,
+               dist <= {Q22_THRESHOLD} AS accepted,
+               CASE WHEN dist > {Q22_THRESHOLD} THEN '{Q22_SENTINEL.replace("'", "''")}'
+                    ELSE CAST(label AS VARCHAR) END AS answer
+        FROM ranked WHERE rk = 1
+        ORDER BY qid
+    """,
+    "q23_ngram_jaccard": f"""
+        WITH sh AS (
+            SELECT DISTINCT doc_id AS id, unnest({_SQL_BIGRAMS}) AS shingle
+            FROM documents
+        ), sizes AS (
+            SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id
+        ), inter AS (
+            SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS inter
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+            GROUP BY 1, 2
+        )
+        SELECT id_a, id_b, inter, sa.n_sh AS n_a, sb.n_sh AS n_b,
+               inter / (sa.n_sh + sb.n_sh - inter) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.id = id_a
+        JOIN sizes sb ON sb.id = id_b
+        ORDER BY jaccard DESC, id_a, id_b
+        LIMIT 20
+    """,
+    "q26_cosine_neardup": f"""
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_COS_PAIR} AS sim
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        ORDER BY sim DESC, id_a, id_b
+        LIMIT 20
+    """,
+    "q27_cosine_topk": f"""
+        WITH sims AS (
+            SELECT qid, vec_id, {_COS_Q27} AS sim
+            FROM embeddings, {_q27_values()}
+        ), ranked AS (
+            SELECT qid, vec_id, sim,
+                   ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rk
+            FROM sims
+        )
+        SELECT qid, vec_id, sim, rk FROM ranked WHERE rk <= 3
+        ORDER BY qid, rk
+    """,
+    "q29_lang_profile": f"""
+        WITH per_doc AS (
+            SELECT lang,
+                   len({_SQL_WS.format(x='text')}) AS n_tok,
+                   len(list_filter({_SQL_WS.format(x='text')},
+                       w -> w IN ('the', 'a', 'of', 'and', 'to'))) AS n_stop,
+                   length(text) AS n_chars,
+                   length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS n_punct
+            FROM documents
+        )
+        SELECT lang, COUNT(*) AS n_docs,
+               CAST(SUM(n_tok) AS BIGINT) AS tokens,
+               CAST(SUM(n_stop) AS BIGINT) / CAST(SUM(n_tok) AS BIGINT) AS stop_ratio,
+               CAST(SUM(n_punct) AS BIGINT) / CAST(SUM(n_chars) AS BIGINT) AS punct_ratio
+        FROM per_doc
+        GROUP BY lang
+        ORDER BY lang
+    """,
+    "q30_quality_topk": f"""
+        WITH feats AS (
+            SELECT doc_id,
+                   len({_SQL_WS.format(x='text')}) AS n_tok,
+                   list_sum(list_transform({_SQL_WS.format(x='text')}, w -> len(w))) AS tok_chars,
+                   len(list_filter({_SQL_WS.format(x='text')},
+                       w -> w IN ('the', 'a', 'of', 'and', 'to'))) AS n_stop
+            FROM documents
+        ), scored AS (
+            SELECT doc_id,
+                   CAST(n_tok AS BIGINT) AS n_tokens,
+                   CASE WHEN n_tok > 0 THEN CAST(tok_chars AS BIGINT) / CAST(n_tok AS BIGINT) ELSE 0.0 END AS avg_token_len,
+                   CASE WHEN n_tok > 0 THEN CAST(n_stop AS BIGINT) / CAST(n_tok AS BIGINT) ELSE 0.0 END AS stop_ratio
+            FROM feats
+        )
+        SELECT doc_id, n_tokens, avg_token_len, stop_ratio,
+               n_tokens * 0.01 + avg_token_len * 1.0 + stop_ratio * 5.0 AS quality
+        FROM scored
+        ORDER BY quality DESC, doc_id
+        LIMIT 20
+    """,
+    "q31_token_counts": f"""
+        SELECT source, COUNT(*) AS n_docs,
+               CAST(SUM(len({_SQL_WS.format(x='text')})) AS BIGINT) AS tokens_ws,
+               CAST(SUM(len(regexp_extract_all(text, '{BPE_ISH_PATTERN}'))) AS BIGINT) AS tokens_bpe
+        FROM documents
+        GROUP BY source
+        ORDER BY source
+    """,
+    "q32_fingerprint": f"""
+        SELECT doc_id,
+               md5({_SQL_NORM.format(x='text')}) AS fp,
+               CAST(strpos('0123456789abcdef', substr(md5({_SQL_NORM.format(x='text')}), 1, 1)) - 1 AS BIGINT) AS bucket
+        FROM documents
+        ORDER BY doc_id
+    """,
+    "q33_asof_join": """
+        SELECT p.event_id AS event_id, p.user_id AS user_id, v.event_id AS view_event_id
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+          ON p.user_id = v.user_id AND v.ts <= p.ts
+        ORDER BY event_id
+    """,
+    "q34_sessionize": """
+        WITH flagged AS (
+            SELECT user_id,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR epoch_ns(ts) - epoch_ns(lag(ts) OVER w) > 1800000000000
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        )
+        SELECT user_id, CAST(SUM(new_sess) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
+        FROM flagged
+        GROUP BY user_id
+        ORDER BY user_id
+    """,
+    "q35_tumbling_window": """
+        SELECT epoch_ms(time_bucket(INTERVAL 1 HOUR, ts)) // 1000 AS wstart_s,
+               event_type, COUNT(*) AS n,
+               CAST(SUM(CAST(ROUND(value * 10000) AS BIGINT)) AS BIGINT) / 10000.0 AS sum_value
+        FROM events
+        GROUP BY wstart_s, event_type
+        ORDER BY wstart_s, event_type
+    """,
+    "q36_multimodal_meta": f"""
+        SELECT doc_id AS id,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               md5(text) AS digest,
+               CAST(64 + {_BYTE0} % 192 AS INTEGER) AS width,
+               CAST(64 + {_BYTE1} % 192 AS INTEGER) AS height,
+               CASE WHEN octet_length(encode(text)) > 0 THEN 'decoded' ELSE 'empty' END AS status
+        FROM documents
+        ORDER BY id
+    """,
+}

@@ -1,0 +1,97 @@
+"""Readers: the engine's source surface (SURVEY.md §2B).
+
+- R1 (`app/main.py:139`): directory-of-PDFs scan → binaryFile source
+  with a glob filter (suffix pruning happens at file listing, the
+  Spark analog of the reference's os.listdir filter).
+- R13 (`rag_chatbot/main.py:8-13`): JSONL scan. The reference
+  crashes on a malformed line (no try/except) ⇒ FAILFAST is the
+  parity default; PERMISSIVE is opt-in.
+- PDF page extraction (R2) needs a PDF parser; pypdf is not in this
+  container, so the parser is injectable with a plain-text fallback
+  (form-feed separated pages) — the Spark plumbing (binary → pages →
+  explode) is identical either way.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, StringType, StructType
+
+from ai_data_pipeline_spark.operators.json_fallback import QA_SCHEMA
+
+QA_RECORD_SCHEMA = "question string, answer string, source_file string, window_index int, subchunk_index int"
+
+
+def read_document_dir(
+    spark: SparkSession, path: str, glob: str = "*.pdf", stream: bool = False
+) -> DataFrame:
+    """R1: binary documents from a landing directory.
+    Columns: path, modificationTime, length, content."""
+    reader = spark.readStream if stream else spark.read
+    return reader.format("binaryFile").option("pathGlobFilter", glob).load(path)
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: str | StructType = QA_RECORD_SCHEMA,
+    mode: str = "FAILFAST",
+    stream: bool = False,
+) -> DataFrame:
+    """R13: schema'd JSONL scan; FAILFAST mirrors the reference's
+    crash-on-malformed behavior."""
+    reader = spark.readStream if stream else spark.read
+    return reader.schema(schema).option("mode", mode).json(path)
+
+
+def default_text_pdf_parser(content: bytes) -> list[str]:
+    """Fallback 'PDF' parser for environments without pypdf: decode
+    utf-8 (replacing errors) and split pages on form-feed."""
+    return (content or b"").decode("utf-8", errors="replace").split("\f")
+
+
+def pypdf_parser(content: bytes) -> list[str]:  # pragma: no cover - pypdf absent here
+    """Real parser (R2, `app/main.py:19-27`) when pypdf is present."""
+    import io
+
+    from pypdf import PdfReader
+
+    return [(page.extract_text() or "") for page in PdfReader(io.BytesIO(content)).pages]
+
+
+def get_pdf_parser() -> Callable[[bytes], list[str]]:
+    try:  # pragma: no cover - container has no pypdf
+        import pypdf  # noqa: F401
+
+        return pypdf_parser
+    except ImportError:
+        return default_text_pdf_parser
+
+
+def parse_pages(
+    docs: DataFrame,
+    parser: Callable[[bytes], list[str]] | None = None,
+    path_col: str = "path",
+    content_col: str = "content",
+) -> DataFrame:
+    """R2: binary docs → one row per non-empty page.
+    Output: [source_file, page_no (1-based), page_text]."""
+    parser = parser or get_pdf_parser()
+
+    @F.pandas_udf(ArrayType(StringType()))
+    def parse_udf(content: pd.Series) -> pd.Series:
+        return content.map(lambda b: parser(bytes(b) if b is not None else b""))
+
+    return (
+        docs.select(
+            F.element_at(F.split(F.col(path_col), "/"), -1).alias("source_file"),
+            parse_udf(F.col(content_col)).alias("pages"),
+        )
+        .select("source_file", F.posexplode("pages").alias("page_no0", "page_text"))
+        .filter(F.length(F.trim("page_text")) > 0)
+        .select("source_file", (F.col("page_no0") + 1).alias("page_no"), "page_text")
+    )

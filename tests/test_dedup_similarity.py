@@ -1,0 +1,129 @@
+"""Dedup + similarity operator unit tests: crafted corpora with known
+duplicates/neighbors, including the R18 threshold-at-boundary case
+(dist == threshold ACCEPTED — strict > at rag_chatbot/main.py:42).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ai_data_pipeline_spark.operators import dedup, similarity
+
+
+def _docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (3, "the quick brown fox jumps over the lazy cat"),  # near dup of 1
+        (4, "completely different content about spark engines"),
+        (5, "The Quick Brown Fox Jumps Over The Lazy Dog!"),  # norm-dup of 1
+    ]
+    return spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+
+
+def test_exact_dedup_keeps_lowest_id(spark):
+    out = dedup.exact_dedup(_docs(spark), ["text"], "doc_id")
+    ids = sorted(r.doc_id for r in out.collect())
+    assert ids == [1, 3, 4, 5]  # doc 2 dropped (exact dup of 1)
+
+
+def test_exact_dup_stats_norm_dups(spark):
+    df = _docs(spark).withColumn("grp", F.lit("g"))
+    row = dedup.exact_dup_stats(df, "text", "grp").collect()[0]
+    assert row.n_docs == 5
+    assert row.n_exact_dups == 1  # 2 ≡ 1
+    assert row.n_norm_dups == 2  # 2 ≡ 1 and 5 ≡ 1 after normalization
+
+
+def test_ngram_jaccard_identical_pair(spark):
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(_docs(spark), "doc_id", "text", n=2).collect()
+    }
+    assert pairs[(1, 2)] == 1.0
+    assert 0.0 < pairs[(1, 3)] < 1.0
+    assert (1, 4) not in pairs  # no shared bigrams
+
+
+def test_minhash_identical_signatures(spark):
+    sigs = {
+        r.id: tuple(r.sig)
+        for r in dedup.minhash_signatures(_docs(spark), "doc_id", "text", n=2).collect()
+    }
+    assert sigs[1] == sigs[2]
+    assert sigs[1] != sigs[4]
+
+
+def test_minhash_lsh_finds_exact_dup(spark):
+    out = dedup.minhash_neardup_pairs(
+        _docs(spark), "doc_id", "text", n=2, num_hashes=16, bands=4, min_jaccard=0.9
+    ).collect()
+    assert {(r.id_a, r.id_b) for r in out} >= {(1, 2)}
+
+
+def test_simhash_identical_and_near(spark):
+    sims = {r.id: r.simhash for r in dedup.simhash(_docs(spark), "doc_id", "text").collect()}
+    assert sims[1] == sims[2]
+    pairs = dedup.simhash_neardup_pairs(
+        dedup.simhash(_docs(spark), "doc_id", "text"), max_hamming=16
+    ).collect()
+    got = {(r.id_a, r.id_b): r.hamming for r in pairs}
+    assert got[(1, 2)] == 0
+
+
+def _emb(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0], "one"),
+        (2, [0.0, 1.0, 0.0, 0.0], "two"),
+        (3, [2.0, 0.0, 0.0, 0.0], "three"),  # colinear with 1
+        (4, [1.0, 1.0, 0.0, 0.0], "four"),
+    ]
+    return spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>, label STRING")
+
+
+def test_knn_l2_basic(spark):
+    q = similarity.queries_df(spark, [[1.0, 0.1, 0.0, 0.0]])
+    out = similarity.knn_l2(_emb(spark), q, k=2).collect()
+    assert [r.vec_id for r in out] == [1, 4]
+
+
+def test_knn_threshold_boundary_accepted(spark):
+    # query at squared-L2 exactly 1.0 from vec 1 → ACCEPTED (strict >)
+    q = similarity.queries_df(spark, [[0.0, 0.0, 0.0, 0.0]])
+    out = similarity.knn_l2_with_threshold(
+        _emb(spark), q, threshold=1.0, sentinel="NOPE", answer_col="label"
+    ).collect()[0]
+    assert out.dist == 1.0 and out.accepted and out.answer == "one"
+
+
+def test_knn_threshold_rejected(spark):
+    q = similarity.queries_df(spark, [[10.0, 10.0, 10.0, 10.0]])
+    out = similarity.knn_l2_with_threshold(
+        _emb(spark), q, threshold=1.0, sentinel="NOPE", answer_col="label"
+    ).collect()[0]
+    assert not out.accepted and out.answer == "NOPE"
+
+
+def test_cosine_topk_ignores_magnitude(spark):
+    q = similarity.queries_df(spark, [[1.0, 0.0, 0.0, 0.0]])
+    out = similarity.cosine_topk(_emb(spark), q, k=2).collect()
+    # 1 and 3 are both cosine=1 with the query; tie-break by vec_id
+    assert [r.vec_id for r in out] == [1, 3]
+
+
+def test_ivf_assign_and_search(spark):
+    cents = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]]
+    corpus = similarity.ivf_assign(_emb(spark), cents)
+    cells = {r.vec_id: r.cell for r in corpus.collect()}
+    assert cells[1] == 0 and cells[3] == 0 and cells[2] == 1
+    q = similarity.queries_df(spark, [[0.9, 0.05, 0.0, 0.0]])
+    out = similarity.ivf_search_cosine(corpus, q, cents, k=1, nprobe=1).collect()
+    assert out[0].vec_id == 1
+
+
+def test_embedding_neardup_blocked(spark):
+    emb = _emb(spark).withColumn("blk", F.col("vec_id") % 2)
+    pairs = dedup.embedding_neardup_pairs(emb, block_col="blk").collect()
+    ids = {(r.id_a, r.id_b) for r in pairs}
+    assert (1, 3) in ids  # same block (odd), colinear
+    assert (1, 2) not in ids  # different blocks never compared
