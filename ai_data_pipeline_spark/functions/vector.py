@@ -22,38 +22,66 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
-def squared_l2(a: Column | str, b: Column | str) -> Column:
+def _c(x: Column | str) -> Column:
+    return F.col(x) if isinstance(x, str) else x
+
+
+def squared_l2(a: Column | str, b: Column | str, dim: int | None = None) -> Column:
     """Σ (a_i - b_i)² — squared euclidean distance.
 
     Matches IndexFlatL2 semantics (`rag_chatbot/main.py:26-28`): FAISS
     returns *squared* distances, and the reference's 1.0 rejection
     threshold compares against the square — preserved as-is.
+
+    Pass ``dim`` when the dimension is statically known: the
+    expression unrolls to a whole-stage-codegen'd add chain instead
+    of an interpreted higher-order fold (zip_with/aggregate lambdas
+    cost ~µs per ELEMENT in the interpreter — 2-3 orders of
+    magnitude slower than codegen; measured the difference on the
+    sf0.1 all-pairs queries). The summation order (left-to-right) is
+    identical either way, so results are bit-equal.
+
+    Operands are cast to double per element: float32×float32 stays
+    float32 in Spark but the oracle computes in double.
     """
-    a, b = F.col(a) if isinstance(a, str) else a, F.col(b) if isinstance(b, str) else b
-    # cast inside the lambda: float32×float32 would stay float32 in
-    # Spark but the oracle twin computes in double — widen first so
-    # both engines do identical double arithmetic
+    a, b = _c(a), _c(b)
+    if dim is not None:
+        terms = []
+        for i in range(dim):
+            d = a.getItem(i).cast("double") - b.getItem(i).cast("double")
+            terms.append(d * d)
+        out = terms[0]
+        for t in terms[1:]:
+            out = out + t
+        # fold starts at 0.0: preserve (0.0 + t0) + t1 ... exactly
+        return F.lit(0.0) + out if dim > 0 else F.lit(0.0)
     diffs = F.zip_with(
         a, b, lambda x, y: (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))
     )
     return F.aggregate(diffs, F.lit(0.0), lambda acc, v: acc + v)
 
 
-def dot(a: Column | str, b: Column | str) -> Column:
-    a, b = F.col(a) if isinstance(a, str) else a, F.col(b) if isinstance(b, str) else b
+def dot(a: Column | str, b: Column | str, dim: int | None = None) -> Column:
+    a, b = _c(a), _c(b)
+    if dim is not None:
+        terms = [a.getItem(i).cast("double") * b.getItem(i).cast("double") for i in range(dim)]
+        out = terms[0]
+        for t in terms[1:]:
+            out = out + t
+        return F.lit(0.0) + out if dim > 0 else F.lit(0.0)
     prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
     return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
 
 
-def norm(a: Column | str) -> Column:
-    return F.sqrt(dot(a, a))
+def norm(a: Column | str, dim: int | None = None) -> Column:
+    return F.sqrt(dot(a, a, dim))
 
 
-def cosine(a: Column | str, b: Column | str) -> Column:
+def cosine(a: Column | str, b: Column | str, dim: int | None = None) -> Column:
     """dot(a,b) / (|a|·|b|); null-safe-ish: zero vectors yield NULL
     (division by zero) rather than NaN-poisoning downstream sorts."""
-    d = norm(a) * norm(b)
-    return F.when(d != 0, dot(a, b) / d)
+    d = norm(a, dim) * norm(b, dim)
+    return F.when(d != 0, dot(a, b, dim) / d)
 
 
 def array_lit(values, dtype: str = "double") -> Column:

@@ -265,9 +265,55 @@ def chunk_documents(
     chunk_size: int = 1500,
     chunk_overlap: int = 200,
 ) -> DataFrame:
-    """Full R2→R3→R4 pipeline: documents → chunk rows."""
-    return split_chunks(
-        sliding_windows(paginate(df, id_col, text_col, page_chars)),
-        chunk_size,
-        chunk_overlap,
+    """Full R2→R3→R4 pipeline: documents → chunk rows.
+
+    Single pandas UDF + posexplode: the page window (R3) only ever
+    looks within one document, so the whole per-doc pipeline runs in
+    one Arrow batch pass — zero shuffles, and no chained Python
+    evals (two ArrowEvalPython nodes feeding each other in one plan
+    can deadlock on pipe buffering; we hit this at sf0.1 — see also
+    ``chunk_paged_documents`` for the page-table variant used when
+    pages arrive pre-exploded from a PDF parser).
+    """
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    elem = StructType(
+        [
+            StructField("window_index", IntegerType()),
+            StructField("subchunk_index", IntegerType()),
+            StructField("chunk_text", StringType()),
+        ]
     )
+
+    @F.pandas_udf(ArrayType(elem))
+    def chunks_udf(s: pd.Series) -> pd.Series:
+        return s.map(
+            lambda t: chunk_pipeline_python(
+                t or "", page_chars, 2, 2, chunk_size, chunk_overlap
+            )
+        )
+
+    return (
+        df.select(F.col(id_col).alias("doc_id"), chunks_udf(F.col(text_col)).alias("cs"))
+        .select("doc_id", F.explode("cs").alias("c"))
+        .select(
+            "doc_id",
+            F.col("c.window_index").alias("window_index"),
+            F.col("c.subchunk_index").alias("subchunk_index"),
+            F.col("c.chunk_text").alias("chunk_text"),
+        )
+    )
+
+
+def chunk_paged_documents(
+    pages: DataFrame,
+    chunk_size: int = 1500,
+    chunk_overlap: int = 200,
+) -> DataFrame:
+    """R3→R4 over an already-paged table [doc_id, page_no, page_text]
+    (e.g. from sources.readers.parse_pages): window-function sliding
+    windows + split UDF. NOTE: if the page table itself comes from a
+    pandas UDF in the same lineage, materialize it first (cache or
+    checkpoint) — chained ArrowEvalPython nodes in one plan can
+    deadlock on pipe buffering (observed at sf0.1)."""
+    return split_chunks(sliding_windows(pages), chunk_size, chunk_overlap)

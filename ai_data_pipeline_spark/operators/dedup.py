@@ -76,11 +76,28 @@ def exact_dup_stats(df: DataFrame, text_col: str, group_col: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def shingle_table(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
-    """[id, shingle] — distinct word n-grams per document."""
-    return (
-        df.select(F.col(id_col).alias("id"), F.explode(word_ngrams(text_col, n)).alias("shingle"))
-        .distinct()
-    )
+    """[id, shingle] — distinct word n-grams per document.
+
+    Tokenizes into a materialized column first: building n-grams
+    directly over ws_tokens(text) inlines the split+filter expression
+    once per element_at (n+1 copies evaluated per gram — O(words²)
+    per document). With the token array materialized, each gram is
+    just array indexing.
+    """
+    from ai_data_pipeline_spark.functions.text import ws_tokens
+
+    toks = df.select(F.col(id_col).alias("id"), ws_tokens(text_col).alias("ws"))
+    if n == 1:
+        grams = F.col("ws")
+    else:
+        joiner = lambda i: F.concat_ws(  # noqa: E731
+            " ", *[F.element_at(F.col("ws"), i + F.lit(k)) for k in range(n)]
+        )
+        grams = F.when(
+            F.size("ws") >= n,
+            F.transform(F.sequence(F.lit(1), F.size("ws") - (n - 1)), joiner),
+        ).otherwise(F.array().cast("array<string>"))
+    return toks.select("id", F.explode(grams).alias("shingle")).distinct()
 
 
 def ngram_jaccard_pairs(
@@ -100,17 +117,21 @@ def ngram_jaccard_pairs(
     min_jaccard prunes output. Both engines compute jaccard as the
     same int/int division → raw doubles are comparison-safe.
     """
-    sh = shingle_table(df, id_col, text_col, n)
+    # join/shuffle on an 8-byte shingle hash, not the string — the
+    # self-join is the hot path and string keys double its cost.
+    # (Counts are identical barring a 64-bit collision within one
+    # dataset — odds ~|shingles|²/2⁶⁴.)
+    sh = shingle_table(df, id_col, text_col, n).select(
+        "id", F.xxhash64(F.col("shingle")).alias("sh")
+    )
     if max_shingle_freq is not None:
-        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("f"))
-        sh = sh.join(freq.filter(F.col("f") <= max_shingle_freq), "shingle").select(
-            "id", "shingle"
-        )
+        freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("f"))
+        sh = sh.join(freq.filter(F.col("f") <= max_shingle_freq), "sh").select("id", "sh")
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("inter"))
     )
@@ -204,10 +225,27 @@ def minhash_neardup_pairs(
     Output: [id_a, id_b, jaccard]."""
     cands = minhash_lsh_candidates(
         minhash_signatures(df, id_col, text_col, n, num_hashes), num_hashes, bands
+    ).select("id_a", "id_b")
+    # Verify ONLY candidate pairs (the whole point of LSH): the
+    # intersection count comes from a candidates×shingles join whose
+    # size is Σ_candidates |shingles(a)| — linear in candidates, not
+    # quadratic in the corpus like an all-pairs exact Jaccard.
+    sh = shingle_table(df, id_col, text_col, n).select(
+        "id", F.xxhash64(F.col("shingle")).alias("sh")
     )
-    exact = ngram_jaccard_pairs(df, id_col, text_col, n, min_jaccard=0.0)
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sa = sh.select(F.col("id").alias("id_a"), "sh")
+    sb = sh.select(F.col("id").alias("id_b"), "sh")
+    inter = (
+        cands.join(sa, "id_a")
+        .join(sb, ["id_b", "sh"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
     return (
-        cands.join(exact, ["id_a", "id_b"])
+        inter.join(sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b")), "id_b")
+        .withColumn("jaccard", F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")))
         .filter(F.col("jaccard") >= min_jaccard)
         .select("id_a", "id_b", "jaccard")
     )
@@ -294,6 +332,7 @@ def embedding_neardup_pairs(
     vec_col: str = "embedding",
     block_col: str | None = None,
     min_cosine: float | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """All-pairs cosine similarity, optionally blocked.
 
@@ -303,18 +342,33 @@ def embedding_neardup_pairs(
     one this is a corpus² scan — only for small/sampled corpora.
     Output: [id_a, id_b, sim].
     """
+    from ai_data_pipeline_spark.functions.vector import dot, norm
+
     cols = [F.col(id_col).alias("id"), F.col(vec_col).alias("vec")] + (
         [F.col(block_col).alias("blk")] if block_col else []
     )
-    v = emb.select(*cols)
+    # Precompute each vector's norm ONCE (higher-order array
+    # expressions are interpreted, not codegen'd — recomputing two
+    # norms per PAIR instead of per VECTOR tripled the hot loop).
+    v = emb.select(*cols).withColumn("nrm", norm("vec", dim))
     a, b = v.alias("a"), v.alias("b")
     cond = F.col("a.id") < F.col("b.id")
     if block_col:
         cond = (F.col("a.blk") == F.col("b.blk")) & cond
+    else:
+        # blockless all-pairs compiles to a broadcast nested-loop
+        # join that inherits the stream side's partitioning (often 1
+        # small file = 1 task): spread the probe side so the O(n²)
+        # pair evaluation parallelizes across all cores
+        a = (
+            v.repartition(emb.sparkSession.sparkContext.defaultParallelism)
+            .alias("a")
+        )
+    d = F.col("a.nrm") * F.col("b.nrm")
     out = a.join(b, cond).select(
         F.col("a.id").alias("id_a"),
         F.col("b.id").alias("id_b"),
-        cosine(F.col("a.vec"), F.col("b.vec")).alias("sim"),
+        F.when(d != 0, dot(F.col("a.vec"), F.col("b.vec"), dim) / d).alias("sim"),
     )
     if min_cosine is not None:
         out = out.filter(F.col("sim") >= min_cosine)

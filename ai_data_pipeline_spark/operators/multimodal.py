@@ -72,30 +72,28 @@ def extract_blob_meta(
     the decode seam of the multimodal pipeline. Deterministic with
     the default fake decoder; plug a real one in production."""
 
+    if decoder is None:
+        raise NotImplementedError(
+            "no image decoder available in this environment; "
+            "pass decoder= (e.g. PIL-based) or use fake_image_meta"
+        )
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for _, r in pdf.iterrows():
-                blob = bytes(r["blob"]) if r["blob"] is not None else b""
-                digest = hashlib.md5(blob).hexdigest()
-                if decoder is None:
-                    raise NotImplementedError(
-                        "no image decoder available in this environment; "
-                        "pass decoder= (e.g. PIL-based) or use fake_image_meta"
-                    )
-                w, h = decoder(blob)
-                rows.append(
-                    {
-                        "id": r["id"],
-                        "modality": r["modality"],
-                        "n_bytes": len(blob),
-                        "digest": digest,
-                        "width": w,
-                        "height": h,
-                        "status": "decoded" if blob else "empty",
-                    }
-                )
-            yield pd.DataFrame(rows, columns=[f.name for f in BLOB_META_SCHEMA.fields])
+            blobs_col = [bytes(b) if b is not None else b"" for b in pdf["blob"]]
+            dims = [decoder(b) for b in blobs_col]
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"].values,
+                    "modality": pdf["modality"].values,
+                    "n_bytes": [len(b) for b in blobs_col],
+                    "digest": [hashlib.md5(b).hexdigest() for b in blobs_col],
+                    "width": [d[0] for d in dims],
+                    "height": [d[1] for d in dims],
+                    "status": ["decoded" if b else "empty" for b in blobs_col],
+                },
+                columns=[f.name for f in BLOB_META_SCHEMA.fields],
+            )
 
     return blobs.mapInPandas(run, BLOB_META_SCHEMA)
 

@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ai_data_pipeline_spark.functions.vector import array_lit, cosine, dot, squared_l2
+from ai_data_pipeline_spark.functions.vector import array_lit, cosine, dot, norm, squared_l2
 
 
 def queries_df(spark: SparkSession, vectors: list[list[float]], id_start: int = 0) -> DataFrame:
@@ -45,13 +45,15 @@ def knn_l2(
     corpus_vec: str = "embedding",
     query_id: str = "qid",
     query_vec: str = "qvec",
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact k-nearest-neighbors by squared L2 (R17 generalized to k).
 
     Output: [qid, <corpus_id>, dist, rk]. Ties broken by corpus id.
     """
-    joined = corpus.crossJoin(F.broadcast(queries)).withColumn(
-        "dist", squared_l2(corpus_vec, query_vec)
+    n = corpus.sparkSession.sparkContext.defaultParallelism
+    joined = corpus.repartition(n).crossJoin(F.broadcast(queries)).withColumn(
+        "dist", squared_l2(corpus_vec, query_vec, dim)
     )
     w = Window.partitionBy(query_id).orderBy(F.asc("dist"), F.asc(corpus_id))
     return (
@@ -69,6 +71,7 @@ def knn_l2_with_threshold(
     answer_col: str,
     corpus_id: str = "vec_id",
     corpus_vec: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """R17+R18: 1-NN with rejection — strictly-greater-than on the
     squared distance rejects (distance == threshold is ACCEPTED,
@@ -77,7 +80,7 @@ def knn_l2_with_threshold(
     Output: [qid, <corpus_id>, dist, accepted, answer]; the answer is
     the positional-lookup join of the reference (R19) folded in.
     """
-    nn = knn_l2(corpus, queries, k=1, corpus_id=corpus_id, corpus_vec=corpus_vec)
+    nn = knn_l2(corpus, queries, k=1, corpus_id=corpus_id, corpus_vec=corpus_vec, dim=dim)
     answers = corpus.select(corpus_id, F.col(answer_col).cast("string").alias("_ans"))
     return (
         nn.join(answers, corpus_id)
@@ -99,10 +102,21 @@ def cosine_topk(
     k: int,
     corpus_id: str = "vec_id",
     corpus_vec: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
-    """Brute-force cosine top-k (descending similarity)."""
-    joined = corpus.crossJoin(F.broadcast(queries)).withColumn(
-        "sim", cosine(corpus_vec, "qvec")
+    """Brute-force cosine top-k (descending similarity).
+
+    Norms are precomputed per side (array folds are interpreted, not
+    codegen'd — never recompute them per pair), and the corpus is
+    spread across cores before the broadcast join so a single-file
+    corpus doesn't serialize the scan.
+    """
+    n = corpus.sparkSession.sparkContext.defaultParallelism
+    c = corpus.repartition(n).withColumn("_cn", norm(corpus_vec, dim))
+    q = queries.withColumn("_qn", norm("qvec", dim))
+    d = F.col("_cn") * F.col("_qn")
+    joined = c.crossJoin(F.broadcast(q)).withColumn(
+        "sim", F.when(d != 0, dot(corpus_vec, "qvec", dim) / d)
     )
     w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc(corpus_id))
     return (
@@ -116,17 +130,28 @@ def ivf_assign(
     corpus: DataFrame,
     centroids: list[list[float]],
     corpus_vec: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Assign each vector to its nearest centroid (the IVF 'index
     build'). Adds a ``cell`` column; at scale, write the result
     partitioned/bucketed by cell so probes prune files.
+
+    Each centroid distance is materialized as its own column BEFORE
+    the least() chain: inlining K full distance expressions into a
+    nested least(struct(...)) tree explodes the generated code past
+    JIT limits and Spark silently falls back to interpretation
+    (measured 5× slowdown at K=8, d=64).
     """
-    best = None
+    with_d = corpus
     for ci, cv in enumerate(centroids):
-        d = squared_l2(corpus_vec, array_lit(cv))
-        cell = F.struct(d.alias("d"), F.lit(ci).alias("c"))
+        with_d = with_d.withColumn(f"_d{ci}", squared_l2(corpus_vec, array_lit(cv), dim))
+    best = None
+    for ci in range(len(centroids)):
+        cell = F.struct(F.col(f"_d{ci}").alias("d"), F.lit(ci).alias("c"))
         best = cell if best is None else F.least(best, cell)
-    return corpus.withColumn("cell", best["c"].cast("int"))
+    return with_d.withColumn("cell", best["c"].cast("int")).drop(
+        *[f"_d{ci}" for ci in range(len(centroids))]
+    )
 
 
 def ivf_search_cosine(
@@ -137,6 +162,7 @@ def ivf_search_cosine(
     nprobe: int = 2,
     corpus_id: str = "vec_id",
     corpus_vec: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Probe the ``nprobe`` nearest cells per query, then exact
     cosine top-k within the probed subset. Scale path: the join on
@@ -152,7 +178,7 @@ def ivf_search_cosine(
     cent_df = spark.createDataFrame(rows, "cell INT, cvec ARRAY<DOUBLE>")
     qcells = (
         queries.crossJoin(F.broadcast(cent_df))
-        .withColumn("cd", squared_l2("qvec", "cvec"))
+        .withColumn("cd", squared_l2("qvec", "cvec", dim))
         .withColumn(
             "crk",
             F.row_number().over(Window.partitionBy("qid").orderBy(F.asc("cd"), F.asc("cell"))),
@@ -160,8 +186,11 @@ def ivf_search_cosine(
         .filter(F.col("crk") <= nprobe)
         .select("qid", "qvec", "cell")
     )
-    joined = corpus_with_cells.join(F.broadcast(qcells), "cell").withColumn(
-        "sim", cosine(corpus_vec, "qvec")
+    d = F.col("_cn") * F.col("_qn")
+    joined = (
+        corpus_with_cells.withColumn("_cn", norm(corpus_vec, dim))
+        .join(F.broadcast(qcells.withColumn("_qn", norm("qvec", dim))), "cell")
+        .withColumn("sim", F.when(d != 0, dot(corpus_vec, "qvec", dim) / d))
     )
     w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc(corpus_id))
     return (

@@ -123,14 +123,18 @@ def q22_knn_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Q23 — n-gram Jaccard near-dup: top-20 most similar document pairs
-# by word-bigram Jaccard. Join key is the shingle (content-derived
-# colocation); output pairs deterministic via (jaccard desc, ids).
+# by word-4-gram Jaccard. Join key is the shingle hash (content-
+# derived colocation); pairs deterministic via (jaccard desc, ids).
+# n=4 matters at scale: short shingles on a small vocabulary make
+# nearly every doc pair collide (measured: bigrams at sf0.1 → 10M
+# candidate pairs ≈ all-pairs; 4-grams only pair docs with real
+# shared phrases — the standard near-dup shingle length).
 # ---------------------------------------------------------------------------
 
 def q23_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return (
-        dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=2)
+        dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=4)
         .orderBy(F.desc("jaccard"), F.asc("id_a"), F.asc("id_b"))
         .limit(20)
     )
@@ -165,13 +169,16 @@ def q25_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Q26 — embedding-cosine near-dup: top-20 most similar embedding
 # pairs (all-pairs at this scale; block via ivf_assign cells at
-# 100 TB — see operators/dedup.py docstring).
+# 100 TB — see operators/dedup.py docstring). dim=EMBED_DIM unrolls
+# the cosine into a codegen'd chain: on millions of pairs that beats
+# the interpreted fold ~20x; the small-row queries (q19/q22/q27/q28)
+# keep the fold because Janino compile time dominates there.
 # ---------------------------------------------------------------------------
 
 def q26_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     return (
-        dedup.embedding_neardup_pairs(emb)
+        dedup.embedding_neardup_pairs(emb, dim=EMBED_DIM)
         .orderBy(F.desc("sim"), F.asc("id_a"), F.asc("id_b"))
         .limit(20)
     )
@@ -426,10 +433,9 @@ _SQL_WS = "list_filter(string_split_regex(trim({x}), '\\s+'), w -> len(w) > 0)"
 _SQL_NORM = (
     "trim(regexp_replace(regexp_replace(lower({x}), '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g'))"
 )
-_SQL_BIGRAMS = (
-    "list_transform(range(1, greatest(len({ws}) - 1, 0) + 1), "
-    "i -> ({ws})[i] || ' ' || ({ws})[i + 1])"
-).format(ws=_SQL_WS.format(x="text"))
+from ai_data_pipeline_spark.functions.text import sql_word_ngrams
+
+_SQL_4GRAMS = sql_word_ngrams("text", 4)
 
 _EN_STOP = "('en' IN ('en')) AND w IN ('the', 'a', 'of', 'and', 'to')"  # unused; kept simple below
 
@@ -502,7 +508,7 @@ ORACLE = {
     """,
     "q23_ngram_jaccard": f"""
         WITH sh AS (
-            SELECT DISTINCT doc_id AS id, unnest({_SQL_BIGRAMS}) AS shingle
+            SELECT DISTINCT doc_id AS id, unnest({_SQL_4GRAMS}) AS shingle
             FROM documents
         ), sizes AS (
             SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id

@@ -36,9 +36,14 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
 
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g")
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
+        # local mode: one JVM hosts driver AND all executor threads —
+        # the default 1g suffocates any real shuffle. Only effective
+        # when this builder launches the JVM (i.e. first session).
+        .config("spark.driver.memory", driver_mem)
         # Runtime re-planning: coalesce small shuffle partitions,
         # split skewed ones, switch to broadcast joins when runtime
         # stats allow. Essential at 100 TB where static estimates lie.

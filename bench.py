@@ -1,0 +1,93 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+The headline set spans the engine's surface: scan/filter, broadcast
++ shuffle joins, agg suite, windows, range join, JSON/date fns, and
+the LLM-pipeline family (dedup hash, jaccard, cosine near-dup, kNN,
+text profiling, sessionization, tumbling windows, chunking).
+Each query is executed to completion with a count-style action
+(collect on already-small results) so the measured time includes the
+full plan, not just planning.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from ai_data_pipeline_spark.plans import pipeline_queries, relational
+from ai_data_pipeline_spark.session import get_spark
+
+HEADLINE = [
+    "q01_scan_filter_project",
+    "q03_revenue_by_nation",
+    "q04_left_join_counts",
+    "q07_range_join",
+    "q08_agg_suite",
+    "q09_rollup",
+    "q11_topk_per_group",
+    "q12_analytic_window",
+    "q13_moving_average",
+    "q14_global_topk",
+    "q17_date_trunc",
+    "q18_json_extract",
+    "q19_l2_topk",
+    "q20_exact_dedup",
+    "q21_chunker",
+    "q22_knn_threshold",
+    "q23_ngram_jaccard",
+    "q26_cosine_neardup",
+    "q27_cosine_topk",
+    "q28_ivf_ann",
+    "q29_lang_profile",
+    "q31_token_counts",
+    "q32_fingerprint",
+    "q33_asof_join",
+    "q34_sessionize",
+    "q35_tumbling_window",
+    "q36_multimodal_meta",
+]
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("bench")
+    queries = {**relational.QUERIES, **pipeline_queries.QUERIES}
+
+    # warm the JVM/session (plan + run one tiny query, not timed)
+    relational.q02_broadcast_join(spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]:.3f}s rows={n}", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
