@@ -1,0 +1,257 @@
+"""Structured Streaming surface: the streaming twins of the batch
+pipeline (SURVEY.md §2B "streaming" row).
+
+Reference parity: the reference's only incremental behavior is
+flush-per-record JSONL append (`app/main.py:110-111`) with no
+checkpoint — re-runs duplicate records. Here every stream is a
+checkpointed micro-batch pipeline: file sources replay from the
+checkpoint, sinks commit exactly-once per batch, and re-running a
+stopped stream resumes instead of duplicating (the regression test
+for the reference's dup bug lives in tests/test_streaming.py).
+
+Scale posture: a file-source stream over a landing directory is the
+100 TB ingest shape (each micro-batch = newly arrived files, split
+into tasks by maxPartitionBytes); watermarks bound state so windowed
+aggregations and dedup hold a fixed-size state store regardless of
+how much history has flowed through.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ai_data_pipeline_spark.sources.sinks import with_source_stem
+
+# ---------------------------------------------------------------------------
+# Sources
+# ---------------------------------------------------------------------------
+
+
+def read_events_stream(
+    spark: SparkSession,
+    events_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source stream over a directory of events parquet files.
+
+    Schema is pinned from a batch read of the same directory (file
+    streams require an explicit schema). `ts` arrives as an ns-epoch
+    long (TIMESTAMP(NANOS) under nanosAsLong — same as
+    catalog.load_events); we expose both `ts_ns` and a µs-truncated
+    `ts` timestamp for event-time windowing.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    schema = spark.read.parquet(events_dir).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    raw = reader.parquet(events_dir)
+    if dict(raw.dtypes).get("ts") == "bigint":
+        raw = raw.withColumnRenamed("ts", "ts_ns").withColumn(
+            "ts", F.timestamp_micros(F.expr("ts_ns div 1000"))
+        )
+    return raw
+
+
+def read_jsonl_stream(
+    spark: SparkSession,
+    path: str,
+    schema,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming twin of R13 (`rag_chatbot/main.py:8-13`): incremental
+    JSONL corpus ingest. FAILFAST parity with the reference (which
+    crashes on a malformed line) is the default; pass a schema with
+    a corrupt-record column for PERMISSIVE pipelines."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.json(path)
+
+
+def read_documents_stream(
+    spark: SparkSession,
+    landing_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming twin of R1 (`app/main.py:139`): watch a landing
+    directory for whole-document text files; one row per file with
+    (source_file, text). The binaryFile/PDF variant swaps the `text`
+    format for `binaryFile` + a parse UDF (sources/readers.py)."""
+    reader = (
+        spark.readStream.format("text")
+        .option("wholetext", "true")
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return (
+        reader.load(landing_dir)
+        .select(
+            F.input_file_name().alias("source_file"),
+            F.col("value").alias("text"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Windowed aggregations (watermark + late-data drop)
+# ---------------------------------------------------------------------------
+
+
+def tumbling_event_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    time_col: str = "ts",
+) -> DataFrame:
+    """Watermarked tumbling-window counts per event_type.
+
+    State bound: windows older than (max event time − watermark) are
+    finalized and evicted; rows later than that are dropped — the
+    late-row drop is golden-tested with an out-of-order file feed.
+    """
+    return (
+        events.withWatermark(time_col, watermark)
+        .groupBy(F.window(time_col, window).alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w.start").cast("long").alias("wstart_s"),
+            "event_type",
+            "n",
+        )
+    )
+
+
+def sliding_event_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "2 hours",
+    time_col: str = "ts",
+) -> DataFrame:
+    """Sliding-window counts (each event lands in window/slide
+    overlapping windows)."""
+    return (
+        events.withWatermark(time_col, watermark)
+        .groupBy(F.window(time_col, window, slide).alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w.start").cast("long").alias("wstart_s"),
+            F.col("w.end").cast("long").alias("wend_s"),
+            "event_type",
+            "n",
+        )
+    )
+
+
+def session_event_stats(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    time_col: str = "ts",
+    key: str = "user_id",
+) -> DataFrame:
+    """Session windows: per-key sessions closed after `gap` of
+    inactivity (the streaming twin of operators.asof.sessionize —
+    same gap semantics, incremental state instead of a batch window
+    pass)."""
+    return (
+        events.withWatermark(time_col, watermark)
+        .groupBy(F.session_window(time_col, gap).alias("w"), F.col(key))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col(key),
+            F.col("w.start").cast("long").alias("session_start_s"),
+            F.col("w.end").cast("long").alias("session_end_s"),
+            "n_events",
+        )
+    )
+
+
+def dedup_stream(
+    events: DataFrame,
+    id_col: str = "event_id",
+    watermark: str = "2 hours",
+    time_col: str = "ts",
+) -> DataFrame:
+    """Streaming exact dedup on a key: state holds ids within the
+    watermark horizon only (unbounded-state dedup is a leak at
+    100 TB — the watermark is what makes this deployable)."""
+    return events.withWatermark(time_col, watermark).dropDuplicatesWithinWatermark([id_col])
+
+
+# ---------------------------------------------------------------------------
+# The streaming Q&A pipeline (EP1 as a stream: R1→R4→R5→R6→R8→R9)
+# ---------------------------------------------------------------------------
+
+
+def stream_qa_pipeline(
+    docs: DataFrame,
+    llm_factory: Callable[[], object],
+    chunk_size: int = 1500,
+    chunk_overlap: int = 200,
+    page_chars: int = 2000,
+) -> DataFrame:
+    """documents stream → chunk → LLM map → JSON fallback → lineage.
+
+    Identical operator chain to the batch pipeline (the chunker, LLM
+    map and JSON fallback are the same DataFrame functions — they
+    don't know they're streaming); output schema matches the
+    reference's Q&A record (`app/main.py:106-110`).
+    """
+    from ai_data_pipeline_spark.operators.chunker import chunk_documents
+    from ai_data_pipeline_spark.operators.json_fallback import valid_records
+    from ai_data_pipeline_spark.operators.llm_map import llm_map
+
+    docs = docs.withColumn("doc_id", F.col("source_file"))
+    chunks = chunk_documents(
+        docs,
+        "doc_id",
+        "text",
+        page_chars=page_chars,
+        chunk_size=chunk_size,
+        chunk_overlap=chunk_overlap,
+    )
+    enriched = llm_map(chunks, llm_factory, text_col="chunk_text", out_col="raw_response")
+    records = valid_records(
+        enriched, "raw_response", lineage=("doc_id", "window_index", "subchunk_index")
+    ).withColumnRenamed("doc_id", "source_file")
+    return with_source_stem(records, "source_file")
+
+
+def jsonl_stream_sink(df: DataFrame, path: str, checkpoint: str):
+    """Exactly-once JSONL sink: append-format file sink whose metadata
+    log makes micro-batch commits idempotent — with a
+    checkpoint — the streaming fix for the reference's dup-on-rerun
+    (`app/main.py:99`). Returns an unstarted StreamingQuery builder;
+    call .start() / use run_to_completion."""
+    return (
+        df.writeStream.format("json")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Test/demo driver
+# ---------------------------------------------------------------------------
+
+
+def run_to_completion(writer, timeout_s: float = 300.0):
+    """Start a StreamingQuery, drain all available input, stop.
+
+    The batch-ish execution mode used by golden tests: deterministic
+    because every available file is processed before stop.
+    """
+    q = writer.start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination(int(timeout_s))
+    return q

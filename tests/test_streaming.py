@@ -1,0 +1,207 @@
+"""Golden micro-batch tests for the Structured Streaming surface
+(SURVEY.md §5.2: streaming windows/watermarks against precomputed
+expected outputs; §5.3: exactly-once re-run — the reference's
+dup-on-rerun (`app/main.py:99`) is the regression case).
+
+Determinism recipe: write file₁ → processAllAvailable → write file₂ →
+processAllAvailable. Each file becomes exactly one micro-batch in a
+known order, so watermark advancement (and therefore late-row drops
+and append-mode window finalization) is reproducible.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from ai_data_pipeline_spark.operators.llm_map import StubLLM
+from ai_data_pipeline_spark.streaming import (
+    dedup_stream,
+    jsonl_stream_sink,
+    read_documents_stream,
+    session_event_stats,
+    stream_qa_pipeline,
+    tumbling_event_counts,
+)
+
+EVENT_SCHEMA = "ts timestamp, user_id bigint, event_type string, event_id string"
+
+
+def _write_jsonl(path: str, rows: list[dict]) -> None:
+    with open(path, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+def _mem_sink(df, name: str):
+    return df.writeStream.format("memory").queryName(name).outputMode("append")
+
+
+def _drain(q):
+    q.processAllAvailable()
+
+
+@pytest.fixture()
+def events_stream_factory(spark, tmp_path):
+    def make(watermark="1 hour", window="1 hour"):
+        in_dir = tmp_path / "in"
+        in_dir.mkdir(exist_ok=True)
+        stream = spark.readStream.schema(EVENT_SCHEMA).json(str(in_dir))
+        return in_dir, stream
+
+    return make
+
+
+def test_tumbling_watermark_drops_late_rows(spark, tmp_path):
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    name = f"tumble_{uuid.uuid4().hex[:8]}"
+    stream = spark.readStream.schema(EVENT_SCHEMA).json(str(in_dir))
+    out = tumbling_event_counts(stream, window="1 hour", watermark="1 hour", time_col="ts")
+    q = _mem_sink(out, name).start()
+    try:
+        # batch 1: two rows in the 10:00 window + one at 12:00 that
+        # advances max event time (watermark after batch = 11:00)
+        _write_jsonl(
+            str(in_dir / "b1.json"),
+            [
+                {"ts": "2024-01-01 10:05:00", "user_id": 1, "event_type": "a", "event_id": "e1"},
+                {"ts": "2024-01-01 10:15:00", "user_id": 1, "event_type": "a", "event_id": "e2"},
+                {"ts": "2024-01-01 12:00:00", "user_id": 1, "event_type": "a", "event_id": "e3"},
+            ],
+        )
+        _drain(q)
+        # batch 2: e4 is LATE (10:20 < watermark 11:00, its window is
+        # closed) → dropped; e5 advances the watermark to 13:30 which
+        # passes the 12:00 window's end → it finalizes too
+        _write_jsonl(
+            str(in_dir / "b2.json"),
+            [
+                {"ts": "2024-01-01 10:20:00", "user_id": 1, "event_type": "a", "event_id": "e4"},
+                {"ts": "2024-01-01 14:30:00", "user_id": 1, "event_type": "a", "event_id": "e5"},
+            ],
+        )
+        _drain(q)
+    finally:
+        q.stop()
+    rows = {
+        (r["wstart_s"], r["event_type"]): r["n"]
+        for r in spark.table(name).collect()
+    }
+    base = 1704103200  # 2024-01-01 10:00:00 UTC
+    assert rows[(base, "a")] == 2, "late e4 must NOT be counted"
+    assert rows[(base + 7200, "a")] == 1  # the 12:00 window
+    assert (base + 14400, "a") not in rows  # e5's own window not finalized
+
+
+def test_dedup_stream_across_batches(spark, tmp_path):
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    name = f"dedup_{uuid.uuid4().hex[:8]}"
+    stream = spark.readStream.schema(EVENT_SCHEMA).json(str(in_dir))
+    out = dedup_stream(stream, id_col="event_id", watermark="1 hour", time_col="ts")
+    q = _mem_sink(out, name).start()
+    try:
+        _write_jsonl(
+            str(in_dir / "b1.json"),
+            [
+                {"ts": "2024-01-01 10:00:00", "user_id": 1, "event_type": "a", "event_id": "e1"},
+                {"ts": "2024-01-01 10:01:00", "user_id": 1, "event_type": "a", "event_id": "e2"},
+                {"ts": "2024-01-01 10:01:00", "user_id": 1, "event_type": "a", "event_id": "e2"},
+            ],
+        )
+        _drain(q)
+        _write_jsonl(
+            str(in_dir / "b2.json"),
+            [
+                # duplicate of e1 within the watermark horizon → dropped
+                {"ts": "2024-01-01 10:00:00", "user_id": 1, "event_type": "a", "event_id": "e1"},
+                {"ts": "2024-01-01 10:30:00", "user_id": 2, "event_type": "b", "event_id": "e3"},
+            ],
+        )
+        _drain(q)
+    finally:
+        q.stop()
+    ids = sorted(r["event_id"] for r in spark.table(name).collect())
+    assert ids == ["e1", "e2", "e3"]
+
+
+def test_session_windows(spark, tmp_path):
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    name = f"sess_{uuid.uuid4().hex[:8]}"
+    stream = spark.readStream.schema(EVENT_SCHEMA).json(str(in_dir))
+    out = session_event_stats(stream, gap="30 minutes", watermark="1 hour", time_col="ts")
+    q = _mem_sink(out, name).start()
+    try:
+        _write_jsonl(
+            str(in_dir / "b1.json"),
+            [
+                # user 1: two events 10 min apart (one session), then a
+                # 40-min gap (new session)
+                {"ts": "2024-01-01 10:00:00", "user_id": 1, "event_type": "a", "event_id": "e1"},
+                {"ts": "2024-01-01 10:10:00", "user_id": 1, "event_type": "a", "event_id": "e2"},
+                {"ts": "2024-01-01 10:50:00", "user_id": 1, "event_type": "a", "event_id": "e3"},
+            ],
+        )
+        _drain(q)
+        # far-future row pushes the watermark past every session end
+        _write_jsonl(
+            str(in_dir / "b2.json"),
+            [{"ts": "2024-01-02 00:00:00", "user_id": 9, "event_type": "a", "event_id": "e9"}],
+        )
+        _drain(q)
+    finally:
+        q.stop()
+    sess = [
+        (r["session_start_s"], r["n_events"])
+        for r in spark.table(name).filter(F.col("user_id") == 1).orderBy("session_start_s").collect()
+    ]
+    base = 1704103200  # 10:00 UTC
+    assert sess == [(base, 2), (base + 3000, 1)]
+
+
+def test_stream_qa_pipeline_exactly_once(spark, tmp_path):
+    """EP1 as a stream + the dup-on-rerun regression test: restarting
+    from the same checkpoint with no new input must not duplicate
+    records (the reference's append mode would)."""
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    (landing / "doc_a.txt").write_text(
+        ("Spark streams documents. " * 40 + "\n\n") * 3
+    )
+    (landing / "doc_b.txt").write_text("Short doc. " * 80)
+
+    def run_once():
+        docs = read_documents_stream(spark, str(landing))
+        records = stream_qa_pipeline(docs, StubLLM, chunk_size=300, chunk_overlap=60, page_chars=200)
+        writer = jsonl_stream_sink(records, out_dir, ckpt)
+        q = writer.start()
+        q.processAllAvailable()
+        q.stop()
+
+    run_once()
+    first = spark.read.json(out_dir)
+    n1 = first.count()
+    assert n1 > 0
+    assert set(first.columns) >= {"question", "answer", "source_file", "window_index", "subchunk_index", "source_stem"}
+    # StubLLM yields valid JSON for ~3/4 of prompts; all parsed rows
+    # must satisfy the two-key contract
+    assert first.filter(F.col("question").isNull() | F.col("answer").isNull()).count() == 0
+
+    run_once()  # restart, same checkpoint, no new files
+    assert spark.read.json(out_dir).count() == n1, "re-run duplicated records"
+
+    # new file arrives → only its records are appended
+    (landing / "doc_c.txt").write_text("Another document entirely. " * 50)
+    run_once()
+    n3 = spark.read.json(out_dir).count()
+    assert n3 > n1
+    stems = {r["source_stem"] for r in spark.read.json(out_dir).select("source_stem").distinct().collect()}
+    assert stems == {"doc_a", "doc_b", "doc_c"}
