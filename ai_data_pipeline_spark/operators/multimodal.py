@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
+    DoubleType,
     IntegerType,
     LongType,
     StringType,
@@ -108,3 +109,117 @@ def frame_sample_plan(
     is real; the pixel decode is the injectable seam above."""
     frames = F.sequence(F.lit(0), F.lit((max_frames - 1) * every_n), F.lit(every_n))
     return blobs.select("id", F.explode(frames).alias("frame_no"))
+
+
+def fake_resize(blob: bytes, width: int, height: int) -> bytes:
+    """Deterministic stand-in for an image resize: a digest-seeded
+    byte stream of the exact resized payload size (width·height·3).
+    Production swaps in PIL: Image.open(...).resize((w,h)).tobytes().
+    Keeps the binary-in/binary-out plumbing and output sizing real."""
+    n = width * height * 3
+    seed = hashlib.md5(blob + f"{width}x{height}".encode()).digest()
+    reps = -(-n // len(seed))
+    return (seed * reps)[:n]
+
+
+def resize_blobs(
+    blobs: DataFrame,
+    width: int,
+    height: int,
+    resizer: Callable[[bytes, int, int], bytes] | None = fake_resize,
+) -> DataFrame:
+    """Binary→binary transform stage: [id, modality, blob] →
+    [id, modality, blob(resized), width, height].
+
+    The batch contract is the scale-relevant part: one Arrow batch of
+    blobs per task iteration (bound batch bytes via
+    spark.sql.execution.arrow.maxRecordsPerBatch for fat images), no
+    per-row Python round-trips, and the blob column prunes away in
+    any downstream query that only reads the metadata."""
+    if resizer is None:
+        raise NotImplementedError(
+            "no image resizer available in this environment; "
+            "pass resizer= (e.g. PIL-based) or use fake_resize"
+        )
+
+    out_schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("modality", StringType()),
+            StructField("blob", BinaryType()),
+            StructField("width", IntegerType()),
+            StructField("height", IntegerType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            resized = [
+                resizer(bytes(b) if b is not None else b"", width, height)
+                for b in pdf["blob"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"].values,
+                    "modality": pdf["modality"].values,
+                    "blob": resized,
+                    "width": width,
+                    "height": height,
+                },
+                columns=[f.name for f in out_schema.fields],
+            )
+
+    return blobs.mapInPandas(run, out_schema)
+
+
+def fake_audio_features(blob: bytes) -> tuple[int, int, int]:
+    """Deterministic stand-in for audio decode → (duration_ms,
+    sample_rate, n_channels). Integer-valued on purpose: the oracle
+    twin reproduces this arithmetic exactly in SQL (q40), which a
+    float `duration_s` with decimal rounding could not guarantee.
+    Production: soundfile/librosa."""
+    h = hashlib.md5(blob).digest()
+    duration_ms = 500 + int.from_bytes(h[:4], "big") % 60000
+    sample_rate = (8000, 16000, 22050, 44100)[h[4] % 4]
+    channels = 1 + h[5] % 2
+    return duration_ms, sample_rate, channels
+
+
+def extract_audio_features(
+    blobs: DataFrame,
+    extractor: Callable[[bytes], tuple[int, int, int]] | None = fake_audio_features,
+) -> DataFrame:
+    """Audio feature-extraction stage over [id, modality, blob] →
+    [id, duration_ms, sample_rate, n_channels, n_bytes]."""
+    if extractor is None:
+        raise NotImplementedError(
+            "no audio decoder available in this environment; "
+            "pass extractor= or use fake_audio_features"
+        )
+
+    out_schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("duration_ms", LongType()),
+            StructField("sample_rate", IntegerType()),
+            StructField("n_channels", IntegerType()),
+            StructField("n_bytes", LongType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            bl = [bytes(b) if b is not None else b"" for b in pdf["blob"]]
+            feats = [extractor(b) for b in bl]
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"].values,
+                    "duration_ms": [f[0] for f in feats],
+                    "sample_rate": [f[1] for f in feats],
+                    "n_channels": [f[2] for f in feats],
+                    "n_bytes": [len(b) for b in bl],
+                },
+                columns=[f.name for f in out_schema.fields],
+            )
+
+    return blobs.mapInPandas(run, out_schema)

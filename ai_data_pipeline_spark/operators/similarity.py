@@ -79,8 +79,14 @@ def knn_l2_with_threshold(
 
     Output: [qid, <corpus_id>, dist, accepted, answer]; the answer is
     the positional-lookup join of the reference (R19) folded in.
+
+    Distances run through the numpy kernel (operators/vectorized.py —
+    bit-exact with the expression path; parity-tested) because d-wide
+    per-pair expressions fall out of codegen at realistic d.
     """
-    nn = knn_l2(corpus, queries, k=1, corpus_id=corpus_id, corpus_vec=corpus_vec, dim=dim)
+    from ai_data_pipeline_spark.operators.vectorized import knn_l2_np
+
+    nn = knn_l2_np(corpus, queries, k=1, corpus_id=corpus_id, corpus_vec=corpus_vec)
     answers = corpus.select(corpus_id, F.col(answer_col).cast("string").alias("_ans"))
     return (
         nn.join(answers, corpus_id)

@@ -1,0 +1,490 @@
+"""Arrow/numpy kernels for the vector-similarity hot paths.
+
+Why this exists: per-element Catalyst expressions over a d-dim array
+(unrolled getItem chains or higher-order folds) leave whole-stage
+codegen once d×pairs gets large — the 64-wide unrolled dot exceeds
+JIT-able method size and silently falls back to interpreted eval
+(measured: 2000² cosine pairs = 82 s interpreted vs <1 s here). The
+sanctioned Spark escape hatch is a vectorized Python kernel:
+mapInPandas moves Arrow batches into numpy, the kernel does the
+arithmetic, and only top-k candidates flow back.
+
+Bit-exactness contract (what lets these kernels sit behind
+oracle-checked queries): every reduction is an explicit left-to-right
+loop over dimensions —
+
+    acc = 0.0; for i in range(d): acc = acc + a[i]*b[i]
+
+vectorized across rows, so each element's float64 op sequence is
+IDENTICAL to the unrolled Catalyst chain (functions/vector.py) and to
+the DuckDB SQL twin (sql_dot/sql_norm/sql_squared_l2): same operands,
+same order, same IEEE-754 double ops. np.sqrt and division are
+correctly rounded per IEEE like JVM Math.sqrt — results match
+bit-for-bit, not approximately. np.dot/np.sum would NOT (pairwise/
+FMA summation) — never use them here.
+
+Scale design (100 TB): the corpus never collects; queries/centroids
+broadcast inside task closures (KBs); per-partition top-k reduces
+each task's output to q×k rows before the single tiny shuffle; the
+all-pairs kernel blocks the corpus and parallelizes over block pairs
+with per-block-pair top-k pushdown.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# numpy primitives (left-to-right, bit-exact with the SQL chains)
+# ---------------------------------------------------------------------------
+
+
+def dots_ltr(mat: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """Row-wise dot(mat[r], q), accumulated left-to-right from 0.0."""
+    acc = np.zeros(mat.shape[0], dtype=np.float64)
+    for i in range(mat.shape[1]):
+        acc = acc + mat[:, i] * q[i]
+    return acc
+
+
+def norms_ltr(mat: np.ndarray) -> np.ndarray:
+    """Row-wise sqrt(Σ x_i²), left-to-right accumulation."""
+    acc = np.zeros(mat.shape[0], dtype=np.float64)
+    for i in range(mat.shape[1]):
+        acc = acc + mat[:, i] * mat[:, i]
+    return np.sqrt(acc)
+
+
+def sqdists_ltr(mat: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """Row-wise Σ (x_i - q_i)², left-to-right accumulation."""
+    acc = np.zeros(mat.shape[0], dtype=np.float64)
+    for i in range(mat.shape[1]):
+        d = mat[:, i] - q[i]
+        acc = acc + d * d
+    return acc
+
+
+def cross_dots_ltr(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """(na × nb) dot matrix, accumulated left-to-right over dims."""
+    acc = np.zeros((a.shape[0], b.shape[0]), dtype=np.float64)
+    for i in range(a.shape[1]):
+        acc = acc + a[:, i : i + 1] * b[None, :, i]
+    return acc
+
+
+def _mat(col: pd.Series) -> np.ndarray:
+    """Arrow list<float> column → (n, d) float64 matrix (exact
+    float32→float64 widening, same as getItem().cast('double'))."""
+    return np.stack(col.to_numpy()).astype(np.float64)
+
+
+def _topk_desc(sims: np.ndarray, ids: np.ndarray, k: int) -> np.ndarray:
+    """Indices of the top-k by (sim DESC, id ASC) — the tie-break
+    every similarity query declares."""
+    order = np.lexsort((ids, -sims))
+    return order[:k]
+
+
+# ---------------------------------------------------------------------------
+# Brute-force cosine top-k (Q27 / R17-cosine)
+# ---------------------------------------------------------------------------
+
+
+def cosine_topk_np(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k per query. The query side is collected
+    (documented-small: it broadcasts inside the kernel closure); the
+    corpus streams through mapInPandas; each task emits ≤ q×k
+    candidates; one final window ranks q×k×partitions rows.
+    """
+    qrows = queries.select("qid", "qvec").collect()
+    qids = [int(r["qid"]) for r in qrows]
+    qmat = np.array([r["qvec"] for r in qrows], dtype=np.float64)
+    qnorms = norms_ltr(qmat)
+
+    spark = corpus.sparkSession
+    n = spark.sparkContext.defaultParallelism
+    src = corpus.select(
+        F.col(corpus_id).cast("long").alias("_id"), F.col(corpus_vec).alias("_vec")
+    ).repartition(n)
+
+    def kern(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        best: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = _mat(pdf["_vec"])
+            ids = pdf["_id"].to_numpy()
+            cn = norms_ltr(mat)
+            for qi, qid in enumerate(qids):
+                d = cn * qnorms[qi]
+                ok = d != 0.0
+                sims = dots_ltr(mat[ok], qmat[qi]) / d[ok]
+                bids = ids[ok]
+                if qid in best:
+                    sims = np.concatenate([best[qid][0], sims])
+                    bids = np.concatenate([best[qid][1], bids])
+                keep = _topk_desc(sims, bids, k)
+                best[qid] = (sims[keep], bids[keep])
+        for qid, (sims, bids) in best.items():
+            yield pd.DataFrame({"qid": qid, "_id": bids, "sim": sims})
+
+    cand = src.mapInPandas(kern, "qid long, _id long, sim double")
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("_id"))
+    return (
+        cand.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+        .select("qid", F.col("_id").alias(corpus_id), "sim", "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact kNN by squared L2 (Q19/Q22 / R17)
+# ---------------------------------------------------------------------------
+
+
+def knn_l2_np(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 1,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+) -> DataFrame:
+    """Exact kNN by squared L2, ties by corpus id. Same shape as
+    cosine_topk_np with (dist ASC, id ASC) ordering."""
+    qrows = queries.select("qid", "qvec").collect()
+    qids = [int(r["qid"]) for r in qrows]
+    qmat = np.array([r["qvec"] for r in qrows], dtype=np.float64)
+
+    spark = corpus.sparkSession
+    n = spark.sparkContext.defaultParallelism
+    src = corpus.select(
+        F.col(corpus_id).cast("long").alias("_id"), F.col(corpus_vec).alias("_vec")
+    ).repartition(n)
+
+    def kern(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        best: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = _mat(pdf["_vec"])
+            ids = pdf["_id"].to_numpy()
+            for qi, qid in enumerate(qids):
+                dists = sqdists_ltr(mat, qmat[qi])
+                bids = ids
+                if qid in best:
+                    dists = np.concatenate([best[qid][0], dists])
+                    bids = np.concatenate([best[qid][1], bids])
+                order = np.lexsort((bids, dists))[:k]
+                best[qid] = (dists[order], bids[order])
+        for qid, (dists, bids) in best.items():
+            yield pd.DataFrame({"qid": qid, "_id": bids, "dist": dists})
+
+    cand = src.mapInPandas(kern, "qid long, _id long, dist double")
+    w = Window.partitionBy("qid").orderBy(F.asc("dist"), F.asc("_id"))
+    return (
+        cand.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+        .select("qid", F.col("_id").alias(corpus_id), "dist", "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Random-hyperplane LSH (SimHash for embeddings) — bucketed ANN and
+# near-dup blocking alternative to IVF when no centroids exist
+# ---------------------------------------------------------------------------
+
+
+def rp_lsh_assign(
+    corpus: DataFrame,
+    planes: list[list[float]],
+    corpus_vec: str = "embedding",
+    out_col: str = "bucket",
+) -> DataFrame:
+    """Sign-bit bucket per vector: bit i = (dot(v, plane_i) >= 0);
+    bucket = Σ bit_i · 2^i. Cosine-similar vectors agree on most sign
+    bits → same bucket with high probability. Deterministic given
+    fixed planes (plans.constants.det_vector seeds). The bucket
+    column doubles as a blocking key for near-dup at scale."""
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    pmat = np.array(planes, dtype=np.float64)
+
+    def kern(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = _mat(pdf[corpus_vec])
+            bucket = np.zeros(len(mat), dtype=np.int64)
+            for i in range(len(pmat)):
+                bucket |= (dots_ltr(mat, pmat[i]) >= 0.0).astype(np.int64) << i
+            out = pdf.copy()
+            out[out_col] = bucket.astype(np.int32)
+            yield out
+
+    schema = StructType(list(corpus.schema.fields) + [StructField(out_col, IntegerType())])
+    return corpus.mapInPandas(kern, schema)
+
+
+def rp_lsh_ann(
+    corpus: DataFrame,
+    queries: DataFrame,
+    planes: list[list[float]],
+    k: int,
+    multiprobe_bits: int = 1,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+) -> DataFrame:
+    """Approximate cosine top-k: probe the query's own bucket plus
+    every bucket at Hamming distance ≤ multiprobe_bits, exact cosine
+    within probed buckets. Same candidate-then-rank shape as IVF
+    search: the bucket predicate prunes the scan (partition pruning
+    over a bucket-partitioned corpus), per-partition top-k bounds the
+    shuffle to q×k rows per task."""
+    qrows = queries.select("qid", "qvec").collect()
+    qids = [int(r["qid"]) for r in qrows]
+    qmat = np.array([r["qvec"] for r in qrows], dtype=np.float64)
+    pmat = np.array(planes, dtype=np.float64)
+    qnorms = norms_ltr(qmat)
+    nb = len(planes)
+
+    probe: dict[int, set[int]] = {}
+    for qi, qid in enumerate(qids):
+        b = 0
+        for i in range(nb):
+            b |= int(dots_ltr(qmat[qi : qi + 1], pmat[i])[0] >= 0.0) << i
+        cells = {b}
+        if multiprobe_bits >= 1:
+            cells |= {b ^ (1 << i) for i in range(nb)}
+        probe[qid] = cells
+    all_cells = sorted(set().union(*probe.values()))
+
+    tagged = rp_lsh_assign(corpus, planes, corpus_vec=corpus_vec)
+    src = tagged.filter(F.col("bucket").isin(all_cells)).select(
+        F.col(corpus_id).cast("long").alias("_id"),
+        F.col(corpus_vec).alias("_vec"),
+        F.col("bucket").cast("int").alias("_cell"),
+    )
+
+    def kern(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        best: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = _mat(pdf["_vec"])
+            ids = pdf["_id"].to_numpy()
+            cells = pdf["_cell"].to_numpy()
+            cn = norms_ltr(mat)
+            for qi, qid in enumerate(qids):
+                m = np.isin(cells, list(probe[qid]))
+                if not m.any():
+                    continue
+                d = cn[m] * qnorms[qi]
+                ok = d != 0.0
+                sims = dots_ltr(mat[m][ok], qmat[qi]) / d[ok]
+                bids = ids[m][ok]
+                if qid in best:
+                    sims = np.concatenate([best[qid][0], sims])
+                    bids = np.concatenate([best[qid][1], bids])
+                keep = _topk_desc(sims, bids, k)
+                best[qid] = (sims[keep], bids[keep])
+        for qid, (sims, bids) in best.items():
+            yield pd.DataFrame({"qid": qid, "_id": bids, "sim": sims})
+
+    cand = src.mapInPandas(kern, "qid long, _id long, sim double")
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("_id"))
+    return (
+        cand.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+        .select("qid", F.col("_id").alias(corpus_id), "sim", "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# All-pairs cosine (Q26 / embedding near-dup) — blocked
+# ---------------------------------------------------------------------------
+
+
+def cosine_pairs_np(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    min_cosine: float | None = None,
+    pair_topk: int | None = None,
+    rows_per_block: int = 1024,
+) -> DataFrame:
+    """All-pairs cosine over the corpus, blocked: rows hash into
+    ~n/rows_per_block blocks; block pairs (i ≤ j) evaluate
+    independently (numpy cross-dot); each block pair emits only its
+    pairs ≥ min_cosine and/or its local top-k (a global top-k is a
+    subset of per-block-pair top-ks, so pair_topk pushes the limit
+    into the kernel and the final sort sees B²k rows, not n²).
+
+    Replication: each block ships to B pair-tasks via a broadcast of
+    the packed block table (B rows). At 100 TB-scale corpora use a
+    coarse pre-filter (IVF cells / LSH buckets) as block_col-style
+    blocking instead of all-pairs — this operator is the exact
+    fallback, O(n²/B) per task by construction.
+
+    rows_per_block ≈ 1k keeps each pair task at ~10⁸ flops AND the
+    per-iteration numpy temporaries (block² doubles) inside L2/L3 —
+    a single 2000-row block measured 25× slower than 2×1000 purely
+    from cache-thrashing 32 MB temporaries.
+    """
+    n_rows = emb.count()
+    n_blocks = max(1, -(-n_rows // rows_per_block))
+    packed = (
+        emb.select(
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).alias("bid"),
+            F.col(id_col).cast("long").alias("_id"),
+            F.col(vec_col).alias("_vec"),
+        )
+        .groupBy("bid")
+        .agg(F.collect_list(F.struct("_id", "_vec")).alias("rows"))
+    )
+    a = packed.select(
+        F.col("bid").alias("bid_a"), F.col("rows").alias("rows_a")
+    )
+    b = packed.select(F.col("bid").alias("bid_b"), F.col("rows").alias("rows_b"))
+    pairs = a.join(F.broadcast(b), F.col("bid_a") <= F.col("bid_b"))
+    # spread the B(B+1)/2 block-pair tasks across the cluster
+    pairs = pairs.repartition(emb.sparkSession.sparkContext.defaultParallelism)
+
+    def kern(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                ra, rb = row["rows_a"], row["rows_b"]
+                ids_a = np.array([r["_id"] for r in ra], dtype=np.int64)
+                ids_b = np.array([r["_id"] for r in rb], dtype=np.int64)
+                mat_a = np.stack([r["_vec"] for r in ra]).astype(np.float64)
+                mat_b = np.stack([r["_vec"] for r in rb]).astype(np.float64)
+                na, nb = norms_ltr(mat_a), norms_ltr(mat_b)
+                dots = cross_dots_ltr(mat_a, mat_b)
+                denom = na[:, None] * nb[None, :]
+                # orientation: emitted pair is (min_id, max_id); the
+                # id_a < id_b mask also kills self-pairs and the
+                # double-count within a same-block pair
+                ia = np.repeat(ids_a, len(ids_b))
+                ib = np.tile(ids_b, len(ids_a))
+                sims = np.where(denom != 0.0, dots / np.where(denom == 0.0, 1.0, denom), np.nan).ravel()
+                lo = np.minimum(ia, ib)
+                hi = np.maximum(ia, ib)
+                keep = (ia != ib) & ~np.isnan(sims)
+                if int(row["bid_a"]) == int(row["bid_b"]):
+                    keep &= ia < ib
+                lo, hi, sims = lo[keep], hi[keep], sims[keep]
+                if min_cosine is not None:
+                    m = sims >= min_cosine
+                    lo, hi, sims = lo[m], hi[m], sims[m]
+                if pair_topk is not None and len(sims) > pair_topk:
+                    order = np.lexsort((hi, lo, -sims))[:pair_topk]
+                    lo, hi, sims = lo[order], hi[order], sims[order]
+                yield pd.DataFrame({"id_a": lo, "id_b": hi, "sim": sims})
+
+    return pairs.mapInPandas(kern, "id_a long, id_b long, sim double")
+
+
+# ---------------------------------------------------------------------------
+# IVF assign + probe (Q28) — numpy kernels, relational pruning
+# ---------------------------------------------------------------------------
+
+
+def ivf_assign_np(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    corpus_vec: str = "embedding",
+) -> DataFrame:
+    """Nearest-centroid cell per vector (ties → lowest centroid
+    index, matching least(struct(d, c)) and np.argmin)."""
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    cmat = np.array(centroids, dtype=np.float64)
+
+    def kern(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = _mat(pdf[corpus_vec])
+            dists = np.stack([sqdists_ltr(mat, cmat[ci]) for ci in range(len(cmat))], axis=1)
+            out = pdf.copy()
+            out["cell"] = np.argmin(dists, axis=1).astype(np.int32)
+            yield out
+
+    schema = StructType(list(corpus.schema.fields) + [StructField("cell", IntegerType())])
+    return corpus.mapInPandas(kern, schema)
+
+
+def ivf_search_cosine_np(
+    corpus_with_cells: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    k: int,
+    nprobe: int = 2,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+) -> DataFrame:
+    """Probe the nprobe nearest cells per query; exact cosine top-k
+    within probed cells. The `cell.isin(probed)` filter is a plain
+    Catalyst predicate — over a corpus written partitioned by cell it
+    becomes partition pruning, which is the IVF payoff at scale."""
+    qrows = queries.select("qid", "qvec").collect()
+    qids = [int(r["qid"]) for r in qrows]
+    qmat = np.array([r["qvec"] for r in qrows], dtype=np.float64)
+    cmat = np.array(centroids, dtype=np.float64)
+    # per-query probed cells (tiny, driver-side numpy)
+    probe: dict[int, set[int]] = {}
+    for qi, qid in enumerate(qids):
+        cd = sqdists_ltr(cmat, qmat[qi])
+        order = np.lexsort((np.arange(len(cmat)), cd))[:nprobe]
+        probe[qid] = {int(c) for c in order}
+    all_cells = sorted(set().union(*probe.values()))
+    qnorms = norms_ltr(qmat)
+
+    src = corpus_with_cells.filter(F.col("cell").isin(all_cells)).select(
+        F.col(corpus_id).cast("long").alias("_id"),
+        F.col(corpus_vec).alias("_vec"),
+        F.col("cell").cast("int").alias("_cell"),
+    )
+
+    def kern(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        best: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = _mat(pdf["_vec"])
+            ids = pdf["_id"].to_numpy()
+            cells = pdf["_cell"].to_numpy()
+            cn = norms_ltr(mat)
+            for qi, qid in enumerate(qids):
+                m = np.isin(cells, list(probe[qid]))
+                if not m.any():
+                    continue
+                d = cn[m] * qnorms[qi]
+                ok = d != 0.0
+                sims = dots_ltr(mat[m][ok], qmat[qi]) / d[ok]
+                bids = ids[m][ok]
+                if qid in best:
+                    sims = np.concatenate([best[qid][0], sims])
+                    bids = np.concatenate([best[qid][1], bids])
+                keep = _topk_desc(sims, bids, k)
+                best[qid] = (sims[keep], bids[keep])
+        for qid, (sims, bids) in best.items():
+            yield pd.DataFrame({"qid": qid, "_id": bids, "sim": sims})
+
+    cand = src.mapInPandas(kern, "qid long, _id long, sim double")
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("_id"))
+    return (
+        cand.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+        .select("qid", F.col("_id").alias(corpus_id), "sim", "rk")
+    )

@@ -40,3 +40,7 @@ Q27_QUERY_VECS = [det_vector(2700 + i) for i in range(5)]
 
 # Q28: eight IVF centroids (deterministic "trained" index).
 Q28_CENTROIDS = [det_vector(2800 + i) for i in range(8)]
+
+# Q38: four random hyperplanes → 16 LSH buckets (sign-bit SimHash
+# bucketing for embeddings).
+Q38_PLANES = [det_vector(3800 + i) for i in range(4)]

@@ -168,17 +168,19 @@ def q25_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Q26 — embedding-cosine near-dup: top-20 most similar embedding
-# pairs (all-pairs at this scale; block via ivf_assign cells at
-# 100 TB — see operators/dedup.py docstring). dim=EMBED_DIM unrolls
-# the cosine into a codegen'd chain: on millions of pairs that beats
-# the interpreted fold ~20x; the small-row queries (q19/q22/q27/q28)
-# keep the fold because Janino compile time dominates there.
+# pairs via the blocked numpy all-pairs kernel with per-block-pair
+# top-k pushdown (operators/vectorized.py). Expression-based pair
+# evaluation falls out of codegen at d=64 and interprets (~40 µs per
+# pair — measured 82 s for 2M pairs); the kernel is bit-exact with it
+# and with the SQL twin (left-to-right accumulation), parity-tested.
 # ---------------------------------------------------------------------------
 
 def q26_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_data_pipeline_spark.operators.vectorized import cosine_pairs_np
+
     emb = _t(spark, sf_dir, "embeddings")
     return (
-        dedup.embedding_neardup_pairs(emb, dim=EMBED_DIM)
+        cosine_pairs_np(emb, id_col="vec_id", pair_topk=20)
         .orderBy(F.desc("sim"), F.asc("id_a"), F.asc("id_b"))
         .limit(20)
     )
@@ -190,9 +192,11 @@ def q26_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def q27_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_data_pipeline_spark.operators.vectorized import cosine_topk_np
+
     emb = _t(spark, sf_dir, "embeddings")
     queries = similarity.queries_df(spark, Q27_QUERY_VECS)
-    return similarity.cosine_topk(emb, queries, k=3).orderBy("qid", "rk")
+    return cosine_topk_np(emb, queries, k=3).orderBy("qid", "rk")
 
 
 # ---------------------------------------------------------------------------
@@ -202,10 +206,15 @@ def q27_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def q28_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_data_pipeline_spark.operators.vectorized import (
+        ivf_assign_np,
+        ivf_search_cosine_np,
+    )
+
     emb = _t(spark, sf_dir, "embeddings")
-    corpus = similarity.ivf_assign(emb, Q28_CENTROIDS)
+    corpus = ivf_assign_np(emb, Q28_CENTROIDS)
     queries = similarity.queries_df(spark, Q27_QUERY_VECS)
-    return similarity.ivf_search_cosine(corpus, queries, Q28_CENTROIDS, k=3, nprobe=2).orderBy(
+    return ivf_search_cosine_np(corpus, queries, Q28_CENTROIDS, k=3, nprobe=2).orderBy(
         "qid", "rk"
     )
 
@@ -402,6 +411,57 @@ def q36_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Q37 — language identification: the lang_id heuristic (argmax
+# stopword hits, ties → first language code alphabetically, 'und' on
+# zero hits) against the table's labeled lang, as a confusion count.
+# ---------------------------------------------------------------------------
+
+def q37_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_data_pipeline_spark.operators.text_analysis import lang_id
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", lang_id("text").alias("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang", "predicted")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q38 — random-hyperplane LSH ANN (approximate by construction → no
+# SQL twin; bucket/probe semantics unit-tested, driver rows-only).
+# ---------------------------------------------------------------------------
+
+def q38_rp_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_data_pipeline_spark.operators.vectorized import rp_lsh_ann
+    from ai_data_pipeline_spark.plans.constants import Q38_PLANES
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = similarity.queries_df(spark, Q27_QUERY_VECS)
+    return rp_lsh_ann(emb, queries, Q38_PLANES, k=3, multiprobe_bits=1).orderBy("qid", "rk")
+
+
+# ---------------------------------------------------------------------------
+# Q40 — audio-modality plumbing: documents as opaque audio blobs →
+# mapInPandas feature extraction (deterministic fake decode, integer
+# features). The oracle reproduces the md5 arithmetic in SQL exactly
+# like q36 does for image dimensions.
+# ---------------------------------------------------------------------------
+
+def q40_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_data_pipeline_spark.operators.multimodal import extract_audio_features
+
+    docs = _t(spark, sf_dir, "documents")
+    blobs = to_blob_table(docs, "doc_id", "text", "audio")
+    return (
+        extract_audio_features(blobs)
+        .select("id", "duration_ms", "sample_rate", "n_channels", "n_bytes")
+        .orderBy("id")
+    )
+
+
 QUERIES = {
     "q19_l2_topk": q19_l2_topk,
     "q20_exact_dedup": q20_exact_dedup,
@@ -421,6 +481,9 @@ QUERIES = {
     "q34_sessionize": q34_sessionize,
     "q35_tumbling_window": q35_tumbling_window,
     "q36_multimodal_meta": q36_multimodal_meta,
+    "q37_lang_id": q37_lang_id,
+    "q38_rp_lsh_ann": q38_rp_lsh_ann,
+    "q40_audio_meta": q40_audio_meta,
 }
 
 
@@ -470,8 +533,39 @@ _COS_PAIR = (
 # fake_image_meta twin: byte k of md5 digest from hex chars (1-based
 # positions 2k+1, 2k+2); strpos over the hex alphabet gives the nibble.
 _HEXPOS = "(strpos('0123456789abcdef', substr(md5(text), {p}, 1)) - 1)"
-_BYTE0 = f"(16 * {_HEXPOS.format(p=1)} + {_HEXPOS.format(p=2)})"
-_BYTE1 = f"(16 * {_HEXPOS.format(p=3)} + {_HEXPOS.format(p=4)})"
+
+
+def _md5_byte(k: int) -> str:
+    return f"(16 * {_HEXPOS.format(p=2 * k + 1)} + {_HEXPOS.format(p=2 * k + 2)})"
+
+
+_BYTE0 = _md5_byte(0)
+_BYTE1 = _md5_byte(1)
+
+# q37 twin: per-language stopword hit counts; argmax with the same
+# tie-break (first code in sorted order wins — CASE checks equality
+# against the max in sorted order). Built from LANG_STOPWORDS so the
+# two engines can never drift.
+_LANG_CODES = sorted(LANG_STOPWORDS)
+_LANG_HITS = {
+    code: (
+        "len(list_filter("
+        + _SQL_WS.format(x="text")
+        + ", w -> w IN ("
+        + ", ".join("'" + w.replace("'", "''") + "'" for w in LANG_STOPWORDS[code])
+        + ")))"
+    )
+    for code in _LANG_CODES
+}
+_LANG_MAX = "greatest(" + ", ".join(f"h_{c}" for c in _LANG_CODES) + ")"
+_LANG_ARGMAX = (
+    f"CASE WHEN {_LANG_MAX} = 0 THEN 'und' "
+    + " ".join(f"WHEN h_{c} = {_LANG_MAX} THEN '{c}'" for c in _LANG_CODES)
+    + " END"
+)
+
+# q40 twin: fake_audio_features arithmetic from md5 bytes 0..5.
+_B03 = f"((({_md5_byte(0)} * 256 + {_md5_byte(1)}) * 256 + {_md5_byte(2)}) * 256 + {_md5_byte(3)})"
 
 
 ORACLE = {
@@ -633,6 +727,28 @@ ORACLE = {
                CAST(64 + {_BYTE0} % 192 AS INTEGER) AS width,
                CAST(64 + {_BYTE1} % 192 AS INTEGER) AS height,
                CASE WHEN octet_length(encode(text)) > 0 THEN 'decoded' ELSE 'empty' END AS status
+        FROM documents
+        ORDER BY id
+    """,
+    "q37_lang_id": f"""
+        WITH h AS (
+            SELECT lang,
+                   {", ".join(f"{_LANG_HITS[c]} AS h_{c}" for c in _LANG_CODES)}
+            FROM documents
+        )
+        SELECT lang, {_LANG_ARGMAX} AS predicted, COUNT(*) AS n
+        FROM h
+        GROUP BY lang, predicted
+        ORDER BY lang, predicted
+    """,
+    "q40_audio_meta": f"""
+        SELECT doc_id AS id,
+               CAST(500 + {_B03} % 60000 AS BIGINT) AS duration_ms,
+               CAST(CASE {_md5_byte(4)} % 4
+                    WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                    WHEN 2 THEN 22050 ELSE 44100 END AS INTEGER) AS sample_rate,
+               CAST(1 + {_md5_byte(5)} % 2 AS INTEGER) AS n_channels,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
         FROM documents
         ORDER BY id
     """,

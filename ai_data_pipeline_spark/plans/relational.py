@@ -456,6 +456,32 @@ def q18_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Q39 — explicit GROUPING SETS (the third grouping flavor next to
+# Q09 ROLLUP / Q10 CUBE): per-nation and per-segment customer
+# profiles plus a grand total, one pass. Spark expands the sets and
+# runs them in a single shuffle (Expand → partial agg → final agg).
+# ---------------------------------------------------------------------------
+
+def q39_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    joined = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).withColumn(
+        "bal_c", F.round(F.col("c_acctbal") * 100, 0).cast("long")
+    )
+    return (
+        joined.groupingSets([["n_name"], ["c_mktsegment"], []], "n_name", "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("bal_c").alias("s"))
+        .select(
+            "n_name",
+            "c_mktsegment",
+            "n",
+            (F.col("s") / 100.0).alias("total_bal"),
+        )
+        .orderBy(F.asc_nulls_first("n_name"), F.asc_nulls_first("c_mktsegment"))
+    )
+
+
 QUERIES = {
     "q01_scan_filter_project": q01_scan_filter_project,
     "q02_broadcast_join": q02_broadcast_join,
@@ -476,6 +502,7 @@ QUERIES = {
     "q16_string_functions": q16_string_functions,
     "q17_date_trunc": q17_date_trunc,
     "q18_json_extract": q18_json_extract,
+    "q39_grouping_sets": q39_grouping_sets,
 }
 
 
@@ -642,5 +669,12 @@ ORACLE = {
         FROM events
         GROUP BY event_type
         ORDER BY event_type
+    """,
+    "q39_grouping_sets": """
+        SELECT n_name, c_mktsegment, COUNT(*) AS n,
+               CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT) / 100.0 AS total_bal
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY GROUPING SETS ((n_name), (c_mktsegment), ())
+        ORDER BY n_name NULLS FIRST, c_mktsegment NULLS FIRST
     """,
 }

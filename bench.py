@@ -53,6 +53,10 @@ HEADLINE = [
     "q34_sessionize",
     "q35_tumbling_window",
     "q36_multimodal_meta",
+    "q37_lang_id",
+    "q38_rp_lsh_ann",
+    "q39_grouping_sets",
+    "q40_audio_meta",
 ]
 
 

@@ -1,0 +1,147 @@
+"""Parity tests: the numpy kernels (operators/vectorized.py) must be
+BIT-IDENTICAL to the Catalyst expression path (functions/vector.py) —
+same float64 op sequence, so exact == on doubles, no tolerance.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from ai_data_pipeline_spark.catalog import load_table
+from ai_data_pipeline_spark.operators import dedup, similarity
+from ai_data_pipeline_spark.operators.vectorized import (
+    cosine_pairs_np,
+    cosine_topk_np,
+    ivf_assign_np,
+    ivf_search_cosine_np,
+    knn_l2_np,
+)
+from ai_data_pipeline_spark.plans.constants import (
+    EMBED_DIM,
+    Q27_QUERY_VECS,
+    Q28_CENTROIDS,
+)
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings")
+
+
+def _rows(df, *cols):
+    return [tuple(r) for r in df.select(*cols).collect()]
+
+
+def test_cosine_topk_parity(spark, emb):
+    q = similarity.queries_df(spark, Q27_QUERY_VECS)
+    expr = similarity.cosine_topk(emb, q, k=5, dim=EMBED_DIM).orderBy("qid", "rk")
+    fast = cosine_topk_np(emb, q, k=5).orderBy("qid", "rk")
+    a, b = _rows(expr, "qid", "vec_id", "sim", "rk"), _rows(fast, "qid", "vec_id", "sim", "rk")
+    assert a == b  # exact float equality — same IEEE op order
+
+
+def test_knn_l2_parity(spark, emb):
+    q = similarity.queries_df(spark, Q27_QUERY_VECS)
+    expr = similarity.knn_l2(emb, q, k=4, dim=EMBED_DIM).orderBy("qid", "rk")
+    fast = knn_l2_np(emb, q, k=4).orderBy("qid", "rk")
+    assert _rows(expr, "qid", "vec_id", "dist", "rk") == _rows(fast, "qid", "vec_id", "dist", "rk")
+
+
+def test_cosine_pairs_parity(spark, emb):
+    sub = emb.filter(F.col("vec_id") < 120)
+    expr = (
+        dedup.embedding_neardup_pairs(sub, dim=EMBED_DIM)
+        .orderBy(F.desc("sim"), "id_a", "id_b")
+        .limit(25)
+    )
+    fast = (
+        cosine_pairs_np(sub, pair_topk=25, rows_per_block=48)
+        .orderBy(F.desc("sim"), "id_a", "id_b")
+        .limit(25)
+    )
+    assert _rows(expr, "id_a", "id_b", "sim") == _rows(fast, "id_a", "id_b", "sim")
+
+
+def test_cosine_pairs_min_cosine_full_set(spark, emb):
+    """Thresholded mode returns the complete pair set (no top-k), and
+    blocking must not lose or duplicate any pair."""
+    sub = emb.filter(F.col("vec_id") < 80)
+    expr = dedup.embedding_neardup_pairs(sub, min_cosine=0.1, dim=EMBED_DIM)
+    fast = cosine_pairs_np(sub, min_cosine=0.1, rows_per_block=17)
+    a = sorted(_rows(expr, "id_a", "id_b", "sim"))
+    b = sorted(_rows(fast, "id_a", "id_b", "sim"))
+    assert a == b
+
+
+def test_ivf_parity(spark, emb):
+    expr_cells = similarity.ivf_assign(emb, Q28_CENTROIDS, dim=EMBED_DIM)
+    fast_cells = ivf_assign_np(emb, Q28_CENTROIDS)
+    a = {r["vec_id"]: r["cell"] for r in expr_cells.select("vec_id", "cell").collect()}
+    b = {r["vec_id"]: r["cell"] for r in fast_cells.select("vec_id", "cell").collect()}
+    assert a == b
+
+    q = similarity.queries_df(spark, Q27_QUERY_VECS)
+    expr = similarity.ivf_search_cosine(
+        expr_cells, q, Q28_CENTROIDS, k=3, nprobe=2, dim=EMBED_DIM
+    ).orderBy("qid", "rk")
+    fast = ivf_search_cosine_np(fast_cells, q, Q28_CENTROIDS, k=3, nprobe=2).orderBy("qid", "rk")
+    assert _rows(expr, "qid", "vec_id", "sim", "rk") == _rows(fast, "qid", "vec_id", "sim", "rk")
+
+
+def test_rp_lsh(spark, emb):
+    from ai_data_pipeline_spark.operators.vectorized import (
+        dots_ltr,
+        rp_lsh_ann,
+        rp_lsh_assign,
+    )
+    import numpy as np
+
+    from ai_data_pipeline_spark.plans.constants import Q38_PLANES
+
+    tagged = rp_lsh_assign(emb, Q38_PLANES)
+    rows = tagged.select("vec_id", "embedding", "bucket").collect()
+    pmat = np.array(Q38_PLANES, dtype=np.float64)
+    for r in rows[:50]:
+        v = np.array([r["embedding"]], dtype=np.float64)
+        expect = 0
+        for i in range(len(pmat)):
+            expect |= int(dots_ltr(v, pmat[i])[0] >= 0.0) << i
+        assert r["bucket"] == expect
+    assert tagged.select("bucket").distinct().count() <= 2 ** len(Q38_PLANES)
+
+    # ANN: every hit must lie in the query's probe set, and its sim
+    # must equal the exact brute-force cosine for that (query, id)
+    q = similarity.queries_df(spark, Q27_QUERY_VECS)
+    ann = rp_lsh_ann(emb, q, Q38_PLANES, k=3, multiprobe_bits=1).collect()
+    assert len(ann) > 0
+    exact = {
+        (r["qid"], r["vec_id"]): r["sim"]
+        for r in cosine_topk_np(emb, q, k=emb.count()).collect()
+    }
+    bucket_of = {r["vec_id"]: r["bucket"] for r in rows}
+    qmat = np.array(Q27_QUERY_VECS, dtype=np.float64)
+    for r in ann:
+        assert exact[(r["qid"], r["vec_id"])] == r["sim"]  # bit-exact
+        qb = 0
+        for i in range(len(pmat)):
+            qb |= int(dots_ltr(qmat[r["qid"] : r["qid"] + 1], pmat[i])[0] >= 0.0) << i
+        hamming = bin(qb ^ bucket_of[r["vec_id"]]).count("1")
+        assert hamming <= 1  # multiprobe_bits=1
+
+
+def test_knn_threshold_boundary(spark, emb):
+    """R18 regression: dist == threshold is ACCEPTED (strict > at
+    rag_chatbot/main.py:42), and the kernel-backed path preserves it."""
+    one = emb.limit(1).collect()[0]
+    qvec = [float(x) for x in one["embedding"]]
+    q = similarity.queries_df(spark, [qvec])
+    out = similarity.knn_l2_with_threshold(
+        emb, q, threshold=0.0, sentinel="NOPE", answer_col="label"
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["dist"] == 0.0
+    assert bool(out[0]["accepted"]) is True
+    assert out[0]["answer"] == str(one["label"])
