@@ -462,6 +462,52 @@ def q40_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Q41 — Structured Streaming tumbling windows, oracle-checked: the
+# events table replayed through a file-source STREAM (readStream →
+# windowed agg → memory sink, complete mode), then compared against
+# the same DuckDB SQL as the batch twin q35. Proves the streaming
+# engine computes the identical result, not just a plausible one.
+# Complete mode (no watermark) because the input is finite history —
+# the watermarked production shape is streaming.tumbling_event_counts
+# (golden-tested with late data in tests/test_streaming.py).
+# ---------------------------------------------------------------------------
+
+def q41_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid as _uuid
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # file streams take a directory; the glob narrows it to events
+    raw = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    e = raw.withColumnRenamed("ts", "ts_ns").withColumn(
+        "ts", F.timestamp_micros(F.expr("ts_ns div 1000"))
+    )
+    agg = (
+        e.withColumn("v4", F.round(F.col("value") * 10000, 0).cast("long"))
+        .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v4").alias("sv4"))
+        .select(
+            F.col("w.start").cast("long").alias("wstart_s"),
+            "event_type",
+            "n",
+            (F.col("sv4") / 10000.0).alias("sum_value"),
+        )
+    )
+    name = f"q41_{_uuid.uuid4().hex[:8]}"
+    q = agg.writeStream.format("memory").queryName(name).outputMode("complete").start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name).orderBy("wstart_s", "event_type")
+
+
 QUERIES = {
     "q19_l2_topk": q19_l2_topk,
     "q20_exact_dedup": q20_exact_dedup,
@@ -484,6 +530,7 @@ QUERIES = {
     "q37_lang_id": q37_lang_id,
     "q38_rp_lsh_ann": q38_rp_lsh_ann,
     "q40_audio_meta": q40_audio_meta,
+    "q41_streaming_tumbling": q41_streaming_tumbling,
 }
 
 
@@ -713,6 +760,16 @@ ORACLE = {
         ORDER BY user_id
     """,
     "q35_tumbling_window": """
+        SELECT epoch_ms(time_bucket(INTERVAL 1 HOUR, ts)) // 1000 AS wstart_s,
+               event_type, COUNT(*) AS n,
+               CAST(SUM(CAST(ROUND(value * 10000) AS BIGINT)) AS BIGINT) / 10000.0 AS sum_value
+        FROM events
+        GROUP BY wstart_s, event_type
+        ORDER BY wstart_s, event_type
+    """,
+    # identical to q35: the streaming replay must reproduce the batch
+    # result exactly
+    "q41_streaming_tumbling": """
         SELECT epoch_ms(time_bucket(INTERVAL 1 HOUR, ts)) // 1000 AS wstart_s,
                event_type, COUNT(*) AS n,
                CAST(SUM(CAST(ROUND(value * 10000) AS BIGINT)) AS BIGINT) / 10000.0 AS sum_value

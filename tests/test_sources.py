@@ -1,0 +1,102 @@
+"""Batch EP1 end-to-end: the reference's whole PDF pipeline
+(`app/main.py:119-145`, R1→R9) as one lazy DataFrame chain over a
+binaryFile landing directory — directory scan with suffix pruning,
+page parse + explode, sliding windows, recursive split, LLM map
+(stub), 3-stage JSON fallback, lineage, partitioned JSONL sink with
+idempotent re-run.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ai_data_pipeline_spark.operators.chunker import chunk_paged_documents
+from ai_data_pipeline_spark.operators.json_fallback import valid_records
+from ai_data_pipeline_spark.operators.llm_map import StubLLM, llm_map
+from ai_data_pipeline_spark.sources.readers import (
+    parse_pages,
+    read_document_dir,
+    read_jsonl,
+)
+from ai_data_pipeline_spark.sources.sinks import (
+    with_source_stem,
+    write_jsonl_partitioned,
+)
+
+PAGE = "Spark distributes document processing across executors. " * 8
+
+
+@pytest.fixture()
+def landing(tmp_path):
+    d = tmp_path / "knowledge"
+    d.mkdir()
+    # form-feed separated "pages" (default_text_pdf_parser contract);
+    # page 3 is whitespace-only → dropped like the reference's empty
+    # pages (app/main.py:25)
+    (d / "alpha.pdf").write_bytes(("\f".join([PAGE, PAGE, "  ", PAGE, PAGE])).encode())
+    (d / "beta.pdf").write_bytes(("\f".join([PAGE, PAGE])).encode())
+    (d / "ignored.txt").write_bytes(b"not a pdf")
+    return d
+
+
+def test_directory_scan_suffix_filter(spark, landing):
+    docs = read_document_dir(spark, str(landing), glob="*.pdf")
+    paths = sorted(r["path"].rsplit("/", 1)[-1] for r in docs.select("path").collect())
+    assert paths == ["alpha.pdf", "beta.pdf"]  # .txt pruned at listing
+
+
+def test_parse_pages_drops_blank(spark, landing):
+    docs = read_document_dir(spark, str(landing), glob="*.pdf")
+    pages = parse_pages(docs).collect()
+    by_doc = {}
+    for r in pages:
+        by_doc.setdefault(r["source_file"], []).append(r["page_no"])
+    # alpha has 5 raw pages, one whitespace-only → 4 survive; page_no
+    # keeps the ORIGINAL 1-based position (3 is the blank one)
+    assert sorted(by_doc["alpha.pdf"]) == [1, 2, 4, 5]
+    assert sorted(by_doc["beta.pdf"]) == [1, 2]
+
+
+def test_batch_ep1_end_to_end(spark, landing, tmp_path):
+    out = str(tmp_path / "processed")
+    docs = read_document_dir(spark, str(landing), glob="*.pdf")
+    pages = parse_pages(docs).withColumnRenamed("source_file", "doc_id")
+    # materialize: chained ArrowEvalPython stages (parse UDF → split
+    # UDF) in one plan can deadlock on pipe buffering
+    pages = spark.createDataFrame(pages.collect(), pages.schema)
+    chunks = chunk_paged_documents(pages, chunk_size=300, chunk_overlap=60)
+    enriched = llm_map(chunks, StubLLM, text_col="chunk_text")
+    records = valid_records(
+        enriched, lineage=("doc_id", "window_index", "subchunk_index")
+    ).withColumnRenamed("doc_id", "source_file")
+    records = with_source_stem(records)
+
+    write_jsonl_partitioned(records, out)
+    first = read_jsonl(
+        spark,
+        out,
+        schema="question string, answer string, window_index int, subchunk_index int",
+    )
+    n1 = first.count()
+    assert n1 > 0
+    assert first.filter(F.col("question").isNull()).count() == 0
+
+    # idempotent re-run of one document: no duplicates, others intact
+    write_jsonl_partitioned(records.filter(F.col("source_stem") == "alpha"), out)
+    assert read_jsonl(
+        spark,
+        out,
+        schema="question string, answer string, window_index int, subchunk_index int",
+    ).count() == n1
+
+
+def test_read_jsonl_failfast_parity(spark, tmp_path):
+    """R13: the reference crashes on a malformed line
+    (rag_chatbot/main.py:11-13) — FAILFAST preserves that."""
+    p = tmp_path / "corpus"
+    p.mkdir()
+    (p / "good.jsonl").write_text('{"question": "q", "answer": "a"}\n{bad json\n')
+    df = read_jsonl(spark, str(p), schema="question string, answer string")
+    with pytest.raises(Exception, match="(?i)malformed|failfast"):
+        df.collect()
