@@ -1,0 +1,96 @@
+"""Physical-plan regression tests: the plan properties that make
+these queries scale — filter pushdown into the parquet scan, column
+pruning, broadcast selection for dimension joins, semi/anti join
+strategies, map-side partial aggregation, whole-stage codegen — are
+asserted here so a refactor can't silently trade them away.
+
+Assertions are substring checks on the executed plan string at
+sf0.001 (AQE final plans); they encode properties, not exact plan
+shapes, so they hold across Spark versions and scales.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from ai_data_pipeline_spark.plans import pipeline_queries as P
+from ai_data_pipeline_spark.plans import relational as R
+
+
+def plan_of(df) -> str:
+    df.collect()  # materialize so AQE's FINAL plan is what we read
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q01_pushdown_and_pruning(spark, sf_dir):
+    s = plan_of(R.q01_scan_filter_project(spark, sf_dir))
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in s
+    # pruned scan: only the 4 projected columns + the filter column
+    assert "l_comment" not in s and "l_quantity" not in s
+    assert re.search(r"\*\(\d+\)", s), "no whole-stage-codegen stages"
+
+
+def test_q02_q03_broadcast_dimension_joins(spark, sf_dir):
+    s2 = plan_of(R.q02_broadcast_join(spark, sf_dir))
+    assert "BroadcastHashJoin" in s2
+    assert "CartesianProduct" not in s2
+    s3 = plan_of(R.q03_revenue_by_nation(spark, sf_dir))
+    assert "BroadcastHashJoin" in s3
+    assert "SortMergeJoin" not in s3 or "BroadcastHashJoin" in s3
+    # pruning: the wide comment/address columns never enter the plan
+    assert "c_comment" not in s3 and "o_comment" not in s3
+
+
+def test_q05_q06_semi_anti_strategies(spark, sf_dir):
+    assert "LeftSemi" in plan_of(R.q05_semi_join(spark, sf_dir))
+    assert "LeftAnti" in plan_of(R.q06_anti_join(spark, sf_dir))
+
+
+def test_q07_range_predicate_inside_join(spark, sf_dir):
+    """The range condition must ride the equi-join (evaluated during
+    the join), not materialize a cartesian product first."""
+    s = plan_of(R.q07_range_join(spark, sf_dir))
+    assert "CartesianProduct" not in s and "BroadcastNestedLoopJoin" not in s
+    assert "l_shipdate" in s.split("Join")[1][:400]
+
+
+def test_q08_partial_aggregation(spark, sf_dir):
+    """Map-side combine: partial_* functions before the exchange —
+    at 100 TB this is the difference between shuffling 6 rows per
+    task and shuffling the fact table."""
+    s = plan_of(R.q08_agg_suite(spark, sf_dir))
+    assert "partial_count" in s or "partial_sum" in s
+    assert re.search(r"\*\(\d+\)", s), "no whole-stage-codegen stages"
+
+
+def test_q20_dedup_shuffles_digests_not_text(spark, sf_dir):
+    """The dedup agg groups on fixed-width digests; the raw document
+    text must not survive past the scan stage's project."""
+    s = plan_of(P.q20_exact_dedup(spark, sf_dir))
+    exchanges = [seg for seg in s.splitlines() if "Exchange" in seg]
+    assert exchanges, "expected a shuffle for the groupBy"
+    assert all("text#" not in seg for seg in exchanges)
+
+
+def test_q35_single_agg_shuffle(spark, sf_dir):
+    """One hash-partitioned exchange for the windowed agg (plus the
+    final range exchange for ORDER BY) — no accidental extra
+    shuffles."""
+    s = plan_of(P.q35_tumbling_window(spark, sf_dir))
+    hash_exchanges = {
+        re.sub(r"plan_id=\d+", "", seg).strip()
+        for seg in s.splitlines()
+        if "Exchange hashpartitioning" in seg
+    }
+    assert len(hash_exchanges) <= 1
+
+
+def test_q11_window_is_partitioned(spark, sf_dir):
+    """Ranking window must declare a partition spec — an
+    unpartitioned window is a single-task sort of the whole input."""
+    s = plan_of(R.q11_topk_per_group(spark, sf_dir))
+    window_lines = [l for l in s.splitlines() if "Window" in l and "row_number" in l]
+    assert window_lines
+    assert any("n_name" in l for l in window_lines)
