@@ -44,6 +44,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def spread(df: DataFrame, partitions: int | None = None) -> DataFrame:
+    """Round-robin rebalance before a compute-bound narrow stage.
+
+    A parquet scan parallelizes at file/row-group granularity; a table
+    written as one row group (the driver's testdata, or any coarsely
+    compacted input) arrives as ONE task, serializing every downstream
+    per-row expression with it. For scan-bound queries that's fine —
+    never pay a shuffle to redistribute a cheap filter — but for
+    CPU-bound text/vector kernels (chunking, shingling, lang-id,
+    mapInPandas decodes) the one-off shuffle of the input bytes buys
+    full-cluster parallelism for the expensive stage. Same recipe at
+    100 TB: rebalance when upstream split granularity << cores,
+    e.g. after reading few huge compacted files.
+    """
+    n = partitions or df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n)
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
 

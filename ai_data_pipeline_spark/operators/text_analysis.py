@@ -47,19 +47,26 @@ def lang_id(text_col: str) -> Column:
     """Heuristic language guess: argmax stopword-hit-count across
     LANG_STOPWORDS, ties broken by language code order; 'und'
     (undetermined) when no stopword hits at all."""
+    # LINEAR expression tree: one struct per language fed to a single
+    # greatest(). The obvious fold — best = when(cand > best, cand)
+    # .otherwise(best) — references `best` twice per level, copying
+    # the whole token-filter subtree 2^|langs| times; codegen then
+    # compiles (and evaluates) an exponential expression. greatest()
+    # over structs ordered by (hits, -code_index) keeps one copy per
+    # language and the same argmax semantics: max hits wins, ties go
+    # to the FIRST code in sorted order (max of the negated index).
     toks = ws_tokens(text_col)
-    best = None
-    for code in sorted(LANG_STOPWORDS):
-        hits = F.size(F.filter(toks, lambda w: w.isin(*LANG_STOPWORDS[code])))
-        # max by (hits, reverse-code): greatest() picks highest hits,
-        # first code on ties because later candidates only replace on
-        # strictly-greater hits.
-        cand = F.struct(hits.alias("h"), F.lit(code).alias("c"))
-        if best is None:
-            best = cand
-        else:
-            best = F.when(cand["h"] > best["h"], cand).otherwise(best)
-    return F.when(best["h"] > 0, best["c"]).otherwise(F.lit("und"))
+    codes = sorted(LANG_STOPWORDS)
+    def _hits(words: tuple[str, ...]) -> Column:
+        return F.size(F.filter(toks, lambda w: w.isin(*words)))
+
+    cands = [
+        F.struct(_hits(LANG_STOPWORDS[c]).alias("h"), F.lit(-i).alias("ni"))
+        for i, c in enumerate(codes)
+    ]
+    best = F.greatest(*cands)
+    code = F.element_at(F.array(*[F.lit(c) for c in codes]), -best["ni"] + 1)
+    return F.when(best["h"] > 0, code).otherwise(F.lit("und"))
 
 
 def punct_ratio(text_col: str) -> Column:

@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ai_data_pipeline_spark.catalog import load_events, load_table
+from ai_data_pipeline_spark.catalog import load_events, load_table, spread
 from ai_data_pipeline_spark.functions.text import (
     BPE_ISH_PATTERN,
     normalized_text,
@@ -89,7 +89,8 @@ def q20_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def q21_chunker(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    # chunking is CPU-bound per row; rebalance the 1-row-group scan
+    docs = spread(_t(spark, sf_dir, "documents"))
     chunks = chunk_documents(docs, "doc_id", "text", page_chars=200, chunk_size=300, chunk_overlap=60)
     return (
         chunks.select(
@@ -132,7 +133,9 @@ def q22_knn_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def q23_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    # shingling (tokenize + slide + hash) is the CPU hot spot and runs
+    # in the scan stage — rebalance so it parallelizes
+    docs = spread(_t(spark, sf_dir, "documents"))
     return (
         dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=4)
         .orderBy(F.desc("jaccard"), F.asc("id_a"), F.asc("id_b"))
@@ -147,7 +150,7 @@ def q23_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def q24_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    docs = spread(_t(spark, sf_dir, "documents"))
     return (
         dedup.minhash_neardup_pairs(docs, "doc_id", "text", n=1, num_hashes=16, bands=4, min_jaccard=0.6)
         .orderBy(F.desc("jaccard"), F.asc("id_a"), F.asc("id_b"))
@@ -160,7 +163,7 @@ def q24_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def q25_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    docs = spread(_t(spark, sf_dir, "documents"))
     sims = dedup.simhash(docs, "doc_id", "text")
     pairs = dedup.simhash_neardup_pairs(sims, max_hamming=16)
     return pairs.orderBy(F.asc("hamming"), F.asc("id_a"), F.asc("id_b")).limit(50)
@@ -225,7 +228,7 @@ def q28_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def q29_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    docs = spread(_t(spark, sf_dir, "documents"))
     toks = ws_tokens("text")
     en = LANG_STOPWORDS["en"]
     per_doc = docs.select(
@@ -402,7 +405,7 @@ def q35_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def q36_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    docs = spread(_t(spark, sf_dir, "documents"))
     blobs = to_blob_table(docs, "doc_id", "text", "image")
     return (
         extract_blob_meta(blobs)
@@ -420,7 +423,8 @@ def q36_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q37_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ai_data_pipeline_spark.operators.text_analysis import lang_id
 
-    docs = _t(spark, sf_dir, "documents")
+    # lang_id evaluates 5 stopword filters per row — CPU-bound
+    docs = spread(_t(spark, sf_dir, "documents"))
     return (
         docs.select("lang", lang_id("text").alias("predicted"))
         .groupBy("lang", "predicted")
@@ -453,7 +457,7 @@ def q38_rp_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q40_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ai_data_pipeline_spark.operators.multimodal import extract_audio_features
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = spread(_t(spark, sf_dir, "documents"))
     blobs = to_blob_table(docs, "doc_id", "text", "audio")
     return (
         extract_audio_features(blobs)
