@@ -482,6 +482,146 @@ def q39_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Q42 — ranking/analytic window suite: ntile + lead + first/last
+# value with an explicit unbounded frame. Completes the §2B windows
+# row (q11 row_number, q12 lag/running sum, q13 range frame).
+# Deterministic window order: (o_orderdate, o_orderkey) is total
+# within each customer. Prices pass through untouched → raw-double
+# safe (float policy rule 1).
+# Scale: one shuffle on o_custkey serves all four window functions —
+# Spark computes same-window specs in a single WindowExec pass.
+# ---------------------------------------------------------------------------
+
+def q42_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.ntile(4).over(w).cast("long").alias("quartile"),
+            F.lead("o_totalprice").over(w).alias("next_price"),
+            F.first("o_totalprice").over(wfull).alias("first_price"),
+            F.last("o_totalprice").over(wfull).alias("last_price"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q43 — union all vs union distinct (completes §2B set ops next to
+# q15 intersect/except).
+# Scale: UNION ALL is a free concat (no shuffle); DISTINCT is one
+# hash-agg shuffle on the key — partial dedup map-side first.
+# ---------------------------------------------------------------------------
+
+def q43_union_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").cast("long").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").cast("long").alias("nationkey"))
+    ua = (
+        c.unionAll(s)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("union_all").alias("mode"), "n")
+    )
+    ud = (
+        c.union(s)
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("union_distinct").alias("mode"), "n")
+    )
+    return ua.unionAll(ud).orderBy("mode")
+
+
+# ---------------------------------------------------------------------------
+# Q44 — pivot: order counts by priority × status as columns. Explicit
+# pivot values (the three TPC-H statuses) so the plan needs no extra
+# distinct-values job and the output schema is static — required for
+# streaming reuse and for a stable oracle contract.
+# ---------------------------------------------------------------------------
+
+def q44_pivot_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    piv = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return (
+        piv.select(
+            "o_orderpriority",
+            F.coalesce(F.col("F"), F.lit(0)).cast("long").alias("n_f"),
+            F.coalesce(F.col("O"), F.lit(0)).cast("long").alias("n_o"),
+            F.coalesce(F.col("P"), F.lit(0)).cast("long").alias("n_p"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q45 — discrete percentiles (p50/p90 of order totals per status),
+# built from row_number + count windows on BOTH engines rather than
+# native PERCENTILE_DISC/quantile_disc: the SQL-standard "smallest
+# value with cume_dist ≥ f" maps to the row at ceil(f·n), and
+# hand-building it pins identical boundary semantics cross-engine.
+# The picked value is an actual table element → raw-double safe.
+# Scale: single shuffle on the group key; no global sort.
+# ---------------------------------------------------------------------------
+
+def q45_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    wn = Window.partitionBy("o_orderstatus")
+    ranked = o.select(
+        "o_orderstatus",
+        "o_totalprice",
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    at = lambda f: F.ceil(F.col("n") * f).cast("long")  # noqa: E731
+    return (
+        ranked.groupBy("o_orderstatus")
+        .agg(
+            F.max("n").alias("n"),
+            F.max(F.when(F.col("rn") == at(0.5), F.col("o_totalprice"))).alias("p50"),
+            F.max(F.when(F.col("rn") == at(0.9), F.col("o_totalprice"))).alias("p90"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q47 — salted join (skew recipe, oracle-checked): revenue per market
+# segment through operators/skew.salted_join — the 8-way salt splits
+# any hot customer key across 8 reducers; the oracle is the PLAIN
+# join, proving the salt is result-invariant. At 100 TB this is the
+# recipe for power-law keys that AQE's skew splitting can't fix
+# (single giant key > splittable partition).
+# ---------------------------------------------------------------------------
+
+def q47_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_data_pipeline_spark.operators.skew import salted_join
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"), money4("o_totalprice").alias("tp4")
+    )
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_mktsegment"
+    )
+    j = salted_join(o, c, "custkey", salts=8)
+    return (
+        j.groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_orders"), F.sum("tp4").alias("s4"))
+        .select(
+            "c_mktsegment",
+            "n_orders",
+            (unit_round_div(F.col("s4"), F.lit(100).cast("long")) / 100.0).alias("revenue"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
 QUERIES = {
     "q01_scan_filter_project": q01_scan_filter_project,
     "q02_broadcast_join": q02_broadcast_join,
@@ -503,6 +643,11 @@ QUERIES = {
     "q17_date_trunc": q17_date_trunc,
     "q18_json_extract": q18_json_extract,
     "q39_grouping_sets": q39_grouping_sets,
+    "q42_window_suite": q42_window_suite,
+    "q43_union_ops": q43_union_ops,
+    "q44_pivot_counts": q44_pivot_counts,
+    "q45_percentile_disc": q45_percentile_disc,
+    "q47_salted_join": q47_salted_join,
 }
 
 
@@ -676,5 +821,61 @@ ORACLE = {
         FROM customer JOIN nation ON c_nationkey = n_nationkey
         GROUP BY GROUPING SETS ((n_name), (c_mktsegment), ())
         ORDER BY n_name NULLS FIRST, c_mktsegment NULLS FIRST
+    """,
+    "q42_window_suite": """
+        SELECT o_custkey, o_orderkey,
+               CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+               LEAD(o_totalprice) OVER w AS next_price,
+               FIRST_VALUE(o_totalprice) OVER wf AS first_price,
+               LAST_VALUE(o_totalprice) OVER wf AS last_price
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+               wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        ORDER BY o_custkey, o_orderkey
+    """,
+    "q43_union_ops": """
+        SELECT 'union_all' AS mode, CAST(COUNT(*) AS BIGINT) AS n
+        FROM (SELECT c_nationkey AS nationkey FROM customer
+              UNION ALL SELECT s_nationkey FROM supplier)
+        UNION ALL
+        SELECT 'union_distinct' AS mode, CAST(COUNT(*) AS BIGINT) AS n
+        FROM (SELECT c_nationkey AS nationkey FROM customer
+              UNION SELECT s_nationkey FROM supplier)
+        ORDER BY mode
+    """,
+    "q44_pivot_counts": """
+        SELECT o_orderpriority,
+               CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_f,
+               CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS n_o,
+               CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS n_p
+        FROM orders
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+    "q45_percentile_disc": """
+        WITH ranked AS (
+            SELECT o_orderstatus, o_totalprice,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                                           ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS rn,
+                   CAST(COUNT(*) OVER (PARTITION BY o_orderstatus) AS BIGINT) AS n
+            FROM orders
+        )
+        SELECT o_orderstatus,
+               MAX(n) AS n,
+               MAX(CASE WHEN rn = CAST(CEIL(n * 0.5) AS BIGINT) THEN o_totalprice END) AS p50,
+               MAX(CASE WHEN rn = CAST(CEIL(n * 0.9) AS BIGINT) THEN o_totalprice END) AS p90
+        FROM ranked
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+    """,
+    "q47_salted_join": """
+        SELECT c_mktsegment,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST((2 * SUM(CAST(ROUND(o_totalprice * 10000) AS BIGINT)) + 100)
+                    // 200 AS BIGINT) / 100.0 AS revenue
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment
     """,
 }
