@@ -512,6 +512,42 @@ def q41_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).orderBy("wstart_s", "event_type")
 
 
+# ---------------------------------------------------------------------------
+# Q46 — deterministic hash sampling: keep documents whose md5 first
+# hex digit is 0 (a stable 1/16 sample). Content-derived, so the
+# sample is identical across runs, partition layouts, and cluster
+# sizes — unlike df.sample(), which depends on partition seeds. At
+# 100 TB this is the recipe for "develop on 1/16th, then flip the
+# predicate off": a narrow filter evaluated at the scan, no shuffle.
+# ---------------------------------------------------------------------------
+
+def q46_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    h = F.md5(F.col("text").cast("binary"))
+    return (
+        docs.filter(F.substring(h, 1, 1) == F.lit("0"))
+        .select("doc_id", "source", "lang", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q48 — keep-first exact dedup (the policy variant of q20's profile):
+# one survivor per normalized-text digest, lowest doc_id wins, via
+# operators/dedup.exact_dedup. The oracle reproduces the row_number
+# tie-break over the same digest. Scale: the shuffle carries 16-byte
+# digests + ids; survivors join back by position-free key, so the
+# full text never moves twice.
+# ---------------------------------------------------------------------------
+
+def q48_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").withColumn("_norm", normalized_text("text"))
+    from ai_data_pipeline_spark.operators.dedup import exact_dedup
+
+    kept = exact_dedup(docs, ["_norm"], "doc_id")
+    return kept.select("doc_id", "source", "lang").orderBy("doc_id")
+
+
 QUERIES = {
     "q19_l2_topk": q19_l2_topk,
     "q20_exact_dedup": q20_exact_dedup,
@@ -535,6 +571,8 @@ QUERIES = {
     "q38_rp_lsh_ann": q38_rp_lsh_ann,
     "q40_audio_meta": q40_audio_meta,
     "q41_streaming_tumbling": q41_streaming_tumbling,
+    "q46_hash_sample": q46_hash_sample,
+    "q48_dedup_keep_first": q48_dedup_keep_first,
 }
 
 
@@ -812,5 +850,23 @@ ORACLE = {
                CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
         FROM documents
         ORDER BY id
+    """,
+    "q46_hash_sample": """
+        SELECT doc_id, source, lang, n_chars
+        FROM documents
+        WHERE substr(md5(text), 1, 1) = '0'
+        ORDER BY doc_id
+    """,
+    "q48_dedup_keep_first": f"""
+        WITH ranked AS (
+            SELECT doc_id, source, lang,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY md5({_SQL_NORM.format(x='text')})
+                       ORDER BY doc_id
+                   ) AS rn
+            FROM documents
+        )
+        SELECT doc_id, source, lang FROM ranked WHERE rn = 1
+        ORDER BY doc_id
     """,
 }
