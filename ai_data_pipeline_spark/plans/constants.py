@@ -44,3 +44,7 @@ Q28_CENTROIDS = [det_vector(2800 + i) for i in range(8)]
 # Q38: four random hyperplanes → 16 LSH buckets (sign-bit SimHash
 # bucketing for embeddings).
 Q38_PLANES = [det_vector(3800 + i) for i in range(4)]
+
+# q49: the retrieval query text embedded by the (fake) encoder on
+# both engines — R15→R17 end-to-end.
+Q49_QUERY_TEXT = "the quick brown fox jumps over the lazy dog"

@@ -548,6 +548,37 @@ def q48_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select("doc_id", "source", "lang").orderBy("doc_id")
 
 
+# ---------------------------------------------------------------------------
+# Q49 — embedding transform + retrieval, end-to-end (R15→R17): embed
+# every document with the pandas-UDF encoder (deterministic fake —
+# real model plugs into the same seam), embed a fixed query text the
+# same way, cosine top-10. The oracle recomputes the IDENTICAL
+# vectors from the text via md5 arithmetic in SQL, so this
+# hash-checks the whole embed→distance→top-k path, not just the
+# distance math. Scale: encode is the compute-bound stage (spread
+# upstream); the distance is codegen'd JVM expression — Python only
+# touches the encode batch.
+# ---------------------------------------------------------------------------
+
+def q49_embed_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_data_pipeline_spark.operators.embedding import (
+        EMBED_DIM_DEFAULT,
+        embed_text,
+        fake_text_encoder,
+    )
+    from ai_data_pipeline_spark.plans.constants import Q49_QUERY_TEXT
+
+    docs = spread(_t(spark, sf_dir, "documents"))
+    emb = embed_text(docs, "text")
+    qvec = fake_text_encoder([Q49_QUERY_TEXT])[0]
+    return (
+        emb.withColumn("cos", cosine(F.col("embedding"), array_lit(qvec), EMBED_DIM_DEFAULT))
+        .select("doc_id", "cos")
+        .orderBy(F.desc("cos"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
 QUERIES = {
     "q19_l2_topk": q19_l2_topk,
     "q20_exact_dedup": q20_exact_dedup,
@@ -573,6 +604,7 @@ QUERIES = {
     "q41_streaming_tumbling": q41_streaming_tumbling,
     "q46_hash_sample": q46_hash_sample,
     "q48_dedup_keep_first": q48_dedup_keep_first,
+    "q49_embed_knn": q49_embed_knn,
 }
 
 
@@ -869,4 +901,31 @@ ORACLE = {
         SELECT doc_id, source, lang FROM ranked WHERE rn = 1
         ORDER BY doc_id
     """,
+    "q49_embed_knn": None,  # generated below (needs the encoder twin)
 }
+
+
+def _q49_oracle() -> str:
+    from ai_data_pipeline_spark.operators.embedding import (
+        EMBED_DIM_DEFAULT,
+        fake_text_encoder,
+        sql_embed_components,
+    )
+    from ai_data_pipeline_spark.plans.constants import Q49_QUERY_TEXT
+
+    emb = sql_embed_components("text", EMBED_DIM_DEFAULT)
+    qvec = sql_lit_list(fake_text_encoder([Q49_QUERY_TEXT])[0])
+    cos = (
+        f"({sql_dot('emb', 'qvec', EMBED_DIM_DEFAULT)}) / "
+        f"(({sql_norm('emb', EMBED_DIM_DEFAULT)}) * ({sql_norm('qvec', EMBED_DIM_DEFAULT)}))"
+    )
+    return f"""
+        WITH e AS MATERIALIZED (SELECT doc_id, {emb} AS emb, {qvec} AS qvec FROM documents)
+        SELECT doc_id, {cos} AS cos
+        FROM e
+        ORDER BY cos DESC, doc_id
+        LIMIT 10
+    """
+
+
+ORACLE["q49_embed_knn"] = _q49_oracle()

@@ -57,6 +57,7 @@ HEADLINE = [
     "q38_rp_lsh_ann",
     "q39_grouping_sets",
     "q40_audio_meta",
+    "q49_embed_knn",
 ]
 
 
@@ -68,11 +69,12 @@ def main() -> int:
     # warm the JVM/session (plan + run one tiny query, not timed)
     relational.q02_broadcast_join(spark, sf_dir).collect()
 
-    # best-of-2: the box shows multi-second scheduler/GC noise on
-    # individual runs; the min of two executions measures the plan,
-    # not the noise (both runs re-execute the full query — Spark
-    # caches nothing here).
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+    # best-of-N: the box shows multi-second scheduler/GC noise on
+    # individual runs (observed migrating between queries across
+    # otherwise-identical runs); the min of N executions measures the
+    # plan, not the noise (every rep re-executes the full query —
+    # Spark caches nothing here).
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]
