@@ -622,6 +622,32 @@ def q47_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Q50 — distinct-agg suite: exact count(distinct) + sorted
+# collect_set, canonicalized to a CSV string so the comparison is
+# order-independent (collect_set order is partition-dependent;
+# sort_array pins it). approx_count_distinct is engine-specific HLL
+# — pinned by the error-bound unit test in test_plans.py, kept out
+# of the hashed output. Scale: count(distinct key) expands to a
+# two-phase agg (partial distinct map-side); the set column is safe
+# only for bounded-cardinality keys like nationkey — for unbounded
+# keys use approx_count_distinct instead.
+# ---------------------------------------------------------------------------
+
+def q50_distinct_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    return (
+        c.groupBy("c_mktsegment")
+        .agg(
+            F.countDistinct("c_nationkey").alias("n_nations"),
+            F.array_join(
+                F.sort_array(F.collect_set(F.col("c_nationkey").cast("long"))), ","
+            ).alias("nations_csv"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
 QUERIES = {
     "q01_scan_filter_project": q01_scan_filter_project,
     "q02_broadcast_join": q02_broadcast_join,
@@ -648,6 +674,7 @@ QUERIES = {
     "q44_pivot_counts": q44_pivot_counts,
     "q45_percentile_disc": q45_percentile_disc,
     "q47_salted_join": q47_salted_join,
+    "q50_distinct_suite": q50_distinct_suite,
 }
 
 
@@ -875,6 +902,16 @@ ORACLE = {
                CAST((2 * SUM(CAST(ROUND(o_totalprice * 10000) AS BIGINT)) + 100)
                     // 200 AS BIGINT) / 100.0 AS revenue
         FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment
+    """,
+    "q50_distinct_suite": """
+        SELECT c_mktsegment,
+               CAST(COUNT(DISTINCT c_nationkey) AS BIGINT) AS n_nations,
+               array_to_string(
+                   list_sort(list(DISTINCT CAST(c_nationkey AS BIGINT))), ','
+               ) AS nations_csv
+        FROM customer
         GROUP BY c_mktsegment
         ORDER BY c_mktsegment
     """,

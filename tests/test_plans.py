@@ -94,3 +94,18 @@ def test_q11_window_is_partitioned(spark, sf_dir):
     window_lines = [l for l in s.splitlines() if "Window" in l and "row_number" in l]
     assert window_lines
     assert any("n_name" in l for l in window_lines)
+
+
+def test_approx_count_distinct_error_bound(spark, sf_dir):
+    """approx_count_distinct (HLL++) must land within 5% of the exact
+    count — the engine-specific estimate is pinned here instead of in
+    the q50 oracle (DuckDB's HLL differs by construction)."""
+    from pyspark.sql import functions as F
+    from ai_data_pipeline_spark.catalog import load_table
+
+    c = load_table(spark, sf_dir, "customer")
+    row = c.agg(
+        F.approx_count_distinct("c_custkey").alias("approx"),
+        F.countDistinct("c_custkey").alias("exact"),
+    ).first()
+    assert abs(row["approx"] - row["exact"]) <= 0.05 * row["exact"]
