@@ -75,14 +75,24 @@ def exact_dup_stats(df: DataFrame, text_col: str, group_col: str) -> DataFrame:
 # n-gram Jaccard
 # ---------------------------------------------------------------------------
 
-def shingle_table(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
-    """[id, shingle] — distinct word n-grams per document.
+def shingle_table(
+    df: DataFrame, id_col: str, text_col: str, n: int, hashed: bool = False
+) -> DataFrame:
+    """[id, shingle] — distinct word n-grams per document; with
+    ``hashed=True``, [id, sh] — distinct xxhash64 of the n-grams.
 
     Tokenizes into a materialized column first: building n-grams
     directly over ws_tokens(text) inlines the split+filter expression
     once per element_at (n+1 copies evaluated per gram — O(words²)
     per document). With the token array materialized, each gram is
     just array indexing.
+
+    ``hashed`` moves the 8-byte hashing BEFORE the distinct, so the
+    dedup shuffle carries (id, int64) rows instead of shingle
+    strings — the string never leaves the map side. Use it whenever
+    downstream only joins/counts shingles (Jaccard); keep strings
+    when a hash *family* needs them (MinHash re-hashes per seed).
+    Collision odds within one dataset are ~|shingles|²/2⁶⁴.
     """
     from ai_data_pipeline_spark.functions.text import ws_tokens
 
@@ -97,7 +107,10 @@ def shingle_table(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFram
             F.size("ws") >= n,
             F.transform(F.sequence(F.lit(1), F.size("ws") - (n - 1)), joiner),
         ).otherwise(F.array().cast("array<string>"))
-    return toks.select("id", F.explode(grams).alias("shingle")).distinct()
+    ex = toks.select("id", F.explode(grams).alias("shingle"))
+    if hashed:
+        return ex.select("id", F.xxhash64("shingle").alias("sh")).distinct()
+    return ex.distinct()
 
 
 def ngram_jaccard_pairs(
@@ -121,9 +134,7 @@ def ngram_jaccard_pairs(
     # self-join is the hot path and string keys double its cost.
     # (Counts are identical barring a 64-bit collision within one
     # dataset — odds ~|shingles|²/2⁶⁴.)
-    sh = shingle_table(df, id_col, text_col, n).select(
-        "id", F.xxhash64(F.col("shingle")).alias("sh")
-    )
+    sh = shingle_table(df, id_col, text_col, n, hashed=True)
     if max_shingle_freq is not None:
         freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("f"))
         sh = sh.join(freq.filter(F.col("f") <= max_shingle_freq), "sh").select("id", "sh")
@@ -230,9 +241,7 @@ def minhash_neardup_pairs(
     # intersection count comes from a candidates×shingles join whose
     # size is Σ_candidates |shingles(a)| — linear in candidates, not
     # quadratic in the corpus like an all-pairs exact Jaccard.
-    sh = shingle_table(df, id_col, text_col, n).select(
-        "id", F.xxhash64(F.col("shingle")).alias("sh")
-    )
+    sh = shingle_table(df, id_col, text_col, n, hashed=True)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     sa = sh.select(F.col("id").alias("id_a"), "sh")
     sb = sh.select(F.col("id").alias("id_b"), "sh")
@@ -283,9 +292,26 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def simhash_neardup_pairs(sims: DataFrame, max_hamming: int = 3) -> DataFrame:
-    """Candidate pairs with Hamming(simhash) ≤ max_hamming via
-    4×16-bit segment blocking (pigeonhole for max_hamming ≤ 3), then
-    exact popcount verification. Output: [id_a, id_b, hamming]."""
+    """Pairs with Hamming(simhash) ≤ max_hamming via segment blocking
+    + exact popcount verification. Output: [id_a, id_b, hamming].
+
+    Recall is EXACT by pigeonhole: the 64 bits are partitioned into
+    ``max_hamming + 1`` segments, so any pair within the bound shares
+    at least one whole segment — blocking cannot miss. The flip side:
+    large bounds mean narrow segments and everything collides
+    (max_hamming=15 → 4-bit segments → 16 distinct values), so the
+    join degenerates toward all-pairs. Keep the bound small (≤7 for
+    64-bit simhash is the useful regime) or go exact all-pairs.
+    """
+    k = max_hamming + 1
+    if k > 16:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs {k} segments of <4 bits — "
+            "blocking degenerates to all-pairs; lower the bound or verify all pairs exactly"
+        )
+    base, rem = divmod(64, k)
+    widths = [base + 1 if s < rem else base for s in range(k)]
+    offsets = [sum(widths[:s]) for s in range(k)]
     segs = sims.select(
         "id",
         "simhash",
@@ -294,11 +320,11 @@ def simhash_neardup_pairs(sims: DataFrame, max_hamming: int = 3) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(s).alias("seg"),
-                        F.shiftright(F.col("simhash"), s * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftright(F.col("simhash"), offsets[s])
+                        .bitwiseAND(F.lit((1 << widths[s]) - 1))
                         .alias("seg_val"),
                     )
-                    for s in range(4)
+                    for s in range(k)
                 ]
             )
         ).alias("sv"),

@@ -150,9 +150,15 @@ def q23_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def q24_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # word-3-gram shingles, 32 hashes in 8 bands of 4: the banding
+    # threshold (1/b)^(1/r) ≈ 0.59 sits AT the 0.6 verification
+    # cutoff. Unigram shingles are a trap here — common vocabulary
+    # makes typical cross-doc Jaccard ~0.4, so banding passes
+    # O(corpus²) candidates; 3-grams push unrelated pairs toward 0
+    # and the candidate set collapses to near-dups + ε.
     docs = spread(_t(spark, sf_dir, "documents"))
     return (
-        dedup.minhash_neardup_pairs(docs, "doc_id", "text", n=1, num_hashes=16, bands=4, min_jaccard=0.6)
+        dedup.minhash_neardup_pairs(docs, "doc_id", "text", n=3, num_hashes=32, bands=8, min_jaccard=0.6)
         .orderBy(F.desc("jaccard"), F.asc("id_a"), F.asc("id_b"))
         .limit(50)
     )
@@ -160,12 +166,15 @@ def q24_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Q25 — SimHash near-dup (xxhash64 bit family → no SQL twin).
+# max_hamming=3 is the sound blocking regime (4×16-bit segments,
+# exact recall by pigeonhole); looser bounds make segment blocking
+# degenerate toward all-pairs — see simhash_neardup_pairs.
 # ---------------------------------------------------------------------------
 
 def q25_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(_t(spark, sf_dir, "documents"))
     sims = dedup.simhash(docs, "doc_id", "text")
-    pairs = dedup.simhash_neardup_pairs(sims, max_hamming=16)
+    pairs = dedup.simhash_neardup_pairs(sims, max_hamming=3)
     return pairs.orderBy(F.asc("hamming"), F.asc("id_a"), F.asc("id_b")).limit(50)
 
 

@@ -65,10 +65,52 @@ def test_simhash_identical_and_near(spark):
     sims = {r.id: r.simhash for r in dedup.simhash(_docs(spark), "doc_id", "text").collect()}
     assert sims[1] == sims[2]
     pairs = dedup.simhash_neardup_pairs(
-        dedup.simhash(_docs(spark), "doc_id", "text"), max_hamming=16
+        dedup.simhash(_docs(spark), "doc_id", "text"), max_hamming=3
     ).collect()
     got = {(r.id_a, r.id_b): r.hamming for r in pairs}
     assert got[(1, 2)] == 0
+
+
+def test_simhash_blocking_recall_matches_exact(spark):
+    """Pigeonhole guarantee: blocked pairs == exact all-pairs at the
+    bound (the old fixed-4-segment blocking silently missed pairs
+    for max_hamming > 3 — this is the regression test)."""
+    from pyspark.sql import functions as F
+    from ai_data_pipeline_spark.catalog import load_table
+    from tests.conftest import SF_SMOKE
+
+    sims = dedup.simhash(load_table(spark, SF_SMOKE, "documents"), "doc_id", "text").cache()
+    for bound in (3, 7):
+        blocked = {
+            (r.id_a, r.id_b)
+            for r in dedup.simhash_neardup_pairs(sims, max_hamming=bound).collect()
+        }
+        a, b = sims.alias("a"), sims.alias("b")
+        exact = {
+            (r.id_a, r.id_b)
+            for r in (
+                a.join(b, F.col("a.id") < F.col("b.id"))
+                .select(
+                    F.col("a.id").alias("id_a"),
+                    F.col("b.id").alias("id_b"),
+                    F.bit_count(
+                        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+                    ).alias("hamming"),
+                )
+                .filter(F.col("hamming") <= bound)
+            ).collect()
+        }
+        assert blocked == exact
+    sims.unpersist()
+
+
+def test_simhash_degenerate_bound_rejected(spark):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        dedup.simhash_neardup_pairs(
+            dedup.simhash(_docs(spark), "doc_id", "text"), max_hamming=16
+        )
 
 
 def _emb(spark):
