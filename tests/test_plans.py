@@ -109,3 +109,40 @@ def test_approx_count_distinct_error_bound(spark, sf_dir):
         F.countDistinct("c_custkey").alias("exact"),
     ).first()
     assert abs(row["approx"] - row["exact"]) <= 0.05 * row["exact"]
+
+
+def test_q42_single_window_shuffle(spark, sf_dir):
+    """ntile/lead/first/last share one partitioning — exactly one
+    hash exchange (plus the final range exchange for ORDER BY)."""
+    s = plan_of(R.q42_window_suite(spark, sf_dir))
+    hash_exchanges = {
+        re.sub(r"plan_id=\d+", "", seg).strip()
+        for seg in s.splitlines()
+        if "Exchange hashpartitioning" in seg
+    }
+    assert len(hash_exchanges) == 1
+
+
+def test_q44_pivot_no_distinct_values_job(spark, sf_dir):
+    """Explicit pivot values keep the plan to the two-phase agg — no
+    third exchange from a hidden distinct-values collect."""
+    s = plan_of(R.q44_pivot_counts(spark, sf_dir))
+    hash_exchanges = {
+        re.sub(r"plan_id=\d+", "", seg).strip()
+        for seg in s.splitlines()
+        if "Exchange hashpartitioning" in seg
+    }
+    assert len(hash_exchanges) <= 2
+
+
+def test_q49_single_python_stage_topk(spark, sf_dir):
+    """One Arrow-batched Python eval (the encoder); distance + top-k
+    stay JVM-side (TakeOrdered, no global sort)."""
+    s = plan_of(P.q49_embed_knn(spark, sf_dir))
+    python_nodes = {
+        re.sub(r"#\d+|plan_id=\d+", "", l.strip())
+        for l in s.splitlines()
+        if "ArrowEvalPython" in l or "MapInPandas" in l
+    }
+    assert len(python_nodes) == 1
+    assert "TakeOrderedAndProject" in s
