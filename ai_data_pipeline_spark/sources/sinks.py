@@ -57,3 +57,70 @@ def stream_jsonl(df: DataFrame, path: str, checkpoint: str, partition_col: str |
     if partition_col:
         w = w.partitionBy(partition_col)
     return w
+
+
+def foreach_batch_upsert(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint: str,
+    key_cols: list[str],
+):
+    """foreachBatch sink: per-micro-batch keyed upsert into a parquet
+    table — the escape hatch for sinks Structured Streaming has no
+    native writer for (JDBC merges, multi-table fan-out, dedup
+    writes).
+
+    Each batch replays idempotently: rows are deduped against the
+    current table state by ``key_cols`` before append, so a batch
+    re-delivered after a failure (foreachBatch is at-least-once —
+    exactly-once holds only if the batch body is idempotent like
+    this one) inserts nothing the second time.
+
+    Scale: the anti-join reads only ``key_cols`` of the existing
+    table (column pruning) and the batch side is small — Spark
+    broadcasts it. For very large key spaces, partition the table by
+    a key prefix so the anti-join prunes partitions.
+    """
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        fresh = batch_df.dropDuplicates(key_cols)
+        try:
+            existing = spark.read.parquet(path).select(*key_cols)
+            fresh = fresh.join(existing, key_cols, "left_anti")
+        except Exception:
+            pass  # first batch: table doesn't exist yet
+        fresh.write.mode("append").parquet(path)
+
+    return (
+        stream_df.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    path: str,
+    key: str,
+    buckets: int,
+    sort: bool = True,
+) -> None:
+    """Persist a bucketed (and bucket-sorted) parquet table: rows are
+    hash-partitioned into ``buckets`` files by ``key`` at WRITE time,
+    so equi-joins and aggregations on ``key`` between co-bucketed
+    tables need NO shuffle at read time — the exchange is paid once,
+    at ingest, and amortized over every downstream query.
+
+    This is the co-located-join strategy for 100 TB fact-fact joins
+    (orders ⋈ lineitem on orderkey): bucket both tables by the join
+    key with the same bucket count; Catalyst then plans a sort-merge
+    join with zero Exchange (see test_sources.py's plan assertion).
+    ``sort=True`` additionally orders within buckets so the merge
+    phase needs no sort either.
+    """
+    w = df.write.format("parquet").option("path", path).bucketBy(buckets, key)
+    if sort:
+        w = w.sortBy(key)
+    w.mode("overwrite").saveAsTable(table)

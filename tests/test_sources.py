@@ -100,3 +100,65 @@ def test_read_jsonl_failfast_parity(spark, tmp_path):
     df = read_jsonl(spark, str(p), schema="question string, answer string")
     with pytest.raises(Exception, match="(?i)malformed|failfast"):
         df.collect()
+
+
+def test_foreach_batch_upsert_idempotent_across_redelivery(spark, tmp_path):
+    """foreachBatch sink: re-delivered rows (same keys in a later
+    batch) insert nothing — the keyed anti-join makes the
+    at-least-once batch body idempotent."""
+    import json as _json
+
+    from ai_data_pipeline_spark.sources.sinks import foreach_batch_upsert
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    stream = spark.readStream.schema("k long, v string").json(str(in_dir))
+    q = foreach_batch_upsert(stream, out, ckpt, ["k"]).start()
+    try:
+        (in_dir / "b1.json").write_text(
+            "\n".join(_json.dumps(r) for r in [{"k": 1, "v": "a"}, {"k": 2, "v": "b"}])
+        )
+        q.processAllAvailable()
+        # batch 2 re-delivers k=1 (different payload) + a new key
+        (in_dir / "b2.json").write_text(
+            "\n".join(_json.dumps(r) for r in [{"k": 1, "v": "DUP"}, {"k": 3, "v": "c"}])
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = {r["k"]: r["v"] for r in spark.read.parquet(out).collect()}
+    assert rows == {1: "a", 2: "b", 3: "c"}  # k=1 kept its FIRST write
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    """Co-bucketed tables joined on the bucket key: the sort-merge
+    join consumes bucket layout directly — zero Exchange in the plan.
+    This is the pay-the-shuffle-once-at-ingest recipe for repeated
+    100 TB fact-fact joins."""
+    from pyspark.sql import functions as F
+
+    from ai_data_pipeline_spark.catalog import load_table
+    from ai_data_pipeline_spark.sources.sinks import write_bucketed
+    from tests.conftest import SF_SMOKE
+
+    o = load_table(spark, SF_SMOKE, "orders").select("o_orderkey", "o_totalprice")
+    li = load_table(spark, SF_SMOKE, "lineitem").select("l_orderkey", "l_quantity")
+    write_bucketed(o, "t_orders_b", str(tmp_path / "ob"), "o_orderkey", 8)
+    write_bucketed(
+        li.withColumnRenamed("l_orderkey", "o_orderkey"),
+        "t_lineitem_b", str(tmp_path / "lb"), "o_orderkey", 8,
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table("t_orders_b").join(spark.table("t_lineitem_b"), "o_orderkey")
+        j.collect()
+        s = j._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
+    assert "SortMergeJoin" in s
+    assert "Exchange" not in s
