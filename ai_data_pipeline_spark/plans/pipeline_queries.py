@@ -588,6 +588,26 @@ def q49_embed_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Q51 — grouped-map (applyInPandas) with an exactly-checkable kernel:
+# per-source min-max normalization of document length. The kernel's
+# arithmetic (one IEEE division of exact integer-valued doubles) is
+# bit-identical to the SQL window formulation, so the oracle
+# hash-checks the applyInPandas plumbing itself. Scale: one shuffle
+# on the group key; each group is one Arrow batch on one executor.
+# ---------------------------------------------------------------------------
+
+def q51_group_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_data_pipeline_spark.operators.grouped import group_min_max_normalize
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    return (
+        group_min_max_normalize(docs, ["source"], "n_chars", "norm_len")
+        .select("doc_id", "source", "n_chars", "norm_len")
+        .orderBy("doc_id")
+    )
+
+
 QUERIES = {
     "q19_l2_topk": q19_l2_topk,
     "q20_exact_dedup": q20_exact_dedup,
@@ -614,6 +634,7 @@ QUERIES = {
     "q46_hash_sample": q46_hash_sample,
     "q48_dedup_keep_first": q48_dedup_keep_first,
     "q49_embed_knn": q49_embed_knn,
+    "q51_group_normalize": q51_group_normalize,
 }
 
 
@@ -911,6 +932,16 @@ ORACLE = {
         ORDER BY doc_id
     """,
     "q49_embed_knn": None,  # generated below (needs the encoder twin)
+    "q51_group_normalize": """
+        SELECT doc_id, source, n_chars,
+               CASE WHEN MAX(n_chars) OVER w = MIN(n_chars) OVER w THEN 0.0
+                    ELSE (n_chars - MIN(n_chars) OVER w)
+                         / CAST(MAX(n_chars) OVER w - MIN(n_chars) OVER w AS DOUBLE)
+               END AS norm_len
+        FROM documents
+        WINDOW w AS (PARTITION BY source)
+        ORDER BY doc_id
+    """,
 }
 
 

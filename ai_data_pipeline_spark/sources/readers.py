@@ -68,6 +68,23 @@ def read_csv(
     return reader.csv(path)
 
 
+def read_text(
+    spark: SparkSession,
+    path: str,
+    whole: bool = False,
+    line_sep: str | None = None,
+    stream: bool = False,
+) -> DataFrame:
+    """Plain-text source: one row per line (default) or per file
+    (``whole=True`` — the raw-corpus ingest shape; pair with
+    ``input_file_name()`` for lineage). ``line_sep`` overrides the
+    record delimiter for formats like form-feed-paged dumps."""
+    reader = spark.readStream if stream else spark.read
+    # NB: wholetext/lineSep must go through the .text() kwargs —
+    # .option("wholetext", ...) is silently ignored here.
+    return reader.text(path, wholetext=whole, lineSep=line_sep)
+
+
 def rate_stream(spark: SparkSession, rows_per_second: int = 10) -> DataFrame:
     """Synthetic load source for streaming tests/demos:
     [timestamp, value] at a fixed rate."""

@@ -162,3 +162,21 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
     assert "SortMergeJoin" in s
     assert "Exchange" not in s
+
+
+def test_read_text_lines_and_whole(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from ai_data_pipeline_spark.sources.readers import read_text
+
+    d = tmp_path / "txt"
+    d.mkdir()
+    (d / "a.txt").write_text("l1\nl2\nl3")
+    (d / "b.txt").write_text("only")
+    lines = read_text(spark, str(d))
+    assert lines.count() == 4
+    whole = read_text(spark, str(d), whole=True).withColumn(
+        "f", F.element_at(F.split(F.input_file_name(), "/"), -1)
+    )
+    rows = {r["f"]: r["value"] for r in whole.collect()}
+    assert rows == {"a.txt": "l1\nl2\nl3", "b.txt": "only"}
