@@ -558,6 +558,45 @@ def q48_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Q52 — streaming dedup, oracle-checked: replay events through a
+# file-source STREAM, dropDuplicates on (user_id, event_type) keeps
+# the first-arriving row per pair (append mode), then the
+# materialized sink is aggregated batch-side. The oracle is the
+# batch COUNT(DISTINCT user_id) — equal because dedup keeps exactly
+# one row per pair regardless of arrival order. Kept as one stateful
+# op per stream (dedup); the count runs on the sink table — chaining
+# stateful dedup+agg in one streaming query is restricted.
+# Production shape: dropDuplicatesWithinWatermark bounds the state
+# (tests/test_streaming.py); unbounded state is fine only for a
+# finite replay like this.
+# ---------------------------------------------------------------------------
+
+def q52_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid as _uuid
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    raw = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    dd = raw.select("user_id", "event_type").dropDuplicates(["user_id", "event_type"])
+    name = f"q52_{_uuid.uuid4().hex[:8]}"
+    q = dd.writeStream.format("memory").queryName(name).outputMode("append").start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return (
+        spark.table(name)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Q49 — embedding transform + retrieval, end-to-end (R15→R17): embed
 # every document with the pandas-UDF encoder (deterministic fake —
 # real model plugs into the same seam), embed a fixed query text the
@@ -635,6 +674,7 @@ QUERIES = {
     "q48_dedup_keep_first": q48_dedup_keep_first,
     "q49_embed_knn": q49_embed_knn,
     "q51_group_normalize": q51_group_normalize,
+    "q52_streaming_dedup": q52_streaming_dedup,
 }
 
 
@@ -932,6 +972,12 @@ ORACLE = {
         ORDER BY doc_id
     """,
     "q49_embed_knn": None,  # generated below (needs the encoder twin)
+    "q52_streaming_dedup": """
+        SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
     "q51_group_normalize": """
         SELECT doc_id, source, n_chars,
                CASE WHEN MAX(n_chars) OVER w = MIN(n_chars) OVER w THEN 0.0

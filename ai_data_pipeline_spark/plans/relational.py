@@ -648,6 +648,31 @@ def q50_distinct_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Q53 — remaining ranking/analytic fns: percent_rank, cume_dist,
+# nth_value. Both engines compute the rank ratios as exact-integer
+# divisions ((rank-1)/(n-1), rn/n) → identical doubles; nth_value
+# picks an actual table element. One shuffle on the partition key
+# serves all three (same window spec). Customer partitions keep the
+# per-group sort small at any scale.
+# ---------------------------------------------------------------------------
+
+def q53_rank_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        c.select(
+            F.col("c_nationkey").cast("long").alias("nationkey"),
+            "c_custkey",
+            F.percent_rank().over(w).alias("pr"),
+            F.cume_dist().over(w).alias("cd"),
+            F.nth_value("c_acctbal", 3).over(wfull).alias("third_bal"),
+        )
+        .orderBy("nationkey", "c_custkey")
+    )
+
+
 QUERIES = {
     "q01_scan_filter_project": q01_scan_filter_project,
     "q02_broadcast_join": q02_broadcast_join,
@@ -675,6 +700,7 @@ QUERIES = {
     "q45_percentile_disc": q45_percentile_disc,
     "q47_salted_join": q47_salted_join,
     "q50_distinct_suite": q50_distinct_suite,
+    "q53_rank_fns": q53_rank_fns,
 }
 
 
@@ -914,5 +940,16 @@ ORACLE = {
         FROM customer
         GROUP BY c_mktsegment
         ORDER BY c_mktsegment
+    """,
+    "q53_rank_fns": """
+        SELECT CAST(c_nationkey AS BIGINT) AS nationkey, c_custkey,
+               PERCENT_RANK() OVER w AS pr,
+               CUME_DIST() OVER w AS cd,
+               NTH_VALUE(c_acctbal, 3) OVER wf AS third_bal
+        FROM customer
+        WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey),
+               wf AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        ORDER BY nationkey, c_custkey
     """,
 }
