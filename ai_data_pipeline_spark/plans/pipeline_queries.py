@@ -558,6 +558,32 @@ def q48_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Q54 — vocabulary stats: corpus-wide top-30 tokens by frequency
+# (lowercased whitespace tokens), with doc-frequency alongside term
+# frequency. Scale: explode → two-phase hash agg; the shuffle
+# carries (token, partial counts) — partial aggregation collapses
+# each executor's token multiset before the exchange, which for
+# Zipf-distributed text shrinks the payload by orders of magnitude.
+# Ties broken by token for a total order.
+# ---------------------------------------------------------------------------
+
+def q54_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(ws_tokens(F.lower(F.col("text")))).alias("tok")
+    )
+    return (
+        toks.groupBy("tok")
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.countDistinct("doc_id").alias("df"),
+        )
+        .orderBy(F.desc("tf"), F.asc("tok"))
+        .limit(30)
+    )
+
+
+# ---------------------------------------------------------------------------
 # Q52 — streaming dedup, oracle-checked: replay events through a
 # file-source STREAM, dropDuplicates on (user_id, event_type) keeps
 # the first-arriving row per pair (append mode), then the
@@ -675,6 +701,7 @@ QUERIES = {
     "q49_embed_knn": q49_embed_knn,
     "q51_group_normalize": q51_group_normalize,
     "q52_streaming_dedup": q52_streaming_dedup,
+    "q54_top_tokens": q54_top_tokens,
 }
 
 
@@ -972,6 +999,19 @@ ORACLE = {
         ORDER BY doc_id
     """,
     "q49_embed_knn": None,  # generated below (needs the encoder twin)
+    "q54_top_tokens": f"""
+        WITH toks AS (
+            SELECT doc_id, unnest({_SQL_WS.format(x='lower(text)')}) AS tok
+            FROM documents
+        )
+        SELECT tok,
+               CAST(COUNT(*) AS BIGINT) AS tf,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+        FROM toks
+        GROUP BY tok
+        ORDER BY tf DESC, tok
+        LIMIT 30
+    """,
     "q52_streaming_dedup": """
         SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
         FROM events
