@@ -65,3 +65,40 @@ def test_embed_then_knn_is_self_nearest(spark):
     )
     assert top["id"] == 3
     assert math.isclose(top["cos"], 1.0, abs_tol=1e-12)
+
+
+def test_streaming_embed_upsert_pipeline(spark, tmp_path):
+    """EP2 as a stream: documents arrive incrementally → pandas-UDF
+    embedding → foreachBatch keyed upsert. Re-delivered doc_ids do
+    not duplicate or overwrite — the incremental embedding-table
+    build a production corpus needs."""
+    import json as _json
+
+    from ai_data_pipeline_spark.sources.sinks import foreach_batch_upsert
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    out = str(tmp_path / "emb")
+    ckpt = str(tmp_path / "ckpt")
+    stream = spark.readStream.schema("doc_id long, text string").json(str(in_dir))
+    emb = embed_text(stream, "text")
+    q = foreach_batch_upsert(emb, out, ckpt, ["doc_id"]).start()
+    try:
+        (in_dir / "b1.json").write_text(
+            "\n".join(_json.dumps({"doc_id": i, "text": f"doc {i}"}) for i in (1, 2))
+        )
+        q.processAllAvailable()
+        (in_dir / "b2.json").write_text(
+            "\n".join(
+                _json.dumps(r)
+                for r in [{"doc_id": 2, "text": "CHANGED"}, {"doc_id": 3, "text": "doc 3"}]
+            )
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = {r["doc_id"]: r["embedding"] for r in spark.read.parquet(out).collect()}
+    assert set(rows) == {1, 2, 3}
+    # doc 2 kept its first embedding (keyed upsert, not overwrite)
+    assert rows[2] == fake_text_encoder(["doc 2"])[0]
+    assert rows[3] == fake_text_encoder(["doc 3"])[0]
