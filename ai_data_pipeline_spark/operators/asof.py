@@ -58,6 +58,63 @@ def asof_join(
     )
 
 
+def asof_join_union(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_time: str,
+    right_time: str,
+    right_cols: list[str] | None = None,
+) -> DataFrame:
+    """As-of join with NO join at all: tag both sides, union, and
+    carry the latest right row forward with one ordered window per
+    key (``last(..., ignorenulls=True)`` over unbounded-preceding).
+
+    Same result as ``asof_join`` (left rows + ``r_``-prefixed right
+    payload; ties at equal times resolve to the right row, matching
+    ``r.time <= l.time``). Right columns must be listed explicitly
+    (``right_cols``; defaults to all non-key, non-time columns).
+
+    Scale: the join-based recipe materializes |left| × |right-within-
+    lookback| intermediate rows per key before the top-1 window —
+    quadratic for hot keys. This form is strictly linear: one shuffle
+    of |left| + |right| rows on the key, one sort, no intermediate
+    blowup — the recipe for power-law keys (one user with millions of
+    events) where even AQE skew splitting can't save the join.
+    """
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in (key, right_time)]
+    r_payload = F.struct(*[F.col(c) for c in right_cols])
+    # align both sides on (_k, _t, _side, _l struct, _r struct);
+    # _side 0 (right) sorts before 1 (left) so r.time == l.time matches
+    l_u = left.select(
+        F.col(key).alias("_k"),
+        F.col(left_time).alias("_t"),
+        F.lit(1).alias("_side"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("_l"),
+        F.lit(None).cast(right.select(r_payload.alias("_r")).schema["_r"].dataType).alias("_r"),
+    )
+    r_u = right.select(
+        F.col(key).alias("_k"),
+        F.col(right_time).alias("_t"),
+        F.lit(0).alias("_side"),
+        F.lit(None).cast(left.select(F.struct(*left.columns).alias("_l")).schema["_l"].dataType).alias("_l"),
+        r_payload.alias("_r"),
+    )
+    u = l_u.unionByName(r_u)
+    w = (
+        Window.partitionBy("_k")
+        .orderBy(F.asc("_t"), F.asc("_side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = u.withColumn("_rlast", F.last("_r", ignorenulls=True).over(w))
+    out = carried.filter(F.col("_side") == 1).select(
+        *[F.col("_l")[c].alias(c) for c in left.columns],
+        *[F.col("_rlast")[c].alias(f"r_{c}") for c in right_cols],
+    )
+    return out
+
+
 def sessionize(
     df: DataFrame,
     key: str,
