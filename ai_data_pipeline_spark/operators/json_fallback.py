@@ -80,3 +80,35 @@ def valid_records(
         F.col("qa.answer").alias("answer"),
         *[F.col(c) for c in lineage if c in df.columns],
     )
+
+
+def valid_records_with_metrics(
+    df: DataFrame,
+    raw_col: str = "raw_response",
+    lineage: tuple[str, ...] = ("source_file", "window_index", "subchunk_index"),
+):
+    """R7's valid/invalid side-count as a single-pass ``Observation``
+    (`app/main.py:112-117` keeps two Python counters; here the counts
+    ride the same job that writes the records — no second scan, no
+    accumulator double-count on task retries).
+
+    Returns ``(records_df, observation)``; read
+    ``observation.get`` AFTER an action on the returned frame:
+    ``{"n_total": ..., "n_valid": ..., "n_invalid": ...}``.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation("qa_validation")
+    v = validate_qa(df, raw_col)
+    observed = v.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.when(F.col("is_valid"), 1).otherwise(0)).alias("n_valid"),
+        F.sum(F.when(F.col("is_valid"), 0).otherwise(1)).alias("n_invalid"),
+    )
+    records = observed.filter(F.col("is_valid")).select(
+        F.col("qa.question").alias("question"),
+        F.col("qa.answer").alias("answer"),
+        *[F.col(c) for c in lineage if c in df.columns],
+    )
+    return records, obs

@@ -87,3 +87,21 @@ def test_stub_pipeline_end_to_end(spark):
     expect = StubLLM().generate([prompt])[0]
     got = with_resp.filter(F.col("chunk_text") == "chunk text 0").collect()[0].raw_response
     assert got == expect
+
+
+def test_valid_records_with_metrics_single_pass(spark):
+    from ai_data_pipeline_spark.operators.json_fallback import valid_records_with_metrics
+
+    df = spark.createDataFrame(
+        [
+            ('{"question": "q1", "answer": "a1"}', "f", 1, 1),
+            ('```json {"question": "q2", "answer": "a2"} ```', "f", 1, 2),
+            ("not json at all", "f", 1, 3),
+            ('{"wrong": "keys"}', "f", 1, 4),
+        ],
+        "raw_response string, source_file string, window_index int, subchunk_index int",
+    )
+    records, obs = valid_records_with_metrics(df)
+    rows = records.collect()  # action → metrics become available
+    assert {r["question"] for r in rows} == {"q1", "q2"}
+    assert obs.get == {"n_total": 4, "n_valid": 2, "n_invalid": 2}
