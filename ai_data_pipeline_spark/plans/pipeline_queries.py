@@ -558,6 +558,33 @@ def q48_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Q55 — map-type scalar functions: props JSON → map<string,bigint>,
+# then map_keys/size/element_at, aggregated per event type. The
+# map-typed twin of q18's get_json_object path — pins the map
+# function family (§2B scalar fns — array/map). All JVM expressions;
+# one agg shuffle.
+# ---------------------------------------------------------------------------
+
+def q55_map_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_events(spark, sf_dir)
+    m = F.from_json(F.col("props"), "map<string,bigint>")
+    return (
+        e.select(
+            "event_type",
+            F.size(F.map_keys(m)).cast("long").alias("n_keys"),
+            F.element_at(m, "k").alias("k"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.max("n_keys").alias("max_keys"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Q54 — vocabulary stats: corpus-wide top-30 tokens by frequency
 # (lowercased whitespace tokens), with doc-frequency alongside term
 # frequency. Scale: explode → two-phase hash agg; the shuffle
@@ -702,6 +729,7 @@ QUERIES = {
     "q51_group_normalize": q51_group_normalize,
     "q52_streaming_dedup": q52_streaming_dedup,
     "q54_top_tokens": q54_top_tokens,
+    "q55_map_fns": q55_map_fns,
 }
 
 
@@ -999,6 +1027,15 @@ ORACLE = {
         ORDER BY doc_id
     """,
     "q49_embed_knn": None,  # generated below (needs the encoder twin)
+    "q55_map_fns": """
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+               CAST(MAX(len(json_keys(props))) AS BIGINT) AS max_keys
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
     "q54_top_tokens": f"""
         WITH toks AS (
             SELECT doc_id, unnest({_SQL_WS.format(x='lower(text)')}) AS tok
