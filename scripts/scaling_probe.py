@@ -1,0 +1,61 @@
+"""Scaling probe: run pipeline-heavy queries at 1x (sf0.1) and the
+Nx corpus from make_scale_data.py; print per-query seconds and the
+Nx/1x ratio. A ratio ≲ N on a fixed 32-core box means the plan's
+work grows linearly with data (no quadratic joins, no driver
+bottleneck) — the property that survives a 1000-executor scale-out.
+
+Usage: python scripts/make_scale_data.py && python scripts/scaling_probe.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod
+from ai_data_pipeline_spark.session import get_spark
+
+BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+SCALED = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tmp_scale")
+FACTOR = int(os.environ.get("SCALE_FACTOR", "8"))
+
+PROBE = [
+    "q21_chunker",          # CPU-bound UDF pipeline
+    "q23_ngram_jaccard",    # shingle join (the quadratic trap)
+    "q24_minhash_lsh",      # LSH candidate generation
+    "q29_lang_profile",     # expression-heavy scan+agg
+    "q31_token_counts",     # tokenize+agg
+    "q35_tumbling_window",  # event-time agg
+    "q49_embed_knn",        # pandas-UDF encode + top-k
+    "q54_top_tokens",       # explode + two-phase agg
+]
+
+
+def main() -> int:
+    spark = get_spark("scaling-probe")
+    qs = entrymod.queries()
+    qs["q02_broadcast_join"](spark, BASE).collect()  # warm
+    out = {}
+    for name in PROBE:
+        times = {}
+        for tag, d in (("1x", BASE), (f"{FACTOR}x", SCALED)):
+            best = None
+            for _ in range(2):
+                t0 = time.perf_counter()
+                qs[name](spark, d).count()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            times[tag] = round(best, 2)
+        times["ratio"] = round(times[f"{FACTOR}x"] / max(times["1x"], 1e-9), 1)
+        out[name] = times
+        print(f"# {name}: {times}", file=sys.stderr)
+    print(json.dumps({"factor": FACTOR, "queries": out}))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
