@@ -399,3 +399,35 @@ def embedding_neardup_pairs(
     if min_cosine is not None:
         out = out.filter(F.col("sim") >= min_cosine)
     return out
+
+
+# ---------------------------------------------------------------------------
+# benchmark contamination
+# ---------------------------------------------------------------------------
+
+def shingle_overlap(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 4,
+    min_overlap: int = 1,
+) -> DataFrame:
+    """Train/test contamination check: corpus docs sharing ≥
+    ``min_overlap`` distinct word n-grams with the benchmark set.
+    Output: [id, n_hits].
+
+    Scale: the benchmark's distinct shingle-hash set is tiny relative
+    to the corpus (benchmarks are small by definition) → Spark
+    broadcasts it; the corpus side is then a map-side hash probe —
+    the 100 TB corpus is scanned once, never shuffled on content.
+    Only (id, count) rows reach the final agg exchange.
+    """
+    cs = shingle_table(corpus, id_col, text_col, n, hashed=True)
+    bs = shingle_table(benchmark, id_col, text_col, n, hashed=True).select("sh").distinct()
+    return (
+        cs.join(F.broadcast(bs), "sh")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .filter(F.col("n_hits") >= min_overlap)
+    )

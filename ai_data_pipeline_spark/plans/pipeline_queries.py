@@ -558,6 +558,48 @@ def q48_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Q57 — rule-based corpus filters (the regex side of quality/PII
+# filtering; the scoring side is q30): per-source counts of docs
+# matching each rule. Patterns are restricted to the RE2 ∩ Java
+# common dialect (no backreferences/lookahead) so both engines
+# compile them identically. Narrow scan + one agg shuffle.
+# ---------------------------------------------------------------------------
+
+def q57_rule_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    flag = lambda c: F.sum(F.when(c, 1).otherwise(0))  # noqa: E731
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            flag(F.col("text").rlike("[a-z]{8,}")).alias("n_longword"),
+            flag(F.col("text").rlike("(^| )spark( |$)")).alias("n_has_spark"),
+            flag(F.size(F.split(F.col("text"), " ")) > 60).alias("n_long_doc"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q56 — benchmark contamination: corpus docs (source ≠ src0) sharing
+# ≥3 distinct word-4-grams with the synthetic benchmark set
+# (source = src0). The benchmark shingle set broadcasts; the corpus
+# is scanned once and never shuffled on content — the decontamination
+# pass a training-data pipeline runs before every release.
+# ---------------------------------------------------------------------------
+
+def q56_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(_t(spark, sf_dir, "documents"))
+    corpus = docs.filter(F.col("source") != "src0")
+    benchmark = docs.filter(F.col("source") == "src0")
+    return (
+        dedup.shingle_overlap(corpus, benchmark, "doc_id", "text", n=4, min_overlap=3)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Q55 — map-type scalar functions: props JSON → map<string,bigint>,
 # then map_keys/size/element_at, aggregated per event type. The
 # map-typed twin of q18's get_json_object path — pins the map
@@ -730,6 +772,8 @@ QUERIES = {
     "q52_streaming_dedup": q52_streaming_dedup,
     "q54_top_tokens": q54_top_tokens,
     "q55_map_fns": q55_map_fns,
+    "q56_contamination": q56_contamination,
+    "q57_rule_filters": q57_rule_filters,
 }
 
 
@@ -1027,6 +1071,31 @@ ORACLE = {
         ORDER BY doc_id
     """,
     "q49_embed_knn": None,  # generated below (needs the encoder twin)
+    "q57_rule_filters": """
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN regexp_matches(text, '[a-z]{8,}') THEN 1 ELSE 0 END) AS BIGINT) AS n_longword,
+               CAST(SUM(CASE WHEN regexp_matches(text, '(^| )spark( |$)') THEN 1 ELSE 0 END) AS BIGINT) AS n_has_spark,
+               CAST(SUM(CASE WHEN len(string_split(text, ' ')) > 60 THEN 1 ELSE 0 END) AS BIGINT) AS n_long_doc
+        FROM documents
+        GROUP BY source
+        ORDER BY source
+    """,
+    "q56_contamination": f"""
+        WITH b AS (
+            SELECT DISTINCT unnest({sql_word_ngrams("text", 4)}) AS g
+            FROM documents WHERE source = 'src0'
+        ),
+        c AS (
+            SELECT doc_id, unnest(list_distinct({sql_word_ngrams("text", 4)})) AS g
+            FROM documents WHERE source <> 'src0'
+        )
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+        FROM c JOIN b USING (g)
+        GROUP BY doc_id
+        HAVING COUNT(*) >= 3
+        ORDER BY doc_id
+    """,
     "q55_map_fns": """
         SELECT event_type,
                CAST(COUNT(*) AS BIGINT) AS n,
