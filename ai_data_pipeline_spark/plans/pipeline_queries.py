@@ -558,6 +558,31 @@ def q48_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Q58 — VariantType JSON path (Spark 4): parse_json → variant_get,
+# the shredded-JSON successor to q18's get_json_object. Variant
+# parses once into a binary form; repeated path extraction doesn't
+# re-parse the string — at 100 TB of semi-structured events that is
+# the difference between one parse and one parse per extracted path.
+# Aggregation identical to q18's oracle arithmetic.
+# ---------------------------------------------------------------------------
+
+def q58_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_events(spark, sf_dir)
+    k = F.expr("variant_get(parse_json(props), '$.k', 'bigint')")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Q57 — rule-based corpus filters (the regex side of quality/PII
 # filtering; the scoring side is q30): per-source counts of docs
 # matching each rule. Patterns are restricted to the RE2 ∩ Java
@@ -774,6 +799,7 @@ QUERIES = {
     "q55_map_fns": q55_map_fns,
     "q56_contamination": q56_contamination,
     "q57_rule_filters": q57_rule_filters,
+    "q58_variant_json": q58_variant_json,
 }
 
 
@@ -1071,6 +1097,16 @@ ORACLE = {
         ORDER BY doc_id
     """,
     "q49_embed_knn": None,  # generated below (needs the encoder twin)
+    "q58_variant_json": """
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+               CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+               CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
     "q57_rule_filters": """
         SELECT source,
                CAST(COUNT(*) AS BIGINT) AS n_docs,

@@ -1,0 +1,52 @@
+"""Native Python UDTF surface (Spark 4 lateral table functions)."""
+
+from ai_data_pipeline_spark.operators.udtf_ops import FixedWindowChunks, register_udtfs
+
+
+def _expected(text: str, size: int, overlap: int):
+    out, step, idx = [], size - overlap, 0
+    for start in range(0, max(len(text), 1), step):
+        chunk = text[start : start + size]
+        if not chunk:
+            break
+        out.append((idx, start, chunk))
+        if start + size >= len(text):
+            break
+        idx += 1
+    return out
+
+
+def test_udtf_lateral_sql(spark):
+    register_udtfs(spark)
+    spark.createDataFrame(
+        [(1, "abcdefghij"), (2, "xy"), (3, None)], "doc_id long, text string"
+    ).createOrReplaceTempView("udtf_docs")
+    rows = spark.sql(
+        """
+        SELECT doc_id, c.chunk_index, c.chunk_start, c.chunk_text
+        FROM udtf_docs, LATERAL fixed_window_chunks(text, 4, 2) c
+        ORDER BY doc_id, c.chunk_index
+        """
+    ).collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r["doc_id"], []).append(
+            (r["chunk_index"], r["chunk_start"], r["chunk_text"])
+        )
+    assert got[1] == _expected("abcdefghij", 4, 2)
+    assert got[2] == _expected("xy", 4, 2)
+    assert 3 not in got  # null text yields no rows
+    # every character covered; consecutive chunks overlap by 2
+    chunks = [c for _, _, c in got[1]]
+    assert "".join(c[:2] for c in chunks) + chunks[-1][2:] == "abcdefghij"
+
+
+def test_udtf_rejects_bad_params(spark):
+    register_udtfs(spark)
+    spark.createDataFrame([(1, "abcdef")], "doc_id long, text string").createOrReplaceTempView(
+        "udtf_docs2"
+    )
+    rows = spark.sql(
+        "SELECT * FROM udtf_docs2, LATERAL fixed_window_chunks(text, 0, 0) c"
+    ).collect()
+    assert rows == []  # size<=0 yields nothing rather than crashing
