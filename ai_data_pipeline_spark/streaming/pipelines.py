@@ -255,3 +255,46 @@ def run_to_completion(writer, timeout_s: float = 300.0):
         q.stop()
         q.awaitTermination(int(timeout_s))
     return q
+
+
+def interval_join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_time: str = "ts",
+    right_time: str = "ts",
+    lookback: str = "1 hour",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream inner join: each left event matches right events
+    with the same key whose time is within [left_time - lookback,
+    left_time]. Both sides carry watermarks so the join state is
+    bounded — Spark evicts right rows once the left watermark passes
+    their time + lookback (without the time bound the state grows
+    forever; an unbounded stream-stream join is rejected).
+
+    Column names: right columns come through ``r_``-prefixed (the
+    key and both times kept). Scale: state is partitioned by the
+    join key like any shuffle; the watermark bound is the knob that
+    keeps per-key state O(events-in-lookback), independent of stream
+    lifetime.
+    """
+    l = left.withWatermark(left_time, watermark).alias("l")
+    r_cols = [c for c in right.columns if c != key]
+    r = (
+        right.select(
+            F.col(key).alias("_rk"),
+            *[F.col(c).alias(f"r_{c}") for c in r_cols],
+        )
+        .withWatermark(f"r_{right_time}", watermark)
+        .alias("r")
+    )
+    cond = (
+        (F.col(f"l.{key}") == F.col("r._rk"))
+        & (F.col(f"r.r_{right_time}") <= F.col(f"l.{left_time}"))
+        & (
+            F.col(f"r.r_{right_time}")
+            >= F.col(f"l.{left_time}") - F.expr(f"INTERVAL {lookback}")
+        )
+    )
+    return l.join(r, cond, "inner").drop("_rk")

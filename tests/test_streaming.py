@@ -205,3 +205,40 @@ def test_stream_qa_pipeline_exactly_once(spark, tmp_path):
     assert n3 > n1
     stems = {r["source_stem"] for r in spark.read.json(out_dir).select("source_stem").distinct().collect()}
     assert stems == {"doc_a", "doc_b", "doc_c"}
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Watermarked stream-stream join: purchases match views of the
+    same user within the 1h lookback; out-of-bound and wrong-user
+    views never match."""
+    from ai_data_pipeline_spark.streaming.pipelines import interval_join_streams
+
+    l_dir, r_dir = tmp_path / "purch", tmp_path / "views"
+    l_dir.mkdir(), r_dir.mkdir()
+    purchases = spark.readStream.schema(EVENT_SCHEMA).json(str(l_dir))
+    views = spark.readStream.schema(EVENT_SCHEMA).json(str(r_dir))
+    joined = interval_join_streams(
+        purchases, views, key="user_id", lookback="1 hour", watermark="2 hours"
+    ).select("event_id", "user_id", "r_event_id")
+    name = f"ssj_{uuid.uuid4().hex[:8]}"
+    q = _mem_sink(joined, name).start()
+    try:
+        _write_jsonl(
+            str(r_dir / "v1.json"),
+            [
+                {"ts": "2024-01-01 10:00:00", "user_id": 1, "event_type": "view", "event_id": "v_in"},
+                {"ts": "2024-01-01 08:00:00", "user_id": 1, "event_type": "view", "event_id": "v_old"},
+                {"ts": "2024-01-01 10:20:00", "user_id": 2, "event_type": "view", "event_id": "v_other_user"},
+                {"ts": "2024-01-01 11:00:00", "user_id": 1, "event_type": "view", "event_id": "v_future"},
+            ],
+        )
+        _write_jsonl(
+            str(l_dir / "p1.json"),
+            [{"ts": "2024-01-01 10:30:00", "user_id": 1, "event_type": "purchase", "event_id": "p1"}],
+        )
+        _drain(q)
+    finally:
+        q.stop()
+    rows = {(r["event_id"], r["r_event_id"]) for r in spark.table(name).collect()}
+    # only v_in (10:00, within [09:30, 10:30], same user) matches
+    assert rows == {("p1", "v_in")}
