@@ -36,3 +36,45 @@ def test_sql_text_matches_dataframe_plan(spark):
         .collect()
     )
     assert [tuple(r) for r in sql_rows] == [tuple(r) for r in df_rows]
+
+
+def test_null_safe_equality(spark):
+    """<=> (eqNullSafe): NULL <=> NULL is TRUE, NULL <=> x is FALSE —
+    the §2B null-safe predicate claim, DataFrame and SQL forms."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "a"), (3, None), (4, "b")], "id long, v string"
+    )
+    got = {r["id"] for r in df.filter(F.col("v").eqNullSafe(F.lit(None))).collect()}
+    assert got == {1, 3}
+    df.createOrReplaceTempView("nulleq_t")
+    got_sql = {
+        r["id"] for r in spark.sql("SELECT id FROM nulleq_t WHERE v <=> NULL").collect()
+    }
+    assert got_sql == {1, 3}
+    assert spark.sql("SELECT NULL <=> NULL AS x").first()["x"] is True
+
+
+def test_bag_semantics_set_ops(spark):
+    """intersectAll/exceptAll keep multiplicities (q15 covers the
+    set-semantics forms)."""
+    a = spark.createDataFrame([(1,), (1,), (2,), (3,)], "x long")
+    b = spark.createDataFrame([(1,), (2,), (2,)], "x long")
+    assert sorted(r["x"] for r in a.intersectAll(b).collect()) == [1, 2]
+    assert sorted(r["x"] for r in a.exceptAll(b).collect()) == [1, 3]
+
+
+def test_percentile_approx_error_bound(spark):
+    """percentile_approx must land within the declared accuracy of
+    the exact discrete percentile (engine-specific sketch — bounded
+    here, excluded from oracle queries like approx_count_distinct)."""
+    from pyspark.sql import functions as F
+    from ai_data_pipeline_spark.catalog import load_table
+
+    o = load_table(spark, SF_SMOKE, "orders")
+    row = o.agg(
+        F.percentile_approx("o_totalprice", 0.5, 1000).alias("approx"),
+        F.expr("percentile(o_totalprice, 0.5)").alias("exact"),
+    ).first()
+    assert abs(row["approx"] - row["exact"]) <= 0.02 * abs(row["exact"])
