@@ -558,6 +558,61 @@ def q48_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Q59 — funnel analysis: per-user ordered signup → view → purchase
+# progression (a stage counts only if its first occurrence is after
+# the previous stage's). One shuffle on user_id; conditional MIN
+# aggregates are map-side combinable, so the exchange carries three
+# ns-longs per user regardless of event volume.
+# ---------------------------------------------------------------------------
+
+def q59_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_events(spark, sf_dir)
+    first_ts = lambda t: F.min(F.when(F.col("event_type") == t, F.col("ts_ns")))  # noqa: E731
+    per_user = e.groupBy("user_id").agg(
+        first_ts("signup").alias("t_signup"),
+        first_ts("view").alias("t_view"),
+        first_ts("purchase").alias("t_purchase"),
+    )
+    s1 = F.col("t_signup").isNotNull()
+    s2 = s1 & F.col("t_view").isNotNull() & (F.col("t_view") > F.col("t_signup"))
+    s3 = s2 & F.col("t_purchase").isNotNull() & (F.col("t_purchase") > F.col("t_view"))
+    cnt = lambda c: F.sum(F.when(c, 1).otherwise(0))  # noqa: E731
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        cnt(s1).alias("n_signup"),
+        cnt(s2).alias("n_signup_view"),
+        cnt(s3).alias("n_signup_view_purchase"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q60 — cohort retention: users grouped by first-seen week, count of
+# users from each cohort active in each later week. Two aggregations
+# (first-seen per user, then cohort × week) — both shuffle narrow
+# (user_id, then (cohort, week) longs). The week arithmetic is pure
+# integer division on ns-epochs — identical on both engines.
+# ---------------------------------------------------------------------------
+
+def q60_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_events(spark, sf_dir)
+    week_ns = 7 * 86400 * 1_000_000_000
+    weeks = e.select(
+        "user_id", (F.col("ts_ns") - F.col("ts_ns") % week_ns).alias("week")
+    ).distinct()
+    cohort = weeks.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        weeks.join(cohort, "user_id")
+        .withColumn(
+            "weeks_since",
+            ((F.col("week") - F.col("cohort_week")) / F.lit(week_ns)).cast("long"),
+        )
+        .groupBy("cohort_week", "weeks_since")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+        .orderBy("cohort_week", "weeks_since")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Q58 — VariantType JSON path (Spark 4): parse_json → variant_get,
 # the shredded-JSON successor to q18's get_json_object. Variant
 # parses once into a binary form; repeated path extraction doesn't
@@ -800,6 +855,8 @@ QUERIES = {
     "q56_contamination": q56_contamination,
     "q57_rule_filters": q57_rule_filters,
     "q58_variant_json": q58_variant_json,
+    "q59_funnel": q59_funnel,
+    "q60_cohort_retention": q60_cohort_retention,
 }
 
 
@@ -1097,6 +1154,39 @@ ORACLE = {
         ORDER BY doc_id
     """,
     "q49_embed_knn": None,  # generated below (needs the encoder twin)
+    "q59_funnel": """
+        WITH per_user AS (
+            SELECT user_id,
+                   MIN(CASE WHEN event_type = 'signup' THEN epoch_ns(ts) END) AS t_signup,
+                   MIN(CASE WHEN event_type = 'view' THEN epoch_ns(ts) END) AS t_view,
+                   MIN(CASE WHEN event_type = 'purchase' THEN epoch_ns(ts) END) AS t_purchase
+            FROM events GROUP BY user_id
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+               CAST(SUM(CASE WHEN t_signup IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+               CAST(SUM(CASE WHEN t_signup IS NOT NULL AND t_view IS NOT NULL
+                              AND t_view > t_signup THEN 1 ELSE 0 END) AS BIGINT) AS n_signup_view,
+               CAST(SUM(CASE WHEN t_signup IS NOT NULL AND t_view IS NOT NULL
+                              AND t_view > t_signup AND t_purchase IS NOT NULL
+                              AND t_purchase > t_view THEN 1 ELSE 0 END) AS BIGINT) AS n_signup_view_purchase
+        FROM per_user
+    """,
+    "q60_cohort_retention": """
+        WITH weeks AS (
+            SELECT DISTINCT user_id,
+                   epoch_ns(ts) - epoch_ns(ts) % 604800000000000 AS week
+            FROM events
+        ),
+        cohort AS (
+            SELECT user_id, MIN(week) AS cohort_week FROM weeks GROUP BY user_id
+        )
+        SELECT cohort_week,
+               CAST((week - cohort_week) // 604800000000000 AS BIGINT) AS weeks_since,
+               CAST(COUNT(*) AS BIGINT) AS n_active
+        FROM weeks JOIN cohort USING (user_id)
+        GROUP BY cohort_week, weeks_since
+        ORDER BY cohort_week, weeks_since
+    """,
     "q58_variant_json": """
         SELECT event_type,
                CAST(COUNT(*) AS BIGINT) AS n,
