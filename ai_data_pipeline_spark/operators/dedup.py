@@ -431,3 +431,59 @@ def shingle_overlap(
         .agg(F.count(F.lit(1)).alias("n_hits"))
         .filter(F.col("n_hits") >= min_overlap)
     )
+
+
+# ---------------------------------------------------------------------------
+# pair → cluster resolution (connected components)
+# ---------------------------------------------------------------------------
+
+def dedup_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+    """Resolve near-dup PAIRS into CLUSTERS: [id, cluster_id] where
+    cluster_id is the minimum id in the connected component. The
+    missing last step of every pair-producing dedup (jaccard /
+    minhash / simhash / cosine emit pairs; dedup policy needs one
+    keeper per component, e.g. ``filter(id != cluster_id)`` drops).
+
+    Algorithm: iterative min-label propagation to neighbors until a
+    fixed point; converges in component-diameter rounds — near-dup
+    clusters are small and dense, so diameter is tiny. Each round is
+    one join + one agg (labels and edges both partition by id), and
+    ``localCheckpoint`` truncates the lineage so the plan doesn't
+    grow with iterations. For graphs with long chains at 100 TB,
+    swap in the alternating large-star/small-star recipe (Kiveris et
+    al., "Connected Components in MapReduce") — same DataFrame
+    skeleton, fewer rounds.
+    """
+    edges = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    sym = edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+    labels = sym.select(F.col("a").alias("id")).distinct().withColumn("label", F.col("id"))
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(
+                labels.select(F.col("id").alias("b"), F.col("label").alias("nl")), "b"
+            )
+            .groupBy("a")
+            .agg(F.min("nl").alias("nbr_min"))
+            .select(F.col("a").alias("id"), "nbr_min")
+        )
+        new_labels = (
+            labels.join(nbr_min, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("id", F.col("label").alias("cluster_id"))

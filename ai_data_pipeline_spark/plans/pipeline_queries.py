@@ -541,6 +541,33 @@ def q46_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Q61 — stratified deterministic sampling: per-language rates (en is
+# over-represented → keep 1/4; others keep 1/2) via the md5 first
+# byte against a per-stratum threshold. Content-derived like q46, so
+# reproducible anywhere; unlike df.sampleBy, independent of
+# partitioning and seed plumbing. Output: per-lang kept counts.
+# ---------------------------------------------------------------------------
+
+def q61_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    b0 = (
+        F.conv(F.substring(F.md5(F.col("text").cast("binary")), 1, 2), 16, 10)
+        .cast("long")
+    )
+    threshold = F.when(F.col("lang") == "en", 64).otherwise(128)
+    return (
+        docs.withColumn("_b0", b0)
+        .withColumn("kept", (F.col("_b0") < threshold).cast("int"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("kept").cast("long").alias("n_kept"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Q48 — keep-first exact dedup (the policy variant of q20's profile):
 # one survivor per normalized-text digest, lowest doc_id wins, via
 # operators/dedup.exact_dedup. The oracle reproduces the row_number
@@ -857,6 +884,7 @@ QUERIES = {
     "q58_variant_json": q58_variant_json,
     "q59_funnel": q59_funnel,
     "q60_cohort_retention": q60_cohort_retention,
+    "q61_stratified_sample": q61_stratified_sample,
 }
 
 
@@ -1154,6 +1182,17 @@ ORACLE = {
         ORDER BY doc_id
     """,
     "q49_embed_knn": None,  # generated below (needs the encoder twin)
+    "q61_stratified_sample": """
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN (16 * (strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1)
+                                   + (strpos('0123456789abcdef', substr(md5(text), 2, 1)) - 1))
+                                  < (CASE WHEN lang = 'en' THEN 64 ELSE 128 END)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        FROM documents
+        GROUP BY lang
+        ORDER BY lang
+    """,
     "q59_funnel": """
         WITH per_user AS (
             SELECT user_id,

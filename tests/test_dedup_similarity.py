@@ -169,3 +169,47 @@ def test_embedding_neardup_blocked(spark):
     ids = {(r.id_a, r.id_b) for r in pairs}
     assert (1, 3) in ids  # same block (odd), colinear
     assert (1, 2) not in ids  # different blocks never compared
+
+
+def _union_find(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
+def test_dedup_clusters_matches_union_find(spark):
+    """Min-label propagation == classic union-find on a graph with a
+    chain (tests multi-round convergence), a triangle, a pair, and
+    an untouched singleton-free layout."""
+    edges = [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21), (7, 30)]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r["id"]: r["cluster_id"] for r in dedup.dedup_clusters(pairs).collect()}
+    assert got == _union_find(edges)
+
+
+def test_dedup_clusters_on_real_neardup_pairs(spark):
+    """End-to-end: q23-style jaccard pairs at smoke SF resolve into
+    clusters; every member maps to the min id of its component."""
+    from ai_data_pipeline_spark.catalog import load_table
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=4, min_jaccard=0.5)
+    edge_list = [(r["id_a"], r["id_b"]) for r in pairs.collect()]
+    assert edge_list, "smoke corpus must contain near-dups for this test"
+    got = {r["id"]: r["cluster_id"] for r in dedup.dedup_clusters(pairs).collect()}
+    assert got == _union_find(edge_list)
+    # dedup policy: keep one doc per cluster
+    keepers = {v for v in got.values()}
+    assert all(got[k] in keepers for k in got)
