@@ -50,3 +50,34 @@ def test_udtf_rejects_bad_params(spark):
         "SELECT * FROM udtf_docs2, LATERAL fixed_window_chunks(text, 0, 0) c"
     ).collect()
     assert rows == []  # size<=0 yields nothing rather than crashing
+
+
+def test_udtf_chunk_properties():
+    """Property: chunks tile the text exactly — stride = size-overlap,
+    every char covered, no chunk exceeds size (pure-Python check of
+    the UDTF kernel)."""
+    from hypothesis import given, strategies as st
+
+    @given(
+        st.text(min_size=0, max_size=200),
+        st.integers(min_value=1, max_value=50),
+        st.integers(min_value=0, max_value=49),
+    )
+    def check(text, size, overlap):
+        if overlap >= size:
+            return
+        rows = list(FixedWindowChunks.func().eval(text, size, overlap))
+        if not text:
+            assert rows == []
+            return
+        assert all(len(c) <= size for _, _, c in rows)
+        assert [s for _, s, _ in rows] == [
+            i * (size - overlap) for i in range(len(rows))
+        ]
+        # coverage: union of [start, start+len) spans [0, len(text))
+        covered = set()
+        for _, s, c in rows:
+            covered.update(range(s, s + len(c)))
+        assert covered == set(range(len(text)))
+
+    check()
