@@ -585,6 +585,51 @@ def q48_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Q62 — the composed training pipeline, hash-checked end-to-end:
+# documents → LATERAL chunk (native Python UDTF, 200-char windows,
+# 40 overlap) → per-chunk embedding (pandas-UDF encoder) → cosine vs
+# an embedded query → per-doc chunk count + best-chunk similarity.
+# The oracle recomputes chunking (substr arithmetic mirroring the
+# UDTF's early-stop: a chunk that reaches the end is the last), the
+# md5-derived embeddings AND the cosine in SQL — one hash checks the
+# whole chunk→embed→score path. Scale: UDTF fan-out and encode are
+# the two Python stages, both Arrow-batched; scoring and the agg are
+# JVM expressions; shuffle carries (doc_id, scalar) only.
+# ---------------------------------------------------------------------------
+
+def q62_chunk_embed_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid as _uuid
+
+    from ai_data_pipeline_spark.operators.embedding import (
+        EMBED_DIM_DEFAULT,
+        embed_text,
+        fake_text_encoder,
+    )
+    from ai_data_pipeline_spark.operators.udtf_ops import register_udtfs
+    from ai_data_pipeline_spark.plans.constants import Q49_QUERY_TEXT
+
+    register_udtfs(spark)
+    view = f"q62_docs_{_uuid.uuid4().hex[:8]}"
+    spread(_t(spark, sf_dir, "documents")).createOrReplaceTempView(view)
+    chunks = spark.sql(
+        f"""
+        SELECT doc_id, c.chunk_index, c.chunk_text
+        FROM {view}, LATERAL fixed_window_chunks(text, 200, 40) c
+        """
+    )
+    emb = embed_text(chunks, "chunk_text")
+    qvec = fake_text_encoder([Q49_QUERY_TEXT])[0]
+    scored = emb.withColumn(
+        "cos", cosine(F.col("embedding"), array_lit(qvec), EMBED_DIM_DEFAULT)
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_chunks"), F.max("cos").alias("best_cos"))
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Q59 — funnel analysis: per-user ordered signup → view → purchase
 # progression (a stage counts only if its first occurrence is after
 # the previous stage's). One shuffle on user_id; conditional MIN
@@ -885,6 +930,7 @@ QUERIES = {
     "q59_funnel": q59_funnel,
     "q60_cohort_retention": q60_cohort_retention,
     "q61_stratified_sample": q61_stratified_sample,
+    "q62_chunk_embed_sim": q62_chunk_embed_sim,
 }
 
 
@@ -1326,3 +1372,47 @@ def _q49_oracle() -> str:
 
 
 ORACLE["q49_embed_knn"] = _q49_oracle()
+
+
+def _q62_oracle() -> str:
+    from ai_data_pipeline_spark.operators.embedding import (
+        EMBED_DIM_DEFAULT,
+        fake_text_encoder,
+        sql_embed_components,
+    )
+    from ai_data_pipeline_spark.plans.constants import Q49_QUERY_TEXT
+
+    size, overlap, stride = 200, 40, 160
+    emb = sql_embed_components("chunk_text", EMBED_DIM_DEFAULT)
+    qvec = sql_lit_list(fake_text_encoder([Q49_QUERY_TEXT])[0])
+    cos = (
+        f"({sql_dot('emb', 'qvec', EMBED_DIM_DEFAULT)}) / "
+        f"(({sql_norm('emb', EMBED_DIM_DEFAULT)}) * ({sql_norm('qvec', EMBED_DIM_DEFAULT)}))"
+    )
+    # UDTF early-stop mirror: a start s is emitted iff s == 0 (and the
+    # chunk is non-empty) or the PREVIOUS chunk did not reach the end
+    # (s - stride + size < len ⇔ s < len - overlap).
+    return f"""
+        WITH chunks AS (
+            SELECT doc_id, substr(text, s + 1, {size}) AS chunk_text
+            FROM (
+                SELECT doc_id, text,
+                       unnest(range(0, greatest(len(text), 1), {stride})) AS s
+                FROM documents
+            )
+            WHERE (s = 0 OR s < len(text) - {overlap})
+              AND substr(text, s + 1, {size}) <> ''
+        ),
+        e AS MATERIALIZED (
+            SELECT doc_id, {emb} AS emb, {qvec} AS qvec FROM chunks
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_chunks,
+               MAX({cos}) AS best_cos
+        FROM e
+        GROUP BY doc_id
+        ORDER BY doc_id
+    """
+
+
+ORACLE["q62_chunk_embed_sim"] = _q62_oracle()
