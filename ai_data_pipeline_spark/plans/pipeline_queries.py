@@ -630,6 +630,63 @@ def q62_chunk_embed_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Q63 — sliding windows (batch): hourly windows sliding every 30
+# minutes over events — each event lands in exactly 2 overlapping
+# windows (window/slide). Spark explodes window instances before the
+# agg; the oracle generates the same 2 starts per event explicitly.
+# Same shape as the streaming sliding_event_counts (golden-tested);
+# this pins the window-instance arithmetic against DuckDB.
+# ---------------------------------------------------------------------------
+
+def q63_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_events(spark, sf_dir)
+    ev = e.withColumn("ts_us", F.timestamp_micros(F.expr("ts_ns div 1000")))
+    return (
+        ev.groupBy(
+            F.window("ts_us", "1 hour", "30 minutes").alias("w"), F.col("event_type")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w.start").cast("long").alias("wstart_s"),
+            "event_type",
+            "n",
+        )
+        .orderBy("wstart_s", "event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q64 — higher-order array functions over embeddings: transform /
+# filter / exists / aggregate in one pass per row (component count
+# above zero, clipped-sum via transform+aggregate, any-negative
+# flag). Everything stays inside codegen'd array expressions; the
+# agg shuffle carries four scalars per row group.
+# ---------------------------------------------------------------------------
+
+def q64_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    v = F.col("embedding")
+    n_pos = F.size(F.filter(v, lambda x: x > 0)).cast("long")
+    clipped_sum = F.aggregate(
+        F.transform(v, lambda x: F.greatest(x.cast("double"), F.lit(0.0))),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    has_neg = F.exists(v, lambda x: x < 0)
+    return (
+        emb.select("label", n_pos.alias("n_pos"), clipped_sum.alias("cs"), has_neg.alias("hn"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum("n_pos").alias("total_pos"),
+            F.max("cs").alias("max_clipped_sum"),
+            F.sum(F.when(F.col("hn"), 1).otherwise(0)).cast("long").alias("n_with_neg"),
+        )
+        .orderBy("label")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Q59 — funnel analysis: per-user ordered signup → view → purchase
 # progression (a stage counts only if its first occurrence is after
 # the previous stage's). One shuffle on user_id; conditional MIN
@@ -931,6 +988,8 @@ QUERIES = {
     "q60_cohort_retention": q60_cohort_retention,
     "q61_stratified_sample": q61_stratified_sample,
     "q62_chunk_embed_sim": q62_chunk_embed_sim,
+    "q63_sliding_window": q63_sliding_window,
+    "q64_array_hof": q64_array_hof,
 }
 
 
@@ -1228,6 +1287,38 @@ ORACLE = {
         ORDER BY doc_id
     """,
     "q49_embed_knn": None,  # generated below (needs the encoder twin)
+    "q63_sliding_window": """
+        WITH wins AS (
+            SELECT event_type,
+                   unnest([
+                       epoch_ms(time_bucket(INTERVAL 30 MINUTES, ts)) // 1000,
+                       epoch_ms(time_bucket(INTERVAL 30 MINUTES, ts)) // 1000 - 1800
+                   ]) AS wstart_s
+            FROM events
+        )
+        SELECT wstart_s, event_type, CAST(COUNT(*) AS BIGINT) AS n
+        FROM wins
+        GROUP BY wstart_s, event_type
+        ORDER BY wstart_s, event_type
+    """,
+    "q64_array_hof": """
+        WITH per_row AS (
+            SELECT label,
+                   CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos,
+                   list_sum(list_transform(range(1, 65),
+                            i -> greatest(CAST(embedding[i] AS DOUBLE), 0.0))) AS cs,
+                   len(list_filter(embedding, x -> x < 0)) > 0 AS hn
+            FROM embeddings
+        )
+        SELECT label,
+               CAST(COUNT(*) AS BIGINT) AS n_vecs,
+               CAST(SUM(n_pos) AS BIGINT) AS total_pos,
+               MAX(cs) AS max_clipped_sum,
+               CAST(SUM(CASE WHEN hn THEN 1 ELSE 0 END) AS BIGINT) AS n_with_neg
+        FROM per_row
+        GROUP BY label
+        ORDER BY label
+    """,
     "q61_stratified_sample": """
         SELECT lang,
                CAST(COUNT(*) AS BIGINT) AS n_docs,
