@@ -673,6 +673,41 @@ def q53_rank_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Q65 — window-over-join composition: customers whose lifetime spend
+# exceeds their nation's average. The average comparison is done in
+# EXACT integers — spend_i · n > Σ spends (cross-multiplied) — so no
+# division ever touches the predicate; both engines compare the same
+# BIGINTs. Scale: join shuffles on custkey with partial sums; the
+# nation-level window carries two longs per customer.
+# ---------------------------------------------------------------------------
+
+def q65_above_avg_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").withColumn("tp4", money4("o_totalprice"))
+    spend = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_nationkey")
+        .agg(F.coalesce(F.sum("tp4"), F.lit(0)).cast("long").alias("spend4"))
+    )
+    w = Window.partitionBy("c_nationkey")
+    flagged = spend.select(
+        F.col("c_nationkey").cast("long").alias("nationkey"),
+        "spend4",
+        (
+            F.col("spend4") * F.count(F.lit(1)).over(w) > F.sum("spend4").over(w)
+        ).alias("above"),
+    )
+    return (
+        flagged.groupBy("nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(F.when(F.col("above"), 1).otherwise(0)).cast("long").alias("n_above_avg"),
+        )
+        .orderBy("nationkey")
+    )
+
+
 QUERIES = {
     "q01_scan_filter_project": q01_scan_filter_project,
     "q02_broadcast_join": q02_broadcast_join,
@@ -701,6 +736,7 @@ QUERIES = {
     "q47_salted_join": q47_salted_join,
     "q50_distinct_suite": q50_distinct_suite,
     "q53_rank_fns": q53_rank_fns,
+    "q65_above_avg_customers": q65_above_avg_customers,
 }
 
 
@@ -951,5 +987,25 @@ ORACLE = {
                wf AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey
                       ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
         ORDER BY nationkey, c_custkey
+    """,
+    "q65_above_avg_customers": """
+        WITH spend AS (
+            SELECT c_custkey, c_nationkey,
+                   CAST(COALESCE(SUM(CAST(ROUND(o_totalprice * 10000) AS BIGINT)), 0) AS BIGINT) AS spend4
+            FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+            GROUP BY c_custkey, c_nationkey
+        ),
+        flagged AS (
+            SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+                   spend4 * COUNT(*) OVER (PARTITION BY c_nationkey)
+                       > SUM(spend4) OVER (PARTITION BY c_nationkey) AS above
+            FROM spend
+        )
+        SELECT nationkey,
+               CAST(COUNT(*) AS BIGINT) AS n_customers,
+               CAST(SUM(CASE WHEN above THEN 1 ELSE 0 END) AS BIGINT) AS n_above_avg
+        FROM flagged
+        GROUP BY nationkey
+        ORDER BY nationkey
     """,
 }
