@@ -600,11 +600,7 @@ def q48_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q62_chunk_embed_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     import uuid as _uuid
 
-    from ai_data_pipeline_spark.operators.embedding import (
-        EMBED_DIM_DEFAULT,
-        embed_text,
-        fake_text_encoder,
-    )
+    from ai_data_pipeline_spark.operators.embedding import embed_text, fake_text_encoder
     from ai_data_pipeline_spark.operators.udtf_ops import register_udtfs
     from ai_data_pipeline_spark.plans.constants import Q49_QUERY_TEXT
 
@@ -619,8 +615,10 @@ def q62_chunk_embed_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     emb = embed_text(chunks, "chunk_text")
     qvec = fake_text_encoder([Q49_QUERY_TEXT])[0]
+    # HOF cosine: per-chunk scoring (see q49's note on the codegen
+    # compile cost of the unrolled form in UDF stages)
     scored = emb.withColumn(
-        "cos", cosine(F.col("embedding"), array_lit(qvec), EMBED_DIM_DEFAULT)
+        "cos", cosine(F.col("embedding"), array_lit(qvec), None)
     )
     return (
         scored.groupBy("doc_id")
@@ -913,18 +911,20 @@ def q52_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def q49_embed_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ai_data_pipeline_spark.operators.embedding import (
-        EMBED_DIM_DEFAULT,
-        embed_text,
-        fake_text_encoder,
-    )
+    from ai_data_pipeline_spark.operators.embedding import embed_text, fake_text_encoder
     from ai_data_pipeline_spark.plans.constants import Q49_QUERY_TEXT
 
     docs = spread(_t(spark, sf_dir, "documents"))
     emb = embed_text(docs, "text")
     qvec = fake_text_encoder([Q49_QUERY_TEXT])[0]
+    # dim=None → zip_with/aggregate (interpreted fold, identical
+    # summation order → bit-equal to the unrolled form). One cosine
+    # per DOCUMENT, so the fold cost is negligible while the unrolled
+    # expression's per-invocation codegen compile (~2.5s stacked on
+    # the UDF stage) dominates. Use dim=<n> (unrolled, codegen) in
+    # per-PAIR regimes — q22/q26/q27 — where rows × dim is large.
     return (
-        emb.withColumn("cos", cosine(F.col("embedding"), array_lit(qvec), EMBED_DIM_DEFAULT))
+        emb.withColumn("cos", cosine(F.col("embedding"), array_lit(qvec), None))
         .select("doc_id", "cos")
         .orderBy(F.desc("cos"), F.asc("doc_id"))
         .limit(10)
