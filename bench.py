@@ -58,6 +58,11 @@ HEADLINE = [
     "q39_grouping_sets",
     "q40_audio_meta",
     "q49_embed_knn",
+    "q54_top_tokens",
+    "q56_contamination",
+    "q59_funnel",
+    "q62_chunk_embed_sim",
+    "q63_sliding_window",
 ]
 
 
