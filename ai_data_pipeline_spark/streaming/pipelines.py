@@ -265,13 +265,19 @@ def interval_join_streams(
     right_time: str = "ts",
     lookback: str = "1 hour",
     watermark: str = "1 hour",
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-stream inner join: each left event matches right events
+    """Stream-stream join: each left event matches right events
     with the same key whose time is within [left_time - lookback,
     left_time]. Both sides carry watermarks so the join state is
     bounded — Spark evicts right rows once the left watermark passes
     their time + lookback (without the time bound the state grows
     forever; an unbounded stream-stream join is rejected).
+
+    ``how="leftOuter"`` additionally emits unmatched left rows with
+    null right columns — but only once the watermark passes the
+    row's join bound (the engine must be sure no match can still
+    arrive), so outer results trail the watermark by design.
 
     Column names: right columns come through ``r_``-prefixed (the
     key and both times kept). Scale: state is partitioned by the
@@ -297,4 +303,4 @@ def interval_join_streams(
             >= F.col(f"l.{left_time}") - F.expr(f"INTERVAL {lookback}")
         )
     )
-    return l.join(r, cond, "inner").drop("_rk")
+    return l.join(r, cond, how).drop("_rk")

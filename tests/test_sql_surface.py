@@ -78,3 +78,21 @@ def test_percentile_approx_error_bound(spark):
         F.expr("percentile(o_totalprice, 0.5)").alias("exact"),
     ).first()
     assert abs(row["approx"] - row["exact"]) <= 0.02 * abs(row["exact"])
+
+
+def test_plain_python_udf_surface(spark):
+    """Row-at-a-time Python UDF: supported (§2B UDF surface) but the
+    slow path — engine hot paths use built-ins / Arrow-batched
+    pandas UDFs instead. Registered both for DataFrame and SQL use."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import IntegerType
+
+    @F.udf(IntegerType())
+    def vowels(s):
+        return sum(1 for ch in (s or "") if ch in "aeiou") if s is not None else None
+
+    df = spark.createDataFrame([("spark",), ("engine",), (None,)], "w string")
+    got = [r["n"] for r in df.select(vowels("w").alias("n")).collect()]
+    assert got == [1, 3, None]
+    spark.udf.register("vowels_sql", vowels)
+    assert spark.sql("SELECT vowels_sql('aequeous') AS n").first()["n"] == 6

@@ -242,3 +242,58 @@ def test_stream_stream_interval_join(spark, tmp_path):
     rows = {(r["event_id"], r["r_event_id"]) for r in spark.table(name).collect()}
     # only v_in (10:00, within [09:30, 10:30], same user) matches
     assert rows == {("p1", "v_in")}
+
+
+def test_stream_stream_left_outer_join(spark, tmp_path):
+    """leftOuter stream-stream join: unmatched purchases emit with
+    null right columns once the watermark passes their join bound."""
+    from ai_data_pipeline_spark.streaming.pipelines import interval_join_streams
+
+    l_dir, r_dir = tmp_path / "purch", tmp_path / "views"
+    l_dir.mkdir(), r_dir.mkdir()
+    purchases = spark.readStream.schema(EVENT_SCHEMA).json(str(l_dir))
+    views = spark.readStream.schema(EVENT_SCHEMA).json(str(r_dir))
+    joined = interval_join_streams(
+        purchases, views, key="user_id", lookback="1 hour",
+        watermark="1 hour", how="leftOuter",
+    ).select("event_id", "r_event_id")
+    name = f"ssoj_{uuid.uuid4().hex[:8]}"
+    q = _mem_sink(joined, name).start()
+    try:
+        _write_jsonl(
+            str(r_dir / "v1.json"),
+            [{"ts": "2024-01-01 10:00:00", "user_id": 1, "event_type": "view", "event_id": "v1"}],
+        )
+        _write_jsonl(
+            str(l_dir / "p1.json"),
+            [
+                {"ts": "2024-01-01 10:30:00", "user_id": 1, "event_type": "purchase", "event_id": "p_matched"},
+                {"ts": "2024-01-01 10:30:00", "user_id": 9, "event_type": "purchase", "event_id": "p_unmatched"},
+            ],
+        )
+        _drain(q)
+        # advance both watermarks far past p_unmatched's bound so the
+        # engine finalizes it as matchless
+        _write_jsonl(
+            str(r_dir / "v2.json"),
+            [{"ts": "2024-01-01 20:00:00", "user_id": 8, "event_type": "view", "event_id": "v_wm"}],
+        )
+        _write_jsonl(
+            str(l_dir / "p2.json"),
+            [{"ts": "2024-01-01 20:00:00", "user_id": 8, "event_type": "purchase", "event_id": "p_wm"}],
+        )
+        _drain(q)
+        _write_jsonl(
+            str(l_dir / "p3.json"),
+            [{"ts": "2024-01-01 23:00:00", "user_id": 7, "event_type": "purchase", "event_id": "p_tick"}],
+        )
+        _write_jsonl(
+            str(r_dir / "v3.json"),
+            [{"ts": "2024-01-01 23:00:00", "user_id": 6, "event_type": "view", "event_id": "v_tick"}],
+        )
+        _drain(q)
+    finally:
+        q.stop()
+    rows = {(r["event_id"], r["r_event_id"]) for r in spark.table(name).collect()}
+    assert ("p_matched", "v1") in rows
+    assert ("p_unmatched", None) in rows
