@@ -708,6 +708,29 @@ def q65_above_avg_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Q66 — fuzzy string match: Levenshtein distance of every part name
+# to a probe string, closest 10. Integer edit distance → exact
+# cross-engine parity. Scale: per-row O(len²) compute in codegen;
+# top-k via TakeOrdered (no global sort). For corpus-scale fuzzy
+# JOINs, block first (q-gram prefilter like the shingle join) —
+# all-pairs Levenshtein is the quadratic trap.
+# ---------------------------------------------------------------------------
+
+def q66_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    probe = F.lit("forest green metallic")
+    return (
+        p.select(
+            "p_partkey",
+            "p_name",
+            F.levenshtein(F.col("p_name"), probe).cast("long").alias("dist"),
+        )
+        .orderBy("dist", "p_partkey")
+        .limit(10)
+    )
+
+
 QUERIES = {
     "q01_scan_filter_project": q01_scan_filter_project,
     "q02_broadcast_join": q02_broadcast_join,
@@ -737,6 +760,7 @@ QUERIES = {
     "q50_distinct_suite": q50_distinct_suite,
     "q53_rank_fns": q53_rank_fns,
     "q65_above_avg_customers": q65_above_avg_customers,
+    "q66_fuzzy_match": q66_fuzzy_match,
 }
 
 
@@ -1007,5 +1031,12 @@ ORACLE = {
         FROM flagged
         GROUP BY nationkey
         ORDER BY nationkey
+    """,
+    "q66_fuzzy_match": """
+        SELECT p_partkey, p_name,
+               CAST(levenshtein(p_name, 'forest green metallic') AS BIGINT) AS dist
+        FROM part
+        ORDER BY dist, p_partkey
+        LIMIT 10
     """,
 }

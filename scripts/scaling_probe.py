@@ -32,6 +32,7 @@ PROBE = [
     "q35_tumbling_window",  # event-time agg
     "q49_embed_knn",        # pandas-UDF encode + top-k
     "q54_top_tokens",       # explode + two-phase agg
+    "q62_chunk_embed_sim",  # UDTF chunk → embed → score, composed
 ]
 
 
