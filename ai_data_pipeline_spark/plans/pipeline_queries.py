@@ -685,6 +685,35 @@ def q64_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Q67 — sessionized conversion: 30-min-gap sessions (the q34
+# operator) × funnel semantics (q59) — a session converts if it
+# contains a view followed by a purchase. Two shuffles total: the
+# session window on user_id, then the per-session agg reuses the
+# same partitioning (no extra exchange — session_id nests in
+# user_id).
+# ---------------------------------------------------------------------------
+
+def q67_session_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_events(spark, sf_dir)
+    s = sessionize(e, key="user_id", time_col="ts_ns", gap=30 * 60 * 1_000_000_000)
+    per_sess = s.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(F.when(F.col("event_type") == "view", F.col("ts_ns"))).alias("t_view"),
+        F.max(F.when(F.col("event_type") == "purchase", F.col("ts_ns"))).alias("t_purch"),
+    )
+    conv = (
+        F.col("t_view").isNotNull()
+        & F.col("t_purch").isNotNull()
+        & (F.col("t_purch") > F.col("t_view"))
+    )
+    return per_sess.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum(F.when(conv, 1).otherwise(0)).cast("long").alias("n_converted"),
+        F.max("n_events").alias("max_events"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Q59 — funnel analysis: per-user ordered signup → view → purchase
 # progression (a stage counts only if its first occurrence is after
 # the previous stage's). One shuffle on user_id; conditional MIN
@@ -990,6 +1019,7 @@ QUERIES = {
     "q62_chunk_embed_sim": q62_chunk_embed_sim,
     "q63_sliding_window": q63_sliding_window,
     "q64_array_hof": q64_array_hof,
+    "q67_session_conversion": q67_session_conversion,
 }
 
 
@@ -1287,6 +1317,35 @@ ORACLE = {
         ORDER BY doc_id
     """,
     "q49_embed_knn": None,  # generated below (needs the encoder twin)
+    "q67_session_conversion": """
+        WITH ordered AS (
+            SELECT user_id, epoch_ns(ts) AS t, event_type,
+                   CASE WHEN lag(epoch_ns(ts)) OVER w IS NULL
+                          OR epoch_ns(ts) - lag(epoch_ns(ts)) OVER w > 1800000000000
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts))
+        ),
+        sess AS (
+            SELECT user_id, t, event_type,
+                   SUM(new_sess) OVER (PARTITION BY user_id ORDER BY t
+                                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+            FROM ordered
+        ),
+        per_sess AS (
+            SELECT user_id, session_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   MIN(CASE WHEN event_type = 'view' THEN t END) AS t_view,
+                   MAX(CASE WHEN event_type = 'purchase' THEN t END) AS t_purch
+            FROM sess
+            GROUP BY user_id, session_id
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+               CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_purch IS NOT NULL
+                              AND t_purch > t_view THEN 1 ELSE 0 END) AS BIGINT) AS n_converted,
+               MAX(n_events) AS max_events
+        FROM per_sess
+    """,
     "q63_sliding_window": """
         WITH wins AS (
             SELECT event_type,

@@ -40,3 +40,17 @@ def test_entry_smoke(spark):
 
 def test_every_oracle_has_query():
     assert set(_ORACLES) <= set(_QUERIES)
+
+
+def test_rows_only_set_is_intentional():
+    """Every query lacking an oracle twin must be on the known
+    rows-only list (custom hash families / approximate paths) — a
+    new query accidentally shipped without its oracle fails here."""
+    rows_only = set(_QUERIES) - set(_ORACLES)
+    assert rows_only == {
+        "q21_chunker",
+        "q24_minhash_lsh",
+        "q25_simhash",
+        "q28_ivf_ann",
+        "q38_rp_lsh_ann",
+    }
