@@ -146,3 +146,16 @@ def test_q49_single_python_stage_topk(spark, sf_dir):
     }
     assert len(python_nodes) == 1
     assert "TakeOrderedAndProject" in s
+
+
+def test_q67_session_agg_reuses_partitioning(spark, sf_dir):
+    """The per-session agg clusters on (user_id, session_id), which
+    hashpartitioning(user_id) from the session window already
+    satisfies — exactly one hash exchange in the whole plan."""
+    s = plan_of(P.q67_session_conversion(spark, sf_dir))
+    hash_exchanges = {
+        re.sub(r"plan_id=\d+", "", seg).strip()
+        for seg in s.splitlines()
+        if "Exchange hashpartitioning" in seg
+    }
+    assert len(hash_exchanges) == 1
