@@ -102,3 +102,55 @@ def test_streaming_embed_upsert_pipeline(spark, tmp_path):
     # doc 2 kept its first embedding (keyed upsert, not overwrite)
     assert rows[2] == fake_text_encoder(["doc 2"])[0]
     assert rows[3] == fake_text_encoder(["doc 3"])[0]
+
+
+def test_ep2_ep3_full_rag_loop(spark, tmp_path):
+    """EP2+EP3 end-to-end (rag_chatbot/main.py:8-47 as DataFrames):
+    JSONL Q&A corpus → project → embed questions → materialized
+    embedding table → 1-NN retrieval with threshold rejection. A
+    matching question returns its answer; a garbage query hits the
+    sentinel."""
+    import json as _json
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ai_data_pipeline_spark.operators.similarity import (
+        knn_l2_with_threshold,
+        queries_df,
+    )
+    from ai_data_pipeline_spark.sources.readers import read_jsonl
+
+    corpus_path = tmp_path / "training.jsonl"
+    qa = [
+        {"question": "what is spark", "answer": "a distributed engine",
+         "source_file": "a.pdf", "window_index": 1, "subchunk_index": 1},
+        {"question": "what is parquet", "answer": "a columnar format",
+         "source_file": "a.pdf", "window_index": 1, "subchunk_index": 2},
+    ]
+    corpus_path.write_text("\n".join(_json.dumps(r) for r in qa))
+
+    # EP2: read → project → embed → materialize
+    emb_path = str(tmp_path / "emb")
+    corpus = read_jsonl(spark, str(corpus_path)).select("question", "answer")
+    embed_text(corpus, "question").write.parquet(emb_path)
+    table = (
+        spark.read.parquet(emb_path)
+        .withColumn(
+            "vec_id", F.row_number().over(Window.orderBy("question")).cast("long")
+        )
+    )
+
+    # EP3: embed the user query the same way, 1-NN + rejection
+    good_q = fake_text_encoder(["what is spark"])[0]
+    bad_q = fake_text_encoder(["completely unrelated gibberish zzz"])[0]
+    out = knn_l2_with_threshold(
+        table,
+        queries_df(spark, [good_q, bad_q]),
+        threshold=1.0,
+        sentinel="I don't have information on that subject.",
+        answer_col="answer",
+    ).orderBy("qid").collect()
+    assert out[0]["accepted"] and out[0]["answer"] == "a distributed engine"
+    assert not out[1]["accepted"]
+    assert out[1]["answer"] == "I don't have information on that subject."
