@@ -731,6 +731,40 @@ def q66_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Q68 — date/interval function suite: datediff between order and
+# ship dates, month arithmetic, ISO day-of-week histogram. Spark's
+# dayofweek is 1=Sunday while DuckDB's isodow is 1=Monday — both
+# sides emit ISO (Monday=1) explicitly so the convention is pinned
+# in the query, not left to engine defaults. Narrow scan (3 date
+# columns), one agg shuffle.
+# ---------------------------------------------------------------------------
+
+def q68_date_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    j = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.datediff(F.col("l_shipdate"), F.col("o_orderdate")).cast("long").alias("lag_days"),
+        # ISO weekday: Monday=1..Sunday=7 (Spark dayofweek is 1=Sunday)
+        (((F.dayofweek("l_shipdate") + 5) % 7) + 1).cast("long").alias("iso_dow"),
+        F.months_between(
+            F.date_trunc("month", F.col("l_shipdate")),
+            F.date_trunc("month", F.col("o_orderdate")),
+        ).cast("long").alias("month_lag"),
+    )
+    return (
+        j.groupBy("iso_dow")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("lag_days").alias("min_lag"),
+            F.max("lag_days").alias("max_lag"),
+            F.sum("lag_days").alias("sum_lag"),
+            F.max("month_lag").alias("max_month_lag"),
+        )
+        .orderBy("iso_dow")
+    )
+
+
 QUERIES = {
     "q01_scan_filter_project": q01_scan_filter_project,
     "q02_broadcast_join": q02_broadcast_join,
@@ -761,6 +795,7 @@ QUERIES = {
     "q53_rank_fns": q53_rank_fns,
     "q65_above_avg_customers": q65_above_avg_customers,
     "q66_fuzzy_match": q66_fuzzy_match,
+    "q68_date_fns": q68_date_fns,
 }
 
 
@@ -1038,5 +1073,23 @@ ORACLE = {
         FROM part
         ORDER BY dist, p_partkey
         LIMIT 10
+    """,
+    "q68_date_fns": """
+        WITH j AS (
+            SELECT date_diff('day', o_orderdate, l_shipdate) AS lag_days,
+                   CAST(isodow(l_shipdate) AS BIGINT) AS iso_dow,
+                   date_diff('month', date_trunc('month', o_orderdate),
+                             date_trunc('month', l_shipdate)) AS month_lag
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        )
+        SELECT iso_dow,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(MIN(lag_days) AS BIGINT) AS min_lag,
+               CAST(MAX(lag_days) AS BIGINT) AS max_lag,
+               CAST(SUM(lag_days) AS BIGINT) AS sum_lag,
+               CAST(MAX(month_lag) AS BIGINT) AS max_month_lag
+        FROM j
+        GROUP BY iso_dow
+        ORDER BY iso_dow
     """,
 }
