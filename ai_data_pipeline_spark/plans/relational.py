@@ -765,6 +765,57 @@ def q68_date_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Q69 — DECIMAL arithmetic: money summed as DECIMAL(18,2) — exact by
+# type, no float policy gymnastics needed (the alternative to rule 3
+# when the sink schema wants decimals). Result re-cast to (18,2) on
+# both engines so the dtype, scale and values all match.
+# ---------------------------------------------------------------------------
+
+def q69_decimal_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    dec = F.col("o_totalprice").cast("decimal(18,2)")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.sum(dec).cast("decimal(18,2)").alias("total"),
+            F.max(dec).cast("decimal(18,2)").alias("max_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q70 — conditional expression suite: nested CASE, nullif, coalesce,
+# least/greatest over order attributes. Pure narrow expressions; the
+# agg shuffles 4 longs per group.
+# ---------------------------------------------------------------------------
+
+def q70_conditional_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").withColumn("tp4", money4("o_totalprice"))
+    band = (
+        F.when(F.col("tp4") < 50_000_0000, "low")
+        .when(F.col("tp4") < 150_000_0000, "mid")
+        .otherwise("high")
+    )
+    return (
+        o.select(
+            band.alias("band"),
+            F.nullif(F.col("o_orderpriority"), F.lit("3-MEDIUM")).alias("prio_nn"),
+            F.least(F.col("o_custkey") % 7, F.lit(3).cast("long")).alias("lp"),
+            F.greatest(F.col("o_custkey") % 7, F.lit(3).cast("long")).alias("gp"),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("prio_nn").alias("n_nonmedium"),
+            F.min("lp").alias("min_lp"),
+            F.max("gp").alias("max_gp"),
+        )
+        .orderBy("band")
+    )
+
+
 QUERIES = {
     "q01_scan_filter_project": q01_scan_filter_project,
     "q02_broadcast_join": q02_broadcast_join,
@@ -796,6 +847,8 @@ QUERIES = {
     "q65_above_avg_customers": q65_above_avg_customers,
     "q66_fuzzy_match": q66_fuzzy_match,
     "q68_date_fns": q68_date_fns,
+    "q69_decimal_agg": q69_decimal_agg,
+    "q70_conditional_fns": q70_conditional_fns,
 }
 
 
@@ -1091,5 +1144,32 @@ ORACLE = {
         FROM j
         GROUP BY iso_dow
         ORDER BY iso_dow
+    """,
+    "q69_decimal_agg": """
+        SELECT o_orderstatus,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total,
+               CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS max_price
+        FROM orders
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+    """,
+    "q70_conditional_fns": """
+        WITH t AS (
+            SELECT CASE WHEN CAST(ROUND(o_totalprice * 10000) AS BIGINT) < 500000000 THEN 'low'
+                        WHEN CAST(ROUND(o_totalprice * 10000) AS BIGINT) < 1500000000 THEN 'mid'
+                        ELSE 'high' END AS band,
+                   nullif(o_orderpriority, '3-MEDIUM') AS prio_nn,
+                   least(o_custkey % 7, 3) AS lp,
+                   greatest(o_custkey % 7, 3) AS gp
+            FROM orders
+        )
+        SELECT band,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT(prio_nn) AS BIGINT) AS n_nonmedium,
+               CAST(MIN(lp) AS BIGINT) AS min_lp,
+               CAST(MAX(gp) AS BIGINT) AS max_gp
+        FROM t
+        GROUP BY band
+        ORDER BY band
     """,
 }
