@@ -111,3 +111,49 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         fp.alias("fp"),
         F.conv(F.substring(fp, 1, 1), 16, 10).cast("int").alias("bucket"),
     )
+
+
+# Character-n-gram profiles for the second language-ID heuristic:
+# counts of characteristic char n-grams (boundary-padded, lowercase).
+# Same argmax shape as lang_id; n-grams catch languages that share
+# stopword-free text (headlines, no-space scripts) where word lists
+# miss. zh profiles are single CJK chars (no word boundaries).
+LANG_CHAR_NGRAMS: dict[str, tuple[str, ...]] = {
+    "en": (" the ", " and ", " of ", " to ", " a "),
+    "fr": (" le ", " les ", " et ", " la ", " de "),
+    "de": (" der ", " und ", " die ", " das ", " ist "),
+    "es": (" el ", " los ", " y ", " la ", " de "),
+    "zh": ("的", "是", "了", "在", "我"),
+}
+
+
+def substring_count(c: Column, pattern: str) -> Column:
+    """Occurrences of ``pattern`` in ``c`` via the length-difference
+    trick — pure JVM string ops, exact int result (the difference is
+    always a multiple of the pattern length, so the division is an
+    IEEE-exact small-integer ratio). DuckDB twin: same expression."""
+    diff = F.length(c) - F.length(F.replace(c, F.lit(pattern), F.lit("")))
+    return (diff / F.lit(len(pattern))).cast("long")
+
+
+def lang_id_ngram(text_col: str) -> Column:
+    """Char-n-gram language guess: argmax of profile-gram occurrence
+    counts across LANG_CHAR_NGRAMS (boundary-padded lowercase text);
+    'und' when nothing matches. Linear expression tree via the same
+    greatest(struct) recipe as lang_id."""
+    txt = F.concat(F.lit(" "), F.lower(F.col(text_col)), F.lit(" "))
+    codes = sorted(LANG_CHAR_NGRAMS)
+
+    def _score(grams: tuple[str, ...]) -> Column:
+        out = substring_count(txt, grams[0])
+        for g in grams[1:]:
+            out = out + substring_count(txt, g)
+        return out
+
+    cands = [
+        F.struct(_score(LANG_CHAR_NGRAMS[c]).alias("h"), F.lit(-i).alias("ni"))
+        for i, c in enumerate(codes)
+    ]
+    best = F.greatest(*cands)
+    code = F.element_at(F.array(*[F.lit(c) for c in codes]), -best["ni"] + 1)
+    return F.when(best["h"] > 0, code).otherwise(F.lit("und"))

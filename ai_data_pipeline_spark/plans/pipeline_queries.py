@@ -714,6 +714,26 @@ def q67_session_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Q71 — char-n-gram language-ID (the second heuristic next to q37's
+# stopword argmax): occurrence counts of characteristic character
+# n-grams, confusion matrix vs the labeled lang. Catches no-space
+# scripts and stopword-free text; same zero-shuffle scan-stage
+# profile as q37.
+# ---------------------------------------------------------------------------
+
+def q71_lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_data_pipeline_spark.operators.text_analysis import lang_id_ngram
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", lang_id_ngram("text").alias("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang", "predicted")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Q59 — funnel analysis: per-user ordered signup → view → purchase
 # progression (a stage counts only if its first occurrence is after
 # the previous stage's). One shuffle on user_id; conditional MIN
@@ -1020,6 +1040,7 @@ QUERIES = {
     "q63_sliding_window": q63_sliding_window,
     "q64_array_hof": q64_array_hof,
     "q67_session_conversion": q67_session_conversion,
+    "q71_lang_id_ngram": q71_lang_id_ngram,
 }
 
 
@@ -1566,3 +1587,37 @@ def _q62_oracle() -> str:
 
 
 ORACLE["q62_chunk_embed_sim"] = _q62_oracle()
+
+
+def _q71_oracle() -> str:
+    from ai_data_pipeline_spark.operators.text_analysis import LANG_CHAR_NGRAMS
+
+    codes = sorted(LANG_CHAR_NGRAMS)
+    t = "(' ' || lower(text) || ' ')"
+
+    def count(g: str) -> str:
+        esc = g.replace("'", "''")
+        return f"((length({t}) - length(replace({t}, '{esc}', ''))) // {len(g)})"
+
+    scores = {
+        c: " + ".join(count(g) for g in LANG_CHAR_NGRAMS[c]) for c in codes
+    }
+    gmax = "greatest(" + ", ".join(f"h_{c}" for c in codes) + ")"
+    argmax = (
+        f"CASE WHEN {gmax} = 0 THEN 'und' "
+        + " ".join(f"WHEN h_{c} = {gmax} THEN '{c}'" for c in codes)
+        + " END"
+    )
+    return f"""
+        WITH h AS (
+            SELECT lang, {", ".join(f"({scores[c]}) AS h_{c}" for c in codes)}
+            FROM documents
+        )
+        SELECT lang, {argmax} AS predicted, CAST(COUNT(*) AS BIGINT) AS n
+        FROM h
+        GROUP BY lang, predicted
+        ORDER BY lang, predicted
+    """
+
+
+ORACLE["q71_lang_id_ngram"] = _q71_oracle()
