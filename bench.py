@@ -61,8 +61,12 @@ HEADLINE = [
     "q54_top_tokens",
     "q56_contamination",
     "q59_funnel",
+    "q60_cohort_retention",
     "q62_chunk_embed_sim",
     "q63_sliding_window",
+    "q65_above_avg_customers",
+    "q67_session_conversion",
+    "q71_lang_id_ngram",
 ]
 
 
