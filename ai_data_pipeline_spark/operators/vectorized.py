@@ -488,3 +488,31 @@ def ivf_search_cosine_np(
         .filter(F.col("rk") <= k)
         .select("qid", F.col("_id").alias(corpus_id), "sim", "rk")
     )
+
+
+def batch_bytes_profile(df, cols=None):
+    """mapInArrow profiling pass: per-Arrow-batch row/byte accounting
+    without ever materializing pandas objects — the zero-copy way to
+    audit what a pipeline stage actually streams through Python.
+    Output: one row per batch [n_rows, n_bytes].
+
+    Completes the Python-interop family (pandas_udf, mapInPandas,
+    applyInPandas[WithState], UDTF, DataSource): mapInArrow is the
+    lowest-overhead seam, for kernels that operate directly on Arrow
+    buffers (tokenizers with Arrow-native bindings, zero-copy
+    hand-offs to C libraries).
+    """
+    import pyarrow as pa
+
+    use = df.select(*cols) if cols else df
+
+    def run(batches):
+        for b in batches:
+            yield pa.RecordBatch.from_pydict(
+                {
+                    "n_rows": pa.array([b.num_rows], pa.int64()),
+                    "n_bytes": pa.array([b.nbytes], pa.int64()),
+                }
+            )
+
+    return use.mapInArrow(run, "n_rows long, n_bytes long")

@@ -145,3 +145,14 @@ def test_knn_threshold_boundary(spark, emb):
     assert out[0]["dist"] == 0.0
     assert bool(out[0]["accepted"]) is True
     assert out[0]["answer"] == str(one["label"])
+
+
+def test_map_in_arrow_bytes_profile(spark):
+    from ai_data_pipeline_spark.catalog import load_table
+    from ai_data_pipeline_spark.operators.vectorized import batch_bytes_profile
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    prof = batch_bytes_profile(docs, ["doc_id", "text"]).collect()
+    assert sum(r["n_rows"] for r in prof) == docs.count()
+    assert all(r["n_bytes"] > 0 for r in prof if r["n_rows"] > 0)
