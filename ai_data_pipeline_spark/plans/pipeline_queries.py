@@ -714,6 +714,40 @@ def q67_session_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Q72 — video-modality plumbing (completing the modality triple with
+# q36 image / q40 audio): blob table → frame-sample plan (explode of
+# the sampling schedule — every 30th frame, 8 frames) → per-frame
+# fake luminance from md5(text:frame_no), aggregated per doc. The
+# oracle regenerates the schedule and the md5 arithmetic in SQL.
+# Scale: the fan-out is an explode (narrow); per-frame decode would
+# be the mapInPandas seam (resize_blobs) — the schedule and agg
+# shapes are what's pinned here.
+# ---------------------------------------------------------------------------
+
+def q72_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_data_pipeline_spark.operators.multimodal import frame_sample_plan
+
+    docs = _t(spark, sf_dir, "documents")
+    blobs = to_blob_table(docs, "doc_id", "text", "video")
+    frames = frame_sample_plan(blobs, every_n=30, max_frames=8)
+    keyed = frames.join(docs.select(F.col("doc_id").alias("id"), "text"), "id")
+    # fake per-frame luminance: first md5 byte of "text:frame_no"
+    h = F.md5(F.concat(F.col("text"), F.lit(":"), F.col("frame_no").cast("string")))
+    lum = F.conv(F.substring(h, 1, 2), 16, 10).cast("long")
+    return (
+        keyed.withColumn("lum", lum)
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_frames"),
+            F.min("lum").alias("min_lum"),
+            F.max("lum").alias("max_lum"),
+            F.sum("lum").alias("sum_lum"),
+        )
+        .orderBy("id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Q71 — char-n-gram language-ID (the second heuristic next to q37's
 # stopword argmax): occurrence counts of characteristic character
 # n-grams, confusion matrix vs the labeled lang. Catches no-space
@@ -1041,6 +1075,7 @@ QUERIES = {
     "q64_array_hof": q64_array_hof,
     "q67_session_conversion": q67_session_conversion,
     "q71_lang_id_ngram": q71_lang_id_ngram,
+    "q72_video_frames": q72_video_frames,
 }
 
 
@@ -1409,6 +1444,23 @@ ORACLE = {
         FROM documents
         GROUP BY lang
         ORDER BY lang
+    """,
+    "q72_video_frames": """
+        WITH frames AS (
+            SELECT doc_id AS id, text, unnest(range(0, 211, 30)) AS frame_no
+            FROM documents
+        )
+        SELECT id,
+               CAST(COUNT(*) AS BIGINT) AS n_frames,
+               CAST(MIN(16 * (strpos('0123456789abcdef', substr(md5(text || ':' || CAST(frame_no AS VARCHAR)), 1, 1)) - 1)
+                        + (strpos('0123456789abcdef', substr(md5(text || ':' || CAST(frame_no AS VARCHAR)), 2, 1)) - 1)) AS BIGINT) AS min_lum,
+               CAST(MAX(16 * (strpos('0123456789abcdef', substr(md5(text || ':' || CAST(frame_no AS VARCHAR)), 1, 1)) - 1)
+                        + (strpos('0123456789abcdef', substr(md5(text || ':' || CAST(frame_no AS VARCHAR)), 2, 1)) - 1)) AS BIGINT) AS max_lum,
+               CAST(SUM(16 * (strpos('0123456789abcdef', substr(md5(text || ':' || CAST(frame_no AS VARCHAR)), 1, 1)) - 1)
+                        + (strpos('0123456789abcdef', substr(md5(text || ':' || CAST(frame_no AS VARCHAR)), 2, 1)) - 1)) AS BIGINT) AS sum_lum
+        FROM frames
+        GROUP BY id
+        ORDER BY id
     """,
     "q59_funnel": """
         WITH per_user AS (
