@@ -714,6 +714,42 @@ def q67_session_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Q73 — streaming SLIDING windows, oracle-checked (q41's tumbling
+# twin): file-source stream replay → 1h windows every 30min → memory
+# sink, complete mode — hash-matched against the same DuckDB SQL as
+# batch q63. Proves overlapping window-instance assignment is
+# identical in the micro-batch engine.
+# ---------------------------------------------------------------------------
+
+def q73_streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid as _uuid
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    raw = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    e = raw.withColumnRenamed("ts", "ts_ns").withColumn(
+        "ts", F.timestamp_micros(F.expr("ts_ns div 1000"))
+    )
+    agg = (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").cast("long").alias("wstart_s"), "event_type", "n")
+    )
+    name = f"q73_{_uuid.uuid4().hex[:8]}"
+    q = agg.writeStream.format("memory").queryName(name).outputMode("complete").start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name).orderBy("wstart_s", "event_type")
+
+
+# ---------------------------------------------------------------------------
 # Q72 — video-modality plumbing (completing the modality triple with
 # q36 image / q40 audio): blob table → frame-sample plan (explode of
 # the sampling schedule — every 30th frame, 8 frames) → per-frame
@@ -1076,6 +1112,7 @@ QUERIES = {
     "q67_session_conversion": q67_session_conversion,
     "q71_lang_id_ngram": q71_lang_id_ngram,
     "q72_video_frames": q72_video_frames,
+    "q73_streaming_sliding": q73_streaming_sliding,
 }
 
 
@@ -1444,6 +1481,20 @@ ORACLE = {
         FROM documents
         GROUP BY lang
         ORDER BY lang
+    """,
+    "q73_streaming_sliding": """
+        WITH wins AS (
+            SELECT event_type,
+                   unnest([
+                       epoch_ms(time_bucket(INTERVAL 30 MINUTES, ts)) // 1000,
+                       epoch_ms(time_bucket(INTERVAL 30 MINUTES, ts)) // 1000 - 1800
+                   ]) AS wstart_s
+            FROM events
+        )
+        SELECT wstart_s, event_type, CAST(COUNT(*) AS BIGINT) AS n
+        FROM wins
+        GROUP BY wstart_s, event_type
+        ORDER BY wstart_s, event_type
     """,
     "q72_video_frames": """
         WITH frames AS (
