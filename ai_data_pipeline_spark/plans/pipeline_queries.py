@@ -714,6 +714,52 @@ def q67_session_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Q74 — streaming sessionization, oracle-checked: stream replay →
+# session_window(30 min gap) per user → memory sink (complete mode),
+# then per-user session/event counts batch-side — hash-matched
+# against q34's batch SQL. Boundary note: session_window treats an
+# event at exactly last+gap as a NEW session while the batch oracle
+# uses strict >; they agree unless a consecutive pair lands within
+# 1µs of exactly 30min (absent in the testdata, and vanishingly rare
+# on real ns timestamps).
+# ---------------------------------------------------------------------------
+
+def q74_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid as _uuid
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    raw = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    e = raw.withColumnRenamed("ts", "ts_ns").withColumn(
+        "ts", F.timestamp_micros(F.expr("ts_ns div 1000"))
+    )
+    sess = (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("w"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_ev"))
+    )
+    name = f"q74_{_uuid.uuid4().hex[:8]}"
+    q = sess.writeStream.format("memory").queryName(name).outputMode("complete").start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sessions"),
+            F.sum("n_ev").alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Q73 — streaming SLIDING windows, oracle-checked (q41's tumbling
 # twin): file-source stream replay → 1h windows every 30min → memory
 # sink, complete mode — hash-matched against the same DuckDB SQL as
@@ -1113,6 +1159,7 @@ QUERIES = {
     "q71_lang_id_ngram": q71_lang_id_ngram,
     "q72_video_frames": q72_video_frames,
     "q73_streaming_sliding": q73_streaming_sliding,
+    "q74_streaming_sessionize": q74_streaming_sessionize,
 }
 
 
@@ -1481,6 +1528,20 @@ ORACLE = {
         FROM documents
         GROUP BY lang
         ORDER BY lang
+    """,
+    "q74_streaming_sessionize": """
+        WITH flagged AS (
+            SELECT user_id,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR epoch_ns(ts) - epoch_ns(lag(ts) OVER w) > 1800000000000
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        )
+        SELECT user_id, CAST(SUM(new_sess) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
+        FROM flagged
+        GROUP BY user_id
+        ORDER BY user_id
     """,
     "q73_streaming_sliding": """
         WITH wins AS (
