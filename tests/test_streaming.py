@@ -297,3 +297,34 @@ def test_stream_stream_left_outer_join(spark, tmp_path):
     rows = {(r["event_id"], r["r_event_id"]) for r in spark.table(name).collect()}
     assert ("p_matched", "v1") in rows
     assert ("p_unmatched", None) in rows
+
+
+def test_available_now_backfill_trigger(spark, tmp_path):
+    """Trigger.AvailableNow: process everything present, then stop on
+    its own — the backfill/catch-up mode (bounded run over unbounded
+    source). A second run with the same checkpoint adds nothing."""
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    _write_jsonl(
+        str(in_dir / "a.json"),
+        [{"ts": "2024-01-01 10:00:00", "user_id": 1, "event_type": "a", "event_id": "e1"},
+         {"ts": "2024-01-01 10:05:00", "user_id": 2, "event_type": "b", "event_id": "e2"}],
+    )
+
+    def run_once():
+        stream = spark.readStream.schema(EVENT_SCHEMA).json(str(in_dir))
+        q = (
+            stream.writeStream.format("json")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    assert spark.read.json(out).count() == 2
+    run_once()  # checkpointed: re-run is a no-op, not a duplicate
+    assert spark.read.json(out).count() == 2
