@@ -816,6 +816,56 @@ def q70_conditional_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Q75 — schema-evolution union: two generations of a feed (old:
+# custkey+name; new: custkey+nationkey) merged with
+# unionByName(allowMissingColumns=True) — absent columns null-pad.
+# The ingest pattern for evolving upstream schemas; no shuffle, the
+# union is a plan concat.
+# ---------------------------------------------------------------------------
+
+def q75_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    old_gen = c.filter(F.col("c_custkey") % 2 == 0).select(
+        "c_custkey", F.col("c_name").alias("name")
+    )
+    new_gen = c.filter(F.col("c_custkey") % 2 == 1).select(
+        "c_custkey", F.col("c_nationkey").cast("long").alias("nationkey")
+    )
+    u = old_gen.unionByName(new_gen, allowMissingColumns=True)
+    return u.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("name").alias("n_with_name"),
+        F.count("nationkey").alias("n_with_nation"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q76 — SQL subqueries through spark.sql over the registered views:
+# correlated EXISTS / NOT EXISTS and an uncorrelated scalar subquery
+# in one statement — Spark SQL IS the query language (SURVEY §7);
+# Catalyst rewrites the EXISTS pair into semi/anti joins (same plans
+# as q05/q06).
+# ---------------------------------------------------------------------------
+
+def q76_sql_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_data_pipeline_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT
+          CAST((SELECT COUNT(*) FROM customer c
+                WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)) AS BIGINT)
+            AS n_with_orders,
+          CAST((SELECT COUNT(*) FROM customer c
+                WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)) AS BIGINT)
+            AS n_without_orders,
+          CAST((SELECT COUNT(*) FROM customer) AS BIGINT) AS n_customers
+        """
+    )
+
+
 QUERIES = {
     "q01_scan_filter_project": q01_scan_filter_project,
     "q02_broadcast_join": q02_broadcast_join,
@@ -849,6 +899,8 @@ QUERIES = {
     "q68_date_fns": q68_date_fns,
     "q69_decimal_agg": q69_decimal_agg,
     "q70_conditional_fns": q70_conditional_fns,
+    "q75_union_by_name": q75_union_by_name,
+    "q76_sql_subqueries": q76_sql_subqueries,
 }
 
 
@@ -1171,5 +1223,28 @@ ORACLE = {
         FROM t
         GROUP BY band
         ORDER BY band
+    """,
+    "q75_union_by_name": """
+        WITH u AS (
+            SELECT c_custkey, c_name AS name, CAST(NULL AS BIGINT) AS nationkey
+            FROM customer WHERE c_custkey % 2 = 0
+            UNION ALL
+            SELECT c_custkey, CAST(NULL AS VARCHAR), CAST(c_nationkey AS BIGINT)
+            FROM customer WHERE c_custkey % 2 = 1
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(name) AS BIGINT) AS n_with_name,
+               CAST(COUNT(nationkey) AS BIGINT) AS n_with_nation
+        FROM u
+    """,
+    "q76_sql_subqueries": """
+        SELECT
+          CAST((SELECT COUNT(*) FROM customer c
+                WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)) AS BIGINT)
+            AS n_with_orders,
+          CAST((SELECT COUNT(*) FROM customer c
+                WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)) AS BIGINT)
+            AS n_without_orders,
+          CAST((SELECT COUNT(*) FROM customer) AS BIGINT) AS n_customers
     """,
 }
