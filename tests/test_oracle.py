@@ -54,3 +54,14 @@ def test_rows_only_set_is_intentional():
         "q28_ivf_ann",
         "q38_rp_lsh_ann",
     }
+
+
+def test_query_modules_do_not_collide():
+    """relational and pipeline_queries merge into one dict in
+    __spark_entry__ — a shared name would silently shadow a query."""
+    from ai_data_pipeline_spark.plans import pipeline_queries, relational
+
+    overlap = set(relational.QUERIES) & set(pipeline_queries.QUERIES)
+    assert overlap == set()
+    overlap_o = set(relational.ORACLE) & set(pipeline_queries.ORACLE)
+    assert overlap_o == set()

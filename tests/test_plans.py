@@ -159,3 +159,11 @@ def test_q67_session_agg_reuses_partitioning(spark, sf_dir):
         if "Exchange hashpartitioning" in seg
     }
     assert len(hash_exchanges) == 1
+
+
+def test_q11_topk_rank_pushdown(spark, sf_dir):
+    """row_number <= k pushes into WindowGroupLimit (partial+final):
+    each group keeps k rows BEFORE the shuffle — at scale the
+    exchange carries k·groups rows, not the whole table."""
+    s = plan_of(R.q11_topk_per_group(spark, sf_dir))
+    assert "WindowGroupLimit" in s
