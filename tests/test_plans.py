@@ -167,3 +167,21 @@ def test_q11_topk_rank_pushdown(spark, sf_dir):
     exchange carries k·groups rows, not the whole table."""
     s = plan_of(R.q11_topk_per_group(spark, sf_dir))
     assert "WindowGroupLimit" in s
+
+
+def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
+    """Hive-partitioned parquet + an equality filter on the partition
+    column → the scan lists ONLY the matching partition directory
+    (PartitionFilters, zero rows read from other partitions). The
+    100 TB analog: date-partitioned tables make time-ranged queries
+    touch only their days."""
+    from ai_data_pipeline_spark.catalog import load_table
+
+    out = str(tmp_path / "orders_part")
+    load_table(spark, sf_dir, "orders").write.partitionBy("o_orderstatus").parquet(out)
+    df = spark.read.parquet(out).filter("o_orderstatus = 'F'")
+    df.collect()
+    s = df._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"PartitionFilters: \[[^\]]*o_orderstatus", s)
+    n_f = df.count()
+    assert n_f == load_table(spark, sf_dir, "orders").filter("o_orderstatus = 'F'").count()
