@@ -32,19 +32,27 @@ def token_count_bpe_ish(col: Column | str) -> Column:
 
 def word_ngrams(col: Column | str, n: int) -> Column:
     """Array of space-joined word n-grams (order preserved,
-    duplicates kept). Spark arrays are 0-based: gram i spans words
-    [i, i+n). DuckDB twin (1-based) in sql_word_ngrams."""
+    duplicates kept). DuckDB twin (1-based) in sql_word_ngrams.
+
+    Built from n shifted ``slice``s folded with ``zip_with`` so the
+    token array is referenced a constant number of times. The naive
+    form — ``transform(sequence(...), i -> element_at(ws, i+k))``
+    with the token expression captured in the lambda — re-evaluates
+    the full split per element (HOF lambdas don't CSE captured
+    subtrees): ~2n re-splits of the text per row, measured 10x+
+    slower on bigram counting at sf0.1."""
     ws = ws_tokens(col)
     if n == 1:
         return ws
-    joiner = lambda i: F.concat_ws(  # noqa: E731
-        " ", *[F.element_at(ws, i + F.lit(k)) for k in range(n)]
-    )
-    grams = F.transform(F.sequence(F.lit(1), F.size(ws) - (n - 1)), joiner)
-    # guard: sequence(1, 0) would be DESCENDING [1,0], not empty
-    return F.when(F.size(ws) >= n, grams).otherwise(
-        F.array().cast("array<string>")
-    )
+    # m grams, each spanning tokens [k, k+n); slice k is the gram's
+    # k-th word for every gram — equal-length arrays, so zip_with
+    # never null-pads.
+    m = F.greatest(F.size(ws) - (n - 1), F.lit(0))
+    parts = [F.slice(ws, k + 1, m) for k in range(n)]
+    grams = parts[0]
+    for part in parts[1:]:
+        grams = F.zip_with(grams, part, lambda a, b: F.concat_ws(" ", a, b))
+    return grams
 
 
 def sql_word_ngrams(text_expr: str, n: int) -> str:

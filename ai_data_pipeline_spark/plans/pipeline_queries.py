@@ -21,6 +21,7 @@ from ai_data_pipeline_spark.functions.text import (
     normalized_text,
     token_count_bpe_ish,
     token_count_ws,
+    word_ngrams,
     ws_tokens,
 )
 from ai_data_pipeline_spark.functions.vector import (
@@ -1116,6 +1117,90 @@ def q51_group_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Q78 — array set functions over token arrays: array_distinct,
+# filter-count against a stopword set, array_min/array_max — all
+# per-row codegen'd expressions (zero shuffle until the per-source
+# agg, which moves five scalars per doc). The set-function twin of
+# q64's numeric higher-order functions.
+# ---------------------------------------------------------------------------
+
+def q78_array_set_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = ws_tokens(F.lower(F.col("text")))
+    is_stop = lambda w: (w == "a") | (w == "the")  # noqa: E731
+    per_doc = docs.select(
+        "source",
+        F.size(toks).cast("long").alias("n_tok"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+        F.size(F.filter(toks, is_stop)).cast("long").alias("n_stop"),
+        F.array_min(toks).alias("min_tok"),
+        F.array_max(toks).alias("max_tok"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.sum("n_tok").alias("tokens"),
+            F.sum("n_distinct").alias("distinct_tokens"),
+            F.sum("n_stop").alias("stop_tokens"),
+            F.min("min_tok").alias("first_tok"),
+            F.max("max_tok").alias("last_tok"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q80 — Gopher-style repetition quality metrics: per-doc top-bigram
+# mass fraction and duplicate-token fraction, the classic corpus
+# repetition filters for LLM training data. Shape: bigram counts
+# partial-aggregate map-side on (doc_id, gram) before the per-doc
+# rollup, so the exchange carries one row per distinct gram, not per
+# occurrence; the doc-level join is on doc_id (AQE picks broadcast
+# at small SF, shuffle join at corpus scale — both sides already
+# keyed). Fractions are a single IEEE division of exact integers —
+# bit-identical cross-engine (policy header, relational.py).
+# ---------------------------------------------------------------------------
+
+def q80_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    low = F.lower(F.col("text"))
+    toks = ws_tokens(low)
+    base = docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tok"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+        word_ngrams(low, 2).alias("grams"),
+    )
+    gcnt = (
+        base.select("doc_id", F.explode("grams").alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    per_doc = gcnt.groupBy("doc_id").agg(
+        F.max("c").alias("top_bigram_n"),
+        F.sum("c").alias("n_bigrams"),
+    )
+    return (
+        base.drop("grams")
+        .join(per_doc, "doc_id")
+        .select(
+            "doc_id",
+            (
+                F.col("top_bigram_n").cast("double")
+                / F.col("n_bigrams").cast("double")
+            ).alias("top_bigram_frac"),
+            (
+                (F.col("n_tok") - F.col("n_distinct")).cast("double")
+                / F.col("n_tok").cast("double")
+            ).alias("dup_tok_frac"),
+            "n_tok",
+        )
+        .orderBy(F.desc("top_bigram_frac"), "doc_id")
+        .limit(20)
+    )
+
+
 QUERIES = {
     "q19_l2_topk": q19_l2_topk,
     "q20_exact_dedup": q20_exact_dedup,
@@ -1160,6 +1245,8 @@ QUERIES = {
     "q72_video_frames": q72_video_frames,
     "q73_streaming_sliding": q73_streaming_sliding,
     "q74_streaming_sessionize": q74_streaming_sessionize,
+    "q78_array_set_fns": q78_array_set_fns,
+    "q80_repetition_quality": q80_repetition_quality,
 }
 
 
@@ -1785,3 +1872,55 @@ def _q71_oracle() -> str:
 
 
 ORACLE["q71_lang_id_ngram"] = _q71_oracle()
+
+
+_SQL_TOKS_LOWER = sql_word_ngrams("lower(text)", 1)
+_SQL_BIGRAMS_LOWER = sql_word_ngrams("lower(text)", 2)
+
+ORACLE["q78_array_set_fns"] = f"""
+    WITH per_doc AS (
+        SELECT source,
+               len(t) AS n_tok,
+               len(list_distinct(t)) AS n_distinct,
+               len(list_filter(t, w -> w = 'a' OR w = 'the')) AS n_stop,
+               list_min(t) AS min_tok,
+               list_max(t) AS max_tok
+        FROM (SELECT source, {_SQL_TOKS_LOWER} AS t FROM documents)
+    )
+    SELECT source,
+           CAST(SUM(n_tok) AS BIGINT) AS tokens,
+           CAST(SUM(n_distinct) AS BIGINT) AS distinct_tokens,
+           CAST(SUM(n_stop) AS BIGINT) AS stop_tokens,
+           MIN(min_tok) AS first_tok,
+           MAX(max_tok) AS last_tok
+    FROM per_doc
+    GROUP BY source
+    ORDER BY source
+"""
+
+ORACLE["q80_repetition_quality"] = f"""
+    WITH toks AS (
+        SELECT doc_id, {_SQL_TOKS_LOWER} AS t, {_SQL_BIGRAMS_LOWER} AS grams
+        FROM documents
+    ),
+    base AS (
+        SELECT doc_id, len(t) AS n_tok, len(list_distinct(t)) AS n_distinct
+        FROM toks
+    ),
+    gcnt AS (
+        SELECT doc_id, g, COUNT(*) AS c
+        FROM (SELECT doc_id, unnest(grams) AS g FROM toks)
+        GROUP BY doc_id, g
+    ),
+    per_doc AS (
+        SELECT doc_id, MAX(c) AS top_bigram_n, CAST(SUM(c) AS BIGINT) AS n_bigrams
+        FROM gcnt GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           CAST(p.top_bigram_n AS DOUBLE) / CAST(p.n_bigrams AS DOUBLE) AS top_bigram_frac,
+           CAST(b.n_tok - b.n_distinct AS DOUBLE) / CAST(b.n_tok AS DOUBLE) AS dup_tok_frac,
+           b.n_tok AS n_tok
+    FROM base b JOIN per_doc p USING (doc_id)
+    ORDER BY top_bigram_frac DESC, b.doc_id
+    LIMIT 20
+"""

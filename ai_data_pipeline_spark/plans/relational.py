@@ -866,6 +866,83 @@ def q76_sql_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Q77 — argmin/argmax aggregates: max_by/min_by pick the customer
+# name at the extreme balance per nation in ONE hash agg (each
+# partial keeps a single champion per group — map-side combinable),
+# vs q11's sort-based window pass. The ordering key embeds c_custkey
+# so the extreme is unique: balance ties collapse deterministically
+# on both engines (DuckDB twin: arg_max/arg_min).
+# ---------------------------------------------------------------------------
+
+def q77_arg_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    key = money4("c_acctbal") * 1_000_000 + F.col("c_custkey")
+    bal = money4("c_acctbal")
+    return (
+        c.groupBy(F.col("c_nationkey").cast("long").alias("nationkey"))
+        .agg(
+            F.max_by("c_name", key).alias("richest"),
+            F.min_by("c_name", key).alias("poorest"),
+            F.max(bal).alias("max_bal_u"),
+            F.min(bal).alias("min_bal_u"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q79 — extended string-function suite over part: reverse, lpad,
+# translate, instr, substring, split_part, repeat — all codegen'd
+# JVM expressions in one narrow projection (no shuffle, no Python).
+# Functions restricted to the Spark ∩ DuckDB surface with identical
+# semantics (1-based instr, space-preserving translate).
+# ---------------------------------------------------------------------------
+
+def q79_string_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    return (
+        p.select(
+            "p_partkey",
+            F.reverse(F.col("p_name")).alias("rev_name"),
+            F.lpad(F.col("p_type"), 12, ".").alias("pad_type"),
+            F.translate(F.col("p_name"), "aeiou", "AEIOU").alias("caps_vowels"),
+            F.instr(F.col("p_name"), "widget").cast("long").alias("widget_pos"),
+            F.substring(F.col("p_name"), 1, 4).alias("head4"),
+            F.split_part(F.col("p_name"), F.lit(" "), F.lit(2)).alias("noun"),
+            F.expr("repeat('*', CAST(p_size % 5 AS INT))").alias("stars"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q81 — interpolated (continuous) percentiles: exact percentile()
+# with linear interpolation per group, the continuous twin of q45's
+# hand-built discrete percentiles. Float-parity note: l_quantity is
+# integer-valued and the percentage grid is quarters, so the
+# interpolation position q*(n-1) has fraction ∈ {0,.25,.5,.75} and
+# every product/sum in the interpolation is IEEE-exact — both
+# engines produce the identical double regardless of formula
+# association. Scale: percentile is an exact agg (per-group value
+# buffer) — at 100 TB swap to approx_percentile; the exact form is
+# the correctness anchor.
+# ---------------------------------------------------------------------------
+
+def q81_percentile_cont(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_quantity, 0.25)").alias("q25"),
+            F.expr("percentile(l_quantity, 0.5)").alias("median_qty"),
+            F.expr("percentile(l_quantity, 0.75)").alias("q75"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 QUERIES = {
     "q01_scan_filter_project": q01_scan_filter_project,
     "q02_broadcast_join": q02_broadcast_join,
@@ -901,6 +978,9 @@ QUERIES = {
     "q70_conditional_fns": q70_conditional_fns,
     "q75_union_by_name": q75_union_by_name,
     "q76_sql_subqueries": q76_sql_subqueries,
+    "q77_arg_extremes": q77_arg_extremes,
+    "q79_string_suite": q79_string_suite,
+    "q81_percentile_cont": q81_percentile_cont,
 }
 
 
@@ -1246,5 +1326,37 @@ ORACLE = {
                 WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)) AS BIGINT)
             AS n_without_orders,
           CAST((SELECT COUNT(*) FROM customer) AS BIGINT) AS n_customers
+    """,
+    "q77_arg_extremes": """
+        SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+               arg_max(c_name, CAST(ROUND(c_acctbal * 10000) AS BIGINT) * 1000000 + c_custkey) AS richest,
+               arg_min(c_name, CAST(ROUND(c_acctbal * 10000) AS BIGINT) * 1000000 + c_custkey) AS poorest,
+               CAST(MAX(CAST(ROUND(c_acctbal * 10000) AS BIGINT)) AS BIGINT) AS max_bal_u,
+               CAST(MIN(CAST(ROUND(c_acctbal * 10000) AS BIGINT)) AS BIGINT) AS min_bal_u
+        FROM customer
+        GROUP BY 1
+        ORDER BY nationkey
+    """,
+    "q79_string_suite": """
+        SELECT p_partkey,
+               reverse(p_name) AS rev_name,
+               lpad(p_type, 12, '.') AS pad_type,
+               translate(p_name, 'aeiou', 'AEIOU') AS caps_vowels,
+               CAST(instr(p_name, 'widget') AS BIGINT) AS widget_pos,
+               substring(p_name, 1, 4) AS head4,
+               split_part(p_name, ' ', 2) AS noun,
+               repeat('*', CAST(p_size % 5 AS INT)) AS stars
+        FROM part
+        ORDER BY p_partkey
+    """,
+    "q81_percentile_cont": """
+        SELECT l_returnflag,
+               quantile_cont(l_quantity, 0.25) AS q25,
+               quantile_cont(l_quantity, 0.5) AS median_qty,
+               quantile_cont(l_quantity, 0.75) AS q75,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
     """,
 }

@@ -67,6 +67,9 @@ HEADLINE = [
     "q65_above_avg_customers",
     "q67_session_conversion",
     "q71_lang_id_ngram",
+    "q77_arg_extremes",
+    "q80_repetition_quality",
+    "q81_percentile_cont",
 ]
 
 
