@@ -36,10 +36,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # (date_trunc/window/to_date otherwise shift with the harness TZ)
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark rejects
-        # unless read as an ns-epoch long. Runtime-settable SQL conf,
-        # so this works under any caller-provided session (the
-        # driver's harness builds its own).
+        # events.ts has shipped as both TIMESTAMP(NANOS) and
+        # timestamp[us] across driver testdata generations. The conf
+        # makes NANOS files readable (as ns-epoch longs) and is a
+        # no-op for µs files; normalize_event_time() canonicalizes
+        # either encoding. Runtime-settable, so this works under any
+        # caller-provided session (the driver's harness builds its own).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
@@ -66,26 +68,45 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
 
 
-def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events with both exact and wall-clock time columns.
+def normalize_event_time(df: DataFrame) -> DataFrame:
+    """Normalize an events frame to (``ts_ns`` long, ``ts`` timestamp).
 
-    The parquet `ts` column is TIMESTAMP(NANOS); with
-    ``spark.sql.legacy.parquet.nanosAsLong`` it arrives as an
-    ns-epoch LONG. We keep it as ``ts_ns`` (exact, total-ordered —
-    used for as-of joins and session gaps so results are
-    bit-identical to engines that keep ns precision) and derive a
-    µs-truncated ``ts`` timestamp for calendar bucketing (truncation
-    ns→µs can never move a value across a window boundary that is a
-    whole number of µs).
+    Handles both physical encodings the driver has shipped for
+    `events.ts`:
+
+    - parquet TIMESTAMP(NANOS) read under
+      ``spark.sql.legacy.parquet.nanosAsLong`` → an ns-epoch LONG;
+    - parquet timestamp[us] → Spark TIMESTAMP/TIMESTAMP_NTZ.
+
+    ``ts_ns`` is the exact, total-ordered integer clock — used for
+    as-of joins and session gaps so results are bit-identical to
+    engines keeping full precision. ``ts`` is a µs TIMESTAMP for
+    calendar bucketing (UTC session; truncation ns→µs can never move
+    a value across a whole-µs window boundary).
     """
-    e = load_table(spark, sf_dir, "events")
     from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
 
-    # integer div, NOT "/": ns-epoch longs (~1.7e18) exceed double's
-    # 2^53 exact range, so a float division here silently corrupts µs
-    return e.withColumnRenamed("ts", "ts_ns").withColumn(
-        "ts", F.timestamp_micros(F.expr("ts_ns div 1000"))
-    )
+    if isinstance(df.schema["ts"].dataType, LongType):
+        # integer div, NOT "/": ns-epoch longs (~1.7e18) exceed
+        # double's 2^53 exact range; float division corrupts µs
+        df = df.withColumnRenamed("ts", "ts_ns")
+    else:
+        # NTZ wall-clock == UTC instant under the UTC session;
+        # µs→ns ×1000 stays exact in long range (|µs| < 2^53 ≪ 2^63/1000)
+        df = df.withColumn(
+            "ts_ns",
+            F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000).cast("long"),
+        ).drop("ts")
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts_ns div 1000")))
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with both exact (``ts_ns``) and wall-clock (``ts``) time.
+
+    See :func:`normalize_event_time` for the dual-encoding contract.
+    """
+    return normalize_event_time(load_table(spark, sf_dir, "events"))
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

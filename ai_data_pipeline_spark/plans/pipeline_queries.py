@@ -15,7 +15,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ai_data_pipeline_spark.catalog import load_events, load_table, spread
+from ai_data_pipeline_spark.catalog import (
+    load_events,
+    load_table,
+    normalize_event_time,
+    spread,
+)
 from ai_data_pipeline_spark.functions.text import (
     BPE_ISH_PATTERN,
     normalized_text,
@@ -499,9 +504,7 @@ def q41_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    e = raw.withColumnRenamed("ts", "ts_ns").withColumn(
-        "ts", F.timestamp_micros(F.expr("ts_ns div 1000"))
-    )
+    e = normalize_event_time(raw)
     agg = (
         e.withColumn("v4", F.round(F.col("value") * 10000, 0).cast("long"))
         .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
@@ -736,9 +739,7 @@ def q74_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    e = raw.withColumnRenamed("ts", "ts_ns").withColumn(
-        "ts", F.timestamp_micros(F.expr("ts_ns div 1000"))
-    )
+    e = normalize_event_time(raw)
     sess = (
         e.groupBy(F.session_window("ts", "30 minutes").alias("w"), F.col("user_id"))
         .agg(F.count(F.lit(1)).alias("n_ev"))
@@ -779,9 +780,7 @@ def q73_streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    e = raw.withColumnRenamed("ts", "ts_ns").withColumn(
-        "ts", F.timestamp_micros(F.expr("ts_ns div 1000"))
-    )
+    e = normalize_event_time(raw)
     agg = (
         e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), F.col("event_type"))
         .agg(F.count(F.lit(1)).alias("n"))

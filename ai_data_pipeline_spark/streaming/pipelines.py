@@ -50,10 +50,10 @@ def read_events_stream(
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     raw = reader.parquet(events_dir)
-    if dict(raw.dtypes).get("ts") == "bigint":
-        raw = raw.withColumnRenamed("ts", "ts_ns").withColumn(
-            "ts", F.timestamp_micros(F.expr("ts_ns div 1000"))
-        )
+    if "ts" in raw.columns:
+        from ai_data_pipeline_spark.catalog import normalize_event_time
+
+        raw = normalize_event_time(raw)
     return raw
 
 
