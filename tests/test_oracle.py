@@ -56,6 +56,22 @@ def test_rows_only_set_is_intentional():
     }
 
 
+def test_driver_window_covers_unevidenced_queries():
+    """The driver grades only the FIRST 50 entries of queries().  Every
+    query without a green r01 driver row (the 32 never-checked, the q69
+    FAIL, and anything new) must sit inside that window, or it can never
+    earn a CORRECTNESS row.  Guards against reorderings silently
+    starving queries of driver evidence (VERDICT r01, next-round #9)."""
+    order = list(_QUERIES)
+    window = set(order[:50])
+    needs_evidence = set(order) - entrymod.R01_DRIVER_EVIDENCE
+    missing = needs_evidence - window
+    assert not missing, (
+        f"queries needing a driver row fall outside the first-50 window: "
+        f"{sorted(missing)}"
+    )
+
+
 def test_query_modules_do_not_collide():
     """relational and pipeline_queries merge into one dict in
     __spark_entry__ — a shared name would silently shadow a query."""
