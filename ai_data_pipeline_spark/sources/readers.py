@@ -26,13 +26,24 @@ from ai_data_pipeline_spark.operators.json_fallback import QA_SCHEMA
 QA_RECORD_SCHEMA = "question string, answer string, source_file string, window_index int, subchunk_index int"
 
 
+BINARY_FILE_SCHEMA = (
+    "path string, modificationTime timestamp, length long, content binary"
+)
+
+
 def read_document_dir(
     spark: SparkSession, path: str, glob: str = "*.pdf", stream: bool = False
 ) -> DataFrame:
     """R1: binary documents from a landing directory.
-    Columns: path, modificationTime, length, content."""
+    Columns: path, modificationTime, length, content.
+    Streaming sources require an explicit schema; binaryFile's is
+    fixed, so the incremental (landing-dir-watch) form needs no
+    inference pass."""
     reader = spark.readStream if stream else spark.read
-    return reader.format("binaryFile").option("pathGlobFilter", glob).load(path)
+    reader = reader.format("binaryFile").option("pathGlobFilter", glob)
+    if stream:
+        reader = reader.schema(BINARY_FILE_SCHEMA)
+    return reader.load(path)
 
 
 def read_jsonl(

@@ -201,3 +201,68 @@ def test_python_datasource_partition_parallel(spark):
     assert {r[2] for r in rows} == {f"shard{i}" for i in range(5)}
     again = sorted((r["doc_id"], r["text"], r["source"]) for r in df.collect())
     assert rows == again  # deterministic
+
+
+# --- R11/R12: landing-dir catalog ops ---------------------------------------
+
+
+def test_landing_catalog_add_list_delete(spark, tmp_path):
+    """R11/R12 parity (`app/main.py:149-182`): add is an upsert,
+    delete of an absent doc reports rather than raises, listing
+    filters case-insensitively on the suffix."""
+    from ai_data_pipeline_spark.sources.landing import LandingCatalog
+
+    cat = LandingCatalog(str(tmp_path / "knowledge"))
+    assert cat.list_documents() == []  # missing dir → empty, no raise
+
+    cat.add_document(b"\f".join([b"page one", b"page two"]), name="a.pdf")
+    cat.add_document(b"content b", name="B.PDF")  # upper-case suffix listed
+    (tmp_path / "src.pdf").write_bytes(b"from a path")
+    cat.add_document(str(tmp_path / "src.pdf"))
+    (tmp_path / "knowledge" / "notes.txt").write_bytes(b"not a pdf")
+
+    assert cat.list_documents() == ["B.PDF", "a.pdf", "src.pdf"]
+
+    cat.add_document(b"replaced", name="a.pdf")  # upsert overwrites
+    assert cat.list_documents() == ["B.PDF", "a.pdf", "src.pdf"]
+    got = {
+        r["path"].rsplit("/", 1)[-1]: bytes(r["content"])
+        for r in cat.documents_df(spark).collect()
+    }
+    assert got["a.pdf"] == b"replaced"
+    assert "notes.txt" not in got  # suffix pruned at the Spark scan too
+
+    assert cat.delete_document("a.pdf") is True
+    assert cat.delete_document("a.pdf") is False  # absent → report, not raise
+    assert cat.list_documents() == ["B.PDF", "src.pdf"]
+
+
+def test_landing_catalog_streaming_pickup(spark, tmp_path):
+    """add_document → the streaming scan of the landing dir picks the
+    new file up on the next micro-batch with no extra wiring."""
+    import uuid
+
+    from ai_data_pipeline_spark.sources.landing import LandingCatalog
+
+    cat = LandingCatalog(str(tmp_path / "knowledge"))
+    cat.add_document(b"first doc", name="one.pdf")
+    name = f"landing_sink_{uuid.uuid4().hex[:8]}"
+    q = (
+        cat.documents_df(spark, stream=True)
+        .select("path", "length")
+        .writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        seen = {r["path"].rsplit("/", 1)[-1] for r in spark.table(name).collect()}
+        assert seen == {"one.pdf"}
+
+        cat.add_document(b"second doc", name="two.pdf")
+        q.processAllAvailable()
+        seen = {r["path"].rsplit("/", 1)[-1] for r in spark.table(name).collect()}
+        assert seen == {"one.pdf", "two.pdf"}
+    finally:
+        q.stop()
