@@ -87,6 +87,10 @@ def normalize_event_time(df: DataFrame) -> DataFrame:
     from pyspark.sql import functions as F
     from pyspark.sql.types import LongType
 
+    # self-sufficient UTC contract: the NTZ branch interprets the
+    # wall-clock under the SESSION zone — a non-UTC caller that skipped
+    # load_table would get silently shifted ts_ns without this
+    df.sparkSession.conf.set("spark.sql.session.timeZone", "UTC")
     if isinstance(df.schema["ts"].dataType, LongType):
         # integer div, NOT "/": ns-epoch longs (~1.7e18) exceed
         # double's 2^53 exact range; float division corrupts µs
@@ -110,6 +114,14 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
-    """Register all tables as temp views for ``spark.sql`` use."""
+    """Register all tables as temp views for ``spark.sql`` use.
+
+    ``events`` registers through :func:`normalize_event_time`, so SQL
+    consumers always see the canonical (``ts_ns`` long, ``ts``
+    timestamp) pair regardless of which physical encoding the parquet
+    shipped with — never a generation-dependent raw ``ts``."""
     for name in TABLE_NAMES:
-        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+        df = load_table(spark, sf_dir, name)
+        if name == "events":
+            df = normalize_event_time(df)
+        df.createOrReplaceTempView(name)

@@ -38,10 +38,12 @@ def read_events_stream(
     """File-source stream over a directory of events parquet files.
 
     Schema is pinned from a batch read of the same directory (file
-    streams require an explicit schema). `ts` arrives as an ns-epoch
-    long (TIMESTAMP(NANOS) under nanosAsLong — same as
-    catalog.load_events); we expose both `ts_ns` and a µs-truncated
-    `ts` timestamp for event-time windowing.
+    streams require an explicit schema). `ts` has shipped as parquet
+    TIMESTAMP(NANOS) *and* as timestamp[us] across testdata
+    generations; both encodings flow through
+    `catalog.normalize_event_time` (the dual-encoding contract), which
+    exposes the canonical pair — exact ns-epoch `ts_ns` plus a
+    µs-truncated `ts` timestamp for event-time windowing.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
