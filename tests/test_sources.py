@@ -266,3 +266,32 @@ def test_landing_catalog_streaming_pickup(spark, tmp_path):
         assert seen == {"one.pdf", "two.pdf"}
     finally:
         q.stop()
+
+
+def test_parse_pages_parity_with_reference_falsy_drop(spark, tmp_path):
+    """Byte-for-byte parity with the reference's page loop
+    (`app/main.py:19-27`): parser output → drop falsy pages → the
+    surviving page TEXTS, in order, must match exactly. The engine
+    additionally drops whitespace-ONLY pages (a deliberate, documented
+    superset of the reference's falsy-drop — asserted separately), so
+    the parity corpus uses truly-empty pages."""
+    from ai_data_pipeline_spark.sources.readers import default_text_pdf_parser
+
+    pages = ["First page body.", "", "Third page body.", "", "Fifth page body."]
+    raw = "\f".join(pages).encode("utf-8")
+    d = tmp_path / "kb"
+    d.mkdir()
+    (d / "doc.pdf").write_bytes(raw)
+
+    # the reference loop, verbatim semantics, over the same parser
+    ref_pages = []
+    for page_text in default_text_pdf_parser(raw):
+        if page_text:
+            ref_pages.append(page_text)
+
+    docs = read_document_dir(spark, str(d), glob="*.pdf")
+    got = [
+        r["page_text"]
+        for r in parse_pages(docs).orderBy("page_no").collect()
+    ]
+    assert got == ref_pages == ["First page body.", "Third page body.", "Fifth page body."]
