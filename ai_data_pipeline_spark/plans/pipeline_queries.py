@@ -1235,6 +1235,141 @@ def q82_blocked_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Q84 — pair→cluster resolution (connected components) as a registered
+# query: near-dup pairs (q23 semantics, jaccard ≥ 0.6) resolved into
+# clusters labeled by minimum member id — the dedup-POLICY step that
+# every pair-producing family needs. Oracle: DuckDB recursive CTE
+# transitive closure (UNION set semantics terminate it); Spark:
+# iterative min-label propagation (operators/dedup.py:440). Scale: one
+# join+agg per round, rounds = component diameter (near-dup clusters
+# are small and dense).
+# ---------------------------------------------------------------------------
+
+def q84_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(_t(spark, sf_dir, "documents"))
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=4, min_jaccard=0.6,
+        max_shingle_freq=Q23_MAX_SHINGLE_FREQ,
+    )
+    return (
+        dedup.dedup_clusters(pairs.select("id_a", "id_b"))
+        .select(F.col("id").alias("doc_id"), "cluster_id")
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q85 — outer explode semantics: posexplode_outer over a
+# filtered-token array keeps empty-array docs as a (null pos, null
+# token) row — the lateral-view shape where dropping empty docs
+# (plain explode) silently biases corpus stats. One-row summary so
+# the null-preservation is what's hashed.
+# ---------------------------------------------------------------------------
+
+def q85_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    long_toks = F.filter(ws_tokens(F.lower(F.col("text"))), lambda t: F.length(t) > 9)
+    ex = docs.select(
+        "doc_id", F.posexplode_outer(long_toks).alias("pos", "token")
+    )
+    return ex.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("token").alias("n_tokens"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.sum(F.when(F.col("token").isNull(), 1).otherwise(0)).cast("long").alias("n_empty_docs"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q86 — FORWARD as-of join: each view matched to the user's NEXT
+# purchase at-or-after it (time-to-conversion). Same linear
+# union-then-window recipe as q33, run on negated ns-epochs so
+# "latest ≤" becomes "earliest ≥" — no new operator, a reuse of the
+# backward recipe under time reversal. Oracle: DuckDB ASOF with the
+# inequality flipped.
+# ---------------------------------------------------------------------------
+
+def q86_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_events(spark, sf_dir)
+    views = (
+        e.filter(F.col("event_type") == "view")
+        .select("event_id", "user_id", "ts_ns")
+        .withColumn("ts_neg", -F.col("ts_ns"))
+    )
+    purchases = (
+        e.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_event_id"),
+            "user_id",
+            F.col("ts_ns").alias("p_ts_ns"),
+        )
+        .withColumn("ts_neg", -F.col("p_ts_ns"))
+    )
+    out = asof_join_union(
+        views,
+        purchases,
+        key="user_id",
+        left_time="ts_neg",
+        right_time="ts_neg",
+        right_cols=["purchase_event_id", "p_ts_ns"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("r_purchase_event_id").alias("purchase_event_id"),
+        (F.col("r_p_ts_ns") - F.col("ts_ns")).alias("wait_ns"),
+    ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# Q87 — sequence-packing accounting (concat-and-chunk, the GPT-style
+# packing strategy): per source, documents concatenate in doc_id
+# order and cut into 512-token sequences; report sequences needed and
+# boundary-spanning docs. Pure integer window arithmetic (cumsum +
+# floor div) — identical on both engines. Scale: one shuffle on
+# source; the running sum is a single window pass.
+# ---------------------------------------------------------------------------
+
+Q87_BUDGET = 512
+
+
+def q87_concat_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    t = docs.select(
+        "source",
+        "doc_id",
+        token_count_ws(F.col("text")).cast("long").alias("n_tok"),
+    ).withColumn("cum", F.sum("n_tok").over(w))
+    t = t.select(
+        "source",
+        "n_tok",
+        F.expr(f"(cum - n_tok) div {Q87_BUDGET}").alias("start_seq"),
+        F.expr(f"greatest(cum - 1, cum - n_tok) div {Q87_BUDGET}").alias("end_seq"),
+        "cum",
+    )
+    return (
+        t.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tok"),
+            F.expr(f"(max(cum) + {Q87_BUDGET} - 1) div {Q87_BUDGET}")
+            .cast("long")
+            .alias("n_seqs"),
+            F.sum(F.when(F.col("end_seq") > F.col("start_seq"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_spanning"),
+            F.max(F.col("end_seq") - F.col("start_seq")).cast("long").alias("max_span"),
+        )
+        .orderBy("source")
+    )
+
+
 QUERIES = {
     "q19_l2_topk": q19_l2_topk,
     "q20_exact_dedup": q20_exact_dedup,
@@ -1282,6 +1417,10 @@ QUERIES = {
     "q78_array_set_fns": q78_array_set_fns,
     "q80_repetition_quality": q80_repetition_quality,
     "q82_blocked_neardup": q82_blocked_neardup,
+    "q84_dedup_clusters": q84_dedup_clusters,
+    "q85_explode_outer": q85_explode_outer,
+    "q86_asof_forward": q86_asof_forward,
+    "q87_concat_packing": q87_concat_packing,
 }
 
 
@@ -1999,3 +2138,87 @@ def _q82_oracle() -> str:
 
 
 ORACLE["q82_blocked_neardup"] = _q82_oracle()
+
+# q84: the q23 shingle/jaccard CTEs (same cap) feed a recursive-CTE
+# transitive closure; UNION's set semantics terminate the recursion.
+ORACLE["q84_dedup_clusters"] = f"""
+    WITH RECURSIVE sh0 AS (
+        SELECT DISTINCT doc_id AS id, unnest({_SQL_4GRAMS}) AS shingle
+        FROM documents
+    ), freq AS (
+        SELECT shingle, COUNT(*) AS f FROM sh0 GROUP BY shingle
+    ), sh AS (
+        SELECT id, sh0.shingle
+        FROM sh0 JOIN freq ON sh0.shingle = freq.shingle
+        WHERE f <= {Q23_MAX_SHINGLE_FREQ}
+    ), sizes AS (
+        SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id
+    ), inter AS (
+        SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+        GROUP BY 1, 2
+    ), pairs AS (
+        SELECT id_a, id_b
+        FROM inter
+        JOIN sizes sa ON sa.id = id_a
+        JOIN sizes sb ON sb.id = id_b
+        WHERE inter / (sa.n_sh + sb.n_sh - inter) >= 0.6
+    ), edges AS (
+        SELECT id_a AS a, id_b AS b FROM pairs
+        UNION
+        SELECT id_b AS a, id_a AS b FROM pairs
+    ), reach AS (
+        SELECT a AS id, a AS lab FROM edges
+        UNION
+        SELECT e.a AS id, r.lab AS lab FROM edges e JOIN reach r ON r.id = e.b
+    )
+    SELECT id AS doc_id, MIN(lab) AS cluster_id
+    FROM reach GROUP BY id ORDER BY doc_id
+"""
+
+ORACLE["q85_explode_outer"] = f"""
+    WITH per_doc AS (
+        SELECT doc_id,
+               len(list_filter({_SQL_WS.format(x='lower(text)')}, t -> len(t) > 9)) AS n_long
+        FROM documents
+    )
+    SELECT CAST(SUM(CASE WHEN n_long = 0 THEN 1 ELSE n_long END) AS BIGINT) AS n_rows,
+           CAST(SUM(n_long) AS BIGINT) AS n_tokens,
+           COUNT(DISTINCT doc_id) AS n_docs,
+           CAST(SUM(CASE WHEN n_long = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_empty_docs
+    FROM per_doc
+"""
+
+ORACLE["q86_asof_forward"] = """
+    SELECT v.event_id AS event_id, v.user_id AS user_id,
+           p.event_id AS purchase_event_id,
+           epoch_ns(p.ts) - epoch_ns(v.ts) AS wait_ns
+    FROM (SELECT * FROM events WHERE event_type = 'view') v
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON v.user_id = p.user_id AND v.ts <= p.ts
+    ORDER BY event_id
+"""
+
+ORACLE["q87_concat_packing"] = f"""
+    WITH t0 AS (
+        SELECT source, doc_id, len({_SQL_WS.format(x='text')}) AS n_tok
+        FROM documents
+    ), t AS (
+        SELECT source, n_tok,
+               SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM t0
+    ), s AS (
+        SELECT source, n_tok, cum,
+               (cum - n_tok) // {Q87_BUDGET} AS start_seq,
+               greatest(cum - 1, cum - n_tok) // {Q87_BUDGET} AS end_seq
+        FROM t
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tok,
+           CAST((MAX(cum) + {Q87_BUDGET} - 1) // {Q87_BUDGET} AS BIGINT) AS n_seqs,
+           CAST(SUM(CASE WHEN end_seq > start_seq THEN 1 ELSE 0 END) AS BIGINT) AS n_spanning,
+           CAST(MAX(end_seq - start_seq) AS BIGINT) AS max_span
+    FROM s GROUP BY source ORDER BY source
+"""

@@ -948,6 +948,44 @@ def q81_percentile_cont(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Q83 — FULL OUTER join (completes the join family: q02 inner, q04
+# left, q05 semi, q06 anti, q07 theta): even-custkey customers FULL
+# OUTER order-counts of custkey%3==0 customers, so all three match
+# regimes (left-only / right-only / both) are populated. Summary
+# counts + integer sums of each regime's payload get hashed. Scale:
+# full outer is a plain sort-merge join — same shuffle as q04.
+# ---------------------------------------------------------------------------
+
+def q83_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 2 == 0)
+        .select("c_custkey", money4("c_acctbal").alias("bal4"))
+    )
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") % 3 == 0)
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    j = c.join(o, c["c_custkey"] == o["o_custkey"], "full_outer")
+    return j.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("c_custkey").alias("n_left"),
+        F.count("o_custkey").alias("n_right"),
+        F.sum(
+            F.when(F.col("c_custkey").isNotNull() & F.col("o_custkey").isNotNull(), 1).otherwise(0)
+        ).cast("long").alias("n_both"),
+        F.sum(F.when(F.col("c_custkey").isNull(), F.col("n_orders")).otherwise(0))
+        .cast("long")
+        .alias("orders_right_only"),
+        F.sum(F.when(F.col("o_custkey").isNull(), F.col("bal4")).otherwise(0))
+        .cast("long")
+        .alias("bal4_left_only"),
+    )
+
+
 QUERIES = {
     "q01_scan_filter_project": q01_scan_filter_project,
     "q02_broadcast_join": q02_broadcast_join,
@@ -986,6 +1024,7 @@ QUERIES = {
     "q77_arg_extremes": q77_arg_extremes,
     "q79_string_suite": q79_string_suite,
     "q81_percentile_cont": q81_percentile_cont,
+    "q83_full_outer_join": q83_full_outer_join,
 }
 
 
@@ -1363,5 +1402,25 @@ ORACLE = {
         FROM lineitem
         GROUP BY l_returnflag
         ORDER BY l_returnflag
+    """,
+    "q83_full_outer_join": """
+        WITH c AS (
+            SELECT c_custkey, CAST(ROUND(c_acctbal * 10000) AS BIGINT) AS bal4
+            FROM customer WHERE c_custkey % 2 = 0
+        ), o AS (
+            SELECT o_custkey, COUNT(*) AS n_orders
+            FROM orders WHERE o_custkey % 3 = 0
+            GROUP BY o_custkey
+        )
+        SELECT COUNT(*) AS n_rows,
+               COUNT(c_custkey) AS n_left,
+               COUNT(o_custkey) AS n_right,
+               CAST(SUM(CASE WHEN c_custkey IS NOT NULL AND o_custkey IS NOT NULL
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+               CAST(SUM(CASE WHEN c_custkey IS NULL THEN n_orders ELSE 0 END) AS BIGINT)
+                   AS orders_right_only,
+               CAST(SUM(CASE WHEN o_custkey IS NULL THEN bal4 ELSE 0 END) AS BIGINT)
+                   AS bal4_left_only
+        FROM c FULL JOIN o ON c_custkey = o_custkey
     """,
 }
