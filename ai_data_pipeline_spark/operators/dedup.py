@@ -164,6 +164,51 @@ def ngram_jaccard_pairs(
     )
 
 
+def shingle_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 4,
+    min_containment: float = 0.0,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """ORDERED-pair containment |A∩B| / |A| over distinct word n-gram
+    sets — the asymmetric near-dup measure (quote/subset detection: a
+    short doc fully contained in a long one scores 1.0 on containment
+    but low on Jaccard, so q23-style symmetric dedup misses it).
+
+    Output: [id_a, id_b, inter, n_a, containment] for id_a ≠ b, both
+    orientations. Same scale levers as ngram_jaccard_pairs: hashed
+    8-byte shingle join keys, frequency cap against hot-shingle f²
+    blowup; containment is an int/int division → comparison-safe.
+    """
+    sh = shingle_table(df, id_col, text_col, n, hashed=True)
+    if max_shingle_freq is not None:
+        w = Window.partitionBy("sh")
+        sh = (
+            sh.withColumn("f", F.count(F.lit(1)).over(w))
+            .filter(F.col("f") <= max_shingle_freq)
+            .select("id", "sh")
+        )
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") != F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(
+            sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"),
+            "id_a",
+        )
+        .withColumn("containment", F.col("inter") / F.col("n_a"))
+        .filter(F.col("containment") >= min_containment)
+        .select("id_a", "id_b", "inter", "n_a", "containment")
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------

@@ -1370,6 +1370,101 @@ def q87_concat_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Q88 — exact-quantile length-band trim (corpus curation): per source,
+# compute nearest-rank p10/p90 of token length (q45's pinned
+# discrete-percentile semantics) and count docs surviving the
+# [p10, p90] band — the "drop the shortest and longest tails" rule
+# every training-data pipeline applies. Single shuffle on source: the
+# rank/count windows, the percentile-pick windows and the final agg
+# all share one partitioning (no join back onto the corpus).
+# ---------------------------------------------------------------------------
+
+def q88_length_band_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select(
+        "source", "doc_id", token_count_ws(F.col("text")).alias("n_tok")
+    )
+    w = Window.partitionBy("source").orderBy("n_tok", "doc_id")
+    wn = Window.partitionBy("source")
+    ranked = base.select(
+        "source",
+        "n_tok",
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    pick = lambda f: F.max(  # noqa: E731
+        F.when(F.col("rn") == F.ceil(F.col("n") * f).cast("long"), F.col("n_tok"))
+    ).over(wn)
+    marked = ranked.select(
+        "source", "n_tok", "n", pick(0.1).alias("p10"), pick(0.9).alias("p90")
+    )
+    kept = F.col("n_tok").between(F.col("p10"), F.col("p90"))
+    return (
+        marked.groupBy("source")
+        .agg(
+            F.max("n").alias("n_docs"),
+            F.max("p10").alias("p10"),
+            F.max("p90").alias("p90"),
+            F.sum(F.when(kept, 1).otherwise(0)).cast("long").alias("n_kept"),
+            F.sum(F.when(kept, 0).otherwise(1)).cast("long").alias("n_dropped"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q89 — shingle containment (asymmetric near-dup): |A∩B| / |A| over
+# word-4-gram sets, both orientations — catches a short doc wholly
+# quoted inside a long one (containment 1.0) that symmetric Jaccard
+# (q23) scores low. Same hashed-shingle join + frequency cap levers.
+# ---------------------------------------------------------------------------
+
+def q89_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(_t(spark, sf_dir, "documents"))
+    return (
+        dedup.shingle_containment_pairs(
+            docs, "doc_id", "text", n=4, max_shingle_freq=Q23_MAX_SHINGLE_FREQ
+        )
+        .orderBy(F.desc("containment"), F.asc("id_a"), F.asc("id_b"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q90 — tokenizer vocabulary coverage: build the corpus top-500 token
+# vocabulary (frequency desc, token asc — total order, so the vocab
+# is deterministic), then per-source fraction of token occurrences
+# covered — the coverage check run before committing to a tokenizer.
+# Scale: the vocab is tiny by construction → broadcast; the corpus is
+# scanned once and never shuffled on content (the flag join is a
+# map-side hash probe; only per-source counts cross the exchange).
+# ---------------------------------------------------------------------------
+
+def q90_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(ws_tokens(F.lower(F.col("text")))).alias("tok")
+    )
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("tok"))
+        .limit(500)
+        .select("tok", F.lit(1).alias("in_v"))
+    )
+    flagged = toks.join(F.broadcast(vocab), "tok", "left")
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            F.sum(F.coalesce(F.col("in_v"), F.lit(0))).cast("long").alias("n_in_vocab"),
+        )
+        .withColumn("coverage", F.col("n_in_vocab") / F.col("n_tok"))
+        .orderBy("source")
+    )
+
+
 QUERIES = {
     "q19_l2_topk": q19_l2_topk,
     "q20_exact_dedup": q20_exact_dedup,
@@ -1421,6 +1516,9 @@ QUERIES = {
     "q85_explode_outer": q85_explode_outer,
     "q86_asof_forward": q86_asof_forward,
     "q87_concat_packing": q87_concat_packing,
+    "q88_length_band_trim": q88_length_band_trim,
+    "q89_shingle_containment": q89_shingle_containment,
+    "q90_vocab_coverage": q90_vocab_coverage,
 }
 
 
@@ -2197,6 +2295,75 @@ ORACLE["q86_asof_forward"] = """
     ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
       ON v.user_id = p.user_id AND v.ts <= p.ts
     ORDER BY event_id
+"""
+
+ORACLE["q89_shingle_containment"] = f"""
+    WITH sh0 AS (
+        SELECT DISTINCT doc_id AS id, unnest({_SQL_4GRAMS}) AS shingle
+        FROM documents
+    ), freq AS (
+        SELECT shingle, COUNT(*) AS f FROM sh0 GROUP BY shingle
+    ), sh AS (
+        SELECT id, sh0.shingle
+        FROM sh0 JOIN freq ON sh0.shingle = freq.shingle
+        WHERE f <= {Q23_MAX_SHINGLE_FREQ}
+    ), sizes AS (
+        SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id
+    ), inter AS (
+        SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id <> b.id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, inter, sa.n_sh AS n_a, inter / sa.n_sh AS containment
+    FROM inter JOIN sizes sa ON sa.id = id_a
+    ORDER BY containment DESC, id_a, id_b
+    LIMIT 20
+"""
+
+ORACLE["q90_vocab_coverage"] = f"""
+    WITH toks AS (
+        SELECT source, unnest({_SQL_WS.format(x='lower(text)')}) AS tok
+        FROM documents
+    ), vocab AS (
+        SELECT tok FROM (
+            SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok
+            ORDER BY c DESC, tok LIMIT 500
+        )
+    ), flagged AS (
+        SELECT source, CASE WHEN v.tok IS NOT NULL THEN 1 ELSE 0 END AS iv
+        FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
+    )
+    SELECT source,
+           COUNT(*) AS n_tok,
+           CAST(SUM(iv) AS BIGINT) AS n_in_vocab,
+           CAST(SUM(iv) AS BIGINT) / COUNT(*) AS coverage
+    FROM flagged GROUP BY source ORDER BY source
+"""
+
+ORACLE["q88_length_band_trim"] = f"""
+    WITH base AS (
+        SELECT source, doc_id, len({_SQL_WS.format(x='text')}) AS n_tok
+        FROM documents
+    ), ranked AS (
+        SELECT source, n_tok,
+               ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_tok, doc_id) AS rn,
+               COUNT(*) OVER (PARTITION BY source) AS n
+        FROM base
+    ), marked AS (
+        SELECT source, n_tok, n,
+               MAX(CASE WHEN rn = CAST(ceil(n * 0.1) AS BIGINT) THEN n_tok END)
+                   OVER (PARTITION BY source) AS p10,
+               MAX(CASE WHEN rn = CAST(ceil(n * 0.9) AS BIGINT) THEN n_tok END)
+                   OVER (PARTITION BY source) AS p90
+        FROM ranked
+    )
+    SELECT source,
+           MAX(n) AS n_docs,
+           MAX(p10) AS p10,
+           MAX(p90) AS p90,
+           CAST(SUM(CASE WHEN n_tok BETWEEN p10 AND p90 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN n_tok BETWEEN p10 AND p90 THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped
+    FROM marked GROUP BY source ORDER BY source
 """
 
 ORACLE["q87_concat_packing"] = f"""

@@ -74,6 +74,9 @@ HEADLINE = [
     "q84_dedup_clusters",
     "q86_asof_forward",
     "q87_concat_packing",
+    "q88_length_band_trim",
+    "q89_shingle_containment",
+    "q90_vocab_coverage",
 ]
 
 

@@ -69,11 +69,17 @@ def main() -> int:
     )
     scaled_emb.repartition(32).write.mode("overwrite").parquet(f"{DST}/embeddings.parquet")
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = spark.read.parquet(f"{SRC}/events.parquet")
+    # events.ts ships as TIMESTAMP(NANOS) or timestamp[us] depending on
+    # testdata generation — go through normalize_event_time (the dual-
+    # encoding contract) and write back a µs timestamp, which
+    # load_events handles on read.
+    from ai_data_pipeline_spark.catalog import normalize_event_time
+
+    ev = normalize_event_time(load_table(spark, SRC, "events"))
+    year_us = F.col("rep") * F.lit(86400 * 365).cast("long") * F.lit(1_000_000).cast("long")
     scaled_ev = ev.crossJoin(F.broadcast(reps)).select(
         (F.col("event_id") + F.col("rep") * 1_000_000_000).alias("event_id"),
-        (F.col("ts") + F.col("rep") * (86400 * 365) * 1_000_000_000).alias("ts"),
+        F.timestamp_micros(F.expr("ts_ns div 1000") + year_us).alias("ts"),
         (F.col("user_id") + F.col("rep") * 1_000_000).alias("user_id"),
         "event_type",
         "value",

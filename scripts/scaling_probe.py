@@ -33,6 +33,11 @@ PROBE = [
     "q49_embed_knn",        # pandas-UDF encode + top-k
     "q54_top_tokens",       # explode + two-phase agg
     "q62_chunk_embed_sim",  # UDTF chunk → embed → score, composed
+    "q82_blocked_neardup",  # LSH blocking + exact within-block verify
+    "q84_dedup_clusters",   # pair → connected components
+    "q86_asof_forward",     # join-free as-of (union + window)
+    "q87_concat_packing",   # token cumsum packing
+    "q88_length_band_trim", # exact-quantile trim, single shuffle
 ]
 
 

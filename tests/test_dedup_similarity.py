@@ -235,3 +235,24 @@ def test_dedup_clusters_on_real_neardup_pairs(spark):
     # dedup policy: keep one doc per cluster
     keepers = {v for v in got.values()}
     assert all(got[k] in keepers for k in got)
+
+
+def test_shingle_containment_asymmetry(spark):
+    """A short doc fully quoted inside a long one: containment
+    short→long is 1.0 while long→short is < 1 — the asymmetric case
+    symmetric Jaccard under-scores."""
+    quote = "the sly red panda naps in the tall bamboo grove today"
+    rows = [
+        (1, quote),
+        (2, quote + " surrounded by extra framing narrative text that "
+                     "keeps going with many additional unrelated words"),
+        (3, "entirely different content about distributed query engines"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    got = {
+        (r.id_a, r.id_b): r.containment
+        for r in dedup.shingle_containment_pairs(docs, "doc_id", "text", n=2).collect()
+    }
+    assert got[(1, 2)] == 1.0      # every bigram of 1 appears in 2
+    assert 0.0 < got[(2, 1)] < 1.0  # 2 has bigrams 1 lacks
+    assert (1, 3) not in got
