@@ -2,6 +2,11 @@
 oracle at a small SF and print a one-line verdict per query.
 
 Usage: python scripts/check_oracle.py [sf_dir] [query_name ...]
+
+Set SPARK_GRAFT_VANILLA=1 to run under a BARE SparkSession (no
+engine confs) — exactly the session the grading driver builds. Any
+query green under get_spark() but red here depends on a session conf
+it should be setting at runtime (the events-encoding class of bug).
 """
 
 from __future__ import annotations
@@ -20,7 +25,16 @@ from ai_data_pipeline_spark.session import get_spark
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     only = set(sys.argv[2:])
-    spark = get_spark("oracle-check")
+    if os.environ.get("SPARK_GRAFT_VANILLA"):
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .appName("oracle-check-vanilla")
+            .getOrCreate()
+        )
+    else:
+        spark = get_spark("oracle-check")
     con = duckdb_connection(sf_dir)
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
