@@ -1465,6 +1465,85 @@ def q90_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Q91 — end-to-end curation funnel: the training-data story as ONE
+# query. Per source: raw docs → exact dedup (normalized-text digest,
+# keep lowest id) → quality gate (≥10 tokens, avg token length in
+# [2, 15]) → exact-quantile length-band trim (q88 semantics on the
+# survivors) → concat-packing sequence count (q87 semantics on the
+# kept tokens). Every stage reuses an already-oracle-verified recipe;
+# the funnel proves they COMPOSE. Left joins + coalesce keep sources
+# that lose all docs at some stage. Shuffles: digest (dedup), source
+# (windows + aggs, shared), and three tiny per-source count frames.
+# ---------------------------------------------------------------------------
+
+def q91_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = ws_tokens("text")
+    n_tok = F.size(toks).cast("long")
+    tok_chars = F.aggregate(
+        F.transform(toks, lambda w: F.length(w).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    base = docs.select(
+        "source",
+        "doc_id",
+        F.md5(normalized_text("text").cast("binary")).alias("digest"),
+        n_tok.alias("n_tok"),
+        tok_chars.alias("tok_chars"),
+    )
+    wd = Window.partitionBy("digest").orderBy("doc_id")
+    s1 = (
+        base.withColumn("rn_d", F.row_number().over(wd))
+        .filter(F.col("rn_d") == 1)
+        .drop("rn_d")
+    )
+    avg_len = F.when(
+        F.col("n_tok") > 0, F.col("tok_chars") / F.col("n_tok")
+    ).otherwise(F.lit(0.0))
+    s2 = s1.filter(
+        (F.col("n_tok") >= 10) & (avg_len >= 2.0) & (avg_len <= 15.0)
+    ).select("source", "doc_id", "n_tok")
+    wrk = Window.partitionBy("source").orderBy("n_tok", "doc_id")
+    wn = Window.partitionBy("source")
+    s3 = s2.select(
+        "source",
+        "n_tok",
+        F.row_number().over(wrk).cast("long").alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    pick = lambda f: F.max(  # noqa: E731
+        F.when(F.col("rn") == F.ceil(F.col("n") * f).cast("long"), F.col("n_tok"))
+    ).over(wn)
+    s4 = s3.select("source", "n_tok", pick(0.1).alias("p10"), pick(0.9).alias("p90"))
+    kept = F.col("n_tok").between(F.col("p10"), F.col("p90"))
+    band = s4.groupBy("source").agg(
+        F.sum(F.when(kept, 1).otherwise(0)).cast("long").alias("n_kept"),
+        F.sum(F.when(kept, F.col("n_tok")).otherwise(0)).cast("long").alias("tok_kept"),
+    )
+    raw = base.groupBy("source").agg(F.count(F.lit(1)).alias("n_raw"))
+    ded = s1.groupBy("source").agg(F.count(F.lit(1)).alias("n_dedup"))
+    qual = s2.groupBy("source").agg(F.count(F.lit(1)).alias("n_quality"))
+    zero = F.lit(0).cast("long")
+    return (
+        raw.join(ded, "source", "left")
+        .join(qual, "source", "left")
+        .join(band, "source", "left")
+        .select(
+            "source",
+            "n_raw",
+            F.coalesce(F.col("n_dedup"), zero).alias("n_dedup"),
+            F.coalesce(F.col("n_quality"), zero).alias("n_quality"),
+            F.coalesce(F.col("n_kept"), zero).alias("n_kept"),
+            F.coalesce(
+                F.expr(f"(tok_kept + {Q87_BUDGET} - 1) div {Q87_BUDGET}"), zero
+            ).cast("long").alias("n_seqs"),
+        )
+        .orderBy("source")
+    )
+
+
 QUERIES = {
     "q19_l2_topk": q19_l2_topk,
     "q20_exact_dedup": q20_exact_dedup,
@@ -1519,6 +1598,7 @@ QUERIES = {
     "q88_length_band_trim": q88_length_band_trim,
     "q89_shingle_containment": q89_shingle_containment,
     "q90_vocab_coverage": q90_vocab_coverage,
+    "q91_curation_funnel": q91_curation_funnel,
 }
 
 
@@ -2295,6 +2375,60 @@ ORACLE["q86_asof_forward"] = """
     ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
       ON v.user_id = p.user_id AND v.ts <= p.ts
     ORDER BY event_id
+"""
+
+ORACLE["q91_curation_funnel"] = f"""
+    WITH base AS (
+        SELECT source, doc_id,
+               md5({_SQL_NORM.format(x='text')}) AS digest,
+               len({_SQL_WS.format(x='text')}) AS n_tok,
+               list_sum(list_transform({_SQL_WS.format(x='text')}, w -> len(w))) AS tok_chars
+        FROM documents
+    ), s1 AS (
+        SELECT source, doc_id, n_tok, tok_chars FROM (
+            SELECT base.*, ROW_NUMBER() OVER (PARTITION BY digest ORDER BY doc_id) AS rn_d
+            FROM base
+        ) WHERE rn_d = 1
+    ), s2 AS (
+        SELECT source, doc_id, n_tok FROM s1
+        WHERE n_tok >= 10
+          AND (CASE WHEN n_tok > 0
+                    THEN CAST(tok_chars AS BIGINT) / CAST(n_tok AS BIGINT)
+                    ELSE 0.0 END) BETWEEN 2.0 AND 15.0
+    ), s3 AS (
+        SELECT source, n_tok,
+               ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_tok, doc_id) AS rn,
+               COUNT(*) OVER (PARTITION BY source) AS n
+        FROM s2
+    ), s4 AS (
+        SELECT source, n_tok,
+               MAX(CASE WHEN rn = CAST(ceil(n * 0.1) AS BIGINT) THEN n_tok END)
+                   OVER (PARTITION BY source) AS p10,
+               MAX(CASE WHEN rn = CAST(ceil(n * 0.9) AS BIGINT) THEN n_tok END)
+                   OVER (PARTITION BY source) AS p90
+        FROM s3
+    ), band AS (
+        SELECT source,
+               CAST(SUM(CASE WHEN n_tok BETWEEN p10 AND p90 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               CAST(SUM(CASE WHEN n_tok BETWEEN p10 AND p90 THEN n_tok ELSE 0 END) AS BIGINT) AS tok_kept
+        FROM s4 GROUP BY source
+    ), raw AS (
+        SELECT source, COUNT(*) AS n_raw FROM base GROUP BY source
+    ), ded AS (
+        SELECT source, COUNT(*) AS n_dedup FROM s1 GROUP BY source
+    ), qual AS (
+        SELECT source, COUNT(*) AS n_quality FROM s2 GROUP BY source
+    )
+    SELECT raw.source AS source, n_raw,
+           COALESCE(n_dedup, 0) AS n_dedup,
+           COALESCE(n_quality, 0) AS n_quality,
+           COALESCE(n_kept, 0) AS n_kept,
+           COALESCE((tok_kept + {Q87_BUDGET} - 1) // {Q87_BUDGET}, 0) AS n_seqs
+    FROM raw
+    LEFT JOIN ded USING (source)
+    LEFT JOIN qual USING (source)
+    LEFT JOIN band USING (source)
+    ORDER BY source
 """
 
 ORACLE["q89_shingle_containment"] = f"""

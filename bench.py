@@ -77,6 +77,7 @@ HEADLINE = [
     "q88_length_band_trim",
     "q89_shingle_containment",
     "q90_vocab_coverage",
+    "q91_curation_funnel",
 ]
 
 
