@@ -1544,6 +1544,75 @@ def q91_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Q92 — token Zipf profile: frequency-of-frequency histogram. Token
+# counts bucket by floor(log2) — computed as a generated CASE ladder
+# of pure integer comparisons (floor(log2(double)) can disagree
+# cross-engine by one ulp near powers of two; integer thresholds
+# cannot). The classic corpus-health check: a healthy Zipf tail vs a
+# boilerplate-dominated spike. Two-phase agg; map-side combine
+# collapses the token stream before either exchange.
+# ---------------------------------------------------------------------------
+
+def _log2_bucket_case(col: str, max_pow: int = 40):
+    expr = F.lit(max_pow)
+    for k in range(max_pow, 0, -1):
+        expr = F.when(F.col(col) < F.lit(1 << k), k - 1).otherwise(expr)
+    return expr.cast("long")
+
+
+def _sql_log2_bucket_case(col: str, max_pow: int = 40) -> str:
+    clauses = " ".join(
+        f"WHEN {col} < {1 << k} THEN {k - 1}" for k in range(1, max_pow + 1)
+    )
+    return f"CAST(CASE {clauses} ELSE {max_pow} END AS BIGINT)"
+
+
+def q92_token_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    tf = (
+        docs.select(F.explode(ws_tokens(F.lower(F.col("text")))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        tf.select(_log2_bucket_case("c").alias("freq_bucket"), "c")
+        .groupBy("freq_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("c").cast("long").alias("n_occurrences"),
+        )
+        .orderBy("freq_bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q93 — co-occurrence (market-basket): top-20 part pairs appearing in
+# the same order. Self-join on the order key is bounded per order
+# (≤7 lineitems in TPC-H shape → ≤21 pairs per order), so the join
+# output is linear in orders — the safe co-occurrence regime; a
+# per-key cap is the lever if basket sizes were power-law.
+# ---------------------------------------------------------------------------
+
+def q93_part_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.alias("a")
+    b = li.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    )
+    return (
+        pairs.groupBy(
+            F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.desc("n_orders"), F.asc("part_a"), F.asc("part_b"))
+        .limit(20)
+    )
+
+
 QUERIES = {
     "q19_l2_topk": q19_l2_topk,
     "q20_exact_dedup": q20_exact_dedup,
@@ -1599,6 +1668,8 @@ QUERIES = {
     "q89_shingle_containment": q89_shingle_containment,
     "q90_vocab_coverage": q90_vocab_coverage,
     "q91_curation_funnel": q91_curation_funnel,
+    "q92_token_zipf": q92_token_zipf,
+    "q93_part_cooccurrence": q93_part_cooccurrence,
 }
 
 
@@ -2375,6 +2446,30 @@ ORACLE["q86_asof_forward"] = """
     ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
       ON v.user_id = p.user_id AND v.ts <= p.ts
     ORDER BY event_id
+"""
+
+ORACLE["q92_token_zipf"] = f"""
+    WITH tf AS (
+        SELECT tok, COUNT(*) AS c
+        FROM (SELECT unnest({_SQL_WS.format(x='lower(text)')}) AS tok FROM documents)
+        GROUP BY tok
+    )
+    SELECT {_sql_log2_bucket_case('c')} AS freq_bucket,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(c) AS BIGINT) AS n_occurrences
+    FROM tf GROUP BY freq_bucket ORDER BY freq_bucket
+"""
+
+ORACLE["q93_part_cooccurrence"] = """
+    WITH li AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    )
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS n_orders
+    FROM li a JOIN li b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+    ORDER BY n_orders DESC, part_a, part_b
+    LIMIT 20
 """
 
 ORACLE["q91_curation_funnel"] = f"""

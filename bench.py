@@ -78,6 +78,8 @@ HEADLINE = [
     "q89_shingle_containment",
     "q90_vocab_coverage",
     "q91_curation_funnel",
+    "q92_token_zipf",
+    "q93_part_cooccurrence",
 ]
 
 
