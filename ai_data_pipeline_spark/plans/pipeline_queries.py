@@ -1328,7 +1328,12 @@ def q86_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
 # order and cut into 512-token sequences; report sequences needed and
 # boundary-spanning docs. Pure integer window arithmetic (cumsum +
 # floor div) — identical on both engines. Scale: one shuffle on
-# source; the running sum is a single window pass.
+# source; the running sum is a single window pass. CAVEAT at 100 TB:
+# `source` is low-cardinality, so one giant source serializes its
+# ordered cumsum into one task — the scale recipe is the classic
+# two-pass distributed prefix sum (range-partition within source by
+# doc_id, per-partition partial sums, broadcast the per-partition
+# offsets, add). Same declared semantics, one extra tiny exchange.
 # ---------------------------------------------------------------------------
 
 Q87_BUDGET = 512
@@ -1377,7 +1382,10 @@ def q87_concat_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 # [p10, p90] band — the "drop the shortest and longest tails" rule
 # every training-data pipeline applies. Single shuffle on source: the
 # rank/count windows, the percentile-pick windows and the final agg
-# all share one partitioning (no join back onto the corpus).
+# all share one partitioning (no join back onto the corpus). At
+# 100 TB the per-source ordered rank has the same giant-group caveat
+# as q87; the scale swap is approx_percentile per source (one pass,
+# no global order) once exact nearest-rank is no longer the contract.
 # ---------------------------------------------------------------------------
 
 def q88_length_band_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
