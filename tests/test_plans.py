@@ -230,3 +230,29 @@ def test_q87_packing_single_shuffle(spark, sf_dir):
         if "Exchange hashpartitioning" in l
     }
     assert len(hashes) <= 1
+
+
+def test_q90_vocab_broadcasts(spark, sf_dir):
+    """The top-500 vocab is tiny by construction — the coverage probe
+    must be a broadcast hash join (map-side probe), never a shuffle
+    of the token stream on content."""
+    s = plan_of(P.q90_vocab_coverage(spark, sf_dir))
+    assert "BroadcastHashJoin" in s
+
+
+def test_q91_funnel_stage_joins_broadcast(spark, sf_dir):
+    """The funnel's per-source count frames are tiny; their joins must
+    broadcast. A SortMergeJoin here would mean shuffling per-stage
+    aggregates that fit in a closure."""
+    s = plan_of(P.q91_curation_funnel(spark, sf_dir))
+    assert "BroadcastHashJoin" in s
+    assert "SortMergeJoin" not in s
+
+
+def test_q93_cooccurrence_not_cartesian(spark, sf_dir):
+    """The basket self-join must ride the order-key equi condition
+    (bounded per order); a cartesian/nested-loop product means the
+    pair predicate fell out of the join."""
+    s = plan_of(P.q93_part_cooccurrence(spark, sf_dir))
+    assert "CartesianProduct" not in s
+    assert "BroadcastNestedLoopJoin" not in s
