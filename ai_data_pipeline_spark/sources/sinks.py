@@ -124,3 +124,32 @@ def write_bucketed(
     if sort:
         w = w.sortBy(key)
     w.mode("overwrite").saveAsTable(table)
+
+
+def compact_sorted(
+    df: DataFrame,
+    path: str,
+    sort_cols: list[str],
+    target_files: int,
+) -> None:
+    """Small-file compaction with range clustering: rewrite the input
+    as ``target_files`` parquet files, range-partitioned then sorted
+    within each file on ``sort_cols``.
+
+    Why this shape at 100 TB: an incremental ingest (streaming sink,
+    hourly batches) leaves thousands of small files with overlapping
+    value ranges — every file's parquet min/max stats span everything,
+    so predicate pushdown skips nothing and the file listing itself
+    costs. After range compaction the files carry DISJOINT sort-key
+    ranges (asserted by the footer-stats test), so a selective filter
+    on the sort key touches one or two files and row-group pruning
+    works inside them. This is the zorder-lite single-dimension
+    layout; repartitionByRange samples the key distribution, so skew
+    lands as uneven-but-bounded file sizes rather than hot files.
+    """
+    (
+        df.repartitionByRange(target_files, *sort_cols)
+        .sortWithinPartitions(*sort_cols)
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -295,3 +295,45 @@ def test_parse_pages_parity_with_reference_falsy_drop(spark, tmp_path):
         for r in parse_pages(docs).orderBy("page_no").collect()
     ]
     assert got == ref_pages == ["First page body.", "Third page body.", "Fifth page body."]
+
+
+def test_compact_sorted_disjoint_file_ranges(spark, tmp_path):
+    """Range compaction must produce files whose sort-key min/max
+    footer stats are DISJOINT — that disjointness is what lets a
+    selective filter skip whole files (the point of compaction; a
+    round-robin rewrite leaves every file spanning the full range)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from ai_data_pipeline_spark.catalog import load_events
+    from ai_data_pipeline_spark.sources.sinks import compact_sorted
+    from tests.conftest import SF_SMOKE
+
+    ev = load_events(spark, SF_SMOKE).select("event_id", "user_id", "ts_ns")
+    # simulate the incremental-ingest mess: 16 round-robin files, each
+    # spanning the full user_id range
+    messy = str(tmp_path / "messy")
+    ev.repartition(16).write.parquet(messy)
+    assert len(glob.glob(f"{messy}/part-*.parquet")) == 16
+
+    out = str(tmp_path / "compacted")
+    compact_sorted(spark.read.parquet(messy), out, ["user_id"], target_files=4)
+
+    files = sorted(glob.glob(f"{out}/part-*.parquet"))
+    assert 1 < len(files) <= 4
+    ranges = []
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}["user_id"]
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        ranges.append((min(mins), max(maxs)))
+    ranges.sort()
+    for (lo_a, hi_a), (lo_b, hi_b) in zip(ranges, ranges[1:]):
+        assert hi_a <= lo_b, f"overlapping file ranges {(lo_a, hi_a)} vs {(lo_b, hi_b)}"
+    # and nothing was lost
+    assert spark.read.parquet(out).count() == ev.count()
