@@ -65,6 +65,7 @@ def asof_join_union(
     left_time: str,
     right_time: str,
     right_cols: list[str] | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
     """As-of join with NO join at all: tag both sides, union, and
     carry the latest right row forward with one ordered window per
@@ -75,6 +76,12 @@ def asof_join_union(
     ``r.time <= l.time``). Right columns must be listed explicitly
     (``right_cols``; defaults to all non-key, non-time columns).
 
+    ``direction="forward"`` matches each left row to the EARLIEST
+    right row at-or-after it instead (r.time >= l.time, ties still
+    match) — implemented by running the backward recipe under time
+    negation, so both directions share one code path. Times must be
+    numeric (ns-epoch longs) for the forward form.
+
     Scale: the join-based recipe materializes |left| × |right-within-
     lookback| intermediate rows per key before the top-1 window —
     quadratic for hot keys. This form is strictly linear: one shuffle
@@ -82,21 +89,25 @@ def asof_join_union(
     blowup — the recipe for power-law keys (one user with millions of
     events) where even AQE skew splitting can't save the join.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in (key, right_time)]
     r_payload = F.struct(*[F.col(c) for c in right_cols])
+    lt = F.col(left_time) if direction == "backward" else -F.col(left_time)
+    rt = F.col(right_time) if direction == "backward" else -F.col(right_time)
     # align both sides on (_k, _t, _side, _l struct, _r struct);
     # _side 0 (right) sorts before 1 (left) so r.time == l.time matches
     l_u = left.select(
         F.col(key).alias("_k"),
-        F.col(left_time).alias("_t"),
+        lt.alias("_t"),
         F.lit(1).alias("_side"),
         F.struct(*[F.col(c) for c in left.columns]).alias("_l"),
         F.lit(None).cast(right.select(r_payload.alias("_r")).schema["_r"].dataType).alias("_r"),
     )
     r_u = right.select(
         F.col(key).alias("_k"),
-        F.col(right_time).alias("_t"),
+        rt.alias("_t"),
         F.lit(0).alias("_side"),
         F.lit(None).cast(left.select(F.struct(*left.columns).alias("_l")).schema["_l"].dataType).alias("_l"),
         r_payload.alias("_r"),

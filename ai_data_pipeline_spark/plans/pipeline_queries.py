@@ -1284,35 +1284,30 @@ def q85_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Q86 — FORWARD as-of join: each view matched to the user's NEXT
 # purchase at-or-after it (time-to-conversion). Same linear
-# union-then-window recipe as q33, run on negated ns-epochs so
-# "latest ≤" becomes "earliest ≥" — no new operator, a reuse of the
-# backward recipe under time reversal. Oracle: DuckDB ASOF with the
-# inequality flipped.
+# union-then-window recipe as q33 via direction="forward" (the
+# operator runs the backward recipe under time negation — one code
+# path for both directions). Oracle: DuckDB ASOF with the inequality
+# flipped.
 # ---------------------------------------------------------------------------
 
 def q86_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_events(spark, sf_dir)
-    views = (
-        e.filter(F.col("event_type") == "view")
-        .select("event_id", "user_id", "ts_ns")
-        .withColumn("ts_neg", -F.col("ts_ns"))
+    views = e.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts_ns"
     )
-    purchases = (
-        e.filter(F.col("event_type") == "purchase")
-        .select(
-            F.col("event_id").alias("purchase_event_id"),
-            "user_id",
-            F.col("ts_ns").alias("p_ts_ns"),
-        )
-        .withColumn("ts_neg", -F.col("p_ts_ns"))
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_event_id"),
+        "user_id",
+        F.col("ts_ns").alias("p_ts_ns"),
     )
     out = asof_join_union(
         views,
         purchases,
         key="user_id",
-        left_time="ts_neg",
-        right_time="ts_neg",
+        left_time="ts_ns",
+        right_time="p_ts_ns",
         right_cols=["purchase_event_id", "p_ts_ns"],
+        direction="forward",
     )
     return out.select(
         "event_id",

@@ -59,3 +59,27 @@ def test_union_form_matches_join_form_on_events(spark):
         .collect()
     )
     assert a == b
+
+
+def test_forward_direction(spark):
+    """direction='forward': earliest right row at-or-after each left
+    row; ties at equal times match; nothing after → null."""
+    left, right = _toy(spark)
+    out = {
+        r["pid"]: r["r_vid"]
+        for r in asof_join_union(
+            left, right, "user", "t", "t", direction="forward"
+        ).collect()
+    }
+    assert out["p1"] == "v1"   # tie at t=10 matches
+    assert out["p2"] is None   # no view at/after t=20
+    assert out["p3"] == "v3"   # next at t=9
+    assert out["p4"] is None   # key absent on the right
+
+
+def test_forward_direction_rejects_bad_arg(spark):
+    import pytest as _pytest
+
+    left, right = _toy(spark)
+    with _pytest.raises(ValueError):
+        asof_join_union(left, right, "user", "t", "t", direction="sideways")
