@@ -496,6 +496,39 @@ def ivf_search_cosine_np(
 # ---------------------------------------------------------------------------
 
 
+def planes_for_occupancy(n_rows: int, target_occupancy: int = 1024) -> int:
+    """Planes per band so expected bucket occupancy ≈ target:
+    ceil(log2(n / target)). SCALING.md measures why this matters —
+    at FIXED geometry, 16× data made the blocked near-dup 18.9×
+    slower (occupancy-squared verification); re-deriving the plane
+    count from the corpus size kept it linear (14.4 s → 1.4 s)."""
+    import math
+
+    return max(1, math.ceil(math.log2(max(2.0, n_rows / target_occupancy))))
+
+
+def lsh_bands(
+    n_bands: int,
+    planes_per_band: int,
+    dim: int | None = None,
+    seed: int = 8200,
+) -> list[list[list[float]]]:
+    """Deterministic band geometry for blocked_neardup_pairs:
+    ``n_bands`` independent sets of ``planes_per_band`` hyperplanes
+    from the shared det_vector family (seed spacing 16 → at most 16
+    planes per band). Pair with planes_for_occupancy to scale
+    geometry with the corpus."""
+    from ai_data_pipeline_spark.plans.constants import EMBED_DIM, det_vector
+
+    if not 1 <= planes_per_band <= 16:
+        raise ValueError("planes_per_band must be in [1, 16] (seed spacing)")
+    d = dim or EMBED_DIM
+    return [
+        [det_vector(seed + 16 * b + i, d) for i in range(planes_per_band)]
+        for b in range(n_bands)
+    ]
+
+
 def blocked_neardup_pairs(
     emb: DataFrame,
     bands: list[list[list[float]]],

@@ -195,3 +195,27 @@ def test_blocked_neardup_recall_and_precision(spark):
     assert recall >= 0.9, f"recall {recall} over planted near-dups"
     for p, sim in got_pairs.items():
         assert exact[p] == sim  # exact verification, bit-for-bit
+
+
+def test_lsh_geometry_helpers():
+    """planes_for_occupancy keeps expected bucket occupancy constant
+    as the corpus grows; lsh_bands reproduces the q82 constants when
+    called with the registered geometry."""
+    from ai_data_pipeline_spark.operators.vectorized import (
+        lsh_bands,
+        planes_for_occupancy,
+    )
+    from ai_data_pipeline_spark.plans.constants import Q82_BANDS
+
+    assert planes_for_occupancy(2_000, target_occupancy=1024) == 1
+    assert planes_for_occupancy(16_000, target_occupancy=1024) == 4
+    # 8x the corpus needs exactly 3 more planes (2^3 more buckets)
+    assert (
+        planes_for_occupancy(128_000, target_occupancy=1024)
+        == planes_for_occupancy(16_000, target_occupancy=1024) + 3
+    )
+    assert lsh_bands(2, 4) == Q82_BANDS  # same det_vector family
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        lsh_bands(2, 17)
