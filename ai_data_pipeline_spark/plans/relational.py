@@ -986,6 +986,45 @@ def q83_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Q94 — variance/stddev, oracle-checked: var_samp/stddev_samp are
+# ORDER-DEPENDENT double accumulations in both engines (shuffle order
+# changes the last ulps), so the native aggregates can never hash-
+# match. Instead aggregate the EXACT integer moments (n, Σx, Σx²) in
+# cents units — order-independent BIGINT sums — and form
+# (n·Σx² − (Σx)²) / (n·(n−1)) as one double expression evaluated
+# identically on both engines (long→double conversion is the same
+# IEEE round-to-nearest everywhere). Moments stay < 2^63 through
+# ~sf1; beyond that aggregate the moments as DECIMAL(38,0) — same
+# recipe, wider ints.
+# ---------------------------------------------------------------------------
+
+def q94_variance_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    qc = F.round(F.col("l_quantity") * 100, 0).cast("long")
+    agg = (
+        li.select("l_returnflag", qc.alias("qc"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("qc").alias("s1"),
+            F.sum(F.col("qc") * F.col("qc")).alias("s2"),
+        )
+    )
+    var = (
+        (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1"))
+        / (F.col("n") * (F.col("n") - 1))
+        / 10000.0
+    )
+    return agg.select(
+        "l_returnflag",
+        "n",
+        (F.col("s1") / 100.0).alias("sum_qty"),
+        var.alias("var_qty"),
+        F.sqrt(var).alias("std_qty"),
+    ).orderBy("l_returnflag")
+
+
 QUERIES = {
     "q01_scan_filter_project": q01_scan_filter_project,
     "q02_broadcast_join": q02_broadcast_join,
@@ -1025,6 +1064,7 @@ QUERIES = {
     "q79_string_suite": q79_string_suite,
     "q81_percentile_cont": q81_percentile_cont,
     "q83_full_outer_join": q83_full_outer_join,
+    "q94_variance_suite": q94_variance_suite,
 }
 
 
@@ -1401,6 +1441,24 @@ ORACLE = {
                CAST(COUNT(*) AS BIGINT) AS n
         FROM lineitem
         GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
+    "q94_variance_suite": """
+        WITH agg AS (
+            SELECT l_returnflag,
+                   COUNT(*) AS n,
+                   CAST(SUM(qc) AS BIGINT) AS s1,
+                   CAST(SUM(qc * qc) AS BIGINT) AS s2
+            FROM (SELECT l_returnflag,
+                         CAST(ROUND(l_quantity * 100) AS BIGINT) AS qc
+                  FROM lineitem)
+            GROUP BY l_returnflag
+        )
+        SELECT l_returnflag, n,
+               s1 / 100.0 AS sum_qty,
+               (n * s2 - s1 * s1) / (n * (n - 1)) / 10000.0 AS var_qty,
+               sqrt((n * s2 - s1 * s1) / (n * (n - 1)) / 10000.0) AS std_qty
+        FROM agg
         ORDER BY l_returnflag
     """,
     "q83_full_outer_join": """

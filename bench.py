@@ -80,6 +80,7 @@ HEADLINE = [
     "q91_curation_funnel",
     "q92_token_zipf",
     "q93_part_cooccurrence",
+    "q94_variance_suite",
 ]
 
 
