@@ -225,6 +225,58 @@ def stream_qa_pipeline(
     return with_source_stem(records, "source_file")
 
 
+def stream_curation_pipeline(
+    docs: DataFrame,
+    time_col: str = "ingest_ts",
+    watermark: str = "2 hours",
+    min_tokens: int = 10,
+    avg_len_range: tuple[float, float] = (2.0, 15.0),
+) -> DataFrame:
+    """Streaming front-end of the q91 curation funnel: incremental
+    document ingest → exact dedup on the normalized-text digest
+    (state bounded by the watermark — the deployable form; unbounded
+    dedup state is a leak) → quality gate (token count + average
+    token length, the same thresholds as the batch funnel). Emits the
+    curated stream with its quality features attached; compose with
+    jsonl_stream_sink / parquet sink for exactly-once landing.
+
+    The length-trim and packing stages of the batch funnel are
+    corpus-relative (exact quantiles over ALL docs) and so belong to
+    a periodic batch pass over the landed data, not the per-record
+    stream — the standard lambda split for rank-based curation.
+    """
+    from ai_data_pipeline_spark.functions.text import normalized_text, ws_tokens
+
+    digest = F.md5(normalized_text(F.col("text")).cast("binary"))
+    toks = ws_tokens(F.col("text"))
+    n_tok = F.size(toks).cast("long")
+    tok_chars = F.aggregate(
+        F.transform(toks, lambda w: F.length(w).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    deduped = (
+        docs.withColumn("digest", digest)
+        .withWatermark(time_col, watermark)
+        .dropDuplicatesWithinWatermark(["digest"])
+    )
+    avg_len = F.when(F.col("n_tok") > 0, F.col("tok_chars") / F.col("n_tok")).otherwise(
+        F.lit(0.0)
+    )
+    lo, hi = avg_len_range
+    return (
+        deduped.withColumn("n_tok", n_tok)
+        .withColumn("tok_chars", tok_chars)
+        .withColumn("avg_token_len", avg_len)
+        .filter(
+            (F.col("n_tok") >= min_tokens)
+            & (F.col("avg_token_len") >= lo)
+            & (F.col("avg_token_len") <= hi)
+        )
+        .drop("tok_chars")
+    )
+
+
 def jsonl_stream_sink(df: DataFrame, path: str, checkpoint: str):
     """Exactly-once JSONL sink: append-format file sink whose metadata
     log makes micro-batch commits idempotent — with a

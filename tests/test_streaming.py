@@ -328,3 +328,55 @@ def test_available_now_backfill_trigger(spark, tmp_path):
     assert spark.read.json(out).count() == 2
     run_once()  # checkpointed: re-run is a no-op, not a duplicate
     assert spark.read.json(out).count() == 2
+
+
+def test_stream_curation_pipeline(spark, tmp_path):
+    """Streaming curation front-end: cross-micro-batch exact dedup
+    within the watermark plus the quality gate. Duplicates arriving
+    in a LATER micro-batch must still be dropped (state carries
+    across batches); junk docs (too few tokens / degenerate token
+    length) never reach the sink."""
+    from ai_data_pipeline_spark.streaming.pipelines import stream_curation_pipeline
+
+    in_dir = tmp_path / "docs_in"
+    in_dir.mkdir()
+    schema = "doc_id bigint, text string, ingest_ts timestamp"
+    good = "a good document with plenty of ordinary words " * 3
+    t0 = "2024-01-01 10:{m:02d}:00"
+
+    def write_batch(name, rows):
+        with open(in_dir / name, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+
+    write_batch("b1.jsonl", [
+        {"doc_id": 1, "text": good, "ingest_ts": t0.format(m=0)},
+        {"doc_id": 2, "text": "too short", "ingest_ts": t0.format(m=1)},
+        {"doc_id": 3, "text": "x " * 40, "ingest_ts": t0.format(m=2)},  # avg len 1 -> junk
+    ])
+
+    stream = spark.readStream.schema(schema).json(str(in_dir))
+    curated = stream_curation_pipeline(stream)
+    name = f"curated_{uuid.uuid4().hex[:8]}"
+    q = (
+        curated.select("doc_id", "n_tok", "avg_token_len")
+        .writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert {r["doc_id"] for r in spark.table(name).collect()} == {1}
+
+        # later micro-batch: an exact dup of doc 1 (inside the
+        # watermark) and one fresh good doc
+        write_batch("b2.jsonl", [
+            {"doc_id": 4, "text": good, "ingest_ts": t0.format(m=5)},
+            {"doc_id": 5, "text": good + "with a different ending", "ingest_ts": t0.format(m=6)},
+        ])
+        q.processAllAvailable()
+        got = {r["doc_id"] for r in spark.table(name).collect()}
+        assert got == {1, 5}, f"dup not dropped across batches: {got}"
+    finally:
+        q.stop()
