@@ -7,6 +7,7 @@ from ai_data_pipeline_spark.streaming.pipelines import (
     run_to_completion,
     session_event_stats,
     sliding_event_counts,
+    stream_curation_pipeline,
     stream_qa_pipeline,
     tumbling_event_counts,
 )
@@ -20,6 +21,7 @@ __all__ = [
     "run_to_completion",
     "session_event_stats",
     "sliding_event_counts",
+    "stream_curation_pipeline",
     "stream_qa_pipeline",
     "tumbling_event_counts",
 ]
