@@ -1616,6 +1616,62 @@ def q93_part_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Q95 — streaming curation, oracle-checked: the documents table
+# replayed through the file-source micro-batch engine →
+# stream_curation_pipeline (watermarked digest dedup + quality gate)
+# → per-source survivor counts. dropDuplicatesWithinWatermark keeps
+# an ARBITRARY first-arrival per key, so the dedup scope is (source,
+# digest) and the hashed outputs are per-source counts + token sums —
+# duplicates share identical text, so survivor choice cannot move
+# either number. Oracle: batch DISTINCT over (source, digest-input)
+# + the same quality predicate.
+# ---------------------------------------------------------------------------
+
+def q95_streaming_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid as _uuid
+
+    from ai_data_pipeline_spark.streaming.pipelines import stream_curation_pipeline
+
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    raw = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    # synthetic arrival clock from doc_id, offset away from epoch 0 —
+    # a row AT the initial watermark (epoch zero) is dropped as late
+    docs = raw.withColumn(
+        "ingest_ts",
+        F.timestamp_micros(F.col("doc_id") * 1000 + F.lit(1_700_000_000_000_000)),
+    )
+    # raw-text digests: survivors are byte-identical to their
+    # duplicates, so the per-source counts/sums below are invariant
+    # to which duplicate the stateful dedup keeps
+    curated = stream_curation_pipeline(docs, scope_cols=["source"], normalize=False)
+    name = f"q95_{_uuid.uuid4().hex[:8]}"
+    q = (
+        curated.select("source", "n_tok")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return (
+        spark.table(name)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_curated"),
+            F.sum("n_tok").cast("long").alias("tok_curated"),
+        )
+        .orderBy("source")
+    )
+
+
 QUERIES = {
     "q19_l2_topk": q19_l2_topk,
     "q20_exact_dedup": q20_exact_dedup,
@@ -1673,6 +1729,7 @@ QUERIES = {
     "q91_curation_funnel": q91_curation_funnel,
     "q92_token_zipf": q92_token_zipf,
     "q93_part_cooccurrence": q93_part_cooccurrence,
+    "q95_streaming_curation": q95_streaming_curation,
 }
 
 
@@ -2449,6 +2506,30 @@ ORACLE["q86_asof_forward"] = """
     ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
       ON v.user_id = p.user_id AND v.ts <= p.ts
     ORDER BY event_id
+"""
+
+# q95 twin: batch DISTINCT over (source, raw text) + the same quality
+# predicate the stream applies (>=10 ws tokens, avg raw token length
+# in [2, 15] computed as exact-int division).
+ORACLE["q95_streaming_curation"] = f"""
+    WITH uniq AS (
+        SELECT DISTINCT source, text FROM documents
+    ), feats AS (
+        SELECT source,
+               len({_SQL_WS.format(x='text')}) AS n_tok,
+               list_sum(list_transform({_SQL_WS.format(x='text')}, w -> len(w))) AS tok_chars
+        FROM uniq
+    )
+    SELECT source,
+           COUNT(*) AS n_curated,
+           CAST(SUM(n_tok) AS BIGINT) AS tok_curated
+    FROM feats
+    WHERE n_tok >= 10
+      AND (CASE WHEN n_tok > 0
+                THEN CAST(tok_chars AS BIGINT) / CAST(n_tok AS BIGINT)
+                ELSE 0.0 END) BETWEEN 2.0 AND 15.0
+    GROUP BY source
+    ORDER BY source
 """
 
 ORACLE["q92_token_zipf"] = f"""

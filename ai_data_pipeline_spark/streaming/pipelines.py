@@ -231,6 +231,8 @@ def stream_curation_pipeline(
     watermark: str = "2 hours",
     min_tokens: int = 10,
     avg_len_range: tuple[float, float] = (2.0, 15.0),
+    scope_cols: list[str] | None = None,
+    normalize: bool = True,
 ) -> DataFrame:
     """Streaming front-end of the q91 curation funnel: incremental
     document ingest → exact dedup on the normalized-text digest
@@ -244,10 +246,19 @@ def stream_curation_pipeline(
     corpus-relative (exact quantiles over ALL docs) and so belong to
     a periodic batch pass over the landed data, not the per-record
     stream — the standard lambda split for rank-based curation.
+
+    ``scope_cols`` narrows the dedup key to (scope, digest) — e.g.
+    per-source dedup, which also makes per-scope survivor counts
+    invariant to which duplicate arrives first. ``normalize=False``
+    digests the RAW text instead of the normalized form — survivors
+    are then byte-identical to their duplicates, so every downstream
+    stat is survivor-choice-invariant (what an exactly-reproducible
+    pipeline wants; normalized dedup is the higher-recall default).
     """
     from ai_data_pipeline_spark.functions.text import normalized_text, ws_tokens
 
-    digest = F.md5(normalized_text(F.col("text")).cast("binary"))
+    digest_input = normalized_text(F.col("text")) if normalize else F.col("text")
+    digest = F.md5(digest_input.cast("binary"))
     toks = ws_tokens(F.col("text"))
     n_tok = F.size(toks).cast("long")
     tok_chars = F.aggregate(
@@ -258,7 +269,7 @@ def stream_curation_pipeline(
     deduped = (
         docs.withColumn("digest", digest)
         .withWatermark(time_col, watermark)
-        .dropDuplicatesWithinWatermark(["digest"])
+        .dropDuplicatesWithinWatermark([*(scope_cols or []), "digest"])
     )
     avg_len = F.when(F.col("n_tok") > 0, F.col("tok_chars") / F.col("n_tok")).otherwise(
         F.lit(0.0)
