@@ -209,6 +209,75 @@ def shingle_containment_pairs(
     )
 
 
+def prefix_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 4,
+    min_jaccard: float = 0.6,
+) -> DataFrame:
+    """EXACT set-similarity join with prefix filtering (the
+    AllPairs/PPJoin family — Xiao et al., "Efficient Similarity Joins
+    for Near Duplicate Detection", WWW'08; public algorithm): same
+    output as ``ngram_jaccard_pairs(min_jaccard=t)`` but the self-join
+    keys on each doc's PREFIX only — its |d| − ⌈t·|d|⌉ + 1 globally
+    rarest shingles. Any pair with Jaccard ≥ t must share a prefix
+    shingle under a shared total order, so candidate generation is
+    complete (no recall loss — this is exact, unlike LSH) while the
+    join mass drops to ~(1−t) of the shingle table, keyed on the RARE
+    end of the frequency spectrum (the skew-heavy hot shingles are
+    exactly the ones prefixes exclude).
+
+    Output: [id_a, id_b, inter, n_a, n_b, jaccard], jaccard ≥ t.
+
+    Plan shape: one window pass for global shingle frequency (order =
+    rarity), one per-doc rank window, prefix self-join, then exact
+    verification that touches only candidate pairs (pair ⋈ shingles
+    of both sides). Shuffles carry 8-byte hashes throughout.
+    """
+    t = min_jaccard
+    sh = shingle_table(df, id_col, text_col, n, hashed=True)
+    wf = Window.partitionBy("sh")
+    wd = Window.partitionBy("id")
+    ranked = (
+        sh.withColumn("f", F.count(F.lit(1)).over(wf))
+        .withColumn("n_sh", F.count(F.lit(1)).over(wd))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("id").orderBy(F.asc("f"), F.asc("sh"))
+            ),
+        )
+    )
+    prefix = ranked.filter(
+        F.col("rk") <= F.col("n_sh") - F.ceil(F.lit(t) * F.col("n_sh")) + 1
+    ).select("id", "sh")
+    cand = (
+        prefix.alias("a")
+        .join(
+            prefix.alias("b"),
+            (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    # exact verification over candidates only
+    inter = (
+        cand.join(sh.select(F.col("id").alias("id_a"), "sh"), "id_a")
+        .join(sh.select(F.col("id").alias("id_b"), "sh"), ["id_b", "sh"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    return (
+        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+        .withColumn("jaccard", F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")))
+        .filter(F.col("jaccard") >= t)
+        .select("id_a", "id_b", "inter", "n_a", "n_b", "jaccard")
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------

@@ -1672,6 +1672,23 @@ def q95_streaming_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Q96 — prefix-filtered EXACT similarity join (PPJoin family): same
+# result set as a full q23-style join at jaccard ≥ 0.6, but candidate
+# generation keys only on each doc's ⌈(1−t)·|d|⌉+1 globally RAREST
+# shingles — complete by the prefix-filter theorem, so this is exact,
+# not approximate. The oracle computes the FULL exact join (no
+# prefix), so a hash match proves candidate completeness end to end.
+# ---------------------------------------------------------------------------
+
+def q96_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(_t(spark, sf_dir, "documents"))
+    return (
+        dedup.prefix_jaccard_pairs(docs, "doc_id", "text", n=4, min_jaccard=0.6)
+        .orderBy(F.desc("jaccard"), F.asc("id_a"), F.asc("id_b"))
+    )
+
+
 QUERIES = {
     "q19_l2_topk": q19_l2_topk,
     "q20_exact_dedup": q20_exact_dedup,
@@ -1730,6 +1747,7 @@ QUERIES = {
     "q92_token_zipf": q92_token_zipf,
     "q93_part_cooccurrence": q93_part_cooccurrence,
     "q95_streaming_curation": q95_streaming_curation,
+    "q96_prefix_jaccard": q96_prefix_jaccard,
 }
 
 
@@ -2506,6 +2524,28 @@ ORACLE["q86_asof_forward"] = """
     ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
       ON v.user_id = p.user_id AND v.ts <= p.ts
     ORDER BY event_id
+"""
+
+# q96 twin: the FULL exact jaccard join (no prefix filter) at the same
+# threshold — matching it proves the prefix candidates are complete.
+ORACLE["q96_prefix_jaccard"] = f"""
+    WITH sh AS (
+        SELECT DISTINCT doc_id AS id, unnest({_SQL_4GRAMS}) AS shingle
+        FROM documents
+    ), sizes AS (
+        SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id
+    ), inter AS (
+        SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, inter, sa.n_sh AS n_a, sb.n_sh AS n_b,
+           inter / (sa.n_sh + sb.n_sh - inter) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.id = id_a
+    JOIN sizes sb ON sb.id = id_b
+    WHERE inter / (sa.n_sh + sb.n_sh - inter) >= 0.6
+    ORDER BY jaccard DESC, id_a, id_b
 """
 
 # q95 twin: batch DISTINCT over (source, raw text) + the same quality

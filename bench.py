@@ -81,6 +81,7 @@ HEADLINE = [
     "q92_token_zipf",
     "q93_part_cooccurrence",
     "q94_variance_suite",
+    "q96_prefix_jaccard",
 ]
 
 

@@ -256,3 +256,34 @@ def test_shingle_containment_asymmetry(spark):
     assert got[(1, 2)] == 1.0      # every bigram of 1 appears in 2
     assert 0.0 < got[(2, 1)] < 1.0  # 2 has bigrams 1 lacks
     assert (1, 3) not in got
+
+
+def test_prefix_jaccard_equals_full_join(spark):
+    """Prefix filtering is EXACT: on a corpus with near-dups, exact
+    dups, disjoint docs and a hot shared shingle, the prefix-filtered
+    join must emit exactly the pairs the full self-join emits at the
+    same threshold."""
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (1, base),
+        (2, base),                                  # exact dup
+        (3, base.replace("theta", "iota")),         # near dup
+        (4, "totally different words everywhere here now"),
+        (5, "shared boiler plate " + "unique5 " * 6),
+        (6, "shared boiler plate " + "unique6 " * 6),  # hot shingle, low jaccard
+    ]
+    docs = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    for t in (0.5, 0.8):
+        full = {
+            (r.id_a, r.id_b): (r.inter, r.n_a, r.n_b, r.jaccard)
+            for r in dedup.ngram_jaccard_pairs(
+                docs, "doc_id", "text", n=2, min_jaccard=t
+            ).collect()
+        }
+        pref = {
+            (r.id_a, r.id_b): (r.inter, r.n_a, r.n_b, r.jaccard)
+            for r in dedup.prefix_jaccard_pairs(
+                docs, "doc_id", "text", n=2, min_jaccard=t
+            ).collect()
+        }
+        assert pref == full, f"t={t}: {pref} != {full}"
