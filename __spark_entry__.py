@@ -41,8 +41,11 @@ R01_DRIVER_EVIDENCE = frozenset({
     "q15a_intersect", "q15b_except", "q16_string_functions", "q17_date_trunc",
     "q18_json_extract", "q19_l2_topk", "q20_exact_dedup", "q21_chunker",
     "q22_knn_threshold", "q23_ngram_jaccard", "q24_minhash_lsh", "q25_simhash",
-    "q26_cosine_neardup", "q27_cosine_topk", "q28_ivf_ann", "q29_lang_profile",
+    "q26_cosine_neardup", "q27_cosine_topk", "q29_lang_profile",
     "q30_quality_topk", "q31_token_counts", "q39_grouping_sets",
+    # NOT q28_ivf_ann / q38_rp_lsh_ann: r01 recorded only rows-only
+    # no_oracle rows; r02 gives them full SQL twins, so they route to
+    # the front for a hashed driver row.
     "q42_window_suite", "q43_union_ops", "q44_pivot_counts",
     "q45_percentile_disc", "q47_salted_join", "q50_distinct_suite",
     "q53_rank_fns", "q65_above_avg_customers", "q66_fuzzy_match",

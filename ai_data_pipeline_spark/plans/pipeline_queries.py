@@ -2526,6 +2526,120 @@ ORACLE["q86_asof_forward"] = """
     ORDER BY event_id
 """
 
+# --- q28 / q38 twins: deterministic ANN paths are oracle-expressible --------
+# Both "approximate" searches are exact arithmetic end-to-end: cell /
+# bucket assignment is a deterministic expression over the same
+# literals, and probe-set selection is driver-side math reproduced
+# here in pure Python with the SAME left-to-right float accumulation
+# as the numpy kernels (each CPython float op is the same correctly-
+# rounded IEEE double op). So the whole search hash-matches.
+
+
+def _sqdist_py(a: list[float], b: list[float]) -> float:
+    acc = 0.0
+    for i in range(len(a)):
+        d = a[i] - b[i]
+        acc = acc + d * d
+    return acc
+
+
+def _dot_py(a: list[float], b: list[float]) -> float:
+    acc = 0.0
+    for i in range(len(a)):
+        acc = acc + a[i] * b[i]
+    return acc
+
+
+def _q28_oracle() -> str:
+    # probe cells per query: the 2 nearest centroids (ties → lowest
+    # index), mirroring ivf_search_cosine_np's lexsort selection
+    probes = {}
+    for qi, qv in enumerate(Q27_QUERY_VECS):
+        cd = [_sqdist_py(c, qv) for c in Q28_CENTROIDS]
+        probes[qi] = sorted(range(len(Q28_CENTROIDS)), key=lambda c: (cd[c], c))[:2]
+    qrows = ", ".join(
+        f"({qi}, {sql_lit_list(v)}, {list(probes[qi])})"
+        for qi, v in enumerate(Q27_QUERY_VECS)
+    )
+    # cell = argmin centroid distance (ties → lowest index):
+    # list_sort over (dist, idx) structs compares field-wise; element
+    # 1 is the minimum (DuckDB's least() rejects structs)
+    cells = ", ".join(
+        f"struct_pack(d := {sql_squared_l2('embedding', sql_lit_list(c), EMBED_DIM)}, c := {ci})"
+        for ci, c in enumerate(Q28_CENTROIDS)
+    )
+    cos = (
+        f"({sql_dot('embedding', 'qvec', EMBED_DIM)}) / "
+        f"(({sql_norm('embedding', EMBED_DIM)}) * ({sql_norm('qvec', EMBED_DIM)}))"
+    )
+    return f"""
+        WITH assigned AS (
+            SELECT vec_id, embedding,
+                   struct_extract((list_sort([{cells}]))[1], 'c') AS cell
+            FROM embeddings
+        ), sims AS (
+            SELECT q.qid, a.vec_id, {cos.replace('embedding', 'a.embedding')} AS sim
+            FROM assigned a
+            JOIN (VALUES {qrows}) AS q(qid, qvec, cells)
+              ON list_contains(q.cells, a.cell)
+        ), ranked AS (
+            SELECT qid, vec_id, sim,
+                   ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rk
+            FROM sims
+        )
+        SELECT qid, vec_id, sim, rk FROM ranked WHERE rk <= 3
+        ORDER BY qid, rk
+    """
+
+
+def _q38_oracle() -> str:
+    from ai_data_pipeline_spark.plans.constants import Q38_PLANES
+
+    # per-query probe set: own sign-bit bucket + all Hamming-1 buckets
+    probes = {}
+    nb = len(Q38_PLANES)
+    for qi, qv in enumerate(Q27_QUERY_VECS):
+        b = 0
+        for i, p in enumerate(Q38_PLANES):
+            b |= int(_dot_py(qv, p) >= 0.0) << i
+        cells = {b} | {b ^ (1 << i) for i in range(nb)}
+        probes[qi] = sorted(cells)
+    qrows = ", ".join(
+        f"({qi}, {sql_lit_list(v)}, {probes[qi]})"
+        for qi, v in enumerate(Q27_QUERY_VECS)
+    )
+    bucket = " + ".join(
+        f"(CASE WHEN ({sql_dot('embedding', sql_lit_list(p), EMBED_DIM)}) >= 0"
+        f" THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(Q38_PLANES)
+    )
+    cos = (
+        f"({sql_dot('embedding', 'qvec', EMBED_DIM)}) / "
+        f"(({sql_norm('embedding', EMBED_DIM)}) * ({sql_norm('qvec', EMBED_DIM)}))"
+    )
+    return f"""
+        WITH assigned AS (
+            SELECT vec_id, embedding, ({bucket}) AS bucket
+            FROM embeddings
+        ), sims AS (
+            SELECT q.qid, a.vec_id, {cos.replace('embedding', 'a.embedding')} AS sim
+            FROM assigned a
+            JOIN (VALUES {qrows}) AS q(qid, qvec, cells)
+              ON list_contains(q.cells, a.bucket)
+        ), ranked AS (
+            SELECT qid, vec_id, sim,
+                   ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rk
+            FROM sims
+        )
+        SELECT qid, vec_id, sim, rk FROM ranked WHERE rk <= 3
+        ORDER BY qid, rk
+    """
+
+
+ORACLE["q28_ivf_ann"] = _q28_oracle()
+ORACLE["q38_rp_lsh_ann"] = _q38_oracle()
+
+
 # q96 twin: the FULL exact jaccard join (no prefix filter) at the same
 # threshold — matching it proves the prefix candidates are complete.
 ORACLE["q96_prefix_jaccard"] = f"""
