@@ -1475,9 +1475,16 @@ def q90_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 # [2, 15]) → exact-quantile length-band trim (q88 semantics on the
 # survivors) → concat-packing sequence count (q87 semantics on the
 # kept tokens). Every stage reuses an already-oracle-verified recipe;
-# the funnel proves they COMPOSE. Left joins + coalesce keep sources
-# that lose all docs at some stage. Shuffles: digest (dedup), source
-# (windows + aggs, shared), and three tiny per-source count frames.
+# the funnel proves they COMPOSE.
+#
+# SINGLE-PASS plan: each stage is a FLAG on one annotated frame, not
+# a separate DataFrame — the naive stage-per-frame form re-derived
+# the tokenization DAG for every per-stage aggregate (4 corpus scans;
+# at 100 TB, 4× the scan bill). Here: one scan, one digest-window
+# shuffle, one source-window shuffle (rank-among-quality via a
+# conditional running count — a window can't filter rows, but
+# sum(when(quality,1)) over the ordered frame IS the subset rank),
+# and the final agg reuses the source partitioning.
 # ---------------------------------------------------------------------------
 
 def q91_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1497,51 +1504,52 @@ def q91_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         tok_chars.alias("tok_chars"),
     )
     wd = Window.partitionBy("digest").orderBy("doc_id")
-    s1 = (
-        base.withColumn("rn_d", F.row_number().over(wd))
-        .filter(F.col("rn_d") == 1)
-        .drop("rn_d")
-    )
     avg_len = F.when(
         F.col("n_tok") > 0, F.col("tok_chars") / F.col("n_tok")
     ).otherwise(F.lit(0.0))
-    s2 = s1.filter(
-        (F.col("n_tok") >= 10) & (avg_len >= 2.0) & (avg_len <= 15.0)
-    ).select("source", "doc_id", "n_tok")
-    wrk = Window.partitionBy("source").orderBy("n_tok", "doc_id")
+    flagged = base.withColumn(
+        "keeper", F.row_number().over(wd) == 1
+    ).withColumn(
+        "quality",
+        F.col("keeper") & (F.col("n_tok") >= 10) & (avg_len >= 2.0) & (avg_len <= 15.0),
+    )
+    w_ord = (
+        Window.partitionBy("source")
+        .orderBy("n_tok", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     wn = Window.partitionBy("source")
-    s3 = s2.select(
-        "source",
-        "n_tok",
-        F.row_number().over(wrk).cast("long").alias("rn"),
-        F.count(F.lit(1)).over(wn).alias("n"),
+    q1 = F.when(F.col("quality"), 1).otherwise(0)
+    marked = flagged.withColumn("rnq", F.sum(q1).over(w_ord).cast("long")).withColumn(
+        "nq", F.sum(q1).over(wn).cast("long")
     )
     pick = lambda f: F.max(  # noqa: E731
-        F.when(F.col("rn") == F.ceil(F.col("n") * f).cast("long"), F.col("n_tok"))
+        F.when(
+            F.col("quality")
+            & (F.col("rnq") == F.ceil(F.col("nq") * f).cast("long")),
+            F.col("n_tok"),
+        )
     ).over(wn)
-    s4 = s3.select("source", "n_tok", pick(0.1).alias("p10"), pick(0.9).alias("p90"))
-    kept = F.col("n_tok").between(F.col("p10"), F.col("p90"))
-    band = s4.groupBy("source").agg(
-        F.sum(F.when(kept, 1).otherwise(0)).cast("long").alias("n_kept"),
-        F.sum(F.when(kept, F.col("n_tok")).otherwise(0)).cast("long").alias("tok_kept"),
-    )
-    raw = base.groupBy("source").agg(F.count(F.lit(1)).alias("n_raw"))
-    ded = s1.groupBy("source").agg(F.count(F.lit(1)).alias("n_dedup"))
-    qual = s2.groupBy("source").agg(F.count(F.lit(1)).alias("n_quality"))
-    zero = F.lit(0).cast("long")
+    marked = marked.withColumn("p10", pick(0.1)).withColumn("p90", pick(0.9))
+    kept = F.col("quality") & F.col("n_tok").between(F.col("p10"), F.col("p90"))
     return (
-        raw.join(ded, "source", "left")
-        .join(qual, "source", "left")
-        .join(band, "source", "left")
+        marked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_raw"),
+            F.sum(F.when(F.col("keeper"), 1).otherwise(0)).cast("long").alias("n_dedup"),
+            F.sum(q1).cast("long").alias("n_quality"),
+            F.sum(F.when(kept, 1).otherwise(0)).cast("long").alias("n_kept"),
+            F.sum(F.when(kept, F.col("n_tok")).otherwise(0)).cast("long").alias("tok_kept"),
+        )
         .select(
             "source",
             "n_raw",
-            F.coalesce(F.col("n_dedup"), zero).alias("n_dedup"),
-            F.coalesce(F.col("n_quality"), zero).alias("n_quality"),
-            F.coalesce(F.col("n_kept"), zero).alias("n_kept"),
-            F.coalesce(
-                F.expr(f"(tok_kept + {Q87_BUDGET} - 1) div {Q87_BUDGET}"), zero
-            ).cast("long").alias("n_seqs"),
+            "n_dedup",
+            "n_quality",
+            "n_kept",
+            F.expr(f"(tok_kept + {Q87_BUDGET} - 1) div {Q87_BUDGET}")
+            .cast("long")
+            .alias("n_seqs"),
         )
         .orderBy("source")
     )
