@@ -588,6 +588,10 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
         .localCheckpoint()
     )
     labels = sym.select(F.col("a").alias("id")).distinct().withColumn("label", F.col("id"))
+    return _propagate_min_labels(sym, labels, max_iter)
+
+
+def _propagate_min_labels(sym: DataFrame, labels: DataFrame, max_iter: int) -> DataFrame:
     for _ in range(max_iter):
         nbr_min = (
             sym.join(
@@ -618,3 +622,78 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
         if changed == 0:
             break
     return labels.select("id", F.col("label").alias("cluster_id"))
+
+
+def dedup_clusters_star(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14 — public algorithm): same [id, cluster_id = min member]
+    contract as ``dedup_clusters``, but convergence is O(log n) rounds
+    REGARDLESS of component diameter — the recipe for long chains
+    (transitive near-dup runs, web-graph-shaped dup structure) where
+    min-label propagation needs diameter rounds.
+
+    Each round is two groupBy-per-node passes over the edge list:
+
+    - large-star: every node connects its LARGER neighbors to its
+      current minimum (min(Γ(u) ∪ {u})) — hooks high nodes downward;
+    - small-star: every node connects its smaller-or-equal neighbors
+      to that minimum — flattens the star.
+
+    Edges monotonically point toward component minima; at the fixed
+    point every node has exactly one edge to its component's minimum.
+    Per-round cost is one shuffle of the edge list per star pass
+    (groupBy node), same asymptotics as one propagation round, but
+    the round COUNT drops from O(diameter) to O(log n).
+    """
+    # canonical undirected edges, both orientations, self-loops kept
+    # so isolated-after-contraction nodes retain their minimum
+    e = pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+    edges = (
+        e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = edges.select(F.col("u").alias("id")).distinct().localCheckpoint()
+
+    def star(ed: DataFrame, large: bool) -> DataFrame:
+        # neighborhoods are UNDIRECTED: symmetrize the working edge
+        # set first (star passes emit directed (node → min) edges, and
+        # computing Γ(u) from only one direction stalls the
+        # contraction at its first fixed point)
+        ed = ed.union(ed.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+        # m(u) = min over neighbors and self
+        mins = (
+            ed.groupBy("u")
+            .agg(F.least(F.min("v"), F.first("u")).alias("m"))
+        )
+        j = ed.join(mins, "u")
+        keep = F.col("v") > F.col("u") if large else F.col("v") <= F.col("u")
+        out = (
+            j.filter(keep)
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(mins.select(F.col("u"), F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        return out
+
+    for _ in range(max_iter):
+        nxt = star(star(edges, large=True), large=False).localCheckpoint()
+        # fixed point: edge sets equal (both directions checked via counts
+        # of the symmetric difference — exceptAll is enough on distinct sets)
+        diff = nxt.exceptAll(edges).limit(1).count() + edges.exceptAll(nxt).limit(1).count()
+        edges = nxt
+        if diff == 0:
+            break
+    # at the fixed point each non-minimum node has an edge to its
+    # component minimum; minima themselves appear only as targets
+    comp = edges.groupBy("u").agg(F.min("v").alias("cluster_id")).select(
+        F.col("u").alias("id"), "cluster_id"
+    )
+    # a node may be its own component minimum (star target only):
+    # default every node to itself, override where an edge exists
+    return (
+        nodes.join(comp, "id", "left")
+        .select("id", F.coalesce(F.col("cluster_id"), F.col("id")).alias("cluster_id"))
+    )

@@ -287,3 +287,39 @@ def test_prefix_jaccard_equals_full_join(spark):
             ).collect()
         }
         assert pref == full, f"t={t}: {pref} != {full}"
+
+
+def test_dedup_clusters_star_matches_union_find(spark):
+    """Large-star/small-star components == union-find on shapes that
+    stress it: a 60-node path (diameter 59 — the case min-label
+    propagation pays per-hop rounds for), a star, two merged rings,
+    and a batch of random graphs."""
+    import random
+
+    cases = [
+        [(i, i + 1) for i in range(60)],                      # long path
+        [(0, i) for i in range(1, 20)],                       # star
+        [(i, (i + 1) % 10) for i in range(10)]
+        + [(100 + i, 100 + (i + 1) % 10) for i in range(10)]
+        + [(5, 105)],                                         # merged rings
+    ]
+    rng = random.Random(42)
+    for _ in range(3):
+        n = 80
+        cases.append(
+            [(rng.randrange(n), rng.randrange(n)) for _ in range(60)]
+        )
+    for edges in cases:
+        edges = [(a, b) for a, b in edges if a != b]
+        df = spark.createDataFrame(edges, "id_a BIGINT, id_b BIGINT")
+        got = {
+            r.id: r.cluster_id for r in dedup.dedup_clusters_star(df).collect()
+        }
+        # union-find canonical: min id per component
+        want = _union_find(edges)
+        # normalize union-find roots to component minima
+        comp = {}
+        for x, r in want.items():
+            comp.setdefault(r, []).append(x)
+        want_min = {x: min(members) for r, members in comp.items() for x in members}
+        assert got == want_min, f"edges={edges[:8]}...: {got} != {want_min}"
