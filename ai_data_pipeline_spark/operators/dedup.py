@@ -572,10 +572,9 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     clusters are small and dense, so diameter is tiny. Each round is
     one join + one agg (labels and edges both partition by id), and
     ``localCheckpoint`` truncates the lineage so the plan doesn't
-    grow with iterations. For graphs with long chains at 100 TB,
-    swap in the alternating large-star/small-star recipe (Kiveris et
-    al., "Connected Components in MapReduce") — same DataFrame
-    skeleton, fewer rounds.
+    grow with iterations. For graphs with long chains at 100 TB use
+    :func:`dedup_clusters_star` (alternating large-star/small-star,
+    O(log n) rounds regardless of diameter) — same output contract.
     """
     edges = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
     # checkpoint the edge list ONCE: sym joins into every round, and
