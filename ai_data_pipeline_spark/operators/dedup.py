@@ -234,6 +234,15 @@ def prefix_jaccard_pairs(
     rarity), one per-doc rank window, prefix self-join, then exact
     verification that touches only candidate pairs (pair ⋈ shingles
     of both sides). Shuffles carry 8-byte hashes throughout.
+
+    Measured regime (local[32], word-4-grams, t=0.6): on the synthetic
+    corpora (sf0.1 and its 16× scale-up) the full hashed-shingle join
+    is already cheap and prefix filtering is cost-NEUTRAL (the
+    frequency/rank windows offset the join-mass saving). It pays when
+    Σf² join mass dominates — boilerplate-heavy corpora, permissive
+    or absent frequency caps, high thresholds — where it keeps
+    EXACTNESS that a frequency cap (drops shingles) or LSH (drops
+    recall) would sacrifice.
     """
     t = min_jaccard
     sh = shingle_table(df, id_col, text_col, n, hashed=True)
