@@ -380,3 +380,37 @@ def test_stream_curation_pipeline(spark, tmp_path):
         assert got == {1, 5}, f"dup not dropped across batches: {got}"
     finally:
         q.stop()
+
+
+def test_available_now_bounded_backfill(spark, tmp_path):
+    """Trigger.availableNow + maxFilesPerTrigger: the backfill-as-
+    stream pattern — all existing input processed in BOUNDED micro-
+    batches (state/memory stays capped), then the query stops on its
+    own. Asserts multiple batches actually ran and the result equals
+    the batch count."""
+    import json as _json
+
+    in_dir = tmp_path / "bf"
+    in_dir.mkdir()
+    for f in range(4):
+        with open(in_dir / f"f{f}.jsonl", "w") as fh:
+            for i in range(5):
+                fh.write(_json.dumps({"k": f * 5 + i}) + "\n")
+
+    stream = (
+        spark.readStream.schema("k bigint")
+        .option("maxFilesPerTrigger", "1")
+        .json(str(in_dir))
+    )
+    name = f"bf_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    progress = q.recentProgress
+    assert len(progress) >= 4  # one bounded micro-batch per file
+    assert spark.table(name).count() == 20
