@@ -291,6 +291,28 @@ def prefix_jaccard_pairs(
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
+def md5_hash60(col: Column | str, seed: int | None = None) -> Column:
+    """Deterministic 60-bit non-negative hash both engines can compute.
+
+    Spark: ``conv(substr(md5(x [|| ':' || seed]), 1, 15), 16, 10)`` cast
+    to long; DuckDB twin: ``('0x' || substr(md5(x [|| ':' || seed]), 1,
+    15))::BIGINT``. 15 hex chars = 60 bits, so the value always fits a
+    signed int64 on both engines — no unsigned/overflow edge. Seeding
+    by suffixing ``:<seed>`` keys a whole hash *family* off one md5,
+    which is what lets MinHash/SimHash carry full SQL oracle twins
+    (same recipe as the q49 md5-arithmetic embeddings).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    keyed = c if seed is None else F.concat(c, F.lit(f":{seed}"))
+    return F.conv(F.substring(F.md5(keyed), 1, 15), 16, 10).cast("long")
+
+
+def sql_md5_hash60(expr: str, seed: int | None = None) -> str:
+    """DuckDB twin of :func:`md5_hash60` (same value, bit for bit)."""
+    keyed = expr if seed is None else f"({expr} || ':{seed}')"
+    return f"(('0x' || substr(md5({keyed}), 1, 15))::BIGINT)"
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str,
@@ -300,14 +322,16 @@ def minhash_signatures(
 ) -> DataFrame:
     """[id, sig array<bigint>] — deterministic MinHash signatures.
 
-    Hash family: xxhash64(seed_j, shingle), fixed seeds 0..H-1 — no
+    Hash family: md5_hash60(shingle, seed_j), fixed seeds 0..H-1 — no
     random state, reproducible across runs/clusters (unlike MLlib's
-    MinHashLSH random coefficients). The per-seed MIN aggregates
-    combine map-side, so the shuffle carries H longs per document.
+    MinHashLSH random coefficients), and — because md5 exists on both
+    engines — recomputable in plain SQL, which is what gives q24 a
+    full DuckDB oracle twin. The per-seed MIN aggregates combine
+    map-side, so the shuffle carries H longs per document.
     """
     sh = shingle_table(df, id_col, text_col, n)
     aggs = [
-        F.min(F.xxhash64(F.lit(j), F.col("shingle"))).alias(f"h{j}") for j in range(num_hashes)
+        F.min(md5_hash60(F.col("shingle"), j)).alias(f"h{j}") for j in range(num_hashes)
     ]
     sig = sh.groupBy("id").agg(*aggs)
     return sig.select("id", F.array(*[F.col(f"h{j}") for j in range(num_hashes)]).alias("sig"))
@@ -396,27 +420,33 @@ def minhash_neardup_pairs(
 # SimHash
 # ---------------------------------------------------------------------------
 
+SIMHASH_BITS = 60  # md5_hash60 family width — see md5_hash60
+
+
 def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """[id, simhash bigint] — 64-bit SimHash over whitespace tokens.
+    """[id, simhash bigint] — 60-bit SimHash over whitespace tokens.
 
     Token weight = term frequency (explode keeps duplicates). Bit i
-    of the result = sign of Σ_tokens (bit i of xxhash64(token) ? +1
-    : -1). One groupBy with 64 map-side-combinable SUMs.
+    of the result = sign of Σ_tokens (bit i of md5_hash60(token) ? +1
+    : -1). One groupBy with 60 map-side-combinable SUMs. The md5
+    family (vs xxhash64) costs nothing semantically — any uniform
+    bit family works for SimHash — and buys a DuckDB-recomputable
+    oracle twin for q25.
     """
     toks = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
     ).filter(F.length("tok") > 0)
-    h = F.xxhash64(F.col("tok"))
+    h = md5_hash60(F.col("tok"))
     sums = [
         F.sum(
             F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
         ).alias(f"b{i}")
-        for i in range(64)
+        for i in range(SIMHASH_BITS)
     ]
     agg = toks.groupBy("id").agg(*sums)
     sim = None
-    for i in range(64):
+    for i in range(SIMHASH_BITS):
         bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
         term = F.shiftleft(bit, i)
         sim = term if sim is None else sim.bitwiseOR(term)
@@ -427,21 +457,21 @@ def simhash_neardup_pairs(sims: DataFrame, max_hamming: int = 3) -> DataFrame:
     """Pairs with Hamming(simhash) ≤ max_hamming via segment blocking
     + exact popcount verification. Output: [id_a, id_b, hamming].
 
-    Recall is EXACT by pigeonhole: the 64 bits are partitioned into
-    ``max_hamming + 1`` segments, so any pair within the bound shares
-    at least one whole segment — blocking cannot miss. The flip side:
-    large bounds mean narrow segments and everything collides
-    (max_hamming=15 → 4-bit segments → 16 distinct values), so the
-    join degenerates toward all-pairs. Keep the bound small (≤7 for
-    64-bit simhash is the useful regime) or go exact all-pairs.
+    Recall is EXACT by pigeonhole: the SIMHASH_BITS bits are
+    partitioned into ``max_hamming + 1`` segments, so any pair within
+    the bound shares at least one whole segment — blocking cannot
+    miss. The flip side: large bounds mean narrow segments and
+    everything collides (max_hamming=14 → 4-bit segments → 16
+    distinct values), so the join degenerates toward all-pairs. Keep
+    the bound small (≤7 is the useful regime) or go exact all-pairs.
     """
     k = max_hamming + 1
-    if k > 16:
+    if k > SIMHASH_BITS // 4:
         raise ValueError(
             f"max_hamming={max_hamming} needs {k} segments of <4 bits — "
             "blocking degenerates to all-pairs; lower the bound or verify all pairs exactly"
         )
-    base, rem = divmod(64, k)
+    base, rem = divmod(SIMHASH_BITS, k)
     widths = [base + 1 if s < rem else base for s in range(k)]
     offsets = [sum(widths[:s]) for s in range(k)]
     segs = sims.select(

@@ -47,13 +47,10 @@ def test_rows_only_set_is_intentional():
     rows-only list (custom hash families / approximate paths) — a
     new query accidentally shipped without its oracle fails here."""
     rows_only = set(_QUERIES) - set(_ORACLES)
-    assert rows_only == {
-        "q21_chunker",      # golden-file splitter parity, not SQL
-        "q24_minhash_lsh",  # custom fixed-seed xxhash64 hash family
-        "q25_simhash",      # custom xxhash64 bit family
-        # q28/q38 were rows-only until r02: their "approximate" paths
-        # are deterministic arithmetic, so they now carry full oracles
-    }
+    # r03 retired the last three rows-only entries: q24/q25 via the
+    # md5_hash60 re-key (family recomputable in SQL), q21 via the
+    # golden-VALUES twin. Every declared query now has a full oracle.
+    assert rows_only == set()
 
 
 def test_driver_window_covers_unevidenced_queries():
@@ -64,7 +61,7 @@ def test_driver_window_covers_unevidenced_queries():
     starving queries of driver evidence (VERDICT r01, next-round #9)."""
     order = list(_QUERIES)
     window = set(order[:50])
-    needs_evidence = set(order) - entrymod.R01_DRIVER_EVIDENCE
+    needs_evidence = set(order) - entrymod.DRIVER_EVIDENCE
     missing = needs_evidence - window
     assert not missing, (
         f"queries needing a driver row fall outside the first-50 window: "
