@@ -1242,13 +1242,16 @@ def q78_array_set_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Q80 — Gopher-style repetition quality metrics: per-doc top-bigram
 # mass fraction and duplicate-token fraction, the classic corpus
-# repetition filters for LLM training data. Shape: bigram counts
-# partial-aggregate map-side on (doc_id, gram) before the per-doc
-# rollup, so the exchange carries one row per distinct gram, not per
-# occurrence; the doc-level join is on doc_id (AQE picks broadcast
-# at small SF, shuffle join at corpus scale — both sides already
-# keyed). Fractions are a single IEEE division of exact integers —
-# bit-identical cross-engine (policy header, relational.py).
+# repetition filters for LLM training data. Shape: SINGLE documents
+# scan — the doc-level token stats (n_tok, n_distinct) ride through
+# the bigram exchange as first()-carried columns instead of a
+# join-back onto a second scan (the groupBy+join-back shape
+# CLAUDE.md's q23 rule warns about: the join branch re-executes the
+# upstream scan). Bigram counts partial-aggregate map-side on
+# (doc_id, gram), so the exchange carries one row per distinct gram
+# plus 16 bytes of carried stats, not per occurrence. Fractions are
+# a single IEEE division of exact integers — bit-identical
+# cross-engine (policy header, relational.py).
 # ---------------------------------------------------------------------------
 
 def q80_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1262,17 +1265,22 @@ def q80_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         word_ngrams(low, 2).alias("grams"),
     )
     gcnt = (
-        base.select("doc_id", F.explode("grams").alias("g"))
+        base.select("doc_id", "n_tok", "n_distinct", F.explode("grams").alias("g"))
         .groupBy("doc_id", "g")
-        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.first("n_tok").alias("n_tok"),
+            F.first("n_distinct").alias("n_distinct"),
+        )
     )
     per_doc = gcnt.groupBy("doc_id").agg(
         F.max("c").alias("top_bigram_n"),
         F.sum("c").alias("n_bigrams"),
+        F.first("n_tok").alias("n_tok"),
+        F.first("n_distinct").alias("n_distinct"),
     )
     return (
-        base.drop("grams")
-        .join(per_doc, "doc_id")
+        per_doc
         .select(
             "doc_id",
             (

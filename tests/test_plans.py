@@ -264,3 +264,18 @@ def test_q93_cooccurrence_not_cartesian(spark, sf_dir):
     s = plan_of(P.q93_part_cooccurrence(spark, sf_dir))
     assert "CartesianProduct" not in s
     assert "BroadcastNestedLoopJoin" not in s
+
+
+def test_q80_single_documents_scan(spark, sf_dir):
+    """q80 carries n_tok/n_distinct THROUGH the bigram aggregation
+    (first() per doc) instead of joining doc-level stats back onto a
+    second documents scan — one scan, no join."""
+    s = plan_of(P.q80_repetition_quality(spark, sf_dir))
+    assert "Join" not in s
+    # AQE prints final + initial plans; dedupe by attribute-stripped line
+    scans = {
+        re.sub(r"#\d+", "", l).strip()
+        for l in s.splitlines()
+        if "FileScan" in l
+    }
+    assert len(scans) == 1, scans
