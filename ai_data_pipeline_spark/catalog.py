@@ -83,6 +83,16 @@ def normalize_event_time(df: DataFrame) -> DataFrame:
     engines keeping full precision. ``ts`` is a µs TIMESTAMP for
     calendar bucketing (UTC session; truncation ns→µs can never move
     a value across a whole-µs window boundary).
+
+    .. warning:: SESSION-GLOBAL side effect: this sets
+       ``spark.sql.session.timeZone`` to UTC (required so the NTZ
+       branch reads the same instant under the driver's vanilla
+       session — the conf is session-wide; Spark has no per-query
+       override for it). Every other timestamp rendering in the
+       calling session flips to UTC from this call on — also via
+       :func:`load_events` and :func:`register_views`, which route
+       here. A caller that needs a non-UTC session zone must restore
+       it afterwards.
     """
     from pyspark.sql import functions as F
     from pyspark.sql.types import LongType
@@ -119,7 +129,9 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     ``events`` registers through :func:`normalize_event_time`, so SQL
     consumers always see the canonical (``ts_ns`` long, ``ts``
     timestamp) pair regardless of which physical encoding the parquet
-    shipped with — never a generation-dependent raw ``ts``."""
+    shipped with — never a generation-dependent raw ``ts``. Note the
+    session-global UTC side effect documented on
+    :func:`normalize_event_time`."""
     for name in TABLE_NAMES:
         df = load_table(spark, sf_dir, name)
         if name == "events":

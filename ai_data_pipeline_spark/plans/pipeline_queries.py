@@ -58,6 +58,27 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+def _drain_memory_sink(df: DataFrame, name: str) -> DataFrame:
+    """Materialize a post-sink frame and DROP the uuid-named memory
+    sink view it reads from.
+
+    The streaming oracle queries (q41/q52/q73/q74/q95) replay a finite
+    corpus into a ``format("memory")`` sink; that sink table is
+    SESSION-GLOBAL, so returning a frame that lazily reads it would
+    leak one in-memory table per invocation in a long-lived session.
+    Memory sinks are driver-resident by construction, so the collect
+    here moves rows the driver already holds — it does not change the
+    scale class. Production streaming goes through the
+    ``streaming/pipelines.py`` file/foreachBatch sinks, never this
+    shape.
+    """
+    spark = df.sparkSession
+    rows = df.collect()
+    schema = df.schema
+    spark.catalog.dropTempView(name)
+    return spark.createDataFrame(rows, schema)
+
+
 # ---------------------------------------------------------------------------
 # Q19 — exact squared-L2 distance to a constant query vector, top-5
 # (R17 semantics over the embeddings table).
@@ -612,7 +633,9 @@ def q41_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.processAllAvailable()
     finally:
         q.stop()
-    return spark.table(name).orderBy("wstart_s", "event_type")
+    return _drain_memory_sink(spark.table(name), name).orderBy(
+        "wstart_s", "event_type"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -840,15 +863,15 @@ def q74_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.processAllAvailable()
     finally:
         q.stop()
-    return (
+    agg = (
         spark.table(name)
         .groupBy("user_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_sessions"),
             F.sum("n_ev").alias("n_events"),
         )
-        .orderBy("user_id")
     )
+    return _drain_memory_sink(agg, name).orderBy("user_id")
 
 
 # ---------------------------------------------------------------------------
@@ -882,7 +905,9 @@ def q73_streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.processAllAvailable()
     finally:
         q.stop()
-    return spark.table(name).orderBy("wstart_s", "event_type")
+    return _drain_memory_sink(spark.table(name), name).orderBy(
+        "wstart_s", "event_type"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1145,12 +1170,12 @@ def q52_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.processAllAvailable()
     finally:
         q.stop()
-    return (
+    agg = (
         spark.table(name)
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n_users"))
-        .orderBy("event_type")
     )
+    return _drain_memory_sink(agg, name).orderBy("event_type")
 
 
 # ---------------------------------------------------------------------------
@@ -1758,15 +1783,15 @@ def q95_streaming_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.processAllAvailable()
     finally:
         q.stop()
-    return (
+    agg = (
         spark.table(name)
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_curated"),
             F.sum("n_tok").cast("long").alias("tok_curated"),
         )
-        .orderBy("source")
     )
+    return _drain_memory_sink(agg, name).orderBy("source")
 
 
 # ---------------------------------------------------------------------------

@@ -992,11 +992,15 @@ def q83_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # changes the last ulps), so the native aggregates can never hash-
 # match. Instead aggregate the EXACT integer moments (n, Σx, Σx²) in
 # cents units — order-independent BIGINT sums — and form
-# (n·Σx² − (Σx)²) / (n·(n−1)) as one double expression evaluated
-# identically on both engines (long→double conversion is the same
-# IEEE round-to-nearest everywhere). Moments stay < 2^63 through
-# ~sf1; beyond that aggregate the moments as DECIMAL(38,0) — same
-# recipe, wider ints.
+# (n·Σx² − (Σx)²) / (n·(n−1)) as a double division of EXACT wide
+# integers. The BIGINT moments themselves stay < 2^63 to beyond
+# 100 TB (qc ≤ ~5100, so Σqc² < 9.2e18 needs > 3e11 rows/group), but
+# the derived products n·Σx² and (Σx)² cross 2^63 once a group
+# reaches ~1M rows (~sf0.4) — so the products are formed in
+# DECIMAL(38,0) (Spark) / HUGEINT (DuckDB), both exact integer
+# types, and only the final numerator/denominator are converted to
+# double (same IEEE round-to-nearest in both engines) for the one
+# division.
 # ---------------------------------------------------------------------------
 
 def q94_variance_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1011,11 +1015,10 @@ def q94_variance_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("qc") * F.col("qc")).alias("s2"),
         )
     )
-    var = (
-        (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1"))
-        / (F.col("n") * (F.col("n") - 1))
-        / 10000.0
-    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    num = dec(F.col("n")) * dec(F.col("s2")) - dec(F.col("s1")) * dec(F.col("s1"))
+    den = dec(F.col("n")) * dec(F.col("n") - 1)
+    var = num.cast("double") / den.cast("double") / 10000.0
     return agg.select(
         "l_returnflag",
         "n",
@@ -1456,8 +1459,10 @@ ORACLE = {
         )
         SELECT l_returnflag, n,
                s1 / 100.0 AS sum_qty,
-               (n * s2 - s1 * s1) / (n * (n - 1)) / 10000.0 AS var_qty,
-               sqrt((n * s2 - s1 * s1) / (n * (n - 1)) / 10000.0) AS std_qty
+               CAST(CAST(n AS HUGEINT) * s2 - CAST(s1 AS HUGEINT) * s1 AS DOUBLE)
+                   / CAST(CAST(n AS HUGEINT) * (n - 1) AS DOUBLE) / 10000.0 AS var_qty,
+               sqrt(CAST(CAST(n AS HUGEINT) * s2 - CAST(s1 AS HUGEINT) * s1 AS DOUBLE)
+                   / CAST(CAST(n AS HUGEINT) * (n - 1) AS DOUBLE) / 10000.0) AS std_qty
         FROM agg
         ORDER BY l_returnflag
     """,

@@ -414,3 +414,24 @@ def test_available_now_bounded_backfill(spark, tmp_path):
     progress = q.recentProgress
     assert len(progress) >= 4  # one bounded micro-batch per file
     assert spark.table(name).count() == 20
+
+
+def test_streaming_oracle_queries_leave_no_sink_tables(spark):
+    """q41/q52/q73/q74/q95 drain their uuid-named memory sinks into
+    createDataFrame-backed results and drop the temp view — repeated
+    invocations in a long-lived session must not accumulate
+    session-global in-memory tables."""
+    from ai_data_pipeline_spark.plans import pipeline_queries as P
+    from tests.conftest import SF_SMOKE
+
+    df = P.q52_streaming_dedup(spark, SF_SMOKE)
+    n = df.count()
+    assert n > 0
+    leaked = [
+        t.name
+        for t in spark.catalog.listTables()
+        if t.name.startswith(("q41_", "q52_", "q73_", "q74_", "q95_"))
+    ]
+    assert leaked == [], leaked
+    # the drained frame must survive the drop (it no longer reads the sink)
+    assert df.count() == n
