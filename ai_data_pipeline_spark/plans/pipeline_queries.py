@@ -1811,6 +1811,74 @@ def q96_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Q97 — watermarked STREAM-STREAM interval join, oracle-checked (the
+# last streaming primitive without a driver row): purchases and views
+# replayed as two file-source streams, joined on user within a 1-hour
+# lookback through streaming/pipelines.interval_join_streams (both
+# sides watermarked, so per-key state is bounded by the lookback —
+# the production-shape join), then per-purchase view stats batch-
+# aggregated from the drained sink. Oracle: the same interval join
+# as a batch SQL self-join — a hash match proves the micro-batch
+# engine's join emits exactly the batch-semantics pair set. Both
+# engines compare the identical µs instants (ns→µs floor division on
+# each side), so the interval boundary cannot diverge.
+# ---------------------------------------------------------------------------
+
+def q97_streaming_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid as _uuid
+
+    from ai_data_pipeline_spark.streaming.pipelines import interval_join_streams
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+
+    def _stream(event_type: str) -> DataFrame:
+        raw = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+        return (
+            normalize_event_time(raw)
+            .filter(F.col("event_type") == event_type)
+            .select("event_id", "user_id", "ts")
+        )
+
+    joined = interval_join_streams(
+        _stream("purchase"),
+        _stream("view"),
+        key="user_id",
+        lookback="1 hour",
+        watermark="2 hours",
+    ).select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("r_event_id").alias("view_id"),
+    )
+    name = f"q97_{_uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    agg = (
+        spark.table(name)
+        .groupBy("purchase_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_views"),
+            F.min("view_id").alias("first_view_id"),
+            F.max("view_id").alias("last_view_id"),
+        )
+    )
+    return _drain_memory_sink(agg, name).orderBy("purchase_id")
+
+
 QUERIES = {
     "q19_l2_topk": q19_l2_topk,
     "q20_exact_dedup": q20_exact_dedup,
@@ -1870,6 +1938,7 @@ QUERIES = {
     "q93_part_cooccurrence": q93_part_cooccurrence,
     "q95_streaming_curation": q95_streaming_curation,
     "q96_prefix_jaccard": q96_prefix_jaccard,
+    "q97_streaming_join": q97_streaming_join,
 }
 
 
@@ -2855,6 +2924,27 @@ ORACLE["q96_prefix_jaccard"] = f"""
     JOIN sizes sb ON sb.id = id_b
     WHERE inter / (sa.n_sh + sb.n_sh - inter) >= 0.6
     ORDER BY jaccard DESC, id_a, id_b
+"""
+
+# q97 twin: the stream-stream interval join as a batch self-join —
+# views of the same user within [purchase_ts - 1h, purchase_ts],
+# per-purchase stats. Both engines compare identical µs instants.
+ORACLE["q97_streaming_join"] = """
+    WITH p AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ), v AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'
+    )
+    SELECT p.event_id AS purchase_id,
+           COUNT(*) AS n_views,
+           CAST(MIN(v.event_id) AS BIGINT) AS first_view_id,
+           CAST(MAX(v.event_id) AS BIGINT) AS last_view_id
+    FROM p JOIN v
+      ON v.user_id = p.user_id
+     AND v.ts <= p.ts
+     AND v.ts >= p.ts - INTERVAL 1 HOUR
+    GROUP BY purchase_id
+    ORDER BY purchase_id
 """
 
 # q95 twin: batch DISTINCT over (source, raw text) + the same quality
