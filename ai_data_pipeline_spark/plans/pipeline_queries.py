@@ -1679,10 +1679,11 @@ def q91_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 # collapses the token stream before either exchange.
 # ---------------------------------------------------------------------------
 
-def _log2_bucket_case(col: str, max_pow: int = 40):
+def _log2_bucket_case(col, max_pow: int = 40):
+    c = F.col(col) if isinstance(col, str) else col
     expr = F.lit(max_pow)
     for k in range(max_pow, 0, -1):
-        expr = F.when(F.col(col) < F.lit(1 << k), k - 1).otherwise(expr)
+        expr = F.when(c < F.lit(1 << k), k - 1).otherwise(expr)
     return expr.cast("long")
 
 
@@ -1879,6 +1880,424 @@ def q97_streaming_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain_memory_sink(agg, name).orderBy("purchase_id")
 
 
+# ---------------------------------------------------------------------------
+# Q98 — PII detection + masking: regex email/phone spans replaced
+# with typed placeholders, per-source hit counts and masked-length
+# audit — the redaction pass every release pipeline runs. The corpus
+# is synthetic word-salad, so deterministic PII spans are INJECTED
+# from doc_id first (both engines build the identical augmented
+# text); the regexes use the Java∩RE2-portable subset (char classes,
+# +, {n} — no lookaround), so Spark and DuckDB match identical
+# spans. Scale: narrow per-row regex at the scan, one agg shuffle of
+# per-source scalars; masking is where a UDF would be tempting and
+# is NOT needed.
+# ---------------------------------------------------------------------------
+
+_PII_EMAIL = "[a-z0-9]+@[a-z0-9.]+[a-z]"
+_PII_PHONE = "555-[0-9]{4}"
+
+
+def q98_pii_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@mail.example.com"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.lit(" call 555-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    masked = F.regexp_replace(
+        F.regexp_replace(aug, _PII_EMAIL, "<EMAIL>"), _PII_PHONE, "<PHONE>"
+    )
+    per_doc = docs.select(
+        "source",
+        F.regexp_count(aug, F.lit(_PII_EMAIL)).cast("long").alias("n_email"),
+        F.regexp_count(aug, F.lit(_PII_PHONE)).cast("long").alias("n_phone"),
+        F.length(masked).cast("long").alias("masked_len"),
+        F.length(aug).cast("long").alias("raw_len"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_email").alias("emails_masked"),
+            F.sum("n_phone").alias("phones_masked"),
+            F.sum(F.when(F.col("n_email") + F.col("n_phone") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("docs_with_pii"),
+            F.sum(F.col("raw_len") - F.col("masked_len")).alias("chars_delta"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q99 — URL extraction + domain blocklist filtering: deterministic
+# URLs injected from doc_id (word-salad corpus), domain pulled with
+# one portable regex, blocklisted domains dropped, per-domain reach
+# stats — the domain-level curation pass (spam/low-quality domain
+# removal) of a web-scale pipeline. Scale: narrow extract at the
+# scan; the blocklist is a literal IN-filter (broadcast semantics by
+# construction); one agg shuffle keyed on domain.
+# ---------------------------------------------------------------------------
+
+def q99_url_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" see https://site"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".example.org/p/"),
+        (F.col("doc_id") % 13).cast("string"),
+        F.lit(" for more"),
+    )
+    domain = F.regexp_extract(aug, r"https://([a-z0-9.]+)/", 1)
+    blocked = ["site0.example.org", "site1.example.org"]
+    return (
+        docs.filter(F.col("doc_id") % 2 == 0)
+        .select("doc_id", "source", "n_chars", domain.alias("domain"))
+        .filter(~F.col("domain").isin(blocked))
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("source").alias("n_sources"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("domain")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q100 — deterministic train/val/test split: content-hash bucket
+# (md5 of the raw text, first 4 hex digits mod 100) → 90/5/5 split,
+# per (split, lang) counts — the split must be content-derived so it
+# is identical across runs, partition layouts, and cluster sizes
+# (df.randomSplit is none of those), and so exact dups land in the
+# SAME split (no train→test leakage through duplicates). Scale: a
+# narrow expression at the scan, one agg shuffle.
+# ---------------------------------------------------------------------------
+
+def q100_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("text").cast("binary")), 1, 4), 16, 10)
+        .cast("long")
+        % 100
+    )
+    split = (
+        F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+    )
+    return (
+        docs.select(split.alias("split"), "lang", "n_chars")
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("split", "lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q101 — temperature-scaled source mixing (the multilingual/multi-
+# source sampling recipe: upweight small sources by p^α, α = 1/4):
+# per-source char share p_s, raw weight p_s^0.25 computed as
+# sqrt(sqrt(p_s)) — IEEE sqrt is correctly rounded, so the double is
+# bit-identical cross-engine, unlike pow(x, 0.25) which is libm-
+# dependent. Normalization divides by a sum of FLOOR-quantized
+# integer weights (order-independent BIGINT sum), never a sum of
+# doubles — the float-parity policy's recipe for "normalize by a
+# total". Scale: one agg to per-source scalars, then window math on
+# a handful of rows.
+# ---------------------------------------------------------------------------
+
+def q101_source_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("chars_s"),
+    )
+    total = F.sum("chars_s").over(Window.partitionBy())
+    w = F.sqrt(F.sqrt(F.col("chars_s").cast("double") / total.cast("double")))
+    wi = F.floor(w * F.lit(1_000_000_000_000.0)).cast("long")
+    enriched = per_src.select("source", "n_docs", "chars_s", wi.alias("wi"))
+    denom = F.sum("wi").over(Window.partitionBy())
+    return (
+        enriched.select(
+            "source",
+            "n_docs",
+            "chars_s",
+            (F.col("wi").cast("double") / denom.cast("double")).alias("mix_frac"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q102 — TF-IDF-family keyword extraction: per-source term frequency
+# weighted by reciprocal document(source)-frequency, top-5 terms per
+# source. The weight is integer-exact ((tf·10⁶) div df — production
+# swaps a real ln() idf, which can't cross-engine-hash). The df
+# enrichment is a COUNT window over the token, NOT a groupBy+join-
+# back (CLAUDE.md's q23 rule: the window's exchange is reused; the
+# join form re-executes the explode and pays a second shuffle).
+# ---------------------------------------------------------------------------
+
+def q102_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    tf = (
+        docs.select("source", F.explode(ws_tokens(F.lower(F.col("text")))).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_w = F.count(F.lit(1)).over(Window.partitionBy("tok"))
+    scored = tf.withColumn("df", df_w.cast("long")).withColumn(
+        "score", F.expr("(tf * 1000000) div df").cast("long")
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("source").orderBy(F.desc("score"), F.asc("tok"))
+    )
+    return (
+        scored.withColumn("rk", rk.cast("long"))
+        .filter(F.col("rk") <= 5)
+        .orderBy("source", "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q103 — corpus-frequency fluency scoring (the CCNet/KenLM-perplexity
+# filter's integer-exact proxy): every doc bigram is scored by the
+# log2-bucket of its CORPUS frequency (integer CASE ladder — q92's
+# cross-engine-safe floor(log2)), and a doc's fluency is its mean
+# bucket — low mean = mostly rare/unseen bigrams = disfluent or
+# novel; high mean = boilerplate. A real KenLM scores through the
+# mapInPandas seam; the plan shape (explode → frequency window →
+# per-doc mean) is identical. The frequency enrichment is a COUNT
+# window over the bigram, not a groupBy+join-back — one exchange.
+# ---------------------------------------------------------------------------
+
+def q103_bigram_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id", F.explode(word_ngrams(F.lower(F.col("text")), 2)).alias("g")
+    )
+    cnt = F.count(F.lit(1)).over(Window.partitionBy("g"))
+    bucketed = grams.select(
+        "doc_id", _log2_bucket_case(cnt.cast("long")).alias("bucket")
+    )
+    per_doc = bucketed.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum("bucket").alias("sum_bucket"),
+    )
+    return (
+        per_doc.select(
+            "doc_id",
+            "n_bigrams",
+            (
+                F.col("sum_bucket").cast("double")
+                / F.col("n_bigrams").cast("double")
+            ).alias("fluency"),
+        )
+        .orderBy(F.asc("fluency"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q104 — embedding fixed-point int8 quantization audit: q_i =
+# clamp(floor(v_i·64), −128, 127) (per-tensor fixed-point; the
+# per-channel-scale variant changes only the literal), with exact
+# per-vector audit metrics — clip count, |q|₁ (integer), and max
+# absolute reconstruction error. max is order-INDEPENDENT and every
+# per-element double (float→double widening, q/64.0 dyadic rational,
+# one subtraction) is bit-identical cross-engine, so the doubles
+# hash — a sum of squares would not (order-dependent accumulation;
+# float-parity policy). Scale: pure per-row HOF arithmetic, zero
+# shuffle before the top-k.
+# ---------------------------------------------------------------------------
+
+def q104_embed_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    raw_q = lambda e: F.floor(e.cast("double") * 64)  # noqa: E731
+    qarr = F.transform(
+        "embedding",
+        lambda e: F.greatest(F.least(raw_q(e), F.lit(127)), F.lit(-128)).cast("long"),
+    )
+    n_clipped = F.size(
+        F.filter("embedding", lambda e: (raw_q(e) > 127) | (raw_q(e) < -128))
+    ).cast("long")
+    with_q = emb.select("vec_id", "embedding", qarr.alias("q"), n_clipped.alias("n_clipped"))
+    l1_q = F.aggregate(
+        "q", F.lit(0).cast("long"), lambda acc, x: acc + F.abs(x)
+    )
+    max_abs_err = F.array_max(
+        F.zip_with(
+            "embedding", "q", lambda e, q: F.abs(e.cast("double") - q / F.lit(64.0))
+        )
+    )
+    return (
+        with_q.select(
+            "vec_id",
+            "n_clipped",
+            l1_q.alias("l1_q"),
+            max_abs_err.alias("max_abs_err"),
+        )
+        .orderBy(F.desc("max_abs_err"), F.asc("vec_id"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q105 — sketch-quality audit: MinHash-estimated Jaccard vs the exact
+# value on real near-dup pairs. The deploy-a-sketch question is "how
+# tight is the estimate at my k" — this measures it in-engine:
+# signature agreement k_match/16 against the exact shingle Jaccard,
+# per pair. All doubles are exact rationals from integer counts
+# (k/16 is dyadic; jaccard is one division; the error one
+# subtraction — identical trees both engines). Scale: pairs come
+# from the capped shingle join; signatures add H=16 map-side MIN
+# aggregates; the audit join touches pairs only.
+# ---------------------------------------------------------------------------
+
+def q105_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(_t(spark, sf_dir, "documents"))
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, min_jaccard=0.5
+    ).select("id_a", "id_b", "jaccard")
+    sigs = dedup.minhash_signatures(docs, "doc_id", "text", n=3, num_hashes=16)
+    j = pairs.join(
+        sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a")), "id_a"
+    ).join(
+        sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b")), "id_b"
+    )
+    k_match = F.size(
+        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v)
+    ).cast("long")
+    return (
+        j.select("id_a", "id_b", "jaccard", k_match.alias("k_match"))
+        .withColumn("mh_est", F.col("k_match") / F.lit(16.0))
+        .withColumn("est_err", F.abs(F.col("mh_est") - F.col("jaccard")))
+        .orderBy("id_a", "id_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q106 — k-means centroid UPDATE step (the iterative-ML primitive —
+# q28's IVF does assignment; this is the other half): assign every
+# embedding to its nearest of 4 fixed centroids (argmin of HOF-fold
+# squared-L2 — the dim=None path per the per-document-scoring rule:
+# 4 unrolled 64-term expressions cost ~3s of codegen compile,
+# measured 4.5s → 1.2s on this query; ties to the lowest index),
+# then recompute
+# each centroid as the per-dimension mean. Means of doubles are
+# order-DEPENDENT, so components aggregate as floor-quantized
+# fixed-point BIGINTs (micro-units) and only the final exact
+# integers divide as doubles — the float-parity recipe for
+# "aggregate a vector". Scale: one narrow assignment pass + one agg
+# shuffle carrying (cluster, dim) partial sums — 4×64 cells
+# regardless of corpus size.
+# ---------------------------------------------------------------------------
+
+Q106_K = 4
+Q106_CENTROIDS = [
+    [((k * 31 + i * 17) % 13 - 6) / 10.0 for i in range(EMBED_DIM)]
+    for k in range(Q106_K)
+]
+
+
+def q106_kmeans_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    with_d = emb.select(
+        "embedding",
+        *[
+            squared_l2("embedding", array_lit(Q106_CENTROIDS[k])).alias(f"d{k}")
+            for k in range(Q106_K)
+        ],
+    )
+    d = [F.col(f"d{k}") for k in range(Q106_K)]
+    cluster = (
+        F.when((d[0] <= d[1]) & (d[0] <= d[2]) & (d[0] <= d[3]), 0)
+        .when((d[1] <= d[2]) & (d[1] <= d[3]), 1)
+        .when(d[2] <= d[3], 2)
+        .otherwise(3)
+        .cast("long")
+    )
+    expl = with_d.select(cluster.alias("cluster_id"), "embedding").select(
+        "cluster_id", F.posexplode("embedding").alias("dim", "v")
+    )
+    v6 = F.floor(F.col("v").cast("double") * 1_000_000).cast("long")
+    agg = (
+        expl.select("cluster_id", F.col("dim").cast("long").alias("dim"), v6.alias("v6"))
+        .groupBy("cluster_id", "dim")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v6").alias("s6"))
+    )
+    return (
+        agg.select(
+            "cluster_id",
+            "dim",
+            "n",
+            (
+                F.col("s6").cast("double")
+                / F.col("n").cast("double")
+                / F.lit(1_000_000.0)
+            ).alias("centroid_val"),
+        )
+        .orderBy("cluster_id", "dim")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q107 — canonical-document selection per dup cluster (the dedup
+# POLICY completing q84: q84 labels members; this picks the KEEPER):
+# near-dup clusters resolved with the star contraction, then the
+# longest member (chars, doc_id tiebreak) wins via one row_number
+# window; per-cluster audit of kept vs dropped bytes. min-id keeper
+# policies bias toward crawl order — argmax-quality is the
+# production choice, and the window shape swaps in any quality
+# score. Scale: clusters are tiny relative to the corpus; the
+# doc-stats join is keyed on doc_id and the window partitions by
+# cluster_id — both bounded by dup volume, not corpus size.
+# ---------------------------------------------------------------------------
+
+def q107_canonical_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(_t(spark, sf_dir, "documents"))
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=4, min_jaccard=0.6,
+        max_shingle_freq=Q23_MAX_SHINGLE_FREQ,
+    )
+    clusters = dedup.dedup_clusters_star(pairs.select("id_a", "id_b")).select(
+        F.col("id").alias("doc_id"), "cluster_id"
+    )
+    members = clusters.join(docs.select("doc_id", "n_chars"), "doc_id")
+    rk = F.row_number().over(
+        Window.partitionBy("cluster_id").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    )
+    ranked = members.withColumn("rk", rk)
+    return (
+        ranked.groupBy("cluster_id")
+        .agg(
+            F.max(F.when(F.col("rk") == 1, F.col("doc_id"))).alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_members"),
+            F.max(F.when(F.col("rk") == 1, F.col("n_chars"))).alias("chars_kept"),
+            F.sum(F.when(F.col("rk") > 1, F.col("n_chars")).otherwise(0))
+            .cast("long")
+            .alias("chars_dropped"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
 QUERIES = {
     "q19_l2_topk": q19_l2_topk,
     "q20_exact_dedup": q20_exact_dedup,
@@ -1939,6 +2358,16 @@ QUERIES = {
     "q95_streaming_curation": q95_streaming_curation,
     "q96_prefix_jaccard": q96_prefix_jaccard,
     "q97_streaming_join": q97_streaming_join,
+    "q98_pii_mask": q98_pii_mask,
+    "q99_url_extract": q99_url_extract,
+    "q100_split_assign": q100_split_assign,
+    "q101_source_mixing": q101_source_mixing,
+    "q102_tfidf_topk": q102_tfidf_topk,
+    "q103_bigram_fluency": q103_bigram_fluency,
+    "q104_embed_quant": q104_embed_quant,
+    "q105_minhash_estimate": q105_minhash_estimate,
+    "q106_kmeans_update": q106_kmeans_update,
+    "q107_canonical_keeper": q107_canonical_keeper,
 }
 
 
@@ -2924,6 +3353,256 @@ ORACLE["q96_prefix_jaccard"] = f"""
     JOIN sizes sb ON sb.id = id_b
     WHERE inter / (sa.n_sh + sb.n_sh - inter) >= 0.6
     ORDER BY jaccard DESC, id_a, id_b
+"""
+
+# q98 twin: identical deterministic PII injection, the same portable
+# regexes with DuckDB's 'g' flag matching Spark's replace-all default.
+ORACLE["q98_pii_mask"] = f"""
+    WITH aug AS (
+        SELECT source,
+               text ||
+               CASE WHEN doc_id % 3 = 0
+                    THEN ' contact user' || doc_id || '@mail.example.com'
+                    ELSE '' END ||
+               CASE WHEN doc_id % 5 = 0
+                    THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                    ELSE '' END AS t
+        FROM documents
+    ), per_doc AS (
+        SELECT source,
+               len(regexp_extract_all(t, '{_PII_EMAIL}')) AS n_email,
+               len(regexp_extract_all(t, '{_PII_PHONE}')) AS n_phone,
+               length(regexp_replace(
+                   regexp_replace(t, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                   '{_PII_PHONE}', '<PHONE>', 'g')) AS masked_len,
+               length(t) AS raw_len
+        FROM aug
+    )
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(n_email) AS BIGINT) AS emails_masked,
+           CAST(SUM(n_phone) AS BIGINT) AS phones_masked,
+           CAST(SUM(CASE WHEN n_email + n_phone > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS docs_with_pii,
+           CAST(SUM(raw_len - masked_len) AS BIGINT) AS chars_delta
+    FROM per_doc GROUP BY source ORDER BY source
+"""
+
+ORACLE["q99_url_extract"] = """
+    WITH d AS (
+        SELECT source, n_chars,
+               regexp_extract(
+                   text || ' see https://site' || (doc_id % 7)
+                        || '.example.org/p/' || (doc_id % 13) || ' for more',
+                   'https://([a-z0-9.]+)/', 1) AS domain
+        FROM documents WHERE doc_id % 2 = 0
+    )
+    SELECT domain, COUNT(*) AS n_docs, COUNT(DISTINCT source) AS n_sources,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM d
+    WHERE domain NOT IN ('site0.example.org', 'site1.example.org')
+    GROUP BY domain ORDER BY domain
+"""
+
+ORACLE["q100_split_assign"] = """
+    WITH b AS (
+        SELECT lang, n_chars,
+               ('0x' || substr(md5(text), 1, 4))::BIGINT % 100 AS bucket
+        FROM documents
+    )
+    SELECT CASE WHEN bucket < 90 THEN 'train'
+                WHEN bucket < 95 THEN 'val'
+                ELSE 'test' END AS split,
+           lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM b GROUP BY split, lang ORDER BY split, lang
+"""
+
+ORACLE["q101_source_mixing"] = """
+    WITH per_src AS (
+        SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS chars_s
+        FROM documents GROUP BY source
+    ), w AS (
+        SELECT source, n_docs, chars_s,
+               CAST(floor(sqrt(sqrt(
+                   CAST(chars_s AS DOUBLE) / CAST(SUM(chars_s) OVER () AS DOUBLE)
+               )) * 1000000000000.0) AS BIGINT) AS wi
+        FROM per_src
+    )
+    SELECT source, n_docs, chars_s,
+           CAST(wi AS DOUBLE) / CAST(SUM(wi) OVER () AS DOUBLE) AS mix_frac
+    FROM w ORDER BY source
+"""
+
+ORACLE["q102_tfidf_topk"] = f"""
+    WITH tf AS (
+        SELECT source, tok, COUNT(*) AS tf
+        FROM (SELECT source, unnest({_SQL_WS.format(x='lower(text)')}) AS tok
+              FROM documents)
+        GROUP BY source, tok
+    ), scored AS (
+        SELECT source, tok, tf,
+               COUNT(*) OVER (PARTITION BY tok) AS df,
+               CAST((tf * 1000000) // COUNT(*) OVER (PARTITION BY tok) AS BIGINT)
+                   AS score
+        FROM tf
+    ), ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+                   PARTITION BY source ORDER BY score DESC, tok) AS rk
+        FROM scored
+    )
+    SELECT source, tok, tf, df, score, CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= 5 ORDER BY source, rk
+"""
+
+_SQL_2GRAMS_LOWER = sql_word_ngrams("lower(text)", 2)
+_Q103_LADDER = _sql_log2_bucket_case("c")
+
+ORACLE["q103_bigram_fluency"] = f"""
+    WITH grams AS (
+        SELECT doc_id, unnest({_SQL_2GRAMS_LOWER}) AS g FROM documents
+    ), c AS (
+        SELECT doc_id, COUNT(*) OVER (PARTITION BY g) AS c FROM grams
+    ), b AS (
+        SELECT doc_id, {_Q103_LADDER} AS bucket FROM c
+    ), per_doc AS (
+        SELECT doc_id, COUNT(*) AS n_bigrams,
+               CAST(SUM(bucket) AS BIGINT) AS sum_bucket
+        FROM b GROUP BY doc_id
+    )
+    SELECT doc_id, n_bigrams,
+           CAST(sum_bucket AS DOUBLE) / CAST(n_bigrams AS DOUBLE) AS fluency
+    FROM per_doc ORDER BY fluency ASC, doc_id LIMIT 20
+"""
+
+# q104 twin: q_i is a pure function of e_i, so the reconstruction
+# error recomputes it inline instead of a list_zip (same values).
+_Q104_RAWQ = "floor(CAST(e AS DOUBLE) * 64)"
+_Q104_Q = f"greatest(least({_Q104_RAWQ}, 127), -128)"
+ORACLE["q104_embed_quant"] = f"""
+    SELECT vec_id,
+           CAST(len(list_filter(embedding,
+                e -> {_Q104_RAWQ} > 127 OR {_Q104_RAWQ} < -128)) AS BIGINT)
+               AS n_clipped,
+           CAST(list_sum(list_transform(embedding,
+                e -> CAST(abs({_Q104_Q}) AS BIGINT))) AS BIGINT) AS l1_q,
+           list_max(list_transform(embedding,
+                e -> abs(CAST(e AS DOUBLE) - {_Q104_Q} / 64.0))) AS max_abs_err
+    FROM embeddings
+    ORDER BY max_abs_err DESC, vec_id LIMIT 20
+"""
+
+# q105 twin: exact 3-gram jaccard pairs + the same md5_hash60 MinHash
+# family recomputed per seed (q24's recipe, k=16), agreement counted
+# in long format on the seed index.
+ORACLE["q105_minhash_estimate"] = f"""
+    WITH sh AS (
+        SELECT DISTINCT doc_id AS id, unnest({_SQL_3GRAMS}) AS shingle
+        FROM documents
+    ), sizes AS (
+        SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id
+    ), inter AS (
+        SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+        GROUP BY 1, 2
+    ), pairs AS (
+        SELECT id_a, id_b,
+               inter / (sa.n_sh + sb.n_sh - inter) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.id = id_a
+        JOIN sizes sb ON sb.id = id_b
+        WHERE inter / (sa.n_sh + sb.n_sh - inter) >= 0.5
+    ), sig AS (
+        SELECT id, j, MIN({_SQL_H60_SEEDED}) AS mh
+        FROM sh CROSS JOIN range(16) AS t(j)
+        GROUP BY id, j
+    ), m AS (
+        SELECT p.id_a, p.id_b, p.jaccard,
+               CAST(COUNT(CASE WHEN a.mh = b.mh THEN 1 END) AS BIGINT) AS k_match
+        FROM pairs p
+        JOIN sig a ON a.id = p.id_a
+        JOIN sig b ON b.id = p.id_b AND b.j = a.j
+        GROUP BY 1, 2, 3
+    )
+    SELECT id_a, id_b, jaccard, k_match,
+           k_match / 16.0 AS mh_est,
+           abs(k_match / 16.0 - jaccard) AS est_err
+    FROM m ORDER BY id_a, id_b
+"""
+
+# q106 twin: distances as subquery columns (one evaluation each, like
+# the Spark select), argmin CASE, then fixed-point component sums.
+_Q106_D = [
+    f"({sql_squared_l2('embedding', sql_lit_list(c), EMBED_DIM)})"
+    for c in Q106_CENTROIDS
+]
+ORACLE["q106_kmeans_update"] = f"""
+    WITH dists AS (
+        SELECT embedding,
+               {_Q106_D[0]} AS d0, {_Q106_D[1]} AS d1,
+               {_Q106_D[2]} AS d2, {_Q106_D[3]} AS d3
+        FROM embeddings
+    ), assigned AS (
+        SELECT CAST(CASE WHEN d0 <= d1 AND d0 <= d2 AND d0 <= d3 THEN 0
+                         WHEN d1 <= d2 AND d1 <= d3 THEN 1
+                         WHEN d2 <= d3 THEN 2 ELSE 3 END AS BIGINT) AS cluster_id,
+               embedding
+        FROM dists
+    ), expl AS (
+        SELECT cluster_id, CAST(j AS BIGINT) AS dim,
+               CAST(floor(CAST(embedding[j + 1] AS DOUBLE) * 1000000) AS BIGINT) AS v6
+        FROM assigned CROSS JOIN range({EMBED_DIM}) AS t(j)
+    )
+    SELECT cluster_id, dim, COUNT(*) AS n,
+           CAST(SUM(v6) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 1000000.0
+               AS centroid_val
+    FROM expl GROUP BY cluster_id, dim ORDER BY cluster_id, dim
+"""
+
+# q107 twin: q84's recursive-CTE closure + a row_number keeper window.
+ORACLE["q107_canonical_keeper"] = f"""
+    WITH RECURSIVE sh0 AS (
+        SELECT DISTINCT doc_id AS id, unnest({_SQL_4GRAMS}) AS shingle
+        FROM documents
+    ), freq AS (
+        SELECT shingle, COUNT(*) AS f FROM sh0 GROUP BY shingle
+    ), sh AS (
+        SELECT id, sh0.shingle
+        FROM sh0 JOIN freq ON sh0.shingle = freq.shingle
+        WHERE f <= {Q23_MAX_SHINGLE_FREQ}
+    ), sizes AS (
+        SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id
+    ), inter AS (
+        SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+        GROUP BY 1, 2
+    ), pairs AS (
+        SELECT id_a, id_b
+        FROM inter
+        JOIN sizes sa ON sa.id = id_a
+        JOIN sizes sb ON sb.id = id_b
+        WHERE inter / (sa.n_sh + sb.n_sh - inter) >= 0.6
+    ), edges AS (
+        SELECT id_a AS a, id_b AS b FROM pairs
+        UNION
+        SELECT id_b AS a, id_a AS b FROM pairs
+    ), reach AS (
+        SELECT a AS id, a AS lab FROM edges
+        UNION
+        SELECT e.a AS id, r.lab AS lab FROM edges e JOIN reach r ON r.id = e.b
+    ), clusters AS (
+        SELECT id AS doc_id, MIN(lab) AS cluster_id FROM reach GROUP BY id
+    ), ranked AS (
+        SELECT c.cluster_id, c.doc_id, d.n_chars,
+               ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                                  ORDER BY d.n_chars DESC, c.doc_id) AS rk
+        FROM clusters c JOIN documents d ON d.doc_id = c.doc_id
+    )
+    SELECT cluster_id,
+           CAST(MAX(CASE WHEN rk = 1 THEN doc_id END) AS BIGINT) AS keeper_id,
+           COUNT(*) AS n_members,
+           CAST(MAX(CASE WHEN rk = 1 THEN n_chars END) AS BIGINT) AS chars_kept,
+           CAST(SUM(CASE WHEN rk > 1 THEN n_chars ELSE 0 END) AS BIGINT)
+               AS chars_dropped
+    FROM ranked GROUP BY cluster_id ORDER BY cluster_id
 """
 
 # q97 twin: the stream-stream interval join as a batch self-join —

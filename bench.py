@@ -82,6 +82,12 @@ HEADLINE = [
     "q93_part_cooccurrence",
     "q94_variance_suite",
     "q96_prefix_jaccard",
+    "q98_pii_mask",
+    "q102_tfidf_topk",
+    "q103_bigram_fluency",
+    "q105_minhash_estimate",
+    "q106_kmeans_update",
+    "q107_canonical_keeper",
 ]
 
 
