@@ -2165,15 +2165,19 @@ def q104_embed_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
 # signature agreement k_match/16 against the exact shingle Jaccard,
 # per pair. All doubles are exact rationals from integer counts
 # (k/16 is dyadic; jaccard is one division; the error one
-# subtraction — identical trees both engines). Scale: pairs come
-# from the capped shingle join; signatures add H=16 map-side MIN
-# aggregates; the audit join touches pairs only.
+# subtraction — identical trees both engines). Scale: the exact-pair
+# join runs CAPPED (max_shingle_freq — uncapped, the 16x scale probe
+# measured 9.7x wall growth from hot n=3 shingles; capped it is
+# linear like q23); signatures are over the FULL shingle set, as a
+# deployed sketch would be, and add H=16 map-side MIN aggregates;
+# the audit join touches pairs only.
 # ---------------------------------------------------------------------------
 
 def q105_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(_t(spark, sf_dir, "documents"))
     pairs = dedup.ngram_jaccard_pairs(
-        docs, "doc_id", "text", n=3, min_jaccard=0.5
+        docs, "doc_id", "text", n=3, min_jaccard=0.5,
+        max_shingle_freq=Q23_MAX_SHINGLE_FREQ,
     ).select("id_a", "id_b", "jaccard")
     sigs = dedup.minhash_signatures(docs, "doc_id", "text", n=3, num_hashes=16)
     j = pairs.join(
@@ -3497,11 +3501,17 @@ ORACLE["q105_minhash_estimate"] = f"""
     WITH sh AS (
         SELECT DISTINCT doc_id AS id, unnest({_SQL_3GRAMS}) AS shingle
         FROM documents
+    ), freq AS (
+        SELECT shingle, COUNT(*) AS f FROM sh GROUP BY shingle
+    ), shc AS (
+        SELECT id, sh.shingle
+        FROM sh JOIN freq ON sh.shingle = freq.shingle
+        WHERE f <= {Q23_MAX_SHINGLE_FREQ}
     ), sizes AS (
-        SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id
+        SELECT id, COUNT(*) AS n_sh FROM shc GROUP BY id
     ), inter AS (
         SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS inter
-        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+        FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.id < b.id
         GROUP BY 1, 2
     ), pairs AS (
         SELECT id_a, id_b,

@@ -87,8 +87,22 @@ def main() -> int:
     )
     scaled_ev.repartition(32).write.mode("overwrite").parquet(f"{DST}/events.parquet")
 
-    # relational tables pass through untouched so load_table works
-    for t in ("region", "nation", "customer", "supplier", "part", "orders", "lineitem"):
+    # lineitem scales with disjoint orderkey ranges per replica (same
+    # part space, so co-occurrence counts grow linearly with data) —
+    # q93's probe needs a scaled fact table, not a pass-through copy
+    li = spark.read.parquet(f"{SRC}/lineitem.parquet")
+    scaled_li = li.crossJoin(F.broadcast(reps)).select(
+        *[
+            (F.col(c) + F.col("rep") * 1_000_000_000).alias(c)
+            if c == "l_orderkey"
+            else F.col(c)
+            for c in li.columns
+        ]
+    )
+    scaled_li.repartition(32).write.mode("overwrite").parquet(f"{DST}/lineitem.parquet")
+
+    # remaining relational tables pass through untouched so load_table works
+    for t in ("region", "nation", "customer", "supplier", "part", "orders"):
         spark.read.parquet(f"{SRC}/{t}.parquet").write.mode("overwrite").parquet(
             f"{DST}/{t}.parquet"
         )

@@ -34,10 +34,21 @@ PROBE = [
     "q54_top_tokens",       # explode + two-phase agg
     "q62_chunk_embed_sim",  # UDTF chunk → embed → score, composed
     "q82_blocked_neardup",  # LSH blocking + exact within-block verify
-    "q84_dedup_clusters",   # pair → connected components
+    "q84_dedup_clusters",   # pair → connected components (star)
     "q86_asof_forward",     # join-free as-of (union + window)
     "q87_concat_packing",   # token cumsum packing
     "q88_length_band_trim", # exact-quantile trim, single shuffle
+    "q89_shingle_containment",  # capped-shingle asymmetric near-dup
+    "q90_vocab_coverage",   # broadcast vocab probe
+    "q91_curation_funnel",  # composed funnel, single pass
+    "q93_part_cooccurrence",  # basket self-join (lineitem scaled too)
+    "q96_prefix_jaccard",   # prefix-filtered exact similarity join
+    "q98_pii_mask",         # per-row regex masking
+    "q102_tfidf_topk",      # token window df + per-source top-k
+    "q103_bigram_fluency",  # bigram frequency window + per-doc mean
+    "q105_minhash_estimate",  # exact pairs + signature audit
+    "q106_kmeans_update",   # HOF assignment + fixed-point means
+    "q107_canonical_keeper",  # clusters + keeper window
 ]
 
 
