@@ -2274,6 +2274,176 @@ def q106_kmeans_update(spark: SparkSession, sf_dir: str) -> DataFrame:
 # cluster_id — both bounded by dup volume, not corpus size.
 # ---------------------------------------------------------------------------
 
+# ---------------------------------------------------------------------------
+# Q108 — incremental ingest dedup (the daily-batch admission pass):
+# today's batch (source src0) is admitted only if its content digest
+# is absent from the historical corpus AND it is the first holder of
+# that digest within the batch (keep-first by doc_id). One left join
+# on digests classifies every batch doc into admitted /
+# dropped-vs-history / dropped-within-batch. Scale: the join carries
+# 16-byte digests, never text; history >> batch, so this is a
+# shuffle join keyed on digest with the batch side tiny per
+# partition — or a broadcast of the BATCH digest set flipped around
+# when history is the probe side.
+# ---------------------------------------------------------------------------
+
+def q108_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    digest = F.md5(F.col("text").cast("binary"))
+    hist = (
+        docs.filter(F.col("source") != "src0")
+        .select(digest.alias("digest"))
+        .distinct()
+        .withColumn("in_hist", F.lit(1))
+    )
+    batch = docs.filter(F.col("source") == "src0").select(
+        "doc_id", "lang", digest.alias("digest")
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("digest").orderBy(F.asc("doc_id"))
+    )
+    j = batch.withColumn("rk", rk).join(hist, "digest", "left")
+    flag = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("long")  # noqa: E731
+    return (
+        j.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_batch"),
+            flag(F.col("in_hist").isNull() & (F.col("rk") == 1)).alias("n_admitted"),
+            flag(F.col("in_hist").isNotNull()).alias("n_dropped_history"),
+            flag(F.col("in_hist").isNull() & (F.col("rk") > 1)).alias(
+                "n_dropped_batch"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q109 — segment-level dedup (the exact-substring-dedup proxy of
+# RefinedWeb/Falcon: repeated SPANS are removed, not whole docs):
+# each doc splits into consecutive 10-token segments; a segment seen
+# > 2 times corpus-wide is boilerplate and its tokens are dropped;
+# per-doc audit of segments kept vs dropped. The global frequency is
+# a COUNT window over the segment text (exchange reused — no join-
+# back), and the shuffle carries segments, not documents. Top-20
+# most-trimmed docs.
+# ---------------------------------------------------------------------------
+
+def q109_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = ws_tokens(F.lower(F.col("text")))
+    n_seg = F.ceil(F.size(toks) / F.lit(10.0)).cast("int")
+    # guard the empty doc: Spark's sequence(0, -1) DESCENDS (it would
+    # emit two bogus segments); DuckDB's generate_series(0, -1) is
+    # empty — force the empty array on both.
+    segs = F.when(F.size(toks) == 0, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n_seg - 1),
+            lambda k: F.concat_ws(" ", F.slice(toks, k * 10 + 1, 10)),
+        )
+    )
+    expl = docs.select("doc_id", F.explode(segs).alias("seg"))
+    freq = F.count(F.lit(1)).over(Window.partitionBy("seg"))
+    seg_len = F.size(F.split(F.col("seg"), " ")).cast("long")
+    flagged = expl.select(
+        "doc_id",
+        seg_len.alias("seg_len"),
+        (freq > 2).alias("dropped"),
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.sum(F.when(F.col("dropped"), 1).otherwise(0)).cast("long").alias(
+                "n_dropped"
+            ),
+            F.sum(F.when(~F.col("dropped"), F.col("seg_len")).otherwise(0))
+            .cast("long")
+            .alias("retained_tok"),
+        )
+        .orderBy(F.desc("n_dropped"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q110 — per-label embedding dispersion WITHOUT pairwise distances:
+# E‖x−c‖² = E‖x‖² − ‖c‖² (the moment identity), so corpus diversity
+# per label costs one linear pass + a 64-cell agg instead of the
+# O(n²) pairwise mean. Per-row squared norms and per-dimension means
+# quantize to fixed-point BIGINTs before any cross-row sum (doubles
+# are never accumulated — float-parity policy); the only doubles are
+# per-row HOF folds and final divisions of exact integers, identical
+# trees both engines. The production diversity-filter shape for
+# "is this source collapsing to one mode?".
+# ---------------------------------------------------------------------------
+
+def q110_label_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_data_pipeline_spark.functions.vector import dot
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q2 = F.floor(dot("embedding", "embedding") * F.lit(1_000_000.0)).cast("long")
+    norms = emb.select("label", q2.alias("q2")).groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("q2").alias("s_q2")
+    )
+    dims = emb.select("label", F.posexplode("embedding").alias("dim", "v")).select(
+        "label",
+        "dim",
+        F.floor(F.col("v").cast("double") * 1_000_000).cast("long").alias("v6"),
+    )
+    per_dim = dims.groupBy("label", "dim").agg(
+        F.count(F.lit(1)).alias("n_d"), F.sum("v6").alias("s6")
+    )
+    mean_d = (
+        F.col("s6").cast("double") / F.col("n_d").cast("double") / F.lit(1_000_000.0)
+    )
+    m12 = F.floor(mean_d * mean_d * F.lit(1_000_000_000_000.0)).cast("long")
+    cent = per_dim.select("label", m12.alias("m12")).groupBy("label").agg(
+        F.sum("m12").alias("s_m12")
+    )
+    joined = norms.join(cent, "label")
+    mean_sq = (
+        F.col("s_q2").cast("double") / F.col("n").cast("double") / F.lit(1_000_000.0)
+    )
+    cent_sq = F.col("s_m12").cast("double") / F.lit(1_000_000_000_000.0)
+    return (
+        joined.select(
+            F.col("label").cast("long").alias("label"),
+            "n",
+            mean_sq.alias("mean_sq_norm"),
+            cent_sq.alias("centroid_sq_norm"),
+            (mean_sq - cent_sq).alias("dispersion"),
+        )
+        .orderBy("label")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q111 — dup-graph degree histogram (the graph-health check before
+# any cluster resolution: a fat-tailed degree distribution predicts
+# giant components and motivates the star contraction): q23-shape
+# capped near-dup pairs → per-node degree → log2-bucket histogram
+# (integer CASE ladder). Shuffles carry (node, degree) scalars.
+# ---------------------------------------------------------------------------
+
+def q111_dupgraph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(_t(spark, sf_dir, "documents"))
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=4, min_jaccard=0.6,
+        max_shingle_freq=Q23_MAX_SHINGLE_FREQ,
+    ).select("id_a", "id_b")
+    sym = pairs.union(
+        pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+    )
+    deg = sym.groupBy("id_a").agg(F.count(F.lit(1)).alias("degree"))
+    return (
+        deg.select(_log2_bucket_case("degree").alias("deg_bucket"))
+        .groupBy("deg_bucket")
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+        .orderBy("deg_bucket")
+    )
+
+
 def q107_canonical_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(_t(spark, sf_dir, "documents"))
     pairs = dedup.ngram_jaccard_pairs(
@@ -2372,6 +2542,10 @@ QUERIES = {
     "q105_minhash_estimate": q105_minhash_estimate,
     "q106_kmeans_update": q106_kmeans_update,
     "q107_canonical_keeper": q107_canonical_keeper,
+    "q108_incremental_dedup": q108_incremental_dedup,
+    "q109_segment_dedup": q109_segment_dedup,
+    "q110_label_dispersion": q110_label_dispersion,
+    "q111_dupgraph_degree": q111_dupgraph_degree,
 }
 
 
@@ -3492,6 +3666,119 @@ ORACLE["q104_embed_quant"] = f"""
                 e -> abs(CAST(e AS DOUBLE) - {_Q104_Q} / 64.0))) AS max_abs_err
     FROM embeddings
     ORDER BY max_abs_err DESC, vec_id LIMIT 20
+"""
+
+ORACLE["q108_incremental_dedup"] = """
+    WITH hist AS (
+        SELECT DISTINCT md5(text) AS digest FROM documents WHERE source <> 'src0'
+    ), batch AS (
+        SELECT doc_id, lang, md5(text) AS digest,
+               ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rk
+        FROM documents WHERE source = 'src0'
+    ), j AS (
+        SELECT b.lang, b.rk, (h.digest IS NOT NULL) AS in_hist
+        FROM batch b LEFT JOIN hist h ON h.digest = b.digest
+    )
+    SELECT lang, COUNT(*) AS n_batch,
+           CAST(SUM(CASE WHEN NOT in_hist AND rk = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_admitted,
+           CAST(SUM(CASE WHEN in_hist THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dropped_history,
+           CAST(SUM(CASE WHEN NOT in_hist AND rk > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dropped_batch
+    FROM j GROUP BY lang ORDER BY lang
+"""
+
+_SQL_WS_LOWER = _SQL_WS.format(x="lower(text)")
+ORACLE["q109_segment_dedup"] = f"""
+    WITH base AS (
+        SELECT doc_id, {_SQL_WS_LOWER} AS ws FROM documents
+    ), segs AS (
+        SELECT doc_id,
+               unnest(list_transform(
+                   generate_series(0, CAST(ceil(len(ws) / 10.0) AS INTEGER) - 1),
+                   k -> array_to_string(ws[(k * 10 + 1):(k * 10 + 10)], ' ')
+               )) AS seg
+        FROM base
+    ), flagged AS (
+        SELECT doc_id,
+               len(string_split(seg, ' ')) AS seg_len,
+               COUNT(*) OVER (PARTITION BY seg) > 2 AS dropped
+        FROM segs
+    )
+    SELECT doc_id, COUNT(*) AS n_segments,
+           CAST(SUM(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+           CAST(SUM(CASE WHEN NOT dropped THEN seg_len ELSE 0 END) AS BIGINT)
+               AS retained_tok
+    FROM flagged GROUP BY doc_id
+    ORDER BY n_dropped DESC, doc_id LIMIT 20
+"""
+
+_Q110_DOT = sql_dot("embedding", "embedding", EMBED_DIM)
+ORACLE["q110_label_dispersion"] = f"""
+    WITH norms AS (
+        SELECT label,
+               CAST(floor(({_Q110_DOT}) * 1000000.0) AS BIGINT) AS q2
+        FROM embeddings
+    ), per_label AS (
+        SELECT label, COUNT(*) AS n, CAST(SUM(q2) AS BIGINT) AS s_q2
+        FROM norms GROUP BY label
+    ), dims AS (
+        SELECT label, j AS dim,
+               CAST(floor(CAST(embedding[j + 1] AS DOUBLE) * 1000000) AS BIGINT) AS v6
+        FROM embeddings CROSS JOIN range({EMBED_DIM}) AS t(j)
+    ), per_dim AS (
+        SELECT label, dim, COUNT(*) AS n_d, CAST(SUM(v6) AS BIGINT) AS s6
+        FROM dims GROUP BY label, dim
+    ), cent AS (
+        SELECT label,
+               CAST(SUM(CAST(floor(
+                   (CAST(s6 AS DOUBLE) / CAST(n_d AS DOUBLE) / 1000000.0)
+                   * (CAST(s6 AS DOUBLE) / CAST(n_d AS DOUBLE) / 1000000.0)
+                   * 1000000000000.0) AS BIGINT)) AS BIGINT) AS s_m12
+        FROM per_dim GROUP BY label
+    )
+    SELECT CAST(p.label AS BIGINT) AS label, p.n,
+           CAST(s_q2 AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0 AS mean_sq_norm,
+           CAST(s_m12 AS DOUBLE) / 1000000000000.0 AS centroid_sq_norm,
+           CAST(s_q2 AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0
+               - CAST(s_m12 AS DOUBLE) / 1000000000000.0 AS dispersion
+    FROM per_label p JOIN cent c ON c.label = p.label
+    ORDER BY label
+"""
+
+_Q111_LADDER = _sql_log2_bucket_case("degree")
+ORACLE["q111_dupgraph_degree"] = f"""
+    WITH sh0 AS (
+        SELECT DISTINCT doc_id AS id, unnest({_SQL_4GRAMS}) AS shingle
+        FROM documents
+    ), freq AS (
+        SELECT shingle, COUNT(*) AS f FROM sh0 GROUP BY shingle
+    ), sh AS (
+        SELECT id, sh0.shingle
+        FROM sh0 JOIN freq ON sh0.shingle = freq.shingle
+        WHERE f <= {Q23_MAX_SHINGLE_FREQ}
+    ), sizes AS (
+        SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id
+    ), inter AS (
+        SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+        GROUP BY 1, 2
+    ), pairs AS (
+        SELECT id_a, id_b
+        FROM inter
+        JOIN sizes sa ON sa.id = id_a
+        JOIN sizes sb ON sb.id = id_b
+        WHERE inter / (sa.n_sh + sb.n_sh - inter) >= 0.6
+    ), sym AS (
+        SELECT id_a, id_b FROM pairs
+        UNION ALL
+        SELECT id_b, id_a FROM pairs
+    ), deg AS (
+        SELECT id_a, COUNT(*) AS degree FROM sym GROUP BY id_a
+    )
+    SELECT {_Q111_LADDER} AS deg_bucket, COUNT(*) AS n_nodes
+    FROM deg GROUP BY deg_bucket ORDER BY deg_bucket
 """
 
 # q105 twin: exact 3-gram jaccard pairs + the same md5_hash60 MinHash

@@ -88,6 +88,9 @@ HEADLINE = [
     "q105_minhash_estimate",
     "q106_kmeans_update",
     "q107_canonical_keeper",
+    "q108_incremental_dedup",
+    "q109_segment_dedup",
+    "q110_label_dispersion",
 ]
 
 
