@@ -72,6 +72,8 @@ DRIVER_EVIDENCE = frozenset({
     # NOT q21_chunker / q24_minhash_lsh / q25_simhash: r01/r02 recorded
     # only rows-only no_oracle rows; r03 gives them full SQL twins, so
     # they route to the front for a hashed driver row.
+    # NOT q97–q111: new in r03 — they route to the front with them
+    # (18 unevidenced total, well inside the 50-entry window).
 })
 
 # Backward-compatible alias (pre-r03 name).

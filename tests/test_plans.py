@@ -279,3 +279,28 @@ def test_q80_single_documents_scan(spark, sf_dir):
         if "FileScan" in l
     }
     assert len(scans) == 1, scans
+
+
+def test_new_frequency_windows_have_no_join_back(spark, sf_dir):
+    """q102 (df enrichment), q103 (bigram frequency), q109 (segment
+    frequency) all enrich via COUNT windows over the exploded frame —
+    no join, single documents scan (CLAUDE.md's window-vs-join-back
+    rule)."""
+    for fn in (P.q102_tfidf_topk, P.q103_bigram_fluency, P.q109_segment_dedup):
+        s = plan_of(fn(spark, sf_dir))
+        assert "Join" not in s, fn.__name__
+        scans = {
+            re.sub(r"#\d+", "", l).strip()
+            for l in s.splitlines()
+            if "FileScan" in l
+        }
+        assert len(scans) == 1, (fn.__name__, scans)
+
+
+def test_q108_digest_join_carries_no_text(spark, sf_dir):
+    """The incremental-dedup join must shuffle digests, not document
+    text: text dies at the scan's project on both branches."""
+    s = plan_of(P.q108_incremental_dedup(spark, sf_dir))
+    for line in s.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "text#" not in line
