@@ -2426,6 +2426,91 @@ def q110_label_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (integer CASE ladder). Shuffles carry (node, degree) scalars.
 # ---------------------------------------------------------------------------
 
+# ---------------------------------------------------------------------------
+# Q112 — time-series gap fill: the hourly event-type spine (min..max
+# observed hour × distinct types) left-joined with observed counts,
+# missing cells zero-filled and flagged — the resample/asfreq step
+# every monitoring and feature pipeline needs, built from
+# sequence+explode instead of a UDF calendar. Scale: the spine is
+# hours×types (tiny, broadcast side); the fact side aggregates
+# map-side before its one exchange.
+# ---------------------------------------------------------------------------
+
+def q112_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_events(spark, sf_dir)
+    hours = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    ).select(
+        F.explode(
+            F.sequence(F.col("h0"), F.col("h1"), F.expr("interval 1 hour"))
+        ).alias("hour")
+    )
+    types = e.select("event_type").distinct()
+    spine = hours.crossJoin(types)
+    counts = e.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n0"))
+    return (
+        spine.join(counts, ["hour", "event_type"], "left")
+        .select(
+            "event_type",
+            F.col("hour").cast("long").alias("hour_s"),
+            F.coalesce(F.col("n0"), F.lit(0)).cast("long").alias("n"),
+            F.col("n0").isNull().alias("is_gap"),
+        )
+        .orderBy("event_type", "hour_s")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q113 — rolling median (robust smoothing): per-user 5-event moving
+# median of the event value over a TOTAL order (ts, event_id) — the
+# robust-statistics window primitive (moving averages are q13; a
+# median survives outliers). Values ride as exact 4-decimal integer
+# units, so the median is an integer or a .5 midpoint — both exact
+# dyadic doubles cross-engine. Scale: one window shuffle on user_id,
+# frame bounded at 5 rows.
+# ---------------------------------------------------------------------------
+
+def q113_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_events(spark, sf_dir)
+    v4 = F.round(F.col("value") * 10000, 0).cast("long")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.asc("event_id"))
+        .rowsBetween(-4, 0)
+    )
+    # Spark's median/percentile aggregates reject window FRAMES
+    # (INVALID_WINDOW_SPEC_FOR_AGGREGATION_FUNC) — for a bounded
+    # frame the sorted-array middle is equivalent and cheap (≤5
+    # elements), and collect_list over a rowsBetween frame preserves
+    # the frame's deterministic order before the sort.
+    arr = F.sort_array(F.collect_list("v4").over(w))
+    n = F.size(arr)
+    mid_hi = ((n + 1) / F.lit(2)).cast("int")
+    med4 = F.when(
+        n % 2 == 1, F.element_at(arr, mid_hi).cast("double")
+    ).otherwise(
+        (
+            F.element_at(arr, (n / F.lit(2)).cast("int"))
+            + F.element_at(arr, (n / F.lit(2)).cast("int") + 1)
+        )
+        / F.lit(2.0)
+    )
+    return (
+        e.select("event_id", "user_id", "ts", v4.alias("v4"))
+        .withColumn("med4", med4)
+        .select(
+            "event_id",
+            "user_id",
+            (F.col("v4") / 10000.0).alias("value"),
+            (F.col("med4") / 10000.0).alias("moving_median"),
+        )
+        .orderBy("event_id")
+    )
+
+
 def q111_dupgraph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(_t(spark, sf_dir, "documents"))
     pairs = dedup.ngram_jaccard_pairs(
@@ -2546,6 +2631,8 @@ QUERIES = {
     "q109_segment_dedup": q109_segment_dedup,
     "q110_label_dispersion": q110_label_dispersion,
     "q111_dupgraph_degree": q111_dupgraph_degree,
+    "q112_gap_fill": q112_gap_fill,
+    "q113_moving_median": q113_moving_median,
 }
 
 
@@ -3666,6 +3753,45 @@ ORACLE["q104_embed_quant"] = f"""
                 e -> abs(CAST(e AS DOUBLE) - {_Q104_Q} / 64.0))) AS max_abs_err
     FROM embeddings
     ORDER BY max_abs_err DESC, vec_id LIMIT 20
+"""
+
+ORACLE["q112_gap_fill"] = """
+    WITH bounds AS (
+        SELECT date_trunc('hour', MIN(ts)) AS h0,
+               date_trunc('hour', MAX(ts)) AS h1
+        FROM events
+    ), hours AS (
+        SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+        FROM bounds
+    ), types AS (
+        SELECT DISTINCT event_type FROM events
+    ), spine AS (
+        SELECT hour, event_type FROM hours CROSS JOIN types
+    ), counts AS (
+        SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n0
+        FROM events GROUP BY 1, 2
+    )
+    SELECT s.event_type,
+           epoch_ms(s.hour) // 1000 AS hour_s,
+           CAST(COALESCE(c.n0, 0) AS BIGINT) AS n,
+           c.n0 IS NULL AS is_gap
+    FROM spine s
+    LEFT JOIN counts c ON c.hour = s.hour AND c.event_type = s.event_type
+    ORDER BY s.event_type, hour_s
+"""
+
+ORACLE["q113_moving_median"] = """
+    WITH v AS (
+        SELECT event_id, user_id,
+               CAST(ROUND(value * 10000) AS BIGINT) AS v4, ts
+        FROM events
+    )
+    SELECT event_id, user_id,
+           v4 / 10000.0 AS value,
+           median(v4) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+               / 10000.0 AS moving_median
+    FROM v ORDER BY event_id
 """
 
 ORACLE["q108_incremental_dedup"] = """

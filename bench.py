@@ -91,6 +91,8 @@ HEADLINE = [
     "q108_incremental_dedup",
     "q109_segment_dedup",
     "q110_label_dispersion",
+    "q112_gap_fill",
+    "q113_moving_median",
 ]
 
 
