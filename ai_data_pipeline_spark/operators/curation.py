@@ -1,0 +1,193 @@
+"""Corpus-curation operators: the reusable forms of the release-
+pipeline passes (PII redaction, domain filtering, split assignment,
+span-level dedup, resampling, robust smoothing). Each function emits
+a DataFrame/Column plan of pure built-in expressions — no UDFs, no
+driver-side loops — so Catalyst optimizes them like any user query
+and the shuffle payloads stay scalar.
+
+The q98/q99/q100/q109/q112/q113 registry entries are thin wrappers
+over these; their DuckDB twins pin the semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# Java∩RE2-portable subset (char classes, +, {n} — no lookaround), so
+# Spark and any RE2-based engine (DuckDB, Go, Hyperscan-style
+# scanners) match identical spans.
+PII_EMAIL = "[a-z0-9]+@[a-z0-9.]+[a-z]"
+PII_PHONE = "555-[0-9]{4}"
+
+
+def mask_pii(
+    text: Column | str,
+    patterns: list[tuple[str, str]] | None = None,
+) -> Column:
+    """Masked text: each (regex, placeholder) applied in order.
+
+    Replacement is global on both Spark (default) and RE2 engines
+    (pass the 'g' flag there). Order matters when spans can nest —
+    apply the longest/most-specific pattern first.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    for pat, placeholder in patterns or [
+        (PII_EMAIL, "<EMAIL>"),
+        (PII_PHONE, "<PHONE>"),
+    ]:
+        c = F.regexp_replace(c, pat, placeholder)
+    return c
+
+
+def pii_counts(
+    text: Column | str,
+    patterns: list[str] | None = None,
+) -> list[Column]:
+    """Per-pattern match counts (long), same order as ``patterns``."""
+    c = F.col(text) if isinstance(text, str) else text
+    return [
+        F.regexp_count(c, F.lit(p)).cast("long")
+        for p in patterns or [PII_EMAIL, PII_PHONE]
+    ]
+
+
+def url_domain(text: Column | str) -> Column:
+    """First https URL's domain ('' when absent — filter upstream when
+    absence is meaningful)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_extract(c, r"https://([a-z0-9.]+)/", 1)
+
+
+def split_bucket(text: Column | str, buckets: int = 100) -> Column:
+    """Content-derived split bucket in [0, buckets): md5 of the raw
+    text, first 4 hex digits mod ``buckets``. Identical across runs,
+    partition layouts and cluster sizes (unlike randomSplit), and
+    exact dups land in the same bucket — no train→test leakage
+    through duplicates. DuckDB twin:
+    ``('0x' || substr(md5(text), 1, 4))::BIGINT % buckets``.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    return (
+        F.conv(F.substring(F.md5(c.cast("binary")), 1, 4), 16, 10).cast("long")
+        % buckets
+    )
+
+
+def assign_split(
+    text: Column | str, train_pct: int = 90, val_pct: int = 5
+) -> Column:
+    """'train' / 'val' / 'test' from :func:`split_bucket` percents."""
+    b = split_bucket(text)
+    return (
+        F.when(b < train_pct, "train")
+        .when(b < train_pct + val_pct, "val")
+        .otherwise("test")
+    )
+
+
+def segment_table(
+    df: DataFrame, id_col: str, text_col: str, seg_tokens: int = 10
+) -> DataFrame:
+    """[id, seg] — consecutive ``seg_tokens``-token segments of the
+    lower-cased whitespace tokenization (last segment ragged). The
+    unit of span-level dedup (exact-substring proxy): segments
+    shuffle, documents never do.
+    """
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
+        lambda w: F.length(w) > 0,
+    )
+    n_seg = F.ceil(F.size(toks) / F.lit(float(seg_tokens))).cast("int")
+    # guard the empty doc: Spark's sequence(0, -1) DESCENDS
+    segs = F.when(F.size(toks) == 0, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n_seg - 1),
+            lambda k: F.concat_ws(
+                " ", F.slice(toks, k * seg_tokens + 1, seg_tokens)
+            ),
+        )
+    )
+    return df.select(F.col(id_col).alias("id"), F.explode(segs).alias("seg"))
+
+
+def segment_dedup_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    seg_tokens: int = 10,
+    max_freq: int = 2,
+) -> DataFrame:
+    """Per-doc span-trim audit: [id, n_segments, n_dropped,
+    retained_tok] where a segment seen more than ``max_freq`` times
+    corpus-wide counts as dropped boilerplate. The global frequency
+    is a COUNT window over the segment (exchange reused — never a
+    groupBy+join-back)."""
+    segs = segment_table(df, id_col, text_col, seg_tokens)
+    freq = F.count(F.lit(1)).over(Window.partitionBy("seg"))
+    seg_len = F.size(F.split(F.col("seg"), " ")).cast("long")
+    flagged = segs.select(
+        "id", seg_len.alias("seg_len"), (freq > max_freq).alias("dropped")
+    )
+    return flagged.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.sum(F.when(F.col("dropped"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_dropped"),
+        F.sum(F.when(~F.col("dropped"), F.col("seg_len")).otherwise(0))
+        .cast("long")
+        .alias("retained_tok"),
+    )
+
+
+def gap_fill_hourly(
+    df: DataFrame, time_col: str, key_col: str
+) -> DataFrame:
+    """[<key_col>, hour, n, is_gap] — the hourly spine from min to max
+    observed hour crossed with distinct keys, left-joined with
+    observed counts; missing cells zero-filled and flagged. The spine
+    is hours×keys (tiny, broadcast side); the fact side partial-
+    aggregates before its one exchange."""
+    hours = df.agg(
+        F.date_trunc("hour", F.min(time_col)).alias("h0"),
+        F.date_trunc("hour", F.max(time_col)).alias("h1"),
+    ).select(
+        F.explode(
+            F.sequence(F.col("h0"), F.col("h1"), F.expr("interval 1 hour"))
+        ).alias("hour")
+    )
+    keys = df.select(key_col).distinct()
+    spine = hours.crossJoin(keys)
+    counts = df.groupBy(
+        F.date_trunc("hour", F.col(time_col)).alias("hour"), key_col
+    ).agg(F.count(F.lit(1)).alias("n0"))
+    return spine.join(counts, ["hour", key_col], "left").select(
+        key_col,
+        "hour",
+        F.coalesce(F.col("n0"), F.lit(0)).cast("long").alias("n"),
+        F.col("n0").isNull().alias("is_gap"),
+    )
+
+
+def rolling_median_int(value: Column | str, window: Window) -> Column:
+    """Exact rolling median of an INTEGER column over a bounded row
+    frame, as a double. Spark's median/percentile aggregates reject
+    window frames (INVALID_WINDOW_SPEC_FOR_AGGREGATION_FUNC), so the
+    frame's values sort in-array (collect_list preserves frame
+    order deterministically; the frame is small by construction).
+    Integer inputs make the even-count midpoint an exact dyadic
+    double — cross-engine-safe, unlike a median of raw doubles.
+    """
+    v = F.col(value) if isinstance(value, str) else value
+    arr = F.sort_array(F.collect_list(v).over(window))
+    n = F.size(arr)
+    mid_hi = ((n + 1) / F.lit(2)).cast("int")
+    return F.when(
+        n % 2 == 1, F.element_at(arr, mid_hi).cast("double")
+    ).otherwise(
+        (
+            F.element_at(arr, (n / F.lit(2)).cast("int"))
+            + F.element_at(arr, (n / F.lit(2)).cast("int") + 1)
+        )
+        / F.lit(2.0)
+    )

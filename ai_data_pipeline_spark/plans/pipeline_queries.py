@@ -39,6 +39,17 @@ from ai_data_pipeline_spark.functions.vector import (
     squared_l2,
 )
 from ai_data_pipeline_spark.operators import dedup, similarity
+from ai_data_pipeline_spark.operators.curation import (
+    PII_EMAIL as _PII_EMAIL,
+    PII_PHONE as _PII_PHONE,
+    assign_split,
+    gap_fill_hourly,
+    mask_pii,
+    pii_counts,
+    rolling_median_int,
+    segment_dedup_stats,
+    url_domain,
+)
 from ai_data_pipeline_spark.operators.asof import asof_join_union, sessionize
 from ai_data_pipeline_spark.operators.chunker import chunk_documents, chunk_pipeline_python
 from ai_data_pipeline_spark.operators.multimodal import extract_blob_meta, to_blob_table
@@ -1893,10 +1904,6 @@ def q97_streaming_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # is NOT needed.
 # ---------------------------------------------------------------------------
 
-_PII_EMAIL = "[a-z0-9]+@[a-z0-9.]+[a-z]"
-_PII_PHONE = "555-[0-9]{4}"
-
-
 def q98_pii_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     aug = F.concat(
@@ -1917,13 +1924,12 @@ def q98_pii_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).otherwise(F.lit("")),
     )
-    masked = F.regexp_replace(
-        F.regexp_replace(aug, _PII_EMAIL, "<EMAIL>"), _PII_PHONE, "<PHONE>"
-    )
+    masked = mask_pii(aug)
+    n_email, n_phone = pii_counts(aug)
     per_doc = docs.select(
         "source",
-        F.regexp_count(aug, F.lit(_PII_EMAIL)).cast("long").alias("n_email"),
-        F.regexp_count(aug, F.lit(_PII_PHONE)).cast("long").alias("n_phone"),
+        n_email.alias("n_email"),
+        n_phone.alias("n_phone"),
         F.length(masked).cast("long").alias("masked_len"),
         F.length(aug).cast("long").alias("raw_len"),
     )
@@ -1962,7 +1968,7 @@ def q99_url_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") % 13).cast("string"),
         F.lit(" for more"),
     )
-    domain = F.regexp_extract(aug, r"https://([a-z0-9.]+)/", 1)
+    domain = url_domain(aug)
     blocked = ["site0.example.org", "site1.example.org"]
     return (
         docs.filter(F.col("doc_id") % 2 == 0)
@@ -1990,16 +1996,8 @@ def q99_url_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q100_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("text").cast("binary")), 1, 4), 16, 10)
-        .cast("long")
-        % 100
-    )
-    split = (
-        F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
-    )
     return (
-        docs.select(split.alias("split"), "lang", "n_chars")
+        docs.select(assign_split("text").alias("split"), "lang", "n_chars")
         .groupBy("split", "lang")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -2331,36 +2329,9 @@ def q108_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q109_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
-    toks = ws_tokens(F.lower(F.col("text")))
-    n_seg = F.ceil(F.size(toks) / F.lit(10.0)).cast("int")
-    # guard the empty doc: Spark's sequence(0, -1) DESCENDS (it would
-    # emit two bogus segments); DuckDB's generate_series(0, -1) is
-    # empty — force the empty array on both.
-    segs = F.when(F.size(toks) == 0, F.array().cast("array<string>")).otherwise(
-        F.transform(
-            F.sequence(F.lit(0), n_seg - 1),
-            lambda k: F.concat_ws(" ", F.slice(toks, k * 10 + 1, 10)),
-        )
-    )
-    expl = docs.select("doc_id", F.explode(segs).alias("seg"))
-    freq = F.count(F.lit(1)).over(Window.partitionBy("seg"))
-    seg_len = F.size(F.split(F.col("seg"), " ")).cast("long")
-    flagged = expl.select(
-        "doc_id",
-        seg_len.alias("seg_len"),
-        (freq > 2).alias("dropped"),
-    )
     return (
-        flagged.groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_segments"),
-            F.sum(F.when(F.col("dropped"), 1).otherwise(0)).cast("long").alias(
-                "n_dropped"
-            ),
-            F.sum(F.when(~F.col("dropped"), F.col("seg_len")).otherwise(0))
-            .cast("long")
-            .alias("retained_tok"),
-        )
+        segment_dedup_stats(docs, "doc_id", "text", seg_tokens=10, max_freq=2)
+        .withColumnRenamed("id", "doc_id")
         .orderBy(F.desc("n_dropped"), F.asc("doc_id"))
         .limit(20)
     )
@@ -2438,26 +2409,13 @@ def q110_label_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q112_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_events(spark, sf_dir)
-    hours = e.agg(
-        F.date_trunc("hour", F.min("ts")).alias("h0"),
-        F.date_trunc("hour", F.max("ts")).alias("h1"),
-    ).select(
-        F.explode(
-            F.sequence(F.col("h0"), F.col("h1"), F.expr("interval 1 hour"))
-        ).alias("hour")
-    )
-    types = e.select("event_type").distinct()
-    spine = hours.crossJoin(types)
-    counts = e.groupBy(
-        F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type"
-    ).agg(F.count(F.lit(1)).alias("n0"))
     return (
-        spine.join(counts, ["hour", "event_type"], "left")
+        gap_fill_hourly(e, "ts", "event_type")
         .select(
             "event_type",
             F.col("hour").cast("long").alias("hour_s"),
-            F.coalesce(F.col("n0"), F.lit(0)).cast("long").alias("n"),
-            F.col("n0").isNull().alias("is_gap"),
+            "n",
+            "is_gap",
         )
         .orderBy("event_type", "hour_s")
     )
@@ -2481,26 +2439,9 @@ def q113_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.asc("ts"), F.asc("event_id"))
         .rowsBetween(-4, 0)
     )
-    # Spark's median/percentile aggregates reject window FRAMES
-    # (INVALID_WINDOW_SPEC_FOR_AGGREGATION_FUNC) — for a bounded
-    # frame the sorted-array middle is equivalent and cheap (≤5
-    # elements), and collect_list over a rowsBetween frame preserves
-    # the frame's deterministic order before the sort.
-    arr = F.sort_array(F.collect_list("v4").over(w))
-    n = F.size(arr)
-    mid_hi = ((n + 1) / F.lit(2)).cast("int")
-    med4 = F.when(
-        n % 2 == 1, F.element_at(arr, mid_hi).cast("double")
-    ).otherwise(
-        (
-            F.element_at(arr, (n / F.lit(2)).cast("int"))
-            + F.element_at(arr, (n / F.lit(2)).cast("int") + 1)
-        )
-        / F.lit(2.0)
-    )
     return (
         e.select("event_id", "user_id", "ts", v4.alias("v4"))
-        .withColumn("med4", med4)
+        .withColumn("med4", rolling_median_int("v4", w))
         .select(
             "event_id",
             "user_id",

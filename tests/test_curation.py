@@ -1,141 +1,106 @@
-"""Property tests for the curation-query arithmetic (q87 packing,
-q88 length-band trim): the Spark window recipes vs straight-line
-Python references on randomized inputs. The oracle already pins them
-against DuckDB on the fixed testdata; these pin the SEMANTICS on
-corpora the testdata doesn't contain (empty docs, giant docs, single-
-doc sources, all-equal lengths)."""
+"""Unit tests for the reusable curation operators (the library forms
+behind q98/q99/q100/q109/q112/q113 — those queries' DuckDB twins pin
+cross-engine semantics; these pin the operator API on small frames)."""
 
 from __future__ import annotations
 
-import math
-
-from hypothesis import given, settings
-from hypothesis import strategies as st
-
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-BUDGET = 512
+from ai_data_pipeline_spark.operators import curation as C
 
 
-def _pack_ref(tok_counts: list[int], budget: int = BUDGET) -> dict:
-    """Straight-line concat-and-chunk packing accounting."""
-    cum = 0
-    n_spanning = 0
-    max_span = None
-    for t in tok_counts:
-        start_seq = cum // budget
-        cum += t
-        # mirror the query: end = greatest(cum-1, cum-t) div budget
-        end_seq = max(cum - 1, cum - t) // budget
-        span = end_seq - start_seq
-        n_spanning += 1 if span > 0 else 0
-        max_span = span if max_span is None else max(max_span, span)
-    n_seqs = (cum + budget - 1) // budget
-    return {
-        "n_docs": len(tok_counts),
-        "n_tok": cum,
-        "n_seqs": n_seqs,
-        "n_spanning": n_spanning,
-        "max_span": max_span,
+def test_mask_pii_and_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "write to bob99@mail.example.com or call 555-0199 now"),
+         (2, "no pii here")],
+        "id LONG, text STRING",
+    )
+    out = df.select(
+        "id",
+        C.mask_pii("text").alias("masked"),
+        *[c.alias(f"c{i}") for i, c in enumerate(C.pii_counts("text"))],
+    ).orderBy("id").collect()
+    assert out[0]["masked"] == "write to <EMAIL> or call <PHONE> now"
+    assert (out[0]["c0"], out[0]["c1"]) == (1, 1)
+    assert out[1]["masked"] == "no pii here"
+    assert (out[1]["c0"], out[1]["c1"]) == (0, 0)
+
+
+def test_url_domain(spark):
+    df = spark.createDataFrame(
+        [(1, "see https://a.example.org/x page"), (2, "nothing")],
+        "id LONG, text STRING",
+    )
+    got = {r["id"]: r["d"] for r in df.select("id", C.url_domain("text").alias("d")).collect()}
+    assert got == {1: "a.example.org", 2: ""}
+
+
+def test_assign_split_deterministic_and_dup_stable(spark):
+    df = spark.createDataFrame(
+        [(i, f"doc number {i} body") for i in range(50)] + [(99, "doc number 7 body")],
+        "id LONG, text STRING",
+    )
+    rows = df.select("id", "text", C.assign_split("text").alias("s")).collect()
+    by_text = {}
+    for r in rows:
+        by_text.setdefault(r["text"], set()).add(r["s"])
+    # exact dups land in the same split
+    assert all(len(v) == 1 for v in by_text.values())
+    # rerun → identical assignment
+    again = {r["id"]: r["s"] for r in df.select("id", C.assign_split("text").alias("s")).collect()}
+    assert again == {r["id"]: r["s"] for r in rows}
+
+
+def test_segment_table_ragged_and_empty(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h i j k l"), (2, "   "), (3, "x y")],
+        "id LONG, text STRING",
+    )
+    segs = C.segment_table(df, "id", "text", seg_tokens=5).collect()
+    got = {}
+    for r in segs:
+        got.setdefault(r["id"], []).append(r["seg"])
+    assert got[1] == ["a b c d e", "f g h i j", "k l"]
+    assert 2 not in got          # empty doc → zero segments
+    assert got[3] == ["x y"]
+
+
+def test_segment_dedup_stats_flags_boilerplate(spark):
+    boiler = "the same ten tokens repeated in every single doc here"
+    rows = [(i, boiler + f" unique tail {i} x") for i in range(4)]
+    df = spark.createDataFrame(rows, "id LONG, text STRING")
+    out = {
+        r["id"]: (r["n_segments"], r["n_dropped"], r["retained_tok"])
+        for r in C.segment_dedup_stats(df, "id", "text", seg_tokens=10, max_freq=2).collect()
     }
+    # the shared 10-token prefix segment occurs 4 times > max_freq → dropped;
+    # each doc keeps only its 4-token ragged tail
+    assert all(v == (2, 1, 4) for v in out.values()), out
 
 
-@settings(max_examples=10, deadline=None)
-@given(
-    st.lists(st.integers(min_value=0, max_value=2000), min_size=1, max_size=40)
-)
-def test_packing_matches_reference(spark, tok_counts):
-    """The q87 window recipe on synthetic docs == the straight-line
-    reference. Docs are 'w ' * k so token_count_ws == k exactly."""
-    from ai_data_pipeline_spark.plans.pipeline_queries import Q87_BUDGET
-    from ai_data_pipeline_spark.functions.text import token_count_ws
-    from pyspark.sql import Window
-
-    assert Q87_BUDGET == BUDGET
-    rows = [(i, "w " * k) for i, k in enumerate(tok_counts)]
-    docs = spark.createDataFrame(rows, "doc_id BIGINT, text STRING").withColumn(
-        "source", F.lit("s")
-    )
-    w = (
-        Window.partitionBy("source")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    t = docs.select(
-        "source", "doc_id", token_count_ws(F.col("text")).cast("long").alias("n_tok")
-    ).withColumn("cum", F.sum("n_tok").over(w))
-    t = t.select(
-        "source",
-        "n_tok",
-        F.expr(f"(cum - n_tok) div {BUDGET}").alias("start_seq"),
-        F.expr(f"greatest(cum - 1, cum - n_tok) div {BUDGET}").alias("end_seq"),
-        "cum",
-    )
-    got = (
-        t.groupBy("source")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_tok").cast("long").alias("n_tok"),
-            F.expr(f"(max(cum) + {BUDGET} - 1) div {BUDGET}").cast("long").alias("n_seqs"),
-            F.sum(F.when(F.col("end_seq") > F.col("start_seq"), 1).otherwise(0))
-            .cast("long")
-            .alias("n_spanning"),
-            F.max(F.col("end_seq") - F.col("start_seq")).cast("long").alias("max_span"),
-        )
-        .collect()[0]
-    )
-    ref = _pack_ref(tok_counts)
-    assert got["n_docs"] == ref["n_docs"]
-    assert got["n_tok"] == ref["n_tok"]
-    assert got["n_seqs"] == ref["n_seqs"]
-    assert got["n_spanning"] == ref["n_spanning"]
-    assert got["max_span"] == ref["max_span"]
+def test_gap_fill_hourly_zero_fills(spark):
+    df = spark.createDataFrame(
+        [("a", "2024-01-01 00:10:00"), ("a", "2024-01-01 02:20:00"),
+         ("b", "2024-01-01 01:30:00")],
+        "k STRING, t STRING",
+    ).select("k", F.col("t").cast("timestamp").alias("t"))
+    out = {(r["k"], r["hour"].hour): (r["n"], r["is_gap"])
+           for r in C.gap_fill_hourly(df, "t", "k").collect()}
+    assert len(out) == 6  # 3 hours x 2 keys
+    assert out[("a", 0)] == (1, False)
+    assert out[("a", 1)] == (0, True)
+    assert out[("b", 1)] == (1, False)
+    assert out[("b", 0)] == (0, True)
 
 
-@settings(max_examples=8, deadline=None)
-@given(
-    st.lists(st.integers(min_value=1, max_value=400), min_size=1, max_size=30)
-)
-def test_length_band_trim_matches_reference(spark, tok_counts):
-    """q88's nearest-rank p10/p90 band == the sorted-list reference
-    (rank semantics: value at ceil(n·f) in (n_tok, doc_id) order)."""
-    from pyspark.sql import Window
-
-    rows = [(i, "w " * k) for i, k in enumerate(tok_counts)]
-    from ai_data_pipeline_spark.functions.text import token_count_ws
-
-    docs = spark.createDataFrame(rows, "doc_id BIGINT, text STRING").withColumn(
-        "source", F.lit("s")
+def test_rolling_median_int_odd_even(spark):
+    df = spark.createDataFrame(
+        [(1, i, v) for i, v in enumerate([10, 2, 8, 4, 100])],
+        "k LONG, i LONG, v LONG",
     )
-    base = docs.select(
-        "source", "doc_id", token_count_ws(F.col("text")).cast("long").alias("n_tok")
-    )
-    w = Window.partitionBy("source").orderBy("n_tok", "doc_id")
-    wn = Window.partitionBy("source")
-    ranked = base.select(
-        "source",
-        "n_tok",
-        F.row_number().over(w).cast("long").alias("rn"),
-        F.count(F.lit(1)).over(wn).alias("n"),
-    )
-    pick = lambda f: F.max(  # noqa: E731
-        F.when(F.col("rn") == F.ceil(F.col("n") * f).cast("long"), F.col("n_tok"))
-    ).over(wn)
-    marked = ranked.select("source", "n_tok", pick(0.1).alias("p10"), pick(0.9).alias("p90"))
-    kept = F.col("n_tok").between(F.col("p10"), F.col("p90"))
-    got = (
-        marked.groupBy("source")
-        .agg(
-            F.max("p10").alias("p10"),
-            F.max("p90").alias("p90"),
-            F.sum(F.when(kept, 1).otherwise(0)).cast("long").alias("n_kept"),
-        )
-        .collect()[0]
-    )
-    s = sorted(tok_counts)
-    n = len(s)
-    p10 = s[math.ceil(n * 0.1) - 1]
-    p90 = s[math.ceil(n * 0.9) - 1]
-    assert got["p10"] == p10
-    assert got["p90"] == p90
-    assert got["n_kept"] == sum(1 for t in tok_counts if p10 <= t <= p90)
+    w = Window.partitionBy("k").orderBy("i").rowsBetween(-2, 0)
+    got = [r["m"] for r in df.select("i", C.rolling_median_int("v", w).alias("m"))
+           .orderBy("i").collect()]
+    # frames: [10], [10,2], [10,2,8], [2,8,4], [8,4,100]
+    assert got == [10.0, 6.0, 8.0, 4.0, 8.0]
