@@ -742,18 +742,26 @@ def dedup_clusters_star(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         )
 
     converged = False
+    n_prev = edges.count()  # metadata-scale: edges is localCheckpointed
     for _ in range(max_iter):
         nxt = star(star(edges, large=True), large=False).distinct().localCheckpoint()
         # fixed point: edge sets equal. Both sets are distinct, so
-        # equality == empty symmetric difference; union the two
-        # exceptAll sides so the check is ONE driver action, not two.
-        diff = (
-            nxt.exceptAll(edges)
-            .union(edges.exceptAll(nxt))
-            .limit(1)
-            .count()
-        )
-        edges = nxt
+        # equality == empty symmetric difference. Cheap pre-filter:
+        # unequal COUNTS prove inequality without the exceptAll join —
+        # contraction rounds almost always shrink the edge set, so
+        # most rounds pay only a count on a checkpointed frame and the
+        # one-action exceptAll runs only when counts already match.
+        n_next = nxt.count()
+        if n_next == n_prev:
+            diff = (
+                nxt.exceptAll(edges)
+                .union(edges.exceptAll(nxt))
+                .limit(1)
+                .count()
+            )
+        else:
+            diff = 1
+        edges, n_prev = nxt, n_next
         if diff == 0:
             converged = True
             break
