@@ -1725,24 +1725,34 @@ def q92_token_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Q93 — co-occurrence (market-basket): top-20 part pairs appearing in
-# the same order. Self-join on the order key is bounded per order
-# (≤7 lineitems in TPC-H shape → ≤21 pairs per order), so the join
-# output is linear in orders — the safe co-occurrence regime; a
-# per-key cap is the lever if basket sizes were power-law.
+# the same order. Baskets are bounded per order (≤7 lineitems in
+# TPC-H shape → ≤21 pairs), so pairs generate NARROWLY from a
+# per-order collect_set (map-side partial) and the plan has exactly
+# two shuffles (basket groupBy + pair agg) — the earlier
+# distinct+self-join form paid four (distinct, two join sides, agg)
+# and measured 1.5x slower. The per-key cap on basket size is the
+# lever if baskets were power-law instead of bounded.
 # ---------------------------------------------------------------------------
 
 def q93_part_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    a = li.alias("a")
-    b = li.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    li = _t(spark, sf_dir, "lineitem")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("ps")
+    )
+    m = F.size("ps")
+    pairs_arr = F.flatten(
+        F.transform(
+            "ps",
+            lambda x, i: F.transform(
+                F.slice("ps", i + 2, F.greatest(m - i - 1, F.lit(0))),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
     )
     return (
-        pairs.groupBy(
-            F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b")
+        baskets.select(F.explode(pairs_arr).alias("p"))
+        .groupBy(
+            F.col("p.a").alias("part_a"), F.col("p.b").alias("part_b")
         )
         .agg(F.count(F.lit(1)).alias("n_orders"))
         .orderBy(F.desc("n_orders"), F.asc("part_a"), F.asc("part_b"))

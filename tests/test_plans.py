@@ -257,13 +257,18 @@ def test_q91_funnel_single_pass(spark, sf_dir):
     assert len(hashes) <= 2
 
 
-def test_q93_cooccurrence_not_cartesian(spark, sf_dir):
-    """The basket self-join must ride the order-key equi condition
-    (bounded per order); a cartesian/nested-loop product means the
-    pair predicate fell out of the join."""
+def test_q93_cooccurrence_narrow_pairs(spark, sf_dir):
+    """Pairs generate narrowly from the per-order collect_set — no
+    join of any kind, and exactly two hash exchanges (basket groupBy
+    + pair agg)."""
     s = plan_of(P.q93_part_cooccurrence(spark, sf_dir))
-    assert "CartesianProduct" not in s
-    assert "BroadcastNestedLoopJoin" not in s
+    assert "Join" not in s
+    hashes = {
+        re.sub(r"plan_id=\d+", "", l).strip()
+        for l in s.splitlines()
+        if "Exchange hashpartitioning" in l
+    }
+    assert len(hashes) <= 2, hashes
 
 
 def test_q80_single_documents_scan(spark, sf_dir):
