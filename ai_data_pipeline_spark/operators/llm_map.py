@@ -56,27 +56,79 @@ class StubLLM:
         return out
 
 
-class HttpLLMClient:
-    """Minimal Ollama-style /api/generate client (stdlib only)."""
+def _urllib_transport(url: str, body: bytes, timeout: float) -> bytes:
+    import urllib.request
 
-    def __init__(self, url: str, model: str, temperature: float = 0.3, num_ctx: int = 4096):
+    req = urllib.request.Request(
+        url, data=body, headers={"Content-Type": "application/json"}
+    )
+    with urllib.request.urlopen(req, timeout=timeout) as resp:
+        return resp.read()
+
+
+class HttpLLMClient:
+    """Minimal Ollama-style /api/generate client (stdlib only).
+
+    Production posture for a 1000-task stage: every request carries a
+    ``timeout``, transient failures retry up to ``max_retries`` times
+    with DETERMINISTIC exponential backoff (no random jitter — task
+    retries must be reproducible), and exhausting retries either
+    raises (default — loud, lets Spark's task retry take over) or
+    yields ``error_sentinel`` when ``on_error="sentinel"`` so one dead
+    prompt can't poison a multi-hour batch; the R6 JSON fallback
+    downstream already classifies sentinel rows as parse failures.
+
+    ``transport`` is injectable (``(url, body, timeout) -> bytes``) so
+    the retry policy is unit-testable without a live endpoint.
+    """
+
+    def __init__(
+        self,
+        url: str,
+        model: str,
+        temperature: float = 0.3,
+        num_ctx: int = 4096,
+        timeout: float = 120.0,
+        max_retries: int = 3,
+        backoff_s: float = 1.0,
+        on_error: str = "raise",
+        transport: Callable[[str, bytes, float], bytes] | None = None,
+    ):
+        if on_error not in ("raise", "sentinel"):
+            raise ValueError("on_error must be 'raise' or 'sentinel'")
         self.url, self.model = url, model
         self.options = {"temperature": temperature, "num_ctx": num_ctx}
+        self.timeout, self.max_retries = timeout, max_retries
+        self.backoff_s, self.on_error = backoff_s, on_error
+        self.transport = transport or _urllib_transport
+        self.error_sentinel = ""
+        self.n_errors = 0  # per-client (= per-task) failure count
+
+    def _one(self, prompt: str) -> str:
+        import time as _time
+
+        body = json.dumps(
+            {"model": self.model, "prompt": prompt, "stream": False, "options": self.options}
+        ).encode("utf-8")
+        last: Exception | None = None
+        for attempt in range(self.max_retries + 1):
+            try:
+                return json.loads(self.transport(self.url, body, self.timeout)).get(
+                    "response", ""
+                )
+            except Exception as e:  # noqa: BLE001 — transport/json errors all retry
+                last = e
+                if attempt < self.max_retries:
+                    _time.sleep(self.backoff_s * (2**attempt))
+        self.n_errors += 1
+        if self.on_error == "raise":
+            raise RuntimeError(
+                f"LLM request failed after {self.max_retries + 1} attempts"
+            ) from last
+        return self.error_sentinel
 
     def generate(self, prompts: list[str]) -> list[str]:
-        import urllib.request
-
-        outs = []
-        for p in prompts:
-            body = json.dumps(
-                {"model": self.model, "prompt": p, "stream": False, "options": self.options}
-            ).encode("utf-8")
-            req = urllib.request.Request(
-                self.url, data=body, headers={"Content-Type": "application/json"}
-            )
-            with urllib.request.urlopen(req) as resp:
-                outs.append(json.loads(resp.read()).get("response", ""))
-        return outs
+        return [self._one(p) for p in prompts]
 
 
 def llm_map(

@@ -105,3 +105,53 @@ def test_valid_records_with_metrics_single_pass(spark):
     rows = records.collect()  # action → metrics become available
     assert {r["question"] for r in rows} == {"q1", "q2"}
     assert obs.get == {"n_total": 4, "n_valid": 2, "n_invalid": 2}
+
+
+def test_http_client_retries_transient_then_succeeds():
+    """A transport that fails twice then succeeds must transparently
+    retry (deterministic backoff) and return the response."""
+    from ai_data_pipeline_spark.operators.llm_map import HttpLLMClient
+
+    calls = []
+
+    def flaky(url, body, timeout):
+        calls.append(1)
+        if len(calls) < 3:
+            raise OSError("connection reset")
+        import json as _json
+
+        return _json.dumps({"response": "ok"}).encode()
+
+    c = HttpLLMClient("http://x", "m", backoff_s=0.0, transport=flaky)
+    assert c.generate(["p"]) == ["ok"]
+    assert len(calls) == 3
+    assert c.n_errors == 0
+
+
+def test_http_client_exhausted_raises_by_default():
+    from ai_data_pipeline_spark.operators.llm_map import HttpLLMClient
+
+    import pytest as _pytest
+
+    def dead(url, body, timeout):
+        raise OSError("down")
+
+    c = HttpLLMClient("http://x", "m", max_retries=1, backoff_s=0.0, transport=dead)
+    with _pytest.raises(RuntimeError, match="after 2 attempts"):
+        c.generate(["p"])
+
+
+def test_http_client_sentinel_mode_counts_errors():
+    """on_error='sentinel' yields the empty sentinel (classified as a
+    parse failure by the R6 fallback) instead of failing the task."""
+    from ai_data_pipeline_spark.operators.llm_map import HttpLLMClient
+
+    def dead(url, body, timeout):
+        raise OSError("down")
+
+    c = HttpLLMClient(
+        "http://x", "m", max_retries=0, backoff_s=0.0,
+        on_error="sentinel", transport=dead,
+    )
+    assert c.generate(["a", "b"]) == ["", ""]
+    assert c.n_errors == 2
