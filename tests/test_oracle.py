@@ -78,3 +78,23 @@ def test_query_modules_do_not_collide():
     assert overlap == set()
     overlap_o = set(relational.ORACLE) & set(pipeline_queries.ORACLE)
     assert overlap_o == set()
+
+
+def test_registered_shingle_pair_queries_engage_the_cap():
+    """CLAUDE.md rule, enforced mechanically: every registered query
+    calling the all-pairs shingle joins must pass max_shingle_freq —
+    q105 shipped uncapped once and the 16x scale probe measured 9.7x
+    wall growth from hot-shingle f^2 join rows. (prefix_jaccard_pairs
+    is exempt: the prefix filter bounds candidates by construction.)"""
+    import inspect
+    import re as _re
+
+    from ai_data_pipeline_spark.plans import pipeline_queries as P
+
+    src = inspect.getsource(P)
+    for m in _re.finditer(
+        r"(ngram_jaccard_pairs|shingle_containment_pairs)\((.*?)\)",
+        src,
+        _re.DOTALL,
+    ):
+        assert "max_shingle_freq" in m.group(2), m.group(0)[:120]
