@@ -89,9 +89,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     merged: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     merged.update(relational.QUERIES)
     try:
-        from ai_data_pipeline_spark.plans import pipeline_queries
+        from ai_data_pipeline_spark.plans import analysis_queries, pipeline_queries
 
         merged.update(pipeline_queries.QUERIES)
+        merged.update(analysis_queries.QUERIES)
     except ImportError:
         pass
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -109,9 +110,10 @@ def oracle_sql() -> dict[str, str]:
     out: dict[str, str] = {}
     out.update(relational.ORACLE)
     try:
-        from ai_data_pipeline_spark.plans import pipeline_queries
+        from ai_data_pipeline_spark.plans import analysis_queries, pipeline_queries
 
         out.update(pipeline_queries.ORACLE)
+        out.update(analysis_queries.ORACLE)
         # q21's twin is built lazily (the golden-VALUES table is
         # computed from the graded corpora, not a static string).
         q21 = pipeline_queries.q21_oracle()

@@ -1,0 +1,416 @@
+"""Round-3 analysis query set: SURVEY.md §2B Q114+.
+
+Corpus-statistics, data-profiling, and time-series primitives that a
+training-data curation team runs alongside the q19–q113 pipeline set:
+collocation mining, SCD2 history construction, forward-fill, column
+profiling, concurrency sweeps, exact-moment correlation, outlier
+gating, n-gram novelty, winnowing fingerprints, transition mining,
+Bloom-probe audits, weighted sampling, and drift metrics.
+
+Same oracle-parity discipline as relational.py (see the float-policy
+header there): identical aliases on both engines, exact integer
+aggregation wherever accumulation order could matter, doubles emitted
+only from expression trees both engines evaluate identically (a single
+IEEE division of two exact integers is bit-identical cross-engine).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ai_data_pipeline_spark.catalog import load_events, load_table
+from ai_data_pipeline_spark.functions.text import sql_word_ngrams, word_ngrams, ws_tokens
+
+QUERIES: dict = {}
+ORACLE: dict = {}
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+_SQL_TOKS_LOWER = sql_word_ngrams("lower(text)", 1)
+_SQL_BIGRAMS_LOWER = sql_word_ngrams("lower(text)", 2)
+
+# Events: value is a ≤4-decimal double → exact 1e-4 integer units.
+_V4 = "CAST(ROUND(value * 10000) AS BIGINT)"
+
+DAY_NS = 86_400_000_000_000
+
+
+# ---------------------------------------------------------------------------
+# Q114 — PMI bigram collocations: pointwise mutual information
+# score(w1,w2) = P(w1 w2) / (P(w1)·P(w2)) = c_xy·N / (c_x·c_y) over
+# lowercase whitespace bigrams, c_xy ≥ 5, top-30. The score is ONE
+# IEEE division of two exact BIGINT products (< 2^53 at graded
+# scales), so the double is bit-identical cross-engine; numerator and
+# denominator ride along as the exact audit. Scale: token/bigram
+# counts combine map-side (Zipf mass collapses before the exchange);
+# the two unigram enrichment joins key on the vocab, which is orders
+# of magnitude smaller than the corpus. At extreme corpus sizes where
+# c_xy·N crosses 2^53, form the products in DECIMAL(38,0) and rank on
+# the exact fraction via cross-multiplied comparison.
+# ---------------------------------------------------------------------------
+
+def q114_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(ws_tokens(F.lower(F.col("text")))).alias("w"))
+    tc = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    grams = docs.select(
+        F.explode(word_ngrams(F.lower(F.col("text")), 2)).alias("g")
+    )
+    bc = grams.groupBy("g").agg(F.count(F.lit(1)).alias("c_xy"))
+    n_total = bc.agg(F.sum("c_xy").cast("long").alias("n_bi"))
+    parts = F.split(F.col("g"), " ", 2)
+    bc = bc.filter(F.col("c_xy") >= 5).select(
+        parts.getItem(0).alias("w1"), parts.getItem(1).alias("w2"), "c_xy"
+    )
+    joined = (
+        bc.join(tc.select(F.col("w").alias("w1"), F.col("c").alias("c_x")), "w1")
+        .join(tc.select(F.col("w").alias("w2"), F.col("c").alias("c_y")), "w2")
+        .crossJoin(F.broadcast(n_total))
+    )
+    num = (F.col("c_xy") * F.col("n_bi")).cast("long")
+    den = (F.col("c_x") * F.col("c_y")).cast("long")
+    return (
+        joined.select(
+            "w1",
+            "w2",
+            "c_xy",
+            "c_x",
+            "c_y",
+            num.alias("pmi_num"),
+            den.alias("pmi_den"),
+            (num.cast("double") / den.cast("double")).alias("pmi_ratio"),
+        )
+        .orderBy(F.desc("pmi_ratio"), F.asc("w1"), F.asc("w2"))
+        .limit(30)
+    )
+
+
+ORACLE["q114_pmi_bigrams"] = f"""
+    WITH toks AS (
+        SELECT unnest({_SQL_TOKS_LOWER}) AS w FROM documents
+    ), tc AS (
+        SELECT w, COUNT(*) AS c FROM toks GROUP BY w
+    ), grams AS (
+        SELECT unnest({_SQL_BIGRAMS_LOWER}) AS g FROM documents
+    ), bc AS (
+        SELECT g, COUNT(*) AS c_xy FROM grams GROUP BY g
+    ), n AS (
+        SELECT CAST(SUM(c_xy) AS BIGINT) AS n_bi FROM bc
+    ), sp AS (
+        SELECT string_split(g, ' ')[1] AS w1, string_split(g, ' ')[2] AS w2, c_xy
+        FROM bc WHERE c_xy >= 5
+    )
+    SELECT w1, w2, c_xy, tx.c AS c_x, ty.c AS c_y,
+           CAST(c_xy * n_bi AS BIGINT) AS pmi_num,
+           CAST(tx.c * ty.c AS BIGINT) AS pmi_den,
+           CAST(c_xy * n_bi AS BIGINT) / CAST(tx.c * ty.c AS BIGINT) AS pmi_ratio
+    FROM sp
+    JOIN tc tx ON sp.w1 = tx.w
+    JOIN tc ty ON sp.w2 = ty.w
+    CROSS JOIN n
+    ORDER BY pmi_ratio DESC, w1, w2
+    LIMIT 30
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q115 — SCD2 history construction (type-2 slowly-changing dimension):
+# each user's event_type stream collapses to its CHANGE rows
+# (consecutive-duplicate drop), each change opening a validity
+# interval [ts, next-change ts) closed by the following change — the
+# CDC/merge primitive behind every warehouse dimension table. Exact
+# ns-epoch integer arithmetic; durations summed in integer
+# MILLISECONDS (ns div 1e6) so a 100 TB-scale sum stays far inside
+# int64. Scale: two window passes over the same (user_id) partitioning
+# — one exchange total; the change-row filter drops the stream to its
+# information content before the second pass.
+# ---------------------------------------------------------------------------
+
+def q115_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    prev = F.lag("event_type").over(w)
+    changes = (
+        e.select("user_id", "ts_ns", "event_id", "event_type")
+        .withColumn("prev_type", prev)
+        .filter(F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type")))
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    to_ns = F.lead("ts_ns").over(w2)
+    iv = changes.select(
+        "user_id",
+        "event_type",
+        F.col("ts_ns").alias("from_ns"),
+        to_ns.alias("to_ns"),
+    )
+    dur_ms = F.expr("(to_ns - from_ns) div 1000000")
+    return (
+        iv.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_intervals"),
+            F.sum(F.when(F.col("to_ns").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_open"),
+            F.sum(F.when(F.col("to_ns").isNotNull(), dur_ms).otherwise(0))
+            .cast("long")
+            .alias("closed_ms"),
+            F.max(dur_ms).alias("max_ms"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE["q115_scd2_intervals"] = """
+    WITH ordered AS (
+        SELECT user_id, epoch_ns(ts) AS ts_ns, event_id, event_type,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY epoch_ns(ts), event_id) AS prev_type
+        FROM events
+    ), changes AS (
+        SELECT user_id, ts_ns, event_id, event_type
+        FROM ordered
+        WHERE prev_type IS NULL OR prev_type <> event_type
+    ), iv AS (
+        SELECT user_id, event_type, ts_ns AS from_ns,
+               lead(ts_ns) OVER (PARTITION BY user_id
+                                 ORDER BY ts_ns, event_id) AS to_ns
+        FROM changes
+    )
+    SELECT event_type,
+           COUNT(*) AS n_intervals,
+           CAST(SUM(CASE WHEN to_ns IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+           CAST(SUM(CASE WHEN to_ns IS NOT NULL
+                         THEN (to_ns - from_ns) // 1000000 ELSE 0 END) AS BIGINT)
+               AS closed_ms,
+           MAX((to_ns - from_ns) // 1000000) AS max_ms
+    FROM iv GROUP BY event_type ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q116 — forward fill (last-observation-carried-forward): every event
+# carries the user's most recent purchase value at that instant —
+# `last(..., ignorenulls)` over an unbounded-preceding frame, the
+# imputation primitive pandas calls ffill. Values ride as exact 1e-4
+# integer units so the carried sums are order-independent BIGINTs.
+# Scale: one window shuffle on user_id; the frame is running state,
+# not a buffer — Spark evaluates it in O(rows).
+# ---------------------------------------------------------------------------
+
+def q116_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_events(spark, sf_dir)
+    v4 = F.round(F.col("value") * 10000, 0).cast("long")
+    purch = F.when(F.col("event_type") == "purchase", F.col("v4"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_ns", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = e.select("user_id", "ts_ns", "event_id", "event_type", v4.alias("v4")).withColumn(
+        "carried_v4", F.last(purch, ignorenulls=True).over(w)
+    )
+    return (
+        filled.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.when(F.col("carried_v4").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_filled"),
+            F.sum(F.coalesce(F.col("carried_v4"), F.lit(0))).cast("long").alias("sum_carried_v4"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE["q116_forward_fill"] = f"""
+    WITH filled AS (
+        SELECT event_type,
+               last_value(CASE WHEN event_type = 'purchase' THEN {_V4} END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS carried_v4
+        FROM events
+    )
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CASE WHEN carried_v4 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_filled,
+           CAST(SUM(COALESCE(carried_v4, 0)) AS BIGINT) AS sum_carried_v4
+    FROM filled GROUP BY event_type ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q117 — column profiling via unpivot (the data-quality pass run
+# before any table is admitted): every column of `customer` melts to
+# (col_name, val) rows — Spark `stack`, the UNPIVOT primitive — then
+# one agg computes per-column null count, exact distinct count, and
+# value-length extremes. The money column is canonicalized to exact
+# cents BEFORE the string cast (double→string rendering is not
+# portable; integer→string is). Scale: stack is a narrow per-row
+# explode (no shuffle); the distinct-count agg is the only exchange,
+# keyed on (col_name, val) with map-side partial aggregation.
+# ---------------------------------------------------------------------------
+
+def q117_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    cents = F.round(F.col("c_acctbal") * 100, 0).cast("long")
+    melted = c.withColumn("acctbal_cents", cents).select(
+        F.expr(
+            "stack(5, "
+            "'c_custkey', CAST(c_custkey AS STRING), "
+            "'c_name', c_name, "
+            "'c_nationkey', CAST(c_nationkey AS STRING), "
+            "'c_mktsegment', c_mktsegment, "
+            "'c_acctbal_cents', CAST(acctbal_cents AS STRING)"
+            ") AS (col_name, val)"
+        )
+    )
+    return (
+        melted.groupBy("col_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.when(F.col("val").isNull(), 1).otherwise(0)).cast("long").alias("n_null"),
+            F.countDistinct("val").alias("n_distinct"),
+            F.min(F.length("val")).cast("long").alias("min_len"),
+            F.max(F.length("val")).cast("long").alias("max_len"),
+        )
+        .orderBy("col_name")
+    )
+
+
+ORACLE["q117_column_profile"] = """
+    WITH melted AS (
+        SELECT 'c_custkey' AS col_name, CAST(c_custkey AS VARCHAR) AS val FROM customer
+        UNION ALL
+        SELECT 'c_name', c_name FROM customer
+        UNION ALL
+        SELECT 'c_nationkey', CAST(c_nationkey AS VARCHAR) FROM customer
+        UNION ALL
+        SELECT 'c_mktsegment', c_mktsegment FROM customer
+        UNION ALL
+        SELECT 'c_acctbal_cents',
+               CAST(CAST(ROUND(c_acctbal * 100) AS BIGINT) AS VARCHAR) FROM customer
+    )
+    SELECT col_name,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN val IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           COUNT(DISTINCT val) AS n_distinct,
+           CAST(MIN(len(val)) AS BIGINT) AS min_len,
+           CAST(MAX(len(val)) AS BIGINT) AS max_len
+    FROM melted GROUP BY col_name ORDER BY col_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q118 — peak concurrency sweep line: 30-min-gap sessions (q34's
+# recipe) become ±1 boundary events; a running sum ordered by a TOTAL
+# order (t, delta DESC, user_id, session_id) gives the number of
+# simultaneously-open sessions at every instant, and the per-day MAX
+# is the capacity-planning number. Sessions crossing midnight are
+# clipped into per-day segments (sequence + explode), so the sweep
+# window partitions BY DAY — the global sweep is embarrassingly
+# parallel across days, never a single-partition sort. Inclusive
+# endpoints: +1 sorts before −1 at equal t, so a session ending the
+# instant another starts counts both as concurrent (pinned on both
+# engines by the same sort key).
+# ---------------------------------------------------------------------------
+
+def q118_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_data_pipeline_spark.operators.asof import sessionize
+
+    e = load_events(spark, sf_dir)
+    s = sessionize(e, key="user_id", time_col="ts_ns", gap=30 * 60 * 1_000_000_000)
+    sess = s.groupBy("user_id", "session_id").agg(
+        F.min("ts_ns").alias("t0"), F.max("ts_ns").alias("t1")
+    )
+    d0 = F.expr(f"t0 div {DAY_NS}")
+    d1 = F.expr(f"t1 div {DAY_NS}")
+    spans = sess.withColumn("day", F.explode(F.sequence(d0, d1)))
+    seg = spans.select(
+        "user_id",
+        "session_id",
+        "day",
+        F.greatest(F.col("t0"), F.col("day") * DAY_NS).alias("seg0"),
+        F.least(F.col("t1"), (F.col("day") + 1) * DAY_NS - 1).alias("seg1"),
+    )
+    starts = seg.select(
+        "day", F.col("seg0").alias("t"), F.lit(1).alias("delta"), "user_id", "session_id"
+    )
+    ends = seg.select(
+        "day", F.col("seg1").alias("t"), F.lit(-1).alias("delta"), "user_id", "session_id"
+    )
+    pts = starts.union(ends)
+    w = (
+        Window.partitionBy("day")
+        .orderBy(F.asc("t"), F.desc("delta"), F.asc("user_id"), F.asc("session_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    swept = pts.withColumn("open_now", F.sum("delta").over(w))
+    return (
+        swept.groupBy("day")
+        .agg(
+            F.max("open_now").cast("long").alias("peak_concurrency"),
+            (F.count(F.lit(1)) / 2).cast("long").alias("n_session_segments"),
+        )
+        .orderBy("day")
+    )
+
+
+ORACLE["q118_max_concurrency"] = f"""
+    WITH marked AS (
+        SELECT user_id, epoch_ns(ts) AS t, event_id,
+               CASE WHEN lag(epoch_ns(ts)) OVER w IS NULL
+                      OR epoch_ns(ts) - lag(epoch_ns(ts)) OVER w > 1800000000000
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)
+    ), sessed AS (
+        SELECT user_id, t,
+               SUM(new_sess) OVER (PARTITION BY user_id ORDER BY t, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS session_id
+        FROM marked
+    ), sess AS (
+        SELECT user_id, session_id, MIN(t) AS t0, MAX(t) AS t1
+        FROM sessed GROUP BY user_id, session_id
+    ), spans AS (
+        SELECT user_id, session_id, t0, t1,
+               unnest(generate_series(t0 // {DAY_NS}, t1 // {DAY_NS})) AS day
+        FROM sess
+    ), seg AS (
+        SELECT user_id, session_id, day,
+               greatest(t0, day * {DAY_NS}) AS seg0,
+               least(t1, (day + 1) * {DAY_NS} - 1) AS seg1
+        FROM spans
+    ), pts AS (
+        SELECT day, seg0 AS t, 1 AS delta, user_id, session_id FROM seg
+        UNION ALL
+        SELECT day, seg1 AS t, -1 AS delta, user_id, session_id FROM seg
+    ), swept AS (
+        SELECT day,
+               SUM(delta) OVER (PARTITION BY day
+                                ORDER BY t, delta DESC, user_id, session_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS open_now
+        FROM pts
+    )
+    SELECT day,
+           CAST(MAX(open_now) AS BIGINT) AS peak_concurrency,
+           CAST(COUNT(*) // 2 AS BIGINT) AS n_session_segments
+    FROM swept GROUP BY day ORDER BY day
+"""
+
+
+QUERIES.update(
+    {
+        "q114_pmi_bigrams": q114_pmi_bigrams,
+        "q115_scd2_intervals": q115_scd2_intervals,
+        "q116_forward_fill": q116_forward_fill,
+        "q117_column_profile": q117_column_profile,
+        "q118_max_concurrency": q118_max_concurrency,
+    }
+)

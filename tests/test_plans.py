@@ -309,3 +309,43 @@ def test_q108_digest_join_carries_no_text(spark, sf_dir):
     for line in s.splitlines():
         if "Exchange hashpartitioning" in line:
             assert "text#" not in line
+
+
+def test_r3_analysis_single_scan_no_join(spark, sf_dir):
+    """q115/q116 (SCD2, forward fill) are pure window pipelines over
+    one events scan — no join, one exchange on user_id; q117's
+    unpivot profile is one customer scan with a narrow stack."""
+    from ai_data_pipeline_spark.plans import analysis_queries as A
+
+    for fn in (A.q115_scd2_intervals, A.q116_forward_fill, A.q117_column_profile):
+        s = plan_of(fn(spark, sf_dir))
+        assert "Join" not in s, fn.__name__
+        scans = {
+            re.sub(r"#\d+", "", l).strip()
+            for l in s.splitlines()
+            if "FileScan" in l
+        }
+        assert len(scans) == 1, (fn.__name__, scans)
+
+
+def test_q114_pmi_partial_aggregation(spark, sf_dir):
+    """Token/bigram counts must combine map-side (Zipf mass collapses
+    before the exchange), and the single-row N side must broadcast —
+    never a shuffled cartesian."""
+    from ai_data_pipeline_spark.plans import analysis_queries as A
+
+    s = plan_of(A.q114_pmi_bigrams(spark, sf_dir))
+    assert "partial_count" in s
+    assert "CartesianProduct" not in s
+
+
+def test_q118_sweep_partitions_by_day(spark, sf_dir):
+    """The concurrency sweep's running sum must partition by day —
+    a global (empty-partition-spec) window would serialize the whole
+    sweep through one task at 100 TB."""
+    from ai_data_pipeline_spark.plans import analysis_queries as A
+
+    s = plan_of(A.q118_max_concurrency(spark, sf_dir))
+    for line in s.splitlines():
+        if "windowspecdefinition" in line and "delta" in line:
+            assert "day" in line.split("windowspecdefinition")[1][:80]
