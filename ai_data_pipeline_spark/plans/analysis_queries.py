@@ -414,3 +414,319 @@ QUERIES.update(
         "q118_max_concurrency": q118_max_concurrency,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# Q119 — correlation / OLS-slope suite via exact integer moments:
+# native corr()/covar_samp() are order-dependent double accumulations
+# that can never hash-match across engines, so the six moments (n, Σx,
+# Σy, Σxy, Σx², Σy²) aggregate as DECIMAL(38,0) (Spark) / HUGEINT
+# (DuckDB) — order-independent and overflow-safe far past 100 TB (q94
+# precedent, extended per the round-2 advice: the SUMS are already
+# decimal, not just the derived products) — and Pearson r and the OLS
+# slope are formed as ONE identical double expression tree.
+# Scale: a single map-side-combinable hash agg; six numbers per group
+# cross the exchange.
+# ---------------------------------------------------------------------------
+
+def q119_corr_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    qc = F.round(F.col("l_quantity") * 100, 0).cast("long")
+    pc = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    agg = (
+        li.select("l_returnflag", qc.alias("x"), pc.alias("y"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(dec(F.col("x")) * dec(F.col("y"))).alias("sxy"),
+            F.sum(dec(F.col("x")) * dec(F.col("x"))).alias("sxx"),
+            F.sum(dec(F.col("y")) * dec(F.col("y"))).alias("syy"),
+        )
+    )
+    n = dec(F.col("n"))
+    num = n * F.col("sxy") - dec(F.col("sx")) * dec(F.col("sy"))
+    d1 = n * F.col("sxx") - dec(F.col("sx")) * dec(F.col("sx"))
+    d2 = n * F.col("syy") - dec(F.col("sy")) * dec(F.col("sy"))
+    corr = num.cast("double") / F.sqrt(d1.cast("double") * d2.cast("double"))
+    slope = num.cast("double") / d1.cast("double")
+    return agg.select(
+        "l_returnflag",
+        "n",
+        corr.alias("corr_qty_price"),
+        slope.alias("slope_cents_per_cq"),
+    ).orderBy("l_returnflag")
+
+
+ORACLE["q119_corr_moments"] = """
+    WITH agg AS (
+        SELECT l_returnflag,
+               COUNT(*) AS n,
+               CAST(SUM(x) AS HUGEINT) AS sx,
+               CAST(SUM(y) AS HUGEINT) AS sy,
+               CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+               CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+               CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+        FROM (SELECT l_returnflag,
+                     CAST(ROUND(l_quantity * 100) AS BIGINT) AS x,
+                     CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS y
+              FROM lineitem)
+        GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+               / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                      * CAST(n * syy - sy * sy AS DOUBLE)) AS corr_qty_price,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+               / CAST(n * sxx - sx * sx AS DOUBLE) AS slope_cents_per_cq
+    FROM agg
+    ORDER BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q120 — 3σ outlier gate via the integer-moment predicate: an event is
+# an outlier iff (n·x − s1)² > 9·n·(n·s2 − s1²) — the z-score test
+# |x−μ| > 3σ cross-multiplied into exact integers so no engine ever
+# divides or square-roots. Group moments arrive by COUNT/SUM WINDOWS
+# over event_type (not groupBy + join-back: the window's exchange is
+# the same one the final per-type agg needs — one shuffle total,
+# CLAUDE.md's q23 rule). All products DECIMAL(38,0)/HUGEINT.
+# ---------------------------------------------------------------------------
+
+def q120_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_events(spark, sf_dir)
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    v4 = F.round(F.col("value") * 10000, 0).cast("long")
+    w = Window.partitionBy("event_type")
+    base = e.select("event_type", v4.alias("v4")).select(
+        "event_type",
+        "v4",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("v4").over(w).alias("s1"),
+        F.sum(dec(F.col("v4")) * dec(F.col("v4"))).over(w).alias("s2"),
+    )
+    n, s1, s2 = dec(F.col("n")), dec(F.col("s1")), F.col("s2")
+    lhs = (n * dec(F.col("v4")) - s1) * (n * dec(F.col("v4")) - s1)
+    rhs = F.lit(9).cast("decimal(38,0)") * n * (n * s2 - s1 * s1)
+    flagged = base.withColumn("is_out", (lhs > rhs).cast("int"))
+    return (
+        flagged.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("is_out").cast("long").alias("n_outliers"),
+            F.min(F.when(F.col("is_out") == 1, F.col("v4"))).alias("min_out_v4"),
+            F.max(F.when(F.col("is_out") == 1, F.col("v4"))).alias("max_out_v4"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE["q120_zscore_outliers"] = f"""
+    WITH base AS (
+        SELECT event_type, {_V4} AS v4,
+               COUNT(*) OVER w AS n,
+               CAST(SUM({_V4}) OVER w AS HUGEINT) AS s1,
+               CAST(SUM(CAST({_V4} AS HUGEINT) * {_V4}) OVER w AS HUGEINT) AS s2
+        FROM events
+        WINDOW w AS (PARTITION BY event_type)
+    ), flagged AS (
+        SELECT event_type, v4,
+               CASE WHEN (CAST(n AS HUGEINT) * v4 - s1) * (CAST(n AS HUGEINT) * v4 - s1)
+                         > 9 * CAST(n AS HUGEINT) * (CAST(n AS HUGEINT) * s2 - s1 * s1)
+                    THEN 1 ELSE 0 END AS is_out
+        FROM base
+    )
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(is_out) AS BIGINT) AS n_outliers,
+           MIN(CASE WHEN is_out = 1 THEN v4 END) AS min_out_v4,
+           MAX(CASE WHEN is_out = 1 THEN v4 END) AS max_out_v4
+    FROM flagged GROUP BY event_type ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q121 — n-gram novelty vs the growing corpus: a document's novelty is
+# the fraction of its distinct word-4-grams whose corpus-wide FIRST
+# appearance (MIN doc_id over the gram) is this document — the
+# time-ordered-crawl dedup signal (a doc of entirely already-seen
+# grams is boilerplate even if no single pair-similarity fires).
+# Per-doc dedup of grams happens NARROW (array_distinct before the
+# explode), and the shuffle carries 60-bit gram hashes, never text.
+# Scale: one exchange on gram hash (window MIN), one on doc_id, one on
+# source — all map-side combinable.
+# ---------------------------------------------------------------------------
+
+def q121_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_data_pipeline_spark.operators.dedup import md5_hash60
+
+    docs = _t(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id",
+        "source",
+        F.explode(F.array_distinct(word_ngrams(F.lower(F.col("text")), 4))).alias("g"),
+    ).select("doc_id", "source", md5_hash60(F.col("g")).alias("h"))
+    first = F.min("doc_id").over(Window.partitionBy("h"))
+    marked = sh.select(
+        "doc_id", "source", (F.col("doc_id") == first).cast("int").alias("novel")
+    )
+    per_doc = marked.groupBy("doc_id", "source").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.sum("novel").cast("long").alias("n_novel"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_grams").cast("long").alias("n_grams"),
+            F.sum("n_novel").cast("long").alias("n_novel"),
+        )
+        .withColumn(
+            "novelty",
+            F.col("n_novel").cast("double") / F.col("n_grams").cast("double"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE["q121_ngram_novelty"] = f"""
+    WITH sh AS (
+        SELECT doc_id, source,
+               (('0x' || substr(md5(g), 1, 15))::BIGINT) AS h
+        FROM (
+            SELECT doc_id, source,
+                   unnest(list_distinct({sql_word_ngrams("lower(text)", 4)})) AS g
+            FROM documents
+        )
+    ), marked AS (
+        SELECT doc_id, source,
+               CASE WHEN doc_id = MIN(doc_id) OVER (PARTITION BY h)
+                    THEN 1 ELSE 0 END AS novel
+        FROM sh
+    ), per_doc AS (
+        SELECT doc_id, source, COUNT(*) AS n_grams,
+               CAST(SUM(novel) AS BIGINT) AS n_novel
+        FROM marked GROUP BY doc_id, source
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_grams) AS BIGINT) AS n_grams,
+           CAST(SUM(n_novel) AS BIGINT) AS n_novel,
+           CAST(SUM(n_novel) AS BIGINT) / CAST(SUM(n_grams) AS BIGINT) AS novelty
+    FROM per_doc GROUP BY source ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q122 — winnowing fingerprint selection (Schleimer/Wilkerson/Aiken,
+# SIGMOD'03 — the MOSS algorithm): over each document's word-3-gram
+# hash sequence, every w=4 window selects its minimum hash (ties →
+# rightmost position), and the distinct selections are the document's
+# fingerprints — guaranteed-density local sampling robust to
+# insertion/reordering, the classic plagiarism/near-dup sketch. The
+# (hash, position) pair is encoded as ONE zero-padded decimal string
+# so a single MIN window implements argmin-with-rightmost-ties
+# portably (no engine-specific min_by frames; hex casing differs
+# between engines, decimal digits do not). Scale: narrow posexplode,
+# one window shuffle on doc_id, fingerprint counting map-side.
+# ---------------------------------------------------------------------------
+
+def q122_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_data_pipeline_spark.operators.dedup import md5_hash60
+
+    docs = _t(spark, sf_dir, "documents")
+    arr = word_ngrams(F.lower(F.col("text")), 3)
+    g = docs.select(
+        "doc_id",
+        "source",
+        F.size(arr).alias("n_grams"),
+        F.posexplode(arr).alias("pos0", "g"),
+    ).select(
+        "doc_id",
+        "source",
+        "n_grams",
+        (F.col("pos0") + 1).alias("pos"),
+        md5_hash60(F.col("g")).alias("h"),
+    )
+    skey = F.concat(
+        F.lpad(F.col("h").cast("string"), 19, "0"),
+        F.lpad((F.lit(1_000_000_000) - F.col("pos")).cast("string"), 10, "0"),
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(-3, Window.currentRow)
+    )
+    sel = g.withColumn("skey", skey).withColumn("wmin", F.min("skey").over(w))
+    per_doc = (
+        sel.groupBy("doc_id", "source", "n_grams")
+        .agg(
+            F.countDistinct(
+                F.when(F.col("pos") >= 4, F.col("wmin"))
+            ).alias("n_fp")
+        )
+        .filter(F.col("n_grams") >= 4)
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("n_grams") - 3).cast("long").alias("n_windows"),
+            F.sum("n_fp").cast("long").alias("n_fp"),
+        )
+        .withColumn(
+            "density",
+            F.col("n_fp").cast("double") / F.col("n_windows").cast("double"),
+        )
+        .orderBy("source")
+    )
+
+
+_SQL_3GRAMS_LOWER = sql_word_ngrams("lower(text)", 3)
+
+ORACLE["q122_winnowing"] = f"""
+    WITH lists AS (
+        SELECT doc_id, source, {_SQL_3GRAMS_LOWER} AS l FROM documents
+    ), g AS (
+        SELECT doc_id, source, len(l) AS n_grams, u.pos AS pos,
+               (('0x' || substr(md5(u.g), 1, 15))::BIGINT) AS h
+        FROM (
+            SELECT doc_id, source, l,
+                   unnest(list_transform(range(1, len(l) + 1),
+                                         i -> struct_pack(pos := i, g := l[i]))) AS u
+            FROM lists
+        )
+    ), sel AS (
+        SELECT doc_id, source, n_grams, pos,
+               MIN(lpad(CAST(h AS VARCHAR), 19, '0')
+                   || lpad(CAST(1000000000 - pos AS VARCHAR), 10, '0'))
+                   OVER (PARTITION BY doc_id ORDER BY pos
+                         ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS wmin
+        FROM g
+    ), per_doc AS (
+        SELECT doc_id, source, n_grams,
+               COUNT(DISTINCT CASE WHEN pos >= 4 THEN wmin END) AS n_fp
+        FROM sel GROUP BY doc_id, source, n_grams
+        HAVING n_grams >= 4
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_grams - 3) AS BIGINT) AS n_windows,
+           CAST(SUM(n_fp) AS BIGINT) AS n_fp,
+           CAST(SUM(n_fp) AS BIGINT) / CAST(SUM(n_windows_one) AS BIGINT) AS density
+    FROM (SELECT doc_id, source, n_grams, n_fp, n_grams - 3 AS n_windows_one FROM per_doc)
+    GROUP BY source ORDER BY source
+"""
+
+
+QUERIES.update(
+    {
+        "q119_corr_moments": q119_corr_moments,
+        "q120_zscore_outliers": q120_zscore_outliers,
+        "q121_ngram_novelty": q121_ngram_novelty,
+        "q122_winnowing": q122_winnowing,
+    }
+)

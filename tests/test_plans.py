@@ -349,3 +349,41 @@ def test_q118_sweep_partitions_by_day(spark, sf_dir):
     for line in s.splitlines():
         if "windowspecdefinition" in line and "delta" in line:
             assert "day" in line.split("windowspecdefinition")[1][:80]
+
+
+def test_q119_single_scan_partial_agg(spark, sf_dir):
+    """The moment agg must combine map-side — six numbers per group
+    cross the exchange, not the fact table."""
+    from ai_data_pipeline_spark.plans import analysis_queries as A
+
+    s = plan_of(A.q119_corr_moments(spark, sf_dir))
+    assert "Join" not in s
+    assert "partial_count" in s or "partial_sum" in s
+
+
+def test_q120_window_exchange_reused_by_agg(spark, sf_dir):
+    """The z-score gate enriches via moment WINDOWS over event_type;
+    the final per-type agg must reuse that same partitioning — one
+    data exchange total (CLAUDE.md's window-vs-join-back rule)."""
+    from ai_data_pipeline_spark.plans import analysis_queries as A
+
+    s = plan_of(A.q120_zscore_outliers(spark, sf_dir))
+    assert "Join" not in s
+    exch = {
+        re.sub(r"#\d+|plan_id=\d+", "", l).strip()
+        for l in s.splitlines()
+        if "Exchange hashpartitioning" in l
+    }
+    assert len(exch) == 1, exch
+
+
+def test_q121_q122_shuffles_hashes_not_text(spark, sf_dir):
+    """Novelty and winnowing shuffle 60-bit gram hashes; document
+    text must die at the scan projection."""
+    from ai_data_pipeline_spark.plans import analysis_queries as A
+
+    for fn in (A.q121_ngram_novelty, A.q122_winnowing):
+        s = plan_of(fn(spark, sf_dir))
+        for line in s.splitlines():
+            if "Exchange hashpartitioning" in line:
+                assert "text#" not in line, fn.__name__
