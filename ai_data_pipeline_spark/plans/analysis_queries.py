@@ -21,6 +21,10 @@ from pyspark.sql import functions as F
 
 from ai_data_pipeline_spark.catalog import load_events, load_table
 from ai_data_pipeline_spark.functions.text import sql_word_ngrams, word_ngrams, ws_tokens
+from ai_data_pipeline_spark.plans.pipeline_queries import (
+    _log2_bucket_case as _log2b,
+    _sql_log2_bucket_case as _sql_log2b,
+)
 
 QUERIES: dict = {}
 ORACLE: dict = {}
@@ -728,5 +732,396 @@ QUERIES.update(
         "q120_zscore_outliers": q120_zscore_outliers,
         "q121_ngram_novelty": q121_ngram_novelty,
         "q122_winnowing": q122_winnowing,
+    }
+)
+
+
+# ---------------------------------------------------------------------------
+# Q123 — Markov transition matrix (sequence mining): per-user
+# consecutive event-type transitions via lead() over the exact total
+# order, counted per (from, to) with each row's share of its source
+# state — the behavioral-model / next-event-prediction primitive.
+# Share = one IEEE division of two exact BIGINTs. Scale: one window
+# shuffle on user_id; the transition matrix is |types|² rows, so the
+# per-from share window runs on a micro-frame.
+# ---------------------------------------------------------------------------
+
+def q123_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    pairs = (
+        e.select("user_id", "ts_ns", "event_id", F.col("event_type").alias("from_type"))
+        .withColumn("to_type", F.lead("from_type").over(w))
+        .filter(F.col("to_type").isNotNull())
+    )
+    pc = pairs.groupBy("from_type", "to_type").agg(F.count(F.lit(1)).alias("n"))
+    total = F.sum("n").over(Window.partitionBy("from_type"))
+    return (
+        pc.withColumn("n_from", total.cast("long"))
+        .withColumn(
+            "share", F.col("n").cast("double") / F.col("n_from").cast("double")
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
+ORACLE["q123_markov_transitions"] = """
+    WITH pairs AS (
+        SELECT event_type AS from_type,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY epoch_ns(ts), event_id) AS to_type
+        FROM events
+    ), pc AS (
+        SELECT from_type, to_type, COUNT(*) AS n
+        FROM pairs WHERE to_type IS NOT NULL
+        GROUP BY from_type, to_type
+    )
+    SELECT from_type, to_type, n,
+           CAST(SUM(n) OVER (PARTITION BY from_type) AS BIGINT) AS n_from,
+           n / CAST(SUM(n) OVER (PARTITION BY from_type) AS BIGINT) AS share
+    FROM pc
+    ORDER BY from_type, to_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q124 — Bloom-filter probe audit: a digest blocklist (every 97th doc)
+# sets k=3 bits (md5_hash60 seeds 0..2, mod 4096) in a shared bitmap;
+# each corpus doc "hits" iff ALL three of its positions are set. The
+# audit joins the bloom verdict against EXACT membership to count true
+# hits and false positives per source — measuring, in-engine, the fp
+# rate a production pre-filter would pay before the expensive exact
+# join. Scale: the bit table is tiny and broadcast; the corpus is
+# probed narrowly (3 hash positions per doc), never shuffled on text.
+# ---------------------------------------------------------------------------
+
+_BLOOM_M = 4096
+_BLOOM_K = 3
+
+
+def q124_bloom_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_data_pipeline_spark.functions.text import normalized_text
+    from ai_data_pipeline_spark.operators.dedup import md5_hash60
+
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", "source", F.md5(normalized_text(F.col("text"))).alias("digest")
+    )
+    block = base.filter(F.col("doc_id") % 97 == 0).select("digest").distinct()
+    bits = (
+        block.select(
+            F.explode(
+                F.array(
+                    *[
+                        (md5_hash60(F.col("digest"), j) % _BLOOM_M).alias("p")
+                        for j in range(_BLOOM_K)
+                    ]
+                )
+            ).alias("pos")
+        )
+        .distinct()
+    )
+    probes = base.select(
+        "doc_id",
+        "source",
+        "digest",
+        F.posexplode(
+            F.array(
+                *[(md5_hash60(F.col("digest"), j) % _BLOOM_M) for j in range(_BLOOM_K)]
+            )
+        ).alias("k", "pos"),
+    )
+    hit_counts = (
+        probes.join(F.broadcast(bits.withColumn("set_bit", F.lit(1))), "pos", "left")
+        .groupBy("doc_id", "source", "digest")
+        .agg(F.sum(F.coalesce(F.col("set_bit"), F.lit(0))).alias("n_set"))
+    )
+    member = block.withColumn("is_member", F.lit(1))
+    audited = hit_counts.join(
+        F.broadcast(member), "digest", "left"
+    ).select(
+        "source",
+        (F.col("n_set") == _BLOOM_K).cast("int").alias("bloom_hit"),
+        F.coalesce(F.col("is_member"), F.lit(0)).alias("is_member"),
+    )
+    return (
+        audited.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("bloom_hit").cast("long").alias("n_bloom_hits"),
+            F.sum("is_member").cast("long").alias("n_members"),
+            F.sum(
+                F.when((F.col("bloom_hit") == 1) & (F.col("is_member") == 0), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_false_pos"),
+        )
+        .orderBy("source")
+    )
+
+
+from ai_data_pipeline_spark.functions.text import SQL_NORMALIZED as _SQL_NORM_A
+
+_SQL_DIGEST = f"md5({_SQL_NORM_A.format(x='text')})"
+
+
+def _sql_bloom_pos(digest_expr: str, seed: int) -> str:
+    return f"((('0x' || substr(md5({digest_expr} || ':{seed}'), 1, 15))::BIGINT) % {_BLOOM_M})"
+
+
+ORACLE["q124_bloom_audit"] = f"""
+    WITH base AS (
+        SELECT doc_id, source, {_SQL_DIGEST} AS digest FROM documents
+    ), block AS (
+        SELECT DISTINCT digest FROM base WHERE doc_id % 97 = 0
+    ), bits AS (
+        SELECT DISTINCT pos FROM (
+            SELECT {_sql_bloom_pos('digest', 0)} AS pos FROM block
+            UNION ALL SELECT {_sql_bloom_pos('digest', 1)} FROM block
+            UNION ALL SELECT {_sql_bloom_pos('digest', 2)} FROM block
+        )
+    ), probes AS (
+        SELECT doc_id, source, digest, {_sql_bloom_pos('digest', 0)} AS pos FROM base
+        UNION ALL
+        SELECT doc_id, source, digest, {_sql_bloom_pos('digest', 1)} FROM base
+        UNION ALL
+        SELECT doc_id, source, digest, {_sql_bloom_pos('digest', 2)} FROM base
+    ), hit_counts AS (
+        SELECT p.doc_id, p.source, p.digest,
+               SUM(CASE WHEN b.pos IS NOT NULL THEN 1 ELSE 0 END) AS n_set
+        FROM probes p LEFT JOIN bits b ON p.pos = b.pos
+        GROUP BY p.doc_id, p.source, p.digest
+    ), audited AS (
+        SELECT h.source,
+               CASE WHEN h.n_set = {_BLOOM_K} THEN 1 ELSE 0 END AS bloom_hit,
+               CASE WHEN bl.digest IS NOT NULL THEN 1 ELSE 0 END AS is_member
+        FROM hit_counts h LEFT JOIN block bl ON h.digest = bl.digest
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(bloom_hit) AS BIGINT) AS n_bloom_hits,
+           CAST(SUM(is_member) AS BIGINT) AS n_members,
+           CAST(SUM(CASE WHEN bloom_hit = 1 AND is_member = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_false_pos
+    FROM audited GROUP BY source ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q125 — quality-weighted deterministic sampling: accept a doc iff
+# h60(text) < w·2^60 with w = min(1, n_chars/2000) — longer docs keep
+# proportionally higher odds, short boilerplate is thinned. The
+# comparison cross-multiplies into DECIMAL(38,0)/HUGEINT (h60·2000 vs
+# n_chars·2^60) so no double ever forms; content-derived hashing makes
+# the sample identical across runs, partitionings, and engines (the
+# q46/q61 family, now with per-row variable rates). Scale: pure narrow
+# per-row arithmetic + one agg.
+# ---------------------------------------------------------------------------
+
+def q125_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_data_pipeline_spark.operators.dedup import md5_hash60
+
+    docs = _t(spark, sf_dir, "documents")
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    h = md5_hash60(F.col("text"))
+    accept = dec(h) * F.lit(2000).cast("decimal(38,0)") < dec(
+        F.least(F.col("n_chars"), F.lit(2000))
+    ) * F.lit(1 << 60).cast("decimal(38,0)")
+    flagged = docs.select(
+        "source", "n_chars", accept.cast("int").alias("kept")
+    )
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("kept").cast("long").alias("n_kept"),
+            F.sum(F.when(F.col("kept") == 1, F.col("n_chars")).otherwise(0))
+            .cast("long")
+            .alias("chars_kept"),
+        )
+        .withColumn(
+            "keep_rate", F.col("n_kept").cast("double") / F.col("n_docs").cast("double")
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE["q125_weighted_sample"] = """
+    WITH flagged AS (
+        SELECT source, n_chars,
+               CASE WHEN CAST(('0x' || substr(md5(text), 1, 15))::BIGINT AS HUGEINT) * 2000
+                         < CAST(least(n_chars, 2000) AS HUGEINT) * 1152921504606846976
+                    THEN 1 ELSE 0 END AS kept
+        FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(kept) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN kept = 1 THEN n_chars ELSE 0 END) AS BIGINT) AS chars_kept,
+           CAST(SUM(kept) AS BIGINT) / COUNT(*) AS keep_rate
+    FROM flagged GROUP BY source ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q126 — source drift via total variation distance: per-source
+# log2-bucketed token-length histograms, then TVD(a,b) = ½·Σ|p_i−q_i|
+# for every source pair — the distribution-shift check run before
+# mixing a new crawl into the training blend. Fractions with unequal
+# denominators compare exactly by cross-multiplication: the numerator
+# Σ|c_ai·n_b − c_bi·n_a| stays integer, and TVD forms as one final
+# division. Missing buckets zero-fill via a complete sources×buckets
+# grid (both tiny). Scale: the corpus collapses to |sources|×|buckets|
+# histogram rows before any pairing — the pair join is metadata-sized.
+# ---------------------------------------------------------------------------
+
+def q126_source_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_data_pipeline_spark.functions.text import token_count_ws
+
+    docs = _t(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "source", _log2b(token_count_ws(F.col("text")) + 1).alias("bucket")
+    )
+    hist = per_doc.groupBy("source", "bucket").agg(F.count(F.lit(1)).alias("c"))
+    totals = hist.groupBy("source").agg(F.sum("c").cast("long").alias("n"))
+    grid = (
+        totals.select("source", "n")
+        .crossJoin(hist.select("bucket").distinct())
+        .join(hist, ["source", "bucket"], "left")
+        .select(
+            "source", "n", "bucket", F.coalesce(F.col("c"), F.lit(0)).alias("c")
+        )
+    )
+    a = grid.select(
+        F.col("source").alias("source_a"),
+        F.col("n").alias("n_a"),
+        "bucket",
+        F.col("c").alias("c_a"),
+    )
+    b = grid.select(
+        F.col("source").alias("source_b"),
+        F.col("n").alias("n_b"),
+        "bucket",
+        F.col("c").alias("c_b"),
+    )
+    paired = a.join(b, "bucket").filter(F.col("source_a") < F.col("source_b"))
+    diff = F.abs(F.col("c_a") * F.col("n_b") - F.col("c_b") * F.col("n_a"))
+    return (
+        paired.groupBy("source_a", "source_b", "n_a", "n_b")
+        .agg(F.sum(diff).cast("long").alias("tvd_num"))
+        .withColumn(
+            "tvd",
+            F.col("tvd_num").cast("double")
+            / (2 * F.col("n_a") * F.col("n_b")).cast("double"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+ORACLE["q126_source_tvd"] = f"""
+    WITH per_doc AS (
+        SELECT source,
+               {_sql_log2b('tl')} AS bucket
+        FROM (SELECT source, len({sql_word_ngrams("text", 1)}) + 1 AS tl
+              FROM documents)
+    ), hist AS (
+        SELECT source, bucket, COUNT(*) AS c FROM per_doc GROUP BY source, bucket
+    ), totals AS (
+        SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM hist GROUP BY source
+    ), grid AS (
+        SELECT t.source, t.n, bk.bucket, COALESCE(h.c, 0) AS c
+        FROM totals t
+        CROSS JOIN (SELECT DISTINCT bucket FROM hist) bk
+        LEFT JOIN hist h ON h.source = t.source AND h.bucket = bk.bucket
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           a.n AS n_a, b.n AS n_b,
+           CAST(SUM(abs(a.c * b.n - b.c * a.n)) AS BIGINT) AS tvd_num,
+           CAST(SUM(abs(a.c * b.n - b.c * a.n)) AS BIGINT)
+               / CAST(2 * a.n * b.n AS BIGINT) AS tvd
+    FROM grid a JOIN grid b ON a.bucket = b.bucket AND a.source < b.source
+    GROUP BY a.source, b.source, a.n, b.n
+    ORDER BY source_a, source_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q127 — session path mining: each 30-min session's first five event
+# types join into a '>'-path (deterministic in-array sort by the exact
+# total order — no ordered-aggregation engine dependence), counted
+# corpus-wide, top-20 paths — the UX-funnel complement of q59's fixed
+# signup→view→purchase funnel. Scale: one shuffle on user_id for
+# sessionization; path counting combines map-side.
+# ---------------------------------------------------------------------------
+
+def q127_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_data_pipeline_spark.operators.asof import sessionize
+
+    e = load_events(spark, sf_dir)
+    s = sessionize(e, key="user_id", time_col="ts_ns", gap=30 * 60 * 1_000_000_000)
+    per_sess = s.groupBy("user_id", "session_id").agg(
+        F.array_join(
+            F.slice(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("ts_ns", "event_id", "event_type"))
+                    ),
+                    lambda x: x.getField("event_type"),
+                ),
+                1,
+                5,
+            ),
+            ">",
+        ).alias("path"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return (
+        per_sess.groupBy("path")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("n_events").cast("long").alias("n_events"),
+        )
+        .orderBy(F.desc("n_sessions"), F.asc("path"))
+        .limit(20)
+    )
+
+
+ORACLE["q127_session_paths"] = """
+    WITH marked AS (
+        SELECT user_id, epoch_ns(ts) AS t, event_id, event_type,
+               CASE WHEN lag(epoch_ns(ts)) OVER w IS NULL
+                      OR epoch_ns(ts) - lag(epoch_ns(ts)) OVER w > 1800000000000
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)
+    ), sessed AS (
+        SELECT user_id, t, event_id, event_type,
+               SUM(new_sess) OVER (PARTITION BY user_id ORDER BY t, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS session_id
+        FROM marked
+    ), per_sess AS (
+        SELECT user_id, session_id,
+               array_to_string(list_slice(list(event_type ORDER BY t, event_id), 1, 5), '>')
+                   AS path,
+               COUNT(*) AS n_events
+        FROM sessed GROUP BY user_id, session_id
+    )
+    SELECT path,
+           COUNT(*) AS n_sessions,
+           CAST(SUM(n_events) AS BIGINT) AS n_events
+    FROM per_sess GROUP BY path
+    ORDER BY n_sessions DESC, path
+    LIMIT 20
+"""
+
+
+QUERIES.update(
+    {
+        "q123_markov_transitions": q123_markov_transitions,
+        "q124_bloom_audit": q124_bloom_audit,
+        "q125_weighted_sample": q125_weighted_sample,
+        "q126_source_tvd": q126_source_tvd,
+        "q127_session_paths": q127_session_paths,
     }
 )

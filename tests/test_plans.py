@@ -387,3 +387,44 @@ def test_q121_q122_shuffles_hashes_not_text(spark, sf_dir):
         for line in s.splitlines():
             if "Exchange hashpartitioning" in line:
                 assert "text#" not in line, fn.__name__
+
+
+def test_q124_bloom_bits_broadcast(spark, sf_dir):
+    """The bloom bit table and the blocklist are metadata-sized —
+    both sides must broadcast; the corpus is never shuffled on text."""
+    from ai_data_pipeline_spark.plans import analysis_queries as A
+
+    s = plan_of(A.q124_bloom_audit(spark, sf_dir))
+    assert "BroadcastHashJoin" in s
+    for line in s.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "text#" not in line
+
+
+def test_q125_q126_narrow_then_agg(spark, sf_dir):
+    """Weighted sampling is pure per-row arithmetic + one combinable
+    agg; TVD pairs only post-aggregation histogram rows — text never
+    crosses an exchange in either."""
+    from ai_data_pipeline_spark.plans import analysis_queries as A
+
+    s = plan_of(A.q125_weighted_sample(spark, sf_dir))
+    assert "Join" not in s and ("partial_count" in s or "partial_sum" in s)
+    s = plan_of(A.q126_source_tvd(spark, sf_dir))
+    for line in s.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "text#" not in line
+
+
+def test_q127_session_agg_reuses_partitioning(spark, sf_dir):
+    """groupBy(user_id, session_id) after the sessionize window must
+    reuse the user_id hash partitioning (subset rule) — two hash
+    exchanges total: user_id, then path."""
+    from ai_data_pipeline_spark.plans import analysis_queries as A
+
+    s = plan_of(A.q127_session_paths(spark, sf_dir))
+    exch = {
+        re.sub(r"#\d+|plan_id=\d+", "", l).strip()
+        for l in s.splitlines()
+        if "Exchange hashpartitioning" in l
+    }
+    assert len(exch) == 2, exch
