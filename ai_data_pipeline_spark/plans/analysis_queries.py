@@ -1125,3 +1125,300 @@ QUERIES.update(
         "q127_session_paths": q127_session_paths,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# Q128 — week-over-week trend: exact ns-epoch week buckets (q60's
+# idiom — never date_trunc, whose week convention differs across
+# engines), per-type weekly counts, lag() delta and growth ratio (one
+# IEEE division of exact BIGINTs; NULL on the first week). Scale: the
+# corpus collapses to |types|×|weeks| rows before the lag window.
+# ---------------------------------------------------------------------------
+
+WEEK_NS = 604_800_000_000_000
+
+
+def q128_wow_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_events(spark, sf_dir)
+    week = (F.col("ts_ns") - F.col("ts_ns") % WEEK_NS).alias("week")
+    weekly = e.select("event_type", week).groupBy("event_type", "week").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("event_type").orderBy("week")
+    prev = F.lag("n").over(w)
+    return (
+        weekly.select(
+            "event_type",
+            "week",
+            "n",
+            prev.alias("prev_n"),
+            (F.col("n") - prev).cast("long").alias("delta"),
+            (F.col("n").cast("double") / prev.cast("double")).alias("wow_ratio"),
+        )
+        .orderBy("event_type", "week")
+    )
+
+
+ORACLE["q128_wow_change"] = f"""
+    WITH weekly AS (
+        SELECT event_type,
+               epoch_ns(ts) - epoch_ns(ts) % {WEEK_NS} AS week,
+               COUNT(*) AS n
+        FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, week, n,
+           lag(n) OVER w AS prev_n,
+           CAST(n - lag(n) OVER w AS BIGINT) AS delta,
+           n / CAST(lag(n) OVER w AS BIGINT) AS wow_ratio
+    FROM weekly
+    WINDOW w AS (PARTITION BY event_type ORDER BY week)
+    ORDER BY event_type, week
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q129 — equi-width histogram + CDF: order totals in exact cents cut
+# into $20k bins, per-bin counts with running cumulative fraction —
+# the distribution-summary primitive behind every data-profiling UI.
+# The CDF window runs UNPARTITIONED by design: it orders the ~dozens
+# of histogram BINS, not the fact table — the corpus collapses to
+# |bins| rows in the map-side-combined agg first (same single-digit
+# row regime as q92's Zipf ladder).
+# ---------------------------------------------------------------------------
+
+_BIN_CENTS = 2_000_000  # $20k
+
+
+def q129_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    hist = (
+        o.select(F.expr(f"CAST(ROUND(o_totalprice * 100) AS BIGINT) div {_BIN_CENTS}").alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    total = F.sum("n").over(Window.partitionBy())
+    return (
+        hist.select(
+            "bin",
+            (F.col("bin") * _BIN_CENTS / 100.0).alias("bin_lo_dollars"),
+            "n",
+            F.sum("n").over(w).cast("long").alias("cum_n"),
+            (F.sum("n").over(w).cast("double") / total.cast("double")).alias("cdf"),
+        )
+        .orderBy("bin")
+    )
+
+
+ORACLE["q129_price_histogram"] = f"""
+    WITH hist AS (
+        SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) // {_BIN_CENTS} AS bin,
+               COUNT(*) AS n
+        FROM orders GROUP BY bin
+    )
+    SELECT bin,
+           bin * {_BIN_CENTS} / 100.0 AS bin_lo_dollars,
+           n,
+           CAST(SUM(n) OVER (ORDER BY bin
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum_n,
+           CAST(SUM(n) OVER (ORDER BY bin
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               / CAST(SUM(n) OVER () AS BIGINT) AS cdf
+    FROM hist ORDER BY bin
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q130 — referential-integrity audit: orphan counts for three foreign
+# keys (orders→customer, lineitem→orders, lineitem→part) in one
+# result — the admission gate a warehouse runs before trusting a new
+# snapshot. Each check is a LEFT ANTI join counted against its child
+# table; orphan_rate is one exact-integer division. Scale: anti joins
+# shuffle on the key only (Catalyst prunes every other column);
+# dimension sides broadcast when small.
+# ---------------------------------------------------------------------------
+
+def q130_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    c = _t(spark, sf_dir, "customer")
+    p = _t(spark, sf_dir, "part")
+
+    def check(name: str, child: DataFrame, key: str, parent: DataFrame, pkey: str):
+        orphans = child.select(F.col(key)).join(
+            parent.select(F.col(pkey).alias(key)), key, "left_anti"
+        )
+        return (
+            child.agg(F.count(F.lit(1)).alias("n_child"))
+            .crossJoin(orphans.agg(F.count(F.lit(1)).alias("n_orphans")))
+            .select(
+                F.lit(name).alias("fk_check"),
+                "n_child",
+                "n_orphans",
+                (F.col("n_orphans").cast("double") / F.col("n_child").cast("double")).alias(
+                    "orphan_rate"
+                ),
+            )
+        )
+
+    return (
+        check("lineitem_orders", li, "l_orderkey", o, "o_orderkey")
+        .union(check("lineitem_part", li, "l_partkey", p, "p_partkey"))
+        .union(check("orders_customer", o, "o_custkey", c, "c_custkey"))
+        .orderBy("fk_check")
+    )
+
+
+ORACLE["q130_integrity_audit"] = """
+    WITH checks AS (
+        SELECT 'lineitem_orders' AS fk_check,
+               (SELECT COUNT(*) FROM lineitem) AS n_child,
+               (SELECT COUNT(*) FROM lineitem l
+                WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                  WHERE o.o_orderkey = l.l_orderkey)) AS n_orphans
+        UNION ALL
+        SELECT 'lineitem_part',
+               (SELECT COUNT(*) FROM lineitem),
+               (SELECT COUNT(*) FROM lineitem l
+                WHERE NOT EXISTS (SELECT 1 FROM part p
+                                  WHERE p.p_partkey = l.l_partkey))
+        UNION ALL
+        SELECT 'orders_customer',
+               (SELECT COUNT(*) FROM orders),
+               (SELECT COUNT(*) FROM orders o
+                WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                  WHERE c.c_custkey = o.o_custkey))
+    )
+    SELECT fk_check, n_child, n_orphans,
+           n_orphans / CAST(n_child AS BIGINT) AS orphan_rate
+    FROM checks ORDER BY fk_check
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q131 — k-means RE-assignment churn (iteration 2, completing q106's
+# update step): the updated centroids quantize to exact 1e-6
+# fixed-point integers (c6 = s6 div n — fixed-point k-means, the
+# declared algorithm), so second-round distances are EXACT BIGINTs
+# and the argmin is engine-independent. Argmin over the 4 candidate
+# clusters encodes as MIN(dist·4 + cluster) — dist fits 2^53, the
+# encoded key orders by (dist, cluster). Output: the old→new
+# migration matrix, the convergence diagnostic every k-means loop
+# watches. Scale: centroids are a 4-row broadcast; distances are
+# narrow HOF folds over the vector array — no per-dim row explosion
+# on the Spark side (the SQL twin explodes because it can).
+# ---------------------------------------------------------------------------
+
+def q131_kmeans_reassign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_data_pipeline_spark.functions.vector import array_lit, squared_l2
+    from ai_data_pipeline_spark.plans.pipeline_queries import Q106_CENTROIDS, Q106_K
+
+    emb = _t(spark, sf_dir, "embeddings")
+    with_d = emb.select(
+        "vec_id",
+        "embedding",
+        *[
+            squared_l2("embedding", array_lit(Q106_CENTROIDS[k])).alias(f"d{k}")
+            for k in range(Q106_K)
+        ],
+    )
+    d = [F.col(f"d{k}") for k in range(Q106_K)]
+    old_c = (
+        F.when((d[0] <= d[1]) & (d[0] <= d[2]) & (d[0] <= d[3]), 0)
+        .when((d[1] <= d[2]) & (d[1] <= d[3]), 1)
+        .when(d[2] <= d[3], 2)
+        .otherwise(3)
+        .cast("long")
+    )
+    v6 = F.transform(
+        F.col("embedding"), lambda v: F.floor(v.cast("double") * 1_000_000).cast("long")
+    )
+    base = with_d.select("vec_id", old_c.alias("old_cluster"), v6.alias("v6"))
+
+    expl = base.select(F.col("old_cluster").alias("cluster_id"), F.posexplode("v6").alias("dim", "v6v"))
+    cent = (
+        expl.groupBy("cluster_id", F.col("dim").cast("long").alias("dim"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v6v").alias("s6"))
+        .withColumn("c6", F.expr("s6 div n"))
+    )
+    cent_rows = cent.groupBy(F.col("cluster_id").alias("new_cluster")).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "c6"))),
+            lambda x: x.getField("c6"),
+        ).alias("c6arr")
+    )
+    dist = F.aggregate(
+        F.zip_with(F.col("v6"), F.col("c6arr"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    enc = dist * Q106_K + F.col("new_cluster")
+    reassigned = (
+        base.crossJoin(F.broadcast(cent_rows))
+        .select("vec_id", "old_cluster", enc.alias("enc"))
+        .groupBy("vec_id", "old_cluster")
+        .agg((F.min("enc") % Q106_K).alias("new_cluster"))
+    )
+    return (
+        reassigned.groupBy("old_cluster", "new_cluster")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("old_cluster", "new_cluster")
+    )
+
+
+def _q131_oracle() -> str:
+    from ai_data_pipeline_spark.functions.vector import sql_lit_list, sql_squared_l2
+    from ai_data_pipeline_spark.plans.constants import EMBED_DIM
+    from ai_data_pipeline_spark.plans.pipeline_queries import Q106_CENTROIDS, Q106_K
+
+    d = [
+        f"({sql_squared_l2('embedding', sql_lit_list(c), EMBED_DIM)})"
+        for c in Q106_CENTROIDS
+    ]
+    return f"""
+    WITH dists AS (
+        SELECT vec_id, embedding,
+               {d[0]} AS d0, {d[1]} AS d1, {d[2]} AS d2, {d[3]} AS d3
+        FROM embeddings
+    ), assigned AS (
+        SELECT vec_id, embedding,
+               CAST(CASE WHEN d0 <= d1 AND d0 <= d2 AND d0 <= d3 THEN 0
+                         WHEN d1 <= d2 AND d1 <= d3 THEN 1
+                         WHEN d2 <= d3 THEN 2 ELSE 3 END AS BIGINT) AS old_cluster
+        FROM dists
+    ), expl AS (
+        SELECT vec_id, old_cluster, CAST(j AS BIGINT) AS dim,
+               CAST(floor(CAST(embedding[j + 1] AS DOUBLE) * 1000000) AS BIGINT) AS v6
+        FROM assigned CROSS JOIN range({EMBED_DIM}) AS t(j)
+    ), cent AS (
+        SELECT old_cluster AS cluster_id, dim,
+               CAST(SUM(v6) AS BIGINT) // COUNT(*) AS c6
+        FROM expl GROUP BY old_cluster, dim
+    ), cand AS (
+        SELECT e.vec_id, e.old_cluster, c.cluster_id AS new_cluster,
+               SUM((e.v6 - c.c6) * (e.v6 - c.c6)) AS dist
+        FROM expl e JOIN cent c ON e.dim = c.dim
+        GROUP BY e.vec_id, e.old_cluster, c.cluster_id
+    ), reassigned AS (
+        SELECT vec_id, old_cluster,
+               MIN(dist * {Q106_K} + new_cluster) % {Q106_K} AS new_cluster
+        FROM cand GROUP BY vec_id, old_cluster
+    )
+    SELECT old_cluster, new_cluster, COUNT(*) AS n
+    FROM reassigned GROUP BY old_cluster, new_cluster
+    ORDER BY old_cluster, new_cluster
+    """
+
+
+ORACLE["q131_kmeans_reassign"] = _q131_oracle()
+
+
+QUERIES.update(
+    {
+        "q128_wow_change": q128_wow_change,
+        "q129_price_histogram": q129_price_histogram,
+        "q130_integrity_audit": q130_integrity_audit,
+        "q131_kmeans_reassign": q131_kmeans_reassign,
+    }
+)

@@ -428,3 +428,38 @@ def test_q127_session_agg_reuses_partitioning(spark, sf_dir):
         if "Exchange hashpartitioning" in l
     }
     assert len(exch) == 2, exch
+
+
+def test_q128_q129_collapse_before_window(spark, sf_dir):
+    """Trend and histogram windows must run on post-agg micro-frames:
+    the lag/CDF Window node sits above a HashAggregate, never directly
+    on the scan."""
+    from ai_data_pipeline_spark.plans import analysis_queries as A
+
+    for fn in (A.q128_wow_change, A.q129_price_histogram):
+        s = plan_of(fn(spark, sf_dir))
+        assert "partial_count" in s, fn.__name__
+        # the Window consumes aggregate output, not scan output
+        w_at = s.find("Window")
+        agg_at = s.find("HashAggregate")
+        assert w_at != -1 and agg_at != -1 and w_at < agg_at, fn.__name__
+
+
+def test_q130_anti_join_strategies(spark, sf_dir):
+    """All three FK checks plan as anti joins (semi-join family), no
+    cartesian."""
+    from ai_data_pipeline_spark.plans import analysis_queries as A
+
+    s = plan_of(A.q130_integrity_audit(spark, sf_dir))
+    assert "LeftAnti" in s
+    assert "CartesianProduct" not in s
+
+
+def test_q131_centroids_broadcast(spark, sf_dir):
+    """The 4-row updated-centroid side must broadcast into the
+    reassignment; distances are JVM-side HOF folds (no Python)."""
+    from ai_data_pipeline_spark.plans import analysis_queries as A
+
+    s = plan_of(A.q131_kmeans_reassign(spark, sf_dir))
+    assert "Broadcast" in s
+    assert "ArrowEvalPython" not in s and "MapInPandas" not in s
