@@ -95,3 +95,78 @@ def running_user_stats(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --- transformWithState (Spark 4 arbitrary-state v2) ------------------------
+
+DISTINCT_TYPES_OUTPUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_types", LongType()),
+        StructField("types", StringType()),
+    ]
+)
+
+
+def running_distinct_types(events: DataFrame, key: str = "user_id") -> DataFrame:
+    """Per-key running DISTINCT event-type set via
+    ``transformWithStateInPandas`` — the Spark 4 stateful-v2 API
+    (typed state variables + timers on the RocksDB store), successor
+    to ``applyInPandasWithState``.
+
+    State per key is the sorted ','-joined set of seen types (O(1)
+    for a bounded type domain); output per batch is the current
+    (n_types, types). The FINAL answer is arrival-order-invariant —
+    a set union — which is what lets q132 hash-match the batch
+    ``collect_set`` twin exactly regardless of micro-batch slicing.
+
+    Scale: one shuffle per micro-batch on the key; RocksDB holds
+    state off-heap, keyed lookups only — state size grows with
+    distinct keys, never event volume. Requires the RocksDB provider
+    (set at query start; the conf is runtime-settable).
+
+    ENVIRONMENT-GATED: the transformWithState wire protocol needs the
+    ``protobuf`` Python package (pyspark's
+    ``streaming/proto/StateMessage_pb2``), absent from this container
+    — the opt-in test in test_stateful_skew.py skips without it (the
+    same gating class as pypdf/live-LLM/real-embedding seams). The
+    in-container covered path for custom state remains
+    ``running_user_stats`` (applyInPandasWithState, fully tested).
+    """
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class DistinctTypes(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._seen = handle.getValueState(
+                "seen", StructType([StructField("types", StringType())])
+            )
+
+        def handleInputRows(self, key_tuple, rows, timerValues):
+            prev = self._seen.get()
+            seen = set(prev[0].split(",")) if prev and prev[0] else set()
+            for pdf in rows:
+                seen.update(pdf["event_type"].dropna().tolist())
+            joined = ",".join(sorted(seen))
+            self._seen.update((joined,))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key_tuple[0]],
+                    "n_types": [len(seen)],
+                    "types": [joined],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    spark = events.sparkSession
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    return events.groupBy(key).transformWithStateInPandas(
+        statefulProcessor=DistinctTypes(),
+        outputStructType=DISTINCT_TYPES_OUTPUT,
+        outputMode="Update",
+        timeMode="None",
+    )

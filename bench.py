@@ -22,7 +22,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from ai_data_pipeline_spark.plans import pipeline_queries, relational
+from ai_data_pipeline_spark.plans import analysis_queries, pipeline_queries, relational
 from ai_data_pipeline_spark.session import get_spark
 
 HEADLINE = [
@@ -93,13 +93,33 @@ HEADLINE = [
     "q110_label_dispersion",
     "q112_gap_fill",
     "q113_moving_median",
+    "q114_pmi_bigrams",
+    "q115_scd2_intervals",
+    "q116_forward_fill",
+    "q118_max_concurrency",
+    "q119_corr_moments",
+    "q120_zscore_outliers",
+    "q121_ngram_novelty",
+    "q122_winnowing",
+    "q123_markov_transitions",
+    "q124_bloom_audit",
+    "q125_weighted_sample",
+    "q126_source_tvd",
+    "q127_session_paths",
+    "q128_wow_change",
+    "q129_price_histogram",
+    "q130_integrity_audit",
 ]
 
 
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("bench")
-    queries = {**relational.QUERIES, **pipeline_queries.QUERIES}
+    queries = {
+        **relational.QUERIES,
+        **pipeline_queries.QUERIES,
+        **analysis_queries.QUERIES,
+    }
 
     # warm the JVM/session (plan + run one tiny query, not timed)
     relational.q02_broadcast_join(spark, sf_dir).collect()

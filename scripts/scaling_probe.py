@@ -49,6 +49,12 @@ PROBE = [
     "q105_minhash_estimate",  # exact pairs + signature audit
     "q106_kmeans_update",   # HOF assignment + fixed-point means
     "q107_canonical_keeper",  # clusters + keeper window
+    "q114_pmi_bigrams",     # unigram+bigram counts, vocab joins
+    "q121_ngram_novelty",   # gram-hash window MIN + per-doc agg
+    "q122_winnowing",       # posexplode + frame MIN + distinct
+    "q124_bloom_audit",     # broadcast bit probe + membership join
+    "q125_weighted_sample", # per-row decimal compare + agg
+    "q126_source_tvd",      # histogram collapse + micro pair join
 ]
 
 
