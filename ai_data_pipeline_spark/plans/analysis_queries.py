@@ -1422,3 +1422,318 @@ QUERIES.update(
         "q131_kmeans_reassign": q131_kmeans_reassign,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# Q132 — rolling 7-day active users (the DAU/WAU metric): each
+# (user, active-day) fans out narrowly to the 7 trailing report days
+# it counts toward, then one distinct-count per report day — rolling
+# DISTINCT cardinality, which no window frame can express (frames
+# aggregate rows, not sets). Report days clip to observed days via a
+# broadcast semi-join. Scale: the fan-out is ×7 on the (user, day)
+# DISTINCT pairs (already collapsed from raw events), and the count-
+# distinct agg partial-aggregates map-side.
+# ---------------------------------------------------------------------------
+
+def q132_rolling_active(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_events(spark, sf_dir)
+    ud = (
+        e.select("user_id", F.expr(f"ts_ns div {DAY_NS}").alias("day"))
+        .distinct()
+    )
+    days = ud.select("day").distinct()
+    fanned = ud.withColumn(
+        "report_day", F.explode(F.sequence(F.col("day"), F.col("day") + 6))
+    )
+    clipped = fanned.join(
+        F.broadcast(days.withColumnRenamed("day", "report_day")), "report_day"
+    )
+    return (
+        clipped.groupBy("report_day")
+        .agg(F.countDistinct("user_id").alias("wau"))
+        .orderBy("report_day")
+    )
+
+
+ORACLE["q132_rolling_active"] = f"""
+    WITH ud AS (
+        SELECT DISTINCT user_id, epoch_ns(ts) // {DAY_NS} AS day FROM events
+    ), days AS (
+        SELECT DISTINCT day FROM ud
+    ), fanned AS (
+        SELECT user_id, unnest(generate_series(day, day + 6)) AS report_day
+        FROM ud
+    )
+    SELECT report_day, COUNT(DISTINCT user_id) AS wau
+    FROM fanned JOIN days ON fanned.report_day = days.day
+    GROUP BY report_day ORDER BY report_day
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q133 — time-to-convert histogram: minutes from each user's FIRST
+# view to their first purchase at-or-after it, log2-bucketed — the
+# latency-distribution read on q59's funnel. The first-view moment
+# arrives by a MIN window over user_id and the qualifying-purchase
+# agg groups by the same key — one exchange total. Exact ns integers
+# throughout; the bucket ladder is integer CASE (cross-engine-safe
+# where floor(log2(double)) is not).
+# ---------------------------------------------------------------------------
+
+def q133_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id")
+    t_view = F.min(F.when(F.col("event_type") == "view", F.col("ts_ns"))).over(w)
+    base = e.select("user_id", "event_type", "ts_ns").withColumn("t_view", t_view)
+    conv = (
+        base.filter(
+            (F.col("event_type") == "purchase")
+            & F.col("t_view").isNotNull()
+            & (F.col("ts_ns") >= F.col("t_view"))
+        )
+        .groupBy("user_id")
+        .agg(F.min(F.expr("(ts_ns - t_view) div 60000000000")).alias("mins"))
+    )
+    return (
+        conv.select(_log2b(F.col("mins") + 1).alias("mins_bucket"))
+        .groupBy("mins_bucket")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("mins_bucket")
+    )
+
+
+ORACLE["q133_time_to_convert"] = f"""
+    WITH base AS (
+        SELECT user_id, event_type, epoch_ns(ts) AS ts_ns,
+               MIN(CASE WHEN event_type = 'view' THEN epoch_ns(ts) END)
+                   OVER (PARTITION BY user_id) AS t_view
+        FROM events
+    ), conv AS (
+        SELECT user_id,
+               MIN((ts_ns - t_view) // 60000000000) AS mins
+        FROM base
+        WHERE event_type = 'purchase' AND t_view IS NOT NULL AND ts_ns >= t_view
+        GROUP BY user_id
+    )
+    SELECT {_sql_log2b('(mins + 1)')} AS mins_bucket,
+           COUNT(*) AS n_users
+    FROM conv GROUP BY mins_bucket ORDER BY mins_bucket
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q134 — Pareto / ABC classification: parts ranked by exact-cents
+# revenue, cumulative share cut at 80% (A) and 95% (B) with integer
+# cross-multiplied boundaries (100·cum ≤ 80·total — never a float in
+# a predicate). Revenue uses q03's exact recipe (price-cents ×
+# discount-e4 units, half-up to cents). The ranking window is GLOBAL
+# over the PART dimension — dimension-sized by design (parts ≪
+# facts); the fact table collapses per part first.
+# ---------------------------------------------------------------------------
+
+def q134_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    rev_u = (
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+        * (10000 - F.round(F.col("l_discount") * 10000, 0).cast("long"))
+    )
+    per_part = li.select("l_partkey", rev_u.alias("rev_u")).groupBy("l_partkey").agg(
+        F.sum("rev_u").alias("rev_u")
+    )
+    cents = F.expr("(2 * rev_u + 10000) div 20000")
+    ranked = per_part.select("l_partkey", cents.alias("rev_c"))
+    w = Window.orderBy(F.desc("rev_c"), F.asc("l_partkey")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    total = F.sum("rev_c").over(Window.partitionBy())
+    classed = ranked.select(
+        "l_partkey",
+        "rev_c",
+        F.sum("rev_c").over(w).alias("cum_c"),
+        total.alias("total_c"),
+    ).withColumn(
+        "abc",
+        F.when(100 * F.col("cum_c") <= 80 * F.col("total_c"), "A")
+        .when(100 * F.col("cum_c") <= 95 * F.col("total_c"), "B")
+        .otherwise("C"),
+    )
+    return (
+        classed.groupBy("abc")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum("rev_c").cast("long").alias("rev_c"),
+        )
+        .withColumn(
+            "rev_share",
+            F.col("rev_c").cast("double")
+            / F.sum("rev_c").over(Window.partitionBy()).cast("double"),
+        )
+        .orderBy("abc")
+    )
+
+
+ORACLE["q134_pareto_abc"] = """
+    WITH per_part AS (
+        SELECT l_partkey,
+               CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                        * (10000 - CAST(ROUND(l_discount * 10000) AS BIGINT)))
+                    AS BIGINT) AS rev_u
+        FROM lineitem GROUP BY l_partkey
+    ), ranked AS (
+        SELECT l_partkey, (2 * rev_u + 10000) // 20000 AS rev_c FROM per_part
+    ), classed AS (
+        SELECT l_partkey, rev_c,
+               SUM(rev_c) OVER (ORDER BY rev_c DESC, l_partkey
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum_c,
+               SUM(rev_c) OVER () AS total_c
+        FROM ranked
+    ), abc AS (
+        SELECT l_partkey, rev_c,
+               CASE WHEN 100 * cum_c <= 80 * total_c THEN 'A'
+                    WHEN 100 * cum_c <= 95 * total_c THEN 'B'
+                    ELSE 'C' END AS abc
+        FROM classed
+    )
+    SELECT abc,
+           COUNT(*) AS n_parts,
+           CAST(SUM(rev_c) AS BIGINT) AS rev_c,
+           CAST(SUM(rev_c) AS BIGINT) / CAST(SUM(SUM(rev_c)) OVER () AS BIGINT)
+               AS rev_share
+    FROM abc GROUP BY abc ORDER BY abc
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q135 — weighted median (exact): the char-weighted median token
+# length per source — the "median of the data you actually train on"
+# (doc-count medians over-weight short docs). Classic running-weight
+# selection: order by (n_tok, doc_id), pick the first value where
+# 2·cum_weight ≥ total_weight — all BIGINT comparisons, rank and
+# total windows sharing the per-source exchange.
+# ---------------------------------------------------------------------------
+
+def q135_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_data_pipeline_spark.functions.text import token_count_ws
+
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select(
+        "source", "doc_id", token_count_ws(F.col("text")).alias("n_tok"), "n_chars"
+    )
+    wrun = (
+        Window.partitionBy("source")
+        .orderBy("n_tok", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("source")
+    marked = base.select(
+        "source",
+        "n_tok",
+        "n_chars",
+        F.sum("n_chars").over(wrun).alias("cum_w"),
+        F.sum("n_chars").over(wall).alias("total_w"),
+    )
+    return (
+        marked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.max("total_w").cast("long").alias("total_chars"),
+            F.min(
+                F.when(2 * F.col("cum_w") >= F.col("total_w"), F.col("n_tok"))
+            ).alias("wmedian_tok"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE["q135_weighted_median"] = f"""
+    WITH base AS (
+        SELECT source, doc_id, len({sql_word_ngrams("text", 1)}) AS n_tok, n_chars
+        FROM documents
+    ), marked AS (
+        SELECT source, n_tok, n_chars,
+               SUM(n_chars) OVER (PARTITION BY source ORDER BY n_tok, doc_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum_w,
+               SUM(n_chars) OVER (PARTITION BY source) AS total_w
+        FROM base
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(MAX(total_w) AS BIGINT) AS total_chars,
+           MIN(CASE WHEN 2 * cum_w >= total_w THEN n_tok END) AS wmedian_tok
+    FROM marked GROUP BY source ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q136 — weekly churn / acquisition: per user-week activity (exact
+# ns-epoch weeks), lag/lead over each user's week sequence classify
+# every active week as NEW (no prior adjacent week) and/or CHURNING
+# (no following adjacent week) — the retention bookkeeping behind
+# q60's cohort matrix, as deltas. The final data week reports
+# everyone churning (lead IS NULL) — a documented boundary, not a
+# bug. Scale: events collapse to distinct (user, week) before the
+# user-partitioned window; the weekly rollup reuses nothing heavier
+# than |users|·|weeks| rows.
+# ---------------------------------------------------------------------------
+
+def q136_weekly_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_events(spark, sf_dir)
+    uw = (
+        e.select("user_id", (F.col("ts_ns") - F.col("ts_ns") % WEEK_NS).alias("week"))
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("week")
+    marked = uw.select(
+        "user_id",
+        "week",
+        (F.lag("week").over(w).isNull() | (F.lag("week").over(w) < F.col("week") - WEEK_NS))
+        .cast("int")
+        .alias("is_new"),
+        (F.lead("week").over(w).isNull() | (F.lead("week").over(w) > F.col("week") + WEEK_NS))
+        .cast("int")
+        .alias("is_churning"),
+    )
+    return (
+        marked.groupBy("week")
+        .agg(
+            F.count(F.lit(1)).alias("n_active"),
+            F.sum("is_new").cast("long").alias("n_new"),
+            F.sum("is_churning").cast("long").alias("n_churning"),
+        )
+        .orderBy("week")
+    )
+
+
+ORACLE["q136_weekly_churn"] = f"""
+    WITH uw AS (
+        SELECT DISTINCT user_id,
+               epoch_ns(ts) - epoch_ns(ts) % {WEEK_NS} AS week
+        FROM events
+    ), marked AS (
+        SELECT user_id, week,
+               CASE WHEN lag(week) OVER w IS NULL
+                      OR lag(week) OVER w < week - {WEEK_NS} THEN 1 ELSE 0 END AS is_new,
+               CASE WHEN lead(week) OVER w IS NULL
+                      OR lead(week) OVER w > week + {WEEK_NS} THEN 1 ELSE 0 END AS is_churning
+        FROM uw
+        WINDOW w AS (PARTITION BY user_id ORDER BY week)
+    )
+    SELECT week,
+           COUNT(*) AS n_active,
+           CAST(SUM(is_new) AS BIGINT) AS n_new,
+           CAST(SUM(is_churning) AS BIGINT) AS n_churning
+    FROM marked GROUP BY week ORDER BY week
+"""
+
+
+QUERIES.update(
+    {
+        "q132_rolling_active": q132_rolling_active,
+        "q133_time_to_convert": q133_time_to_convert,
+        "q134_pareto_abc": q134_pareto_abc,
+        "q135_weighted_median": q135_weighted_median,
+        "q136_weekly_churn": q136_weekly_churn,
+    }
+)

@@ -109,6 +109,11 @@ HEADLINE = [
     "q128_wow_change",
     "q129_price_histogram",
     "q130_integrity_audit",
+    "q132_rolling_active",
+    "q133_time_to_convert",
+    "q134_pareto_abc",
+    "q135_weighted_median",
+    "q136_weekly_churn",
 ]
 
 

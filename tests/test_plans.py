@@ -463,3 +463,43 @@ def test_q131_centroids_broadcast(spark, sf_dir):
     s = plan_of(A.q131_kmeans_reassign(spark, sf_dir))
     assert "Broadcast" in s
     assert "ArrowEvalPython" not in s and "MapInPandas" not in s
+
+
+def test_q132_fanout_after_distinct(spark, sf_dir):
+    """The ×7 day fan-out must ride the DISTINCT (user, day) pairs,
+    not raw events: the Generate (explode) node sits above the
+    dedup aggregate."""
+    from ai_data_pipeline_spark.plans import analysis_queries as A
+
+    s = plan_of(A.q132_rolling_active(spark, sf_dir))
+    # the explode consumes the deduped `day` column, not a raw event ts
+    assert "Generate explode(sequence(day#" in s
+    assert "BroadcastHashJoin" in s  # report-day clip
+
+
+def test_q133_q135_window_exchange_reused(spark, sf_dir):
+    """q133's first-view window + qualifying agg and q135's
+    rank/total windows + source agg each share ONE hash exchange."""
+    from ai_data_pipeline_spark.plans import analysis_queries as A
+
+    for fn in (A.q133_time_to_convert, A.q135_weighted_median):
+        s = plan_of(fn(spark, sf_dir))
+        assert "Join" not in s, fn.__name__
+        exch = {
+            re.sub(r"#\d+|plan_id=\d+", "", l).strip()
+            for l in s.splitlines()
+            if "Exchange hashpartitioning" in l
+        }
+        assert len(exch) <= 2, (fn.__name__, exch)
+
+
+def test_q134_q136_collapse_before_window(spark, sf_dir):
+    """Pareto ranks per-part aggregates and churn ranks distinct
+    (user, week) rows — both windows consume aggregate output."""
+    from ai_data_pipeline_spark.plans import analysis_queries as A
+
+    for fn in (A.q134_pareto_abc, A.q136_weekly_churn):
+        s = plan_of(fn(spark, sf_dir))
+        w_at = s.find("Window")
+        agg_at = s.find("HashAggregate")
+        assert w_at != -1 and agg_at != -1 and w_at < agg_at, fn.__name__
