@@ -1737,3 +1737,199 @@ QUERIES.update(
         "q136_weekly_churn": q136_weekly_churn,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# Q137 — inter-arrival time distribution (burstiness): per-user lag()
+# deltas between consecutive events, log2-bucketed SECONDS per event
+# type — the traffic-shape read behind session-gap and watermark
+# tuning (q34's 30-min gap and q97's lookback are picked off exactly
+# this histogram). One user_id window exchange; the histogram agg
+# combines map-side.
+# ---------------------------------------------------------------------------
+
+def q137_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    delta_s = F.expr("(ts_ns - prev_ns) div 1000000000")
+    base = (
+        e.select("user_id", "ts_ns", "event_id", "event_type")
+        .withColumn("prev_ns", F.lag("ts_ns").over(w))
+        .filter(F.col("prev_ns").isNotNull())
+    )
+    return (
+        base.select("event_type", _log2b(delta_s + 1).alias("gap_bucket"))
+        .groupBy("event_type", "gap_bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("event_type", "gap_bucket")
+    )
+
+
+ORACLE["q137_interarrival"] = f"""
+    WITH base AS (
+        SELECT event_type,
+               epoch_ns(ts) - lag(epoch_ns(ts))
+                   OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id) AS d_ns
+        FROM events
+    )
+    SELECT event_type,
+           {_sql_log2b('(d_ns // 1000000000 + 1)')} AS gap_bucket,
+           COUNT(*) AS n
+    FROM base WHERE d_ns IS NOT NULL
+    GROUP BY event_type, gap_bucket
+    ORDER BY event_type, gap_bucket
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q138 — heavy-hitter / skew diagnostic: top-10 users by event share
+# with integer cross-multiplied share thresholds — the check run
+# BEFORE choosing a salted join or AQE skew hints (q47's lever). A
+# key is "hot" if its count × 1000 > total (share > 0.1%); the
+# output is the exact skew evidence a planner acts on. Scale:
+# per-key counts combine map-side; the total rides a single-row
+# broadcast.
+# ---------------------------------------------------------------------------
+
+def q138_hot_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_events(spark, sf_dir)
+    per_key = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    total = per_key.agg(F.sum("n").cast("long").alias("total"))
+    return (
+        per_key.crossJoin(F.broadcast(total))
+        .withColumn("is_hot", (F.col("n") * 1000 > F.col("total")).cast("int"))
+        .withColumn(
+            "share", F.col("n").cast("double") / F.col("total").cast("double")
+        )
+        .orderBy(F.desc("n"), F.asc("user_id"))
+        .limit(10)
+    )
+
+
+ORACLE["q138_hot_keys"] = """
+    WITH per_key AS (
+        SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id
+    ), t AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS total FROM per_key
+    )
+    SELECT user_id, n, total,
+           CASE WHEN n * 1000 > total THEN 1 ELSE 0 END AS is_hot,
+           n / CAST(total AS BIGINT) AS share
+    FROM per_key CROSS JOIN t
+    ORDER BY n DESC, user_id
+    LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q139 — cross-source boilerplate-flow matrix: for every source pair,
+# how many distinct OPENING fingerprints (md5 of the first 4
+# lowercase tokens — the "same opening line" heuristic) they share —
+# the contamination-flow map telling a curation team which feeds copy
+# headers/templates from which. Exact-digest sharing is the degenerate
+# strict case; openings catch template reuse exact dedup misses.
+# Digest → sorted source set (one digest-keyed agg); pairs explode
+# ONLY over each fingerprint's distinct sources (≤ |sources|, a
+# constant), never over docs; the shuffle carries digests, not text.
+# ---------------------------------------------------------------------------
+
+def q139_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    prefix = F.array_join(
+        F.slice(ws_tokens(F.lower(F.col("text"))), 1, 4), " "
+    )
+    ds = docs.select(F.md5(prefix).alias("digest"), "source").distinct()
+    sets = (
+        ds.groupBy("digest")
+        .agg(F.array_sort(F.collect_set("source")).alias("sources"))
+        .filter(F.size("sources") >= 2)
+    )
+    pairs = (
+        sets.select("digest", F.explode("sources").alias("source_a"), "sources")
+        .select("digest", "source_a", F.explode("sources").alias("source_b"))
+        .filter(F.col("source_a") < F.col("source_b"))
+    )
+    return (
+        pairs.groupBy("source_a", "source_b")
+        .agg(F.countDistinct("digest").alias("n_shared_openings"))
+        .orderBy("source_a", "source_b")
+    )
+
+
+ORACLE["q139_cross_source_dups"] = f"""
+    WITH ds AS (
+        SELECT DISTINCT
+               md5(array_to_string(({sql_word_ngrams("lower(text)", 1)})[1:4], ' '))
+                   AS digest,
+               source
+        FROM documents
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           COUNT(DISTINCT a.digest) AS n_shared_openings
+    FROM ds a JOIN ds b ON a.digest = b.digest AND a.source < b.source
+    GROUP BY a.source, b.source
+    ORDER BY source_a, source_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q140 — embedding quality gate: per-label vector audit — zero/near-
+# zero norms (dead encoders), norm² extremes, and a norm² log2-bucket
+# mode check. norm² is a left-to-right HOF fold, so the double is
+# bit-identical cross-engine (q19's discipline), and the bucket takes
+# floor AFTER scaling to exact 1e-6 fixed point. Pure narrow
+# arithmetic + one agg; the gate a pipeline runs before trusting a
+# new encoder drop.
+# ---------------------------------------------------------------------------
+
+def q140_embed_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    norm2 = F.aggregate(
+        F.col("embedding"),
+        F.lit(0.0),
+        lambda acc, v: acc + v.cast("double") * v.cast("double"),
+    )
+    n6 = F.floor(norm2 * 1_000_000).cast("long")
+    base = emb.select("label", norm2.alias("norm2"), n6.alias("n6"))
+    return (
+        base.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum((F.col("n6") == 0).cast("int")).cast("long").alias("n_zero"),
+            F.sum((F.col("n6") < 1_000_000).cast("int")).cast("long").alias("n_subunit"),
+            F.min("norm2").alias("min_norm2"),
+            F.max("norm2").alias("max_norm2"),
+        )
+        .orderBy("label")
+    )
+
+
+ORACLE["q140_embed_norm_audit"] = """
+    WITH base AS (
+        SELECT label,
+               list_sum(list_transform(embedding,
+                        v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))) AS norm2
+        FROM embeddings
+    ), b6 AS (
+        SELECT label, norm2,
+               CAST(floor(norm2 * 1000000) AS BIGINT) AS n6
+        FROM base
+    )
+    SELECT label,
+           COUNT(*) AS n_vecs,
+           CAST(SUM(CASE WHEN n6 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+           CAST(SUM(CASE WHEN n6 < 1000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_subunit,
+           MIN(norm2) AS min_norm2,
+           MAX(norm2) AS max_norm2
+    FROM b6 GROUP BY label ORDER BY label
+"""
+
+
+QUERIES.update(
+    {
+        "q137_interarrival": q137_interarrival,
+        "q138_hot_keys": q138_hot_keys,
+        "q139_cross_source_dups": q139_cross_source_dups,
+        "q140_embed_norm_audit": q140_embed_norm_audit,
+    }
+)

@@ -114,6 +114,10 @@ HEADLINE = [
     "q134_pareto_abc",
     "q135_weighted_median",
     "q136_weekly_churn",
+    "q137_interarrival",
+    "q138_hot_keys",
+    "q139_cross_source_dups",
+    "q140_embed_norm_audit",
 ]
 
 

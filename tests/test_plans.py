@@ -504,3 +504,34 @@ def test_q134_q136_collapse_before_window(spark, sf_dir):
         # top-down print: an aggregate DEEPER than the window (printed
         # after it) is the collapse the window consumes
         assert w_at != -1 and s.find("HashAggregate", w_at) != -1, fn.__name__
+
+
+def test_q137_q140_single_exchange_pipelines(spark, sf_dir):
+    """Inter-arrival (one user_id window) and the norm audit (pure
+    narrow fold + agg) each keep to ≤2 deduped hash exchanges and
+    never shuffle text/vector payloads by name."""
+    from ai_data_pipeline_spark.plans import analysis_queries as A
+
+    for fn in (A.q137_interarrival, A.q140_embed_norm_audit):
+        s = plan_of(fn(spark, sf_dir))
+        assert "Join" not in s, fn.__name__
+        exch = {
+            re.sub(r"#\d+|plan_id=\d+", "", l).strip()
+            for l in s.splitlines()
+            if "Exchange hashpartitioning" in l
+        }
+        assert len(exch) <= 2, (fn.__name__, exch)
+
+
+def test_q139_pairs_explode_bounded_sets(spark, sf_dir):
+    """The source-pair explosion must consume the per-digest
+    collect_set output (bounded by |sources|), and shuffles must
+    carry digests, never text."""
+    from ai_data_pipeline_spark.plans import analysis_queries as A
+
+    s = plan_of(A.q139_cross_source_dups(spark, sf_dir))
+    g_at = s.find("Generate explode(sources#")
+    assert g_at != -1 and s.find("ObjectHashAggregate", g_at) != -1
+    for line in s.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "text#" not in line
