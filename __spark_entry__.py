@@ -72,8 +72,9 @@ DRIVER_EVIDENCE = frozenset({
     # NOT q21_chunker / q24_minhash_lsh / q25_simhash: r01/r02 recorded
     # only rows-only no_oracle rows; r03 gives them full SQL twins, so
     # they route to the front for a hashed driver row.
-    # NOT q97–q111: new in r03 — they route to the front with them
-    # (18 unevidenced total, well inside the 50-entry window).
+    # NOT q97–q140: new in r03 — they route to the front with them
+    # (47 unevidenced total, inside the 50-entry window; next round,
+    # fold every r03-green name in here before adding new queries).
 })
 
 # Backward-compatible alias (pre-r03 name).

@@ -793,6 +793,11 @@ ORACLE["q123_markov_transitions"] = """
 # rate a production pre-filter would pay before the expensive exact
 # join. Scale: the bit table is tiny and broadcast; the corpus is
 # probed narrowly (3 hash positions per doc), never shuffled on text.
+# The m=4096 geometry is FIXED here (the oracle-checked anchor, same
+# rationale as q82's 2×4 planes); the production lever is holding
+# bits-per-key constant — m ∝ |blocklist|, k ≈ (m/n)·ln 2 — which
+# pins the fp rate (and the probe's downstream cost) flat at any
+# scale. SCALING.md measures the saturation curve at 8×/16×.
 # ---------------------------------------------------------------------------
 
 _BLOOM_M = 4096
