@@ -89,13 +89,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     merged: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     merged.update(relational.QUERIES)
-    try:
-        from ai_data_pipeline_spark.plans import analysis_queries, pipeline_queries
+    # Import each plan module independently: a breakage in one must
+    # never silently shrink the graded surface of the others (the
+    # guard test pins the total count, so a shrink fails loudly).
+    from ai_data_pipeline_spark.plans import pipeline_queries
 
-        merged.update(pipeline_queries.QUERIES)
-        merged.update(analysis_queries.QUERIES)
-    except ImportError:
-        pass
+    merged.update(pipeline_queries.QUERIES)
+    from ai_data_pipeline_spark.plans import analysis_queries
+
+    merged.update(analysis_queries.QUERIES)
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for name in merged:
         if name not in DRIVER_EVIDENCE:
@@ -110,16 +112,15 @@ def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable SQL twins for every oracle-expressible query."""
     out: dict[str, str] = {}
     out.update(relational.ORACLE)
-    try:
-        from ai_data_pipeline_spark.plans import analysis_queries, pipeline_queries
+    from ai_data_pipeline_spark.plans import pipeline_queries
 
-        out.update(pipeline_queries.ORACLE)
-        out.update(analysis_queries.ORACLE)
-        # q21's twin is built lazily (the golden-VALUES table is
-        # computed from the graded corpora, not a static string).
-        q21 = pipeline_queries.q21_oracle()
-        if q21 is not None:
-            out["q21_chunker"] = q21
-    except ImportError:
-        pass
+    out.update(pipeline_queries.ORACLE)
+    # q21's twin is built lazily (the golden-VALUES table is
+    # computed from the graded corpora, not a static string).
+    q21 = pipeline_queries.q21_oracle()
+    if q21 is not None:
+        out["q21_chunker"] = q21
+    from ai_data_pipeline_spark.plans import analysis_queries
+
+    out.update(analysis_queries.ORACLE)
     return out

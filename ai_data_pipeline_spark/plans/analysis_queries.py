@@ -21,9 +21,9 @@ from pyspark.sql import functions as F
 
 from ai_data_pipeline_spark.catalog import load_events, load_table
 from ai_data_pipeline_spark.functions.text import sql_word_ngrams, word_ngrams, ws_tokens
-from ai_data_pipeline_spark.plans.pipeline_queries import (
-    _log2_bucket_case as _log2b,
-    _sql_log2_bucket_case as _sql_log2b,
+from ai_data_pipeline_spark.functions.buckets import (
+    log2_bucket_case as _log2b,
+    sql_log2_bucket_case as _sql_log2b,
 )
 
 QUERIES: dict = {}
@@ -443,8 +443,8 @@ def q119_corr_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum("x").alias("sx"),
-            F.sum("y").alias("sy"),
+            F.sum(dec(F.col("x"))).alias("sx"),
+            F.sum(dec(F.col("y"))).alias("sy"),
             F.sum(dec(F.col("x")) * dec(F.col("y"))).alias("sxy"),
             F.sum(dec(F.col("x")) * dec(F.col("x"))).alias("sxx"),
             F.sum(dec(F.col("y")) * dec(F.col("y"))).alias("syy"),
@@ -1340,6 +1340,13 @@ def q131_kmeans_reassign(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding"), lambda v: F.floor(v.cast("double") * 1_000_000).cast("long")
     )
     base = with_d.select("vec_id", old_c.alias("old_cluster"), v6.alias("v6"))
+    # The assignment stage (scan + 4 HOF distance folds) feeds BOTH
+    # the centroid build and the reassignment probe; it is narrow, so
+    # no exchange exists for Spark to reuse — without this checkpoint
+    # the whole stage executes twice (measured ~2x; the dedup_clusters
+    # localCheckpoint rule). The materialized frame is (id, label,
+    # int array) — no text/vector payload beyond the quantized ints.
+    base = base.localCheckpoint(eager=True)
 
     expl = base.select(F.col("old_cluster").alias("cluster_id"), F.posexplode("v6").alias("dim", "v6v"))
     cent = (

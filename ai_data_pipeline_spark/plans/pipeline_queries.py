@@ -1690,19 +1690,12 @@ def q91_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 # collapses the token stream before either exchange.
 # ---------------------------------------------------------------------------
 
-def _log2_bucket_case(col, max_pow: int = 40):
-    c = F.col(col) if isinstance(col, str) else col
-    expr = F.lit(max_pow)
-    for k in range(max_pow, 0, -1):
-        expr = F.when(c < F.lit(1 << k), k - 1).otherwise(expr)
-    return expr.cast("long")
-
-
-def _sql_log2_bucket_case(col: str, max_pow: int = 40) -> str:
-    clauses = " ".join(
-        f"WHEN {col} < {1 << k} THEN {k - 1}" for k in range(1, max_pow + 1)
-    )
-    return f"CAST(CASE {clauses} ELSE {max_pow} END AS BIGINT)"
+# Shared public home: functions/buckets.py (consumers in BOTH plan
+# modules); the underscore names stay importable for compatibility.
+from ai_data_pipeline_spark.functions.buckets import (  # noqa: E402
+    log2_bucket_case as _log2_bucket_case,
+    sql_log2_bucket_case as _sql_log2_bucket_case,
+)
 
 
 def q92_token_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:

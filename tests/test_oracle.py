@@ -69,6 +69,15 @@ def test_driver_window_covers_unevidenced_queries():
     )
 
 
+def test_declared_surface_does_not_shrink():
+    """queries() merges three plan modules with independent imports;
+    a breakage in any one must fail THIS test loudly, never silently
+    shrink the graded surface (review finding r03). Bump the floor
+    when queries are added — never lower it."""
+    assert len(_QUERIES) >= 141
+    assert len(entrymod.oracle_sql()) >= 141
+
+
 def test_query_modules_do_not_collide():
     """relational and pipeline_queries merge into one dict in
     __spark_entry__ — a shared name would silently shadow a query."""

@@ -346,9 +346,12 @@ def test_q118_sweep_partitions_by_day(spark, sf_dir):
     from ai_data_pipeline_spark.plans import analysis_queries as A
 
     s = plan_of(A.q118_max_concurrency(spark, sf_dir))
+    matched = 0
     for line in s.splitlines():
         if "windowspecdefinition" in line and "delta" in line:
+            matched += 1
             assert "day" in line.split("windowspecdefinition")[1][:80]
+    assert matched, "sweep window not found in plan — assertion is vacuous"
 
 
 def test_q119_single_scan_partial_agg(spark, sf_dir):

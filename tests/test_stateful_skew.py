@@ -152,6 +152,6 @@ def test_transform_with_state_distinct_types_across_batches(spark, tmp_path):
         q.stop()
     rows = spark.table(name).collect()
     u1 = [(r["n_types"], r["types"]) for r in rows if r["user_id"] == 1]
-    assert u1 == [(1, "view"), (2, "purchase,view")]
+    assert u1 == [(1, "view"), (2, "purchase\x1fview")]
     u2 = [(r["n_types"], r["types"]) for r in rows if r["user_id"] == 2]
     assert u2 == [(1, "click")]
