@@ -1945,3 +1945,224 @@ QUERIES.update(
         "q140_embed_norm_audit": q140_embed_norm_audit,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# Q141 — linear-interpolation resample: hourly spine per event type,
+# each spine point valued by lerp between the last observation at-or-
+# before and the first at-or-after (completing the imputation family:
+# q112 zero-fills counts, q116 carries forward, this interpolates).
+# Implementation is the union-then-window recipe run BOTH directions
+# in one pass — spine rows ride the event stream, ffill/bfill windows
+# attach (t0,v0)/(t1,v1), and the lerp numerator stays in exact
+# BIGINTs (v4 × seconds; ≤2^53) with ONE final IEEE division. No
+# join anywhere; one exchange on event_type.
+# ---------------------------------------------------------------------------
+
+HOUR_NS = 3_600_000_000_000
+
+
+def q141_lerp_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_events(spark, sf_dir)
+    v4 = F.round(F.col("value") * 10000, 0).cast("long")
+    obs = e.select(
+        "event_type",
+        F.expr("ts_ns div 1000000000").alias("t_s"),
+        v4.alias("v4"),
+        F.lit(0).alias("is_spine"),
+    )
+    span = e.groupBy("event_type").agg(
+        F.expr(f"min(ts_ns) div {HOUR_NS}").alias("h0"),
+        F.expr(f"max(ts_ns) div {HOUR_NS}").alias("h1"),
+    )
+    spine = span.select(
+        "event_type", F.explode(F.sequence(F.col("h0") + 1, F.col("h1"))).alias("h")
+    ).select(
+        "event_type",
+        (F.col("h") * 3600).alias("t_s"),
+        F.lit(None).cast("long").alias("v4"),
+        F.lit(1).alias("is_spine"),
+    )
+    u = obs.unionByName(spine)
+    # total order: observations before spine points at equal t
+    wf = (
+        Window.partitionBy("event_type")
+        .orderBy("t_s", "is_spine")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wb = (
+        Window.partitionBy("event_type")
+        .orderBy(F.desc("t_s"), F.desc("is_spine"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    point = F.when(F.col("v4").isNotNull(), F.struct("t_s", "v4"))
+    filled = (
+        u.withColumn("p0", F.last(point, ignorenulls=True).over(wf))
+        .withColumn("p1", F.last(point, ignorenulls=True).over(wb))
+        .filter(F.col("is_spine") == 1)
+    )
+    t, t0, t1 = F.col("t_s"), F.col("p0.t_s"), F.col("p1.t_s")
+    v0, v1 = F.col("p0.v4"), F.col("p1.v4")
+    num = v0 * (t1 - t) + v1 * (t - t0)
+    den = t1 - t0
+    lerp4 = (
+        F.when(F.col("p0").isNull() | F.col("p1").isNull(), None)
+        .when(den == 0, v0)
+        .otherwise(num.cast("double") / den.cast("double"))
+    )
+    return (
+        filled.select(
+            "event_type",
+            "t_s",
+            lerp4.alias("lerp_v4"),
+        )
+        .orderBy("event_type", "t_s")
+    )
+
+
+ORACLE["q141_lerp_resample"] = f"""
+    WITH obs AS (
+        SELECT event_type, epoch_ns(ts) // 1000000000 AS t_s,
+               {_V4} AS v4, 0 AS is_spine
+        FROM events
+    ), span AS (
+        SELECT event_type,
+               MIN(epoch_ns(ts)) // {HOUR_NS} AS h0,
+               MAX(epoch_ns(ts)) // {HOUR_NS} AS h1
+        FROM events GROUP BY event_type
+    ), spine AS (
+        SELECT event_type, unnest(generate_series(h0 + 1, h1)) * 3600 AS t_s,
+               CAST(NULL AS BIGINT) AS v4, 1 AS is_spine
+        FROM span
+    ), u AS (
+        SELECT * FROM obs UNION ALL SELECT * FROM spine
+    ), filled AS (
+        SELECT event_type, t_s, is_spine,
+               last_value(CASE WHEN v4 IS NOT NULL
+                               THEN struct_pack(t_s := t_s, v4 := v4) END IGNORE NULLS)
+                   OVER (PARTITION BY event_type ORDER BY t_s, is_spine
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p0,
+               last_value(CASE WHEN v4 IS NOT NULL
+                               THEN struct_pack(t_s := t_s, v4 := v4) END IGNORE NULLS)
+                   OVER (PARTITION BY event_type ORDER BY t_s DESC, is_spine DESC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p1
+        FROM u
+    )
+    SELECT event_type, t_s,
+           CASE WHEN p0 IS NULL OR p1 IS NULL THEN NULL
+                WHEN p1.t_s - p0.t_s = 0 THEN CAST(p0.v4 AS DOUBLE)
+                ELSE CAST(p0.v4 * (p1.t_s - t_s) + p1.v4 * (t_s - p0.t_s) AS DOUBLE)
+                     / CAST(p1.t_s - p0.t_s AS DOUBLE)
+           END AS lerp_v4
+    FROM filled WHERE is_spine = 1
+    ORDER BY event_type, t_s
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q142 — source vocabulary overlap: per source-pair, the overlap
+# coefficient |A∩B| / min(|A|,|B|) of their distinct-token sets —
+# q126's companion (TVD compares SHAPE, this compares CONTENT; a
+# paraphrase source shows high TVD yet high vocab overlap). Distinct
+# (source, token) pairs collapse first; the pair join keys on the
+# token with per-source set sizes carried by a COUNT window over the
+# same exchange; the coefficient is one exact-integer division.
+# ---------------------------------------------------------------------------
+
+def q142_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    st = docs.select(
+        "source", F.explode(ws_tokens(F.lower(F.col("text")))).alias("tok")
+    ).distinct()
+    sizes = F.count(F.lit(1)).over(Window.partitionBy("source"))
+    st = st.withColumn("n_vocab", sizes)
+    a = st.select(
+        F.col("source").alias("source_a"), "tok", F.col("n_vocab").alias("n_a")
+    )
+    b = st.select(
+        F.col("source").alias("source_b"), "tok", F.col("n_vocab").alias("n_b")
+    )
+    inter = (
+        a.join(b, "tok")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.first("n_a").alias("n_a"),
+            F.first("n_b").alias("n_b"),
+        )
+    )
+    return (
+        inter.withColumn(
+            "overlap",
+            F.col("n_common").cast("double")
+            / F.least(F.col("n_a"), F.col("n_b")).cast("double"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+ORACLE["q142_vocab_overlap"] = f"""
+    WITH st AS (
+        SELECT DISTINCT source, unnest({_SQL_TOKS_LOWER}) AS tok FROM documents
+    ), sized AS (
+        SELECT source, tok, COUNT(*) OVER (PARTITION BY source) AS n_vocab FROM st
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           COUNT(*) AS n_common,
+           CAST(MIN(a.n_vocab) AS BIGINT) AS n_a,
+           CAST(MIN(b.n_vocab) AS BIGINT) AS n_b,
+           COUNT(*) / CAST(least(MIN(a.n_vocab), MIN(b.n_vocab)) AS BIGINT) AS overlap
+    FROM sized a JOIN sized b ON a.tok = b.tok AND a.source < b.source
+    GROUP BY a.source, b.source
+    ORDER BY source_a, source_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q143 — seasonality matrix: hour-of-day × day-of-week activity from
+# PURE ns-epoch integer arithmetic (dow = (epoch_days + 4) % 7,
+# Thursday-anchored; hour = epoch_hours % 24) — engine date functions
+# never touch the path, so weekday/timezone conventions cannot
+# diverge (q68 pins the date-fn dialect; this avoids it entirely).
+# The corpus collapses map-side to ≤ 7×24×|types| cells.
+# ---------------------------------------------------------------------------
+
+def q143_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_events(spark, sf_dir)
+    v4 = F.round(F.col("value") * 10000, 0).cast("long")
+    return (
+        e.select(
+            "event_type",
+            F.expr(f"(ts_ns div {DAY_NS} + 4) % 7").alias("dow"),
+            F.expr(f"(ts_ns div {HOUR_NS}) % 24").alias("hour"),
+            v4.alias("v4"),
+        )
+        .groupBy("event_type", "dow", "hour")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v4").cast("long").alias("sum_v4"),
+        )
+        .orderBy("event_type", "dow", "hour")
+    )
+
+
+ORACLE["q143_seasonality"] = f"""
+    SELECT event_type,
+           (epoch_ns(ts) // {DAY_NS} + 4) % 7 AS dow,
+           (epoch_ns(ts) // {HOUR_NS}) % 24 AS hour,
+           COUNT(*) AS n,
+           CAST(SUM({_V4}) AS BIGINT) AS sum_v4
+    FROM events
+    GROUP BY 1, 2, 3
+    ORDER BY event_type, dow, hour
+"""
+
+
+QUERIES.update(
+    {
+        "q141_lerp_resample": q141_lerp_resample,
+        "q142_vocab_overlap": q142_vocab_overlap,
+        "q143_seasonality": q143_seasonality,
+    }
+)

@@ -118,6 +118,9 @@ HEADLINE = [
     "q138_hot_keys",
     "q139_cross_source_dups",
     "q140_embed_norm_audit",
+    "q141_lerp_resample",
+    "q142_vocab_overlap",
+    "q143_seasonality",
 ]
 
 

@@ -538,3 +538,32 @@ def test_q139_pairs_explode_bounded_sets(spark, sf_dir):
     for line in s.splitlines():
         if "Exchange hashpartitioning" in line:
             assert "text#" not in line
+
+
+def test_q141_lerp_no_join(spark, sf_dir):
+    """The bidirectional union-then-window lerp must plan with no
+    join (the spine rides the event stream) and exactly one
+    event_type hash exchange reused by both direction windows."""
+    from ai_data_pipeline_spark.plans import analysis_queries as A
+
+    s = plan_of(A.q141_lerp_resample(spark, sf_dir))
+    assert "SortMergeJoin" not in s and "BroadcastHashJoin" not in s
+    exch = {
+        re.sub(r"#\d+|plan_id=\d+", "", l).strip()
+        for l in s.splitlines()
+        if "Exchange hashpartitioning" in l
+    }
+    assert len(exch) <= 2, exch
+
+
+def test_q142_q143_collapse_and_no_text_shuffle(spark, sf_dir):
+    """Vocab overlap joins distinct (source, token) pairs — text dies
+    at the scan; seasonality collapses map-side to the 7x24 grid."""
+    from ai_data_pipeline_spark.plans import analysis_queries as A
+
+    s = plan_of(A.q142_vocab_overlap(spark, sf_dir))
+    for line in s.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "text#" not in line
+    s = plan_of(A.q143_seasonality(spark, sf_dir))
+    assert "Join" not in s and "partial_count" in s
