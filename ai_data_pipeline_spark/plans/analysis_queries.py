@@ -1955,8 +1955,16 @@ QUERIES.update(
 # Implementation is the union-then-window recipe run BOTH directions
 # in one pass — spine rows ride the event stream, ffill/bfill windows
 # attach (t0,v0)/(t1,v1), and the lerp numerator stays in exact
-# BIGINTs (v4 × seconds; ≤2^53) with ONE final IEEE division. No
-# join anywhere; one exchange on event_type.
+# BIGINTs (v4 × seconds; ≤2^53) with ONE final IEEE division. Tie
+# rule, pinned identically by both engines' sort keys: an observation
+# at exactly the spine second joins the BACKWARD side (t0 = t, so the
+# lerp degenerates to v0); the forward side is strictly-after. No
+# join anywhere; one exchange on event_type. Scale caveat: the
+# partition key is the SERIES id, so parallelism = series count —
+# right for per-metric/per-sensor resampling (thousands of series),
+# wrong for 5 types × 100 TB: there, re-key to (series, time-range)
+# and exchange the two boundary observations per range (the standard
+# sorted-time-series recipe), or interpolate per entity key.
 # ---------------------------------------------------------------------------
 
 HOUR_NS = 3_600_000_000_000

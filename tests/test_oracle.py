@@ -74,19 +74,20 @@ def test_declared_surface_does_not_shrink():
     a breakage in any one must fail THIS test loudly, never silently
     shrink the graded surface (review finding r03). Bump the floor
     when queries are added — never lower it."""
-    assert len(_QUERIES) >= 141
-    assert len(entrymod.oracle_sql()) >= 141
+    assert len(_QUERIES) >= 144
+    assert len(entrymod.oracle_sql()) >= 144
 
 
 def test_query_modules_do_not_collide():
-    """relational and pipeline_queries merge into one dict in
-    __spark_entry__ — a shared name would silently shadow a query."""
-    from ai_data_pipeline_spark.plans import pipeline_queries, relational
+    """The three plan modules merge into one dict in __spark_entry__
+    — a shared name would silently shadow a query."""
+    from ai_data_pipeline_spark.plans import analysis_queries, pipeline_queries, relational
 
-    overlap = set(relational.QUERIES) & set(pipeline_queries.QUERIES)
-    assert overlap == set()
-    overlap_o = set(relational.ORACLE) & set(pipeline_queries.ORACLE)
-    assert overlap_o == set()
+    mods = [relational, pipeline_queries, analysis_queries]
+    for i, m1 in enumerate(mods):
+        for m2 in mods[i + 1 :]:
+            assert set(m1.QUERIES) & set(m2.QUERIES) == set()
+            assert set(m1.ORACLE) & set(m2.ORACLE) == set()
 
 
 def test_registered_shingle_pair_queries_engage_the_cap():
