@@ -42,3 +42,35 @@ def register_udtfs(spark) -> None:
     """Make the table functions callable from SQL
     (``LATERAL fixed_window_chunks(text, 300, 60)``)."""
     spark.udtf.register("fixed_window_chunks", FixedWindowChunks)
+
+
+@udtf
+class SplitFixed:
+    """POLYMORPHIC UDTF (Spark 4 ``analyze``): output schema computed
+    at plan time from the constant ``parts`` argument — the
+    fixed-format field splitter (``SplitFixed(line, '|', 3)`` yields
+    columns part0..part2). The schema-from-arguments contract is the
+    API's headline feature: Catalyst sees real typed columns, so
+    downstream pruning/filter pushdown work as if the table were
+    static. Rows shorter than ``parts`` null-pad; longer rows fold
+    the tail into the last column (never silently dropped).
+    """
+
+    @staticmethod
+    def analyze(text, delim, parts):
+        from pyspark.sql.types import StringType, StructType
+        from pyspark.sql.udtf import AnalyzeResult
+
+        if parts.value is None or not isinstance(parts.value, int) or parts.value < 1:
+            raise ValueError("parts must be a constant positive int")
+        schema = StructType()
+        for i in range(parts.value):
+            schema = schema.add(f"part{i}", StringType())
+        return AnalyzeResult(schema=schema)
+
+    def eval(self, text: str, delim: str, parts: int):  # noqa: D102
+        if text is None:
+            return
+        fields = text.split(delim, parts - 1)
+        fields += [None] * (parts - len(fields))
+        yield tuple(fields)

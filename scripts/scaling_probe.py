@@ -55,6 +55,12 @@ PROBE = [
     "q124_bloom_audit",     # broadcast bit probe + membership join
     "q125_weighted_sample", # per-row decimal compare + agg
     "q126_source_tvd",      # histogram collapse + micro pair join
+    "q132_rolling_active",  # distinct fan-out + count-distinct per day
+    "q135_weighted_median", # running-weight selection windows
+    "q137_interarrival",    # per-user lag + ladder histogram
+    "q139_cross_source_dups",  # digest-keyed set pairs
+    "q141_lerp_resample",   # bidirectional union-then-window lerp
+    "q142_vocab_overlap",   # distinct token pairs + size windows
 ]
 
 

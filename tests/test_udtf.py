@@ -81,3 +81,39 @@ def test_udtf_chunk_properties():
         assert covered == set(range(len(text)))
 
     check()
+
+
+def test_polymorphic_udtf_schema_from_args(spark):
+    """SplitFixed's analyze() derives the column set from the
+    constant parts argument at PLAN time; short rows null-pad and
+    the tail folds into the last column."""
+    from ai_data_pipeline_spark.operators.udtf_ops import SplitFixed
+
+    spark.udtf.register("split_fixed_t", SplitFixed)
+    spark.createDataFrame(
+        [("a|b|c|d",), ("x",), (None,)], "line string"
+    ).createOrReplaceTempView("poly_v")
+    out = spark.sql(
+        "SELECT s.* FROM poly_v, LATERAL split_fixed_t(line, '|', 3) s"
+    )
+    assert [f.name for f in out.schema.fields] == ["part0", "part1", "part2"]
+    rows = sorted(
+        [tuple(r) for r in out.collect()], key=lambda t: (t[0] is None, t)
+    )
+    assert rows == [("a", "b", "c|d"), ("x", None, None)]
+    wide = spark.sql(
+        "SELECT s.* FROM poly_v, LATERAL split_fixed_t(line, '|', 5) s"
+    )
+    assert len(wide.schema.fields) == 5
+
+
+def test_polymorphic_udtf_rejects_bad_parts(spark):
+    import pytest as _pytest
+
+    from ai_data_pipeline_spark.operators.udtf_ops import SplitFixed
+
+    spark.udtf.register("split_fixed_bad", SplitFixed)
+    with _pytest.raises(Exception, match="constant positive int"):
+        spark.sql(
+            "SELECT * FROM LATERAL split_fixed_bad('a', '|', 0)"
+        ).collect()
