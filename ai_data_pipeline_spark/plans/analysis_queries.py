@@ -135,21 +135,17 @@ ORACLE["q114_pmi_bigrams"] = f"""
 # ---------------------------------------------------------------------------
 
 def q115_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_data_pipeline_spark.operators.timeseries import scd2_intervals
+
     e = load_events(spark, sf_dir)
-    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
-    prev = F.lag("event_type").over(w)
-    changes = (
-        e.select("user_id", "ts_ns", "event_id", "event_type")
-        .withColumn("prev_type", prev)
-        .filter(F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type")))
-    )
-    w2 = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
-    to_ns = F.lead("ts_ns").over(w2)
-    iv = changes.select(
+    iv = scd2_intervals(
+        e, key="user_id", time_col="ts_ns", tiebreak_col="event_id",
+        state_col="event_type",
+    ).select(
         "user_id",
         "event_type",
-        F.col("ts_ns").alias("from_ns"),
-        to_ns.alias("to_ns"),
+        F.col("valid_from").alias("from_ns"),
+        F.col("valid_to").alias("to_ns"),
     )
     dur_ms = F.expr("(to_ns - from_ns) div 1000000")
     return (
@@ -206,16 +202,16 @@ ORACLE["q115_scd2_intervals"] = """
 # ---------------------------------------------------------------------------
 
 def q116_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_data_pipeline_spark.operators.timeseries import forward_fill
+
     e = load_events(spark, sf_dir)
     v4 = F.round(F.col("value") * 10000, 0).cast("long")
-    purch = F.when(F.col("event_type") == "purchase", F.col("v4"))
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts_ns", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    filled = e.select("user_id", "ts_ns", "event_id", "event_type", v4.alias("v4")).withColumn(
-        "carried_v4", F.last(purch, ignorenulls=True).over(w)
+    filled = forward_fill(
+        e.select("user_id", "ts_ns", "event_id", "event_type", v4.alias("v4")),
+        key="user_id",
+        time_cols=["ts_ns", "event_id"],
+        value=F.when(F.col("event_type") == "purchase", F.col("v4")),
+        out_col="carried_v4",
     )
     return (
         filled.groupBy("event_type")
@@ -324,44 +320,16 @@ ORACLE["q117_column_profile"] = """
 # ---------------------------------------------------------------------------
 
 def q118_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ai_data_pipeline_spark.operators.asof import sessionize
+    from ai_data_pipeline_spark.operators.timeseries import (
+        max_concurrency_by_day,
+        session_spans,
+    )
 
     e = load_events(spark, sf_dir)
-    s = sessionize(e, key="user_id", time_col="ts_ns", gap=30 * 60 * 1_000_000_000)
-    sess = s.groupBy("user_id", "session_id").agg(
-        F.min("ts_ns").alias("t0"), F.max("ts_ns").alias("t1")
+    spans = session_spans(
+        e, key="user_id", time_col="ts_ns", gap=30 * 60 * 1_000_000_000
     )
-    d0 = F.expr(f"t0 div {DAY_NS}")
-    d1 = F.expr(f"t1 div {DAY_NS}")
-    spans = sess.withColumn("day", F.explode(F.sequence(d0, d1)))
-    seg = spans.select(
-        "user_id",
-        "session_id",
-        "day",
-        F.greatest(F.col("t0"), F.col("day") * DAY_NS).alias("seg0"),
-        F.least(F.col("t1"), (F.col("day") + 1) * DAY_NS - 1).alias("seg1"),
-    )
-    starts = seg.select(
-        "day", F.col("seg0").alias("t"), F.lit(1).alias("delta"), "user_id", "session_id"
-    )
-    ends = seg.select(
-        "day", F.col("seg1").alias("t"), F.lit(-1).alias("delta"), "user_id", "session_id"
-    )
-    pts = starts.union(ends)
-    w = (
-        Window.partitionBy("day")
-        .orderBy(F.asc("t"), F.desc("delta"), F.asc("user_id"), F.asc("session_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    swept = pts.withColumn("open_now", F.sum("delta").over(w))
-    return (
-        swept.groupBy("day")
-        .agg(
-            F.max("open_now").cast("long").alias("peak_concurrency"),
-            (F.count(F.lit(1)) / 2).cast("long").alias("n_session_segments"),
-        )
-        .orderBy("day")
-    )
+    return max_concurrency_by_day(spans, ["user_id", "session_id"]).orderBy("day")
 
 
 ORACLE["q118_max_concurrency"] = f"""
@@ -1448,21 +1416,14 @@ QUERIES.update(
 # ---------------------------------------------------------------------------
 
 def q132_rolling_active(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_data_pipeline_spark.operators.timeseries import rolling_distinct_count
+
     e = load_events(spark, sf_dir)
-    ud = (
-        e.select("user_id", F.expr(f"ts_ns div {DAY_NS}").alias("day"))
-        .distinct()
-    )
-    days = ud.select("day").distinct()
-    fanned = ud.withColumn(
-        "report_day", F.explode(F.sequence(F.col("day"), F.col("day") + 6))
-    )
-    clipped = fanned.join(
-        F.broadcast(days.withColumnRenamed("day", "report_day")), "report_day"
-    )
     return (
-        clipped.groupBy("report_day")
-        .agg(F.countDistinct("user_id").alias("wau"))
+        rolling_distinct_count(
+            e, entity="user_id", day_col=F.expr(f"ts_ns div {DAY_NS}"), window_days=7
+        )
+        .withColumnRenamed("n_distinct", "wau")
         .orderBy("report_day")
     )
 
@@ -1627,32 +1588,22 @@ ORACLE["q134_pareto_abc"] = """
 
 def q135_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ai_data_pipeline_spark.functions.text import token_count_ws
+    from ai_data_pipeline_spark.operators.timeseries import weighted_median
 
     docs = _t(spark, sf_dir, "documents")
     base = docs.select(
         "source", "doc_id", token_count_ws(F.col("text")).alias("n_tok"), "n_chars"
     )
-    wrun = (
-        Window.partitionBy("source")
-        .orderBy("n_tok", "doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    wall = Window.partitionBy("source")
-    marked = base.select(
-        "source",
-        "n_tok",
-        "n_chars",
-        F.sum("n_chars").over(wrun).alias("cum_w"),
-        F.sum("n_chars").over(wall).alias("total_w"),
-    )
     return (
-        marked.groupBy("source")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.max("total_w").cast("long").alias("total_chars"),
-            F.min(
-                F.when(2 * F.col("cum_w") >= F.col("total_w"), F.col("n_tok"))
-            ).alias("wmedian_tok"),
+        weighted_median(
+            base, group="source", value_col="n_tok", weight_col="n_chars",
+            tiebreak_col="doc_id",
+        )
+        .select(
+            "source",
+            F.col("n_rows").alias("n_docs"),
+            F.col("total_weight").alias("total_chars"),
+            F.col("wmedian").alias("wmedian_tok"),
         )
         .orderBy("source")
     )
@@ -1971,58 +1922,22 @@ HOUR_NS = 3_600_000_000_000
 
 
 def q141_lerp_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_data_pipeline_spark.operators.timeseries import lerp_resample
+
     e = load_events(spark, sf_dir)
     v4 = F.round(F.col("value") * 10000, 0).cast("long")
-    obs = e.select(
-        "event_type",
-        F.expr("ts_ns div 1000000000").alias("t_s"),
-        v4.alias("v4"),
-        F.lit(0).alias("is_spine"),
-    )
-    span = e.groupBy("event_type").agg(
-        F.expr(f"min(ts_ns) div {HOUR_NS}").alias("h0"),
-        F.expr(f"max(ts_ns) div {HOUR_NS}").alias("h1"),
-    )
-    spine = span.select(
-        "event_type", F.explode(F.sequence(F.col("h0") + 1, F.col("h1"))).alias("h")
-    ).select(
-        "event_type",
-        (F.col("h") * 3600).alias("t_s"),
-        F.lit(None).cast("long").alias("v4"),
-        F.lit(1).alias("is_spine"),
-    )
-    u = obs.unionByName(spine)
-    # total order: observations before spine points at equal t
-    wf = (
-        Window.partitionBy("event_type")
-        .orderBy("t_s", "is_spine")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    wb = (
-        Window.partitionBy("event_type")
-        .orderBy(F.desc("t_s"), F.desc("is_spine"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    point = F.when(F.col("v4").isNotNull(), F.struct("t_s", "v4"))
-    filled = (
-        u.withColumn("p0", F.last(point, ignorenulls=True).over(wf))
-        .withColumn("p1", F.last(point, ignorenulls=True).over(wb))
-        .filter(F.col("is_spine") == 1)
-    )
-    t, t0, t1 = F.col("t_s"), F.col("p0.t_s"), F.col("p1.t_s")
-    v0, v1 = F.col("p0.v4"), F.col("p1.v4")
-    num = v0 * (t1 - t) + v1 * (t - t0)
-    den = t1 - t0
-    lerp4 = (
-        F.when(F.col("p0").isNull() | F.col("p1").isNull(), None)
-        .when(den == 0, v0)
-        .otherwise(num.cast("double") / den.cast("double"))
-    )
     return (
-        filled.select(
-            "event_type",
+        lerp_resample(
+            e.select("event_type", F.expr("ts_ns div 1000000000").alias("t_s"), v4.alias("v4")),
+            series="event_type",
+            time_s="t_s",
+            value="v4",
+            step_s=3600,
+        )
+        .select(
+            F.col("series").alias("event_type"),
             "t_s",
-            lerp4.alias("lerp_v4"),
+            F.col("lerp_v").alias("lerp_v4"),
         )
         .orderBy("event_type", "t_s")
     )
@@ -2057,8 +1972,8 @@ ORACLE["q141_lerp_resample"] = f"""
         FROM u
     )
     SELECT event_type, t_s,
-           CASE WHEN p0 IS NULL OR p1 IS NULL THEN NULL
-                WHEN p1.t_s - p0.t_s = 0 THEN CAST(p0.v4 AS DOUBLE)
+           CASE WHEN p0 IS NOT NULL AND p0.t_s = t_s THEN CAST(p0.v4 AS DOUBLE)
+                WHEN p0 IS NULL OR p1 IS NULL THEN NULL
                 ELSE CAST(p0.v4 * (p1.t_s - t_s) + p1.v4 * (t_s - p0.t_s) AS DOUBLE)
                      / CAST(p1.t_s - p0.t_s AS DOUBLE)
            END AS lerp_v4

@@ -1,0 +1,84 @@
+"""Unit tests for operators/timeseries.py — the library forms behind
+q115/q116/q118/q132/q135/q141. The oracle twins pin corpus-level
+parity; these pin edge semantics on tiny synthetic frames: midnight
+clipping, open intervals, spine-second ties, window boundaries."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ai_data_pipeline_spark.operators.timeseries import (
+    DAY_NS,
+    forward_fill,
+    lerp_resample,
+    max_concurrency_by_day,
+    rolling_distinct_count,
+    scd2_intervals,
+    weighted_median,
+)
+
+
+def test_forward_fill_carries_latest_nonnull(spark):
+    df = spark.createDataFrame(
+        [(1, 1, None), (1, 2, 10), (1, 3, None), (1, 4, 20), (2, 1, None)],
+        "k long, t long, v long",
+    )
+    out = forward_fill(df, "k", ["t"], F.col("v"), "c").orderBy("k", "t")
+    assert [r["c"] for r in out.collect()] == [None, 10, 10, 20, None]
+
+
+def test_scd2_single_event_is_open_interval(spark):
+    df = spark.createDataFrame(
+        [(1, 10, 1, "a"), (1, 20, 2, "a"), (1, 30, 3, "b"), (2, 5, 4, "x")],
+        "k long, t long, tb long, s string",
+    )
+    out = scd2_intervals(df, "k", "t", "tb", "s").orderBy("k", "valid_from")
+    rows = [(r["k"], r["s"], r["valid_from"], r["valid_to"]) for r in out.collect()]
+    # consecutive duplicate 'a' at t=20 collapses; last interval open
+    assert rows == [(1, "a", 10, 30), (1, "b", 30, None), (2, "x", 5, None)]
+
+
+def test_max_concurrency_clips_midnight(spark):
+    # one span crossing midnight: counted in both days; two
+    # overlapping spans in day 0 peak at 2
+    spans = spark.createDataFrame(
+        [
+            (1, 1, 100, DAY_NS + 100),          # crosses into day 1
+            (2, 1, 200, 300),                    # inside day 0
+        ],
+        "user_id long, session_id long, t0 long, t1 long",
+    )
+    out = max_concurrency_by_day(spans, ["user_id", "session_id"]).orderBy("day")
+    rows = [(r["day"], r["peak_concurrency"]) for r in out.collect()]
+    assert rows == [(0, 2), (1, 1)]
+
+
+def test_rolling_distinct_count_window(spark):
+    # user 1 active day 0; user 2 active day 2 -> day 2 trailing-7 = 2
+    df = spark.createDataFrame([(1, 0), (2, 2)], "u long, d long")
+    out = rolling_distinct_count(df, "u", "d", window_days=7).orderBy("report_day")
+    rows = [(r["report_day"], r["n_distinct"]) for r in out.collect()]
+    # only observed days (0 and 2) are reported
+    assert rows == [(0, 1), (2, 2)]
+
+
+def test_weighted_median_threshold(spark):
+    # weights 1,1,8 over values 1,2,3 -> median value 3 (2*cum>=10 at third row)
+    df = spark.createDataFrame(
+        [("g", 1, 1, 1), ("g", 2, 1, 2), ("g", 3, 8, 3)],
+        "g string, v long, w long, tb long",
+    )
+    out = weighted_median(df, "g", "v", "w", "tb").collect()
+    assert out[0]["wmedian"] == 3 and out[0]["total_weight"] == 10
+
+
+def test_lerp_midpoint_and_spine_tie(spark):
+    # observations at t=0 (v=0) and t=7200 (v=100):
+    #   spine 3600 -> lerp 50.0; spine 7200 ties an observation ->
+    #   backward side wins (t0 == t) -> exactly 100
+    df = spark.createDataFrame(
+        [("s", 0, 0), ("s", 7200, 100)], "series string, t_s long, v long"
+    )
+    out = lerp_resample(df, "series", "t_s", "v", step_s=3600).orderBy("t_s")
+    rows = [(r["t_s"], r["lerp_v"]) for r in out.collect()]
+    assert rows == [(3600, 50.0), (7200, 100.0)]
