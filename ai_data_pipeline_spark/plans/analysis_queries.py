@@ -774,47 +774,18 @@ _BLOOM_K = 3
 
 def q124_bloom_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ai_data_pipeline_spark.functions.text import normalized_text
-    from ai_data_pipeline_spark.operators.dedup import md5_hash60
+    from ai_data_pipeline_spark.operators.profiling import bloom_prefilter
 
     docs = _t(spark, sf_dir, "documents")
     base = docs.select(
         "doc_id", "source", F.md5(normalized_text(F.col("text"))).alias("digest")
     )
     block = base.filter(F.col("doc_id") % 97 == 0).select("digest").distinct()
-    bits = (
-        block.select(
-            F.explode(
-                F.array(
-                    *[
-                        (md5_hash60(F.col("digest"), j) % _BLOOM_M).alias("p")
-                        for j in range(_BLOOM_K)
-                    ]
-                )
-            ).alias("pos")
-        )
-        .distinct()
-    )
-    probes = base.select(
-        "doc_id",
-        "source",
-        "digest",
-        F.posexplode(
-            F.array(
-                *[(md5_hash60(F.col("digest"), j) % _BLOOM_M) for j in range(_BLOOM_K)]
-            )
-        ).alias("k", "pos"),
-    )
-    hit_counts = (
-        probes.join(F.broadcast(bits.withColumn("set_bit", F.lit(1))), "pos", "left")
-        .groupBy("doc_id", "source", "digest")
-        .agg(F.sum(F.coalesce(F.col("set_bit"), F.lit(0))).alias("n_set"))
-    )
+    flagged = bloom_prefilter(base, block, "digest", m=_BLOOM_M, k=_BLOOM_K)
     member = block.withColumn("is_member", F.lit(1))
-    audited = hit_counts.join(
-        F.broadcast(member), "digest", "left"
-    ).select(
+    audited = flagged.join(F.broadcast(member), "digest", "left").select(
         "source",
-        (F.col("n_set") == _BLOOM_K).cast("int").alias("bloom_hit"),
+        "bloom_hit",
         F.coalesce(F.col("is_member"), F.lit(0)).alias("is_member"),
     )
     return (
@@ -1515,21 +1486,11 @@ def q134_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cents = F.expr("(2 * rev_u + 10000) div 20000")
     ranked = per_part.select("l_partkey", cents.alias("rev_c"))
-    w = Window.orderBy(F.desc("rev_c"), F.asc("l_partkey")).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    total = F.sum("rev_c").over(Window.partitionBy())
-    classed = ranked.select(
-        "l_partkey",
-        "rev_c",
-        F.sum("rev_c").over(w).alias("cum_c"),
-        total.alias("total_c"),
-    ).withColumn(
-        "abc",
-        F.when(100 * F.col("cum_c") <= 80 * F.col("total_c"), "A")
-        .when(100 * F.col("cum_c") <= 95 * F.col("total_c"), "B")
-        .otherwise("C"),
-    )
+    from ai_data_pipeline_spark.operators.profiling import pareto_classes
+
+    classed = pareto_classes(
+        ranked, key="l_partkey", weight="rev_c", cuts=[("A", 80), ("B", 95)]
+    ).select("l_partkey", F.col("w").alias("rev_c"), F.col("cls").alias("abc"))
     return (
         classed.groupBy("abc")
         .agg(
@@ -1755,15 +1716,11 @@ ORACLE["q137_interarrival"] = f"""
 # ---------------------------------------------------------------------------
 
 def q138_hot_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_data_pipeline_spark.operators.profiling import hot_key_shares
+
     e = load_events(spark, sf_dir)
-    per_key = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
-    total = per_key.agg(F.sum("n").cast("long").alias("total"))
     return (
-        per_key.crossJoin(F.broadcast(total))
-        .withColumn("is_hot", (F.col("n") * 1000 > F.col("total")).cast("int"))
-        .withColumn(
-            "share", F.col("n").cast("double") / F.col("total").cast("double")
-        )
+        hot_key_shares(e, "user_id", hot_per_mille=1)
         .orderBy(F.desc("n"), F.asc("user_id"))
         .limit(10)
     )
