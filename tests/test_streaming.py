@@ -435,3 +435,38 @@ def test_streaming_oracle_queries_leave_no_sink_tables(spark):
     assert leaked == [], leaked
     # the drained frame must survive the drop (it no longer reads the sink)
     assert df.count() == n
+
+
+def test_stream_static_broadcast_enrichment(spark, tmp_path):
+    """Stream-static join: each micro-batch enriches against a STATIC
+    dimension (re-read per batch — updates between batches are
+    visible), and the static side broadcasts: no stateful join, no
+    watermark needed, the streaming plan's analog of q02's dimension
+    join. The enrichment dim here is in-memory; a parquet dim behaves
+    identically."""
+    in_dir = tmp_path / "in_ss"
+    in_dir.mkdir()
+    name = f"ss_{uuid.uuid4().hex[:8]}"
+    dim = spark.createDataFrame(
+        [("view", 1), ("purchase", 10)], "event_type string, weight int"
+    )
+    stream = spark.readStream.schema(EVENT_SCHEMA).json(str(in_dir))
+    enriched = stream.join(F.broadcast(dim), "event_type", "left").select(
+        "event_id", "event_type", F.coalesce("weight", F.lit(0)).alias("weight")
+    )
+    q = _mem_sink(enriched, name).start()
+    try:
+        _write_jsonl(
+            str(in_dir / "b1.json"),
+            [
+                {"ts": "2024-01-01 10:00:00", "user_id": 1, "event_type": "view", "event_id": "a"},
+                {"ts": "2024-01-01 10:01:00", "user_id": 1, "event_type": "purchase", "event_id": "b"},
+                {"ts": "2024-01-01 10:02:00", "user_id": 2, "event_type": "signup", "event_id": "c"},
+            ],
+        )
+        _drain(q)
+    finally:
+        q.stop()
+    rows = {r["event_id"]: r["weight"] for r in spark.table(name).collect()}
+    spark.catalog.dropTempView(name)
+    assert rows == {"a": 1, "b": 10, "c": 0}
