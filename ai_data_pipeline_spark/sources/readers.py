@@ -79,6 +79,77 @@ def read_csv(
     return reader.csv(path)
 
 
+def read_orc(
+    spark: SparkSession,
+    path: str,
+    schema: str | StructType | None = None,
+    stream: bool = False,
+) -> DataFrame:
+    """ORC source — completes the built-in columnar set next to
+    parquet (same pushdown/pruning behavior: predicate + column
+    pushdown reach the stripe reader; see the round-trip test)."""
+    reader = spark.readStream if stream else spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)
+
+
+def read_jsonl_quarantine(
+    spark: SparkSession,
+    path: str,
+    schema: str | StructType,
+    stream: bool = False,
+) -> tuple[DataFrame, DataFrame]:
+    """Dead-letter ingest: PERMISSIVE JSONL parse that splits into
+    (good, quarantine) frames instead of FAILFAST's crash (read_jsonl)
+    or silent DROPMALFORMED loss.
+
+    good: rows matching ``schema`` (corrupt column dropped).
+    quarantine: the RAW malformed line preserved in ``raw`` plus the
+    source path — everything needed to replay after a parser fix.
+
+    At 100 TB this is the only deployable posture: one bad line in a
+    billion must neither kill the job (FAILFAST) nor vanish
+    (DROPMALFORMED).
+
+    Implementation note: reading ``.json(path)`` with a schema'd
+    corrupt column forbids queries that touch only that column
+    (SPARK-21610 — Spark demands a cache() barrier first, a non-
+    starter at corpus scale). The deployable shape is a TEXT scan +
+    ``from_json`` with an in-struct corrupt column: one narrow scan,
+    no barrier, and — unlike the raw-json reader — it also flags
+    TYPE-mismatched rows (valid JSON, wrong field type) into the
+    quarantine, not just unparseable lines. Both returned frames are
+    cheap projections of the same scan.
+    """
+    struct = (
+        schema if isinstance(schema, StructType) else StructType.fromDDL(schema)
+    )
+    full = struct.add("_corrupt_record", StringType())
+    reader = spark.readStream if stream else spark.read
+    raw = reader.text(path).select(
+        F.col("value"), F.input_file_name().alias("_src")
+    )
+    parsed = raw.select(
+        F.from_json(
+            "value",
+            full,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt_record"},
+        ).alias("r"),
+        "value",
+        "_src",
+    )
+    good = (
+        parsed.filter(F.col("r._corrupt_record").isNull())
+        .select("r.*")
+        .drop("_corrupt_record")
+    )
+    quarantine = parsed.filter(F.col("r._corrupt_record").isNotNull()).select(
+        F.col("value").alias("raw"), F.col("_src").alias("source_path")
+    )
+    return good, quarantine
+
+
 def read_text(
     spark: SparkSession,
     path: str,

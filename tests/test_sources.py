@@ -379,3 +379,42 @@ def test_python_datasource_stream_reader(spark, tmp_path):
     # shard labels differ by reader parallelism; compare id/text
     assert [(a, b) for a, b, _ in streamed] == [(a, b) for a, b, _ in batch]
     assert len(streamed) == 37
+
+
+def test_read_orc_round_trip_with_pushdown(spark, tmp_path):
+    """ORC round trip; the range predicate reaches the ORC scan as a
+    pushed filter (same posture as the parquet plan assertions)."""
+    from ai_data_pipeline_spark.sources.readers import read_orc
+
+    p = str(tmp_path / "orc_t")
+    spark.range(100).selectExpr("id", "id * 3 AS v").write.orc(p)
+    back = read_orc(spark, p).filter("v >= 150").select("id")
+    assert back.count() == 50
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(v), GreaterThanOrEqual(v,150" in plan
+
+
+def test_read_jsonl_quarantine_split(spark, tmp_path):
+    """Dead-letter ingest: good rows parse, malformed AND
+    type-mismatched lines land in quarantine with the raw line and
+    source path preserved — nothing crashes, nothing is dropped."""
+    from ai_data_pipeline_spark.sources.readers import read_jsonl_quarantine
+
+    d = tmp_path / "dl"
+    d.mkdir()
+    (d / "a.jsonl").write_text(
+        '{"q": "ok", "a": 1}\n'
+        '{"q": "bad", "a": \n'          # truncated JSON
+        '{"q": "typed", "a": "xx"}\n'   # valid JSON, wrong type for a
+        "not json at all\n"
+        '{"q": "ok2", "a": 2}\n'
+    )
+    good, bad = read_jsonl_quarantine(spark, str(d), "q string, a long")
+    assert sorted((r.q, r.a) for r in good.collect()) == [("ok", 1), ("ok2", 2)]
+    rows = bad.collect()
+    assert sorted(r.raw for r in rows) == sorted(
+        ['{"q": "bad", "a": ', '{"q": "typed", "a": "xx"}', "not json at all"]
+    )
+    assert all(r.source_path.endswith("a.jsonl") for r in rows)
+    # schema contract: good carries exactly the declared columns
+    assert good.columns == ["q", "a"]
