@@ -96,3 +96,72 @@ def test_plain_python_udf_surface(spark):
     assert got == [1, 3, None]
     spark.udf.register("vowels_sql", vowels)
     assert spark.sql("SELECT vowels_sql('aequeous') AS n").first()["n"] == 6
+
+
+def test_sql_udf_library_matches_dataframe_forms(spark):
+    """functions/sql_udfs.py: every SQL-defined function agrees with
+    the DataFrame expression it mirrors, on real corpus text."""
+    from pyspark.sql import functions as F
+
+    from ai_data_pipeline_spark.catalog import load_table
+    from ai_data_pipeline_spark.functions import text as T
+    from ai_data_pipeline_spark.functions import vector as V
+    from ai_data_pipeline_spark.functions.sql_udfs import register_sql_functions
+    from ai_data_pipeline_spark.operators.dedup import md5_hash60
+
+    names = register_sql_functions(spark)
+    assert "vec_cosine" in names and "word_ngrams" in names
+
+    docs = load_table(spark, SF_SMOKE, "documents").limit(50)
+    docs.createOrReplaceTempView("sqludf_docs")
+    got = spark.sql(
+        """
+        SELECT doc_id,
+               norm_text(text)            AS nt,
+               token_count_ws(text)       AS tc,
+               token_count_bpe(text)      AS tb,
+               word_ngrams(text, 3)       AS g3,
+               md5h60(text, 7)            AS h7
+        FROM sqludf_docs
+        """
+    )
+    want = docs.select(
+        "doc_id",
+        T.normalized_text("text").alias("nt"),
+        T.token_count_ws("text").alias("tc"),
+        T.token_count_bpe_ish("text").alias("tb"),
+        T.word_ngrams("text", 3).alias("g3"),
+        md5_hash60(F.col("text"), 7).alias("h7"),
+    )
+    assert got.exceptAll(want).union(want.exceptAll(got)).count() == 0
+
+    # cast to array<double> on BOTH sides: the SQL UDF signature is
+    # ARRAY<DOUBLE> (implicit float→double cast at the call), so the
+    # DataFrame twin must fold in double too for bit-identity
+    emb = (
+        load_table(spark, SF_SMOKE, "embeddings")
+        .limit(20)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    )
+    emb.createOrReplaceTempView("sqludf_emb")
+    pairs_sql = spark.sql(
+        """
+        SELECT a.vec_id AS ia, b.vec_id AS ib,
+               vec_dot(a.embedding, b.embedding)    AS d,
+               vec_l2sq(a.embedding, b.embedding)   AS l2,
+               vec_cosine(a.embedding, b.embedding) AS cs
+        FROM sqludf_emb a JOIN sqludf_emb b ON a.vec_id < b.vec_id
+        """
+    )
+    pairs_df = (
+        emb.alias("a")
+        .join(emb.alias("b"), F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("ia"),
+            F.col("b.vec_id").alias("ib"),
+            V.dot("a.embedding", "b.embedding").alias("d"),
+            V.squared_l2("a.embedding", "b.embedding").alias("l2"),
+            V.cosine("a.embedding", "b.embedding").alias("cs"),
+        )
+    )
+    assert pairs_sql.exceptAll(pairs_df).union(pairs_df.exceptAll(pairs_sql)).count() == 0
