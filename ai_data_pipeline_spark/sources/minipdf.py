@@ -1,0 +1,282 @@
+"""Minimal, dependency-free PDF text extraction (R2 fallback tier).
+
+The reference extracts per-page text with pypdf (`app/main.py:19-27`);
+this container has no pypdf, so until now R2 ran only on the
+plain-text/form-feed fallback. This module implements the subset of
+ISO 32000 (the public PDF spec) needed to read text from simple,
+classically-structured PDFs with nothing but the stdlib:
+
+- object scanning (``N G obj ... endobj``) — xref offsets are
+  IGNORED; the object map is rebuilt by scanning, which also handles
+  incrementally-updated files (later definitions win);
+- the Catalog → Pages → Kids page-tree walk (page ORDER is the tree
+  order, as in pypdf);
+- content streams, raw or /FlateDecode (zlib);
+- the text-showing operators ``Tj``, ``'``, ``"``, ``TJ`` with
+  literal-string escapes (octal, \\(, \\), line continuations) and
+  hex strings; ``Td``/``TD`` with a vertical component and ``T*``
+  emit newlines (the same line-break approximation pypdf makes).
+
+Out of scope (documented, not silently wrong): PDF 1.5+ compressed
+object streams (/ObjStm) and xref streams (those objects are simply
+absent from the scan), non-Flate filters, CMap/ToUnicode font
+remapping (string bytes decode as Latin-1, UTF-16BE with BOM as
+such — correct for the standard-encoding fonts simple generators
+emit). Callers needing full fidelity plug pypdf into the same seam
+(readers.get_pdf_parser prefers it when importable).
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+_OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b(.*?)endobj", re.DOTALL)
+_REF_RE = re.compile(rb"(\d+)\s+\d+\s+R")
+_STREAM_RE = re.compile(rb"stream\r?\n(.*?)\r?\nendstream", re.DOTALL)
+
+
+def _objects(data: bytes) -> dict[int, bytes]:
+    objs: dict[int, bytes] = {}
+    for m in _OBJ_RE.finditer(data):
+        objs[int(m.group(1))] = m.group(3)  # later (updated) defs win
+    return objs
+
+
+def _dict_part(body: bytes) -> bytes:
+    """The object's dictionary portion (everything before stream data
+    — good enough for the keys we probe)."""
+    i = body.find(b"stream")
+    return body if i < 0 else body[:i]
+
+
+def _ref_value(body: bytes, key: bytes) -> int | None:
+    m = re.search(re.escape(key) + rb"\s+(\d+)\s+\d+\s+R", body)
+    return int(m.group(1)) if m else None
+
+
+def _ref_array(body: bytes, key: bytes) -> list[int]:
+    """Refs under ``key``, whether a single ref or an [ array ]."""
+    m = re.search(re.escape(key) + rb"\s*\[(.*?)\]", body, re.DOTALL)
+    if m:
+        return [int(r.group(1)) for r in _REF_RE.finditer(m.group(1))]
+    one = _ref_value(body, key)
+    return [one] if one is not None else []
+
+
+def _page_order(objs: dict[int, bytes]) -> list[int]:
+    """Walk Catalog → Pages → Kids; returns page object numbers in
+    tree order. Falls back to scan order of /Type /Page objects when
+    the tree is unreachable (e.g. root lives in an object stream)."""
+    root = None
+    for body in objs.values():  # trailer may be anywhere; scan for Catalog
+        if re.search(rb"/Type\s*/Catalog\b", _dict_part(body)):
+            root = body
+            break
+    pages: list[int] = []
+
+    def walk(num: int, depth: int = 0) -> None:
+        if depth > 64:  # malformed cyclic tree guard
+            return
+        body = objs.get(num)
+        if body is None:
+            return
+        d = _dict_part(body)
+        if re.search(rb"/Type\s*/Pages\b", d):
+            for kid in _ref_array(d, b"/Kids"):
+                walk(kid, depth + 1)
+        elif re.search(rb"/Type\s*/Page\b", d):
+            pages.append(num)
+
+    if root is not None:
+        top = _ref_value(_dict_part(root), b"/Pages")
+        if top is not None:
+            walk(top)
+    if not pages:  # degraded: scan order
+        pages = [
+            n
+            for n, b in objs.items()
+            if re.search(rb"/Type\s*/Page\b", _dict_part(b))
+        ]
+    return pages
+
+
+def _stream_bytes(body: bytes) -> bytes:
+    m = _STREAM_RE.search(body)
+    if not m:
+        return b""
+    raw = m.group(1)
+    if re.search(rb"/Filter\s*(?:\[\s*)?/FlateDecode\b", _dict_part(body)):
+        try:
+            return zlib.decompress(raw)
+        except zlib.error:
+            return b""
+    return raw
+
+
+def _decode_pdf_string(b: bytes) -> str:
+    if b[:2] == b"\xfe\xff":
+        return b[2:].decode("utf-16-be", errors="replace")
+    return b.decode("latin-1")
+
+
+def _parse_literal(data: bytes, i: int) -> tuple[bytes, int]:
+    """data[i] == '(' — returns (string bytes, index past ')')."""
+    out = bytearray()
+    depth = 1
+    i += 1
+    n = len(data)
+    while i < n and depth:
+        c = data[i]
+        if c == 0x5C:  # backslash
+            i += 1
+            if i >= n:
+                break
+            e = data[i]
+            if e in b"nrtbf":
+                out += {0x6E: b"\n", 0x72: b"\r", 0x74: b"\t", 0x62: b"\b", 0x66: b"\f"}[e]
+                i += 1
+            elif e in b"()\\":
+                out.append(e)
+                i += 1
+            elif 0x30 <= e <= 0x37:  # up to 3 octal digits
+                oct_digits = bytearray()
+                while i < n and len(oct_digits) < 3 and 0x30 <= data[i] <= 0x37:
+                    oct_digits.append(data[i])
+                    i += 1
+                out.append(int(oct_digits.decode(), 8) & 0xFF)
+            elif e in b"\r\n":  # line continuation
+                i += 1
+                if e == 0x0D and i < n and data[i] == 0x0A:
+                    i += 1
+            else:
+                out.append(e)
+                i += 1
+        elif c == 0x28:  # (
+            depth += 1
+            out.append(c)
+            i += 1
+        elif c == 0x29:  # )
+            depth -= 1
+            if depth:
+                out.append(c)
+            i += 1
+        else:
+            out.append(c)
+            i += 1
+    return bytes(out), i
+
+
+_NUM_RE = re.compile(rb"[+-]?(?:\d+\.?\d*|\.\d+)")
+_OP_RE = re.compile(rb"[A-Za-z'\"*]+")
+
+
+def _tokens(data: bytes):
+    """Content-stream tokens: ('str', bytes) | ('num', float) |
+    ('op', bytes) | ('[', ) | (']', ). Names, dicts and inline
+    images are skipped."""
+    i, n = 0, len(data)
+    while i < n:
+        c = data[i]
+        if c in b" \t\r\n\x00":
+            i += 1
+        elif c == 0x28:  # (
+            s, i = _parse_literal(data, i)
+            yield ("str", s)
+        elif c == 0x3C and i + 1 < n and data[i + 1] == 0x3C:  # <<
+            i += 2
+        elif c == 0x3C:  # hex string
+            j = data.find(b">", i + 1)
+            j = n if j < 0 else j
+            h = re.sub(rb"\s", b"", data[i + 1 : j])
+            if len(h) % 2:
+                h += b"0"
+            try:
+                yield ("str", bytes.fromhex(h.decode("ascii")))
+            except ValueError:
+                pass
+            i = j + 1
+        elif c == 0x5B:  # [
+            yield ("[",)
+            i += 1
+        elif c == 0x5D:  # ]
+            yield ("]",)
+            i += 1
+        elif c == 0x2F:  # /Name
+            m = re.match(rb"/[^\s()<>\[\]{}/%]*", data[i:])
+            i += m.end() if m else 1
+        elif c == 0x25:  # % comment
+            j = data.find(b"\n", i)
+            i = n if j < 0 else j + 1
+        else:
+            m = _NUM_RE.match(data, i)
+            if m and m.end() > i:
+                yield ("num", float(m.group()))
+                i = m.end()
+                continue
+            m = _OP_RE.match(data, i)
+            if m:
+                op = m.group()
+                if op == b"BI":  # inline image: skip through EI
+                    j = data.find(b"EI", i)
+                    i = n if j < 0 else j + 2
+                else:
+                    yield ("op", op)
+                    i = m.end()
+            else:
+                i += 1  # stray delimiter (e.g. '>' '{' '}')
+
+
+def extract_text(content_stream: bytes) -> str:
+    """Text of one decoded content stream."""
+    out: list[str] = []
+    stack: list = []  # operand stack: str/num/list
+    arr: list | None = None
+    for tok in _tokens(content_stream):
+        kind = tok[0]
+        if kind == "[":
+            arr = []
+        elif kind == "]":
+            stack.append(arr if arr is not None else [])
+            arr = None
+        elif kind in ("str", "num"):
+            (arr if arr is not None else stack).append(tok[1])
+        else:
+            op = tok[1]
+            if op == b"Tj" and stack and isinstance(stack[-1], bytes):
+                out.append(_decode_pdf_string(stack[-1]))
+            elif op == b"'" and stack and isinstance(stack[-1], bytes):
+                out.append("\n" + _decode_pdf_string(stack[-1]))
+            elif op == b'"' and stack and isinstance(stack[-1], bytes):
+                out.append("\n" + _decode_pdf_string(stack[-1]))
+            elif op == b"TJ" and stack and isinstance(stack[-1], list):
+                out.append(
+                    "".join(
+                        _decode_pdf_string(e)
+                        for e in stack[-1]
+                        if isinstance(e, bytes)
+                    )
+                )
+            elif op == b"T*":
+                out.append("\n")
+            elif op in (b"Td", b"TD"):
+                # newline only on an actual vertical move
+                if len(stack) >= 1 and isinstance(stack[-1], float) and stack[-1] != 0.0:
+                    out.append("\n")
+            stack.clear()
+    return "".join(out).lstrip("\n")
+
+
+def extract_pages(content: bytes) -> list[str]:
+    """Per-page text of a PDF byte string (the R2 parser contract:
+    ``bytes -> list[str]``, one entry per page, blank for pages whose
+    objects are unreadable)."""
+    objs = _objects(content or b"")
+    pages = []
+    for pnum in _page_order(objs):
+        body = objs.get(pnum, b"")
+        streams = [
+            _stream_bytes(objs[c]) for c in _ref_array(_dict_part(body), b"/Contents") if c in objs
+        ]
+        pages.append("\n".join(extract_text(s) for s in streams if s).strip("\n"))
+    return pages

@@ -192,13 +192,35 @@ def pypdf_parser(content: bytes) -> list[str]:  # pragma: no cover - pypdf absen
     return [(page.extract_text() or "") for page in PdfReader(io.BytesIO(content)).pages]
 
 
+def minipdf_parser(content: bytes) -> list[str]:
+    """Dependency-free real-PDF parser (sources/minipdf.py): classic
+    xref-less object scan + page-tree walk + FlateDecode + Tj/TJ text
+    operators. The R2 tier between pypdf and the plain-text fallback."""
+    from ai_data_pipeline_spark.sources.minipdf import extract_pages
+
+    return extract_pages(content)
+
+
+def auto_pdf_parser(content: bytes) -> list[str]:
+    """Sniffing default: real ``%PDF-`` bytes go through minipdf,
+    anything else through the form-feed text fallback (keeps the
+    plain-text parity fixtures and synthetic corpora working)."""
+    body = content or b""
+    if body.lstrip()[:5] == b"%PDF-":
+        try:
+            return minipdf_parser(body)
+        except Exception:
+            return default_text_pdf_parser(body)
+    return default_text_pdf_parser(body)
+
+
 def get_pdf_parser() -> Callable[[bytes], list[str]]:
     try:  # pragma: no cover - container has no pypdf
         import pypdf  # noqa: F401
 
         return pypdf_parser
     except ImportError:
-        return default_text_pdf_parser
+        return auto_pdf_parser
 
 
 def parse_pages(

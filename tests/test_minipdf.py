@@ -1,0 +1,135 @@
+"""sources/minipdf.py — real-PDF text extraction without pypdf.
+
+The fixture builder emits a VALID classic PDF (correct xref offsets,
+Flate-compressed content streams) so what's tested is the format,
+not a lookalike: page-tree order, escapes, hex strings, TJ arrays,
+line-move newlines, multi-stream pages, and the parse_pages seam
+end-to-end through binaryFile.
+"""
+
+import zlib
+
+from ai_data_pipeline_spark.sources.minipdf import extract_pages, extract_text
+from ai_data_pipeline_spark.sources.readers import (
+    auto_pdf_parser,
+    parse_pages,
+    read_document_dir,
+)
+
+
+def build_pdf(page_streams: list[list[bytes]], compress: bool = True) -> bytes:
+    """Minimal valid PDF: one /Page per entry, each with one content
+    stream per inner list element."""
+    objs: list[bytes] = []  # bodies; object number = index + 1
+    kids: list[int] = []
+    content_refs: list[list[int]] = []
+    # object 1 = Catalog, 2 = Pages; content + page objects follow
+    next_num = 3
+    for streams in page_streams:
+        refs = []
+        for s in streams:
+            data = zlib.compress(s) if compress else s
+            filt = b"/Filter /FlateDecode " if compress else b""
+            objs.append(
+                b"<< "
+                + filt
+                + b"/Length "
+                + str(len(data)).encode()
+                + b" >>\nstream\n"
+                + data
+                + b"\nendstream\n"
+            )
+            refs.append(next_num)
+            next_num += 1
+        content_refs.append(refs)
+    for refs in content_refs:
+        carr = b"[ " + b" ".join(b"%d 0 R" % r for r in refs) + b" ]"
+        objs.append(
+            b"<< /Type /Page /Parent 2 0 R /Contents " + carr + b" >>\n"
+        )
+        kids.append(next_num)
+        next_num += 1
+    catalog = b"<< /Type /Catalog /Pages 2 0 R >>\n"
+    pages = (
+        b"<< /Type /Pages /Kids [ "
+        + b" ".join(b"%d 0 R" % k for k in kids)
+        + b" ] /Count "
+        + str(len(kids)).encode()
+        + b" >>\n"
+    )
+    bodies = [catalog, pages] + objs
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = []
+    for i, body in enumerate(bodies, start=1):
+        offsets.append(len(out))
+        out += b"%d 0 obj\n" % i + body + b"endobj\n"
+    xref_at = len(out)
+    out += b"xref\n0 %d\n" % (len(bodies) + 1)
+    out += b"0000000000 65535 f \n"
+    for off in offsets:
+        out += b"%010d 00000 n \n" % off
+    out += (
+        b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+        % (len(bodies) + 1, xref_at)
+    )
+    return bytes(out)
+
+
+PAGE1 = (
+    b"BT /F1 12 Tf 72 720 Td (Hello \\(quoted\\) world) Tj "
+    b"0 -14 Td [(Kerned) -250 ( pairs)] TJ "
+    b"T* <48657820737472696E67> Tj ET"
+)
+PAGE2_A = b"BT (Second page, stream one.) Tj ET"
+PAGE2_B = b"BT (Stream two.) Tj ET"
+
+
+def test_extract_text_operators():
+    txt = extract_text(PAGE1)
+    assert txt.splitlines() == [
+        "Hello (quoted) world",
+        "Kerned pairs",
+        "Hex string",
+    ]
+
+
+def test_literal_string_escapes():
+    assert extract_text(rb"(a\101\12b\\c\)d) Tj") == "aA\nb\\c)d"
+    # line continuation: backslash-newline vanishes
+    assert extract_text(b"(one\\\ntwo) Tj") == "onetwo"
+
+
+def test_extract_pages_order_and_multistream():
+    pdf = build_pdf([[PAGE1], [PAGE2_A, PAGE2_B]])
+    pages = extract_pages(pdf)
+    assert len(pages) == 2
+    assert pages[0].startswith("Hello (quoted) world")
+    assert pages[1] == "Second page, stream one.\nStream two."
+
+
+def test_uncompressed_and_utf16_strings():
+    s = "café".encode("utf-16-be")
+    pdf = build_pdf([[b"BT (\xfe\xff" + s + b") Tj ET"]], compress=False)
+    # NB: the literal builder above embeds raw UTF-16 bytes; parens in
+    # the payload would need escaping — 'café' has none.
+    assert extract_pages(pdf) == ["café"]
+
+
+def test_auto_parser_sniffs_format():
+    pdf = build_pdf([[PAGE2_A]])
+    assert auto_pdf_parser(pdf) == ["Second page, stream one."]
+    assert auto_pdf_parser(b"plain\ftext") == ["plain", "text"]
+
+
+def test_parse_pages_end_to_end_real_pdf(spark, tmp_path):
+    """R2 through the actual Spark seam: binaryFile scan → pandas-UDF
+    parse → posexplode, on a real (generated) PDF file."""
+    d = tmp_path / "pdfs"
+    d.mkdir()
+    (d / "real.pdf").write_bytes(build_pdf([[PAGE1], [PAGE2_A, PAGE2_B]]))
+    docs = read_document_dir(spark, str(d), glob="*.pdf")
+    rows = parse_pages(docs).orderBy("page_no").collect()
+    assert [r["page_no"] for r in rows] == [1, 2]
+    assert rows[0]["page_text"].startswith("Hello (quoted) world")
+    assert rows[1]["page_text"] == "Second page, stream one.\nStream two."
+    assert rows[0]["source_file"] == "real.pdf"
