@@ -153,3 +153,82 @@ def compact_sorted(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def zorder_key(a, b, bits: int = 16):
+    """Z-order (Morton) interleave of two columns as a single sortable
+    BIGINT — the 2-D extension of ``compact_sorted``'s 1-D layout.
+
+    Each input is linearly bucketed to ``bits`` bits via its global
+    min/max (computed by the caller — see ``compact_zorder``), then
+    bit-spread with the classic mask ladder and interleaved, all in
+    Catalyst integer expressions (codegen'd; no UDF). Sorting by the
+    result gives files whose footer stats are tight in BOTH
+    dimensions, so predicates on EITHER column skip files — a 1-D
+    sort leaves the second column spanning the full range in every
+    file. ``a``/``b`` must already be non-negative ints < 2**bits.
+    """
+    if bits * 2 > 62:
+        raise ValueError("bits must be <= 31")
+
+    def spread(c):
+        # insert a zero bit between every bit of c (the classic mask
+        # ladder, in a 64-bit lane). NB: Column | / & are LOGICAL in
+        # PySpark — bitwise needs the bitwiseOR/bitwiseAND methods.
+        for shift, mask in (
+            (16, 0x0000FFFF0000FFFF),
+            (8, 0x00FF00FF00FF00FF),
+            (4, 0x0F0F0F0F0F0F0F0F),
+            (2, 0x3333333333333333),
+            (1, 0x5555555555555555),
+        ):
+            c = c.bitwiseOR(F.shiftleft(c, shift)).bitwiseAND(F.lit(mask))
+        return c
+
+    a = (F.col(a) if isinstance(a, str) else a).cast("long")
+    b = (F.col(b) if isinstance(b, str) else b).cast("long")
+    return spread(a).bitwiseOR(F.shiftleft(spread(b), 1))
+
+
+def compact_zorder(
+    df: DataFrame,
+    path: str,
+    col_a: str,
+    col_b: str,
+    target_files: int,
+    bits: int = 16,
+) -> None:
+    """Rewrite ``df`` as ``target_files`` parquet files clustered on
+    the Z-order curve over (col_a, col_b): both columns' footer
+    min/max stats come out tight per file, so selective filters on
+    either (or both) dimensions skip files — the zorder-lite 2-D
+    answer to ``compact_sorted``'s single dimension.
+
+    The min/max scan is one cheap aggregate (4 scalars to the driver
+    — metadata-scale, same class as blocked_neardup's sizing count);
+    the rewrite is one range repartition + local sort, identical
+    shuffle shape to compact_sorted.
+    """
+    mm = df.agg(
+        F.min(col_a).alias("a0"), F.max(col_a).alias("a1"),
+        F.min(col_b).alias("b0"), F.max(col_b).alias("b1"),
+    ).collect()[0]
+    hi = (1 << bits) - 1
+
+    def bucket(c, lo, span):
+        if span <= 0:
+            return F.lit(0)
+        return F.floor(
+            (c.cast("double") - F.lit(float(lo))) / F.lit(float(span)) * hi
+        ).cast("long")
+
+    za = bucket(F.col(col_a), mm["a0"], mm["a1"] - mm["a0"])
+    zb = bucket(F.col(col_b), mm["b0"], mm["b1"] - mm["b0"])
+    keyed = df.withColumn("_zkey", zorder_key(za, zb, bits))
+    (
+        keyed.repartitionByRange(target_files, "_zkey")
+        .sortWithinPartitions("_zkey")
+        .drop("_zkey")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

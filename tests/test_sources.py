@@ -418,3 +418,56 @@ def test_read_jsonl_quarantine_split(spark, tmp_path):
     assert all(r.source_path.endswith("a.jsonl") for r in rows)
     # schema contract: good carries exactly the declared columns
     assert good.columns == ["q", "a"]
+
+
+def test_compact_zorder_tight_in_both_dims(spark, tmp_path):
+    """2-D clustering: after compact_zorder, each file's footer
+    min/max range must be a small fraction of the global range in
+    BOTH columns — a 1-D sort (compact_sorted) is tight in its sort
+    key but spans ~everything in the other column. That two-sided
+    tightness is what lets filters on EITHER dimension skip files."""
+    import glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from ai_data_pipeline_spark.sources.sinks import compact_sorted, compact_zorder
+
+    n = 1 << 14
+    # two independent uniform dims (bit-reverse the id for y so x and
+    # y are deterministic but uncorrelated)
+    df = spark.range(n).select(
+        F.col("id").alias("x"),
+        F.conv(F.reverse(F.lpad(F.conv(F.col("id"), 10, 2), 14, "0")), 2, 10)
+        .cast("long")
+        .alias("y"),
+    )
+
+    def file_range_fraction(path, col, span):
+        fracs = []
+        for f in sorted(glob.glob(f"{path}/part-*.parquet")):
+            md = pq.ParquetFile(f).metadata
+            idx = {md.schema.column(i).name: i for i in range(md.num_columns)}[col]
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                mins.append(st.min)
+                maxs.append(st.max)
+            fracs.append((max(maxs) - min(mins)) / span)
+        return sum(fracs) / len(fracs)
+
+    zp = str(tmp_path / "zord")
+    compact_zorder(df, zp, "x", "y", target_files=16, bits=7)
+    sp = str(tmp_path / "sort1d")
+    compact_sorted(df, sp, ["x"], target_files=16)
+
+    # 16 files over a 2-D curve -> each covers ~1/4 of each dim (a
+    # 4x4 grid); allow slack for range-partition boundaries
+    zx, zy = file_range_fraction(zp, "x", n - 1), file_range_fraction(zp, "y", n - 1)
+    assert zx < 0.5 and zy < 0.5, (zx, zy)
+    # the 1-D layout: tight in x, useless in y
+    sx, sy = file_range_fraction(sp, "x", n - 1), file_range_fraction(sp, "y", n - 1)
+    assert sx < 0.15
+    assert sy > 0.8, sy
+    # and the rewrite loses nothing
+    assert spark.read.parquet(zp).count() == n
