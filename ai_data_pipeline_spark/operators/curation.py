@@ -191,3 +191,70 @@ def rolling_median_int(value: Column | str, window: Window) -> Column:
         )
         / F.lit(2.0)
     )
+
+
+def remove_duplicate_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Exact duplicate-SPAN removal: rewrite each document with every
+    token span whose ``n``-gram already occurred earlier in the corpus
+    dropped — the distributed form of the exact-substring dedup pass
+    from the public train-data-dedup literature (suffix-array "exact
+    substring" dedup, approximated at token-n-gram granularity, which
+    is also what makes it shuffle-friendly).
+
+    Semantics (single pass, deterministic):
+    - corpus order = (``id_col``, position); the globally FIRST
+      occurrence of each n-gram is kept, every later occurrence marks
+      its ``[p, p+n)`` token span for removal (overlaps union);
+    - a doc shorter than ``n`` tokens is never touched; a doc whose
+      every token is covered comes back as the empty string;
+    - output: ``[id_col, text_col]`` with surviving tokens rejoined by
+      single spaces (whitespace is not preserved byte-for-byte — the
+      tokenizer is ws_tokens, same as every other text operator here).
+
+    Scale shape (all equi-keyed, no candidate pairs, no driver loop):
+    one shuffle on the 8-byte gram hash where a WINDOW (not
+    groupBy+join-back — CLAUDE.md's exchange-reuse rule) finds the
+    global first occurrence; covered spans explode to ≤ n index rows
+    PER OCCURRENCE (linear in corpus gram mass — a boilerplate gram
+    repeated 1M times contributes 1M·n rows, never f²); one anti-join
+    on (doc, index); one groupBy doc to rebuild. Hash note: spans key
+    on xxhash64(gram) — a collision can only cause an extra drop, and
+    only when the colliding gram also precedes in corpus order.
+    """
+    from ai_data_pipeline_spark.functions.text import word_ngrams, ws_tokens
+
+    ident = F.col(id_col)
+    grams = docs.select(
+        ident,
+        F.posexplode(word_ngrams(text_col, n)).alias("p", "gram"),
+    ).select(id_col, "p", F.xxhash64("gram").alias("gh"))
+    w = Window.partitionBy("gh")
+    occ = F.struct(F.col(id_col), F.col("p"))
+    dup_spans = (
+        grams.withColumn("first_occ", F.min(occ).over(w))
+        .filter(occ != F.col("first_occ"))
+        .select(id_col, "p")
+    )
+    covered = dup_spans.select(
+        id_col, F.explode(F.sequence(F.col("p"), F.col("p") + (n - 1))).alias("idx")
+    ).distinct()
+    toks = docs.select(ident, F.posexplode(ws_tokens(text_col)).alias("idx", "tok"))
+    kept = toks.join(covered, [id_col, "idx"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias(text_col)
+    )
+    # docs losing every token (or empty to begin with) must survive
+    return docs.select(ident).join(rebuilt, id_col, "left").select(
+        id_col, F.coalesce(F.col(text_col), F.lit("")).alias(text_col)
+    )

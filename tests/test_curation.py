@@ -104,3 +104,77 @@ def test_rolling_median_int_odd_even(spark):
            .orderBy("i").collect()]
     # frames: [10], [10,2], [10,2,8], [2,8,4], [8,4,100]
     assert got == [10.0, 6.0, 8.0, 4.0, 8.0]
+
+
+class TestRemoveDuplicateSpans:
+    def _run(self, spark, rows, n):
+        from ai_data_pipeline_spark.operators.curation import remove_duplicate_spans
+
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = remove_duplicate_spans(df, n=n).collect()
+        return {r.doc_id: r.text for r in out}
+
+    def test_later_copy_of_span_removed_first_kept(self, spark):
+        shared = "one two three four"
+        got = self._run(
+            spark,
+            [
+                (1, f"intro {shared} outro"),
+                (2, f"prefix words {shared} suffix words"),
+            ],
+            n=4,
+        )
+        # doc 1 (earlier in corpus order) keeps the span; doc 2 loses
+        # exactly the 4-token window(s) containing it
+        assert shared in got[1]
+        assert "one" not in got[2] and "four" not in got[2]
+        assert got[2].startswith("prefix words") and got[2].endswith("suffix words")
+
+    def test_overlapping_spans_union(self, spark):
+        # doc 2 repeats doc 1's entire text: every gram duplicates,
+        # covered spans union to the whole doc -> empty rewrite
+        text = "a b c d e f"
+        got = self._run(spark, [(1, text), (2, text)], n=3)
+        assert got[1] == text
+        assert got[2] == ""
+
+    def test_short_and_empty_docs_untouched(self, spark):
+        got = self._run(spark, [(1, "too short"), (2, ""), (3, "x y z")], n=8)
+        assert got == {1: "too short", 2: "", 3: "x y z"}
+
+    def test_within_doc_repetition_also_dropped(self, spark):
+        # the SECOND occurrence inside the same doc is a later
+        # occurrence in (doc, pos) order -> dropped
+        got = self._run(spark, [(1, "p q r s MID p q r s")], n=4)
+        assert got[1].startswith("p q r s MID")
+        assert got[1].count("p q r s") == 1
+
+    def test_no_duplicate_ngram_survives_pass(self, spark):
+        """Property on a repetitive corpus: after one pass, no n-gram
+        of the ORIGINAL tokenization appears at two kept positions
+        (single-pass guarantee from the span-union construction)."""
+        from ai_data_pipeline_spark.functions.text import word_ngrams
+        from pyspark.sql import functions as F
+
+        rows = [
+            (i, " ".join(f"w{(i * 7 + j) % 23}" for j in range(40)))
+            for i in range(12)
+        ]
+        from ai_data_pipeline_spark.operators.curation import remove_duplicate_spans
+
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = remove_duplicate_spans(df, n=5)
+        # grams present in the rewritten corpus, per occurrence
+        grams = out.select(
+            F.explode(word_ngrams("text", 5)).alias("g")
+        )
+        top = (
+            grams.groupBy("g").count().agg(F.max("count").alias("m")).collect()[0]["m"]
+        )
+        # NB: rejoining can CREATE new adjacencies (tokens that were
+        # never adjacent originally); those may repeat — the exact
+        # single-pass guarantee is on original adjacencies, so assert
+        # on docs whose kept tokens are contiguous prefixes/suffixes:
+        # here every doc is either fully kept or fully span-covered,
+        # so any surviving duplicate gram means the pass failed.
+        assert top == 1
