@@ -133,3 +133,35 @@ def test_parse_pages_end_to_end_real_pdf(spark, tmp_path):
     assert rows[0]["page_text"].startswith("Hello (quoted) world")
     assert rows[1]["page_text"] == "Second page, stream one.\nStream two."
     assert rows[0]["source_file"] == "real.pdf"
+
+
+def _escape_literal(b: bytes) -> bytes:
+    """A conforming PDF literal-string writer (spec 7.3.4.2): escape
+    backslash and parens, octal-escape non-printables."""
+    out = bytearray()
+    for c in b:
+        if c in b"\\()":
+            out += b"\\" + bytes([c])
+        elif 32 <= c <= 126:
+            out.append(c)
+        else:
+            out += ("\\%03o" % c).encode()
+    return bytes(out)
+
+
+def test_literal_string_roundtrip_property():
+    """Any byte string a conforming writer escapes must come back
+    byte-identical through the parser (latin-1 is a bijection on
+    bytes, so compare the re-encoded text)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.binary(min_size=0, max_size=64))
+    def check(payload):
+        if payload[:2] == b"\xfe\xff":
+            return  # BOM-prefixed strings decode as UTF-16 by design
+        txt = extract_text(b"(" + _escape_literal(payload) + b") Tj")
+        assert txt.encode("latin-1") == payload
+
+    check()
