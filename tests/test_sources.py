@@ -471,3 +471,30 @@ def test_compact_zorder_tight_in_both_dims(spark, tmp_path):
     assert sy > 0.8, sy
     # and the rewrite loses nothing
     assert spark.read.parquet(zp).count() == n
+
+
+def test_read_jsonl_quarantine_streaming(spark, tmp_path):
+    """The same dead-letter split as a STREAM: both frames run as
+    availableNow queries over the landing dir and drain the corpus
+    exactly once each."""
+    from ai_data_pipeline_spark.sources.readers import read_jsonl_quarantine
+
+    d = tmp_path / "dls"
+    d.mkdir()
+    (d / "a.jsonl").write_text('{"q": "ok", "a": 1}\nbroken line\n{"q": "ok2", "a": 2}\n')
+    good, bad = read_jsonl_quarantine(spark, str(d), "q string, a long", stream=True)
+    assert good.isStreaming and bad.isStreaming
+
+    for name, df in (("g", good), ("b", bad)):
+        (
+            df.writeStream.format("memory")
+            .queryName(f"quarantine_{name}")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+            .start()
+            .awaitTermination(60)
+        )
+    g = {(r.q, r.a) for r in spark.sql("SELECT * FROM quarantine_g").collect()}
+    b = [r.raw for r in spark.sql("SELECT * FROM quarantine_b").collect()]
+    assert g == {("ok", 1), ("ok2", 2)}
+    assert b == ["broken line"]
