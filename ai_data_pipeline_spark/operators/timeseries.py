@@ -298,3 +298,83 @@ def scd2_apply(
         )
     )
     return closed.unionByName(untouched_open).unionByName(applied)
+
+
+def subsequence_topk(
+    df: DataFrame,
+    key: str,
+    time_col: str,
+    value_col: str,
+    query: list[float],
+    k: int = 10,
+    znorm: bool = True,
+) -> DataFrame:
+    """Top-k most-similar subsequences to a query pattern across all
+    keyed series: sliding windows of len(query) points per key,
+    z-normalized euclidean distance (amplitude/offset-invariant when
+    ``znorm``), globally smallest-k — the distributed whole-corpus
+    subsequence search (UCR-suite-style z-norm ED, the public
+    time-series-similarity primitive).
+
+    Output: ``[key, time_col, dist]`` — ``time_col`` is the window's
+    START; ``dist`` is the z-normed ED (not squared).
+
+    Plan shape: ONE exchange on ``key`` (the sort window), windows
+    materialize as length-m arrays via collect_list over a row frame
+    — an m-fold re-blocking of the series, the same expansion every
+    sliding re-blocking pays (fine for pattern lengths in the tens to
+    hundreds; matrix-profile batch algorithms are the recipe beyond
+    that) — then mean/std/distance fold per window in codegen'd HOFs
+    (no Python). Top-k runs as per-partition TakeOrdered then a
+    k-row driver merge: the shuffle carries k rows per partition, not
+    the windows. A constant (std=0) window cannot match a non-constant
+    query: its normalized form is the zero vector (distance = ||qn||).
+    """
+    import math
+
+    m = len(query)
+    if znorm:
+        mu = sum(query) / m
+        sd = math.sqrt(sum((x - mu) ** 2 for x in query) / m) or 1.0
+        qn = [(x - mu) / sd for x in query]
+    else:
+        qn = list(query)
+    qcol = F.array(*[F.lit(float(x)) for x in qn])
+
+    w = Window.partitionBy(key).orderBy(time_col).rowsBetween(0, m - 1)
+    win = (
+        df.select(
+            key,
+            time_col,
+            F.collect_list(F.col(value_col).cast("double")).over(w).alias("_w"),
+        )
+        .filter(F.size("_w") == m)
+    )
+    if znorm:
+        mean = (
+            F.aggregate("_w", F.lit(0.0), lambda a, x: a + x) / m
+        )
+        var = (
+            F.aggregate("_w", F.lit(0.0), lambda a, x: a + x * x) / m
+        ) - mean * mean
+        # clamp tiny negative fp residue; flat window -> zero vector
+        std = F.sqrt(F.greatest(var, F.lit(0.0)))
+        win = win.withColumn("_mu", mean).withColumn("_sd", std)
+        norm = F.when(
+            F.col("_sd") > 0,
+            F.transform("_w", lambda x: (x - F.col("_mu")) / F.col("_sd")),
+        ).otherwise(F.transform("_w", lambda x: x * 0.0))
+    else:
+        norm = F.col("_w")
+    dist = F.sqrt(
+        F.aggregate(
+            F.zip_with(norm, qcol, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+    )
+    return (
+        win.select(key, time_col, dist.alias("dist"))
+        .orderBy("dist", key, time_col)
+        .limit(k)
+    )

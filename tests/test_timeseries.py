@@ -149,3 +149,55 @@ class TestScd2Apply:
         # window + two join sides), and the plan keeps a Union node
         assert "Union" in plan
         assert plan.count("Exchange") <= 6
+
+
+class TestSubsequenceTopk:
+    def test_planted_pattern_found_amplitude_invariant(self, spark):
+        """A scaled+shifted copy of the query planted at a known
+        offset must rank first with ~zero z-normed distance."""
+        import math
+
+        from pyspark.sql import functions as F
+
+        from ai_data_pipeline_spark.operators.timeseries import subsequence_topk
+
+        query = [0.0, 1.0, 4.0, 9.0, 4.0, 1.0, 0.0]
+        base = [math.sin(0.7 * t) for t in range(60)]
+        # plant 5*q + 100 at t=20 in series 'a'; series 'b' is noise
+        series_a = list(base)
+        for i, q in enumerate(query):
+            series_a[20 + i] = 5.0 * q + 100.0
+        rows = [("a", t, v) for t, v in enumerate(series_a)] + [
+            ("b", t, v * 1.3 + 2) for t, v in enumerate(base)
+        ]
+        df = spark.createDataFrame(rows, "k string, t long, v double")
+        top = subsequence_topk(df, "k", "t", "v", query, k=3).collect()
+        assert (top[0]["k"], top[0]["t"]) == ("a", 20)
+        assert top[0]["dist"] < 1e-9
+        assert top[1]["dist"] > 0.5  # nothing else comes close
+
+    def test_flat_window_cannot_win(self, spark):
+        from ai_data_pipeline_spark.operators.timeseries import subsequence_topk
+
+        query = [1.0, 2.0, 3.0]
+        rows = [("flat", t, 7.0) for t in range(10)] + [
+            ("ramp", t, float(t)) for t in range(10)
+        ]
+        df = spark.createDataFrame(rows, "k string, t long, v double")
+        top = subsequence_topk(df, "k", "t", "v", query, k=1).collect()
+        # every ramp window z-normalizes exactly onto the query
+        assert top[0]["k"] == "ramp" and top[0]["dist"] < 1e-9
+
+    def test_single_exchange_plan(self, spark):
+        from ai_data_pipeline_spark.operators.timeseries import subsequence_topk
+
+        df = spark.createDataFrame(
+            [("a", t, float(t % 5)) for t in range(50)], "k string, t long, v double"
+        )
+        out = subsequence_topk(df, "k", "t", "v", [1.0, 2.0, 1.0], k=5)
+        out.collect()
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # AQE prints final + initial plans; count the final section only
+        final = plan.split("== Initial Plan ==")[0]
+        assert final.count("Exchange hashpartitioning") <= 1
+        assert "TakeOrderedAndProject" in final
