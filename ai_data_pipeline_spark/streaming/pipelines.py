@@ -369,3 +369,61 @@ def interval_join_streams(
         )
     )
     return l.join(r, cond, how).drop("_rk")
+
+
+def stream_hll_profile(
+    stream_df: DataFrame,
+    keys: list[str],
+    col: str,
+    path: str,
+    checkpoint: str,
+    lgk: int = 12,
+):
+    """Incremental per-segment distinct-count profiling: each
+    micro-batch reduces to per-key HLL sketches (operators/sketches
+    laws) that foreachBatch merges into the parquet profile at
+    ``path`` — the streaming form of ``hll_distinct_by``/``hll_rollup``.
+
+    Why this is replay-safe WITHOUT transactional sinks: foreachBatch
+    is at-least-once, but an HLL sketch is a max-register structure —
+    merging the same batch's sketch twice is a no-op (union is
+    idempotent, not additive). A re-delivered batch therefore cannot
+    inflate the estimate, the failure mode that makes COUNT-based
+    incremental profiles require exactly-once machinery. (Pinned by
+    tests/test_streaming.py's double-merge assertion.)
+
+    Scale: state never grows with data — the profile is |keys| rows ×
+    ~2^lgk bytes; each batch contributes one map-side-combined sketch
+    per key; history is never re-read (the merge law).
+    """
+    from pyspark.sql import functions as FF
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        fresh = batch_df.groupBy(*keys).agg(
+            FF.hll_sketch_agg(FF.col(col), lgk).alias("hll_sketch")
+        )
+        try:
+            prev = spark.read.parquet(path).select(*keys, "hll_sketch")
+            merged = (
+                prev.unionByName(fresh)
+                .groupBy(*keys)
+                .agg(FF.hll_union_agg("hll_sketch").alias("hll_sketch"))
+            )
+        except Exception:  # first batch — no profile yet
+            merged = fresh
+        out = merged.withColumn(
+            "distinct_est", FF.hll_sketch_estimate("hll_sketch")
+        )
+        # tiny frame (one row per segment): collect-and-rewrite keeps
+        # the sink a plain parquet dir with no partial-overwrite race
+        rows = out.collect()
+        spark.createDataFrame(rows, out.schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(path)
+
+    return (
+        stream_df.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )

@@ -470,3 +470,59 @@ def test_stream_static_broadcast_enrichment(spark, tmp_path):
     rows = {r["event_id"]: r["weight"] for r in spark.table(name).collect()}
     spark.catalog.dropTempView(name)
     assert rows == {"a": 1, "b": 10, "c": 0}
+
+
+def test_stream_hll_profile_incremental_and_idempotent(spark, tmp_path):
+    """Incremental sketch profile: two file-arrival waves merge into
+    the stored profile; estimates equal the batch-over-everything
+    sketch EXACTLY (merge law), and re-merging a batch is a no-op
+    (HLL union is idempotent — at-least-once replay cannot inflate)."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from ai_data_pipeline_spark.streaming.pipelines import stream_hll_profile
+
+    land = tmp_path / "land"
+    land.mkdir()
+    prof = str(tmp_path / "profile")
+    ckpt = str(tmp_path / "ckpt")
+
+    def write_wave(name, rows):
+        with open(land / name, "w") as f:
+            for seg, m in rows:
+                f.write(_json.dumps({"seg": seg, "m": m}) + "\n")
+
+    # wave 1: seg a sees 0..99, seg b sees 0..49
+    write_wave("w1.jsonl", [("a", i) for i in range(100)] + [("b", i) for i in range(50)])
+    stream = spark.readStream.schema("seg string, m long").json(str(land))
+    writer = stream_hll_profile(stream, ["seg"], "m", prof, ckpt)
+    writer.trigger(availableNow=True).start().awaitTermination(60)
+
+    first = {r["seg"]: r["distinct_est"] for r in spark.read.parquet(prof).collect()}
+
+    # wave 2: seg a repeats 50..99 (no new) + adds 100..119; seg c appears
+    write_wave("w2.jsonl", [("a", i) for i in range(50, 120)] + [("c", i) for i in range(10)])
+    writer2 = stream_hll_profile(stream, ["seg"], "m", prof, ckpt)
+    writer2.trigger(availableNow=True).start().awaitTermination(60)
+
+    got = {r["seg"]: r["distinct_est"] for r in spark.read.parquet(prof).collect()}
+    batch = spark.createDataFrame(
+        [("a", i) for i in range(120)] + [("b", i) for i in range(50)] + [("c", i) for i in range(10)],
+        "seg string, m long",
+    ).groupBy("seg").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("m", 12)).alias("e")
+    )
+    want = {r["seg"]: r["e"] for r in batch.collect()}
+    assert got == want  # merge law: incremental == batch, exactly
+    assert first["b"] == got["b"]  # untouched segment unchanged
+
+    # idempotency: merge wave 2's data AGAIN via a fresh checkpoint
+    # (simulates at-least-once re-delivery of a whole batch)
+    writer3 = stream_hll_profile(
+        spark.readStream.schema("seg string, m long").json(str(land)),
+        ["seg"], "m", prof, str(tmp_path / "ckpt2"),
+    )
+    writer3.trigger(availableNow=True).start().awaitTermination(60)
+    again = {r["seg"]: r["distinct_est"] for r in spark.read.parquet(prof).collect()}
+    assert again == want
