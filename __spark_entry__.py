@@ -69,13 +69,33 @@ DRIVER_EVIDENCE = frozenset({
     "q90_vocab_coverage", "q91_curation_funnel", "q92_token_zipf",
     "q93_part_cooccurrence", "q94_variance_suite", "q95_streaming_curation",
     "q96_prefix_jaccard",
-    # NOT q21_chunker / q24_minhash_lsh / q25_simhash: r01/r02 recorded
-    # only rows-only no_oracle rows; r03 gives them full SQL twins, so
-    # they route to the front for a hashed driver row.
-    # NOT q97–q140: new in r03 — they route to the front with them
-    # (47 unevidenced total, inside the 50-entry window; next round,
-    # fold every r03-green name in here before adding new queries).
+    # --- green in CORRECTNESS_r03.json (49 of 50 graded rows hashed green) ---
+    "q100_split_assign", "q101_source_mixing", "q102_tfidf_topk",
+    "q103_bigram_fluency", "q104_embed_quant", "q105_minhash_estimate",
+    "q106_kmeans_update", "q107_canonical_keeper", "q108_incremental_dedup",
+    "q109_segment_dedup", "q110_label_dispersion", "q111_dupgraph_degree",
+    "q112_gap_fill", "q113_moving_median", "q114_pmi_bigrams",
+    "q115_scd2_intervals", "q116_forward_fill", "q117_column_profile",
+    "q118_max_concurrency", "q119_corr_moments", "q120_zscore_outliers",
+    "q121_ngram_novelty", "q122_winnowing", "q123_markov_transitions",
+    "q124_bloom_audit", "q125_weighted_sample", "q126_source_tvd",
+    "q127_session_paths", "q128_wow_change", "q129_price_histogram",
+    "q130_integrity_audit", "q132_rolling_active", "q133_time_to_convert",
+    "q134_pareto_abc", "q135_weighted_median", "q136_weekly_churn",
+    "q137_interarrival", "q138_hot_keys", "q139_cross_source_dups",
+    "q140_embed_norm_audit", "q141_lerp_resample", "q142_vocab_overlap",
+    "q143_seasonality", "q21_chunker", "q24_minhash_lsh",
+    "q25_simhash", "q97_streaming_join", "q98_pii_mask",
+    "q99_url_extract",
+    # NOT q131_kmeans_reassign: the one r03 driver FAIL (hash mismatch,
+    # judge-unreproducible).  r04 moves its assignment argmin — and
+    # q106's, which shares the stage — onto exact integer v6 distances
+    # so the IEEE-double flake is structurally impossible; q131 routes
+    # to the front for a fresh hashed row.  q106 also stays evidenced
+    # OUT so its changed oracle re-grades.
 })
+# q106's oracle changes in r04 (exact assignment); force a fresh row.
+DRIVER_EVIDENCE = DRIVER_EVIDENCE - {"q106_kmeans_update"}
 
 # Backward-compatible alias (pre-r03 name).
 R01_DRIVER_EVIDENCE = DRIVER_EVIDENCE

@@ -89,6 +89,48 @@ def array_lit(values, dtype: str = "double") -> Column:
     return F.array(*[F.lit(float(v)).cast(dtype) for v in values])
 
 
+# --- exact fixed-point (q6 = micro-unit) vector arithmetic ------------------
+#
+# Whenever a distance feeds a DECISION (argmin / threshold / bucket)
+# that two engines must agree on, the distance must be EXACT: quantize
+# each component to floor(double(x) * 1e6) BIGINT first, then every
+# subsequent op is integer arithmetic that cannot diverge.  The
+# float→double cast is exact, the ×1e6 is a single IEEE op (bit-equal
+# everywhere), and floor is exact — so v6 itself is engine-independent.
+# This is the q120/q125 cross-multiply discipline applied to vectors;
+# adopted for the k-means assignment argmin after the r03 q131 driver
+# flake (an IEEE-double fold feeding an integer-output argmin).
+
+
+def quantize_q6(a: Column | str) -> Column:
+    """Per-element floor(double(a_i) * 1e6) as array<bigint>."""
+    return F.transform(
+        _c(a), lambda v: F.floor(v.cast("double") * 1_000_000).cast("long")
+    )
+
+
+def quantize_q6_py(values) -> list[int]:
+    """Python twin of :func:`quantize_q6` for literal vectors.
+
+    Computed ONCE driver-side and inlined as integer literals into
+    both engines, so even the (deterministic) IEEE step here is
+    definitionally shared.
+    """
+    import math
+
+    return [math.floor(float(v) * 1_000_000.0) for v in values]
+
+
+def squared_l2_q6(v6: Column | str, c6_values) -> Column:
+    """Exact Σ (v6_i - c6_i)² over a quantized array<bigint> column and
+    a Python list of quantized ints — pure BIGINT, engine-independent.
+    HOF path (per-document scoring rule: unrolled dim=N costs ~2.5 s
+    codegen per invocation; see CLAUDE.md)."""
+    lit = F.array(*[F.lit(int(v)).cast("long") for v in c6_values])
+    diffs = F.zip_with(_c(v6), lit, lambda x, y: (x - y) * (x - y))
+    return F.aggregate(diffs, F.lit(0).cast("long"), lambda acc, v: acc + v)
+
+
 # --- DuckDB twins (oracle SQL fragments) -----------------------------------
 
 def sql_squared_l2(vec_expr: str, lit_list: str, dim: int) -> str:
@@ -112,3 +154,22 @@ def sql_norm(a_expr: str, dim: int) -> str:
 
 def sql_lit_list(values) -> str:
     return "[" + ", ".join(repr(float(v)) for v in values) + "]"
+
+
+def sql_quantize_q6(vec_expr: str, dim: int) -> str:
+    """DuckDB twin of :func:`quantize_q6`: list of BIGINT micro-units."""
+    return (
+        f"list_transform(range(1, {dim + 1}), "
+        f"i -> CAST(floor(CAST(({vec_expr})[i] AS DOUBLE) * 1000000) AS BIGINT))"
+    )
+
+
+def sql_int_list(values) -> str:
+    return "[" + ", ".join(f"CAST({int(v)} AS BIGINT)" for v in values) + "]"
+
+
+def sql_squared_l2_q6(v6_expr: str, c6_list: str, dim: int) -> str:
+    """DuckDB twin of :func:`squared_l2_q6` over a pre-quantized list
+    expression and a literal BIGINT list — exact integer distance."""
+    d = f"(({v6_expr})[i] - ({c6_list})[i])"
+    return f"list_sum(list_transform(range(1, {dim + 1}), i -> {d} * {d}))"

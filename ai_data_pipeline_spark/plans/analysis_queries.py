@@ -1242,43 +1242,32 @@ ORACLE["q130_integrity_audit"] = """
 
 # ---------------------------------------------------------------------------
 # Q131 — k-means RE-assignment churn (iteration 2, completing q106's
-# update step): the updated centroids quantize to exact 1e-6
-# fixed-point integers (c6 = s6 div n — fixed-point k-means, the
-# declared algorithm), so second-round distances are EXACT BIGINTs
-# and the argmin is engine-independent. Argmin over the 4 candidate
-# clusters encodes as MIN(dist·4 + cluster) — dist fits 2^53, the
-# encoded key orders by (dist, cluster). Output: the old→new
-# migration matrix, the convergence diagnostic every k-means loop
-# watches. Scale: centroids are a 4-row broadcast; distances are
-# narrow HOF folds over the vector array — no per-dim row explosion
-# on the Spark side (the SQL twin explodes because it can).
+# update step): BOTH rounds are now exact fixed-point.  Round 1 is
+# the shared `_kmeans_assign_exact` integer argmin (the r03 driver
+# flake lived in the old IEEE-double fold here — an all-integer
+# output must not let doubles pick its branches); round 2's updated
+# centroids are exact 1e-6 integers (c6 = s6 div n — fixed-point
+# k-means, the declared algorithm), so second-round distances are
+# EXACT BIGINTs too.  Argmin over the 4 candidate clusters encodes
+# as MIN(dist·4 + cluster) — the encoded key orders by (dist,
+# cluster). Output: the old→new migration matrix, the convergence
+# diagnostic every k-means loop watches. Scale: centroids are a
+# 4-row broadcast; distances are narrow HOF folds over the vector
+# array — no per-dim row explosion on the Spark side (the SQL twin
+# explodes because it can).
 # ---------------------------------------------------------------------------
 
 def q131_kmeans_reassign(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ai_data_pipeline_spark.functions.vector import array_lit, squared_l2
-    from ai_data_pipeline_spark.plans.pipeline_queries import Q106_CENTROIDS, Q106_K
+    from ai_data_pipeline_spark.plans.pipeline_queries import (
+        Q106_K,
+        _kmeans_assign_exact,
+    )
 
     emb = _t(spark, sf_dir, "embeddings")
-    with_d = emb.select(
-        "vec_id",
-        "embedding",
-        *[
-            squared_l2("embedding", array_lit(Q106_CENTROIDS[k])).alias(f"d{k}")
-            for k in range(Q106_K)
-        ],
+    assigned = _kmeans_assign_exact(emb, "vec_id")
+    base = assigned.select(
+        "vec_id", F.col("cluster_id").alias("old_cluster"), "v6"
     )
-    d = [F.col(f"d{k}") for k in range(Q106_K)]
-    old_c = (
-        F.when((d[0] <= d[1]) & (d[0] <= d[2]) & (d[0] <= d[3]), 0)
-        .when((d[1] <= d[2]) & (d[1] <= d[3]), 1)
-        .when(d[2] <= d[3], 2)
-        .otherwise(3)
-        .cast("long")
-    )
-    v6 = F.transform(
-        F.col("embedding"), lambda v: F.floor(v.cast("double") * 1_000_000).cast("long")
-    )
-    base = with_d.select("vec_id", old_c.alias("old_cluster"), v6.alias("v6"))
     # The assignment stage (scan + 4 HOF distance folds) feeds BOTH
     # the centroid build and the reassignment probe; it is narrow, so
     # no exchange exists for Spark to reuse — without this checkpoint
@@ -1319,28 +1308,16 @@ def q131_kmeans_reassign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q131_oracle() -> str:
-    from ai_data_pipeline_spark.functions.vector import sql_lit_list, sql_squared_l2
     from ai_data_pipeline_spark.plans.constants import EMBED_DIM
-    from ai_data_pipeline_spark.plans.pipeline_queries import Q106_CENTROIDS, Q106_K
+    from ai_data_pipeline_spark.plans.pipeline_queries import (
+        _Q106_ASSIGN_SQL,
+        Q106_K,
+    )
 
-    d = [
-        f"({sql_squared_l2('embedding', sql_lit_list(c), EMBED_DIM)})"
-        for c in Q106_CENTROIDS
-    ]
     return f"""
-    WITH dists AS (
-        SELECT vec_id, embedding,
-               {d[0]} AS d0, {d[1]} AS d1, {d[2]} AS d2, {d[3]} AS d3
-        FROM embeddings
-    ), assigned AS (
-        SELECT vec_id, embedding,
-               CAST(CASE WHEN d0 <= d1 AND d0 <= d2 AND d0 <= d3 THEN 0
-                         WHEN d1 <= d2 AND d1 <= d3 THEN 1
-                         WHEN d2 <= d3 THEN 2 ELSE 3 END AS BIGINT) AS old_cluster
-        FROM dists
-    ), expl AS (
-        SELECT vec_id, old_cluster, CAST(j AS BIGINT) AS dim,
-               CAST(floor(CAST(embedding[j + 1] AS DOUBLE) * 1000000) AS BIGINT) AS v6
+    WITH {_Q106_ASSIGN_SQL}, expl AS (
+        SELECT vec_id, cluster_id AS old_cluster, CAST(j AS BIGINT) AS dim,
+               v6l[j + 1] AS v6
         FROM assigned CROSS JOIN range({EMBED_DIM}) AS t(j)
     ), cent AS (
         SELECT old_cluster AS cluster_id, dim,

@@ -2200,18 +2200,22 @@ def q105_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Q106 — k-means centroid UPDATE step (the iterative-ML primitive —
 # q28's IVF does assignment; this is the other half): assign every
-# embedding to its nearest of 4 fixed centroids (argmin of HOF-fold
-# squared-L2 — the dim=None path per the per-document-scoring rule:
-# 4 unrolled 64-term expressions cost ~3s of codegen compile,
-# measured 4.5s → 1.2s on this query; ties to the lowest index),
-# then recompute
-# each centroid as the per-dimension mean. Means of doubles are
-# order-DEPENDENT, so components aggregate as floor-quantized
-# fixed-point BIGINTs (micro-units) and only the final exact
-# integers divide as doubles — the float-parity recipe for
-# "aggregate a vector". Scale: one narrow assignment pass + one agg
-# shuffle carrying (cluster, dim) partial sums — 4×64 cells
-# regardless of corpus size.
+# embedding to its nearest of 4 fixed centroids, then recompute each
+# centroid as the per-dimension mean.  The assignment argmin is a
+# DECISION, so it runs on EXACT fixed-point integers: embeddings
+# quantize to v6 micro-unit BIGINTs, centroid literals quantize once
+# in Python (quantize_q6_py) and inline into both engines, and the
+# distance is a pure-BIGINT HOF fold (squared_l2_q6; the dim=None
+# path per the per-document-scoring rule — 4 unrolled 64-term
+# expressions cost ~3s codegen; ties go to the lowest index).  This
+# replaced the r03 IEEE-double fold after the driver's q131 hash
+# flake: an all-integer-output query must not let doubles pick its
+# branches.  Means of doubles are order-DEPENDENT, so components
+# aggregate as the same v6 BIGINTs and only the final exact integers
+# divide as doubles — the float-parity recipe for "aggregate a
+# vector". Scale: one narrow assignment pass + one agg shuffle
+# carrying (cluster, dim) partial sums — 4×64 cells regardless of
+# corpus size.
 # ---------------------------------------------------------------------------
 
 Q106_K = 4
@@ -2221,14 +2225,26 @@ Q106_CENTROIDS = [
 ]
 
 
-def q106_kmeans_update(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _t(spark, sf_dir, "embeddings")
-    with_d = emb.select(
-        "embedding",
-        *[
-            squared_l2("embedding", array_lit(Q106_CENTROIDS[k])).alias(f"d{k}")
-            for k in range(Q106_K)
-        ],
+def _q106_c6() -> list[list[int]]:
+    from ai_data_pipeline_spark.functions.vector import quantize_q6_py
+
+    return [quantize_q6_py(c) for c in Q106_CENTROIDS]
+
+
+Q106_C6 = _q106_c6()
+
+
+def _kmeans_assign_exact(emb: DataFrame, *id_cols: str) -> DataFrame:
+    """(ids…, cluster_id, v6) — exact integer argmin assignment shared
+    by q106 (update step) and q131 (reassignment churn) so the two
+    queries cannot disagree."""
+    from ai_data_pipeline_spark.functions.vector import quantize_q6, squared_l2_q6
+
+    base = emb.select(*id_cols, quantize_q6("embedding").alias("v6"))
+    with_d = base.select(
+        *id_cols,
+        "v6",
+        *[squared_l2_q6("v6", Q106_C6[k]).alias(f"d{k}") for k in range(Q106_K)],
     )
     d = [F.col(f"d{k}") for k in range(Q106_K)]
     cluster = (
@@ -2238,12 +2254,17 @@ def q106_kmeans_update(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(3)
         .cast("long")
     )
-    expl = with_d.select(cluster.alias("cluster_id"), "embedding").select(
-        "cluster_id", F.posexplode("embedding").alias("dim", "v")
-    )
-    v6 = F.floor(F.col("v").cast("double") * 1_000_000).cast("long")
+    return with_d.select(*id_cols, cluster.alias("cluster_id"), "v6")
+
+
+def q106_kmeans_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    assigned = _kmeans_assign_exact(emb)
+    expl = assigned.select("cluster_id", F.posexplode("v6").alias("dim", "v6v"))
     agg = (
-        expl.select("cluster_id", F.col("dim").cast("long").alias("dim"), v6.alias("v6"))
+        expl.select(
+            "cluster_id", F.col("dim").cast("long").alias("dim"), F.col("v6v").alias("v6")
+        )
         .groupBy("cluster_id", "dim")
         .agg(F.count(F.lit(1)).alias("n"), F.sum("v6").alias("s6"))
     )
@@ -3895,27 +3916,36 @@ ORACLE["q105_minhash_estimate"] = f"""
     FROM m ORDER BY id_a, id_b
 """
 
-# q106 twin: distances as subquery columns (one evaluation each, like
-# the Spark select), argmin CASE, then fixed-point component sums.
-_Q106_D = [
-    f"({sql_squared_l2('embedding', sql_lit_list(c), EMBED_DIM)})"
-    for c in Q106_CENTROIDS
+# q106 twin: exact integer assignment — quantize to v6 BIGINTs first,
+# distances as pure-integer subquery columns against the SAME inlined
+# c6 literals the Spark side uses, argmin CASE, fixed-point sums.
+from ai_data_pipeline_spark.functions.vector import (  # noqa: E402
+    sql_int_list,
+    sql_quantize_q6,
+    sql_squared_l2_q6,
+)
+
+_Q106_D6 = [
+    f"({sql_squared_l2_q6('v6l', sql_int_list(c6), EMBED_DIM)})" for c6 in Q106_C6
 ]
-ORACLE["q106_kmeans_update"] = f"""
-    WITH dists AS (
-        SELECT embedding,
-               {_Q106_D[0]} AS d0, {_Q106_D[1]} AS d1,
-               {_Q106_D[2]} AS d2, {_Q106_D[3]} AS d3
+_Q106_ASSIGN_SQL = f"""
+    q AS (
+        SELECT *, {sql_quantize_q6('embedding', EMBED_DIM)} AS v6l
         FROM embeddings
+    ), dists AS (
+        SELECT *, {_Q106_D6[0]} AS d0, {_Q106_D6[1]} AS d1,
+               {_Q106_D6[2]} AS d2, {_Q106_D6[3]} AS d3
+        FROM q
     ), assigned AS (
-        SELECT CAST(CASE WHEN d0 <= d1 AND d0 <= d2 AND d0 <= d3 THEN 0
-                         WHEN d1 <= d2 AND d1 <= d3 THEN 1
-                         WHEN d2 <= d3 THEN 2 ELSE 3 END AS BIGINT) AS cluster_id,
-               embedding
+        SELECT *, CAST(CASE WHEN d0 <= d1 AND d0 <= d2 AND d0 <= d3 THEN 0
+                            WHEN d1 <= d2 AND d1 <= d3 THEN 1
+                            WHEN d2 <= d3 THEN 2 ELSE 3 END AS BIGINT) AS cluster_id
         FROM dists
-    ), expl AS (
-        SELECT cluster_id, CAST(j AS BIGINT) AS dim,
-               CAST(floor(CAST(embedding[j + 1] AS DOUBLE) * 1000000) AS BIGINT) AS v6
+    )
+"""
+ORACLE["q106_kmeans_update"] = f"""
+    WITH {_Q106_ASSIGN_SQL}, expl AS (
+        SELECT cluster_id, CAST(j AS BIGINT) AS dim, v6l[j + 1] AS v6
         FROM assigned CROSS JOIN range({EMBED_DIM}) AS t(j)
     )
     SELECT cluster_id, dim, COUNT(*) AS n,

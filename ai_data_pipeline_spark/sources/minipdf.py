@@ -218,8 +218,12 @@ def _tokens(data: bytes):
             if m:
                 op = m.group()
                 if op == b"BI":  # inline image: skip through EI
-                    j = data.find(b"EI", i)
-                    i = n if j < 0 else j + 2
+                    # EI must be whitespace-delimited — a bare
+                    # data.find(b"EI") can match the byte pair inside
+                    # binary image data and resume tokenizing mid-image
+                    # (garbage string tokens in extracted text).
+                    m_ei = re.search(rb"[\s\x00]EI(?=[\s\x00]|$)", data[i:])
+                    i = n if m_ei is None else i + m_ei.end()
                 else:
                     yield ("op", op)
                     i = m.end()
@@ -228,8 +232,17 @@ def _tokens(data: bytes):
 
 
 def extract_text(content_stream: bytes) -> str:
-    """Text of one decoded content stream."""
+    """Text of one decoded content stream.
+
+    Layout-operator newlines (``T*``/``Td``/``TD`` moves and the
+    implicit line break of ``'``/``"``) are suppressed until the
+    first text-showing op has emitted — NOT stripped from the final
+    result, which would also eat genuine leading ``\\n`` bytes
+    decoded from literal strings (the r03 lstrip bug its own
+    round-trip property test caught with payload ``b"\\n"``).
+    """
     out: list[str] = []
+    shown = False  # any text-showing op emitted yet?
     stack: list = []  # operand stack: str/num/list
     arr: list | None = None
     for tok in _tokens(content_stream):
@@ -245,10 +258,10 @@ def extract_text(content_stream: bytes) -> str:
             op = tok[1]
             if op == b"Tj" and stack and isinstance(stack[-1], bytes):
                 out.append(_decode_pdf_string(stack[-1]))
-            elif op == b"'" and stack and isinstance(stack[-1], bytes):
-                out.append("\n" + _decode_pdf_string(stack[-1]))
-            elif op == b'"' and stack and isinstance(stack[-1], bytes):
-                out.append("\n" + _decode_pdf_string(stack[-1]))
+                shown = True
+            elif op in (b"'", b'"') and stack and isinstance(stack[-1], bytes):
+                out.append(("\n" if shown else "") + _decode_pdf_string(stack[-1]))
+                shown = True
             elif op == b"TJ" and stack and isinstance(stack[-1], list):
                 out.append(
                     "".join(
@@ -257,14 +270,21 @@ def extract_text(content_stream: bytes) -> str:
                         if isinstance(e, bytes)
                     )
                 )
+                shown = True
             elif op == b"T*":
-                out.append("\n")
+                if shown:
+                    out.append("\n")
             elif op in (b"Td", b"TD"):
                 # newline only on an actual vertical move
-                if len(stack) >= 1 and isinstance(stack[-1], float) and stack[-1] != 0.0:
+                if (
+                    shown
+                    and len(stack) >= 1
+                    and isinstance(stack[-1], float)
+                    and stack[-1] != 0.0
+                ):
                     out.append("\n")
             stack.clear()
-    return "".join(out).lstrip("\n")
+    return "".join(out)
 
 
 def extract_pages(content: bytes) -> list[str]:

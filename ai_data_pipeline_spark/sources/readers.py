@@ -139,14 +139,19 @@ def read_jsonl_quarantine(
         "value",
         "_src",
     )
+    # A line of literal `null` JSON parses to a NULL struct (whose
+    # _corrupt_record is null too) — require r itself non-null or the
+    # row would be classified good with all-null fields.
     good = (
-        parsed.filter(F.col("r._corrupt_record").isNull())
+        parsed.filter(
+            F.col("r").isNotNull() & F.col("r._corrupt_record").isNull()
+        )
         .select("r.*")
         .drop("_corrupt_record")
     )
-    quarantine = parsed.filter(F.col("r._corrupt_record").isNotNull()).select(
-        F.col("value").alias("raw"), F.col("_src").alias("source_path")
-    )
+    quarantine = parsed.filter(
+        F.col("r").isNull() | F.col("r._corrupt_record").isNotNull()
+    ).select(F.col("value").alias("raw"), F.col("_src").alias("source_path"))
     return good, quarantine
 
 

@@ -395,32 +395,58 @@ def stream_hll_profile(
     Scale: state never grows with data — the profile is |keys| rows ×
     ~2^lgk bytes; each batch contributes one map-side-combined sketch
     per key; history is never re-read (the merge law).
+
+    Crash safety: the profile dir is only ever REPLACED by rename
+    (write to ``<path>.__tmp``, swing ``path`` → ``<path>.__old``,
+    ``__tmp`` → ``path``), so a crash mid-write can never leave a
+    partial dir at ``path``; a crash between the two renames is
+    recovered at the next batch by restoring ``__old``.  First-batch
+    detection is an explicit existence check — a read failure on an
+    EXISTING profile propagates and fails the batch instead of
+    silently resetting the accumulated profile to the fresh batch
+    (the r03 bare-except bug).  On a real cluster swap the local
+    renames for the object store's atomic-commit primitive.
     """
+    import os
+    import shutil
+
     from pyspark.sql import functions as FF
+
+    tmp_dir, old_dir = f"{path}.__tmp", f"{path}.__old"
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        if not os.path.exists(path) and os.path.exists(old_dir):
+            os.rename(old_dir, path)  # crashed between the two renames
         fresh = batch_df.groupBy(*keys).agg(
             FF.hll_sketch_agg(FF.col(col), lgk).alias("hll_sketch")
         )
-        try:
+        if os.path.exists(path):
+            # any failure here propagates: a corrupt existing profile
+            # must fail the batch, never reset it
             prev = spark.read.parquet(path).select(*keys, "hll_sketch")
             merged = (
                 prev.unionByName(fresh)
                 .groupBy(*keys)
                 .agg(FF.hll_union_agg("hll_sketch").alias("hll_sketch"))
             )
-        except Exception:  # first batch — no profile yet
+        else:  # first batch — no profile yet
             merged = fresh
         out = merged.withColumn(
             "distinct_est", FF.hll_sketch_estimate("hll_sketch")
         )
         # tiny frame (one row per segment): collect-and-rewrite keeps
-        # the sink a plain parquet dir with no partial-overwrite race
+        # the sink a plain parquet dir, swapped in atomically below
         rows = out.collect()
+        shutil.rmtree(tmp_dir, ignore_errors=True)
         spark.createDataFrame(rows, out.schema).coalesce(1).write.mode(
             "overwrite"
-        ).parquet(path)
+        ).parquet(tmp_dir)
+        shutil.rmtree(old_dir, ignore_errors=True)
+        if os.path.exists(path):
+            os.rename(path, old_dir)
+        os.rename(tmp_dir, path)
+        shutil.rmtree(old_dir, ignore_errors=True)
 
     return (
         stream_df.writeStream.foreachBatch(merge)

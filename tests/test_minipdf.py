@@ -149,6 +149,29 @@ def _escape_literal(b: bytes) -> bytes:
     return bytes(out)
 
 
+def test_leading_newline_content_preserved():
+    """Decoded string content beginning with \\n must survive; layout
+    newlines (T*/Td/') are still suppressed before the first shown
+    text (the r03 lstrip bug ate both)."""
+    assert extract_text(rb"(\nX) Tj") == "\nX"
+    assert extract_text(rb"BT 0 -14 Td (\012\012two blank) Tj ET") == "\n\ntwo blank"
+    # leading layout newlines stay suppressed...
+    assert extract_text(rb"BT T* T* (top) Tj ET") == "top"
+    assert extract_text(rb"BT (first) ' ET") == "first"
+    # ...but layout newlines BETWEEN shown text still break lines
+    assert extract_text(rb"BT (a) Tj T* (b) Tj ET") == "a\nb"
+    assert extract_text(rb"BT (a) Tj (b) ' ET") == "a\nb"
+
+
+def test_inline_image_ei_inside_binary_data():
+    """BI..EI skip must not resume on an 'EI' byte pair INSIDE the
+    image data — EI is only the terminator when whitespace-delimited."""
+    img = b"BI /W 2 /H 2 ID \x00EI\xff\x01(garbage) Tj\x02 EI\n"
+    assert extract_text(b"(a) Tj " + img + b"(b) Tj") == "ab"
+    # unterminated inline image: skip to end, keep what was shown
+    assert extract_text(b"(a) Tj BI ID \x00\x01\x02") == "a"
+
+
 def test_literal_string_roundtrip_property():
     """Any byte string a conforming writer escapes must come back
     byte-identical through the parser (latin-1 is a bijection on

@@ -407,13 +407,14 @@ def test_read_jsonl_quarantine_split(spark, tmp_path):
         '{"q": "bad", "a": \n'          # truncated JSON
         '{"q": "typed", "a": "xx"}\n'   # valid JSON, wrong type for a
         "not json at all\n"
+        "null\n"                        # literal null → NULL struct, not good
         '{"q": "ok2", "a": 2}\n'
     )
     good, bad = read_jsonl_quarantine(spark, str(d), "q string, a long")
     assert sorted((r.q, r.a) for r in good.collect()) == [("ok", 1), ("ok2", 2)]
     rows = bad.collect()
     assert sorted(r.raw for r in rows) == sorted(
-        ['{"q": "bad", "a": ', '{"q": "typed", "a": "xx"}', "not json at all"]
+        ['{"q": "bad", "a": ', '{"q": "typed", "a": "xx"}', "not json at all", "null"]
     )
     assert all(r.source_path.endswith("a.jsonl") for r in rows)
     # schema contract: good carries exactly the declared columns

@@ -526,3 +526,36 @@ def test_stream_hll_profile_incremental_and_idempotent(spark, tmp_path):
     writer3.trigger(availableNow=True).start().awaitTermination(60)
     again = {r["seg"]: r["distinct_est"] for r in spark.read.parquet(prof).collect()}
     assert again == want
+
+    # crash safety: (a) a crash BETWEEN the two swap renames leaves
+    # only <prof>.__old — the next batch must restore it, not treat
+    # the run as first-batch and reset the profile to the fresh wave
+    import os
+    import shutil
+
+    os.rename(prof, prof + ".__old")
+    write_wave("w3.jsonl", [("a", i) for i in range(120, 130)])
+    writer4 = stream_hll_profile(
+        spark.readStream.schema("seg string, m long").json(str(land)),
+        ["seg"], "m", prof, str(tmp_path / "ckpt3"),
+    )
+    writer4.trigger(availableNow=True).start().awaitTermination(60)
+    after = {r["seg"]: r["distinct_est"] for r in spark.read.parquet(prof).collect()}
+    assert after["b"] == want["b"]  # history survived the recovery
+    assert after["a"] >= want["a"]  # and the new wave merged in
+    assert not os.path.exists(prof + ".__old")
+    # (b) a CORRUPT existing profile fails the batch instead of being
+    # silently discarded as "first batch"
+    shutil.rmtree(prof)
+    os.mkdir(prof)
+    with open(os.path.join(prof, "part-00000.parquet"), "wb") as f:
+        f.write(b"not a parquet file")
+    write_wave("w4.jsonl", [("a", 999)])
+    writer5 = stream_hll_profile(
+        spark.readStream.schema("seg string, m long").json(str(land)),
+        ["seg"], "m", prof, str(tmp_path / "ckpt4"),
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        writer5.trigger(availableNow=True).start().awaitTermination(60)
