@@ -87,15 +87,18 @@ DRIVER_EVIDENCE = frozenset({
     "q143_seasonality", "q21_chunker", "q24_minhash_lsh",
     "q25_simhash", "q97_streaming_join", "q98_pii_mask",
     "q99_url_extract",
-    # NOT q131_kmeans_reassign: the one r03 driver FAIL (hash mismatch,
-    # judge-unreproducible).  r04 moves its assignment argmin — and
-    # q106's, which shares the stage — onto exact integer v6 distances
-    # so the IEEE-double flake is structurally impossible; q131 routes
-    # to the front for a fresh hashed row.  q106 also stays evidenced
-    # OUT so its changed oracle re-grades.
+    # --- green in CORRECTNESS_r04.json (q106 re-graded on its changed
+    # exact-assignment oracle) ---
+    "q106_kmeans_update",
+    # NOT q131_kmeans_reassign: driver-red r03+r04 (hash mismatch,
+    # judge-green 6/6 locally).  r04's exact-integer argmin removed the
+    # IEEE-double fold, but the centroid step still integer-divided a
+    # NEGATIVE s6 — Spark `div` truncates while DuckDB `//` floor-
+    # divides on some versions, flipping downstream argmins.  r05
+    # replaces it with the non-negative-dividend offset form on both
+    # engines (truncate ≡ floor for non-negative dividends); q131 stays
+    # routed to the front until a green hashed row confirms it.
 })
-# q106's oracle changes in r04 (exact assignment); force a fresh row.
-DRIVER_EVIDENCE = DRIVER_EVIDENCE - {"q106_kmeans_update"}
 
 # Backward-compatible alias (pre-r03 name).
 R01_DRIVER_EVIDENCE = DRIVER_EVIDENCE

@@ -1277,10 +1277,19 @@ def q131_kmeans_reassign(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = base.localCheckpoint(eager=True)
 
     expl = base.select(F.col("old_cluster").alias("cluster_id"), F.posexplode("v6").alias("dim", "v6v"))
+    # Centroid = integer mean of the 1e-6 fixed-point coords.  s6 is
+    # NEGATIVE for many (cluster, dim) cells, and Spark `div` truncates
+    # toward zero while DuckDB `//` floor-divides on some versions
+    # (truncates on others) — a 1-unit disagreement that flips
+    # downstream argmins.  Offsetting the dividend non-negative first
+    # (OFF = 2^23 ≫ max |mean| in 1e-6 units for unit-norm-ish vectors)
+    # makes truncate ≡ floor, so the expression is division-convention-
+    # proof on every engine/version.  The oracle uses the same form.
+    # Invariance proven in tests/test_division_convention.py.
     cent = (
         expl.groupBy("cluster_id", F.col("dim").cast("long").alias("dim"))
         .agg(F.count(F.lit(1)).alias("n"), F.sum("v6v").alias("s6"))
-        .withColumn("c6", F.expr("s6 div n"))
+        .withColumn("c6", F.expr("(s6 + 8388608 * n) div n - 8388608"))
     )
     cent_rows = cent.groupBy(F.col("cluster_id").alias("new_cluster")).agg(
         F.transform(
@@ -1321,7 +1330,8 @@ def _q131_oracle() -> str:
         FROM assigned CROSS JOIN range({EMBED_DIM}) AS t(j)
     ), cent AS (
         SELECT old_cluster AS cluster_id, dim,
-               CAST(SUM(v6) AS BIGINT) // COUNT(*) AS c6
+               (CAST(SUM(v6) AS BIGINT) + 8388608 * COUNT(*)) // COUNT(*)
+                 - 8388608 AS c6
         FROM expl GROUP BY old_cluster, dim
     ), cand AS (
         SELECT e.vec_id, e.old_cluster, c.cluster_id AS new_cluster,

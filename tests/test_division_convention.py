@@ -1,0 +1,224 @@
+"""Integer-division convention lint + invariance tests (r04 verdict #1/#3).
+
+Spark ``div`` truncates toward zero.  DuckDB ``//`` truncates in some
+versions (local 1.0.0: ``-7 // 2 = -3``) and FLOOR-divides in others
+(``-7 // 2 = -4``).  The two conventions agree ONLY when the dividend
+is non-negative (every divisor in this repo is positive).  q131
+shipped ``s6 div n`` with a negative s6 in 129/256 (cluster, dim)
+cells and was driver-red two rounds running while judge-green locally
+— the convention split, not a flake.
+
+Repo rule (CLAUDE.md): every ``div`` / ``//`` site in plan sources
+must either (a) have a provably non-negative dividend, or (b) use the
+offset form ``(x + OFF*n) div n - OFF`` with ``OFF*n + x >= 0``
+guaranteed — truncation equals floor once the dividend is
+non-negative, so the offset form is convention-proof on every
+engine/version.  The lint below pins every existing site; a NEW
+``div``/``//`` fails it until the author proves the dividend
+non-negative (or offsets it) and adds the snippet here.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+
+import duckdb
+import pytest
+
+from ai_data_pipeline_spark.oracle import _canon_rows, duckdb_connection
+from tests.conftest import SF_SMOKE
+
+PLAN_FILES = [
+    "ai_data_pipeline_spark/plans/relational.py",
+    "ai_data_pipeline_spark/plans/pipeline_queries.py",
+    "ai_data_pipeline_spark/plans/analysis_queries.py",
+]
+
+# Every known div/`//` site as a whitespace-normalized 56-char-context
+# snippet (cross-line; comment lines and URLs stripped first).  Each
+# entry was audited for a non-negative dividend:
+#   * ts_ns / epoch_ns / epoch_ms / time_bucket — post-1970 epochs
+#   * to_ns-from_ns, ts_ns-prev_ns, ts_ns-t_view, week-cohort_week —
+#     ordered differences (filtered/lagged so the minuend is later)
+#   * 2*<money>+<half> — half-up rounding on sums of positive amounts
+#   * cum-n_tok, tok_kept+B-1, max(cum)+B-1 — running token budgets
+#   * tf*1000000, COUNT(*), j, length()-length(replace()) — counts
+#   * ROUND(*price * 100) — TPC-H prices are positive
+#   * props.'$.k' — generator emits k >= 0 (verified at sf0.001/0.01)
+#   * (s6 + 8388608*n) div n - 8388608 / oracle twin — THE offset form
+ALLOWED_DIV_SITES = {
+    ' e.withColumn("ts_us", F.timestamp_micros(F.expr("ts_ns div',
+    ' user_id, session_id, t0, t1, unnest(generate_series(t0 //',
+    '").alias("rev_u") ) cents = F.expr("(2 * rev_u + 10000) div',
+    '").alias("to_ns"), ) dur_ms = F.expr("(to_ns - from_ns) div',
+    '"] = f""" WITH obs AS ( SELECT event_type, epoch_ns(ts) //',
+    '(SUM(CASE WHEN to_ns IS NOT NULL THEN (to_ns - from_ns) //',
+    ') AS day_num FROM daily ) SELECT d, CAST((2 * s4 + 100) //',
+    '.alias("n_tok"), F.expr(f"(max(cum) + {Q87_BUDGET} - 1) div',
+    '.groupBy("user_id") .agg(F.min(F.expr("(ts_ns - t_view) div',
+    '// 1000, epoch_ms(time_bucket(INTERVAL 30 MINUTES, ts)) //',
+    '32) AS t(j) GROUP BY id, j ), bandkey AS ( SELECT id, j //',
+    '3_seasonality"] = f""" SELECT event_type, (epoch_ns(ts) //',
+    '87_BUDGET} AS start_seq, greatest(cum - 1, cum - n_tok) //',
+    ': """ SELECT epoch_ms(time_bucket(INTERVAL 1 HOUR, ts)) //',
+    ":VARCHAR, ',' ORDER BY j) AS bk FROM sig GROUP BY id, j //",
+    'AS BIGINT) AS n_tok, CAST((MAX(cum) + {Q87_BUDGET} - 1) //',
+    'CAST(ROUND(p_retailprice * 100) AS BIGINT)) + COUNT(*)) //',
+    'E 0 END) AS BIGINT) AS closed_ms, MAX((to_ns - from_ns) //',
+    'M t0 ), s AS ( SELECT source, n_tok, cum, (cum - n_tok) //',
+    'MIN(epoch_ns(ts)) // {HOUR_NS} AS h0, MAX(epoch_ns(ts)) //',
+    'OWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + 100) //',
+    'ST(ROUND(l_extendedprice * 100) AS BIGINT)) + COUNT(*)) //',
+    'SUM(CAST(ROUND(o_totalprice * 10000) AS BIGINT)) + 100) //',
+    'T(*) OVER (PARTITION BY tok) AS df, CAST((tf * 1000000) //',
+    "_ns FROM events ) SELECT event_type, {_sql_log2b('(d_ns //",
+    'epoch_ns(ts) // {DAY_NS} + 4) % 7 AS dow, (epoch_ns(ts) //',
+    'ey ), ranked AS ( SELECT l_partkey, (2 * rev_u + 10000) //',
+    'f""" WITH ud AS ( SELECT DISTINCT user_id, epoch_ns(ts) //',
+    'ias("s6")) .withColumn("c6", F.expr("(s6 + 8388608 * n) div',
+    'id, dim, (CAST(SUM(v6) AS BIGINT) + 8388608 * COUNT(*)) //',
+    'inct_count( e, entity="user_id", day_col=F.expr(f"ts_ns div',
+    'lect(F.expr(f"CAST(ROUND(o_totalprice * 100) AS BIGINT) div',
+    'lity", "n_kept", F.expr(f"(tok_kept + {Q87_BUDGET} - 1) div',
+    'long") return ( e.select( "event_type", F.expr(f"(ts_ns div',
+    'n ( lerp_resample( e.select("event_type", F.expr("ts_ns div',
+    'n_id, t0, t1, unnest(generate_series(t0 // {DAY_NS}, t1 //',
+    "on_extract_string(props, '$.k') AS BIGINT)) + COUNT(*)) //",
+    'open_now) AS BIGINT) AS peak_concurrency, CAST(COUNT(*) //',
+    'orderkey ) SELECT n_name, CAST((2 * SUM(rev_u) + 10000) //',
+    'otal, CAST((2 * SUM(s4) OVER w + 100 * COUNT(*) OVER w) //',
+    'rands: ``(2*num + den) // (2*den)``. DuckDB twin uses ``//',
+    'rn f"((length({t}) - length(replace({t}, \'{esc}\', \'\'))) //',
+    's GROUP BY 1, 2 ) SELECT s.event_type, epoch_ms(s.hour) //',
+    's div {DAY_NS} + 4) % 7").alias("dow"), F.expr(f"(ts_ns div',
+    's("start_seq"), F.expr(f"greatest(cum - 1, cum - n_tok) div',
+    'sion num/den for non-negative operands: ``(2*num + den) //',
+    'st("long")).withColumn( "score", F.expr("(tf * 1000000) div',
+    't = t.select( "source", "n_tok", F.expr(f"(cum - n_tok) div',
+    't AS ( SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) //',
+    't with shuffle order), do half-up rounding with integer div',
+    't, 0) AS n_kept, COALESCE((tok_kept + {Q87_BUDGET} - 1) //',
+    'ts_ns", "event_id") delta_s = F.expr("(ts_ns - prev_ns) div',
+    'unnest([ epoch_ms(time_bucket(INTERVAL 30 MINUTES, ts)) //',
+    'user_id ) SELECT cohort_week, CAST((week - cohort_week) //',
+    'vents ), conv AS ( SELECT user_id, MIN((ts_ns - t_view) //',
+    'vents ), span AS ( SELECT event_type, MIN(epoch_ns(ts)) //',
+}
+
+
+def _div_sites() -> set[str]:
+    out = set()
+    for path in PLAN_FILES:
+        kept = []
+        for line in open(path).read().splitlines():
+            s = line.strip()
+            if s.startswith("#") or s.startswith("--") or "://" in s:
+                continue
+            kept.append(s)
+        text = re.sub(r"\s+", " ", " ".join(kept))
+        for m in re.finditer(r"(\bdiv\b|//)", text):
+            start = max(0, m.start() - 56)
+            out.add(text[start : m.end()])
+    return out
+
+
+def test_every_integer_division_site_is_audited():
+    sites = _div_sites()
+    new = sites - ALLOWED_DIV_SITES
+    assert not new, (
+        "NEW integer-division site(s) in plan sources.  Spark `div` and "
+        "DuckDB `//` disagree on negative dividends (truncate vs floor, "
+        "version-dependent).  Prove each dividend non-negative or use the "
+        "offset form `(x + OFF*n) div n - OFF` on BOTH engines, then add "
+        f"the snippet(s) to ALLOWED_DIV_SITES:\n{sorted(new)}"
+    )
+    stale = ALLOWED_DIV_SITES - sites
+    assert not stale, f"stale ALLOWED_DIV_SITES entries (site removed/edited): {sorted(stale)}"
+
+
+# --- q131 invariance: the oracle result must not depend on the engine's
+# --- integer-division convention -------------------------------------
+
+_CENT_NUM = "(CAST(SUM(v6) AS BIGINT) + 8388608 * COUNT(*))"
+
+
+def _q131_variants() -> tuple[str, str, str]:
+    from ai_data_pipeline_spark.plans import analysis_queries
+
+    sql = analysis_queries.ORACLE["q131_kmeans_reassign"]
+    target = _CENT_NUM + " // COUNT(*)"
+    assert target in sql, "q131 oracle centroid expression changed — update this test"
+    floor_v = sql.replace(target, f"floordiv({_CENT_NUM}, COUNT(*))")
+    trunc_v = sql.replace(target, f"truncdiv({_CENT_NUM}, COUNT(*))")
+    return sql, floor_v, trunc_v
+
+
+def test_q131_oracle_invariant_under_division_convention():
+    """Run the shipped q131 oracle, then variants forcing FLOOR and
+    TRUNCATE centroid division explicitly — all three must produce
+    byte-identical canonical rows, i.e. the offset form made the
+    centroid step convention-proof."""
+    con = duckdb_connection(SF_SMOKE)
+    # Exact-divisible inner dividends make the final `//` convention-free.
+    con.execute("CREATE MACRO floordiv(x, n) AS (x - ((x % n + n) % n)) // n")
+    con.execute("CREATE MACRO truncdiv(x, n) AS (x - (x % n)) // n")
+    # Sanity: the macros genuinely implement the two conventions.
+    f, t = con.execute("SELECT floordiv(-7, 2), truncdiv(-7, 2)").fetchone()
+    assert (f, t) == (-4, -3)
+
+    shipped, floor_v, trunc_v = _q131_variants()
+    results = []
+    for sql in (shipped, floor_v, trunc_v):
+        cur = con.execute(sql)
+        cols = [d[0] for d in cur.description]
+        results.append(_canon_rows(cur.fetchall(), cols))
+    assert results[0] == results[1] == results[2]
+
+
+def test_q131_centroids_would_diverge_without_offset():
+    """Document WHY the offset form is needed: on this data the naive
+    `SUM // COUNT` centroid differs between floor and truncate
+    conventions (negative sums with nonzero remainder exist), so the
+    pre-r05 form was genuinely version-dependent."""
+    from ai_data_pipeline_spark.plans.constants import EMBED_DIM
+    from ai_data_pipeline_spark.plans.pipeline_queries import _Q106_ASSIGN_SQL
+
+    con = duckdb_connection(SF_SMOKE)
+    con.execute("CREATE MACRO floordiv(x, n) AS (x - ((x % n + n) % n)) // n")
+    con.execute("CREATE MACRO truncdiv(x, n) AS (x - (x % n)) // n")
+    n_diff = con.execute(
+        f"""
+        WITH {_Q106_ASSIGN_SQL}, expl AS (
+            SELECT cluster_id, CAST(j AS BIGINT) AS dim, v6l[j + 1] AS v6
+            FROM assigned CROSS JOIN range({EMBED_DIM}) AS t(j)
+        ), cent AS (
+            SELECT cluster_id, dim,
+                   CAST(SUM(v6) AS BIGINT) AS s6, COUNT(*) AS n
+            FROM expl GROUP BY cluster_id, dim
+        )
+        SELECT COUNT(*) FROM cent WHERE floordiv(s6, n) <> truncdiv(s6, n)
+        """
+    ).fetchone()[0]
+    assert n_diff > 0, "no negative-remainder cells left — simplify q131?"
+
+
+def test_spark_offset_div_equals_floor(spark):
+    """The Spark-side offset expression equals mathematical floor for
+    negative dividends (and stays exact near the offset magnitude)."""
+    rows = spark.sql(
+        "SELECT s, n, (s + 8388608 * n) div n - 8388608 AS c "
+        "FROM VALUES (-7L, 2L), (7L, 2L), (-9L, 4L), (-1L, 3L), "
+        "(-8388600L, 1L), (0L, 5L), (8388600L, 7L) AS t(s, n)"
+    ).collect()
+    for r in rows:
+        assert r.c == math.floor(r.s / r.n)
+        assert r.c == (r.s - ((r.s % r.n) + r.n) % r.n) // r.n  # exact floor
+
+
+def test_duckdb_local_division_convention_documented():
+    """Pin what the LOCAL DuckDB does so a container upgrade that flips
+    the convention is at least visible (the repo no longer depends on
+    it either way)."""
+    v = duckdb.connect().execute("SELECT -7 // 2").fetchone()[0]
+    assert v in (-3, -4)
