@@ -2033,3 +2033,362 @@ QUERIES.update(
         "q143_seasonality": q143_seasonality,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# Q144 — Theta-sketch corpus overlap (operators/sketches.theta_overlap
+# graded end-to-end): estimated |A|, |B|, |A∩B|, |A∪B|, Jaccard of the
+# active-customer sets of two order years WITHOUT a join — each side
+# reduces map-side to one ~KB Theta state; intersection/union are
+# driver-scale set ops on the two states. Oracle strategy: at graded
+# SF the per-side cardinality (~1.2k) sits far below the sketch's
+# nominal 2^lgk = 4096 entries, so the sketch is in its EXACT regime
+# (theta = 1, every hash retained) and the estimates equal the exact
+# distinct counts DuckDB computes — deterministic, hashable. Beyond
+# 2^lgk the same query degrades gracefully into ±1.6% estimation,
+# which is the point at 100 TB: overlap of two 10-billion-key corpora
+# costs two scans and zero shuffle-join. jaccard is ONE IEEE division
+# of two exact BIGINTs — bit-identical cross-engine.
+# ---------------------------------------------------------------------------
+
+def q144_theta_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_data_pipeline_spark.operators.sketches import theta_overlap
+
+    o = _t(spark, sf_dir, "orders")
+    a = o.filter(F.year("o_orderdate") == 1995)
+    b = o.filter(F.year("o_orderdate") == 1996)
+    return theta_overlap(a, b, "o_custkey", lgk=12).select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.col("n_intersection").cast("long").alias("n_intersection"),
+        F.col("n_union").cast("long").alias("n_union"),
+        "jaccard",
+    )
+
+
+ORACLE["q144_theta_overlap"] = """
+    WITH a AS (SELECT DISTINCT o_custkey FROM orders
+               WHERE year(o_orderdate) = 1995),
+         b AS (SELECT DISTINCT o_custkey FROM orders
+               WHERE year(o_orderdate) = 1996),
+         m AS (SELECT (SELECT COUNT(*) FROM a) AS n_a,
+                      (SELECT COUNT(*) FROM b) AS n_b,
+                      (SELECT COUNT(*) FROM a JOIN b USING (o_custkey)) AS n_i)
+    SELECT CAST(n_a AS BIGINT) AS n_a,
+           CAST(n_b AS BIGINT) AS n_b,
+           CAST(n_i AS BIGINT) AS n_intersection,
+           CAST(n_a + n_b - n_i AS BIGINT) AS n_union,
+           CAST(n_i AS BIGINT) / CAST(n_a + n_b - n_i AS BIGINT) AS jaccard
+    FROM m
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q145 — KLL quantile profile + ROLLUP (operators/sketches
+# .kll_quantile_profile → kll_rollup_quantiles graded end-to-end):
+# per-nation account-balance sketches MERGE up to region purely from
+# the stored states — the property that makes incremental 1000-day
+# profiling feasible (re-reading raw data to re-profile is exactly
+# what doesn't scale). Oracle strategy: group sizes at graded SF stay
+# below the sketch's pre-compaction capacity (k = 8192 ≫ 60/nation,
+# ~300/region), so the sketch holds every value and its inclusive-
+# rank quantile equals DuckDB's quantile_disc EXACTLY (verified
+# across odd/even group sizes and negative balances); past capacity
+# the same plan answers with ~1.65%-rank-error estimates. Values are
+# exact cents; no doubles anywhere.
+# ---------------------------------------------------------------------------
+
+def q145_kll_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_data_pipeline_spark.operators.sketches import (
+        kll_quantile_profile,
+        kll_rollup_quantiles,
+    )
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        F.round(F.col("c_acctbal") * 100, 0).cast("long").alias("bal_c"),
+    )
+    prof = kll_quantile_profile(cust, ["c_nationkey"], "bal_c", k=8192)
+    nation = _t(spark, sf_dir, "nation")
+    keyed = prof.join(
+        F.broadcast(nation), prof.c_nationkey == nation.n_nationkey
+    ).select(F.col("n_regionkey").cast("long").alias("r_regionkey"), "kll_sketch")
+    roll = kll_rollup_quantiles(keyed, ["r_regionkey"])
+    return roll.select(
+        "r_regionkey", "n", "q_25", "q_50", "q_75", "q_95"
+    ).orderBy("r_regionkey")
+
+
+ORACLE["q145_kll_profile"] = """
+    SELECT CAST(n_regionkey AS BIGINT) AS r_regionkey,
+           COUNT(*) AS n,
+           quantile_disc(CAST(ROUND(c_acctbal * 100) AS BIGINT), 0.25) AS q_25,
+           quantile_disc(CAST(ROUND(c_acctbal * 100) AS BIGINT), 0.50) AS q_50,
+           quantile_disc(CAST(ROUND(c_acctbal * 100) AS BIGINT), 0.75) AS q_75,
+           quantile_disc(CAST(ROUND(c_acctbal * 100) AS BIGINT), 0.95) AS q_95
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_regionkey
+    ORDER BY r_regionkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q146 — exact duplicate-SPAN removal (operators/curation
+# .remove_duplicate_spans graded end-to-end): every token span whose
+# 8-gram already occurred earlier in corpus order is dropped and the
+# documents are rewritten — the token-granular form of the public
+# exact-substring train-data dedup pass. Scale shape (why this beats
+# suffix arrays on a cluster): everything is equi-keyed — one window
+# over the 8-byte gram hash finds global first occurrences, covered
+# spans explode to ≤ n index rows per occurrence (linear in gram
+# mass, never f²), one anti-join, one rebuild groupBy. The oracle
+# recomputes the same pass on the gram STRINGS (the Spark side keys
+# on xxhash64(gram); a 64-bit collision — ~1e-6 at graded gram mass —
+# is the only possible divergence, and only ever drops an extra span).
+# ---------------------------------------------------------------------------
+
+def q146_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_data_pipeline_spark.operators.curation import remove_duplicate_spans
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return remove_duplicate_spans(docs, "doc_id", "text", n=8).orderBy("doc_id")
+
+
+_SQL_TOKS_RAW = sql_word_ngrams("text", 1)
+_SQL_G8_RAW = sql_word_ngrams("text", 8)
+
+ORACLE["q146_dup_span_removal"] = f"""
+    WITH tok0 AS (
+        SELECT doc_id, {_SQL_TOKS_RAW} AS ws FROM documents
+    ), toks AS (
+        SELECT doc_id, generate_subscripts(ws, 1) - 1 AS idx, unnest(ws) AS tok
+        FROM tok0
+    ), g80 AS (
+        SELECT doc_id, {_SQL_G8_RAW} AS g8 FROM documents
+    ), grams AS (
+        SELECT doc_id, generate_subscripts(g8, 1) - 1 AS p, unnest(g8) AS gram
+        FROM g80
+    ), dup AS (
+        SELECT doc_id, p FROM (
+            SELECT doc_id, p,
+                   ROW_NUMBER() OVER (PARTITION BY gram ORDER BY doc_id, p) AS rn
+            FROM grams)
+        WHERE rn > 1
+    ), covered AS (
+        SELECT DISTINCT doc_id, idx FROM (
+            SELECT doc_id, unnest(generate_series(p, p + 7)) AS idx FROM dup)
+    ), kept AS (
+        SELECT t.doc_id, t.idx, t.tok
+        FROM toks t
+        LEFT JOIN covered c ON t.doc_id = c.doc_id AND t.idx = c.idx
+        WHERE c.doc_id IS NULL
+    ), rebuilt AS (
+        SELECT doc_id, string_agg(tok, ' ' ORDER BY idx) AS text
+        FROM kept GROUP BY doc_id
+    )
+    SELECT d.doc_id, COALESCE(r.text, '') AS text
+    FROM documents d LEFT JOIN rebuilt r USING (doc_id)
+    ORDER BY d.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q147 — SCD2 CDC APPLY (operators/timeseries.scd2_apply graded
+# end-to-end, completing q115 which grades interval CONSTRUCTION):
+# history = type-2 intervals built from the first half of the event
+# stream; the second half becomes a CDC batch (op = delete for
+# 'error' events, else upsert) applied incrementally. The graded
+# output is the full post-apply history table row-for-row. Scale
+# shape: closed history rows never shuffle (pass-through union);
+# only open rows of touched keys + the batch move through ONE key
+# exchange shared by both window passes — a 10-billion-row history
+# with a nightly 1-million-row batch moves megabytes, not the table.
+# All times are exact ns-epoch BIGINTs.
+# ---------------------------------------------------------------------------
+
+Q147_SPLIT_NS = 1_705_363_200 * 10**9  # 2024-01-16T00:00:00Z
+
+
+def q147_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_data_pipeline_spark.operators.timeseries import (
+        scd2_apply,
+        scd2_intervals,
+    )
+
+    e = load_events(spark, sf_dir).select(
+        "user_id", "ts_ns", "event_id", "event_type"
+    )
+    hist = scd2_intervals(
+        e.filter(F.col("ts_ns") <= Q147_SPLIT_NS),
+        key="user_id",
+        time_col="ts_ns",
+        tiebreak_col="event_id",
+        state_col="event_type",
+    )
+    # contract: one change per (key, ts) — dedup deterministically
+    wdup = Window.partitionBy("user_id", "ts_ns").orderBy("event_id")
+    changes = (
+        e.filter(F.col("ts_ns") > Q147_SPLIT_NS)
+        .withColumn("_rn", F.row_number().over(wdup))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            F.col("ts_ns").alias("ts"),
+            F.when(F.col("event_type") == "error", F.lit("delete"))
+            .otherwise(F.lit("upsert"))
+            .alias("op"),
+        )
+    )
+    out = scd2_apply(
+        hist, changes, key="user_id", state_col="event_type",
+        time_col="ts", op_col="op",
+    )
+    return out.select(
+        "user_id", "event_type", "valid_from", "valid_to"
+    ).orderBy("user_id", "valid_from")
+
+
+ORACLE["q147_scd2_apply"] = f"""
+    WITH pre AS (
+        SELECT user_id, epoch_ns(ts) AS ts_ns, event_id, event_type
+        FROM events WHERE epoch_ns(ts) <= {Q147_SPLIT_NS}
+    ), ordered AS (
+        SELECT user_id, ts_ns, event_id, event_type,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts_ns, event_id) AS prev_type
+        FROM pre
+    ), chg AS (
+        SELECT user_id, ts_ns, event_id, event_type
+        FROM ordered WHERE prev_type IS NULL OR prev_type <> event_type
+    ), hist AS (
+        SELECT user_id, event_type, ts_ns AS valid_from,
+               lead(ts_ns) OVER (PARTITION BY user_id
+                                 ORDER BY ts_ns, event_id) AS valid_to
+        FROM chg
+    ), batch AS (
+        SELECT user_id, event_type, ts, op FROM (
+            SELECT user_id, event_type, epoch_ns(ts) AS ts,
+                   CASE WHEN event_type = 'error'
+                        THEN 'delete' ELSE 'upsert' END AS op,
+                   ROW_NUMBER() OVER (PARTITION BY user_id, epoch_ns(ts)
+                                      ORDER BY event_id) AS rn
+            FROM events WHERE epoch_ns(ts) > {Q147_SPLIT_NS})
+        WHERE rn = 1
+    ), ckeys AS (
+        SELECT DISTINCT user_id FROM batch
+    ), open_rows AS (
+        SELECT * FROM hist WHERE valid_to IS NULL
+    ), closed AS (
+        SELECT * FROM hist WHERE valid_to IS NOT NULL
+    ), untouched_open AS (
+        SELECT o.* FROM open_rows o
+        WHERE NOT EXISTS (SELECT 1 FROM ckeys c WHERE c.user_id = o.user_id)
+    ), ev AS (
+        SELECT o.user_id, o.event_type, o.valid_from AS _t,
+               'upsert' AS _op, 0 AS _src
+        FROM open_rows o
+        WHERE EXISTS (SELECT 1 FROM ckeys c WHERE c.user_id = o.user_id)
+        UNION ALL
+        SELECT user_id, event_type, ts AS _t, op AS _op, 1 AS _src FROM batch
+    ), led AS (
+        SELECT user_id, event_type, _op, _t,
+               lead(_t) OVER (PARTITION BY user_id
+                              ORDER BY _t, _src) AS _next
+        FROM ev
+    ), applied AS (
+        SELECT user_id, event_type, _t AS valid_from, _next AS valid_to
+        FROM led WHERE _op = 'upsert'
+    )
+    SELECT user_id, event_type, valid_from, valid_to FROM closed
+    UNION ALL SELECT user_id, event_type, valid_from, valid_to FROM untouched_open
+    UNION ALL SELECT user_id, event_type, valid_from, valid_to FROM applied
+    ORDER BY user_id, valid_from
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q148 — whole-corpus subsequence top-k (operators/timeseries
+# .subsequence_topk graded end-to-end): the 10 length-8 sliding
+# windows of the per-(event_type, minute) activity series closest to
+# a ramp query pattern, euclidean distance. The graded run uses
+# znorm=False on INTEGER series values so every accumulated square is
+# an exact integer-valued double (order-independent sums; the final
+# sqrt of an exact integer is one correctly-rounded IEEE op —
+# bit-identical cross-engine); the z-normalized mode rides the same
+# plan and is pinned by unit tests. Plan shape: one exchange on the
+# series key for the sort window; windows materialize as length-8
+# arrays and fold in codegen'd HOFs; top-k is TakeOrdered (k rows per
+# partition to the driver merge, never the windows). The oracle
+# recomputes windows via a bounded rn-band self-join — same integer
+# arithmetic.
+# ---------------------------------------------------------------------------
+
+Q148_PATTERN = [1, 2, 3, 4, 5, 4, 3, 2]
+MINUTE_NS = 60_000_000_000
+
+
+def q148_subsequence_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_data_pipeline_spark.operators.timeseries import subsequence_topk
+
+    e = load_events(spark, sf_dir)
+    series = (
+        e.select(
+            "event_type",
+            (F.expr(f"ts_ns div {MINUTE_NS}") * 60).alias("t_s"),
+        )
+        .groupBy("event_type", "t_s")
+        .agg(F.count(F.lit(1)).alias("v"))
+    )
+    return subsequence_topk(
+        series,
+        key="event_type",
+        time_col="t_s",
+        value_col="v",
+        query=Q148_PATTERN,
+        k=10,
+        znorm=False,
+    )
+
+
+_Q148_QSQL = " ".join(
+    f"WHEN {i} THEN {v}" for i, v in enumerate(Q148_PATTERN)
+)
+
+ORACLE["q148_subsequence_topk"] = f"""
+    WITH s AS (
+        SELECT event_type,
+               (epoch_ns(ts) // {MINUTE_NS}) * 60 AS t_s,
+               COUNT(*) AS v
+        FROM events GROUP BY 1, 2
+    ), r AS (
+        SELECT event_type, t_s, v,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY t_s) AS rn
+        FROM s
+    ), win AS (
+        SELECT a.event_type, a.t_s,
+               SUM((b.v - (CASE b.rn - a.rn {_Q148_QSQL} END))
+                   * (b.v - (CASE b.rn - a.rn {_Q148_QSQL} END))) AS ss,
+               COUNT(*) AS m
+        FROM r a
+        JOIN r b ON b.event_type = a.event_type
+                AND b.rn BETWEEN a.rn AND a.rn + {len(Q148_PATTERN) - 1}
+        GROUP BY a.event_type, a.t_s
+        HAVING COUNT(*) = {len(Q148_PATTERN)}
+    )
+    SELECT event_type, t_s, sqrt(CAST(ss AS DOUBLE)) AS dist
+    FROM win
+    ORDER BY dist, event_type, t_s
+    LIMIT 10
+"""
+
+
+QUERIES.update(
+    {
+        "q144_theta_overlap": q144_theta_overlap,
+        "q145_kll_profile": q145_kll_profile,
+        "q146_dup_span_removal": q146_dup_span_removal,
+        "q147_scd2_apply": q147_scd2_apply,
+        "q148_subsequence_topk": q148_subsequence_topk,
+    }
+)

@@ -127,8 +127,17 @@ def read_jsonl_quarantine(
     )
     full = struct.add("_corrupt_record", StringType())
     reader = spark.readStream if stream else spark.read
-    raw = reader.text(path).select(
-        F.col("value"), F.input_file_name().alias("_src")
+    # Blank / whitespace-only lines (trailing newlines, jsonl-writer
+    # padding) are NOISE, not corruption: drop them before parsing so
+    # they land in NEITHER frame. (from_json returns a NULL struct for
+    # them — same as a literal `null` line — so without this filter
+    # they would quarantine.) A literal `null` line still quarantines:
+    # something wrote a record there and it carries no schema fields.
+    raw = (
+        reader.text(path)
+        # NB: F.trim strips only ASCII spaces — rlike catches tabs too
+        .filter(~F.col("value").rlike(r"^\s*$"))
+        .select(F.col("value"), F.input_file_name().alias("_src"))
     )
     parsed = raw.select(
         F.from_json(

@@ -408,9 +408,23 @@ def stream_hll_profile(
     renames for the object store's atomic-commit primitive.
     """
     import os
+    import re
     import shutil
 
     from pyspark.sql import functions as FF
+
+    # The swap below uses os.rename/shutil — LOCAL-filesystem-only
+    # semantics. On an object-store/DFS URI those calls silently see
+    # nothing, so "first batch" would trigger every batch and reset
+    # the accumulated profile. Fail loudly instead of corrupting.
+    m = re.match(r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", path)
+    if m:
+        raise ValueError(
+            f"stream_hll_profile requires a plain local-filesystem path; "
+            f"got {path!r} ({m.group(1)}:// URI — os.rename cannot see "
+            f"it). Route the profile swap through the object store's "
+            f"atomic-commit primitive instead."
+        )
 
     tmp_dir, old_dir = f"{path}.__tmp", f"{path}.__old"
 

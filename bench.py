@@ -121,6 +121,11 @@ HEADLINE = [
     "q141_lerp_resample",
     "q142_vocab_overlap",
     "q143_seasonality",
+    "q144_theta_overlap",
+    "q145_kll_profile",
+    "q146_dup_span_removal",
+    "q147_scd2_apply",
+    "q148_subsequence_topk",
 ]
 
 

@@ -104,6 +104,9 @@ ALLOWED_DIV_SITES = {
     'user_id ) SELECT cohort_week, CAST((week - cohort_week) //',
     'vents ), conv AS ( SELECT user_id, MIN((ts_ns - t_view) //',
     'vents ), span AS ( SELECT event_type, MIN(epoch_ns(ts)) //',
+    # q148 minute-bucketing — post-1970 ns epochs, non-negative
+    'dir) series = ( e.select( "event_type", (F.expr(f"ts_ns div',
+    'k"] = f""" WITH s AS ( SELECT event_type, (epoch_ns(ts) //',
 }
 
 

@@ -405,9 +405,11 @@ def test_read_jsonl_quarantine_split(spark, tmp_path):
     (d / "a.jsonl").write_text(
         '{"q": "ok", "a": 1}\n'
         '{"q": "bad", "a": \n'          # truncated JSON
+        "\n"                            # blank line → dropped, NOT corrupt
         '{"q": "typed", "a": "xx"}\n'   # valid JSON, wrong type for a
         "not json at all\n"
         "null\n"                        # literal null → NULL struct, not good
+        "   \t \n"                      # whitespace-only → dropped too
         '{"q": "ok2", "a": 2}\n'
     )
     good, bad = read_jsonl_quarantine(spark, str(d), "q string, a long")

@@ -559,3 +559,17 @@ def test_stream_hll_profile_incremental_and_idempotent(spark, tmp_path):
 
     with _pytest.raises(Exception):
         writer5.trigger(availableNow=True).start().awaitTermination(60)
+
+
+def test_stream_hll_profile_rejects_non_local_path(spark):
+    """The rename-swap sink is local-filesystem-only: an object-store
+    URI must fail at build time, not silently reset the profile every
+    batch (os.path.exists sees nothing for s3://...)."""
+    import pytest as _pytest
+
+    from ai_data_pipeline_spark.streaming.pipelines import stream_hll_profile
+
+    stream = spark.readStream.format("rate").load()
+    for bad in ("s3://bucket/profile", "hdfs://nn/profile"):
+        with _pytest.raises(ValueError, match="local-filesystem"):
+            stream_hll_profile(stream, ["value"], "value", bad, "/tmp/ck")
