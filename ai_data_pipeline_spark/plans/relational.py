@@ -24,6 +24,29 @@ values computed independently by Spark and DuckDB):
    half-up rounding with integer div, and divide by 100.0 only for
    display (an exact-cents value has a ≤2-decimal shortest repr on
    both engines).
+4. DOUBLES MUST NOT PICK BRANCHES — unless the operands are
+   bit-identical by rule 1 AND every tie has a deterministic integer
+   tie-break. Audit of the decision sites (r03 task #7, closed r05):
+   - q37/q71 lang-id argmax: operands are exact BIGINT stopword/gram
+     HIT COUNTS (operators/text_analysis.py:46,139); ties break on
+     the fixed language-code index inside the greatest(struct) —
+     no double exists on the path. SAFE.
+   - q22 accept/reject threshold (operators/similarity.py:97):
+     ``dist <= 1.0`` where dist is the SAME left-to-right fold on
+     both engines (numpy kernel parity-tested bit-exact against the
+     expression path), so the comparison sees bit-identical doubles;
+     the upstream 1-NN argmin orders by (dist, corpus_id) with the
+     integer id breaking exact-dist ties on both engines. SAFE —
+     but any reordering of the distance fold breaks this; keep the
+     kernel/expression parity test green.
+   - q104/q114/q148 double ORDER-BY + LIMIT: each ranking double is
+     a rule-1 tree (single division / sqrt of exact integers) with a
+     full integer-key tie-break — SAFE by the same argument.
+   - q106/q131 k-means argmin: moved OFF doubles entirely (exact
+     fixed-point v6 distances, r04) and the centroid division uses
+     the non-negative-dividend offset form (r05) — integer end to
+     end. See tests/test_division_convention.py.
+   New decision sites must add themselves to this list with a proof.
 """
 
 from __future__ import annotations

@@ -141,6 +141,22 @@ def main() -> int:
     # warm the JVM/session (plan + run one tiny query, not timed)
     relational.q02_broadcast_join(spark, sf_dir).collect()
 
+    # machine canary: a fixed pure-JVM compute with no I/O and no
+    # shuffle, timed best-of-3. Cross-round bench drift that moves
+    # the canary by the same factor is host throughput (shared-box
+    # CPU allocation/frequency), not a plan regression — the r04→r05
+    # investigation found untouched queries drifting ~1.3x uniformly
+    # while per-query ranking stayed fixed. Compare canary_sec before
+    # chasing per-query numbers.
+    canary = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        spark.range(200_000_000).selectExpr(
+            "sum(id * 2654435761 % 1000003) AS s"
+        ).collect()
+        dt = time.perf_counter() - t0
+        canary = dt if canary is None else min(canary, dt)
+
     # best-of-N: the box shows multi-second scheduler/GC noise on
     # individual runs (observed migrating between queries across
     # otherwise-identical runs); the min of N executions measures the
@@ -169,6 +185,7 @@ def main() -> int:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "canary_sec": round(canary, 3),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

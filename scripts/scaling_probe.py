@@ -61,6 +61,11 @@ PROBE = [
     "q139_cross_source_dups",  # digest-keyed set pairs
     "q141_lerp_resample",   # bidirectional union-then-window lerp
     "q142_vocab_overlap",   # distinct token pairs + size windows
+    "q144_theta_overlap",   # two map-side sketch reductions, no join
+    "q145_kll_profile",     # sketch build + merge rollup
+    "q146_dup_span_removal",  # gram window + span anti-join + rebuild
+    "q147_scd2_apply",      # history windows + CDC apply
+    "q148_subsequence_topk",  # sliding arrays + HOF fold + TakeOrdered
 ]
 
 
@@ -69,7 +74,10 @@ def main() -> int:
     qs = entrymod.queries()
     qs["q02_broadcast_join"](spark, BASE).collect()  # warm
     out = {}
+    only = set(sys.argv[1:])
     for name in PROBE:
+        if only and name not in only:
+            continue
         times = {}
         for tag, d in (("1x", BASE), (f"{FACTOR}x", SCALED)):
             best = None
