@@ -662,7 +662,44 @@ def _propagate_min_labels(sym: DataFrame, labels: DataFrame, max_iter: int) -> D
     return labels.select("id", F.col("label").alias("cluster_id"))
 
 
-def dedup_clusters_star(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+def _clusters_union_find_local(
+    edges: DataFrame, id_type
+) -> DataFrame:
+    """Driver-side union-find over an already-BOUNDED edge list (the
+    caller gates on edge count) — same [id, cluster_id = min member]
+    contract as the distributed paths, exact and deterministic."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    rows = edges.collect()
+    for r in rows:
+        ra, rb = find(r[0]), find(r[1])
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    nodes = {r[0] for r in rows} | {r[1] for r in rows}
+    comp_min: dict = {}
+    roots = {n: find(n) for n in nodes}
+    for n, root in roots.items():
+        comp_min[root] = min(comp_min.get(root, n), n)
+    from pyspark.sql.types import StructField, StructType
+
+    schema = StructType(
+        [StructField("id", id_type), StructField("cluster_id", id_type)]
+    )
+    data = sorted((n, comp_min[roots[n]]) for n in nodes)
+    return edges.sparkSession.createDataFrame(data, schema)
+
+
+def dedup_clusters_star(
+    pairs: DataFrame, max_iter: int = 20, small_graph_edges: int = 1_000_000
+) -> DataFrame:
     """Connected components via alternating large-star / small-star
     (Kiveris et al., "Connected Components in MapReduce and Beyond",
     SoCC'14 — public algorithm): same [id, cluster_id = min member]
@@ -743,6 +780,19 @@ def dedup_clusters_star(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
 
     converged = False
     n_prev = edges.count()  # metadata-scale: edges is localCheckpointed
+    # Size-adaptive solver: the dup GRAPH is bounded by dup volume,
+    # not corpus size — after pair generation most corpora yield
+    # thousands-to-millions of edges even at petabyte scale. Below
+    # ``small_graph_edges`` (1M symmetrized edges ≈ 16 MB of longs)
+    # a driver union-find beats 3-4 distributed rounds × (2 shuffles
+    # + checkpoint + count) of pure stage overhead by ~2s on tiny
+    # graphs; this is the bounded-collect class the repo allows
+    # (query-vector broadcasts, memory-sink tables), NOT an unbounded
+    # hot-path collect — the gate is the already-computed edge count.
+    # Above the threshold the O(log n)-round star contraction runs
+    # unchanged (pinned by tests/probes passing small_graph_edges=0).
+    if small_graph_edges and n_prev <= small_graph_edges:
+        return _clusters_union_find_local(edges, edges.schema["u"].dataType)
     for _ in range(max_iter):
         nxt = star(star(edges, large=True), large=False).distinct().localCheckpoint()
         # fixed point: edge sets equal. Both sets are distinct, so

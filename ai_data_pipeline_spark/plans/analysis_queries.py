@@ -2392,3 +2392,168 @@ QUERIES.update(
         "q148_subsequence_topk": q148_subsequence_topk,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# Q149 — HLL distinct profile + ROLLUP (operators/sketches
+# .hll_distinct_by → hll_rollup graded end-to-end, completing the
+# sketch family: q144 Theta set-algebra, q145 KLL quantiles, this
+# HLL cardinality): per-event-type distinct users plus the merged
+# ALL row recomputed purely from the stored per-type sketches — the
+# segment-profile-then-re-aggregate pattern that makes 1000-day
+# incremental profiling feasible. Oracle strategy: DataSketches HLL
+# runs an exact coupon (LIST/SET) phase before promoting to the
+# dense estimator — measured exact through ≥1500 distinct at
+# lgk=14, far above the graded cardinalities (≤150 users at sf0.01)
+# — so the estimates equal DuckDB's COUNT(DISTINCT) and the hash is
+# stable; at production cardinalities the same plan answers with
+# ~0.8% error and KB-scale shuffled state instead of a full
+# distinct shuffle.
+# ---------------------------------------------------------------------------
+
+def q149_hll_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_data_pipeline_spark.operators.sketches import (
+        hll_distinct_by,
+        hll_rollup,
+    )
+
+    e = load_events(spark, sf_dir).select("event_type", "user_id")
+    prof = hll_distinct_by(e, ["event_type"], "user_id", lgk=14)
+    total = hll_rollup(
+        prof.withColumn("grain", F.lit("ALL")), ["grain"]
+    ).select(F.col("grain").alias("event_type"), "distinct_est")
+    per = prof.select("event_type", "distinct_est")
+    return (
+        per.unionByName(total)
+        .select("event_type", F.col("distinct_est").cast("long").alias("distinct_users"))
+        .orderBy("event_type")
+    )
+
+
+ORACLE["q149_hll_profile"] = """
+    SELECT event_type, COUNT(DISTINCT user_id) AS distinct_users
+    FROM events GROUP BY event_type
+    UNION ALL
+    SELECT 'ALL', COUNT(DISTINCT user_id) FROM events
+    ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q150 — Z-order clustering audit (sources/sinks.zorder_key graded:
+# the bit math behind compact_zorder's 2-D file layout): orders
+# bucket (o_custkey, price-cents) to 16 bits each via pure-integer
+# min/max scaling, interleave with the classic mask ladder, split
+# the curve into 32 ntile runs (a file-sized run ≈ one output file
+# of compact_zorder), and report each run's min/max in BOTH
+# dimensions. The payoff the numbers demonstrate: every run is
+# tight in both a and b, so footer-stat pruning works for filters
+# on EITHER column — a 1-D sort is tight in one and spans ~all of
+# the other. The oracle recomputes the identical ladder in SQL
+# (BIGINT shifts/masks). Integer end to end; the global-ntile sort
+# is the diagnostic form — the production write path uses
+# repartitionByRange on the same key (sources/sinks.compact_zorder,
+# file-footer tightness pinned in tests/test_sources.py).
+# ---------------------------------------------------------------------------
+
+def q150_zorder_cluster_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_data_pipeline_spark.sources.sinks import zorder_key
+
+    hi = (1 << 16) - 1
+    o = _t(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderkey",
+        F.col("o_custkey").alias("a"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("b"),
+    )
+    mm = base.agg(
+        F.min("a").alias("a0"), F.max("a").alias("a1"),
+        F.min("b").alias("b0"), F.max("b").alias("b1"),
+    )
+    # pure-integer bucketing ((x-lo) ≥ 0 ⇒ div is convention-safe;
+    # compact_zorder's production bucketer uses double floor, which
+    # is fine for layout but not for an oracle — rule 4)
+    j = base.crossJoin(F.broadcast(mm)).select(
+        "o_orderkey",
+        F.expr(f"((a - a0) * {hi}) div greatest(a1 - a0, 1)").alias("au"),
+        F.expr(f"((b - b0) * {hi}) div greatest(b1 - b0, 1)").alias("bu"),
+    )
+    keyed = j.select(
+        "o_orderkey", "au", "bu", zorder_key(F.col("au"), F.col("bu"), 16).alias("zkey")
+    )
+    w = Window.orderBy("zkey", "o_orderkey")
+    runs = keyed.withColumn("bucket", F.ntile(32).over(w).cast("long"))
+    return (
+        runs.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("au").alias("a_lo"), F.max("au").alias("a_hi"),
+            F.min("bu").alias("b_lo"), F.max("bu").alias("b_hi"),
+        )
+        .withColumn("span_a", F.col("a_hi") - F.col("a_lo"))
+        .withColumn("span_b", F.col("b_hi") - F.col("b_lo"))
+        .orderBy("bucket")
+    )
+
+
+def _q150_oracle() -> str:
+    masks = [
+        (16, 281470681808895),       # 0x0000FFFF0000FFFF
+        (8, 71777214294589695),      # 0x00FF00FF00FF00FF
+        (4, 1085102592571150095),    # 0x0F0F0F0F0F0F0F0F
+        (2, 3689348814741910323),    # 0x3333333333333333
+        (1, 6148914691236517205),    # 0x5555555555555555
+    ]
+    steps = []
+    prev_a, prev_b = "au", "bu"
+    for i, (sh, mk) in enumerate(masks):
+        na, nb = f"xa{i}", f"xb{i}"
+        steps.append(
+            f"s{i} AS (SELECT o_orderkey, au, bu, "
+            f"(({prev_a} | ({prev_a} << {sh})) & {mk}) AS {na}, "
+            f"(({prev_b} | ({prev_b} << {sh})) & {mk}) AS {nb} "
+            f"FROM {'buck' if i == 0 else f's{i - 1}'})"
+        )
+        prev_a, prev_b = na, nb
+    ladder = ", ".join(steps)
+    return f"""
+    WITH base AS (
+        SELECT o_orderkey, o_custkey AS a,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS b
+        FROM orders
+    ), mm AS (
+        SELECT MIN(a) AS a0, MAX(a) AS a1, MIN(b) AS b0, MAX(b) AS b1
+        FROM base
+    ), buck AS (
+        SELECT o_orderkey,
+               ((a - a0) * 65535) // greatest(a1 - a0, 1) AS au,
+               ((b - b0) * 65535) // greatest(b1 - b0, 1) AS bu
+        FROM base CROSS JOIN mm
+    ), {ladder}, zk AS (
+        SELECT o_orderkey, au, bu,
+               ({prev_a} | ({prev_b} << 1)) AS zkey
+        FROM s{len(masks) - 1}
+    ), nt AS (
+        SELECT au, bu,
+               CAST(NTILE(32) OVER (ORDER BY zkey, o_orderkey) AS BIGINT)
+                   AS bucket
+        FROM zk
+    )
+    SELECT bucket, COUNT(*) AS n,
+           MIN(au) AS a_lo, MAX(au) AS a_hi,
+           MIN(bu) AS b_lo, MAX(bu) AS b_hi,
+           MAX(au) - MIN(au) AS span_a,
+           MAX(bu) - MIN(bu) AS span_b
+    FROM nt GROUP BY bucket ORDER BY bucket
+    """
+
+
+ORACLE["q150_zorder_cluster_audit"] = _q150_oracle()
+
+
+QUERIES.update(
+    {
+        "q149_hll_profile": q149_hll_profile,
+        "q150_zorder_cluster_audit": q150_zorder_cluster_audit,
+    }
+)

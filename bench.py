@@ -126,6 +126,8 @@ HEADLINE = [
     "q146_dup_span_removal",
     "q147_scd2_apply",
     "q148_subsequence_topk",
+    "q149_hll_profile",
+    "q150_zorder_cluster_audit",
 ]
 
 

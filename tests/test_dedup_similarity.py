@@ -312,8 +312,12 @@ def test_dedup_clusters_star_matches_union_find(spark):
     for edges in cases:
         edges = [(a, b) for a, b in edges if a != b]
         df = spark.createDataFrame(edges, "id_a BIGINT, id_b BIGINT")
+        # small_graph_edges=0 forces the DISTRIBUTED star path — the
+        # default small-graph cutover is itself a union-find, so the
+        # default here would test union-find against union-find
         got = {
-            r.id: r.cluster_id for r in dedup.dedup_clusters_star(df).collect()
+            r.id: r.cluster_id
+            for r in dedup.dedup_clusters_star(df, small_graph_edges=0).collect()
         }
         # union-find canonical: min id per component
         want = _union_find(edges)
@@ -323,6 +327,10 @@ def test_dedup_clusters_star_matches_union_find(spark):
             comp.setdefault(r, []).append(x)
         want_min = {x: min(members) for r, members in comp.items() for x in members}
         assert got == want_min, f"edges={edges[:8]}...: {got} != {want_min}"
+        # and the small-graph cutover (default threshold) must agree
+        # with the distributed result exactly
+        small = {r.id: r.cluster_id for r in dedup.dedup_clusters_star(df).collect()}
+        assert small == want_min
 
 
 def test_dedup_clusters_star_raises_without_fixed_point(spark):
@@ -334,4 +342,4 @@ def test_dedup_clusters_star_raises_without_fixed_point(spark):
     edges = [(i, i + 1) for i in range(30)]
     df = spark.createDataFrame(edges, "id_a BIGINT, id_b BIGINT")
     with pytest.raises(RuntimeError, match="no fixed point"):
-        dedup.dedup_clusters_star(df, max_iter=1)
+        dedup.dedup_clusters_star(df, max_iter=1, small_graph_edges=0)

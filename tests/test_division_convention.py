@@ -107,6 +107,11 @@ ALLOWED_DIV_SITES = {
     # q148 minute-bucketing — post-1970 ns epochs, non-negative
     'dir) series = ( e.select( "event_type", (F.expr(f"ts_ns div',
     'k"] = f""" WITH s AS ( SELECT event_type, (epoch_ns(ts) //',
+    # q150 z-order bucketing — (x - min(x)) * 65535 is non-negative
+    '5535) // greatest(a1 - a0, 1) AS au, ((b - b0) * 65535) //',
+    'base ), buck AS ( SELECT o_orderkey, ((a - a0) * 65535) //',
+    't(a1 - a0, 1)").alias("au"), F.expr(f"((b - b0) * {hi}) div',
+    't(mm)).select( "o_orderkey", F.expr(f"((a - a0) * {hi}) div',
 }
 
 
