@@ -2557,3 +2557,63 @@ QUERIES.update(
         "q150_zorder_cluster_audit": q150_zorder_cluster_audit,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# Q151 — RECURSIVE CTE (Spark 4.1 WITH RECURSIVE, new SQL surface):
+# per-customer longest strictly-price-increasing PREFIX chain of
+# orders — seeded at each customer's first order, the recursive step
+# follows rank rn → rn+1 only while price (exact cents) increases;
+# output is the corpus histogram of chain lengths. Recursion depth
+# is bounded by max orders per customer (~10 at graded SF); all
+# comparisons are exact BIGINT cents and the rank tie-break is
+# (o_orderdate, o_orderkey) — fully deterministic on both engines.
+# The SAME SQL text runs on Spark and DuckDB (both speak standard
+# WITH RECURSIVE ... UNION ALL), which is the point of the row:
+# recursion joins the declared spark.sql surface (q76's subquery
+# family) with engine-identical semantics. Scale: each recursive
+# step is one equi-join of the frontier against the ranked orders —
+# frontier rows only ever shrink (strict inequality), so the work is
+# O(total chain mass), and the ranked base is one window shuffle.
+# Perf note: Spark executes recursion as one join JOB per step
+# (~0.5s/step overhead; ~5.8s warm at sf0.1) — this row buys SQL
+# surface parity, not throughput. When the recursion is expressible
+# as a window (THIS one is: chain_len = position of the first
+# non-increase), prefer the one-shuffle window form in production;
+# recursion earns its cost only for genuinely iterative reachability.
+# ---------------------------------------------------------------------------
+
+_Q151_SQL = """
+    WITH RECURSIVE ranked AS (
+        SELECT o_custkey,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+               CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                       ORDER BY o_orderdate, o_orderkey)
+                    AS BIGINT) AS rn
+        FROM orders
+    ), chain (o_custkey, rn, cents, len) AS (
+        SELECT o_custkey, rn, cents, CAST(1 AS BIGINT) AS len
+        FROM ranked WHERE rn = 1
+        UNION ALL
+        SELECT r.o_custkey, r.rn, r.cents, c.len + CAST(1 AS BIGINT)
+        FROM chain c
+        JOIN ranked r ON r.o_custkey = c.o_custkey AND r.rn = c.rn + 1
+        WHERE r.cents > c.cents
+    ), per_cust AS (
+        SELECT o_custkey, MAX(len) AS chain_len FROM chain GROUP BY o_custkey
+    )
+    SELECT chain_len, COUNT(*) AS n_customers
+    FROM per_cust GROUP BY chain_len ORDER BY chain_len
+"""
+
+
+def q151_recursive_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_data_pipeline_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_Q151_SQL)
+
+
+ORACLE["q151_recursive_chains"] = _Q151_SQL
+
+QUERIES.update({"q151_recursive_chains": q151_recursive_chains})
