@@ -501,3 +501,34 @@ def test_read_jsonl_quarantine_streaming(spark, tmp_path):
     b = [r.raw for r in spark.sql("SELECT * FROM quarantine_b").collect()]
     assert g == {("ok", 1), ("ok2", 2)}
     assert b == ["broken line"]
+
+
+def test_zorder_key_matches_python_interleave(spark):
+    """zorder_key's mask-ladder interleave == the bit-by-bit Python
+    reference on random 16-bit pairs (one Spark job for all cases)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from ai_data_pipeline_spark.sources.sinks import zorder_key
+
+    rng = random.Random(3)
+    pairs = [(rng.randrange(1 << 16), rng.randrange(1 << 16)) for _ in range(200)]
+    pairs += [(0, 0), (65535, 65535), (0, 65535), (65535, 0), (1, 2)]
+    df = spark.createDataFrame(pairs, "a long, b long")
+    got = {
+        (r.a, r.b): r.z
+        for r in df.select(
+            "a", "b", zorder_key(F.col("a"), F.col("b"), 16).alias("z")
+        ).collect()
+    }
+
+    def ref(a, b):
+        z = 0
+        for i in range(16):
+            z |= ((a >> i) & 1) << (2 * i)
+            z |= ((b >> i) & 1) << (2 * i + 1)
+        return z
+
+    for a, b in pairs:
+        assert got[(a, b)] == ref(a, b), (a, b)

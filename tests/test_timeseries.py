@@ -201,3 +201,109 @@ class TestSubsequenceTopk:
         final = plan.split("== Initial Plan ==")[0]
         assert final.count("Exchange hashpartitioning") <= 1
         assert "TakeOrderedAndProject" in final
+
+
+def test_scd2_apply_matches_reference_fold_on_random_streams(spark):
+    """Property test: 40 random keys, each with a random change-only
+    history (collapsed consecutive states, last interval open) and a
+    random delete/upsert batch — scd2_apply must equal a per-key
+    pure-Python fold of the documented semantics. One Spark job for
+    all keys."""
+    import random
+
+    from ai_data_pipeline_spark.operators.timeseries import scd2_apply
+
+    rng = random.Random(7)
+    split = 1000
+    hist_rows, chg_rows, expected = [], [], []
+    for k in range(40):
+        # history: sorted unique times below split, consecutive dups collapsed
+        times = sorted(rng.sample(range(split), rng.randint(0, 6)))
+        states = []
+        for t in times:
+            s = rng.choice("abcd")
+            if states and states[-1][1] == s:
+                continue
+            states.append((t, s))
+        ivs = [
+            (t, s, states[i + 1][0] if i + 1 < len(states) else None)
+            for i, (t, s) in enumerate(states)
+        ]
+        hist_rows += [(k, s, t, to) for (t, s, to) in ivs]
+        # batch: sorted unique times above split (may be empty;
+        # some keys have no history)
+        bt = sorted(rng.sample(range(split + 1, split + 200), rng.randint(0, 5)))
+        batch = [
+            (t, rng.choice("abcd"), rng.choice(["upsert", "upsert", "delete"]))
+            for t in bt
+        ]
+        chg_rows += [(k, s, t, op) for (t, s, op) in batch]
+        # reference fold
+        closed = [(k, s, t, to) for (t, s, to) in ivs if to is not None]
+        open_iv = next(((t, s) for (t, s, to) in ivs if to is None), None)
+        if not batch:
+            expected += closed + (
+                [(k, open_iv[1], open_iv[0], None)] if open_iv else []
+            )
+            continue
+        ev = ([(open_iv[0], open_iv[1], "upsert")] if open_iv else []) + batch
+        for i, (t, s, op) in enumerate(ev):
+            if op == "upsert":
+                nxt = ev[i + 1][0] if i + 1 < len(ev) else None
+                expected.append((k, s, t, nxt))
+        expected += closed
+    got = scd2_apply(
+        spark.createDataFrame(
+            hist_rows, "k long, state string, valid_from long, valid_to long"
+        ),
+        spark.createDataFrame(chg_rows, "k long, state string, ts long, op string"),
+        "k",
+        "state",
+    )
+    key = lambda r: (r[0], r[2], r[1])  # noqa: E731
+    assert sorted((tuple(r) for r in got.collect()), key=key) == sorted(
+        expected, key=key
+    )
+
+
+def test_subsequence_topk_matches_numpy_bruteforce(spark):
+    """Property test: z-normalized subsequence search equals the
+    numpy brute force on random integer series (3 keys x 60 points,
+    random query, k=8) within float tolerance; the picked windows
+    match exactly."""
+    import math
+    import random
+
+    from ai_data_pipeline_spark.operators.timeseries import subsequence_topk
+
+    rng = random.Random(11)
+    m, k = 5, 8
+    query = [rng.uniform(-3, 3) for _ in range(m)]
+    rows = []
+    series = {}
+    for key in range(3):
+        vals = [rng.randint(-20, 20) for _ in range(60)]
+        series[key] = vals
+        rows += [(key, t, v) for t, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "k long, t long, v long")
+    got = subsequence_topk(df, "k", "t", "v", query, k=k, znorm=True).collect()
+
+    mu = sum(query) / m
+    sd = math.sqrt(sum((x - mu) ** 2 for x in query) / m) or 1.0
+    qn = [(x - mu) / sd for x in query]
+    cand = []
+    for key, vals in series.items():
+        for t in range(len(vals) - m + 1):
+            w = vals[t : t + m]
+            wm = sum(w) / m
+            wv = sum(x * x for x in w) / m - wm * wm
+            ws = math.sqrt(max(wv, 0.0))
+            wn = [(x - wm) / ws for x in w] if ws > 0 else [0.0] * m
+            d = math.sqrt(sum((a - b) ** 2 for a, b in zip(wn, qn)))
+            cand.append((d, key, t))
+    cand.sort()
+    want = cand[:k]
+    assert len(got) == k
+    for r, (d, key, t) in zip(sorted(got, key=lambda r: (r.dist, r.k, r.t)), want):
+        assert (r.k, r.t) == (key, t)
+        assert abs(r.dist - d) < 1e-9
