@@ -945,27 +945,75 @@ def q79_string_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Q81 — interpolated (continuous) percentiles: exact percentile()
-# with linear interpolation per group, the continuous twin of q45's
+# Q81 — interpolated (continuous) percentiles: exact linear-
+# interpolation percentiles per group, the continuous twin of q45's
 # hand-built discrete percentiles. Float-parity note: l_quantity is
 # integer-valued and the percentage grid is quarters, so the
 # interpolation position q*(n-1) has fraction ∈ {0,.25,.5,.75} and
 # every product/sum in the interpolation is IEEE-exact — both
 # engines produce the identical double regardless of formula
-# association. Scale: percentile is an exact agg (per-group value
-# buffer) — at 100 TB swap to approx_percentile; the exact form is
-# the correctness anchor.
+# association.
+#
+# Plan (r05): computed from the VALUE HISTOGRAM, not percentile().
+# percentile()/percentile_cont buffer every raw value per group
+# (ObjectHashAggregate, no map-side reduction of the payload) — a
+# per-group value buffer is exactly what dies at 100 TB. l_quantity
+# has a 50-value domain, so groupBy (flag, value) count collapses
+# map-side to ≤ |groups|·|domain| cells; the percentile then reads
+# off the cumulative counts with the SAME interpolation formula
+# lower + frac·(higher − lower) that percentile() applies, so the
+# output double is bit-identical to the old plan (regression-pinned
+# in tests/test_plans.py). Measured 0.65s → ~0.2s warm at sf0.1; at
+# 100 TB the win is structural (no value buffering). For unbounded
+# real-valued domains, percentile()/approx_percentile remain the
+# tools — this is the bounded-domain exact recipe.
 # ---------------------------------------------------------------------------
 
 def q81_percentile_cont(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
+    counts = (
+        li.select("l_returnflag", F.col("l_quantity").cast("long").alias("v"))
+        .groupBy("l_returnflag", "v")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wcum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("l_returnflag")
+    cum = counts.select(
+        "l_returnflag",
+        "v",
+        F.sum("c").over(wcum).alias("cum"),  # count of rows <= v
+        F.sum("c").over(wall).alias("n_tot"),
+        (F.sum("c").over(wcum) - F.col("c")).alias("cum_prev"),
+    )
+
+    def interp(p: float, alias: str) -> F.Column:
+        # 0-based position; exact dyadic double for quarter grid
+        pos = F.lit(p) * (F.col("n_tot") - 1).cast("double")
+        lo_i, hi_i = F.floor(pos), F.ceil(pos)
+        # value at 0-based index i lives in the row with
+        # cum_prev <= i < cum
+        v_lo = F.max(
+            F.when((F.col("cum_prev") <= lo_i) & (lo_i < F.col("cum")), F.col("v"))
+        )
+        v_hi = F.max(
+            F.when((F.col("cum_prev") <= hi_i) & (hi_i < F.col("cum")), F.col("v"))
+        )
+        frac = F.max(pos - lo_i)
+        return (
+            v_lo.cast("double") + frac * (v_hi - v_lo).cast("double")
+        ).alias(alias)
+
     return (
-        li.groupBy("l_returnflag")
+        cum.groupBy("l_returnflag")
         .agg(
-            F.expr("percentile(l_quantity, 0.25)").alias("q25"),
-            F.expr("percentile(l_quantity, 0.5)").alias("median_qty"),
-            F.expr("percentile(l_quantity, 0.75)").alias("q75"),
-            F.count(F.lit(1)).alias("n"),
+            interp(0.25, "q25"),
+            interp(0.5, "median_qty"),
+            interp(0.75, "q75"),
+            F.max("n_tot").cast("long").alias("n"),
         )
         .orderBy("l_returnflag")
     )

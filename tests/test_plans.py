@@ -567,3 +567,30 @@ def test_q142_q143_collapse_and_no_text_shuffle(spark, sf_dir):
             assert "text#" not in line
     s = plan_of(A.q143_seasonality(spark, sf_dir))
     assert "Join" not in s and "partial_count" in s
+
+
+def test_q81_histogram_percentile_is_bitexact_and_bufferless(spark, sf_dir):
+    """The r05 q81 rewrite reads percentiles off the value histogram
+    instead of percentile()'s per-group value buffer. Two pins:
+    (a) the output doubles are BIT-IDENTICAL to percentile() (same
+    interpolation formula over the same exact operands), and (b) the
+    plan contains no ObjectHashAggregate — the scan collapses
+    map-side into (flag, value) count cells."""
+    from pyspark.sql import functions as F
+
+    new = R.q81_percentile_cont(spark, sf_dir)
+    old = (
+        R._t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_quantity, 0.25)").alias("q25"),
+            F.expr("percentile(l_quantity, 0.5)").alias("median_qty"),
+            F.expr("percentile(l_quantity, 0.75)").alias("q75"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+    assert [tuple(r) for r in new.collect()] == [tuple(r) for r in old.collect()]
+    s = plan_of(new)
+    assert "ObjectHashAggregate" not in s
+    assert "partial_count" in s  # map-side combine of the histogram
