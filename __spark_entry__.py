@@ -91,13 +91,18 @@ DRIVER_EVIDENCE = frozenset({
     # exact-assignment oracle) ---
     "q106_kmeans_update",
     # NOT q131_kmeans_reassign: driver-red r03+r04 (hash mismatch,
-    # judge-green 6/6 locally).  r04's exact-integer argmin removed the
-    # IEEE-double fold, but the centroid step still integer-divided a
-    # NEGATIVE s6 — Spark `div` truncates while DuckDB `//` floor-
-    # divides on some versions, flipping downstream argmins.  r05
-    # replaces it with the non-negative-dividend offset form on both
-    # engines (truncate ≡ floor for non-negative dividends); q131 stays
-    # routed to the front until a green hashed row confirms it.
+    # judge-green 6/6 locally).  TWO latent causes fixed in r05:
+    # (1) the centroid step integer-divided a NEGATIVE s6 — Spark
+    # `div` truncates while DuckDB `//` floor-divides on some
+    # versions; replaced with the non-negative-dividend offset form
+    # on both engines (truncate ≡ floor).  (2) the oracle's
+    # new_cluster was an uncast HUGEINT (MIN over a SUM-derived
+    # expression) — Python fetch shows plain ints so local compares
+    # passed, but a driver-side arrow/decimal rendering of HUGEINT
+    # hashes differently; now CAST(... AS BIGINT), and the local
+    # harness gained a dtype-class gate that would have caught it
+    # (oracle.py: HUGEINT is its own class).  q131 stays routed to
+    # the front until a green hashed row confirms it.
 })
 
 # Backward-compatible alias (pre-r03 name).

@@ -58,14 +58,65 @@ def _canon_rows(rows: list[tuple], colnames: list[str]) -> list[tuple]:
     return out
 
 
+def _spark_dtype_class(simple: str) -> str:
+    s = simple.lower()
+    if s.startswith("array<"):
+        return "list"
+    if s.startswith(("struct<", "map<")):
+        return "nested"
+    if s.startswith("decimal"):
+        return "decimal"
+    if s in ("tinyint", "smallint", "int", "bigint", "long", "integer"):
+        return "int"
+    if s in ("float", "double"):
+        return "float"
+    if s.startswith("timestamp"):
+        return "ts"
+    return {"string": "str", "date": "date", "boolean": "bool", "binary": "bytes"}.get(
+        s, f"other:{s}"
+    )
+
+
+def _duck_dtype_class(name: str) -> str:
+    s = str(name).upper()
+    if s.endswith("[]"):
+        return "list"
+    if s.startswith(("STRUCT", "MAP")):
+        return "nested"
+    if s.startswith("DECIMAL"):
+        return "decimal"
+    if s == "HUGEINT":
+        # deliberately its OWN class: DuckDB SUM(int) widens to
+        # HUGEINT and the driver's schema gate has tripped on it —
+        # the oracle must CAST(... AS BIGINT) explicitly
+        return "hugeint"
+    if s in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+             "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"):
+        return "int"
+    if s in ("FLOAT", "DOUBLE", "REAL"):
+        return "float"
+    if s.startswith("TIMESTAMP"):
+        return "ts"
+    return {"VARCHAR": "str", "DATE": "date", "BOOLEAN": "bool", "BLOB": "bytes"}.get(
+        s, f"other:{s}"
+    )
+
+
 def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> dict:
     """Return a comparison report dict; report["match"] is the verdict."""
     spark_rows = [tuple(r) for r in spark_df.collect()]
     spark_cols = list(spark_df.columns)
+    spark_types = {
+        f.name: _spark_dtype_class(f.dataType.simpleString())
+        for f in spark_df.schema.fields
+    }
 
-    res = con.execute(sql)
-    duck_cols = [d[0] for d in res.description]
-    duck_rows = res.fetchall()
+    rel = con.sql(sql)
+    duck_cols = list(rel.columns)
+    duck_types = {
+        c: _duck_dtype_class(t) for c, t in zip(rel.columns, rel.types)
+    }
+    duck_rows = rel.fetchall()
 
     report: dict[str, Any] = {
         "spark_rows": len(spark_rows),
@@ -74,6 +125,16 @@ def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> dict:
         "duck_cols": sorted(duck_cols),
     }
     report["cols_match"] = sorted(spark_cols) == sorted(duck_cols)
+    # coarse dtype classes per shared column: catches int-vs-double,
+    # HUGEINT-uncast, string-vs-ts drifts the value canon can mask
+    # locally but the driver's schema gate rejects
+    dtype_mismatch = {
+        c: (spark_types[c], duck_types[c])
+        for c in set(spark_cols) & set(duck_cols)
+        if spark_types[c] != duck_types[c]
+    }
+    report["dtype_mismatch"] = dtype_mismatch
+    report["dtypes_match"] = not dtype_mismatch
     report["count_match"] = len(spark_rows) == len(duck_rows)
     if report["cols_match"] and report["count_match"]:
         s = _canon_rows(spark_rows, spark_cols)
@@ -85,6 +146,9 @@ def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> dict:
     else:
         report["values_match"] = False
     report["match"] = bool(
-        report["cols_match"] and report["count_match"] and report["values_match"]
+        report["cols_match"]
+        and report["dtypes_match"]
+        and report["count_match"]
+        and report["values_match"]
     )
     return report

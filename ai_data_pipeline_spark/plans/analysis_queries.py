@@ -1340,7 +1340,8 @@ def _q131_oracle() -> str:
         GROUP BY e.vec_id, e.old_cluster, c.cluster_id
     ), reassigned AS (
         SELECT vec_id, old_cluster,
-               MIN(dist * {Q106_K} + new_cluster) % {Q106_K} AS new_cluster
+               CAST(MIN(dist * {Q106_K} + new_cluster) % {Q106_K} AS BIGINT)
+                   AS new_cluster
         FROM cand GROUP BY vec_id, old_cluster
     )
     SELECT old_cluster, new_cluster, COUNT(*) AS n
