@@ -108,3 +108,39 @@ def test_registered_shingle_pair_queries_engage_the_cap():
         _re.DOTALL,
     ):
         assert "max_shingle_freq" in m.group(2), m.group(0)[:120]
+
+
+def test_dtype_classes_map_correctly():
+    """The coarse dtype-class gate (r05): HUGEINT must be its OWN
+    class (Python fetch renders it int → local green, arrow/decimal
+    renderings hash differently → driver red), ints collapse across
+    widths (int32 outputs are historically driver-green), and the
+    Spark/DuckDB maps agree on the shared classes."""
+    from ai_data_pipeline_spark.oracle import _duck_dtype_class, _spark_dtype_class
+
+    assert _duck_dtype_class("HUGEINT") == "hugeint"
+    assert _duck_dtype_class("BIGINT") == _duck_dtype_class("INTEGER") == "int"
+    assert _spark_dtype_class("int") == _spark_dtype_class("bigint") == "int"
+    assert _duck_dtype_class("DOUBLE") == _spark_dtype_class("double") == "float"
+    assert _duck_dtype_class("VARCHAR") == _spark_dtype_class("string") == "str"
+    assert _duck_dtype_class("TIMESTAMP WITH TIME ZONE") == "ts"
+    assert _spark_dtype_class("timestamp_ntz") == "ts"
+    assert _duck_dtype_class("BIGINT[]") == _spark_dtype_class("array<float>") == "list"
+    assert _duck_dtype_class("DECIMAL(18,3)") == _spark_dtype_class("decimal(18,3)") == "decimal"
+
+
+def test_compare_rejects_uncast_hugeint(spark, duck):
+    """An oracle emitting a bare SUM (HUGEINT) against a Spark BIGINT
+    must FAIL the gate even though the values canonicalize equal —
+    the q131 r03/r04 signature."""
+    from ai_data_pipeline_spark.oracle import compare
+
+    df = spark.range(3).selectExpr("CAST(3 AS BIGINT) AS s").limit(1)
+    bad = compare(df, duck, "SELECT SUM(x) AS s FROM (VALUES (1), (1), (1)) t(x)")
+    assert bad["values_match"] and not bad["match"]
+    assert bad["dtype_mismatch"] == {"s": ("int", "hugeint")}
+    good = compare(
+        df, duck,
+        "SELECT CAST(SUM(x) AS BIGINT) AS s FROM (VALUES (1), (1), (1)) t(x)",
+    )
+    assert good["match"]
