@@ -153,7 +153,17 @@ def sql_norm(a_expr: str, dim: int) -> str:
 
 
 def sql_lit_list(values) -> str:
-    return "[" + ", ".join(repr(float(v)) for v in values) + "]"
+    """DuckDB list literal of TRUE DOUBLEs.
+
+    A bare numeric literal like ``0.12156862745098039`` parses as
+    DECIMAL, and DuckDB's internal DECIMAL→DOUBLE cast is not always
+    correctly rounded (≈1 ulp off vs the Python/Spark double for
+    high-scale values) — invisible behind thresholds, but it broke
+    bit-parity on q62's raw cosines under cancellation. Routing each
+    element through a VARCHAR parse (``'…'::DOUBLE``) is correctly
+    rounded, so the list matches the Python floats bit-for-bit.
+    """
+    return "[" + ", ".join(f"'{float(v)!r}'::DOUBLE" for v in values) + "]"
 
 
 def sql_quantize_q6(vec_expr: str, dim: int) -> str:

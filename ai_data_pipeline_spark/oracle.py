@@ -34,9 +34,11 @@ def _canon_value(v: Any) -> Any:
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        # round-trip through a fixed decimal rendering: queries already
-        # round in-query, this only absorbs repr noise like 0.1+0.2
-        return f"{v:.6f}"
+        # FULL-precision rendering (r05): the driver hashes exact
+        # values, so the local gate must too — the float policy
+        # guarantees bit-identical doubles, and a query that needs
+        # rounding to pass locally is a latent driver red
+        return repr(v)
     if isinstance(v, _dt.datetime):
         return v.isoformat()
     if isinstance(v, _dt.date):

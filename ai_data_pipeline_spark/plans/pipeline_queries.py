@@ -2864,7 +2864,8 @@ ORACLE = {
             FROM feats
         )
         SELECT doc_id, n_tokens, avg_token_len, stop_ratio,
-               n_tokens * 0.01 + avg_token_len * 1.0 + stop_ratio * 5.0 AS quality
+               n_tokens * '0.01'::DOUBLE + avg_token_len * '1.0'::DOUBLE
+                 + stop_ratio * '5.0'::DOUBLE AS quality
         FROM scored
         ORDER BY quality DESC, doc_id
         LIMIT 20

@@ -24,7 +24,22 @@ values computed independently by Spark and DuckDB):
    half-up rounding with integer div, and divide by 100.0 only for
    display (an exact-cents value has a ≤2-decimal shortest repr on
    both engines).
-4. DOUBLES MUST NOT PICK BRANCHES — unless the operands are
+4. DUCKDB FRACTIONAL LITERALS ARE DECIMAL, NOT DOUBLE. ``0.01``
+   parses as DECIMAL(3,2): multiplied by an integer it stays EXACT
+   decimal (n/100) where Spark computes ``n * double(0.01)`` — a
+   different tree, 1 ulp apart (broke q30's raw quality sum), and
+   DuckDB's internal DECIMAL→DOUBLE cast of high-scale values is
+   itself not correctly rounded (broke q62's cosines via the qvec
+   literal list). Any fractional literal that feeds DOUBLE
+   arithmetic in the oracle must be written ``'0.01'::DOUBLE``
+   (VARCHAR→DOUBLE parse is correctly rounded); sql_lit_list does
+   this for vector literals. Small-scale literals used only as
+   display DIVISORS (``/ 100.0``) are safe: they convert exactly
+   and division is correctly rounded. CEIL(n * 0.9)-style index
+   picks are safe by margin analysis: |double(q)·n − q·n| stays
+   under a half-ulp of the product, so the product rounds to the
+   exact rational and both engines agree.
+5. DOUBLES MUST NOT PICK BRANCHES — unless the operands are
    bit-identical by rule 1 AND every tie has a deterministic integer
    tie-break. Audit of the decision sites (r03 task #7, closed r05):
    - q37/q71 lang-id argmax: operands are exact BIGINT stopword/gram
