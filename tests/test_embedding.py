@@ -154,3 +154,42 @@ def test_ep2_ep3_full_rag_loop(spark, tmp_path):
     assert out[0]["accepted"] and out[0]["answer"] == "a distributed engine"
     assert not out[1]["accepted"]
     assert out[1]["answer"] == "I don't have information on that subject."
+
+
+def test_sql_embed_components_bitexact_with_python_encoder():
+    """The DuckDB twin of fake_text_encoder must reproduce the Python
+    doubles BIT-FOR-BIT (the q62 full-precision lesson: a 1-ulp input
+    drift is invisible behind thresholds but breaks raw-cosine
+    parity). Pure DuckDB — no Spark job."""
+    import duckdb
+
+    from ai_data_pipeline_spark.operators.embedding import (
+        EMBED_DIM_DEFAULT,
+        fake_text_encoder,
+        sql_embed_components,
+    )
+
+    texts = ["hello world", "", "Sparse GRAFT r05 ✓ unicode", "a" * 500]
+    con = duckdb.connect()
+    expr = sql_embed_components("t", EMBED_DIM_DEFAULT)
+    for text in texts:
+        con.execute("CREATE OR REPLACE TABLE one AS SELECT ? AS t", [text])
+        got = con.execute(f"SELECT {expr} FROM one").fetchone()[0]
+        want = [float(x) for x in fake_text_encoder([text])[0]]
+        assert [float(g) for g in got] == want, text[:30]
+
+
+def test_sql_lit_list_roundtrips_doubles_bitexact():
+    """sql_lit_list must produce TRUE doubles in DuckDB — bare
+    numeric literals parse as DECIMAL whose internal DOUBLE cast is
+    not correctly rounded for high-scale values."""
+    import duckdb
+
+    from ai_data_pipeline_spark.functions.vector import sql_lit_list
+
+    vals = [0.12156862745098039, -0.9921568627450981, 1e-17, -3.0, 0.1]
+    got = duckdb.connect().execute(f"SELECT {sql_lit_list(vals)}").fetchone()[0]
+    assert [float(g) for g in got] == vals
+    # and the elements are DOUBLE, not DECIMAL
+    t = duckdb.connect().sql(f"SELECT {sql_lit_list(vals)} AS l").types[0]
+    assert str(t) == "DOUBLE[]"
