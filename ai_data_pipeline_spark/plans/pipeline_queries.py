@@ -2786,7 +2786,7 @@ ORACLE = {
         FROM inter
         JOIN sizes sa ON sa.id = id_a
         JOIN sizes sb ON sb.id = id_b
-        WHERE inter / (sa.n_sh + sb.n_sh - inter) >= 0.6
+        WHERE inter / (sa.n_sh + sb.n_sh - inter) >= '0.6'::DOUBLE
         ORDER BY jaccard DESC, id_a, id_b
         LIMIT 50
     """,
@@ -3413,7 +3413,7 @@ ORACLE["q84_dedup_clusters"] = f"""
         FROM inter
         JOIN sizes sa ON sa.id = id_a
         JOIN sizes sb ON sb.id = id_b
-        WHERE inter / (sa.n_sh + sb.n_sh - inter) >= 0.6
+        WHERE inter / (sa.n_sh + sb.n_sh - inter) >= '0.6'::DOUBLE
     ), edges AS (
         SELECT id_a AS a, id_b AS b FROM pairs
         UNION
@@ -3582,7 +3582,7 @@ ORACLE["q96_prefix_jaccard"] = f"""
     FROM inter
     JOIN sizes sa ON sa.id = id_a
     JOIN sizes sb ON sb.id = id_b
-    WHERE inter / (sa.n_sh + sb.n_sh - inter) >= 0.6
+    WHERE inter / (sa.n_sh + sb.n_sh - inter) >= '0.6'::DOUBLE
     ORDER BY jaccard DESC, id_a, id_b
 """
 
@@ -3861,7 +3861,7 @@ ORACLE["q111_dupgraph_degree"] = f"""
         FROM inter
         JOIN sizes sa ON sa.id = id_a
         JOIN sizes sb ON sb.id = id_b
-        WHERE inter / (sa.n_sh + sb.n_sh - inter) >= 0.6
+        WHERE inter / (sa.n_sh + sb.n_sh - inter) >= '0.6'::DOUBLE
     ), sym AS (
         SELECT id_a, id_b FROM pairs
         UNION ALL
@@ -3898,7 +3898,7 @@ ORACLE["q105_minhash_estimate"] = f"""
         FROM inter
         JOIN sizes sa ON sa.id = id_a
         JOIN sizes sb ON sb.id = id_b
-        WHERE inter / (sa.n_sh + sb.n_sh - inter) >= 0.5
+        WHERE inter / (sa.n_sh + sb.n_sh - inter) >= '0.5'::DOUBLE
     ), sig AS (
         SELECT id, j, MIN({_SQL_H60_SEEDED}) AS mh
         FROM sh CROSS JOIN range(16) AS t(j)
@@ -3977,7 +3977,7 @@ ORACLE["q107_canonical_keeper"] = f"""
         FROM inter
         JOIN sizes sa ON sa.id = id_a
         JOIN sizes sb ON sb.id = id_b
-        WHERE inter / (sa.n_sh + sb.n_sh - inter) >= 0.6
+        WHERE inter / (sa.n_sh + sb.n_sh - inter) >= '0.6'::DOUBLE
     ), edges AS (
         SELECT id_a AS a, id_b AS b FROM pairs
         UNION
