@@ -66,6 +66,7 @@ PROBE = [
     "q146_dup_span_removal",  # gram window + span anti-join + rebuild
     "q147_scd2_apply",      # history windows + CDC apply
     "q148_subsequence_topk",  # sliding arrays + HOF fold + TakeOrdered
+    "q149_hll_profile",     # map-side coupon sketches + merge rollup
 ]
 
 
