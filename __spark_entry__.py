@@ -90,19 +90,13 @@ DRIVER_EVIDENCE = frozenset({
     # --- green in CORRECTNESS_r04.json (q106 re-graded on its changed
     # exact-assignment oracle) ---
     "q106_kmeans_update",
-    # NOT q131_kmeans_reassign: driver-red r03+r04 (hash mismatch,
-    # judge-green 6/6 locally).  TWO latent causes fixed in r05:
-    # (1) the centroid step integer-divided a NEGATIVE s6 — Spark
-    # `div` truncates while DuckDB `//` floor-divides on some
-    # versions; replaced with the non-negative-dividend offset form
-    # on both engines (truncate ≡ floor).  (2) the oracle's
-    # new_cluster was an uncast HUGEINT (MIN over a SUM-derived
-    # expression) — Python fetch shows plain ints so local compares
-    # passed, but a driver-side arrow/decimal rendering of HUGEINT
-    # hashes differently; now CAST(... AS BIGINT), and the local
-    # harness gained a dtype-class gate that would have caught it
-    # (oracle.py: HUGEINT is its own class).  q131 stays routed to
-    # the front until a green hashed row confirms it.
+    # --- green in CORRECTNESS_r05.json (all 50 graded rows hashed
+    # green; q131 finally confirmed after the offset-division +
+    # BIGINT-cast fixes — its two latent causes are documented in the
+    # r04/r05 commit history and CLAUDE.md) ---
+    "q131_kmeans_reassign", "q144_theta_overlap", "q145_kll_profile",
+    "q146_dup_span_removal", "q147_scd2_apply", "q148_subsequence_topk",
+    "q149_hll_profile", "q150_zorder_cluster_audit", "q151_recursive_chains",
 })
 
 # Backward-compatible alias (pre-r03 name).
