@@ -36,8 +36,9 @@ PLAN_FILES = [
 ]
 
 # Every known div/`//` site as a whitespace-normalized 56-char-context
-# snippet (cross-line; comment lines and URLs stripped first).  Each
-# entry was audited for a non-negative dividend:
+# snippet (tokenizer-normalized: comments dropped, URL schemes and SQL
+# '--' comments scrubbed inside strings — see _normalized_plan_text).
+# Each entry was audited for a non-negative dividend:
 #   * ts_ns / epoch_ns / epoch_ms / time_bucket — post-1970 epochs
 #   * to_ns-from_ns, ts_ns-prev_ns, ts_ns-t_view, week-cohort_week —
 #     ordered differences (filtered/lagged so the minuend is later)
@@ -48,18 +49,18 @@ PLAN_FILES = [
 #   * props.'$.k' — generator emits k >= 0 (verified at sf0.001/0.01)
 #   * (s6 + 8388608*n) div n - 8388608 / oracle twin — THE offset form
 ALLOWED_DIV_SITES = {
-    ' e.withColumn("ts_us", F.timestamp_micros(F.expr("ts_ns div',
+    'mn ( "ts_us" , F . timestamp_micros ( F . expr ( "ts_ns div',
     ' user_id, session_id, t0, t1, unnest(generate_series(t0 //',
-    '").alias("rev_u") ) cents = F.expr("(2 * rev_u + 10000) div',
-    '").alias("to_ns"), ) dur_ms = F.expr("(to_ns - from_ns) div',
-    '"] = f""" WITH obs AS ( SELECT event_type, epoch_ns(ts) //',
+    's ( "rev_u" ) ) cents = F . expr ( "(2 * rev_u + 10000) div',
+    ' ( "to_ns" ) , ) dur_ms = F . expr ( "(to_ns - from_ns) div',
+    ' ] = f""" WITH obs AS ( SELECT event_type, epoch_ns(ts) //',
     '(SUM(CASE WHEN to_ns IS NOT NULL THEN (to_ns - from_ns) //',
     ') AS day_num FROM daily ) SELECT d, CAST((2 * s4 + 100) //',
-    '.alias("n_tok"), F.expr(f"(max(cum) + {Q87_BUDGET} - 1) div',
-    '.groupBy("user_id") .agg(F.min(F.expr("(ts_ns - t_view) div',
+    ' "n_tok" ) , F . expr ( f"(max(cum) + {Q87_BUDGET} - 1) div',
+    'er_id" ) . agg ( F . min ( F . expr ( "(ts_ns - t_view) div',
     '// 1000, epoch_ms(time_bucket(INTERVAL 30 MINUTES, ts)) //',
     '32) AS t(j) GROUP BY id, j ), bandkey AS ( SELECT id, j //',
-    '3_seasonality"] = f""" SELECT event_type, (epoch_ns(ts) //',
+    '_seasonality" ] = f""" SELECT event_type, (epoch_ns(ts) //',
     '87_BUDGET} AS start_seq, greatest(cum - 1, cum - n_tok) //',
     ': """ SELECT epoch_ms(time_bucket(INTERVAL 1 HOUR, ts)) //',
     ":VARCHAR, ',' ORDER BY j) AS bk FROM sig GROUP BY id, j //",
@@ -76,13 +77,13 @@ ALLOWED_DIV_SITES = {
     'epoch_ns(ts) // {DAY_NS} + 4) % 7 AS dow, (epoch_ns(ts) //',
     'ey ), ranked AS ( SELECT l_partkey, (2 * rev_u + 10000) //',
     'f""" WITH ud AS ( SELECT DISTINCT user_id, epoch_ns(ts) //',
-    'ias("s6")) .withColumn("c6", F.expr("(s6 + 8388608 * n) div',
+    ' ) . withColumn ( "c6" , F . expr ( "(s6 + 8388608 * n) div',
     'id, dim, (CAST(SUM(v6) AS BIGINT) + 8388608 * COUNT(*)) //',
-    'inct_count( e, entity="user_id", day_col=F.expr(f"ts_ns div',
-    'lect(F.expr(f"CAST(ROUND(o_totalprice * 100) AS BIGINT) div',
-    'lity", "n_kept", F.expr(f"(tok_kept + {Q87_BUDGET} - 1) div',
-    'long") return ( e.select( "event_type", F.expr(f"(ts_ns div',
-    'n ( lerp_resample( e.select("event_type", F.expr("ts_ns div',
+    '( e , entity = "user_id" , day_col = F . expr ( f"ts_ns div',
+    ' F . expr ( f"CAST(ROUND(o_totalprice * 100) AS BIGINT) div',
+    ', "n_kept" , F . expr ( f"(tok_kept + {Q87_BUDGET} - 1) div',
+    'eturn ( e . select ( "event_type" , F . expr ( f"(ts_ns div',
+    'esample ( e . select ( "event_type" , F . expr ( "ts_ns div',
     'n_id, t0, t1, unnest(generate_series(t0 // {DAY_NS}, t1 //',
     "on_extract_string(props, '$.k') AS BIGINT)) + COUNT(*)) //",
     'open_now) AS BIGINT) AS peak_concurrency, CAST(COUNT(*) //',
@@ -91,40 +92,63 @@ ALLOWED_DIV_SITES = {
     'rands: ``(2*num + den) // (2*den)``. DuckDB twin uses ``//',
     'rn f"((length({t}) - length(replace({t}, \'{esc}\', \'\'))) //',
     's GROUP BY 1, 2 ) SELECT s.event_type, epoch_ms(s.hour) //',
-    's div {DAY_NS} + 4) % 7").alias("dow"), F.expr(f"(ts_ns div',
-    's("start_seq"), F.expr(f"greatest(cum - 1, cum - n_tok) div',
+    'NS} + 4) % 7" ) . alias ( "dow" ) , F . expr ( f"(ts_ns div',
+    'rt_seq" ) , F . expr ( f"greatest(cum - 1, cum - n_tok) div',
     'sion num/den for non-negative operands: ``(2*num + den) //',
-    'st("long")).withColumn( "score", F.expr("(tf * 1000000) div',
-    't = t.select( "source", "n_tok", F.expr(f"(cum - n_tok) div',
+    ') ) . withColumn ( "score" , F . expr ( "(tf * 1000000) div',
+    'elect ( "source" , "n_tok" , F . expr ( f"(cum - n_tok) div',
     't AS ( SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) //',
     't with shuffle order), do half-up rounding with integer div',
     't, 0) AS n_kept, COALESCE((tok_kept + {Q87_BUDGET} - 1) //',
-    'ts_ns", "event_id") delta_s = F.expr("(ts_ns - prev_ns) div',
+    ' , "event_id" ) delta_s = F . expr ( "(ts_ns - prev_ns) div',
     'unnest([ epoch_ms(time_bucket(INTERVAL 30 MINUTES, ts)) //',
     'user_id ) SELECT cohort_week, CAST((week - cohort_week) //',
     'vents ), conv AS ( SELECT user_id, MIN((ts_ns - t_view) //',
     'vents ), span AS ( SELECT event_type, MIN(epoch_ns(ts)) //',
     # q148 minute-bucketing — post-1970 ns epochs, non-negative
-    'dir) series = ( e.select( "event_type", (F.expr(f"ts_ns div',
-    'k"] = f""" WITH s AS ( SELECT event_type, (epoch_ns(ts) //',
+    'es = ( e . select ( "event_type" , ( F . expr ( f"ts_ns div',
+    '" ] = f""" WITH s AS ( SELECT event_type, (epoch_ns(ts) //',
     # q150 z-order bucketing — (x - min(x)) * 65535 is non-negative
     '5535) // greatest(a1 - a0, 1) AS au, ((b - b0) * 65535) //',
     'base ), buck AS ( SELECT o_orderkey, ((a - a0) * 65535) //',
-    't(a1 - a0, 1)").alias("au"), F.expr(f"((b - b0) * {hi}) div',
-    't(mm)).select( "o_orderkey", F.expr(f"((a - a0) * {hi}) div',
+    '1)" ) . alias ( "au" ) , F . expr ( f"((b - b0) * {hi}) div',
+    ' select ( "o_orderkey" , F . expr ( f"((a - a0) * {hi}) div',
 }
+
+
+def _normalized_plan_text(path: str) -> str:
+    """Tokenizer-based normalization (r05 ADVICE #3): the old line
+    filter skipped ANY line containing '://' and only dropped comments
+    that STARTED a line, so a real div site sharing a line with a URL
+    string, or an inline '//' inside a trailing '#' comment, could be
+    hidden from (or falsely added to) the audit.  Tokenizing instead:
+
+    - COMMENT tokens are dropped wholesale (trailing comments too);
+    - inside STRING / f-string tokens, URL schemes ('xyz://') and SQL
+      '--' line comments are scrubbed — but the REST of the string
+      (where the SQL div sites live) is kept;
+    - everything else is kept verbatim.
+    """
+    import tokenize
+
+    str_types = {tokenize.STRING, getattr(tokenize, "FSTRING_MIDDLE", -1)}
+    parts: list[str] = []
+    with open(path, "rb") as f:
+        for tok in tokenize.tokenize(f.readline):
+            if tok.type == tokenize.COMMENT:
+                continue
+            s = tok.string
+            if tok.type in str_types:
+                s = re.sub(r"\w+://", "<url>", s)
+                s = re.sub(r"--[^\n]*", " ", s)
+            parts.append(s)
+    return re.sub(r"\s+", " ", " ".join(parts))
 
 
 def _div_sites() -> set[str]:
     out = set()
     for path in PLAN_FILES:
-        kept = []
-        for line in open(path).read().splitlines():
-            s = line.strip()
-            if s.startswith("#") or s.startswith("--") or "://" in s:
-                continue
-            kept.append(s)
-        text = re.sub(r"\s+", " ", " ".join(kept))
+        text = _normalized_plan_text(path)
         for m in re.finditer(r"(\bdiv\b|//)", text):
             start = max(0, m.start() - 56)
             out.add(text[start : m.end()])

@@ -91,3 +91,27 @@ def test_kll_merge_law(spark):
     # true median of 0..29999 uniform = 15000; 2% rank error of 30k
     # values spanning 30000 → ±600 value units, use 3x margin
     assert abs(rolled["q_50"] - 15000) <= 1800
+
+
+def test_q149_graded_sfs_stay_in_hll_coupon_exact_regime():
+    """q149's oracle is COUNT(DISTINCT) — valid ONLY because the HLL
+    (lgk=14) is still in its exact coupon phase at graded
+    cardinalities (measured exact through >=1500 distinct; ADVICE r05
+    asked for a structural guard instead of the bare measurement).
+    If a future testdata generation pushes distinct users at a graded
+    SF past HALF the measured boundary, fail loudly here BEFORE the
+    driver hash flips: re-probe the boundary (scripts in SCALING.md
+    "sketch exact-regime" section) or switch q149's largest group to
+    an estimation-regime tolerance oracle."""
+    import duckdb
+
+    for sf in ("sf0.001", "sf0.01"):  # the driver grades these two
+        n = duckdb.sql(
+            "SELECT COUNT(DISTINCT user_id) FROM "
+            f"read_parquet('/root/testdata/{sf}/events.parquet')"
+        ).fetchone()[0]
+        assert n <= 750, (
+            f"{sf}: {n} distinct users is within 2x of the measured "
+            "lgk=14 coupon-exact limit (1500) — q149's exact oracle "
+            "is no longer safely in-regime"
+        )
