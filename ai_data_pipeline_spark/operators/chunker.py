@@ -166,18 +166,19 @@ def paginate_text(text: str, page_chars: int = 400) -> list[str]:
     return pages
 
 
-def chunk_pipeline_python(
-    text: str,
-    page_chars: int = 400,
+def chunk_pages_python(
+    pages: list[str],
     window_before: int = 2,
     window_after: int = 2,
     chunk_size: int = 1500,
     chunk_overlap: int = 200,
 ) -> list[tuple[int, int, str]]:
-    """Golden reference: full R2→R3→R4 pipeline in pure Python.
-    Returns [(window_index, subchunk_index, chunk_text)] (1-based),
-    exactly what the Spark pipeline must produce per document."""
-    pages = [p for p in paginate_text(text, page_chars) if p.strip()]
+    """Golden reference for the R3→R4 half over an ALREADY-paged
+    document (the pure-Python twin of ``chunk_paged_documents``):
+    callers pass the surviving page list in order (empty pages
+    already dropped — window positions are ROW positions in that
+    filtered sequence, exactly like the Spark rowsBetween window).
+    Returns [(window_index, subchunk_index, chunk_text)] (1-based)."""
     out: list[tuple[int, int, str]] = []
     win_idx = 0
     for i in range(1, len(pages) + 1):  # 1-based, odd pages only (R3)
@@ -190,6 +191,23 @@ def chunk_pipeline_python(
         for j, chunk in enumerate(split_recursive(window_text, chunk_size, chunk_overlap), 1):
             out.append((win_idx, j, chunk))
     return out
+
+
+def chunk_pipeline_python(
+    text: str,
+    page_chars: int = 400,
+    window_before: int = 2,
+    window_after: int = 2,
+    chunk_size: int = 1500,
+    chunk_overlap: int = 200,
+) -> list[tuple[int, int, str]]:
+    """Golden reference: full R2→R3→R4 pipeline in pure Python.
+    Returns [(window_index, subchunk_index, chunk_text)] (1-based),
+    exactly what the Spark pipeline must produce per document."""
+    pages = [p for p in paginate_text(text, page_chars) if p.strip()]
+    return chunk_pages_python(
+        pages, window_before, window_after, chunk_size, chunk_overlap
+    )
 
 
 # --- Spark side -------------------------------------------------------------

@@ -112,3 +112,31 @@ def valid_records_with_metrics(
         *[F.col(c) for c in lineage if c in df.columns],
     )
     return records, obs
+
+
+def extract_json_python(raw: str) -> dict | None:
+    """Pure-Python twin of ``extract_json`` (golden/oracle use): same
+    3 stages in the same order, dict on success, None when all fail.
+    Stage success mirrors the map-probe semantics: any valid JSON
+    OBJECT counts, even without the contract keys."""
+    import json as _json
+    import re as _re
+
+    def _try(s: str | None) -> dict | None:
+        if not s:
+            return None
+        try:
+            v = _json.loads(s)
+        except Exception:  # noqa: BLE001 — any parse failure = stage miss
+            return None
+        return v if isinstance(v, dict) else None
+
+    if raw is None:
+        return None
+    m2 = _re.search(FENCED_RE, raw)
+    m3 = _re.search(BACKTICK_RE, raw)
+    return (
+        _try(raw)
+        or _try(m2.group(1) if m2 else None)
+        or _try(m3.group(1) if m3 else None)
+    )

@@ -300,3 +300,81 @@ def extract_pages(content: bytes) -> list[str]:
         ]
         pages.append("\n".join(extract_text(s) for s in streams if s).strip("\n"))
     return pages
+
+
+# --- writer -----------------------------------------------------------------
+
+def _encode_pdf_string(s: str) -> bytes:
+    """Text → literal-string bytes that ``_decode_pdf_string`` inverts
+    exactly: latin-1 when possible, else BOM + UTF-16BE; then
+    byte-level escapes for ``\\ ( ) \\r \\n`` (escaping AFTER encoding —
+    a UTF-16 code unit can contain a paren byte)."""
+    try:
+        raw = s.encode("latin-1")
+    except UnicodeEncodeError:
+        raw = b"\xfe\xff" + s.encode("utf-16-be")
+    return (
+        raw.replace(b"\\", b"\\\\")
+        .replace(b"(", b"\\(")
+        .replace(b")", b"\\)")
+        .replace(b"\r", b"\\r")
+        .replace(b"\n", b"\\n")
+    )
+
+
+def render_pdf(pages: list[str], compress: bool = True) -> bytes:
+    """Minimal VALID classic PDF (correct xref offsets, one /Page per
+    entry, one Flate content stream of ``BT (text) Tj ET``) whose
+    ``extract_pages`` round-trip returns each page verbatim modulo the
+    reader's per-page ``.strip("\\n")``.  Fixture/writer counterpart of
+    the extractor above — used to materialize text corpora as real
+    PDFs so the R1→R2 scan path (binaryFile → parser) can be driven
+    end-to-end without pypdf (reference trace: app/main.py:19-27
+    reads such a directory of PDFs)."""
+    objs: list[bytes] = []  # bodies; object number = index + 1
+    kids: list[int] = []
+    next_num = 3  # 1 = Catalog, 2 = Pages
+    content_refs: list[int] = []
+    for p in pages:
+        stream = b"BT (" + _encode_pdf_string(p) + b") Tj ET"
+        data = zlib.compress(stream) if compress else stream
+        filt = b"/Filter /FlateDecode " if compress else b""
+        objs.append(
+            b"<< "
+            + filt
+            + b"/Length "
+            + str(len(data)).encode()
+            + b" >>\nstream\n"
+            + data
+            + b"\nendstream\n"
+        )
+        content_refs.append(next_num)
+        next_num += 1
+    for ref in content_refs:
+        objs.append(b"<< /Type /Page /Parent 2 0 R /Contents %d 0 R >>\n" % ref)
+        kids.append(next_num)
+        next_num += 1
+    catalog = b"<< /Type /Catalog /Pages 2 0 R >>\n"
+    pages_obj = (
+        b"<< /Type /Pages /Kids [ "
+        + b" ".join(b"%d 0 R" % k for k in kids)
+        + b" ] /Count "
+        + str(len(kids)).encode()
+        + b" >>\n"
+    )
+    bodies = [catalog, pages_obj] + objs
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = []
+    for i, body in enumerate(bodies, start=1):
+        offsets.append(len(out))
+        out += b"%d 0 obj\n" % i + body + b"endobj\n"
+    xref_at = len(out)
+    out += b"xref\n0 %d\n" % (len(bodies) + 1)
+    out += b"0000000000 65535 f \n"
+    for off in offsets:
+        out += b"%010d 00000 n \n" % off
+    out += b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n" % (
+        len(bodies) + 1,
+        xref_at,
+    )
+    return bytes(out)
