@@ -135,8 +135,11 @@ def extract_json_python(raw: str) -> dict | None:
         return None
     m2 = _re.search(FENCED_RE, raw)
     m3 = _re.search(BACKTICK_RE, raw)
-    return (
-        _try(raw)
-        or _try(m2.group(1) if m2 else None)
-        or _try(m3.group(1) if m3 else None)
-    )
+    # Explicit is-not-None chain, NOT `or`: a successfully-parsed `{}`
+    # is falsy but IS stage success (Spark's coalesce stops at the
+    # non-null struct) — r06 ADVICE caught the truthiness fallthrough.
+    for cand in (raw, m2.group(1) if m2 else None, m3.group(1) if m3 else None):
+        parsed = _try(cand)
+        if parsed is not None:
+            return parsed
+    return None

@@ -313,6 +313,12 @@ def _encode_pdf_string(s: str) -> bytes:
         raw = s.encode("latin-1")
     except UnicodeEncodeError:
         raw = b"\xfe\xff" + s.encode("utf-16-be")
+    else:
+        # latin-1 text starting with U+00FE U+00FF encodes to bytes
+        # FE FF, which the decoder would misread as a UTF-16BE BOM —
+        # force the BOM branch for exact inversion (r06 ADVICE).
+        if raw[:2] == b"\xfe\xff":
+            raw = b"\xfe\xff" + s.encode("utf-16-be")
     return (
         raw.replace(b"\\", b"\\\\")
         .replace(b"(", b"\\(")
@@ -356,7 +362,9 @@ def render_pdf(pages: list[str], compress: bool = True) -> bytes:
         next_num += 1
     catalog = b"<< /Type /Catalog /Pages 2 0 R >>\n"
     pages_obj = (
-        b"<< /Type /Pages /Kids [ "
+        # /MediaBox is spec-required (inheritable from the Pages node)
+        # — pypdf-equipped environments parse these fixtures too.
+        b"<< /Type /Pages /MediaBox [ 0 0 612 792 ] /Kids [ "
         + b" ".join(b"%d 0 R" % k for k in kids)
         + b" ] /Count "
         + str(len(kids)).encode()

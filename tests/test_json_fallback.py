@@ -155,3 +155,77 @@ def test_http_client_sentinel_mode_counts_errors():
     )
     assert c.generate(["a", "b"]) == ["", ""]
     assert c.n_errors == 2
+
+
+# --- extract_json_python (pure-Python twin) parity ---------------------------
+
+# String-valued / garbage / empty-object cases: the twin contract
+# covers exactly what StubLLM + the reference emit (string Q/A or
+# unparseable text); numeric JSON values render differently across
+# the engines and are out of contract.
+_PARITY_FIXTURES = [
+    GOOD,
+    f"thinking...\n```json\n{GOOD}\n```\ntrailing",
+    '```json\n{"question": "multi\nline?",\n "answer": "yes"}\n```',
+    f"the result is `{GOOD}` ok?",
+    "I cannot answer that.",
+    "",
+    "{}",                       # parsed-but-keyless: stage 1 SUCCESS
+    "```json\n{}\n```",
+    "pre `{}` post",
+    '```json\n{"broken": \n```',  # fenced garbage, no backtick rescue
+    '`not json` and `{"question":"q2","answer":"a2"}`',  # first span wins
+    '{"wrong": "keys"}',
+    "[1, 2, 3]",                # valid JSON, not an object → all fail
+    "`[1]`",
+]
+
+
+def test_empty_object_is_stage_success(spark):
+    """'{}' parses at stage 1: Spark yields a non-null struct of null
+    fields, the twin yields {} — NOT None (r06 ADVICE medium: the old
+    truthiness chain fell through on falsy {})."""
+    from ai_data_pipeline_spark.operators.json_fallback import extract_json_python
+
+    assert extract_json_python("{}") == {}
+    qa = _parse(spark, "{}")
+    assert qa is not None and qa.question is None and qa.answer is None
+
+
+def test_python_twin_matches_spark(spark):
+    """extract_json_python == extract_json on every fixture: null ↔
+    None, else field-by-field on the contract keys."""
+    from ai_data_pipeline_spark.operators.json_fallback import extract_json_python
+
+    df = spark.createDataFrame([(i, r) for i, r in enumerate(_PARITY_FIXTURES)], "i INT, raw STRING")
+    got = {r.i: r.qa for r in df.select("i", extract_json("raw").alias("qa")).collect()}
+    for i, raw in enumerate(_PARITY_FIXTURES):
+        py = extract_json_python(raw)
+        sp = got[i]
+        if py is None:
+            assert sp is None, f"fixture {i}: twin None, Spark {sp}"
+        else:
+            assert sp is not None, f"fixture {i}: Spark None, twin {py}"
+            assert sp.question == py.get("question"), f"fixture {i}"
+            assert sp.answer == py.get("answer"), f"fixture {i}"
+
+
+def test_python_twin_matches_spark_on_stub_corpus(spark):
+    """Parity over every StubLLM response mode (the exact strings the
+    composed E2E row feeds through both engines)."""
+    from ai_data_pipeline_spark.operators.json_fallback import extract_json_python
+
+    prompts = [PROMPT_TEMPLATE.format(chunk=f"chunk {i} text") for i in range(40)]
+    responses = StubLLM().generate(prompts)
+    df = spark.createDataFrame([(i, r) for i, r in enumerate(responses)], "i INT, raw STRING")
+    got = {r.i: r.qa for r in df.select("i", extract_json("raw").alias("qa")).collect()}
+    n_valid = 0
+    for i, raw in enumerate(responses):
+        py = extract_json_python(raw)
+        sp = got[i]
+        if py is None:
+            assert sp is None
+        else:
+            assert (sp.question, sp.answer) == (py.get("question"), py.get("answer"))
+            n_valid += 1
+    assert 0 < n_valid < len(responses)  # corpus exercises both outcomes

@@ -188,3 +188,55 @@ def test_literal_string_roundtrip_property():
         assert txt.encode("latin-1") == payload
 
     check()
+
+
+# --- render_pdf (writer) round-trips ----------------------------------------
+
+def test_render_pdf_roundtrip_basic():
+    from ai_data_pipeline_spark.sources.minipdf import render_pdf
+
+    pages = [
+        "hello world",
+        "second page\nwith internal\nnewlines",
+        "parens () and \\ backslash and (nested (deep))",
+        "ünïcödé beyond latin-1: ✓ é \U0001f600",
+    ]
+    got = extract_pages(render_pdf(pages))
+    assert got == [p.strip("\n") for p in pages]
+
+
+def test_render_pdf_roundtrip_bom_lookalike():
+    """latin-1-encodable text starting with U+00FE U+00FF encodes to
+    bytes FE FF — must round-trip via the forced UTF-16BE branch
+    (r06 ADVICE low)."""
+    from ai_data_pipeline_spark.sources.minipdf import render_pdf
+
+    pages = ["\xfe\xffhello", "\xfe only", "\xfe\xff"]
+    assert extract_pages(render_pdf(pages)) == pages
+
+
+def test_render_pdf_uncompressed_and_mediabox():
+    from ai_data_pipeline_spark.sources.minipdf import render_pdf
+
+    raw = render_pdf(["plain page"], compress=False)
+    assert extract_pages(raw) == ["plain page"]
+    # /MediaBox is spec-required; inherited from the Pages node so
+    # pypdf-equipped environments accept these fixtures (r06 ADVICE).
+    assert b"/MediaBox [ 0 0 612 792 ]" in raw
+
+
+def test_render_pdf_roundtrip_property():
+    """Any unicode page list round-trips through render_pdf →
+    extract_pages modulo the reader's per-page strip('\\n')."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from ai_data_pipeline_spark.sources.minipdf import render_pdf
+
+    @settings(max_examples=150, deadline=None)
+    @given(st.lists(st.text(max_size=80), min_size=0, max_size=5))
+    def check(pages):
+        got = extract_pages(render_pdf(pages))
+        assert got == [p.strip("\n") for p in pages]
+
+    check()
