@@ -142,6 +142,11 @@ def oracle_sql() -> dict[str, str]:
     q21 = pipeline_queries.q21_oracle()
     if q21 is not None:
         out["q21_chunker"] = q21
+    # q152's twin is likewise a lazily-built golden-VALUES table
+    # (pure-Python R1→R8 twins over the graded corpora).
+    q152 = pipeline_queries.q152_oracle()
+    if q152 is not None:
+        out["q152_e2e_pdf_qa"] = q152
     from ai_data_pipeline_spark.plans import analysis_queries
 
     out.update(analysis_queries.ORACLE)

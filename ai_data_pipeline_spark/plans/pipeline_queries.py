@@ -2522,6 +2522,212 @@ def q107_canonical_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Q152 — the composed reference-parity E2E pipeline as ONE graded row
+# (R1→R9, the full shape of `/root/reference/app/main.py:65-117`):
+#   R1  directory of real PDFs (fixture-materialized from documents —
+#       sources/fixtures.py) scanned via binaryFile + *.pdf glob;
+#   R2  per-page text extraction (minipdf ISO-32000 subset — the same
+#       seam pypdf plugs into when importable);
+#   R3  odd-page ±2 sliding windows;  R4 recursive 300/60 split;
+#   R5  LLM map (deterministic StubLLM — the injectable-client seam,
+#       exercising every R6 fallback mode);
+#   R6  3-stage JSON fallback parse;  R7 valid/invalid side-split;
+#   R8  lineage (source_file carried through);
+#   R9-adjacent: per-file counts + an order-insensitive content digest
+#       of the valid (question, answer) records.
+# Oracle: the pure-Python twins (paginate_text → strip-roundtrip →
+# _q152_chunks_python mirror of parse_pages+sliding_windows+split →
+# StubLLM → extract_json_python), emitted as a VALUES table branch-
+# selected by corpus signature (same technique as q21_oracle).
+# ---------------------------------------------------------------------------
+
+_Q152_PAGE_CHARS = 200
+_Q152_CHUNK_SIZE = 300
+_Q152_CHUNK_OVERLAP = 60
+_Q152_SEP_QA = "\x1f"
+_Q152_SEP_REC = "\x1e"
+
+
+def q152_e2e_pdf_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_data_pipeline_spark.operators.chunker import chunk_paged_documents
+    from ai_data_pipeline_spark.operators.json_fallback import validate_qa
+    from ai_data_pipeline_spark.operators.llm_map import StubLLM, llm_map
+    from ai_data_pipeline_spark.sources.fixtures import materialize_pdf_corpus
+    from ai_data_pipeline_spark.sources.readers import parse_pages
+
+    corpus = materialize_pdf_corpus(sf_dir, page_chars=_Q152_PAGE_CHARS)
+    raw = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.pdf")
+        .load(corpus)
+    )  # R1
+    pages = parse_pages(raw)  # R2
+    from ai_data_pipeline_spark.operators.chunker import sliding_windows, split_chunks
+
+    windows = sliding_windows(pages.withColumnRenamed("source_file", "doc_id"))  # R3
+    # spread: AQE coalesces the small post-window shuffle to ONE
+    # partition, serializing the CPU-bound split/LLM python stages —
+    # rebalance to all cores before them (catalog.spread rationale).
+    chunks = split_chunks(  # R4
+        spread(windows), chunk_size=_Q152_CHUNK_SIZE, chunk_overlap=_Q152_CHUNK_OVERLAP
+    ).withColumnRenamed("doc_id", "source_file")
+    # The repartition below separates the R4 split pandas UDF and the
+    # R5 MapInPandas into different STAGES — same-stage chained
+    # ArrowEvalPython can deadlock on pipe buffering (chunker.py) —
+    # while keeping one pass over the data (no checkpoint re-run).
+    enriched = llm_map(spread(chunks), StubLLM, text_col="chunk_text")  # R5
+    v = validate_qa(enriched)  # R6 + R7 (source_file lineage = R8)
+    return (
+        v.groupBy("source_file")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.when(F.col("is_valid"), 1).otherwise(0)).alias("n_valid"),
+            F.sum(F.when(F.col("is_valid"), 0).otherwise(1)).alias("n_invalid"),
+            F.md5(
+                F.array_join(
+                    F.sort_array(
+                        F.collect_list(
+                            F.when(
+                                F.col("is_valid"),
+                                F.concat_ws(
+                                    _Q152_SEP_QA,
+                                    F.col("qa.question"),
+                                    F.col("qa.answer"),
+                                ),
+                            )
+                        )
+                    ),
+                    _Q152_SEP_REC,
+                ).cast("binary")
+            ).alias("qa_digest"),
+        )
+        .orderBy("source_file")
+    )
+
+
+def _q152_chunks_python(pages_all: list[str]) -> list[str]:
+    """Pure-Python mirror of the q152 Spark half R2→R4: parse_pages
+    keeps pages with non-space content but page_no stays the ORIGINAL
+    1-based position (posexplode index), the R3 odd-page filter tests
+    that original parity, while the ±2 window spans ROW positions in
+    the kept sequence (rowsBetween). Coincides with
+    chunk_pages_python whenever no page is dropped (unit-pinned);
+    diverges exactly as the Spark plan does when one is."""
+    from ai_data_pipeline_spark.operators.chunker import split_recursive
+
+    kept = [
+        (i + 1, p) for i, p in enumerate(pages_all) if p.strip(" ") != ""
+    ]
+    chunks: list[str] = []
+    for pos, (pno, _p) in enumerate(kept):
+        if pno % 2 != 1:
+            continue
+        lo = max(0, pos - 2)
+        hi = min(len(kept), pos + 3)
+        window_text = "\n\n".join(p for _, p in kept[lo:hi])
+        chunks.extend(
+            split_recursive(window_text, _Q152_CHUNK_SIZE, _Q152_CHUNK_OVERLAP)
+        )
+    return chunks
+
+
+def _q152_golden_rows(parquet_path: str) -> list[str]:
+    import hashlib as _hashlib
+
+    import duckdb
+
+    from ai_data_pipeline_spark.operators.chunker import paginate_text
+    from ai_data_pipeline_spark.operators.json_fallback import extract_json_python
+    from ai_data_pipeline_spark.operators.llm_map import PROMPT_TEMPLATE, StubLLM
+
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT doc_id, text FROM read_parquet('{parquet_path}') ORDER BY doc_id"
+    ).fetchall()
+    con.close()
+    stub = StubLLM()
+    vals: list[str] = []
+    for doc_id, text in rows:
+        # render_pdf → extract_pages round-trips each page modulo the
+        # reader's strip("\n") (property-tested in test_minipdf.py)
+        pages_all = [p.strip("\n") for p in paginate_text(text or "", _Q152_PAGE_CHARS)]
+        chunks = _q152_chunks_python(pages_all)
+        if not chunks:
+            continue
+        qa: list[str] = []
+        for chunk in chunks:
+            resp = stub.generate([PROMPT_TEMPLATE.format(chunk=chunk)])[0]
+            d = extract_json_python(resp)
+            if (
+                d is not None
+                and d.get("question") is not None
+                and d.get("answer") is not None
+            ):
+                qa.append(f"{d['question']}{_Q152_SEP_QA}{d['answer']}")
+        digest = _hashlib.md5(
+            _Q152_SEP_REC.join(sorted(qa)).encode("utf-8")
+        ).hexdigest()
+        vals.append(
+            f"('doc_{int(doc_id):06d}.pdf', {len(chunks)}, {len(qa)}, "
+            f"{len(chunks) - len(qa)}, '{digest}')"
+        )
+    return vals
+
+
+_Q152_GOLDEN_DIRS = ("/root/testdata/sf0.001", "/root/testdata/sf0.01")
+_q152_oracle_cache: str | None = None
+
+
+def q152_oracle() -> str | None:
+    """Golden-VALUES oracle twin for q152_e2e_pdf_qa (see q21_oracle
+    for the branch-selection technique). None when no graded corpus
+    is present (foreign environments) — the query then stays
+    rows-only instead of erroring."""
+    global _q152_oracle_cache
+    if _q152_oracle_cache is not None:
+        return _q152_oracle_cache
+    import os as _os
+
+    import duckdb
+
+    branches: list[tuple[int, list[str]]] = []
+    for d in _Q152_GOLDEN_DIRS:
+        path = _os.path.join(d, "documents.parquet")
+        if not _os.path.exists(path):
+            continue
+        con = duckdb.connect()
+        sig = con.sql(
+            f"SELECT COALESCE(SUM(length(text)), 0) FROM read_parquet('{path}')"
+        ).fetchone()[0]
+        con.close()
+        vals = _q152_golden_rows(path)
+        if vals:
+            branches.append((int(sig), vals))
+    if not branches:
+        return None
+    sigs = [s for s, _ in branches]
+    if len(set(sigs)) != len(sigs):
+        raise ValueError(f"q152 oracle: corpora share a content signature: {sigs}")
+    cols = "source_file, n_chunks, n_valid, n_invalid, qa_digest"
+    ctes = ["sig AS (SELECT COALESCE(SUM(length(text)), 0) AS s FROM documents)"]
+    selects = []
+    for i, (s, vals) in enumerate(branches):
+        ctes.append(f"e{i}({cols}) AS (VALUES {', '.join(vals)})")
+        selects.append(
+            "SELECT source_file, CAST(n_chunks AS BIGINT) AS n_chunks, "
+            "CAST(n_valid AS BIGINT) AS n_valid, "
+            "CAST(n_invalid AS BIGINT) AS n_invalid, qa_digest "
+            f"FROM e{i} WHERE (SELECT s FROM sig) = {s}"
+        )
+    _q152_oracle_cache = (
+        "WITH " + ",\n".join(ctes) + "\n"
+        + "\nUNION ALL\n".join(selects)
+        + "\nORDER BY source_file"
+    )
+    return _q152_oracle_cache
+
+
 QUERIES = {
     "q19_l2_topk": q19_l2_topk,
     "q20_exact_dedup": q20_exact_dedup,
@@ -2598,6 +2804,7 @@ QUERIES = {
     "q111_dupgraph_degree": q111_dupgraph_degree,
     "q112_gap_fill": q112_gap_fill,
     "q113_moving_median": q113_moving_median,
+    "q152_e2e_pdf_qa": q152_e2e_pdf_qa,
 }
 
 

@@ -1,0 +1,82 @@
+"""PDF fixture-corpus materialization for the composed E2E row.
+
+The reference pipeline's input is a DIRECTORY OF PDFs
+(`/root/reference/app/main.py:65-75` lists `*.pdf` and parses each);
+the graded testdata ships text in ``documents.parquet`` and no PDFs,
+so the composed R1→R9 query (q152) first materializes the corpus as
+real PDF files: one per document row, pages = the same deterministic
+pagination the engine's text path uses, rendered by
+``minipdf.render_pdf`` (whose ``extract_pages`` round-trip is
+property-tested).
+
+This is FIXTURE creation, not an operator: a content-keyed, idempotent
+driver-side loop over the graded corpus (500 docs at graded SFs, 5000
+at the bench SF — bounded by the documents row count). Production
+never does this; it reads pre-existing PDFs straight off the store
+(R1). The materialized directory is keyed by a corpus content
+signature so testdata regeneration invalidates it loudly, and the
+write is tmp-dir + atomic rename so concurrent invocations (driver
+grading + local sweep) can race safely.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+import tempfile
+
+from ai_data_pipeline_spark.operators.chunker import paginate_text
+from ai_data_pipeline_spark.sources.minipdf import render_pdf
+
+_FIXTURE_ROOT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "tmp_fixtures",
+)
+
+
+def _corpus_signature(rows: list[tuple], page_chars: int) -> str:
+    h = hashlib.md5()
+    h.update(f"v1:pc={page_chars}".encode())
+    for doc_id, text in rows:
+        h.update(f"{doc_id}:".encode())
+        h.update(hashlib.md5((text or "").encode("utf-8")).digest())
+    return h.hexdigest()[:16]
+
+
+def materialize_pdf_corpus(
+    sf_dir: str, page_chars: int = 200, root: str | None = None
+) -> str:
+    """Render ``documents`` as one PDF per row under a content-keyed
+    directory; returns the directory path. Idempotent: a completed
+    corpus (``_SUCCESS`` marker) is reused as-is."""
+    import duckdb
+
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT doc_id, text FROM read_parquet('{sf_dir}/documents.parquet') "
+        "ORDER BY doc_id"
+    ).fetchall()
+    con.close()
+    sig = _corpus_signature(rows, page_chars)
+    root = root or _FIXTURE_ROOT
+    final = os.path.join(root, f"pdf_corpus_{sig}")
+    if os.path.exists(os.path.join(final, "_SUCCESS")):
+        return final
+    os.makedirs(root, exist_ok=True)
+    tmp = tempfile.mkdtemp(dir=root, prefix=f".pdf_corpus_{sig}.")
+    try:
+        for doc_id, text in rows:
+            pdf = render_pdf(paginate_text(text or "", page_chars))
+            with open(os.path.join(tmp, f"doc_{int(doc_id):06d}.pdf"), "wb") as f:
+                f.write(pdf)
+        with open(os.path.join(tmp, "_SUCCESS"), "w") as f:
+            f.write(sig)
+        os.replace(tmp, final)
+    except OSError:
+        # lost the rename race (or target appeared mid-write): the
+        # winner's corpus is byte-identical by construction
+        if not os.path.exists(os.path.join(final, "_SUCCESS")):
+            raise
+        shutil.rmtree(tmp, ignore_errors=True)
+    return final

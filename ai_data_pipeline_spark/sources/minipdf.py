@@ -102,10 +102,27 @@ def _page_order(objs: dict[int, bytes]) -> list[int]:
 
 
 def _stream_bytes(body: bytes) -> bytes:
-    m = _STREAM_RE.search(body)
-    if not m:
-        return b""
-    raw = m.group(1)
+    raw = None
+    # Spec-correct extent first: /Length N bytes after the EOL that
+    # follows the 'stream' keyword (ISO 32000 §7.3.8.1). The regex
+    # fallback's trailing `\r?\n endstream` match truncates any stream
+    # whose DATA ends in 0x0D — a compressed stream hits that with
+    # probability ~1/256 (4 of 500 rendered fixture docs did).
+    # Indirect /Length (N 0 R) falls through to the regex.
+    d = _dict_part(body)
+    if not re.search(rb"/Length\s+\d+\s+\d+\s+R", d):
+        n = re.search(rb"/Length\s+(\d+)", d)
+        s = re.search(rb"stream(?:\r\n|\n|\r)", body)
+        if n and s:
+            start = s.end()
+            end = start + int(n.group(1))
+            if end <= len(body) and b"endstream" in body[end : end + 32]:
+                raw = body[start:end]
+    if raw is None:
+        m = _STREAM_RE.search(body)
+        if not m:
+            return b""
+        raw = m.group(1)
     if re.search(rb"/Filter\s*(?:\[\s*)?/FlateDecode\b", _dict_part(body)):
         try:
             return zlib.decompress(raw)

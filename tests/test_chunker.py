@@ -119,3 +119,38 @@ def test_spark_matches_golden(spark):
         ):
             want[(doc_id, w, s)] = chunk
     assert got == want
+
+
+def test_q152_python_mirror_matches_chunk_pages_python_when_no_drops():
+    """The q152 oracle mirror (original-page-number parity) coincides
+    with chunk_pages_python (filtered-position parity) whenever no
+    page is dropped."""
+    from ai_data_pipeline_spark.operators.chunker import chunk_pages_python
+    from ai_data_pipeline_spark.plans.pipeline_queries import (
+        _Q152_CHUNK_OVERLAP,
+        _Q152_CHUNK_SIZE,
+        _q152_chunks_python,
+    )
+
+    pages = [f"page {i} " + "lorem ipsum " * 40 for i in range(7)]
+    assert _q152_chunks_python(pages) == [
+        c
+        for _, _, c in chunk_pages_python(
+            pages, 2, 2, _Q152_CHUNK_SIZE, _Q152_CHUNK_OVERLAP
+        )
+    ]
+
+
+def test_q152_python_mirror_uses_original_page_parity_on_drops():
+    """With a dropped (space-only) page the mirror must follow the
+    Spark plan: the odd-page filter tests ORIGINAL page_no parity,
+    the ±2 window spans ROW positions of the kept sequence."""
+    from ai_data_pipeline_spark.plans.pipeline_queries import _q152_chunks_python
+
+    pages = ["a", " ", "b", "c", "d"]  # original page 2 is dropped
+    # kept rows: (1,a) (3,b) (4,c) (5,d); odd original pages 1, 3, 5
+    assert _q152_chunks_python(pages) == [
+        "a\n\nb\n\nc",        # row 0 of kept, window rows 0..2
+        "a\n\nb\n\nc\n\nd",   # row 1 of kept, window rows 0..3
+        "b\n\nc\n\nd",        # row 3 of kept, window rows 1..3
+    ]

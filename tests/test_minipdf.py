@@ -240,3 +240,25 @@ def test_render_pdf_roundtrip_property():
         assert got == [p.strip("\n") for p in pages]
 
     check()
+
+
+def test_stream_extent_honors_length_over_trailing_cr():
+    """A stream whose DATA ends in 0x0D must not lose that byte to the
+    `\\r?\\n endstream` terminator regex — /Length gives the exact
+    extent (compressed fixture pages hit this ~1/256)."""
+    import zlib as _zlib
+
+    from ai_data_pipeline_spark.sources.minipdf import _stream_bytes, render_pdf
+
+    data = b"(a) Tj\r"
+    body = b"<< /Length %d >>\nstream\n%s\nendstream\n" % (len(data), data)
+    assert _stream_bytes(body) == data
+    # end-to-end: find a page text whose zlib stream ends with CR
+    page = None
+    for i in range(20000):
+        cand = f"word{i} filter stream hash"
+        if _zlib.compress(f"BT ({cand}) Tj ET".encode()).endswith(b"\r"):
+            page = cand
+            break
+    assert page is not None
+    assert extract_pages(render_pdf([page])) == [page]
