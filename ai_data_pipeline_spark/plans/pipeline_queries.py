@@ -2728,6 +2728,118 @@ def q152_oracle() -> str | None:
     return _q152_oracle_cache
 
 
+# ---------------------------------------------------------------------------
+# Q153 — custom STATEFUL streaming (applyInPandasWithState) graded
+# against a batch oracle: running_user_stats (streaming/stateful.py)
+# maintains per-user (count, sum, last-event-type) in the state store
+# across micro-batches. The replay is deterministic: the event
+# history is split into 3 contiguous ts-ordered files (fixture) and
+# streamed with maxFilesPerTrigger=1 (oldest-first), so arrival order
+# == event-time order and the processing-time running profile equals
+# the batch aggregate. Values ride as round(value*10000) exact-int
+# doubles (order-independent float sums — q41's money discipline);
+# the final state per key is the update-mode row with max n_events
+# (strictly increasing per key per batch it appears in).
+# ---------------------------------------------------------------------------
+
+def q153_stateful_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid as _uuid
+
+    from ai_data_pipeline_spark.sources.fixtures import materialize_event_stream
+    from ai_data_pipeline_spark.streaming.stateful import running_user_stats
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    stream_dir = materialize_event_stream(sf_dir, n_files=3)
+    schema = spark.read.parquet(f"{stream_dir}/batch_000.parquet").schema
+    raw = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "*.parquet")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stream_dir)
+    )
+    e = normalize_event_time(raw).withColumn(
+        "v4", F.round(F.col("value") * 10000, 0)
+    )
+    stats = running_user_stats(
+        e, key="user_id", value_col="v4", type_col="event_type", time_col="ts"
+    )
+    name = f"q153_{_uuid.uuid4().hex[:8]}"
+    # The state-store shuffle width is captured at query start from
+    # spark.sql.shuffle.partitions; under the driver's vanilla session
+    # that is 200, and each of the 3 micro-batches pays 200 pandas
+    # state tasks for 150 keys (26 s measured). Pin to the core count
+    # for the stream and restore after — partition count is
+    # non-semantic for per-key state.
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(spark.sparkContext.defaultParallelism)
+    )
+    try:
+        q = (
+            stats.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    final = (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(
+            F.max_by(
+                F.struct("n_events", "total_value", "last_event_type"), "n_events"
+            ).alias("s")
+        )
+        .select(
+            "user_id",
+            F.col("s.n_events").alias("n_events"),
+            (F.col("s.total_value") / 10000.0).alias("sum_value"),
+            F.col("s.last_event_type").alias("last_event_type"),
+        )
+    )
+    return _drain_memory_sink(final, name).orderBy("user_id")
+
+
+# ---------------------------------------------------------------------------
+# Q154 — the Python DataSource seam E2E: the customer table scanned
+# through format("pqrowgroup") (sources/pyds.py — one InputPartition
+# per parquet row group, pyarrow read on the executor, Arrow-batch
+# transfer) feeding a normal Catalyst aggregate, hash-matched against
+# DuckDB reading the SAME parquet file. Proves the Spark 4 DataSource
+# extension API end-to-end under the driver's vanilla session —
+# registration happens inside the query (session-scoped).
+# ---------------------------------------------------------------------------
+
+def q154_pyds_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_data_pipeline_spark.sources.pyds import register_pqrowgroup
+
+    register_pqrowgroup(spark)
+    cust = (
+        spark.read.format("pqrowgroup")
+        .option("path", f"{sf_dir}/customer.parquet")
+        .load()
+    )
+    return (
+        cust.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            (
+                F.sum(F.round(F.col("c_acctbal") * 100, 0).cast("long")) / 100.0
+            ).alias("sum_acctbal"),
+            F.min("c_custkey").alias("min_key"),
+            F.max("c_custkey").alias("max_key"),
+            F.countDistinct("c_nationkey").cast("long").alias("n_nations"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
 QUERIES = {
     "q19_l2_topk": q19_l2_topk,
     "q20_exact_dedup": q20_exact_dedup,
@@ -2805,6 +2917,8 @@ QUERIES = {
     "q112_gap_fill": q112_gap_fill,
     "q113_moving_median": q113_moving_median,
     "q152_e2e_pdf_qa": q152_e2e_pdf_qa,
+    "q153_stateful_running_stats": q153_stateful_running_stats,
+    "q154_pyds_scan": q154_pyds_scan,
 }
 
 
@@ -3130,6 +3244,31 @@ ORACLE = {
         FROM events
         GROUP BY wstart_s, event_type
         ORDER BY wstart_s, event_type
+    """,
+    # q154 twin: DuckDB reads the same parquet file the pqrowgroup
+    # DataSource ships through the Python extension seam.
+    "q154_pyds_scan": """
+        SELECT c_mktsegment,
+               COUNT(*) AS n_customers,
+               CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_acctbal,
+               MIN(c_custkey) AS min_key,
+               MAX(c_custkey) AS max_key,
+               CAST(COUNT(DISTINCT c_nationkey) AS BIGINT) AS n_nations
+        FROM customer
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment
+    """,
+    # q153 twin: the ts-ordered replay makes the processing-time
+    # running state equal the batch aggregate; last_event_type =
+    # arg_max over ts ((user_id, ts) is unique in the testdata —
+    # verified before grading).
+    "q153_stateful_running_stats": """
+        SELECT user_id, COUNT(*) AS n_events,
+               CAST(SUM(CAST(ROUND(COALESCE(value, 0) * 10000) AS BIGINT)) AS BIGINT) / 10000.0 AS sum_value,
+               arg_max(event_type, ts) AS last_event_type
+        FROM events
+        GROUP BY user_id
+        ORDER BY user_id
     """,
     "q36_multimodal_meta": f"""
         SELECT doc_id AS id,
