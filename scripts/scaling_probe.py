@@ -74,6 +74,17 @@ def main() -> int:
     spark = get_spark("scaling-probe")
     qs = entrymod.queries()
     qs["q02_broadcast_join"](spark, BASE).collect()  # warm
+    # same fixed pure-JVM canary as bench.py: makes probe ratios
+    # comparable across rounds/hosts (r06 verdict item #3) — divide
+    # out canary drift before reading cross-round ratio changes.
+    canary = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        spark.range(200_000_000).selectExpr(
+            "sum(id * 2654435761 % 1000003) AS s"
+        ).collect()
+        dt = time.perf_counter() - t0
+        canary = dt if canary is None else min(canary, dt)
     out = {}
     only = set(sys.argv[1:])
     for name in PROBE:
@@ -91,7 +102,7 @@ def main() -> int:
         times["ratio"] = round(times[f"{FACTOR}x"] / max(times["1x"], 1e-9), 1)
         out[name] = times
         print(f"# {name}: {times}", file=sys.stderr)
-    print(json.dumps({"factor": FACTOR, "queries": out}))
+    print(json.dumps({"factor": FACTOR, "canary_sec": round(canary, 3), "queries": out}))
     return 0
 
 
