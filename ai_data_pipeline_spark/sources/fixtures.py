@@ -52,10 +52,11 @@ def materialize_pdf_corpus(
     corpus (``_SUCCESS`` marker) is reused as-is."""
     import duckdb
 
+    src = os.path.join(sf_dir, "documents.parquet")
+    pat = f"{src}/*.parquet" if os.path.isdir(src) else src  # Spark dir or single file
     con = duckdb.connect()
     rows = con.sql(
-        f"SELECT doc_id, text FROM read_parquet('{sf_dir}/documents.parquet') "
-        "ORDER BY doc_id"
+        f"SELECT doc_id, text FROM read_parquet('{pat}') ORDER BY doc_id"
     ).fetchall()
     con.close()
     sig = _corpus_signature(rows, page_chars)
@@ -91,14 +92,31 @@ def materialize_event_stream(sf_dir: str, n_files: int = 3, root: str | None = N
     batch k holds the k-th ts range: arrival order == event-time
     order, making processing-time running state reproducible).
 
-    pyarrow round-trip preserves the ts encoding (NANOS stays NANOS,
-    µs stays µs) so the same normalize_event_time path reads either.
+    ``ts`` is written as a PLAIN ns-epoch INT64 (no logical type, no
+    carried-over Spark footer metadata) regardless of the source
+    encoding: Spark's vectorized parquet reader cannot convert a
+    TIMESTAMP(NANOS) column under a streaming-source schema (batch
+    reads reconcile via the footer; FileStreamSource does not), and
+    the bare-long form is exactly what ``normalize_event_time``'s
+    LONG branch canonicalizes.
     """
+    import pyarrow as pa
+    import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
     src = os.path.join(sf_dir, "events.parquet")
-    with open(src, "rb") as f:
-        sig = hashlib.md5(f"v1:n={n_files}:".encode() + f.read()).hexdigest()[:16]
+    h = hashlib.md5(f"v2:n={n_files}:".encode())
+    parts = (
+        sorted(
+            os.path.join(src, p) for p in os.listdir(src) if p.endswith(".parquet")
+        )
+        if os.path.isdir(src)  # Spark-written directory table
+        else [src]
+    )
+    for p in parts:
+        with open(p, "rb") as f:
+            h.update(f.read())
+    sig = h.hexdigest()[:16]
     root = root or _FIXTURE_ROOT
     final = os.path.join(root, f"event_stream_{sig}")
     if os.path.exists(os.path.join(final, "_SUCCESS")):
@@ -108,6 +126,13 @@ def materialize_event_stream(sf_dir: str, n_files: int = 3, root: str | None = N
     try:
         table = pq.read_table(src)
         table = table.sort_by([("ts", "ascending"), ("event_id", "ascending")])
+        i = table.schema.get_field_index("ts")
+        t = table.schema.field(i).type
+        if pa.types.is_timestamp(t):
+            factor = {"s": 10**9, "ms": 10**6, "us": 10**3, "ns": 1}[t.unit]
+            ts_ns = pc.multiply(table.column(i).cast(pa.int64()), factor)
+            table = table.set_column(i, "ts", ts_ns.cast(pa.int64()))
+        table = table.replace_schema_metadata(None)
         n = table.num_rows
         bounds = [round(i * n / n_files) for i in range(n_files + 1)]
         now = int(os.path.getmtime(src))

@@ -67,6 +67,8 @@ PROBE = [
     "q147_scd2_apply",      # history windows + CDC apply
     "q148_subsequence_topk",  # sliding arrays + HOF fold + TakeOrdered
     "q149_hll_profile",     # map-side coupon sketches + merge rollup
+    "q152_e2e_pdf_qa",      # composed R1→R9: binaryFile + 3 python stages
+    "q153_stateful_running_stats",  # stateful streaming replay (3 batches)
 ]
 
 
