@@ -2618,3 +2618,291 @@ def q151_recursive_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE["q151_recursive_chains"] = _Q151_SQL
 
 QUERIES.update({"q151_recursive_chains": q151_recursive_chains})
+
+
+# ---------------------------------------------------------------------------
+# Q155 — native Python UDTF graded E2E (Spark 4 table function via
+# SQL LATERAL): fixed_window_chunks (operators/udtf_ops.py — 120-char
+# windows every 90) fans each document out to chunk rows feeding a
+# per-source aggregate. The oracle reproduces the window start set in
+# pure SQL (starts are multiples of 90; s emitted iff s=0 or the
+# previous window did not already cover the tail: s+30 < n), so any
+# drift in the UDTF's emit/stop semantics flips the hash. Scale: the
+# UDTF streams rows per input row (bounded memory per fan-out); the
+# aggregate combines map-side.
+# ---------------------------------------------------------------------------
+
+def q155_udtf_lateral_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_data_pipeline_spark.catalog import register_views
+    from ai_data_pipeline_spark.operators.udtf_ops import register_udtfs
+
+    register_views(spark, sf_dir)
+    register_udtfs(spark)
+    return spark.sql(
+        """
+        SELECT d.source,
+               CAST(COUNT(*) AS BIGINT) AS n_chunks,
+               CAST(SUM(length(c.chunk_text)) AS BIGINT) AS total_chars,
+               CAST(MAX(c.chunk_index) AS BIGINT) AS max_index,
+               CAST(COUNT(DISTINCT d.doc_id) AS BIGINT) AS n_docs
+        FROM documents d, LATERAL fixed_window_chunks(d.text, 120, 30) c
+        GROUP BY d.source
+        ORDER BY d.source
+        """
+    )
+
+
+QUERIES["q155_udtf_lateral_chunks"] = q155_udtf_lateral_chunks
+ORACLE["q155_udtf_lateral_chunks"] = """
+    WITH d AS (
+        SELECT source, doc_id, length(text) AS n FROM documents
+    ), s AS (
+        SELECT d.source, d.doc_id, d.n, gs.s AS start
+        FROM d, LATERAL (SELECT unnest(range(0, greatest(n, 1), 90)) AS s) gs
+        WHERE d.n > 0 AND (gs.s = 0 OR gs.s + 30 < d.n)
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(LEAST(120, n - start)) AS BIGINT) AS total_chars,
+           CAST(MAX(start // 90) AS BIGINT) AS max_index,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM s
+    GROUP BY source
+    ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q156 — unpivot/melt (wide → long): per-returnflag metric triple
+# unpivoted to (metric, val) rows — the DataFrame.unpivot surface vs
+# DuckDB's UNPIVOT. All metrics are exact BIGINTs (count / rounded
+# quantity / price cents) so the shared `val` column is
+# dtype-uniform. One agg + a zero-shuffle projection.
+# ---------------------------------------------------------------------------
+
+def q156_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.round(F.col("l_quantity"), 0).cast("long")).alias("sum_qty"),
+        F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("long")).alias(
+            "sum_price_cents"
+        ),
+    )
+    return (
+        wide.unpivot(
+            ["l_returnflag"], ["n_rows", "sum_qty", "sum_price_cents"], "metric", "val"
+        )
+        .orderBy("l_returnflag", "metric")
+    )
+
+
+QUERIES["q156_unpivot_metrics"] = q156_unpivot_metrics
+ORACLE["q156_unpivot_metrics"] = """
+    WITH wide AS (
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+               CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, metric, val
+    FROM wide UNPIVOT (val FOR metric IN (n_rows, sum_qty, sum_price_cents))
+    ORDER BY l_returnflag, metric
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q157 — correlated LATERAL subquery join with per-row ORDER BY +
+# LIMIT (the SQL form of per-group top-k): top-2 customers by balance
+# per nation. The IDENTICAL SQL text runs on both engines (same
+# c_name tie-break; money in cents). Catalyst rewrites the lateral
+# into a ranked window join — same plan class as q11, different
+# surface.
+# ---------------------------------------------------------------------------
+
+_Q157_SQL = """
+    SELECT n.n_name, c.c_name, c.bal_cents
+    FROM nation n, LATERAL (
+        SELECT c_name, CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_cents
+        FROM customer
+        WHERE c_nationkey = n.n_nationkey
+        ORDER BY c_acctbal DESC, c_name
+        LIMIT 2
+    ) c
+    ORDER BY n.n_name, c.c_name
+"""
+
+
+def q157_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_data_pipeline_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_Q157_SQL)
+
+
+QUERIES["q157_lateral_topk"] = q157_lateral_topk
+ORACLE["q157_lateral_topk"] = _Q157_SQL
+
+
+# ---------------------------------------------------------------------------
+# Q158 — bitwise + boolean aggregates (bit_and/bit_or/bit_xor,
+# bool_and/bool_or) per order priority. Order-independent by algebra
+# (AND/OR/XOR are commutative-associative), so shuffle order can
+# never flip the hash; the boolean predicates compare raw parquet
+# doubles against integer literals (identical trees per float rule 1).
+# ---------------------------------------------------------------------------
+
+def q158_bit_bool_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.bit_and("o_orderkey").alias("key_and"),
+            F.bit_or("o_orderkey").alias("key_or"),
+            F.bit_xor("o_orderkey").alias("key_xor"),
+            F.bool_and(F.col("o_totalprice") > 1000).alias("all_over_1k"),
+            F.bool_or(F.col("o_totalprice") > 400000).alias("any_over_400k"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+QUERIES["q158_bit_bool_aggs"] = q158_bit_bool_aggs
+ORACLE["q158_bit_bool_aggs"] = """
+    SELECT o_orderpriority,
+           CAST(bit_and(o_orderkey) AS BIGINT) AS key_and,
+           CAST(bit_or(o_orderkey) AS BIGINT) AS key_or,
+           CAST(bit_xor(o_orderkey) AS BIGINT) AS key_xor,
+           bool_and(o_totalprice > 1000) AS all_over_1k,
+           bool_or(o_totalprice > 400000) AS any_over_400k,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q159 — ordered string aggregation: listagg(DISTINCT …) WITHIN GROUP
+# (Spark 4) vs DuckDB string_agg(DISTINCT … ORDER BY …) — sorted
+# distinct concatenation is deterministic on both engines regardless
+# of shuffle order.
+# ---------------------------------------------------------------------------
+
+def q159_listagg_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_data_pipeline_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    # n_segments derives from the aggregated string: combining the
+    # WITHIN-GROUP listagg with a second DISTINCT aggregate trips a
+    # Spark 4.1 planner ClassCastException (AttributeReference vs
+    # SortOrder in the distinct-Expand rewrite).
+    return spark.sql(
+        """
+        SELECT c_nationkey, segments,
+               CAST(size(split(segments, ',')) AS BIGINT) AS n_segments
+        FROM (
+            SELECT c_nationkey,
+                   listagg(DISTINCT c_mktsegment, ',')
+                       WITHIN GROUP (ORDER BY c_mktsegment) AS segments
+            FROM customer
+            GROUP BY c_nationkey
+        )
+        ORDER BY c_nationkey
+        """
+    )
+
+
+QUERIES["q159_listagg_segments"] = q159_listagg_segments
+ORACLE["q159_listagg_segments"] = """
+    SELECT c_nationkey, segments,
+           CAST(len(string_split(segments, ',')) AS BIGINT) AS n_segments
+    FROM (
+        SELECT c_nationkey,
+               string_agg(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment) AS segments
+        FROM customer
+        GROUP BY c_nationkey
+    )
+    ORDER BY c_nationkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q160 — regexp_extract_all + array reduction: per part brand, word
+# runs extracted from p_name ([a-z]+ — the RE2 ∩ Java dialect), with
+# counts and the longest extracted word. Narrow per-row regex at the
+# scan (no shuffle before the agg).
+# ---------------------------------------------------------------------------
+
+def q160_regexp_extract_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    words = F.regexp_extract_all(F.col("p_name"), F.lit("[a-z]+"), 0)
+    return (
+        p.select(
+            "p_brand",
+            F.size(words).alias("n_words"),
+            F.array_max(F.transform(words, F.length)).alias("longest"),
+        )
+        .groupBy("p_brand")
+        .agg(
+            F.sum(F.col("n_words").cast("long")).alias("total_words"),
+            F.max("longest").cast("int").alias("max_word_len"),
+            F.count(F.lit(1)).alias("n_parts"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+QUERIES["q160_regexp_extract_all"] = q160_regexp_extract_all
+ORACLE["q160_regexp_extract_all"] = """
+    WITH w AS (
+        SELECT p_brand,
+               len(regexp_extract_all(p_name, '[a-z]+')) AS n_words,
+               list_max(list_transform(regexp_extract_all(p_name, '[a-z]+'),
+                                       x -> len(x))) AS longest
+        FROM part
+    )
+    SELECT p_brand,
+           CAST(SUM(n_words) AS BIGINT) AS total_words,
+           CAST(MAX(longest) AS INTEGER) AS max_word_len,
+           CAST(COUNT(*) AS BIGINT) AS n_parts
+    FROM w
+    GROUP BY p_brand
+    ORDER BY p_brand
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q165 — null-safe equality join (<=> / IS NOT DISTINCT FROM): pair
+# counts of customers×suppliers on a DERIVED NULLABLE key (nationkey
+# mod 5, one residue nulled out) — NULL<=>NULL matches, so the null
+# bucket joins too, unlike plain `=`. Explicit NULLS FIRST so both
+# engines order the null group identically.
+# ---------------------------------------------------------------------------
+
+def q165_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").select(
+        F.expr("nullif(c_nationkey % 5, 3)").alias("k")
+    )
+    supp = _t(spark, sf_dir, "supplier").select(
+        F.expr("nullif(s_nationkey % 5, 3)").alias("k2")
+    )
+    return (
+        cust.join(supp, F.col("k").eqNullSafe(F.col("k2")))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy(F.asc_nulls_first("k"))
+    )
+
+
+QUERIES["q165_null_safe_join"] = q165_null_safe_join
+ORACLE["q165_null_safe_join"] = """
+    WITH c AS (SELECT nullif(c_nationkey % 5, 3) AS k FROM customer),
+         s AS (SELECT nullif(s_nationkey % 5, 3) AS k2 FROM supplier)
+    SELECT CAST(k AS INTEGER) AS k, CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM c JOIN s ON c.k IS NOT DISTINCT FROM s.k2
+    GROUP BY k
+    ORDER BY k NULLS FIRST
+"""

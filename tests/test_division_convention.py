@@ -49,6 +49,9 @@ PLAN_FILES = [
 #   * props.'$.k' — generator emits k >= 0 (verified at sf0.001/0.01)
 #   * (s6 + 8388608*n) div n - 8388608 / oracle twin — THE offset form
 ALLOWED_DIV_SITES = {
+    # q155 oracle: start is a generate_series(0, …, 90) value — ≥ 0
+    # by construction (max_index = start // 90).
+    ', n - start)) AS BIGINT) AS total_chars, CAST(MAX(start //',
     'mn ( "ts_us" , F . timestamp_micros ( F . expr ( "ts_ns div',
     ' user_id, session_id, t0, t1, unnest(generate_series(t0 //',
     's ( "rev_u" ) ) cents = F . expr ( "(2 * rev_u + 10000) div',
