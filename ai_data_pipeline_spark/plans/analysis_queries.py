@@ -2906,3 +2906,218 @@ ORACLE["q165_null_safe_join"] = """
     GROUP BY k
     ORDER BY k NULLS FIRST
 """
+
+
+# ---------------------------------------------------------------------------
+# Q161 — Matryoshka retrieval audit: for 5 fixed query vectors, how
+# much of the full-dimension cosine top-10 survives when both sides
+# are truncated to the first 32 dims (the matryoshka-embedding
+# cheap-retrieval question: can the prefix stand in for the full
+# vector?). One pass computes both similarities per (query, vector)
+# row; two ranking windows share the qid exchange; overlap = rows in
+# both top-10s. Ranking doubles are identical HOF folds on both
+# engines (q27 discipline) with vec_id tie-breaks (float rule 5).
+# Scale: queries broadcast; the corpus is scanned once, never
+# self-joined; at production k/N use the blocked ANN paths (q28/q38)
+# for each dimension tier instead of exact ranking.
+# ---------------------------------------------------------------------------
+
+_Q161_TRUNC_DIM = 32
+
+
+def q161_matryoshka_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_data_pipeline_spark.functions.vector import array_lit, cosine
+    from ai_data_pipeline_spark.plans.constants import Q27_QUERY_VECS
+
+    emb = _t(spark, sf_dir, "embeddings")
+    rows = []
+    for qid, vec in enumerate(Q27_QUERY_VECS):
+        rows.append((qid, vec, vec[:_Q161_TRUNC_DIM]))
+    q = spark.createDataFrame(rows, "qid int, qv array<double>, qv32 array<double>")
+    sims = emb.crossJoin(F.broadcast(q)).select(
+        "qid",
+        "vec_id",
+        cosine("embedding", "qv").alias("sim_f"),
+        cosine(F.slice("embedding", 1, _Q161_TRUNC_DIM), "qv32").alias("sim_t"),
+    )
+    w_f = Window.partitionBy("qid").orderBy(F.desc("sim_f"), F.asc("vec_id"))
+    w_t = Window.partitionBy("qid").orderBy(F.desc("sim_t"), F.asc("vec_id"))
+    r = sims.select(
+        "qid",
+        "vec_id",
+        F.row_number().over(w_f).alias("rn_f"),
+        F.row_number().over(w_t).alias("rn_t"),
+    )
+    return (
+        r.groupBy("qid")
+        .agg(
+            F.sum(
+                F.when((F.col("rn_f") <= 10) & (F.col("rn_t") <= 10), 1).otherwise(0)
+            ).alias("n_overlap"),
+            F.max(F.when(F.col("rn_f") == 1, F.col("vec_id"))).alias("top1_full"),
+            F.max(F.when(F.col("rn_t") == 1, F.col("vec_id"))).alias("top1_trunc"),
+        )
+        .orderBy("qid")
+    )
+
+
+def _q161_oracle() -> str:
+    from ai_data_pipeline_spark.functions.vector import sql_dot, sql_lit_list, sql_norm
+    from ai_data_pipeline_spark.plans.constants import EMBED_DIM, Q27_QUERY_VECS
+
+    vals = ", ".join(
+        f"({qid}, {sql_lit_list(v)}, {sql_lit_list(v[:_Q161_TRUNC_DIM])})"
+        for qid, v in enumerate(Q27_QUERY_VECS)
+    )
+    e32 = "(e.embedding[1:32])"
+    cos_f = (
+        f"{sql_dot('e.embedding', 'q.qv', EMBED_DIM)} / "
+        f"({sql_norm('e.embedding', EMBED_DIM)} * {sql_norm('q.qv', EMBED_DIM)})"
+    )
+    cos_t = (
+        f"{sql_dot(e32, 'q.qv32', _Q161_TRUNC_DIM)} / "
+        f"({sql_norm(e32, _Q161_TRUNC_DIM)} * {sql_norm('q.qv32', _Q161_TRUNC_DIM)})"
+    )
+    return f"""
+        WITH q(qid, qv, qv32) AS (VALUES {vals}),
+        sims AS (
+            SELECT q.qid, e.vec_id, {cos_f} AS sim_f, {cos_t} AS sim_t
+            FROM embeddings e CROSS JOIN q
+        ), r AS (
+            SELECT qid, vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim_f DESC, vec_id) AS rn_f,
+                   ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim_t DESC, vec_id) AS rn_t
+            FROM sims
+        )
+        SELECT qid,
+               CAST(SUM(CASE WHEN rn_f <= 10 AND rn_t <= 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap,
+               MAX(CASE WHEN rn_f = 1 THEN vec_id END) AS top1_full,
+               MAX(CASE WHEN rn_t = 1 THEN vec_id END) AS top1_trunc
+        FROM r
+        GROUP BY qid
+        ORDER BY qid
+    """
+
+
+QUERIES["q161_matryoshka_overlap"] = q161_matryoshka_overlap
+ORACLE["q161_matryoshka_overlap"] = _q161_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Q163 — partition-pruned scan E2E: orders re-laid-out as a parquet
+# table PARTITIONED BY o_orderpriority (content-keyed fixture,
+# distributed write), then read back with a partition-column
+# predicate — the scan must touch only the 2 of 5 partition
+# directories (PartitionFilters; pinned by the plan test in
+# tests/test_plans.py). The graded hash proves the pruned read
+# returns exactly the plain filtered aggregate. This is THE 100 TB
+# layout lever: a date/tenant-partitioned lake turns most queries
+# into partition-directory listings.
+# ---------------------------------------------------------------------------
+
+_Q163_PRIORITIES = ("1-URGENT", "2-HIGH")
+
+
+def q163_partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_data_pipeline_spark.sources.fixtures import materialize_partitioned_orders
+
+    part_dir = materialize_partitioned_orders(spark, sf_dir)
+    o = spark.read.parquet(part_dir)
+    return (
+        o.filter(F.col("o_orderpriority").isin(*_Q163_PRIORITIES))
+        .groupBy(
+            "o_orderpriority",
+            F.to_date(F.date_trunc("month", "o_orderdate")).alias("month"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias(
+                "cents"
+            ),
+        )
+        .orderBy("o_orderpriority", "month")
+    )
+
+
+QUERIES["q163_partition_pruned_scan"] = q163_partition_pruned_scan
+ORACLE["q163_partition_pruned_scan"] = f"""
+    SELECT o_orderpriority,
+           CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+    FROM orders
+    WHERE o_orderpriority IN {_Q163_PRIORITIES!r}
+    GROUP BY o_orderpriority, month
+    ORDER BY o_orderpriority, month
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q164 — bucketed co-located join: customer and orders written as
+# BUCKETED tables (8 buckets on the join key, sorted, external
+# parquet under the fixture root so nothing lands outside the repo),
+# then joined bucket-to-bucket — NO shuffle on either side (the plan
+# test pins zero Exchange below the join and SelectedBucketsCount in
+# the scans). The graded hash proves bucketing is result-invariant vs
+# the plain join the oracle computes. At 100 TB this is the
+# co-location contract: bucket both fact tables on the join key at
+# write time and every subsequent join skips its exchange.
+# ---------------------------------------------------------------------------
+
+def _q164_bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    import os
+
+    from ai_data_pipeline_spark.sources.fixtures import _FIXTURE_ROOT, source_signature
+
+    sig = source_signature(os.path.join(sf_dir, "orders.parquet"), "bucket-v1")
+    names = (f"q164_cust_{sig}", f"q164_ord_{sig}")
+    specs = (
+        ("customer", "c_custkey", names[0]),
+        ("orders", "o_custkey", names[1]),
+    )
+    for table, key, name in specs:
+        path = os.path.join(_FIXTURE_ROOT, name)
+        if spark.catalog.tableExists(name) and os.path.exists(
+            os.path.join(path, "_SUCCESS")
+        ):
+            continue
+        (
+            _t(spark, sf_dir, table)
+            .write.format("parquet")
+            .bucketBy(8, key)
+            .sortBy(key)
+            .option("path", path)
+            .mode("overwrite")
+            .saveAsTable(name)
+        )
+    return names
+
+
+def q164_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust_t, ord_t = _q164_bucketed_tables(spark, sf_dir)
+    c = spark.table(cust_t)
+    o = spark.table(ord_t)
+    joined = c.join(o, c.c_custkey == o.o_custkey)
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias(
+                "cents"
+            ),
+            F.countDistinct("c_custkey").cast("long").alias("n_customers"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+QUERIES["q164_bucketed_join"] = q164_bucketed_join
+ORACLE["q164_bucketed_join"] = """
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+           CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS n_customers
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+"""

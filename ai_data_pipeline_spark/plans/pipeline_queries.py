@@ -4564,3 +4564,57 @@ ORACLE["q87_concat_packing"] = f"""
            CAST(MAX(end_seq - start_seq) AS BIGINT) AS max_span
     FROM s GROUP BY source ORDER BY source
 """
+
+
+# ---------------------------------------------------------------------------
+# Q162 — tokenizer fertility per language: BPE-ish tokens per
+# whitespace word (the tokenizer-efficiency signal a multilingual
+# training mix is balanced on — high fertility = the tokenizer
+# fragments that language). Counts are exact BIGINTs; fertility is
+# ONE IEEE division of two exact integers (bit-identical
+# cross-engine). Narrow per-row regex at the scan, map-side combine.
+# ---------------------------------------------------------------------------
+
+def q162_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    agg = (
+        docs.select(
+            "lang",
+            token_count_ws("text").alias("t_ws"),
+            token_count_bpe_ish("text").alias("t_bpe"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("t_ws").alias("tokens_ws"),
+            F.sum("t_bpe").alias("tokens_bpe"),
+        )
+    )
+    return agg.select(
+        "lang",
+        "n_docs",
+        "tokens_ws",
+        "tokens_bpe",
+        F.when(
+            F.col("tokens_ws") > 0,
+            F.col("tokens_bpe").cast("double") / F.col("tokens_ws").cast("double"),
+        ).alias("fertility"),
+    ).orderBy("lang")
+
+
+QUERIES["q162_tokenizer_fertility"] = q162_tokenizer_fertility
+ORACLE["q162_tokenizer_fertility"] = f"""
+    WITH agg AS (
+        SELECT lang, COUNT(*) AS n_docs,
+               CAST(SUM(len({_SQL_WS.format(x='text')})) AS BIGINT) AS tokens_ws,
+               CAST(SUM(len(regexp_extract_all(text, '{BPE_ISH_PATTERN}'))) AS BIGINT) AS tokens_bpe
+        FROM documents
+        GROUP BY lang
+    )
+    SELECT lang, n_docs, tokens_ws, tokens_bpe,
+           CASE WHEN tokens_ws > 0
+                THEN CAST(tokens_bpe AS DOUBLE) / CAST(tokens_ws AS DOUBLE)
+           END AS fertility
+    FROM agg
+    ORDER BY lang
+"""

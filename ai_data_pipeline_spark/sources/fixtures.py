@@ -83,6 +83,42 @@ def materialize_pdf_corpus(
     return final
 
 
+def source_signature(path: str, salt: str = "") -> str:
+    """md5 over the bytes of a parquet file, or of every ``*.parquet``
+    part (name-sorted) of a Spark-written directory table."""
+    h = hashlib.md5(salt.encode())
+    parts = (
+        sorted(os.path.join(path, p) for p in os.listdir(path) if p.endswith(".parquet"))
+        if os.path.isdir(path)
+        else [path]
+    )
+    for p in parts:
+        with open(p, "rb") as f:
+            h.update(f.read())
+    return h.hexdigest()[:16]
+
+
+def materialize_partitioned_orders(spark, sf_dir: str, root: str | None = None) -> str:
+    """Write ``orders`` as a parquet table PARTITIONED BY
+    o_orderpriority under a content-keyed directory (for the
+    partition-pruning graded row q163). Idempotent via Spark's own
+    ``_SUCCESS`` marker; ``mode("overwrite")`` heals partial writes.
+    Distributed write — no driver-side row loop."""
+    from ai_data_pipeline_spark.catalog import load_table
+
+    sig = source_signature(os.path.join(sf_dir, "orders.parquet"), "part-v1")
+    root = root or _FIXTURE_ROOT
+    final = os.path.join(root, f"orders_part_{sig}")
+    if not os.path.exists(os.path.join(final, "_SUCCESS")):
+        (
+            load_table(spark, sf_dir, "orders")
+            .write.partitionBy("o_orderpriority")
+            .mode("overwrite")
+            .parquet(final)
+        )
+    return final
+
+
 def materialize_event_stream(sf_dir: str, n_files: int = 3, root: str | None = None) -> str:
     """Split ``events`` into ``n_files`` contiguous ts-ordered parquet
     files under a content-keyed directory, with strictly increasing

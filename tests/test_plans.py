@@ -594,3 +594,28 @@ def test_q81_histogram_percentile_is_bitexact_and_bufferless(spark, sf_dir):
     s = plan_of(new)
     assert "ObjectHashAggregate" not in s
     assert "partial_count" in s  # map-side combine of the histogram
+
+
+def test_q163_partition_pruning_engages(spark, sf_dir):
+    """The partition-column predicate must land in PartitionFilters
+    (directory pruning — no data files of other priorities opened),
+    and must NOT need a row-level pushed filter on that column."""
+    from ai_data_pipeline_spark.plans import analysis_queries as A
+
+    s = plan_of(A.q163_partition_pruned_scan(spark, sf_dir))
+    i = s.find("PartitionFilters: [")
+    assert i != -1 and "o_orderpriority" in s[i : i + 300]
+
+
+def test_q164_bucketed_join_skips_exchanges(spark, sf_dir):
+    """Bucket co-location: the only Exchange in the final plan is the
+    one under the aggregate — neither join side reshuffles — and the
+    scans report bucket selection."""
+    from ai_data_pipeline_spark.plans import analysis_queries as A
+
+    s = plan_of(A.q164_bucketed_join(spark, sf_dir))
+    assert "SelectedBucketsCount" in s
+    # the join key never crosses an exchange (AQE prints the plan
+    # twice, so count exchanges by KEY, not occurrences)
+    assert not re.search(r"Exchange hashpartitioning\((c_custkey|o_custkey)", s)
+    assert re.search(r"Exchange hashpartitioning\(c_mktsegment", s)
