@@ -3121,3 +3121,262 @@ ORACLE["q164_bucketed_join"] = """
     GROUP BY c_mktsegment
     ORDER BY c_mktsegment
 """
+
+
+# ---------------------------------------------------------------------------
+# Q166 — Arrow-optimized scalar Python UDF (Spark 4 ``useArrow=True``:
+# Arrow batch transfer without the pandas wrapper) graded E2E: a
+# per-row vowel count feeding a per-source aggregate, hash-matched
+# against DuckDB's regexp_replace-based count. The UDF is the point;
+# the kernel is deliberately trivial. (Production hot paths stay on
+# built-ins/pandas UDFs — this row pins the seam's correctness, not a
+# recommendation.)
+# ---------------------------------------------------------------------------
+
+def q166_arrow_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.types import LongType
+
+    @F.udf(returnType=LongType(), useArrow=True)
+    def vowel_count(t):
+        return sum(1 for ch in (t or "") if ch in "aeiou")
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select("source", vowel_count("text").alias("v"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("v").alias("total_vowels"),
+            F.max("v").alias("max_vowels"),
+        )
+        .orderBy("source")
+    )
+
+
+QUERIES["q166_arrow_udf"] = q166_arrow_udf
+ORACLE["q166_arrow_udf"] = """
+    WITH v AS (
+        SELECT source,
+               CAST(len(regexp_replace(text, '[^aeiou]', '', 'g')) AS BIGINT) AS v
+        FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(v) AS BIGINT) AS total_vowels,
+           CAST(MAX(v) AS BIGINT) AS max_vowels
+    FROM v
+    GROUP BY source
+    ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q167 — streaming checkpoint RESTART, exactly-once, graded: the
+# event replay is drained in TWO separate query runs sharing one
+# checkpoint (run 1 sees only the first file; files 2–3 appear before
+# run 2), writing an append-mode parquet sink. The graded aggregate
+# over the sink must equal the batch aggregate over all events — rows
+# lost at the restart boundary or duplicated by sink re-commit would
+# flip the hash. This pins the recovery contract a multi-day 100 TB
+# ingestion leans on. Per-invocation scratch dirs are removed after
+# the sink is drained into the returned frame.
+# ---------------------------------------------------------------------------
+
+def q167_stream_restart_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    from ai_data_pipeline_spark.sources.fixtures import (
+        _FIXTURE_ROOT,
+        materialize_event_stream,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    stream_src = materialize_event_stream(sf_dir, n_files=3)
+    files = sorted(
+        f for f in os.listdir(stream_src) if f.endswith(".parquet")
+    )
+    os.makedirs(_FIXTURE_ROOT, exist_ok=True)
+    work = tempfile.mkdtemp(dir=_FIXTURE_ROOT, prefix=".q167_")
+    in_dir = os.path.join(work, "in")
+    out_dir = os.path.join(work, "out")
+    ckpt = os.path.join(work, "ckpt")
+    os.makedirs(in_dir)
+    schema = spark.read.parquet(os.path.join(stream_src, files[0])).schema
+
+    def run_once() -> None:
+        raw = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "*.parquet")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(in_dir)
+        )
+        proj = raw.select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.round(F.col("value") * 10000, 0).cast("long").alias("v4"),
+        )
+        q = (
+            proj.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    try:
+        # run 1: only the first slice of history exists
+        shutil.copy(os.path.join(stream_src, files[0]), in_dir)
+        run_once()
+        # the rest of the history lands; run 2 resumes from the
+        # checkpoint and must pick up exactly files 2..n
+        for f in files[1:]:
+            shutil.copy(os.path.join(stream_src, f), in_dir)
+        run_once()
+        agg = (
+            spark.read.parquet(out_dir)
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.countDistinct("event_id").cast("long").alias("n_distinct"),
+                (F.sum("v4") / 10000.0).alias("sum_value"),
+                F.countDistinct("user_id").cast("long").alias("n_users"),
+            )
+            .orderBy("event_type")
+        )
+        rows = agg.collect()
+        out = spark.createDataFrame(rows, agg.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
+QUERIES["q167_stream_restart_exactly_once"] = q167_stream_restart_exactly_once
+ORACLE["q167_stream_restart_exactly_once"] = """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_distinct,
+           CAST(SUM(CAST(ROUND(value * 10000) AS BIGINT)) AS BIGINT) / 10000.0 AS sum_value,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q168 — ORC source E2E: orders written as ORC (content-keyed
+# fixture, distributed write), read back through the ORC reader into
+# the q17-shape monthly aggregate; the oracle computes from the
+# PARQUET original, so any ORC encode/decode drift (types, dates,
+# nulls) flips the hash.
+# ---------------------------------------------------------------------------
+
+def q168_orc_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from ai_data_pipeline_spark.sources.fixtures import _FIXTURE_ROOT, source_signature
+
+    sig = source_signature(os.path.join(sf_dir, "orders.parquet"), "orc-v1")
+    final = os.path.join(_FIXTURE_ROOT, f"orders_orc_{sig}")
+    if not os.path.exists(os.path.join(final, "_SUCCESS")):
+        _t(spark, sf_dir, "orders").write.mode("overwrite").orc(final)
+    o = spark.read.orc(final)
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias("cents"),
+            F.min("o_orderdate").alias("first_date"),
+            F.max("o_orderdate").alias("last_date"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+QUERIES["q168_orc_source"] = q168_orc_source
+ORACLE["q168_orc_source"] = """
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+           MIN(o_orderdate) AS first_date,
+           MAX(o_orderdate) AS last_date
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q169 — CSV quoting/escaping round-trip graded: documents text is
+# first made CSV-HOSTILE (embedded double quotes, commas, and a real
+# newline — the corpus itself is CSV-benign, so hostility is injected
+# with an expression both engines share), written as quoted CSV, read
+# back with multiLine + escape, and digest-aggregated. The oracle
+# recomputes the same hostile text straight from parquet: any
+# quoting, escaping, or multiline-parse defect flips the md5s.
+# ---------------------------------------------------------------------------
+
+def q169_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from ai_data_pipeline_spark.sources.fixtures import _FIXTURE_ROOT, source_signature
+
+    docs = _t(spark, sf_dir, "documents")
+    hostile = F.concat(
+        F.lit('"'), F.col("source"), F.lit('",\n'), F.col("text")
+    ).alias("text2")
+    sig = source_signature(os.path.join(sf_dir, "documents.parquet"), "csv-v1")
+    final = os.path.join(_FIXTURE_ROOT, f"docs_csv_{sig}")
+    if not os.path.exists(os.path.join(final, "_SUCCESS")):
+        (
+            docs.select("doc_id", hostile, "source")
+            .write.mode("overwrite")
+            .option("header", "true")
+            .option("quoteAll", "true")
+            .option("escape", '"')
+            .csv(final)
+        )
+    back = (
+        spark.read.option("header", "true")
+        .option("multiLine", "true")
+        .option("escape", '"')
+        .schema("doc_id bigint, text2 string, source string")
+        .csv(final)
+    )
+    return (
+        back.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.length("text2").cast("long")).alias("total_chars"),
+            F.md5(
+                F.array_join(
+                    F.sort_array(F.collect_list(F.md5(F.col("text2").cast("binary")))),
+                    ",",
+                ).cast("binary")
+            ).alias("digest"),
+        )
+        .orderBy("source")
+    )
+
+
+QUERIES["q169_csv_roundtrip"] = q169_csv_roundtrip
+ORACLE["q169_csv_roundtrip"] = """
+    WITH h AS (
+        SELECT source,
+               '"' || source || '",' || chr(10) || text AS text2
+        FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(length(text2)) AS BIGINT) AS total_chars,
+           md5(list_aggregate(list_sort(list(md5(text2))), 'string_agg', ',')) AS digest
+    FROM h
+    GROUP BY source
+    ORDER BY source
+"""
