@@ -3380,3 +3380,273 @@ ORACLE["q169_csv_roundtrip"] = """
     GROUP BY source
     ORDER BY source
 """
+
+
+# ---------------------------------------------------------------------------
+# Q170 — Python DataSource STREAMING half graded (q154's batch twin):
+# the synthdocs SimpleDataSourceStreamReader replays its deterministic
+# corpus in 17-row micro-batches through an append memory sink; the
+# drained rows aggregate per shard and must hash-match the golden
+# VALUES computed from the same _doc_row generator — exactly-once
+# offset bookkeeping (no skipped/duplicated cursor ranges) is what's
+# actually under test. Deliberately sf-independent: the seam, not the
+# corpus, is graded (cf. q22's fixed query vectors).
+# ---------------------------------------------------------------------------
+
+_Q170_N, _Q170_BATCH, _Q170_SEED = 120, 17, 7
+
+
+def q170_pyds_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid as _uuid
+
+    from ai_data_pipeline_spark.plans.pipeline_queries import _drain_memory_sink
+    from ai_data_pipeline_spark.sources.pyds import register_synthdocs
+
+    register_synthdocs(spark)
+    raw = (
+        spark.readStream.format("synthdocs")
+        .option("numdocs", str(_Q170_N))
+        .option("batchsize", str(_Q170_BATCH))
+        .option("seed", str(_Q170_SEED))
+        .load()
+    )
+    name = f"q170_{_uuid.uuid4().hex[:8]}"
+    # processAllAvailable, not availableNow: the simple stream reader
+    # advances one prefetched batch per trigger, and availableNow
+    # snapshots only the first prefetch (17 of 120 rows drained).
+    q = (
+        raw.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    agg = (
+        spark.table(name)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("doc_id").cast("long").alias("n_distinct"),
+            F.sum("doc_id").alias("sum_ids"),
+            F.md5(
+                F.array_join(F.sort_array(F.collect_list("text")), ",").cast("binary")
+            ).alias("digest"),
+        )
+    )
+    return _drain_memory_sink(agg, name).orderBy("source")
+
+
+def _q170_oracle() -> str:
+    import hashlib as _h
+
+    from ai_data_pipeline_spark.sources.pyds import _doc_row
+
+    per_source: dict[str, list] = {}
+    for i in range(_Q170_N):
+        doc_id, text, source = _doc_row(_Q170_SEED, i, f"shard{i % 4}")
+        per_source.setdefault(source, []).append((doc_id, text))
+    vals = []
+    for source in sorted(per_source):
+        docs = per_source[source]
+        digest = _h.md5(",".join(sorted(t for _, t in docs)).encode()).hexdigest()
+        vals.append(
+            f"('{source}', {len(docs)}, {len(set(d for d, _ in docs))}, "
+            f"{sum(d for d, _ in docs)}, '{digest}')"
+        )
+    return (
+        "SELECT source, CAST(n_docs AS BIGINT) AS n_docs, "
+        "CAST(n_distinct AS BIGINT) AS n_distinct, "
+        "CAST(sum_ids AS BIGINT) AS sum_ids, digest "
+        "FROM (VALUES "
+        + ", ".join(vals)
+        + ") AS g(source, n_docs, n_distinct, sum_ids, digest) ORDER BY source"
+    )
+
+
+QUERIES["q170_pyds_stream"] = q170_pyds_stream
+ORACLE["q170_pyds_stream"] = _q170_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Q171 — as-of join WITH TOLERANCE (the merge_asof(tolerance=…)
+# semantics q33/q86 lack): each purchase matches its latest preceding
+# view only if it lies within 30 minutes; older matches null out.
+# Same linear union+window recipe (no per-key join blowup); the
+# tolerance is a post-carry filter, so the scale shape is unchanged.
+# Lags are exact ns-integer math; ms via the audited non-negative div.
+# ---------------------------------------------------------------------------
+
+_Q171_TOL_NS = 1_800 * 10**9  # 30 minutes
+
+
+def q171_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_events(spark, sf_dir)
+    purch = e.filter(F.col("event_type") == "purchase").select("user_id", "ts_ns")
+    views = e.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts_ns").alias("vt")
+    )
+    tagged = purch.withColumn("side", F.lit(1)).unionByName(
+        views.select(
+            "user_id", F.col("vt").alias("ts_ns"), F.lit(0).alias("side")
+        ).withColumn("vt", F.col("ts_ns")),
+        allowMissingColumns=True,
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_ns", "side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = tagged.withColumn("last_vt", F.last("vt", ignorenulls=True).over(w))
+    matched = carried.filter(F.col("side") == 1).withColumn(
+        "ok",
+        F.col("last_vt").isNotNull()
+        & ((F.col("ts_ns") - F.col("last_vt")) <= _Q171_TOL_NS),
+    )
+    return (
+        matched.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_purch"),
+            F.sum(F.when(F.col("ok"), 1).otherwise(0)).alias("n_matched"),
+            F.sum(
+                F.when(
+                    F.col("ok"), F.expr("(ts_ns - last_vt) div 1000000")
+                ).otherwise(0)
+            ).alias("sum_lag_ms"),
+        )
+        .orderBy("user_id")
+    )
+
+
+QUERIES["q171_asof_tolerance"] = q171_asof_tolerance
+ORACLE["q171_asof_tolerance"] = f"""
+    WITH p AS (
+        SELECT user_id, epoch_ns(ts) AS t FROM events WHERE event_type = 'purchase'
+    ), v AS (
+        SELECT user_id, epoch_ns(ts) AS t FROM events WHERE event_type = 'view'
+    ), m AS (
+        SELECT p.user_id, p.t,
+               (SELECT MAX(v.t) FROM v
+                WHERE v.user_id = p.user_id AND v.t <= p.t) AS vt
+        FROM p
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_purch,
+           CAST(SUM(CASE WHEN vt IS NOT NULL AND t - vt <= {_Q171_TOL_NS}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+           CAST(SUM(CASE WHEN vt IS NOT NULL AND t - vt <= {_Q171_TOL_NS}
+                         THEN (t - vt) // 1000000 ELSE 0 END) AS BIGINT) AS sum_lag_ms
+    FROM m
+    GROUP BY user_id
+    ORDER BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q172 — SCD2 point-in-time lookup (the feature-store PIT read):
+# state = each user's current event_type under the q115 SCD2 history;
+# AS-OF timestamps are the data-span quartiles (exact integer
+# arithmetic from min/max ns). For each quartile: how many users sit
+# in each state — interval containment [from, to), open intervals
+# match everything after. The 3-row as-of frame broadcasts; intervals
+# are the information content of the stream, not the stream.
+# ---------------------------------------------------------------------------
+
+def q172_pit_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_data_pipeline_spark.operators.timeseries import scd2_intervals
+
+    e = load_events(spark, sf_dir)
+    iv = scd2_intervals(
+        e, key="user_id", time_col="ts_ns", tiebreak_col="event_id",
+        state_col="event_type",
+    )
+    bounds = e.agg(F.min("ts_ns").alias("t0"), F.max("ts_ns").alias("t1"))
+    asof = (
+        spark.range(1, 4)
+        .withColumnRenamed("id", "k")
+        .crossJoin(F.broadcast(bounds))
+        .select("k", F.expr("t0 + ((t1 - t0) * k) div 4").alias("t"))
+    )
+    pit = iv.crossJoin(F.broadcast(asof)).filter(
+        (F.col("valid_from") <= F.col("t"))
+        & (F.col("valid_to").isNull() | (F.col("t") < F.col("valid_to")))
+    )
+    return (
+        pit.groupBy("k", "event_type")
+        .agg(F.countDistinct("user_id").cast("long").alias("n_users"))
+        .orderBy("k", "event_type")
+    )
+
+
+QUERIES["q172_pit_lookup"] = q172_pit_lookup
+ORACLE["q172_pit_lookup"] = """
+    WITH ordered AS (
+        SELECT user_id, epoch_ns(ts) AS ts_ns, event_id, event_type,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY epoch_ns(ts), event_id) AS prev_type
+        FROM events
+    ), changes AS (
+        SELECT user_id, ts_ns, event_id, event_type
+        FROM ordered
+        WHERE prev_type IS NULL OR prev_type <> event_type
+    ), iv AS (
+        SELECT user_id, event_type, ts_ns AS from_ns,
+               lead(ts_ns) OVER (PARTITION BY user_id
+                                 ORDER BY ts_ns, event_id) AS to_ns
+        FROM changes
+    ), bounds AS (
+        SELECT MIN(epoch_ns(ts)) AS t0, MAX(epoch_ns(ts)) AS t1 FROM events
+    ), pits AS (
+        SELECT k, t0 + ((t1 - t0) * k) // 4 AS t
+        FROM bounds, (VALUES (1), (2), (3)) AS ks(k)
+    )
+    SELECT CAST(k AS BIGINT) AS k, event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM iv JOIN pits
+      ON from_ns <= t AND (to_ns IS NULL OR t < to_ns)
+    GROUP BY k, event_type
+    ORDER BY k, event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q173 — approx_percentile in its EXACT regime (the sketch-oracle
+# discipline of q144/q145/q149): per-type p10/p50/p90 of exact 1e-4
+# value units via percentile_approx(accuracy=100000). GK never
+# compresses while a group's n stays below the accuracy budget, so
+# the result IS the inclusive-rank discrete quantile and equals
+# DuckDB quantile_disc bit-for-bit (probed at both graded SFs; per-
+# type n there is ≤2k — and 20k at the sf0.1 bench — vs the 100k
+# budget). Beyond the regime it degrades to ±1/accuracy rank error
+# with bounded sketch state — that estimation regime is the 100 TB
+# point: a full sort per group is replaced by KB of mergeable state.
+# ---------------------------------------------------------------------------
+
+def q173_percentile_approx_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_events(spark, sf_dir)
+    return (
+        e.withColumn("v4", F.round(F.col("value") * 10000, 0).cast("long"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.percentile_approx("v4", 0.1, 100000).alias("p10"),
+            F.percentile_approx("v4", 0.5, 100000).alias("p50"),
+            F.percentile_approx("v4", 0.9, 100000).alias("p90"),
+        )
+        .orderBy("event_type")
+    )
+
+
+QUERIES["q173_percentile_approx_exact"] = q173_percentile_approx_exact
+ORACLE["q173_percentile_approx_exact"] = """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           quantile_disc(CAST(ROUND(value * 10000) AS BIGINT), 0.1) AS p10,
+           quantile_disc(CAST(ROUND(value * 10000) AS BIGINT), 0.5) AS p50,
+           quantile_disc(CAST(ROUND(value * 10000) AS BIGINT), 0.9) AS p90
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+"""

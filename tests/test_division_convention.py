@@ -52,6 +52,14 @@ ALLOWED_DIV_SITES = {
     # q155 oracle: start is a generate_series(0, …, 90) value — ≥ 0
     # by construction (max_index = start // 90).
     ', n - start)) AS BIGINT) AS total_chars, CAST(MAX(start //',
+    # q171 both engines: matched lag (t - vt) with vt <= t enforced by
+    # the as-of carry (backward match) — never negative.
+    ' IS NOT NULL AND t - vt <= {_Q171_TOL_NS} THEN (t - vt) //',
+    'when ( F . col ( "ok" ) , F . expr ( "(ts_ns - last_vt) div',
+    # q172 both engines: (t1 - t0) * k with t1 = MAX ≥ t0 = MIN and
+    # k ∈ {1,2,3} — never negative.
+    'FROM events ), pits AS ( SELECT k, t0 + ((t1 - t0) * k) //',
+    's ) ) . select ( "k" , F . expr ( "t0 + ((t1 - t0) * k) div',
     'mn ( "ts_us" , F . timestamp_micros ( F . expr ( "ts_ns div',
     ' user_id, session_id, t0, t1, unnest(generate_series(t0 //',
     's ( "rev_u" ) ) cents = F . expr ( "(2 * rev_u + 10000) div',

@@ -115,3 +115,34 @@ def test_q149_graded_sfs_stay_in_hll_coupon_exact_regime():
             "lgk=14 coupon-exact limit (1500) — q149's exact oracle "
             "is no longer safely in-regime"
         )
+
+
+def test_percentile_approx_exact_regime_semantics(spark):
+    """q173's regime contract: while n < accuracy, percentile_approx
+    returns the inclusive-rank discrete quantile — DuckDB
+    quantile_disc — including odd/even counts and negatives (the
+    same boundary discipline as the KLL rows)."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    cases = [
+        [1, 2, 3, 4, 5],
+        [1, 2, 3, 4],
+        [-7, -3, 0, 4, 9, 12],
+        [5],
+        [2, 2, 2, 7],
+    ]
+    for vals in cases:
+        df = spark.createDataFrame([(v,) for v in vals], "v long")
+        got = df.agg(
+            F.percentile_approx("v", 0.1, 100000),
+            F.percentile_approx("v", 0.5, 100000),
+            F.percentile_approx("v", 0.9, 100000),
+        ).collect()[0]
+        lst = str(vals)
+        want = duckdb.sql(
+            f"SELECT quantile_disc(v, 0.1), quantile_disc(v, 0.5), "
+            f"quantile_disc(v, 0.9) FROM (SELECT unnest({lst}) AS v)"
+        ).fetchone()
+        assert tuple(got) == want, (vals, tuple(got), want)
