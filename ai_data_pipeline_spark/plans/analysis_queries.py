@@ -3650,3 +3650,164 @@ ORACLE["q173_percentile_approx_exact"] = """
     GROUP BY event_type
     ORDER BY event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# Q174 — GROUP BY ALL (Spark 4 + DuckDB shared modern-SQL surface):
+# grouping keys inferred from the select list; identical SQL text on
+# both engines. (ORDER BY stays explicit — the inferred ordering of
+# ORDER BY ALL is the part worth not trusting cross-engine.)
+# ---------------------------------------------------------------------------
+
+_Q174_SQL = """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+    FROM orders
+    GROUP BY ALL
+    ORDER BY o_orderstatus, o_orderpriority
+"""
+
+
+def q174_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_data_pipeline_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_Q174_SQL)
+
+
+QUERIES["q174_group_by_all"] = q174_group_by_all
+ORACLE["q174_group_by_all"] = _Q174_SQL
+
+
+# ---------------------------------------------------------------------------
+# Q175 — multiset set ops: INTERSECT ALL / EXCEPT ALL keep
+# MULTIPLICITY (q15's intersect/subtract are the distinct forms) —
+# per-key surviving copy counts prove the bag semantics: intersect
+# keeps min(count_a, count_b) copies, except keeps count_a - count_b.
+# ---------------------------------------------------------------------------
+
+def q175_setops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("k"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("k"))
+    i = (
+        c.intersectAll(s)
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("op", F.lit("intersect_all"))
+    )
+    e = (
+        c.exceptAll(s)
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("op", F.lit("except_all"))
+    )
+    return i.unionByName(e).select("op", "k", "n").orderBy("op", "k")
+
+
+QUERIES["q175_setops_all"] = q175_setops_all
+ORACLE["q175_setops_all"] = """
+    WITH a AS (SELECT c_nationkey AS k FROM customer),
+         b AS (SELECT s_nationkey AS k FROM supplier),
+         i AS (SELECT k FROM a INTERSECT ALL SELECT k FROM b),
+         e AS (SELECT k FROM a EXCEPT ALL SELECT k FROM b)
+    SELECT 'intersect_all' AS op, k, CAST(COUNT(*) AS BIGINT) AS n
+    FROM i GROUP BY k
+    UNION ALL
+    SELECT 'except_all' AS op, k, CAST(COUNT(*) AS BIGINT) AS n
+    FROM e GROUP BY k
+    ORDER BY op, k
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q176 — error-safe casts (try_cast / TRY_CAST): a derived string
+# column cycles numeric / junk-prefixed / fractional forms; parse
+# failures become NULLs instead of job-killing exceptions — the
+# ingestion posture for dirty columns at scale. DOUBLE is the graded
+# target type: string→double parses are correctly rounded on both
+# engines, whereas string→int of a FRACTIONAL string diverges
+# (Spark try_cast yields NULL, DuckDB rounds) — documented here,
+# deliberately not graded.
+# ---------------------------------------------------------------------------
+
+def q176_try_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    s = F.expr(
+        "CASE p_size % 3 WHEN 0 THEN CAST(p_size AS STRING) "
+        "WHEN 1 THEN concat('x', CAST(p_size AS STRING)) "
+        "ELSE concat(CAST(p_size AS STRING), '.5') END"
+    )
+    parsed = F.expr(
+        "try_cast(CASE p_size % 3 WHEN 0 THEN CAST(p_size AS STRING) "
+        "WHEN 1 THEN concat('x', CAST(p_size AS STRING)) "
+        "ELSE concat(CAST(p_size AS STRING), '.5') END AS DOUBLE)"
+    )
+    return (
+        p.select("p_brand", s.alias("s"), parsed.alias("v"))
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("v").isNull(), 1).otherwise(0)).alias("n_unparsed"),
+            F.sum((F.col("v") * 10).cast("long")).alias("sum_v10"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+QUERIES["q176_try_cast"] = q176_try_cast
+ORACLE["q176_try_cast"] = """
+    WITH d AS (
+        SELECT p_brand,
+               TRY_CAST(CASE p_size % 3 WHEN 0 THEN CAST(p_size AS VARCHAR)
+                        WHEN 1 THEN 'x' || CAST(p_size AS VARCHAR)
+                        ELSE CAST(p_size AS VARCHAR) || '.5' END AS DOUBLE) AS v
+        FROM part
+    )
+    SELECT p_brand,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unparsed,
+           CAST(SUM(CAST(v * 10 AS BIGINT)) AS BIGINT) AS sum_v10
+    FROM d
+    GROUP BY p_brand
+    ORDER BY p_brand
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q177 — calendar-part extraction suite with the cross-engine DOW
+# convention pinned: Spark dayofweek is 1–7 Sunday-first; DuckDB dow
+# is 0–6 Sunday-first (oracle maps dow+1). weekofyear is ISO on both.
+# Integer checksums per (year, dow) make any part-function drift
+# (leap years, ISO week 52/53 wraps) flip the hash.
+# ---------------------------------------------------------------------------
+
+def q177_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").alias("y"),
+            F.dayofweek("o_orderdate").alias("dow"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.dayofyear("o_orderdate").cast("long")).alias("sum_doy"),
+            F.sum(F.weekofyear("o_orderdate").cast("long")).alias("sum_week"),
+            F.sum(F.quarter("o_orderdate").cast("long")).alias("sum_quarter"),
+        )
+        .orderBy("y", "dow")
+    )
+
+
+QUERIES["q177_date_parts"] = q177_date_parts
+ORACLE["q177_date_parts"] = """
+    SELECT CAST(year(o_orderdate) AS INTEGER) AS y,
+           CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(dayofyear(o_orderdate)) AS BIGINT) AS sum_doy,
+           CAST(SUM(weekofyear(o_orderdate)) AS BIGINT) AS sum_week,
+           CAST(SUM(quarter(o_orderdate)) AS BIGINT) AS sum_quarter
+    FROM orders
+    GROUP BY y, dow
+    ORDER BY y, dow
+"""

@@ -128,6 +128,24 @@ HEADLINE = [
     "q148_subsequence_topk",
     "q149_hll_profile",
     "q150_zorder_cluster_audit",
+    # round-7 additions
+    "q152_e2e_pdf_qa",
+    "q153_stateful_running_stats",
+    "q154_pyds_scan",
+    "q155_udtf_lateral_chunks",
+    "q157_lateral_topk",
+    "q161_matryoshka_overlap",
+    "q162_tokenizer_fertility",
+    "q163_partition_pruned_scan",
+    "q164_bucketed_join",
+    "q166_arrow_udf",
+    "q167_stream_restart_exactly_once",
+    "q169_csv_roundtrip",
+    "q171_asof_tolerance",
+    "q172_pit_lookup",
+    "q173_percentile_approx_exact",
+    "q175_setops_all",
+    "q177_date_parts",
 ]
 
 
