@@ -3230,13 +3230,21 @@ def q167_stream_restart_exactly_once(spark: SparkSession, sf_dir: str) -> DataFr
         q.awaitTermination()
 
     try:
+        import time as _time
+
         # run 1: only the first slice of history exists
         shutil.copy(os.path.join(stream_src, files[0]), in_dir)
         run_once()
         # the rest of the history lands; run 2 resumes from the
-        # checkpoint and must pick up exactly files 2..n
-        for f in files[1:]:
-            shutil.copy(os.path.join(stream_src, f), in_dir)
+        # checkpoint and must pick up exactly files 2..n (explicit
+        # mtimes: back-to-back copies can tie at the source's ms
+        # granularity — harmless here because this aggregate is
+        # arrival-order-invariant, but kept deterministic anyway)
+        now = int(_time.time())
+        for i, f in enumerate(files[1:], start=1):
+            dst = os.path.join(in_dir, f)
+            shutil.copy(os.path.join(stream_src, f), dst)
+            os.utime(dst, (now + 10 * i, now + 10 * i))
         run_once()
         agg = (
             spark.read.parquet(out_dir)
@@ -3811,3 +3819,414 @@ ORACLE["q177_date_parts"] = """
     GROUP BY y, dow
     ORDER BY y, dow
 """
+
+
+# ---------------------------------------------------------------------------
+# Q178 — complete date spine via sequence(): monthly order counts
+# LEFT-joined onto the generated min→max month spine so empty months
+# appear as zero rows (the gap a bare GROUP BY silently hides — the
+# calendar twin of q112's hourly gap-fill). The spine is one
+# generate-and-explode row, broadcast onto the aggregate.
+# ---------------------------------------------------------------------------
+
+def q178_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.to_date(F.date_trunc("month", "o_orderdate")).alias("month")
+    ).agg(
+        F.count(F.lit(1)).alias("n_raw"),
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias("c_raw"),
+    )
+    spine = (
+        o.agg(
+            F.to_date(F.date_trunc("month", F.min("o_orderdate"))).alias("m0"),
+            F.to_date(F.date_trunc("month", F.max("o_orderdate"))).alias("m1"),
+        )
+        .select(
+            F.explode(F.expr("sequence(m0, m1, INTERVAL 1 MONTH)")).alias("month")
+        )
+    )
+    return (
+        spine.join(monthly, "month", "left")
+        .select(
+            "month",
+            F.coalesce("n_raw", F.lit(0)).alias("n"),
+            F.coalesce("c_raw", F.lit(0)).alias("cents"),
+        )
+        .orderBy("month")
+    )
+
+
+QUERIES["q178_date_spine"] = q178_date_spine
+ORACLE["q178_date_spine"] = """
+    WITH monthly AS (
+        SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+               CAST(COUNT(*) AS BIGINT) AS n_raw,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS c_raw
+        FROM orders GROUP BY month
+    ), bounds AS (
+        SELECT CAST(date_trunc('month', MIN(o_orderdate)) AS DATE) AS m0,
+               CAST(date_trunc('month', MAX(o_orderdate)) AS DATE) AS m1
+        FROM orders
+    ), spine AS (
+        SELECT CAST(unnest(generate_series(m0::TIMESTAMP, m1::TIMESTAMP,
+                                           INTERVAL 1 MONTH)) AS DATE) AS month
+        FROM bounds
+    )
+    SELECT s.month, COALESCE(n_raw, 0) AS n, COALESCE(c_raw, 0) AS cents
+    FROM spine s LEFT JOIN monthly m ON s.month = m.month
+    ORDER BY s.month
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q179 — XML source round-trip (Spark 4 native XML, q169's CSV twin):
+# customer written as rowTag XML, read back under an explicit schema,
+# digest-aggregated; the oracle recomputes straight from parquet, so
+# any XML serialize/parse defect (escaping, type coercion) flips the
+# md5s. Fixture is content-keyed and written distributed.
+# ---------------------------------------------------------------------------
+
+def q179_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from ai_data_pipeline_spark.sources.fixtures import _FIXTURE_ROOT, source_signature
+
+    cust = _t(spark, sf_dir, "customer")
+    sig = source_signature(os.path.join(sf_dir, "customer.parquet"), "xml-v1")
+    final = os.path.join(_FIXTURE_ROOT, f"cust_xml_{sig}")
+    if not os.path.exists(os.path.join(final, "_SUCCESS")):
+        (
+            cust.select("c_custkey", "c_name", "c_mktsegment")
+            .write.format("xml")
+            .option("rootTag", "customers")
+            .option("rowTag", "customer")
+            .mode("overwrite")
+            .save(final)
+        )
+    back = (
+        spark.read.format("xml")
+        .option("rowTag", "customer")
+        .schema("c_custkey bigint, c_name string, c_mktsegment string")
+        .load(final)
+    )
+    return (
+        back.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("c_custkey").alias("sum_keys"),
+            F.md5(
+                F.array_join(F.sort_array(F.collect_list("c_name")), ",").cast(
+                    "binary"
+                )
+            ).alias("name_digest"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+QUERIES["q179_xml_roundtrip"] = q179_xml_roundtrip
+ORACLE["q179_xml_roundtrip"] = """
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(c_custkey) AS BIGINT) AS sum_keys,
+           md5(list_aggregate(list_sort(list(c_name)), 'string_agg', ',')) AS name_digest
+    FROM customer
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q180 — NATIVE Apache DataSketches HLL (Spark 4 hll_sketch_agg /
+# hll_union_agg / hll_sketch_estimate — the built-in twin of the
+# custom q149 family): per-type distinct users plus the ALL row
+# merged purely from the stored per-type sketches. lgK=16 keeps every
+# graded SF (and the sf0.1 bench: 1500 users, probed exact) deep in
+# the coupon-exact regime — set-mode capacity ≈ 6k — so the oracle is
+# COUNT(DISTINCT); beyond it the estimate is ~0.8% with KB mergeable
+# state (the q149 scale law, now on the built-in).
+# ---------------------------------------------------------------------------
+
+def q180_native_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_events(spark, sf_dir)
+    per = e.groupBy("event_type").agg(
+        F.expr("hll_sketch_agg(user_id, 16)").alias("sk"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    typed = per.select(
+        "event_type",
+        F.expr("hll_sketch_estimate(sk)").alias("n_users"),
+        "n_events",
+    )
+    allrow = per.agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("n_users"),
+        F.sum("n_events").alias("n_events"),
+    ).select(F.lit("ALL").alias("event_type"), "n_users", "n_events")
+    return typed.unionByName(allrow).orderBy("event_type")
+
+
+QUERIES["q180_native_hll"] = q180_native_hll
+ORACLE["q180_native_hll"] = """
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events
+    GROUP BY event_type
+    UNION ALL
+    SELECT 'ALL' AS event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events
+    ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q181 — collated string semantics (Spark 4 collations): a derived
+# mixed-case key grouped under UTF8_LCASE folds case variants into
+# one group; the representative emitted is min(raw) under BINARY
+# collation so the output is deterministic regardless of which
+# variant a partition sees first. Oracle groups by lower(key).
+# ---------------------------------------------------------------------------
+
+def q181_collation_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    k = F.expr(
+        "CASE WHEN c_custkey % 2 = 0 THEN c_mktsegment ELSE lower(c_mktsegment) END"
+    )
+    return (
+        c.select(k.alias("k"))
+        .groupBy(F.expr("collate(k, 'UTF8_LCASE')").alias("kc"))
+        .agg(
+            # min over the RAW (binary-collated) column — the group-key
+            # alias itself is not referencable inside aggregates
+            F.min("k").alias("variant_min"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select("variant_min", "n")
+        .orderBy("variant_min")
+    )
+
+
+QUERIES["q181_collation_group"] = q181_collation_group
+ORACLE["q181_collation_group"] = """
+    WITH d AS (
+        SELECT CASE WHEN c_custkey % 2 = 0 THEN c_mktsegment
+                    ELSE lower(c_mktsegment) END AS k
+        FROM customer
+    )
+    SELECT MIN(k) AS variant_min, CAST(COUNT(*) AS BIGINT) AS n
+    FROM d
+    GROUP BY lower(k)
+    ORDER BY variant_min
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q182 — STATEFUL streaming restart (q153 × q167): the per-user
+# running profile (applyInPandasWithState) survives a full query
+# restart — run 1 sees only the first ts-slice, stops; the remaining
+# files land; run 2 resumes from the SAME checkpoint and its state
+# store, so final per-key stats must equal the batch aggregate. The
+# update stream lands via foreachBatch into per-batch parquet dirs
+# (idempotent by batchId — re-committed batches overwrite, never
+# duplicate); final state = the max-n_events row per key across all
+# batches of both runs. This is the recovery contract of a multi-day
+# stateful ingestion: kill -9 between micro-batches loses nothing.
+# ---------------------------------------------------------------------------
+
+def q182_stateful_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from ai_data_pipeline_spark.catalog import normalize_event_time
+    from ai_data_pipeline_spark.sources.fixtures import (
+        _FIXTURE_ROOT,
+        materialize_event_stream,
+    )
+    from ai_data_pipeline_spark.streaming.stateful import running_user_stats
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    stream_src = materialize_event_stream(sf_dir, n_files=3)
+    files = sorted(f for f in os.listdir(stream_src) if f.endswith(".parquet"))
+    os.makedirs(_FIXTURE_ROOT, exist_ok=True)
+    work = tempfile.mkdtemp(dir=_FIXTURE_ROOT, prefix=".q182_")
+    in_dir, out_dir, ckpt = (os.path.join(work, d) for d in ("in", "out", "ckpt"))
+    os.makedirs(in_dir)
+    os.makedirs(out_dir)
+    schema = spark.read.parquet(os.path.join(stream_src, files[0])).schema
+
+    def run_once() -> None:
+        raw = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "*.parquet")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(in_dir)
+        )
+        e = normalize_event_time(raw).withColumn(
+            "v4", F.round(F.col("value") * 10000, 0)
+        )
+        stats = running_user_stats(
+            e, key="user_id", value_col="v4", type_col="event_type", time_col="ts"
+        )
+
+        def sink(batch_df, batch_id: int) -> None:
+            # one dir per batchId, overwritten on re-commit: replayed
+            # epochs converge instead of duplicating (exactly-once
+            # without a transactional sink)
+            batch_df.write.mode("overwrite").parquet(
+                os.path.join(out_dir, f"batch_{batch_id:05d}")
+            )
+
+        old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(spark.sparkContext.defaultParallelism),
+        )
+        try:
+            q = (
+                stats.writeStream.foreachBatch(sink)
+                .option("checkpointLocation", ckpt)
+                .outputMode("update")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+
+    try:
+        import time as _time
+
+        shutil.copy(os.path.join(stream_src, files[0]), in_dir)
+        run_once()  # run 1: state for the first slice persists
+        # explicit strictly-increasing mtimes: FileStreamSource orders
+        # by modification time at ms granularity, and back-to-back
+        # copies can tie (observed: run 2 drained file 3 before file 2,
+        # flipping last_event_type)
+        now = int(_time.time())
+        for i, f in enumerate(files[1:], start=1):
+            dst = os.path.join(in_dir, f)
+            shutil.copy(os.path.join(stream_src, f), dst)
+            os.utime(dst, (now + 10 * i, now + 10 * i))
+        run_once()  # run 2: resumes state from the checkpoint
+        updates = spark.read.option("recursiveFileLookup", "true").parquet(out_dir)
+        final = (
+            updates.groupBy("user_id")
+            .agg(
+                F.max_by(
+                    F.struct("n_events", "total_value", "last_event_type"),
+                    "n_events",
+                ).alias("s")
+            )
+            .select(
+                "user_id",
+                F.col("s.n_events").alias("n_events"),
+                (F.col("s.total_value") / 10000.0).alias("sum_value"),
+                F.col("s.last_event_type").alias("last_event_type"),
+            )
+            .orderBy("user_id")
+        )
+        rows = final.collect()
+        out = spark.createDataFrame(rows, final.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
+QUERIES["q182_stateful_restart"] = q182_stateful_restart
+ORACLE["q182_stateful_restart"] = """
+    SELECT user_id, COUNT(*) AS n_events,
+           CAST(SUM(CAST(ROUND(COALESCE(value, 0) * 10000) AS BIGINT)) AS BIGINT) / 10000.0 AS sum_value,
+           arg_max(event_type, ts) AS last_event_type
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q183 — POLYMORPHIC UDTF graded (q155 grades the static-schema form;
+# this grades the ``analyze()`` API): SplitFixed derives its output
+# columns from the constant parts argument at PLAN time, so the
+# lateral yields real typed part0..part2 columns Catalyst can prune.
+# The delimited input is derived with an expression both engines
+# share; the oracle re-splits with string_split_part (null-padded,
+# tail folded into the last column — the documented SplitFixed
+# semantics, though the 2-delimiter input here exercises the exact
+# split only).
+# ---------------------------------------------------------------------------
+
+def q183_polymorphic_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_data_pipeline_spark.catalog import register_views
+    from ai_data_pipeline_spark.operators.udtf_ops import SplitFixed
+
+    register_views(spark, sf_dir)
+    spark.udtf.register("split_fixed", SplitFixed)
+    return spark.sql(
+        """
+        WITH d AS (
+            SELECT concat(p_brand, '|', p_type, '|', CAST(p_size AS STRING)) AS line
+            FROM part
+        )
+        SELECT s.part0 AS brand,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT(DISTINCT s.part1) AS BIGINT) AS n_types,
+               CAST(SUM(CAST(s.part2 AS BIGINT)) AS BIGINT) AS sum_sizes
+        FROM d, LATERAL split_fixed(d.line, '|', 3) s
+        GROUP BY s.part0
+        ORDER BY brand
+        """
+    )
+
+
+QUERIES["q183_polymorphic_udtf"] = q183_polymorphic_udtf
+ORACLE["q183_polymorphic_udtf"] = """
+    SELECT p_brand AS brand,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT p_type) AS BIGINT) AS n_types,
+           CAST(SUM(p_size) AS BIGINT) AS sum_sizes
+    FROM part
+    GROUP BY p_brand
+    ORDER BY brand
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q184 — NOT IN null semantics (null-aware anti join): under
+# tri-valued logic a single NULL in the subquery empties a NOT IN
+# result entirely, while NOT EXISTS keeps matching — both counted
+# side by side from the same derived nullable key set (Spark plans
+# the first as BroadcastNestedLoopJoin NAAJ). Identical SQL text on
+# both engines.
+# ---------------------------------------------------------------------------
+
+_Q184_SQL = """
+    SELECT
+      CAST((SELECT COUNT(*) FROM customer
+            WHERE c_nationkey NOT IN
+                  (SELECT nullif(s_nationkey, 3) FROM supplier)) AS BIGINT)
+        AS n_not_in_with_nulls,
+      CAST((SELECT COUNT(*) FROM customer
+            WHERE c_nationkey NOT IN
+                  (SELECT s_nationkey FROM supplier WHERE s_nationkey <> 3)) AS BIGINT)
+        AS n_not_in_clean,
+      CAST((SELECT COUNT(*) FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                              WHERE nullif(s.s_nationkey, 3) = c.c_nationkey)) AS BIGINT)
+        AS n_not_exists
+"""
+
+
+def q184_not_in_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_data_pipeline_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_Q184_SQL)
+
+
+QUERIES["q184_not_in_null_semantics"] = q184_not_in_null_semantics
+ORACLE["q184_not_in_null_semantics"] = _Q184_SQL

@@ -146,6 +146,8 @@ HEADLINE = [
     "q173_percentile_approx_exact",
     "q175_setops_all",
     "q177_date_parts",
+    "q179_xml_roundtrip",
+    "q180_native_hll",
 ]
 
 
