@@ -4230,3 +4230,75 @@ def q184_not_in_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["q184_not_in_null_semantics"] = q184_not_in_null_semantics
 ORACLE["q184_not_in_null_semantics"] = _Q184_SQL
+
+
+# ---------------------------------------------------------------------------
+# Q185 — min-max time-series downsampling (the plotting/decimation
+# operator: per bucket keep the extreme points so rendered spikes
+# survive): each event type's (ts, value) series is split into 32
+# equal-time buckets over its own span; each bucket emits its min and
+# max point (value ties break on earliest ts — integer-only
+# decisions). Fully parallel — unlike classic LTTB, whose
+# previous-selected-point chain serializes; min-max is the standard
+# scale-out variant. One exchange on (type), two ranking windows.
+# ---------------------------------------------------------------------------
+
+def q185_minmax_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_events(spark, sf_dir).select(
+        "event_type",
+        "ts_ns",
+        F.round(F.col("value") * 10000, 0).cast("long").alias("v4"),
+    )
+    wb = Window.partitionBy("event_type")
+    # width-form bucketing, NOT ((ts - t0) * 32) div span: the offset
+    # × 32 product overflows int64 once a series spans ≳ 2^63/32 ns —
+    # the 8× scale probe hit exactly that (ANSI ARITHMETIC_OVERFLOW).
+    # width = span div 32 + 1 > span/32, so offset div width ≤ 31.
+    b = e.withColumn("t0", F.min("ts_ns").over(wb)).withColumn(
+        "t1", F.max("ts_ns").over(wb)
+    ).withColumn(
+        "bucket", F.expr("(ts_ns - t0) div ((t1 - t0) div 32 + 1)")
+    )
+    wmin = Window.partitionBy("event_type", "bucket").orderBy(
+        F.asc("v4"), F.asc("ts_ns")
+    )
+    wmax = Window.partitionBy("event_type", "bucket").orderBy(
+        F.desc("v4"), F.asc("ts_ns")
+    )
+    r = b.withColumn("rn_min", F.row_number().over(wmin)).withColumn(
+        "rn_max", F.row_number().over(wmax)
+    )
+    mins = r.filter(F.col("rn_min") == 1).select(
+        "event_type", "bucket", F.lit("min").alias("kind"), "ts_ns", "v4"
+    )
+    maxs = r.filter(F.col("rn_max") == 1).select(
+        "event_type", "bucket", F.lit("max").alias("kind"), "ts_ns", "v4"
+    )
+    return mins.unionByName(maxs).orderBy("event_type", "bucket", "kind")
+
+
+QUERIES["q185_minmax_downsample"] = q185_minmax_downsample
+ORACLE["q185_minmax_downsample"] = """
+    WITH e AS (
+        SELECT event_type, epoch_ns(ts) AS ts_ns,
+               CAST(ROUND(value * 10000) AS BIGINT) AS v4
+        FROM events
+    ), b AS (
+        SELECT event_type, ts_ns, v4,
+               (ts_ns - MIN(ts_ns) OVER (PARTITION BY event_type))
+                 // ((MAX(ts_ns) OVER (PARTITION BY event_type)
+                      - MIN(ts_ns) OVER (PARTITION BY event_type)) // 32 + 1) AS bucket
+        FROM e
+    ), r AS (
+        SELECT event_type, bucket, ts_ns, v4,
+               ROW_NUMBER() OVER (PARTITION BY event_type, bucket
+                                  ORDER BY v4 ASC, ts_ns ASC) AS rn_min,
+               ROW_NUMBER() OVER (PARTITION BY event_type, bucket
+                                  ORDER BY v4 DESC, ts_ns ASC) AS rn_max
+        FROM b
+    )
+    SELECT event_type, bucket, 'min' AS kind, ts_ns, v4 FROM r WHERE rn_min = 1
+    UNION ALL
+    SELECT event_type, bucket, 'max' AS kind, ts_ns, v4 FROM r WHERE rn_max = 1
+    ORDER BY event_type, bucket, kind
+"""

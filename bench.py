@@ -148,6 +148,9 @@ HEADLINE = [
     "q177_date_parts",
     "q179_xml_roundtrip",
     "q180_native_hll",
+    "q182_stateful_restart",
+    "q183_polymorphic_udtf",
+    "q185_minmax_downsample",
 ]
 
 

@@ -69,6 +69,11 @@ PROBE = [
     "q149_hll_profile",     # map-side coupon sketches + merge rollup
     "q152_e2e_pdf_qa",      # composed R1→R9: binaryFile + 3 python stages
     "q153_stateful_running_stats",  # stateful streaming replay (3 batches)
+    "q155_udtf_lateral_chunks",  # python UDTF fan-out
+    "q161_matryoshka_overlap",   # two cosine ranks per row, one scan
+    "q167_stream_restart_exactly_once",  # 2-run checkpointed stream
+    "q180_native_hll",      # built-in datasketches rollup
+    "q185_minmax_downsample",  # bucketed extreme-point windows
 ]
 
 

@@ -56,6 +56,14 @@ ALLOWED_DIV_SITES = {
     # the as-of carry (backward match) — never negative.
     ' IS NOT NULL AND t - vt <= {_Q171_TOL_NS} THEN (t - vt) //',
     'when ( F . col ( "ok" ) , F . expr ( "(ts_ns - last_vt) div',
+    # q185 both engines: offset = ts_ns - per-type MIN ≥ 0; width =
+    # span div 32 + 1 ≥ 1 (span = MAX - MIN ≥ 0) — never negative,
+    # and the width form avoids the offset×32 int64 overflow the 8×
+    # probe caught.
+    ' ) ) . withColumn ( "bucket" , F . expr ( "(ts_ns - t0) div',
+    'mn ( "bucket" , F . expr ( "(ts_ns - t0) div ((t1 - t0) div',
+    'v4, (ts_ns - MIN(ts_ns) OVER (PARTITION BY event_type)) //',
+    'vent_type) - MIN(ts_ns) OVER (PARTITION BY event_type)) //',
     # q172 both engines: (t1 - t0) * k with t1 = MAX ≥ t0 = MIN and
     # k ∈ {1,2,3} — never negative.
     'FROM events ), pits AS ( SELECT k, t0 + ((t1 - t0) * k) //',
