@@ -120,6 +120,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from ai_data_pipeline_spark.plans import analysis_queries
 
     merged.update(analysis_queries.QUERIES)
+    from ai_data_pipeline_spark.plans import extended_queries
+
+    merged.update(extended_queries.QUERIES)
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for name in merged:
         if name not in DRIVER_EVIDENCE:
@@ -150,4 +153,7 @@ def oracle_sql() -> dict[str, str]:
     from ai_data_pipeline_spark.plans import analysis_queries
 
     out.update(analysis_queries.ORACLE)
+    from ai_data_pipeline_spark.plans import extended_queries
+
+    out.update(extended_queries.ORACLE)
     return out

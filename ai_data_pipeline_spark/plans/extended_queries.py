@@ -1,0 +1,935 @@
+"""Round-7 extended query set: SURVEY.md §2B Q186+.
+
+Graph analytics (PageRank, triangle counting), exact-distinct bitmap
+rollups, sequential recurrences (EWMA), template-masked dedup,
+checksum validation, SQL-scripting / parameterized-SQL surface,
+frequent-items in the exact regime, temporal-overlap measures,
+try-arithmetic overflow semantics, skyline (Pareto frontier),
+equi-depth histograms, proportional allocation, and sequence-gap
+audits.
+
+Same oracle-parity discipline as relational.py (see the float-policy
+header there): identical aliases on both engines, exact integer
+aggregation wherever accumulation order could matter, doubles emitted
+only from expression trees both engines evaluate identically (a
+single IEEE division of two exact integers is bit-identical
+cross-engine). Every truncating-integer-division site here has
+non-negative operands by construction (proofs at each site; linted by
+tests/test_division_convention.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ai_data_pipeline_spark.catalog import load_events, load_table
+
+QUERIES: dict = {}
+ORACLE: dict = {}
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# Events: value is a ≤4-decimal non-negative double → exact 1e-4
+# integer units (same convention as analysis_queries).
+_V4 = "CAST(ROUND(value * 10000) AS BIGINT)"
+
+
+# ---------------------------------------------------------------------------
+# Q186 — exact distinct via bitmap aggregation (Spark 4
+# bitmap_bucket_number / bitmap_bit_position / bitmap_construct_agg /
+# bitmap_count): per-priority distinct customers computed as mergeable
+# fixed-size bitmaps instead of a distinct-shuffle of raw keys. This
+# is the scalable exact-distinct pattern: the inner aggregate carries
+# one ≤4KB bitmap per (group, 32k-key bucket) — map-side combinable,
+# re-mergeable across rollup levels — where COUNT(DISTINCT) shuffles
+# every key. Oracle: plain COUNT(DISTINCT), proving the bitmap path
+# is exact. Reference parity: distinct-count semantics per SURVEY §2B
+# aggregation row.
+# ---------------------------------------------------------------------------
+
+def q186_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    inner = (
+        o.select(
+            "o_orderpriority",
+            F.expr("bitmap_bucket_number(o_custkey)").alias("bn"),
+            F.expr("bitmap_bit_position(o_custkey)").alias("bp"),
+        )
+        .groupBy("o_orderpriority", "bn")
+        .agg(
+            F.expr("bitmap_construct_agg(bp)").alias("bm"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+    return (
+        inner.groupBy("o_orderpriority")
+        .agg(
+            F.sum("n_rows").cast("long").alias("n_orders"),
+            F.sum(F.expr("bitmap_count(bm)")).cast("long").alias("n_cust"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+QUERIES["q186_bitmap_distinct"] = q186_bitmap_distinct
+ORACLE["q186_bitmap_distinct"] = """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_cust
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q187 — PageRank, 3 synchronous iterations, integer-exact: the
+# undirected customer↔supplier interaction graph (distinct pairs from
+# orders ⋈ lineitem, both edge directions), rank scale 1e6,
+# pr' = 150000 + (85 · Σ_in (pr(u) div deg(u))) div 100. Every
+# division is truncating integer div on provably non-negative
+# operands, so the 3-step fixpoint is bit-identical cross-engine —
+# the standard way to make an iterative algorithm oracle-checkable.
+# Spark: one shuffle per iteration (groupBy dst), the edge+degree
+# frame localCheckpointed once (CLAUDE.md iterative rule: never
+# re-execute the base join per round). At 100 TB this is exactly
+# distributed PageRank: edges pre-partitioned by src, per-iteration
+# exchange carries (dst, contrib) longs only.
+# ---------------------------------------------------------------------------
+
+_PR_SCALE = 1_000_000
+
+
+def q187_pagerank3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.concat(F.lit("c:"), F.col("o_custkey")).alias("c"),
+            F.concat(F.lit("s:"), F.col("l_suppkey")).alias("s"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionByName(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    # src, dst, d — re-joined every iteration: checkpoint once.
+    e2 = edges.join(deg, "src").localCheckpoint(eager=False)
+    pr = deg.select(F.col("src").alias("node"), F.lit(_PR_SCALE).cast("long").alias("pr"))
+    for _ in range(3):
+        contrib = (
+            e2.join(pr, e2.src == pr.node)
+            # pr ≥ 0 (starts at SCALE, update is 150000 + nonneg), d ≥ 1.
+            .select("dst", F.expr("pr div d").alias("share"))
+            .groupBy("dst")
+            .agg(F.sum("share").alias("in_mass"))
+        )
+        pr = contrib.select(
+            F.col("dst").alias("node"),
+            # in_mass ≥ 0 → the damping div is non-negative.
+            F.expr("CAST(150000 + (85 * in_mass) div 100 AS BIGINT)").alias("pr"),
+        )
+    return pr.select("node", F.col("pr").alias("pr3")).orderBy(
+        F.desc("pr3"), F.asc("node")
+    ).limit(20)
+
+
+QUERIES["q187_pagerank3"] = q187_pagerank3
+ORACLE["q187_pagerank3"] = """
+    WITH pairs AS (
+        SELECT DISTINCT 'c:' || o_custkey AS c, 's:' || l_suppkey AS s
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ), edges AS (
+        SELECT c AS src, s AS dst FROM pairs
+        UNION ALL
+        SELECT s AS src, c AS dst FROM pairs
+    ), deg AS (
+        SELECT src, COUNT(*) AS d FROM edges GROUP BY src
+    ), p0 AS (
+        SELECT src AS node, CAST(1000000 AS BIGINT) AS pr FROM deg
+    ), p1 AS (
+        SELECT e.dst AS node,
+               CAST(150000 + (85 * SUM(p.pr // d.d)) // 100 AS BIGINT) AS pr
+        FROM edges e JOIN p0 p ON e.src = p.node JOIN deg d ON d.src = e.src
+        GROUP BY e.dst
+    ), p2 AS (
+        SELECT e.dst AS node,
+               CAST(150000 + (85 * SUM(p.pr // d.d)) // 100 AS BIGINT) AS pr
+        FROM edges e JOIN p1 p ON e.src = p.node JOIN deg d ON d.src = e.src
+        GROUP BY e.dst
+    ), p3 AS (
+        SELECT e.dst AS node,
+               CAST(150000 + (85 * SUM(p.pr // d.d)) // 100 AS BIGINT) AS pr
+        FROM edges e JOIN p2 p ON e.src = p.node JOIN deg d ON d.src = e.src
+        GROUP BY e.dst
+    )
+    SELECT node, pr AS pr3 FROM p3
+    ORDER BY pr3 DESC, node
+    LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q188 — triangle counting on the part co-occurrence graph: edges are
+# id-ordered part pairs (pa < pb) co-occurring in ≥ 2 orders (the
+# support threshold prunes 115k raw pairs to ~3.6k — the same
+# frequency-cap discipline as the shingle rules); triangles close
+# wedges e(a,b) ⋈ e(b,c) with e(a,c). One-row result (edges, wedges,
+# triangles) so the wedge blow-up is itself graded. At 100 TB the
+# production variant orients edges from lower- to higher-degree
+# endpoint, bounding wedges by O(m · arboricity) instead of Σ deg² —
+# the id-ordering used here keeps the oracle twin simple and the
+# support threshold already caps degree.
+# ---------------------------------------------------------------------------
+
+_TRI_MIN_SUPPORT = 2
+
+
+def q188_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= _TRI_MIN_SUPPORT)
+        .select("pa", "pb")
+        .localCheckpoint(eager=False)
+    )
+    e1 = edges.select(F.col("pa").alias("x"), F.col("pb").alias("y"))
+    e2 = edges.select(F.col("pa").alias("y"), F.col("pb").alias("z"))
+    wedges = e1.join(e2, "y").select("x", "y", "z")
+    e3 = edges.select(F.col("pa").alias("x"), F.col("pb").alias("z"))
+    tri = wedges.join(e3, ["x", "z"])
+    n_edges = edges.count()
+    n_wedges = wedges.count()
+    n_tri = tri.count()
+    return spark.createDataFrame(
+        [(n_edges, n_wedges, n_tri)], "n_edges bigint, n_wedges bigint, n_triangles bigint"
+    ).orderBy("n_edges")
+
+
+QUERIES["q188_triangle_count"] = q188_triangle_count
+ORACLE["q188_triangle_count"] = f"""
+    WITH pp AS (
+        SELECT a.l_partkey AS pa, b.l_partkey AS pb
+        FROM lineitem a
+        JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ), edges AS (
+        SELECT pa, pb FROM pp GROUP BY pa, pb
+        HAVING COUNT(*) >= {_TRI_MIN_SUPPORT}
+    ), wedges AS (
+        SELECT e1.pa AS x, e1.pb AS y, e2.pb AS z
+        FROM edges e1 JOIN edges e2 ON e1.pb = e2.pa
+    ), tri AS (
+        SELECT w.x FROM wedges w JOIN edges e ON w.x = e.pa AND w.z = e.pb
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM edges) AS n_edges,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM wedges) AS n_wedges,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM tri) AS n_triangles
+    ORDER BY n_edges
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q189 — sequential recurrence graded exactly: integer EWMA
+# s_t = (w_t + 3·s_{t-1}) div 4 over each event type's first 64
+# events (w = v4 shifted to its per-series min, so every operand is
+# provably non-negative and truncating div is floor on both engines).
+# A recurrence is the one shape Catalyst windows cannot express
+# (each row depends on the previous OUTPUT, not input) — the Spark
+# side is applyInPandas with a per-group scan, the oracle a
+# recursive CTE stepping rn → rn+1. 64-row cap: recursion depth on
+# the oracle side, and the Spark group payload, both stay constant
+# as data grows — the scale knob is #series, not series length.
+# ---------------------------------------------------------------------------
+
+_EWMA_N = 64
+
+
+def q189_ewma_recurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    e = load_events(spark, sf_dir).select(
+        "event_type", "ts_ns", "event_id", F.expr(_V4).alias("v4")
+    )
+    w = Window.partitionBy("event_type").orderBy("ts_ns", "event_id")
+    ranked = (
+        e.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= _EWMA_N)
+        .withColumn("mn", F.min("v4").over(Window.partitionBy("event_type")))
+        .withColumn("wv", F.col("v4") - F.col("mn"))
+        .select("event_type", "rn", "wv")
+    )
+
+    def ewma(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("rn").reset_index(drop=True)
+        s = 0
+        out = []
+        for i, wv in enumerate(pdf["wv"]):
+            # wv ≥ 0 and s ≥ 0 → python floor-div == truncation.
+            s = int(wv) if i == 0 else (int(wv) + 3 * s) // 4
+            out.append(s)
+        pdf["s"] = out
+        return pdf[["event_type", "rn", "s"]]
+
+    return (
+        ranked.groupBy("event_type")
+        .applyInPandas(ewma, "event_type string, rn long, s long")
+        .orderBy("event_type", "rn")
+    )
+
+
+QUERIES["q189_ewma_recurrence"] = q189_ewma_recurrence
+ORACLE["q189_ewma_recurrence"] = f"""
+    WITH ranked AS (
+        SELECT event_type, {_V4} AS v4,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY epoch_ns(ts), event_id) AS rn
+        FROM events
+    ), head AS (
+        SELECT event_type, rn,
+               v4 - MIN(v4) OVER (PARTITION BY event_type) AS wv
+        FROM ranked WHERE rn <= {_EWMA_N}
+    ), rec AS (
+        SELECT event_type, rn, CAST(wv AS BIGINT) AS s
+        FROM head WHERE rn = 1
+        UNION ALL
+        SELECT h.event_type, h.rn, CAST((h.wv + 3 * r.s) // 4 AS BIGINT) AS s
+        FROM rec r
+        JOIN head h ON h.event_type = r.event_type AND h.rn = r.rn + 1
+    )
+    SELECT event_type, CAST(rn AS BIGINT) AS rn, s
+    FROM rec
+    ORDER BY event_type, rn
+"""
+# DuckDB needs WITH RECURSIVE spelled on the first CTE:
+ORACLE["q189_ewma_recurrence"] = ORACLE["q189_ewma_recurrence"].replace(
+    "WITH ranked", "WITH RECURSIVE ranked", 1
+)
+
+
+# ---------------------------------------------------------------------------
+# Q190 — template-masked near-dup detection: training corpora are full
+# of machine-generated documents identical up to numbers ("Invoice
+# #4821 …"); masking digit runs to '#', lowercasing, collapsing
+# whitespace, and hashing the 8-token OPENING template groups them
+# where exact dedup (q20) sees distinct texts (q139's 4-token opening
+# fingerprint builds a cross-source matrix; this builds the dedup
+# GROUPS). Whitespace class is the explicit [ \t\r\n] on both engines
+# (Java \s and RE2 \s disagree at the edges — CLAUDE.md trim rule).
+# Shuffle carries the 32-hex md5, never the text.
+# ---------------------------------------------------------------------------
+
+_TMPL_TOKENS = 8
+
+
+def q190_template_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    masked = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[0-9]+", "#"),
+            "[ \t\r\n]+",
+            " ",
+        )
+    )
+    tmpl = F.concat_ws(" ", F.slice(F.split(masked, " "), 1, _TMPL_TOKENS))
+    return (
+        d.select(F.col("doc_id"), F.md5(tmpl).alias("th"))
+        .groupBy("th")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .filter(F.col("n") >= 2)
+        .orderBy(F.desc("n"), F.asc("th"))
+        .limit(20)
+    )
+
+
+QUERIES["q190_template_dedup"] = q190_template_dedup
+ORACLE["q190_template_dedup"] = r"""
+    WITH t AS (
+        SELECT doc_id,
+               md5(array_to_string(list_slice(string_split(
+                   trim(regexp_replace(
+                       regexp_replace(lower(text), '[0-9]+', '#', 'g'),
+                       '[ \t\r\n]+', ' ', 'g')), ' '), 1, 8), ' ')) AS th
+        FROM documents
+    )
+    SELECT th, CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+    FROM t
+    GROUP BY th
+    HAVING COUNT(*) >= 2
+    ORDER BY n DESC, th ASC
+    LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q191 — Luhn checksum validation (the PII/account-number audit
+# primitive): synthetic 12-digit account numbers derived
+# deterministically from orderkeys, validated with Spark 4's builtin
+# luhn_check; the oracle re-implements Luhn as an unrolled 12-term
+# digit expression (double every 2nd digit from the right, subtract 9
+# when > 9, valid iff sum % 10 = 0) — proving the builtin against
+# first principles. All-integer; ~1 in 10 synthetics is valid.
+# ---------------------------------------------------------------------------
+
+def _luhn_sql_terms(col: str, length: int = 12) -> str:
+    terms = []
+    for i in range(1, length + 1):
+        d = f"CAST(substr({col}, {i}, 1) AS BIGINT)"
+        if (length - i + 1) % 2 == 0:  # even position from the right → doubled
+            terms.append(f"(CASE WHEN {d} * 2 > 9 THEN {d} * 2 - 9 ELSE {d} * 2 END)")
+        else:
+            terms.append(d)
+    return " + ".join(terms)
+
+
+def q191_luhn_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    acct = F.lpad(
+        ((F.col("o_orderkey") * 7919 + 11) % 1000000000000).cast("string"),
+        12,
+        "0",
+    )
+    return (
+        o.select("o_orderpriority", acct.alias("acct"))
+        .withColumn("ok", F.expr("luhn_check(acct)"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum(F.when(F.col("ok"), 1).otherwise(0)).cast("long").alias("n_valid"),
+            F.sum(F.when(F.col("ok"), 0).otherwise(1)).cast("long").alias("n_invalid"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+QUERIES["q191_luhn_checksum"] = q191_luhn_checksum
+ORACLE["q191_luhn_checksum"] = f"""
+    WITH a AS (
+        SELECT o_orderpriority,
+               lpad(CAST((o_orderkey * 7919 + 11) % 1000000000000 AS VARCHAR),
+                    12, '0') AS acct
+        FROM orders
+    ), s AS (
+        SELECT o_orderpriority,
+               ({_luhn_sql_terms('acct')}) % 10 AS luhn_mod
+        FROM a
+    )
+    SELECT o_orderpriority,
+           CAST(SUM(CASE WHEN luhn_mod = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+           CAST(SUM(CASE WHEN luhn_mod = 0 THEN 0 ELSE 1 END) AS BIGINT) AS n_invalid
+    FROM s
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q192 — SQL scripting surface (Spark 4 BEGIN…END with DECLAREd
+# variables): a two-step script — capture the max order price into a
+# variable, then use it in a cross-multiplied top-decile predicate
+# (price·10 ≥ max·9, exact integers, no division). The oracle inlines
+# the variable as a scalar subquery; identical arithmetic both
+# engines. Grades that procedural scripts return their final
+# statement's DataFrame through the same driver contract.
+# ---------------------------------------------------------------------------
+
+def q192_sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("v_orders_q192")
+    return spark.sql(
+        """
+        BEGIN
+          DECLARE hi BIGINT DEFAULT 0;
+          SET hi = (SELECT MAX(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                    FROM v_orders_q192);
+          SELECT o_orderpriority,
+                 CAST(COUNT(*) AS BIGINT) AS n_top_decile
+          FROM v_orders_q192
+          WHERE CAST(ROUND(o_totalprice * 100) AS BIGINT) * 10 >= hi * 9
+          GROUP BY o_orderpriority
+          ORDER BY o_orderpriority;
+        END
+        """
+    )
+
+
+QUERIES["q192_sql_scripting"] = q192_sql_scripting
+ORACLE["q192_sql_scripting"] = """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_top_decile
+    FROM orders
+    WHERE CAST(ROUND(o_totalprice * 100) AS BIGINT) * 10 >=
+          (SELECT MAX(CAST(ROUND(o_totalprice * 100) AS BIGINT)) FROM orders) * 9
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q193 — parameterized SQL (spark.sql named args): the injection-safe
+# way to template queries — parameter markers bind server-side
+# instead of string-splicing. The oracle is the same text with
+# literals inlined; money aggregated in integer cents per the float
+# policy.
+# ---------------------------------------------------------------------------
+
+def q193_param_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("v_cust_q193")
+    return spark.sql(
+        """
+        SELECT c_mktsegment,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_cents
+        FROM v_cust_q193
+        WHERE c_acctbal >= :min_bal AND c_nationkey IN (:n1, :n2, :n3)
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment
+        """,
+        args={"min_bal": 0, "n1": 1, "n2": 2, "n3": 3},
+    )
+
+
+QUERIES["q193_param_sql"] = q193_param_sql
+ORACLE["q193_param_sql"] = """
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_cents
+    FROM customer
+    WHERE c_acctbal >= 0 AND c_nationkey IN (1, 2, 3)
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q194 — frequent items (approx_top_k) graded in its EXACT regime:
+# Spark 4's approx_top_k is a space-saving/frequent-items sketch that
+# is provably exact while distinct items ≤ maxItemsTracked (here 5
+# event types vs 10000 tracked — same discipline as the HLL/KLL/Theta
+# exact-regime rows, SURVEY sketch family). k=50 ≥ distinct so no
+# tie-truncation; output re-sorted deterministically. Beyond the
+# regime it degrades to ±ε counts — documented, probed boundary in
+# the sketch rows.
+# ---------------------------------------------------------------------------
+
+def q194_approx_topk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_events(spark, sf_dir)
+    agg = e.agg(F.expr("approx_top_k(event_type, 50, 10000)").alias("tk"))
+    return (
+        agg.select(F.explode("tk").alias("x"))
+        .select(
+            F.col("x.item").alias("event_type"),
+            F.col("x.count").cast("long").alias("n"),
+        )
+        .orderBy(F.desc("n"), F.asc("event_type"))
+    )
+
+
+QUERIES["q194_approx_topk_exact"] = q194_approx_topk_exact
+ORACLE["q194_approx_topk_exact"] = """
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY event_type
+    ORDER BY n DESC, event_type ASC
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q195 — printf-style formatting parity (format_string ↔ printf):
+# zero-padded decimal, hex, octal and left-justified string padding
+# produce byte-identical output from Java's Formatter and C-style
+# printf FOR INTEGER/STRING conversions (float %f is deliberately
+# excluded: Java rounds HALF_UP, C rounds half-even — a documented
+# cross-engine trap).
+# ---------------------------------------------------------------------------
+
+def q195_printf_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    return (
+        p.select(
+            "p_partkey",
+            F.format_string(
+                "P%07d/%x/%o/[%-10s]",
+                F.col("p_partkey"),
+                F.col("p_size"),
+                F.col("p_size"),
+                F.substring(F.col("p_brand"), 1, 10),
+            ).alias("tag"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+QUERIES["q195_printf_format"] = q195_printf_format
+ORACLE["q195_printf_format"] = """
+    SELECT p_partkey,
+           printf('P%07d/%x/%o/[%-10s]',
+                  p_partkey, p_size, p_size, substr(p_brand, 1, 10)) AS tag
+    FROM part
+    ORDER BY p_partkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q196 — temporal-overlap aggregate: clamped overlap length (days)
+# between each lineitem's 14-day delivery window [shipdate,
+# shipdate+14] and its order's 30-day fulfilment window [orderdate,
+# orderdate+30], summed per order status — the interval-intersection
+# MEASURE (distinct from q07's range-join COUNT and q118's
+# concurrency sweep). Pure integer date arithmetic:
+# greatest(0, min(ends) − max(starts) + 1).
+# ---------------------------------------------------------------------------
+
+def q196_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderstatus"
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    j = o.join(li, o.o_orderkey == li.l_orderkey)
+    ov = F.greatest(
+        F.lit(0).cast("long"),
+        (
+            F.datediff(
+                F.least(
+                    F.date_add(F.col("l_shipdate"), 14),
+                    F.date_add(F.col("o_orderdate"), 30),
+                ),
+                F.greatest(F.col("l_shipdate"), F.col("o_orderdate")),
+            )
+            + 1
+        ).cast("long"),
+    )
+    return (
+        j.select("o_orderstatus", ov.alias("ov_days"))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.sum("ov_days").cast("long").alias("total_overlap_days"),
+            F.sum(F.when(F.col("ov_days") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_overlapping"),
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+QUERIES["q196_interval_overlap"] = q196_interval_overlap
+ORACLE["q196_interval_overlap"] = """
+    WITH j AS (
+        SELECT o_orderstatus,
+               GREATEST(0, CAST(
+                   LEAST(CAST(l_shipdate AS DATE) + 14,
+                         CAST(o_orderdate AS DATE) + 30)
+                   - GREATEST(CAST(l_shipdate AS DATE),
+                              CAST(o_orderdate AS DATE)) AS BIGINT) + 1) AS ov_days
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    )
+    SELECT o_orderstatus,
+           CAST(SUM(ov_days) AS BIGINT) AS total_overlap_days,
+           CAST(SUM(CASE WHEN ov_days > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_overlapping,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM j
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q197 — try_* arithmetic overflow semantics: Spark's try_multiply /
+# try_add return NULL exactly where int64 would overflow, try_divide
+# NULLs division by zero. The oracle proves the overflow FRONTIER:
+# DuckDB computes in HUGEINT (never overflows), so explicit CASE
+# guards mark the rows Spark must NULL — a * BIG overflows iff
+# a ≥ 5 (4·(2^61−1+something)… BIG = 2305843009213693951, 4·BIG =
+# 2^63−4 fits, 5·BIG doesn't), (MAX−3) + a overflows iff a ≥ 4.
+# try_divide output is one IEEE division of two exact small ints —
+# bit-identical. min/max instead of SUM keeps every reported value in
+# BIGINT on both engines (HUGEINT-class rule).
+# ---------------------------------------------------------------------------
+
+_TRY_BIG = 2305843009213693951  # 2^61 - 1 - 2^0… exact: 4*BIG = 2^63 - 4
+_TRY_NEAR_MAX = 9223372036854775804  # 2^63 - 4
+
+
+def q197_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    a = (F.col("o_orderkey") % 5 + 1).cast("long")
+    b = (F.col("o_orderkey") % 4).cast("long")
+    t = o.select(
+        "o_orderstatus",
+        F.try_multiply(a, F.lit(_TRY_BIG).cast("long")).alias("tm"),
+        F.try_add(F.lit(_TRY_NEAR_MAX).cast("long"), a).alias("ta"),
+        F.try_divide(a, b).alias("td"),
+    )
+    return (
+        t.groupBy("o_orderstatus")
+        .agg(
+            F.sum(F.when(F.col("tm").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_mul_overflow"),
+            F.min("tm").alias("min_mul"),
+            F.sum(F.when(F.col("ta").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_add_overflow"),
+            F.max("ta").alias("max_add"),
+            F.sum(F.when(F.col("td").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_div_by_zero"),
+            F.max("td").alias("max_div"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+QUERIES["q197_try_arithmetic"] = q197_try_arithmetic
+ORACLE["q197_try_arithmetic"] = f"""
+    WITH t AS (
+        SELECT o_orderstatus,
+               o_orderkey % 5 + 1 AS a,
+               o_orderkey % 4 AS b
+        FROM orders
+    ), v AS (
+        SELECT o_orderstatus,
+               CASE WHEN a >= 5 THEN NULL
+                    ELSE CAST(a * {_TRY_BIG} AS BIGINT) END AS tm,
+               CASE WHEN a >= 4 THEN NULL
+                    ELSE CAST({_TRY_NEAR_MAX} + a AS BIGINT) END AS ta,
+               CASE WHEN b = 0 THEN NULL
+                    ELSE CAST(a AS DOUBLE) / CAST(b AS DOUBLE) END AS td
+        FROM t
+    )
+    SELECT o_orderstatus,
+           CAST(SUM(CASE WHEN tm IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_mul_overflow,
+           CAST(MIN(tm) AS BIGINT) AS min_mul,
+           CAST(SUM(CASE WHEN ta IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_add_overflow,
+           CAST(MAX(ta) AS BIGINT) AS max_add,
+           CAST(SUM(CASE WHEN td IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_div_by_zero,
+           MAX(td) AS max_div
+    FROM v
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q198 — skyline (Pareto frontier): parts not dominated on
+# (minimize retailprice, maximize size). Sorted by (price asc, size
+# desc, partkey asc), a row is on the frontier iff its size strictly
+# exceeds the running max size over all earlier rows — one window
+# over one sort instead of the naive O(n²) dominance self-join.
+# Duplicate (price, size) points keep only the smallest partkey (the
+# "distinct skyline" convention, documented). Integer cents
+# throughout. Scale: the sort is the only exchange; the running max
+# is a streaming frame. 100 TB variant: pre-filter per partition
+# with the same window (a partition-local skyline is a superset of
+# its global skyline contribution), then one narrow global pass.
+# ---------------------------------------------------------------------------
+
+def q198_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.expr("CAST(ROUND(p_retailprice * 100) AS BIGINT)").alias("price_cents"),
+        F.col("p_size").cast("long").alias("size"),
+    )
+    w = Window.orderBy(
+        F.asc("price_cents"), F.desc("size"), F.asc("p_partkey")
+    ).rowsBetween(Window.unboundedPreceding, -1)
+    return (
+        p.withColumn("mx", F.max("size").over(w))
+        .filter(F.col("mx").isNull() | (F.col("size") > F.col("mx")))
+        .select("p_partkey", "price_cents", "size")
+        .orderBy("price_cents", "p_partkey")
+    )
+
+
+QUERIES["q198_skyline"] = q198_skyline
+ORACLE["q198_skyline"] = """
+    WITH p AS (
+        SELECT p_partkey,
+               CAST(ROUND(p_retailprice * 100) AS BIGINT) AS price_cents,
+               CAST(p_size AS BIGINT) AS size
+        FROM part
+    ), r AS (
+        SELECT p_partkey, price_cents, size,
+               MAX(size) OVER (ORDER BY price_cents ASC, size DESC, p_partkey ASC
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mx
+        FROM p
+    )
+    SELECT p_partkey, price_cents, size
+    FROM r
+    WHERE mx IS NULL OR size > mx
+    ORDER BY price_cents, p_partkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q199 — equi-DEPTH histogram via NTILE: decile boundaries of the
+# order-price distribution (count, min, max, span per tile) — the
+# quantile-binning twin of q129's equi-WIDTH histogram. NTILE's
+# remainder convention (first n_rows mod 10 tiles get the extra row)
+# is pinned identical on both engines by the total order
+# (price_cents, orderkey). Integer cents.
+# ---------------------------------------------------------------------------
+
+def q199_equidepth_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").alias("price_cents"),
+    )
+    w = Window.orderBy(F.asc("price_cents"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("tile", F.ntile(10).over(w).cast("long"))
+        .groupBy("tile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min("price_cents").alias("lo_cents"),
+            F.max("price_cents").alias("hi_cents"),
+        )
+        .orderBy("tile")
+    )
+
+
+QUERIES["q199_equidepth_ntile"] = q199_equidepth_ntile
+ORACLE["q199_equidepth_ntile"] = """
+    WITH t AS (
+        SELECT o_orderkey,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents,
+               NTILE(10) OVER (ORDER BY CAST(ROUND(o_totalprice * 100) AS BIGINT),
+                               o_orderkey) AS tile
+        FROM orders
+    )
+    SELECT CAST(tile AS BIGINT) AS tile,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(price_cents) AS lo_cents,
+           MAX(price_cents) AS hi_cents
+    FROM t
+    GROUP BY tile
+    ORDER BY tile
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q200 — largest-remainder proportional allocation (seat
+# apportionment / budget split): allocate exactly 1000 slots across
+# order priorities proportional to order counts. base = n·1000 div
+# total (non-negative div), remainders ranked (remainder desc,
+# priority asc) and the leftover slots go one each to the top ranks —
+# Σ seats = 1000 exactly, fully deterministic. The all-integer form
+# of a weighted-quota operator (quota sampling, shard sizing,
+# stratified batch allocation).
+# ---------------------------------------------------------------------------
+
+_LR_SEATS = 1000
+
+
+def q200_largest_remainder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    per = o.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n"))
+    tot = Window.partitionBy()
+    per = (
+        per.withColumn("total", F.sum("n").over(tot))
+        # n, SEATS, total all ≥ 0 → both divs non-negative.
+        .withColumn("base", F.expr(f"(n * {_LR_SEATS}) div total"))
+        .withColumn("rem", F.expr(f"(n * {_LR_SEATS}) % total"))
+        .withColumn("deficit", F.lit(_LR_SEATS) - F.sum("base").over(tot))
+    )
+    wr = Window.orderBy(F.desc("rem"), F.asc("o_orderpriority"))
+    return (
+        per.withColumn("rk", F.row_number().over(wr))
+        .select(
+            "o_orderpriority",
+            F.col("n").cast("long").alias("n"),
+            (
+                F.col("base") + F.when(F.col("rk") <= F.col("deficit"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("seats"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+QUERIES["q200_largest_remainder"] = q200_largest_remainder
+ORACLE["q200_largest_remainder"] = f"""
+    WITH per AS (
+        SELECT o_orderpriority, COUNT(*) AS n FROM orders GROUP BY o_orderpriority
+    ), e AS (
+        SELECT o_orderpriority, n,
+               SUM(n) OVER () AS total,
+               (n * {_LR_SEATS}) // SUM(n) OVER () AS base,
+               (n * {_LR_SEATS}) % SUM(n) OVER () AS rem
+        FROM per
+    ), r AS (
+        SELECT *,
+               {_LR_SEATS} - SUM(base) OVER () AS deficit,
+               ROW_NUMBER() OVER (ORDER BY rem DESC, o_orderpriority ASC) AS rk
+        FROM e
+    )
+    SELECT o_orderpriority,
+           CAST(n AS BIGINT) AS n,
+           CAST(base + CASE WHEN rk <= deficit THEN 1 ELSE 0 END AS BIGINT) AS seats
+    FROM r
+    ORDER BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q201 — sequence-gap audit (data-completeness primitive): the
+# orderkeys of 'F'-status orders form a sparse subsequence of the
+# contiguous key space; report the largest gaps (run of missing keys
+# between consecutive present keys) — the standard check for dropped
+# ingestion batches / missing id ranges. One sort-window (lag), no
+# joins; top-20 by (gap_len desc, gap_start asc).
+# ---------------------------------------------------------------------------
+
+def q201_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    w = Window.orderBy("o_orderkey")
+    return (
+        o.select("o_orderkey")
+        .withColumn("prev", F.lag("o_orderkey").over(w))
+        .filter(F.col("prev").isNotNull() & (F.col("o_orderkey") - F.col("prev") > 1))
+        .select(
+            (F.col("prev") + 1).cast("long").alias("gap_start"),
+            (F.col("o_orderkey") - 1).cast("long").alias("gap_end"),
+            (F.col("o_orderkey") - F.col("prev") - 1).cast("long").alias("gap_len"),
+        )
+        .orderBy(F.desc("gap_len"), F.asc("gap_start"))
+        .limit(20)
+    )
+
+
+QUERIES["q201_sequence_gaps"] = q201_sequence_gaps
+ORACLE["q201_sequence_gaps"] = """
+    WITH f AS (
+        SELECT o_orderkey,
+               LAG(o_orderkey) OVER (ORDER BY o_orderkey) AS prev
+        FROM orders WHERE o_orderstatus = 'F'
+    )
+    SELECT CAST(prev + 1 AS BIGINT) AS gap_start,
+           CAST(o_orderkey - 1 AS BIGINT) AS gap_end,
+           CAST(o_orderkey - prev - 1 AS BIGINT) AS gap_len
+    FROM f
+    WHERE prev IS NOT NULL AND o_orderkey - prev > 1
+    ORDER BY gap_len DESC, gap_start ASC
+    LIMIT 20
+"""

@@ -33,6 +33,7 @@ PLAN_FILES = [
     "ai_data_pipeline_spark/plans/relational.py",
     "ai_data_pipeline_spark/plans/pipeline_queries.py",
     "ai_data_pipeline_spark/plans/analysis_queries.py",
+    "ai_data_pipeline_spark/plans/extended_queries.py",
 ]
 
 # Every known div/`//` site as a whitespace-normalized 56-char-context
@@ -67,6 +68,22 @@ ALLOWED_DIV_SITES = {
     # q172 both engines: (t1 - t0) * k with t1 = MAX ≥ t0 = MIN and
     # k ∈ {1,2,3} — never negative.
     'FROM events ), pits AS ( SELECT k, t0 + ((t1 - t0) * k) //',
+    # q187 both engines: pr ≥ 0 (starts at 1e6, update is 150000 +
+    # a non-negative damped sum), deg d ≥ 1; in_mass = Σ(pr div d)
+    # ≥ 0 — every PageRank division is non-negative.
+    ' . src == pr . node ) . select ( "dst" , F . expr ( "pr div',
+    's ( "node" ) , F . expr ( "CAST(150000 + (85 * in_mass) div',
+    'AS ( SELECT e.dst AS node, CAST(150000 + (85 * SUM(p.pr //',
+    'CT e.dst AS node, CAST(150000 + (85 * SUM(p.pr // d.d)) //',
+    # q189 both engines: wv = v4 - per-type MIN ≥ 0 and the EWMA
+    # state s ≥ 0 inductively (s₀ = wv₀ ≥ 0, step is (wv + 3s)/4 of
+    # non-negatives) — python floor-div == truncation on ≥ 0.
+    ' : s = int ( wv ) if i == 0 else ( int ( wv ) + 3 * s ) //',
+    'ON ALL SELECT h.event_type, h.rn, CAST((h.wv + 3 * r.s) //',
+    # q200 both engines: n ≥ 0 counts, SEATS = 1000 > 0, total =
+    # Σn ≥ n ≥ 0 — base/rem divisions never see a negative operand.
+    ' . withColumn ( "base" , F . expr ( f"(n * {_LR_SEATS}) div',
+    'priority, n, SUM(n) OVER () AS total, (n * {_LR_SEATS}) //',
     's ) ) . select ( "k" , F . expr ( "t0 + ((t1 - t0) * k) div',
     'mn ( "ts_us" , F . timestamp_micros ( F . expr ( "ts_ns div',
     ' user_id, session_id, t0, t1, unnest(generate_series(t0 //',
