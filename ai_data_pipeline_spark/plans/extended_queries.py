@@ -94,14 +94,21 @@ ORACLE["q186_bitmap_distinct"] = """
 # division is truncating integer div on provably non-negative
 # operands, so the 3-step fixpoint is bit-identical cross-engine —
 # the standard way to make an iterative algorithm oracle-checkable.
-# Spark: one shuffle per iteration (groupBy dst), the edge+degree
-# frame localCheckpointed once (CLAUDE.md iterative rule: never
-# re-execute the base join per round). At 100 TB this is exactly
-# distributed PageRank: edges pre-partitioned by src, per-iteration
-# exchange carries (dst, contrib) longs only.
+# Spark: nodes are BIGINT-encoded (2·custkey / 2·suppkey+1) so every
+# shuffle carries longs, with the "c:"/"s:" label materialized only
+# on the final 20 rows; the degree rides the one hash(src) exchange
+# as a count window (CLAUDE.md rule: never groupBy+join-back the same
+# key); the windowed edge frame is localCheckpointed once (iterative
+# rule) so iterations never re-run the base join, and iteration 1 is
+# join-free because pr₀ is the constant SCALE. At 100 TB this is
+# exactly distributed PageRank: edges stay hash(src)-partitioned, the
+# rank vector (|V| ≪ |E| longs) moves to the edges each round, and
+# the per-iteration exchange carries map-side-combined (dst, mass)
+# longs only.
 # ---------------------------------------------------------------------------
 
 _PR_SCALE = 1_000_000
+_PR_STEP = "CAST(150000 + (85 * in_mass) div 100 AS BIGINT)"  # in_mass ≥ 0
 
 
 def q187_pagerank3(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -110,34 +117,46 @@ def q187_pagerank3(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = (
         o.join(li, o.o_orderkey == li.l_orderkey)
         .select(
-            F.concat(F.lit("c:"), F.col("o_custkey")).alias("c"),
-            F.concat(F.lit("s:"), F.col("l_suppkey")).alias("s"),
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
         )
         .distinct()
     )
     edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionByName(
         pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
     )
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
-    # src, dst, d — re-joined every iteration: checkpoint once.
-    e2 = edges.join(deg, "src").localCheckpoint(eager=False)
-    pr = deg.select(F.col("src").alias("node"), F.lit(_PR_SCALE).cast("long").alias("pr"))
-    for _ in range(3):
+    e2 = edges.withColumn(
+        "d", F.count(F.lit(1)).over(Window.partitionBy("src"))
+    ).localCheckpoint(eager=False)
+    # pr₀ = SCALE for every node, so the first round needs no join:
+    # SCALE ≥ 0, d ≥ 1 — non-negative truncating div.
+    pr = (
+        e2.select("dst", F.expr(f"{_PR_SCALE} div d").alias("share"))
+        .groupBy("dst")
+        .agg(F.sum("share").alias("in_mass"))
+        .select(F.col("dst").alias("node"), F.expr(_PR_STEP).alias("pr"))
+    )
+    for _ in range(2):
         contrib = (
             e2.join(pr, e2.src == pr.node)
-            # pr ≥ 0 (starts at SCALE, update is 150000 + nonneg), d ≥ 1.
+            # pr ≥ 0 (update is 150000 + a non-negative sum), d ≥ 1.
             .select("dst", F.expr("pr div d").alias("share"))
             .groupBy("dst")
             .agg(F.sum("share").alias("in_mass"))
         )
-        pr = contrib.select(
-            F.col("dst").alias("node"),
-            # in_mass ≥ 0 → the damping div is non-negative.
-            F.expr("CAST(150000 + (85 * in_mass) div 100 AS BIGINT)").alias("pr"),
+        pr = contrib.select(F.col("dst").alias("node"), F.expr(_PR_STEP).alias("pr"))
+    return (
+        pr.select(
+            # node ≥ 0: even = customer, odd = supplier; (2k+1) div 2 = k.
+            F.expr(
+                "CASE WHEN node % 2 = 0 THEN concat('c:', node div 2)"
+                " ELSE concat('s:', node div 2) END"
+            ).alias("node"),
+            F.col("pr").alias("pr3"),
         )
-    return pr.select("node", F.col("pr").alias("pr3")).orderBy(
-        F.desc("pr3"), F.asc("node")
-    ).limit(20)
+        .orderBy(F.desc("pr3"), F.asc("node"))
+        .limit(20)
+    )
 
 
 QUERIES["q187_pagerank3"] = q187_pagerank3
@@ -193,30 +212,48 @@ _TRI_MIN_SUPPORT = 2
 
 def q188_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a = li.alias("a")
-    b = li.alias("b")
+    # Co-occurrence within a key never needs a self-join: group once,
+    # explode the per-order sorted-index pairs narrowly (bounded by
+    # lines-per-order, ~7). For sorted arr, index pairs i<j with
+    # arr[i]<arr[j] reproduce the value-ordered row-pair multiset of
+    # the a.partkey < b.partkey self-join exactly (equal values skip).
+    parts = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_list("l_partkey")).alias("ps")
+    )
+    pairs = parts.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ps, (x, i) -> transform("
+                "slice(ps, i + 2, size(ps)), y -> struct(x AS pa, y AS pb))))"
+            )
+        ).alias("e")
+    ).filter("e.pa < e.pb")
     edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
-        )
+        pairs.groupBy(F.col("e.pa").alias("pa"), F.col("e.pb").alias("pb"))
         .agg(F.count(F.lit(1)).alias("w"))
         .filter(F.col("w") >= _TRI_MIN_SUPPORT)
         .select("pa", "pb")
         .localCheckpoint(eager=False)
     )
+    n_edges = edges.count()  # materializes the checkpoint for both joins
     e1 = edges.select(F.col("pa").alias("x"), F.col("pb").alias("y"))
     e2 = edges.select(F.col("pa").alias("y"), F.col("pb").alias("z"))
-    wedges = e1.join(e2, "y").select("x", "y", "z")
-    e3 = edges.select(F.col("pa").alias("x"), F.col("pb").alias("z"))
-    tri = wedges.join(e3, ["x", "z"])
-    n_edges = edges.count()
-    n_wedges = wedges.count()
-    n_tri = tri.count()
+    wedges = e1.join(e2, "y").select("x", "z")
+    # One job for both counts: each wedge matches at most one closing
+    # edge (edges are distinct pairs), so a LEFT join keeps exactly one
+    # row per wedge — count(*) = wedges, count(hit) = closed wedges.
+    e3 = edges.select(
+        F.col("pa").alias("x"), F.col("pb").alias("z"), F.lit(1).alias("hit")
+    )
+    row = (
+        wedges.join(e3, ["x", "z"], "left")
+        .agg(
+            F.count(F.lit(1)).alias("nw"),
+            F.count("hit").alias("nt"),
+        )
+        .collect()[0]
+    )
+    n_wedges, n_tri = row["nw"], row["nt"]
     return spark.createDataFrame(
         [(n_edges, n_wedges, n_tri)], "n_edges bigint, n_wedges bigint, n_triangles bigint"
     ).orderBy("n_edges")

@@ -22,7 +22,12 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from ai_data_pipeline_spark.plans import analysis_queries, pipeline_queries, relational
+from ai_data_pipeline_spark.plans import (
+    analysis_queries,
+    extended_queries,
+    pipeline_queries,
+    relational,
+)
 from ai_data_pipeline_spark.session import get_spark
 
 HEADLINE = [
@@ -151,6 +156,22 @@ HEADLINE = [
     "q182_stateful_restart",
     "q183_polymorphic_udtf",
     "q185_minmax_downsample",
+    "q186_bitmap_distinct",
+    "q187_pagerank3",
+    "q188_triangle_count",
+    "q189_ewma_recurrence",
+    "q190_template_dedup",
+    "q191_luhn_checksum",
+    "q192_sql_scripting",
+    "q193_param_sql",
+    "q194_approx_topk_exact",
+    "q195_printf_format",
+    "q196_interval_overlap",
+    "q197_try_arithmetic",
+    "q198_skyline",
+    "q199_equidepth_ntile",
+    "q200_largest_remainder",
+    "q201_sequence_gaps",
 ]
 
 
@@ -161,6 +182,7 @@ def main() -> int:
         **relational.QUERIES,
         **pipeline_queries.QUERIES,
         **analysis_queries.QUERIES,
+        **extended_queries.QUERIES,
     }
 
     # warm the JVM/session (plan + run one tiny query, not timed)

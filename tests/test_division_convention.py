@@ -70,9 +70,13 @@ ALLOWED_DIV_SITES = {
     'FROM events ), pits AS ( SELECT k, t0 + ((t1 - t0) * k) //',
     # q187 both engines: pr ≥ 0 (starts at 1e6, update is 150000 +
     # a non-negative damped sum), deg d ≥ 1; in_mass = Σ(pr div d)
-    # ≥ 0 — every PageRank division is non-negative.
+    # ≥ 0; node ids are 2k/2k+1 with k ≥ 0 — every PageRank division
+    # is non-negative.
     ' . src == pr . node ) . select ( "dst" , F . expr ( "pr div',
-    's ( "node" ) , F . expr ( "CAST(150000 + (85 * in_mass) div',
+    'LE = 1_000_000 _PR_STEP = "CAST(150000 + (85 * in_mass) div',
+    ') pr = ( e2 . select ( "dst" , F . expr ( f"{_PR_SCALE} div',
+    '. expr ( "CASE WHEN node % 2 = 0 THEN concat(\'c:\', node div',
+    'THEN concat(\'c:\', node div 2)" " ELSE concat(\'s:\', node div',
     'AS ( SELECT e.dst AS node, CAST(150000 + (85 * SUM(p.pr //',
     'CT e.dst AS node, CAST(150000 + (85 * SUM(p.pr // d.d)) //',
     # q189 both engines: wv = v4 - per-type MIN ≥ 0 and the EWMA
