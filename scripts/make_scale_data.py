@@ -101,8 +101,25 @@ def main() -> int:
     )
     scaled_li.repartition(32).write.mode("overwrite").parquet(f"{DST}/lineitem.parquet")
 
+    # orders scales with the SAME per-replica orderkey offset as
+    # lineitem, so orders ⋈ lineitem matches across every replica —
+    # a pass-through copy would silently un-scale any probe that joins
+    # the two (q187/q196 measured a 1/16th-matching join until r07).
+    # Customer keys stay unchanged: same customers, FACTOR× orders
+    # each, so distinct-count shapes (q186) keep a constant key space.
+    od = spark.read.parquet(f"{SRC}/orders.parquet")
+    scaled_od = od.crossJoin(F.broadcast(reps)).select(
+        *[
+            (F.col(c) + F.col("rep") * 1_000_000_000).alias(c)
+            if c == "o_orderkey"
+            else F.col(c)
+            for c in od.columns
+        ]
+    )
+    scaled_od.repartition(32).write.mode("overwrite").parquet(f"{DST}/orders.parquet")
+
     # remaining relational tables pass through untouched so load_table works
-    for t in ("region", "nation", "customer", "supplier", "part", "orders"):
+    for t in ("region", "nation", "customer", "supplier", "part"):
         spark.read.parquet(f"{SRC}/{t}.parquet").write.mode("overwrite").parquet(
             f"{DST}/{t}.parquet"
         )

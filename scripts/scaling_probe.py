@@ -74,6 +74,14 @@ PROBE = [
     "q167_stream_restart_exactly_once",  # 2-run checkpointed stream
     "q180_native_hll",      # built-in datasketches rollup
     "q185_minmax_downsample",  # bucketed extreme-point windows
+    "q186_bitmap_distinct",  # mergeable-bitmap exact distinct
+    "q187_pagerank3",       # 3-iteration PageRank (scaled lineitem edges)
+    "q188_triangle_count",  # support-thresholded wedge join
+    "q189_ewma_recurrence",  # applyInPandas recurrence, capped series
+    "q190_template_dedup",  # masked-template hash groups
+    "q196_interval_overlap",  # order⋈lineitem clamped-overlap measure
+    "q198_skyline",         # running-max Pareto frontier
+    "q200_largest_remainder",  # two-level apportionment windows
 ]
 
 

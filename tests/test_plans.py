@@ -619,3 +619,56 @@ def test_q164_bucketed_join_skips_exchanges(spark, sf_dir):
     # twice, so count exchanges by KEY, not occurrences)
     assert not re.search(r"Exchange hashpartitioning\((c_custkey|o_custkey)", s)
     assert re.search(r"Exchange hashpartitioning\(c_mktsegment", s)
+
+
+def test_q186_bitmap_agg_is_mergeable_two_level(spark, sf_dir):
+    """The exact-distinct path must be the mergeable-bitmap shape: a
+    map-side partial bitmap_construct_agg under the (group, bucket)
+    exchange — the shuffle carries fixed-size bitmaps, never raw
+    custkeys — then a second level summing bitmap_count. A refactor
+    to COUNT(DISTINCT) would drop both markers."""
+    from ai_data_pipeline_spark.plans import extended_queries as X
+
+    s = plan_of(X.q186_bitmap_distinct(spark, sf_dir))
+    assert "partial_bitmap_construct_agg" in s
+    assert "bitmapCount" in s
+    # pruned scan: the two used columns only
+    i = s.find("ReadSchema")
+    assert "o_custkey" in s[i : i + 200] and "o_totalprice" not in s
+
+
+def test_q187_pagerank_plan_shape(spark, sf_dir):
+    """PageRank's scale contract: (a) the windowed edge frame is
+    localCheckpointed, so iterations consume ExistingRDD, never
+    re-running the base orders⋈lineitem join (no FileScan of lineitem
+    may appear in the final plan); (b) the rank vector moves to the
+    edges via broadcast (BroadcastHashJoin, |V| ≪ |E|); (c) every
+    exchange key is a BIGINT node id — the 'c:'/'s:' labels are
+    materialized only above the final top-k (TakeOrderedAndProject,
+    no global Sort)."""
+    from ai_data_pipeline_spark.plans import extended_queries as X
+
+    s = plan_of(X.q187_pagerank3(spark, sf_dir))
+    assert "ExistingRDD" in s
+    assert "lineitem" not in s  # base join ran once, at checkpoint time
+    assert "BroadcastHashJoin" in s
+    assert "TakeOrderedAndProject" in s
+    # rank-mass exchanges are keyed on long node ids (#NL), not strings
+    for m in re.finditer(r"Exchange hashpartitioning\((\w+)#\d+(L?)", s):
+        assert m.group(2) == "L", f"non-long shuffle key {m.group(0)}"
+
+
+def test_q190_shuffle_carries_hash_not_text(spark, sf_dir):
+    """Template dedup shuffles the 32-hex md5 with partial counts —
+    the text column must die at the map side (no Exchange output may
+    contain it), and the top-20 is TakeOrdered, not a global sort."""
+    from ai_data_pipeline_spark.plans import extended_queries as X
+
+    s = plan_of(X.q190_template_dedup(spark, sf_dir))
+    assert "TakeOrderedAndProject" in s
+    assert re.search(r"Exchange hashpartitioning\(th#", s)
+    assert "partial_count" in s  # map-side combine under the exchange
+    # the only appearance of `text` is inside the scan/projection
+    # stage (*(1)); it must not cross the exchange boundary
+    exch = s.find("Exchange hashpartitioning(th#")
+    assert "text#" not in s[:exch].split("ShuffleQueryStage")[0].split("+- *(1)")[0]
