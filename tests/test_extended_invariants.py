@@ -1,0 +1,183 @@
+"""Engine-independent invariant tests for the q186–q201 family.
+
+The oracle sweep proves Spark ≡ DuckDB; these tests prove both match
+the MATH — properties derived from first principles (apportionment
+exactness, Pareto dominance, Luhn's definition, gap disjointness),
+so a bug shared by both engine expressions (the one failure mode the
+oracle can't see) still fails loudly.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ai_data_pipeline_spark.plans import extended_queries as X
+
+
+def test_q200_apportionment_is_exact_and_quota_bounded(spark, sf_dir):
+    """Largest-remainder guarantees: Σ seats == SEATS exactly, and
+    every group's allocation is within one seat of its real-valued
+    quota (the 'quota property' Hamilton's method satisfies)."""
+    rows = X.q200_largest_remainder(spark, sf_dir).collect()
+    seats = {r["o_orderpriority"]: r["seats"] for r in rows}
+    ns = {r["o_orderpriority"]: r["n"] for r in rows}
+    total_n = sum(ns.values())
+    assert sum(seats.values()) == X._LR_SEATS
+    for k, n in ns.items():
+        quota = n * X._LR_SEATS / total_n
+        assert int(quota) <= seats[k] <= int(quota) + 1, (k, quota, seats[k])
+
+
+def test_q198_skyline_dominance(spark, sf_dir):
+    """(a) No frontier point is strictly dominated by ANY input point
+    (price ≤, size ≥, at least one strict); (b) every dropped point is
+    weakly dominated by some frontier point — with the documented
+    distinct-skyline convention that duplicate (price, size) points
+    keep only the smallest partkey."""
+    from ai_data_pipeline_spark.catalog import load_table
+
+    frontier = [
+        (r["p_partkey"], r["price_cents"], r["size"])
+        for r in X.q198_skyline(spark, sf_dir).collect()
+    ]
+    allpts = [
+        (r["pk"], r["pc"], r["sz"])
+        for r in load_table(spark, sf_dir, "part")
+        .select(
+            F.col("p_partkey").alias("pk"),
+            F.expr("CAST(ROUND(p_retailprice * 100) AS BIGINT)").alias("pc"),
+            F.col("p_size").cast("long").alias("sz"),
+        )
+        .collect()
+    ]
+    assert frontier and len(allpts) >= len(frontier)
+    fset = {pk for pk, _, _ in frontier}
+    for fk, fp, fs in frontier:
+        for _, p, s in allpts:
+            strictly_dominates = p <= fp and s >= fs and (p < fp or s > fs)
+            assert not strictly_dominates or (p == fp and s == fs), (
+                "dominated frontier point",
+                (fk, fp, fs),
+                (p, s),
+            )
+    for pk, p, s in allpts:
+        if pk in fset:
+            continue
+        covered = any(
+            (fp <= p and fs >= s and (fp < p or fs > s))
+            or (fp == p and fs == s and fk < pk)
+            for fk, fp, fs in frontier
+        )
+        assert covered, ("uncovered dropped point", (pk, p, s))
+
+
+def _luhn_py(digits: str) -> bool:
+    total = 0
+    for i, ch in enumerate(reversed(digits)):
+        d = int(ch)
+        if i % 2 == 1:  # every second digit from the right is doubled
+            d *= 2
+            if d > 9:
+                d -= 9
+        total += d
+    return total % 10 == 0
+
+
+def test_luhn_builtin_matches_first_principles(spark):
+    """Spark's luhn_check vs the textbook definition, over a seeded
+    spread of 400 synthetic 12-digit strings (same generator family
+    as q191) plus known-valid anchors."""
+    anchors = ["4111111111111111", "79927398713", "000000000000"]
+    synth = [str((k * 7919 + 11) % 10**12).zfill(12) for k in range(400)]
+    df = spark.createDataFrame([(s,) for s in anchors + synth], "acct string")
+    got = {
+        r["acct"]: r["ok"]
+        for r in df.withColumn("ok", F.expr("luhn_check(acct)")).collect()
+    }
+    for s in anchors + synth:
+        assert got[s] == _luhn_py(s), s
+    # sanity: the synthetic family isn't degenerate (both classes hit)
+    vals = [got[s] for s in synth]
+    assert any(vals) and not all(vals)
+
+
+def test_q199_ntile_remainder_convention(spark, sf_dir):
+    """Equi-depth tiles: counts differ by ≤1, the first (total mod 10)
+    tiles carry the extra row, boundaries are non-decreasing, and the
+    tile counts sum to the table count."""
+    rows = X.q199_equidepth_ntile(spark, sf_dir).collect()
+    assert [r["tile"] for r in rows] == list(range(1, 11))
+    ns = [r["n"] for r in rows]
+    total = sum(ns)
+    q, rem = divmod(total, 10)
+    assert ns == [q + 1] * rem + [q] * (10 - rem)
+    bounds = [(r["lo_cents"], r["hi_cents"]) for r in rows]
+    for (lo, hi), (lo2, hi2) in zip(bounds, bounds[1:]):
+        assert lo <= hi and hi <= lo2 and lo2 <= hi2
+
+
+def test_q201_gaps_are_real_and_disjoint(spark, sf_dir):
+    """Every reported gap range must contain NO present key, be
+    maximal (keys at gap_start-1 and gap_end+1 present), and ranges
+    must not overlap."""
+    from ai_data_pipeline_spark.catalog import load_table
+
+    present = {
+        r["o_orderkey"]
+        for r in load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey")
+        .collect()
+    }
+    gaps = [
+        (r["gap_start"], r["gap_end"], r["gap_len"])
+        for r in X.q201_sequence_gaps(spark, sf_dir).collect()
+    ]
+    assert gaps
+    seen: list[tuple[int, int]] = []
+    for start, end, ln in gaps:
+        assert ln == end - start + 1 > 0
+        assert (start - 1) in present and (end + 1) in present
+        # spot-check emptiness at the edges and middle (full scan for
+        # short gaps; sampled for pathological ones)
+        probes = (
+            range(start, end + 1)
+            if ln <= 1000
+            else [start, start + 1, (start + end) // 2, end - 1, end]
+        )
+        assert all(k not in present for k in probes)
+        for s2, e2 in seen:
+            assert end < s2 or start > e2
+        seen.append((start, end))
+
+
+def test_q197_overflow_frontier_matches_python(spark, sf_dir):
+    """try_multiply/try_add NULL exactly where Python big-int
+    arithmetic says int64 would overflow — recompute the per-status
+    overflow counts from first principles on the driver."""
+    from ai_data_pipeline_spark.catalog import load_table
+
+    rows = X.q197_try_arithmetic(spark, sf_dir).collect()
+    per = {
+        r["o_orderstatus"]: (r["n_mul_overflow"], r["n_add_overflow"], r["n_div_by_zero"])
+        for r in rows
+    }
+    raw = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderstatus", "o_orderkey")
+        .collect()
+    )
+    MAX = 2**63 - 1
+    expect: dict[str, list[int]] = {}
+    for r in raw:
+        a = r["o_orderkey"] % 5 + 1
+        b = r["o_orderkey"] % 4
+        e = expect.setdefault(r["o_orderstatus"], [0, 0, 0])
+        if a * X._TRY_BIG > MAX:
+            e[0] += 1
+        if X._TRY_NEAR_MAX + a > MAX:
+            e[1] += 1
+        if b == 0:
+            e[2] += 1
+    assert per == {k: tuple(v) for k, v in expect.items()}
