@@ -181,3 +181,117 @@ def test_q197_overflow_frontier_matches_python(spark, sf_dir):
         if b == 0:
             e[2] += 1
     assert per == {k: tuple(v) for k, v in expect.items()}
+
+
+def test_q186_bitmap_distinct_matches_python_sets(spark, sf_dir):
+    """The mergeable-bitmap exact-distinct path vs driver-side Python
+    sets — independent of both engines' aggregate machinery."""
+    from ai_data_pipeline_spark.catalog import load_table
+
+    rows = X.q186_bitmap_distinct(spark, sf_dir).collect()
+    raw = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderpriority", "o_custkey")
+        .collect()
+    )
+    seen: dict[str, set] = {}
+    n: dict[str, int] = {}
+    for r in raw:
+        seen.setdefault(r["o_orderpriority"], set()).add(r["o_custkey"])
+        n[r["o_orderpriority"]] = n.get(r["o_orderpriority"], 0) + 1
+    got = {r["o_orderpriority"]: (r["n_orders"], r["n_cust"]) for r in rows}
+    assert got == {k: (n[k], len(v)) for k, v in seen.items()}
+
+
+def test_q187_pagerank_matches_python_recurrence(spark, sf_dir):
+    """The 3-iteration integer PageRank vs a dict-based Python
+    recompute of the same recurrence over the same edge list — pins
+    the iteration count, the div order, and the label encoding."""
+    from ai_data_pipeline_spark.catalog import load_table
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = {
+        (r["o_custkey"], r["l_suppkey"])
+        for r in o.join(li, o.o_orderkey == li.l_orderkey).collect()
+    }
+    edges = [(f"c:{c}", f"s:{s}") for c, s in pairs] + [
+        (f"s:{s}", f"c:{c}") for c, s in pairs
+    ]
+    deg: dict[str, int] = {}
+    for src, _ in edges:
+        deg[src] = deg.get(src, 0) + 1
+    pr = {v: 1_000_000 for v in deg}
+    for _ in range(3):
+        mass: dict[str, int] = {}
+        for src, dst in edges:
+            mass[dst] = mass.get(dst, 0) + pr[src] // deg[src]
+        pr = {v: 150000 + (85 * m) // 100 for v, m in mass.items()}
+    want = sorted(((-p, v) for v, p in pr.items()))[:20]
+    got = [(-r["pr3"], r["node"]) for r in X.q187_pagerank3(spark, sf_dir).collect()]
+    assert got == want
+
+
+def test_q188_triangles_match_bruteforce(spark, sf_dir):
+    """Triangle/wedge counts vs a brute-force Python recount from the
+    raw per-order part lists (including the support threshold and the
+    equal-partkey skip)."""
+    from itertools import combinations
+
+    from ai_data_pipeline_spark.catalog import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").collect()
+    per_order: dict[int, list[int]] = {}
+    for r in li:
+        per_order.setdefault(r["l_orderkey"], []).append(r["l_partkey"])
+    support: dict[tuple[int, int], int] = {}
+    for parts in per_order.values():
+        for a, b in combinations(sorted(parts), 2):
+            if a < b:  # equal partkeys in one order contribute nothing
+                support[(a, b)] = support.get((a, b), 0) + 1
+    edges = {p for p, w in support.items() if w >= X._TRI_MIN_SUPPORT}
+    out = {v for e in edges for v in e}
+    adj: dict[int, set[int]] = {v: set() for v in out}
+    for a, b in edges:
+        adj[a].add(b)
+    wedges = sum(
+        1 for _, y in edges for z in adj.get(y, ())
+    )
+    tris = sum(1 for x, y in edges for z in adj.get(y, ()) if z in adj.get(x, ()))
+    row = X.q188_triangle_count(spark, sf_dir).collect()[0]
+    assert (row["n_edges"], row["n_wedges"], row["n_triangles"]) == (
+        len(edges),
+        wedges,
+        tris,
+    )
+
+
+def test_q190_template_mask_matches_python(spark, sf_dir):
+    """The masked-template hash groups vs a Python re-mask with the
+    identical regex class — pins the digit-run collapse, the explicit
+    whitespace class, and the 8-token opening slice."""
+    import hashlib
+    import re
+
+    from ai_data_pipeline_spark.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    groups: dict[str, list[int]] = {}
+    for r in docs:
+        masked = re.sub(r"[ \t\r\n]+", " ", re.sub(r"[0-9]+", "#", r["text"].lower()))
+        masked = masked.strip()
+        tmpl = " ".join(masked.split(" ")[: X._TMPL_TOKENS])
+        th = hashlib.md5(tmpl.encode("utf-8")).hexdigest()
+        groups.setdefault(th, []).append(r["doc_id"])
+    want = sorted(
+        (
+            (-len(ids), th, len(ids), min(ids), max(ids))
+            for th, ids in groups.items()
+            if len(ids) >= 2
+        )
+    )[:20]
+    got = [
+        (-r["n"], r["th"], r["n"], r["min_doc"], r["max_doc"])
+        for r in X.q190_template_dedup(spark, sf_dir).collect()
+    ]
+    assert got == want
