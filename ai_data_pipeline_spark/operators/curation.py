@@ -258,3 +258,114 @@ def remove_duplicate_spans(
     return docs.select(ident).join(rebuilt, id_col, "left").select(
         id_col, F.coalesce(F.col(text_col), F.lit("")).alias(text_col)
     )
+
+
+# --- Gopher-style document quality rules -------------------------------------
+#
+# The rule family published in Rae et al. 2021 ("Scaling Language
+# Models: ... Gopher", Appendix A.1.1) and reused by most open
+# training-data pipelines since (MassiveText, FineWeb): cheap
+# structural predicates that remove boilerplate/garbage documents
+# before any model-based scoring. Reference parity: the reference
+# repo has no quality gate at all (its filter surface is the R7
+# null-drop); this is part of the declared beyond-reference curation
+# family, same tier as mask_pii/assign_split above.
+#
+# Engineering contract (same as the rest of this module):
+# - pure built-in expressions, one narrow projection — no UDFs, no
+#   shuffle; at 100 TB this runs AT THE SCAN and costs a map pass;
+# - every threshold compares CROSS-MULTIPLIED integers (n_sym * 10
+#   <= n_words), never a float ratio, so a future DuckDB oracle twin
+#   is trivially bit-exact and no `0.1` literal ever meets IEEE
+#   arithmetic;
+# - explicit [ \t\r\n] whitespace classes (Spark F.trim strips only
+#   ASCII spaces; Java vs RE2 \s disagree at the edges — CLAUDE.md).
+
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+_WS_SPLIT = "[ \t\r\n]+"
+
+
+def gopher_quality_flags(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+) -> DataFrame:
+    """Per-document Gopher rule metrics + verdicts.
+
+    Adds integer metric columns (``n_words``, ``word_chars``,
+    ``n_alpha_words``, ``n_lines``, ``n_bullet_lines``,
+    ``n_ellipsis_lines``, ``n_hash_sym``, ``n_stop_hits``), one
+    boolean per rule (``r_word_count``, ``r_mean_word_len``,
+    ``r_symbol_ratio``, ``r_bullet_lines``, ``r_ellipsis_lines``,
+    ``r_alpha_words``, ``r_stopwords``) and ``gopher_keep`` (AND of
+    all rules). Rules (Gopher A.1.1, the whitespace-token form):
+
+    1. ``min_words <= n_words <= max_words``;
+    2. mean word length in [3, 10]:
+       ``3*n_words <= word_chars <= 10*n_words``;
+    3. hash/ellipsis symbol-to-word ratio <= 0.1:
+       ``10*n_sym <= n_words``;
+    4. <= 90% of lines start with a bullet (- * •):
+       ``10*n_bullet <= 9*n_lines``;
+    5. <= 30% of lines end with an ellipsis (... or …):
+       ``10*n_ellipsis <= 3*n_lines``;
+    6. >= 80% of words contain an alphabetic character:
+       ``5*n_alpha_words >= 4*n_words``;
+    7. >= 2 distinct required stopwords present
+       (the/be/to/of/and/that/have/with).
+    """
+    t = F.col(text_col)
+    words = F.filter(F.split(t, _WS_SPLIT), lambda w: w != F.lit(""))
+    lines = F.filter(
+        F.split(t, "\n"),
+        lambda l: F.trim(l) != F.lit(""),
+    )
+    ell = "(\\.\\.\\.|…)"
+    out = df.withColumns(
+        {
+            "n_words": F.size(words).cast("long"),
+            "word_chars": F.aggregate(
+                words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+            ),
+            "n_alpha_words": F.size(
+                F.filter(words, lambda w: w.rlike("[A-Za-z]"))
+            ).cast("long"),
+            "n_lines": F.size(lines).cast("long"),
+            "n_bullet_lines": F.size(
+                F.filter(lines, lambda l: F.ltrim(l).rlike("^[-*•]"))
+            ).cast("long"),
+            "n_ellipsis_lines": F.size(
+                F.filter(lines, lambda l: F.rtrim(l).rlike(ell + "$"))
+            ).cast("long"),
+            # '#' occurrences + ellipsis occurrences, counted by length
+            # delta (replace, not regexp — no escaping traps)
+            "n_hash_sym": (
+                (F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit(""))))
+                + F.coalesce(F.regexp_count(t, F.lit(ell)), F.lit(0))
+            ).cast("long"),
+            "n_stop_hits": F.size(
+                F.array_intersect(
+                    F.array_distinct(F.transform(words, F.lower)),
+                    F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+                )
+            ).cast("long"),
+        }
+    )
+    rules = {
+        "r_word_count": (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= max_words),
+        "r_mean_word_len": (3 * F.col("n_words") <= F.col("word_chars"))
+        & (F.col("word_chars") <= 10 * F.col("n_words")),
+        "r_symbol_ratio": 10 * F.col("n_hash_sym") <= F.col("n_words"),
+        "r_bullet_lines": 10 * F.col("n_bullet_lines") <= 9 * F.col("n_lines"),
+        "r_ellipsis_lines": 10 * F.col("n_ellipsis_lines") <= 3 * F.col("n_lines"),
+        "r_alpha_words": 5 * F.col("n_alpha_words") >= 4 * F.col("n_words"),
+        "r_stopwords": F.col("n_stop_hits") >= 2,
+    }
+    out = out.withColumns(rules)
+    keep = None
+    for name in rules:
+        keep = F.col(name) if keep is None else keep & F.col(name)
+    return out.withColumn("gopher_keep", keep)

@@ -851,3 +851,60 @@ def dedup_clusters_star(
         nodes.join(comp, "id", "left")
         .select("id", F.coalesce(F.col("cluster_id"), F.col("id")).alias("cluster_id"))
     )
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    centroids: list[list[float]],
+    min_cosine: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space, call documents
+    within the SAME cluster whose cosine similarity exceeds
+    ``min_cosine`` semantic duplicates, keep one representative per
+    duplicate component.
+
+    Composition of the existing primitives — this is deliberately a
+    THIN operator, because each stage is already the scale-hardened
+    form:
+
+    1. ``similarity.ivf_assign``-equivalent cell assignment via the
+       Arrow kernel (:func:`~ai_data_pipeline_spark.operators.
+       vectorized.ivf_assign_np`, bit-parity pinned against the
+       expression path by tests/test_vectorized.py);
+    2. within-cell exact cosine pairs
+       (:func:`embedding_neardup_pairs` with ``block_col`` — the
+       quadratic term is Σ|cell|², never corpus², the same bound the
+       paper exploits; size cells with
+       ``vectorized.planes_for_occupancy``-style occupancy math);
+    3. component resolution (:func:`dedup_clusters`) + min-id keeper
+       (deterministic; the paper keeps a random member — min-id is
+       the oracle-stable choice, documented divergence).
+
+    Returns [id, cluster_id, is_keeper]: ``filter(is_keeper)``
+    implements the dedup; ``filter(~is_keeper)`` lists the removals.
+    Cross-cluster near-duplicates are NOT found (inherent SemDeDup
+    recall loss at cell boundaries — the paper's own approximation).
+    """
+    from ai_data_pipeline_spark.operators.vectorized import ivf_assign_np
+
+    assigned = ivf_assign_np(emb, centroids, corpus_vec=vec_col)
+    pairs = embedding_neardup_pairs(
+        assigned,
+        id_col=id_col,
+        vec_col=vec_col,
+        block_col="cell",
+        min_cosine=min_cosine,
+    )
+    clusters = dedup_clusters(pairs)
+    ids = assigned.select(F.col(id_col).alias("id"))
+    return (
+        ids.join(clusters, "id", "left")
+        .select(
+            "id",
+            F.coalesce(F.col("cluster_id"), F.col("id")).alias("cluster_id"),
+        )
+        .withColumn("is_keeper", F.col("id") == F.col("cluster_id"))
+    )

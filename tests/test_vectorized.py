@@ -219,3 +219,61 @@ def test_lsh_geometry_helpers():
 
     with _pytest.raises(ValueError):
         lsh_bands(2, 17)
+
+
+def test_semantic_dedup_matches_bruteforce(spark, emb):
+    """semantic_dedup == python brute force (same cells, same cosine
+    threshold, union-find components, min-id keeper) on the fixture
+    embeddings — and the keeper set is exactly one per component."""
+    import numpy as np
+
+    from ai_data_pipeline_spark.operators.dedup import semantic_dedup
+    from ai_data_pipeline_spark.operators.vectorized import (
+        norms_ltr,
+        sqdists_ltr,
+    )
+    from ai_data_pipeline_spark.plans.pipeline_queries import Q28_CENTROIDS
+
+    tau = 0.44  # fixture top in-cell sims: .479 .470 .454 .453 .449 .439... — merges a handful, none at the boundary
+    got = {
+        r["id"]: (r["cluster_id"], r["is_keeper"])
+        for r in semantic_dedup(emb, Q28_CENTROIDS, min_cosine=tau).collect()
+    }
+
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = [r["vec_id"] for r in rows]
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    cmat = np.array(Q28_CENTROIDS, dtype=np.float64)
+    cells = np.argmin(
+        np.stack([sqdists_ltr(mat, cmat[c]) for c in range(len(cmat))], axis=1),
+        axis=1,
+    )
+    nrm = norms_ltr(mat)
+    parent = {i: i for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            if cells[i] != cells[j]:
+                continue
+            denom = nrm[i] * nrm[j]
+            if denom == 0:
+                continue
+            # same fold order as the engine: ltr dot / (na*nb)
+            acc = 0.0
+            for d in range(mat.shape[1]):
+                acc = acc + mat[i, d] * mat[j, d]
+            if acc / denom >= tau:
+                ra, rb = find(ids[i]), find(ids[j])
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    want = {i: find(i) for i in ids}
+    assert {k: v[0] for k, v in got.items()} == want
+    assert all((k == v[0]) == v[1] for k, v in got.items())
+    # sanity: threshold actually merges something on the fixture
+    assert any(k != v for k, v in want.items())
