@@ -97,6 +97,24 @@ DRIVER_EVIDENCE = frozenset({
     "q131_kmeans_reassign", "q144_theta_overlap", "q145_kll_profile",
     "q146_dup_span_removal", "q147_scd2_apply", "q148_subsequence_topk",
     "q149_hll_profile", "q150_zorder_cluster_audit", "q151_recursive_chains",
+    # --- green in CORRECTNESS_r07.json (all 50 graded rows hashed green) ---
+    "q152_e2e_pdf_qa", "q153_stateful_running_stats", "q154_pyds_scan",
+    "q155_udtf_lateral_chunks", "q156_unpivot_metrics", "q157_lateral_topk",
+    "q158_bit_bool_aggs", "q159_listagg_segments", "q160_regexp_extract_all",
+    "q161_matryoshka_overlap", "q162_tokenizer_fertility", "q163_partition_pruned_scan",
+    "q164_bucketed_join", "q165_null_safe_join", "q166_arrow_udf",
+    "q167_stream_restart_exactly_once", "q168_orc_source", "q169_csv_roundtrip",
+    "q170_pyds_stream", "q171_asof_tolerance", "q172_pit_lookup",
+    "q173_percentile_approx_exact", "q174_group_by_all", "q175_setops_all",
+    "q176_try_cast", "q177_date_parts", "q178_date_spine",
+    "q179_xml_roundtrip", "q180_native_hll", "q181_collation_group",
+    "q182_stateful_restart", "q183_polymorphic_udtf", "q184_not_in_null_semantics",
+    "q185_minmax_downsample", "q186_bitmap_distinct", "q187_pagerank3",
+    "q188_triangle_count", "q189_ewma_recurrence", "q190_template_dedup",
+    "q191_luhn_checksum", "q192_sql_scripting", "q193_param_sql",
+    "q194_approx_topk_exact", "q195_printf_format", "q196_interval_overlap",
+    "q197_try_arithmetic", "q198_skyline", "q199_equidepth_ntile",
+    "q200_largest_remainder", "q201_sequence_gaps",
 })
 
 # Backward-compatible alias (pre-r03 name).
