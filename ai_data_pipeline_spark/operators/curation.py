@@ -316,11 +316,18 @@ def gopher_quality_flags(
     7. >= 2 distinct required stopwords present
        (the/be/to/of/and/that/have/with).
     """
-    t = F.col(text_col)
+    # NULL text scores as the empty document (fails r_word_count, so
+    # gopher_keep is a real False — never NULL, which both keep- and
+    # reject-filters would silently drop).
+    t = F.coalesce(F.col(text_col), F.lit(""))
     words = F.filter(F.split(t, _WS_SPLIT), lambda w: w != F.lit(""))
+    # Explicit [ \t\r] classes everywhere a line edge is tested:
+    # F.trim/ltrim/rtrim strip ONLY ASCII spaces (CLAUDE.md), so a
+    # tab-indented bullet or a CR-edged line would diverge from the
+    # Python twin under trim-based checks.
     lines = F.filter(
         F.split(t, "\n"),
-        lambda l: F.trim(l) != F.lit(""),
+        lambda l: ~l.rlike("^[ \t\r]*$"),
     )
     ell = "(\\.\\.\\.|…)"
     out = df.withColumns(
@@ -334,10 +341,10 @@ def gopher_quality_flags(
             ).cast("long"),
             "n_lines": F.size(lines).cast("long"),
             "n_bullet_lines": F.size(
-                F.filter(lines, lambda l: F.ltrim(l).rlike("^[-*•]"))
+                F.filter(lines, lambda l: l.rlike("^[ \t]*[-*•]"))
             ).cast("long"),
             "n_ellipsis_lines": F.size(
-                F.filter(lines, lambda l: F.rtrim(l).rlike(ell + "$"))
+                F.filter(lines, lambda l: l.rlike(ell + "[ \t\r]*$"))
             ).cast("long"),
             # '#' occurrences + ellipsis occurrences, counted by length
             # delta (replace, not regexp — no escaping traps)

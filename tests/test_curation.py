@@ -183,17 +183,26 @@ class TestRemoveDuplicateSpans:
 # --- Gopher quality rules -----------------------------------------------------
 
 
-def _gopher_py(text: str) -> dict:
-    """Reference recompute of gopher_quality_flags semantics."""
+def _gopher_py(text: str | None) -> dict:
+    """Reference recompute of gopher_quality_flags semantics.
+
+    Explicit [ \\t\\r] whitespace classes, NOT str.strip()/lstrip() —
+    mirrors the Spark side, which cannot use F.trim (ASCII-space-only)
+    and tests line edges with rlike character classes instead.  NULL
+    text scores as the empty document.
+    """
     import re
 
+    text = text if text is not None else ""
     words = [w for w in re.split(r"[ \t\r\n]+", text) if w != ""]
-    lines = [l for l in text.split("\n") if l.strip() != ""]
+    lines = [
+        l for l in text.split("\n") if not re.fullmatch(r"[ \t\r]*", l)
+    ]
     n_words = len(words)
     word_chars = sum(len(w) for w in words)
     n_alpha = sum(1 for w in words if re.search("[A-Za-z]", w))
-    n_bullet = sum(1 for l in lines if re.match(r"^[-*•]", l.lstrip()))
-    n_ell = sum(1 for l in lines if re.search(r"(\.\.\.|…)$", l.rstrip()))
+    n_bullet = sum(1 for l in lines if re.match(r"^[ \t]*[-*•]", l))
+    n_ell = sum(1 for l in lines if re.search(r"(\.\.\.|…)[ \t\r]*$", l))
     n_sym = text.count("#") + len(re.findall(r"(\.\.\.|…)", text))
     from ai_data_pipeline_spark.operators.curation import GOPHER_STOPWORDS
 
@@ -226,6 +235,12 @@ def test_gopher_rules_crafted_docs(spark):
         "ellipsis": "\n".join(["we trailed off the of and..."] * 10),
         "numeric": " ".join(["12345"] * 100) + " the of",
         "no_stopwords": " ".join(["alpha beta gamma delta"] * 30),
+        # edge whitespace: tab-indented bullets and CR/tab line edges
+        # must match the explicit [ \t\r] classes (F.trim is
+        # ASCII-space-only — ADVICE r07)
+        "tab_bullets": "\n".join(["\t- item the of"] * 20),
+        "tab_ellipsis": "\n".join(["we trailed off the of and...\t\r"] * 10),
+        "null_text": None,
     }
     df = spark.createDataFrame(list(docs.items()), "name string, text string")
     got = {
@@ -244,6 +259,11 @@ def test_gopher_rules_crafted_docs(spark):
     assert not got["ellipsis"]["r_ellipsis_lines"]
     assert not got["numeric"]["r_alpha_words"]
     assert not got["no_stopwords"]["r_stopwords"]
+    assert not got["tab_bullets"]["r_bullet_lines"]
+    assert not got["tab_ellipsis"]["r_ellipsis_lines"]
+    # NULL text = empty document: keep is a REAL False (never NULL)
+    assert got["null_text"]["gopher_keep"] is False
+    assert got["null_text"]["n_words"] == 0
 
 
 def test_gopher_rules_corpus_matches_python(spark, sf_dir):

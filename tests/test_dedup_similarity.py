@@ -343,4 +343,3 @@ def test_dedup_clusters_star_raises_without_fixed_point(spark):
     df = spark.createDataFrame(edges, "id_a BIGINT, id_b BIGINT")
     with pytest.raises(RuntimeError, match="no fixed point"):
         dedup.dedup_clusters_star(df, max_iter=1, small_graph_edges=0)
-

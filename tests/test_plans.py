@@ -664,11 +664,27 @@ def test_q190_shuffle_carries_hash_not_text(spark, sf_dir):
     contain it), and the top-20 is TakeOrdered, not a global sort."""
     from ai_data_pipeline_spark.plans import extended_queries as X
 
-    s = plan_of(X.q190_template_dedup(spark, sf_dir))
+    df = X.q190_template_dedup(spark, sf_dir)
+    s = plan_of(df)
     assert "TakeOrderedAndProject" in s
     assert re.search(r"Exchange hashpartitioning\(th#", s)
     assert "partial_count" in s  # map-side combine under the exchange
-    # the only appearance of `text` is inside the scan/projection
-    # stage (*(1)); it must not cross the exchange boundary
-    exch = s.find("Exchange hashpartitioning(th#")
-    assert "text#" not in s[:exch].split("ShuffleQueryStage")[0].split("+- *(1)")[0]
+    # what crosses the shuffle is exactly the Exchange node's own
+    # attribute list — read it from the formatted explain (each
+    # `(N) Exchange` block prints `Input [n]: [...]`), not from a
+    # positional slice of the tree print (ADVICE r07: the slice could
+    # collapse and pass vacuously)
+    fmt = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    exchanges = [
+        b
+        for b in re.split(r"\n\n+", fmt)
+        if re.search(r"\(\d+\) Exchange\b", b)
+        and "hashpartitioning(th#" in b
+    ]
+    assert exchanges, "no th-keyed Exchange block in formatted plan"
+    for block in exchanges:
+        m = re.search(r"Input \[\d+\]: \[([^\]]+)\]", block)
+        assert m and m.group(1).strip(), block
+        assert "text#" not in m.group(1), block
