@@ -874,12 +874,19 @@ def semantic_dedup(
        Arrow kernel (:func:`~ai_data_pipeline_spark.operators.
        vectorized.ivf_assign_np`, bit-parity pinned against the
        expression path by tests/test_vectorized.py);
-    2. within-cell exact cosine pairs
-       (:func:`embedding_neardup_pairs` with ``block_col`` — the
-       quadratic term is Σ|cell|², never corpus², the same bound the
-       paper exploits; size cells with
-       ``vectorized.planes_for_occupancy``-style occupancy math);
-    3. component resolution (:func:`dedup_clusters`) + min-id keeper
+    2. within-cell exact cosine pairs via the Arrow blocked kernel
+       (:func:`~ai_data_pipeline_spark.operators.vectorized.
+       cosine_pairs_np` with ``block_col="cell"`` — the quadratic
+       term is Σ|cell|², never corpus², the same bound the paper
+       exploits, and the arithmetic is the left-to-right float64
+       fold that is bit-exact with the SQL twin; size cells with
+       ``vectorized.planes_for_occupancy``-style occupancy math.
+       The interpreted HOF expression path
+       (:func:`embedding_neardup_pairs`) computes the identical
+       pairs ~20× slower — measured 16.1 s vs <1 s at 2,000 vecs);
+    3. component resolution (:func:`dedup_clusters_star` — O(log n)
+       star-contraction rounds with the count-gated driver
+       union-find for small edge sets) + min-id keeper
        (deterministic; the paper keeps a random member — min-id is
        the oracle-stable choice, documented divergence).
 
@@ -888,17 +895,20 @@ def semantic_dedup(
     Cross-cluster near-duplicates are NOT found (inherent SemDeDup
     recall loss at cell boundaries — the paper's own approximation).
     """
-    from ai_data_pipeline_spark.operators.vectorized import ivf_assign_np
+    from ai_data_pipeline_spark.operators.vectorized import (
+        cosine_pairs_np,
+        ivf_assign_np,
+    )
 
     assigned = ivf_assign_np(emb, centroids, corpus_vec=vec_col)
-    pairs = embedding_neardup_pairs(
+    pairs = cosine_pairs_np(
         assigned,
         id_col=id_col,
         vec_col=vec_col,
         block_col="cell",
         min_cosine=min_cosine,
     )
-    clusters = dedup_clusters(pairs)
+    clusters = dedup_clusters_star(pairs)
     ids = assigned.select(F.col(id_col).alias("id"))
     return (
         ids.join(clusters, "id", "left")

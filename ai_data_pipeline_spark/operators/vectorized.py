@@ -322,6 +322,7 @@ def cosine_pairs_np(
     min_cosine: float | None = None,
     pair_topk: int | None = None,
     rows_per_block: int = 1024,
+    block_col: str | None = None,
 ) -> DataFrame:
     """All-pairs cosine over the corpus, blocked: rows hash into
     ~n/rows_per_block blocks; block pairs (i ≤ j) evaluate
@@ -330,34 +331,67 @@ def cosine_pairs_np(
     subset of per-block-pair top-ks, so pair_topk pushes the limit
     into the kernel and the final sort sees B²k rows, not n²).
 
-    Replication: each block ships to B pair-tasks via a broadcast of
-    the packed block table (B rows). At 100 TB-scale corpora use a
-    coarse pre-filter (IVF cells / LSH buckets) as block_col-style
-    blocking instead of all-pairs — this operator is the exact
-    fallback, O(n²/B) per task by construction.
+    With ``block_col`` (an IVF cell / LSH bucket / cluster id), pairs
+    are evaluated ONLY within equal block values — the quadratic term
+    drops from n² to Σ|block|², and the block-pair join becomes an
+    equi-join on the block (shuffle hash/SMJ, no broadcast of the
+    corpus). Oversized blocks still split into sub-blocks of
+    ~rows_per_block rows, so a skewed block never produces one giant
+    task. Without it, the join is a broadcast of the packed block
+    table (B rows) against itself — the exact all-pairs fallback,
+    O(n²/B) per task by construction; at 100 TB-scale corpora always
+    pass a coarse pre-filter as ``block_col``.
 
     rows_per_block ≈ 1k keeps each pair task at ~10⁸ flops AND the
     per-iteration numpy temporaries (block² doubles) inside L2/L3 —
     a single 2000-row block measured 25× slower than 2×1000 purely
     from cache-thrashing 32 MB temporaries.
     """
-    n_rows = emb.count()
-    n_blocks = max(1, -(-n_rows // rows_per_block))
+    if block_col is None:
+        n_rows = emb.count()
+        n_sub = max(1, -(-n_rows // rows_per_block))
+        blk = F.lit(0)
+    else:
+        # sub-split sized by the LARGEST block (one tiny agg): every
+        # (block, sub) packet is ≤ ~rows_per_block rows even under
+        # skewed block occupancy
+        max_blk = (
+            emb.groupBy(block_col)
+            .count()
+            .agg(F.max("count"))
+            .collect()[0][0]
+            or 1
+        )
+        n_sub = max(1, -(-int(max_blk) // rows_per_block))
+        blk = F.col(block_col).cast("long")
     packed = (
         emb.select(
-            F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).alias("bid"),
+            blk.alias("blk"),
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_sub)).alias("bid"),
             F.col(id_col).cast("long").alias("_id"),
             F.col(vec_col).alias("_vec"),
         )
-        .groupBy("bid")
+        .groupBy("blk", "bid")
         .agg(F.collect_list(F.struct("_id", "_vec")).alias("rows"))
     )
     a = packed.select(
-        F.col("bid").alias("bid_a"), F.col("rows").alias("rows_a")
+        F.col("blk").alias("blk_a"), F.col("bid").alias("bid_a"),
+        F.col("rows").alias("rows_a"),
     )
-    b = packed.select(F.col("bid").alias("bid_b"), F.col("rows").alias("rows_b"))
-    pairs = a.join(F.broadcast(b), F.col("bid_a") <= F.col("bid_b"))
-    # spread the B(B+1)/2 block-pair tasks across the cluster
+    b = packed.select(
+        F.col("blk").alias("blk_b"), F.col("bid").alias("bid_b"),
+        F.col("rows").alias("rows_b"),
+    )
+    if block_col is None:
+        pairs = a.join(F.broadcast(b), F.col("bid_a") <= F.col("bid_b"))
+    else:
+        # equi on the block — within-block sub-pairs form the triangle
+        pairs = a.join(
+            b,
+            (F.col("blk_a") == F.col("blk_b"))
+            & (F.col("bid_a") <= F.col("bid_b")),
+        )
+    # spread the block-pair tasks across the cluster
     pairs = pairs.repartition(emb.sparkSession.sparkContext.defaultParallelism)
 
     def kern(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -970,3 +970,216 @@ ORACLE["q201_sequence_gaps"] = """
     ORDER BY gap_len DESC, gap_start ASC
     LIMIT 20
 """
+
+
+# ===========================================================================
+# Round 8 — graded LLM-curation rows
+# ===========================================================================
+
+# ---------------------------------------------------------------------------
+# Q202 — Gopher quality-rule report (Rae et al. 2021, A.1.1 — the
+# MassiveText structural pre-filter): per-source document counts,
+# keep counts, and per-rule rejection counts over the 7-rule family
+# in operators/curation.gopher_quality_flags. Every rule is a
+# cross-multiplied integer comparison (no float ratios), so the SQL
+# twin recomputes them bit-exactly from the same [ \t\r\n] token and
+# line classes. keep_rate is the one double: a single IEEE division
+# of two exact BIGINTs (float-policy rule). Scale: the flag
+# projection is one narrow pure-Catalyst pass at the scan (no UDF,
+# no shuffle before the per-source agg) — 16x probe flat
+# (SCALING.md). The synthetic corpus is stopword-poor word soup, so
+# n_kept is 0 by r_stopwords while the OTHER rule columns vary —
+# the per-rule counts are the graded signal.
+# ---------------------------------------------------------------------------
+
+def q202_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_data_pipeline_spark.operators.curation import gopher_quality_flags
+
+    docs = _t(spark, sf_dir, "documents").select("source", "text")
+    g = gopher_quality_flags(docs)
+    rules = [
+        "r_word_count", "r_mean_word_len", "r_symbol_ratio",
+        "r_bullet_lines", "r_ellipsis_lines", "r_alpha_words",
+        "r_stopwords",
+    ]
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.col("gopher_keep").cast("int")).cast("long").alias("n_kept"),
+        F.sum("n_words").cast("long").alias("words_total"),
+    ] + [
+        F.sum((~F.col(r)).cast("int")).cast("long").alias("f" + r[1:])
+        for r in rules
+    ]
+    out = g.groupBy("source").agg(*aggs)
+    return (
+        out.withColumn(
+            "keep_rate",
+            F.col("n_kept").cast("double") / F.col("n_docs").cast("double"),
+        )
+        .orderBy("source")
+    )
+
+
+QUERIES["q202_gopher_quality"] = q202_gopher_quality
+ORACLE["q202_gopher_quality"] = """
+    WITH d AS (
+        SELECT source,
+               coalesce(text, '') AS t,
+               list_filter(string_split_regex(coalesce(text, ''), '[ \\t\\r\\n]+'),
+                           w -> w != '') AS words,
+               list_filter(string_split(coalesce(text, ''), chr(10)),
+                           l -> NOT regexp_full_match(l, '[ \\t\\r]*')) AS lines
+        FROM documents
+    ), m AS (
+        SELECT source,
+               len(words) AS n_words,
+               coalesce(list_sum(list_transform(words, w -> len(w))), 0) AS word_chars,
+               len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]'))) AS n_alpha,
+               len(lines) AS n_lines,
+               len(list_filter(lines, l -> regexp_matches(l, '^[ \\t]*[-*\u2022]'))) AS n_bullet,
+               len(list_filter(lines, l -> regexp_matches(l, '(\\.\\.\\.|\u2026)[ \\t\\r]*$'))) AS n_ell,
+               length(t) - length(replace(t, '#', ''))
+                 + len(regexp_extract_all(t, '(\\.\\.\\.|\u2026)')) AS n_sym,
+               len(list_intersect(list_distinct(list_transform(words, w -> lower(w))),
+                   ['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with'])) AS n_stop
+        FROM d
+    ), r AS (
+        SELECT source, n_words,
+               (n_words >= 50 AND n_words <= 100000) AS r_word_count,
+               (3 * n_words <= word_chars AND word_chars <= 10 * n_words) AS r_mean_word_len,
+               (10 * n_sym <= n_words) AS r_symbol_ratio,
+               (10 * n_bullet <= 9 * n_lines) AS r_bullet_lines,
+               (10 * n_ell <= 3 * n_lines) AS r_ellipsis_lines,
+               (5 * n_alpha >= 4 * n_words) AS r_alpha_words,
+               (n_stop >= 2) AS r_stopwords
+        FROM m
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN r_word_count AND r_mean_word_len AND r_symbol_ratio
+                          AND r_bullet_lines AND r_ellipsis_lines AND r_alpha_words
+                          AND r_stopwords THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(n_words) AS BIGINT) AS words_total,
+           CAST(SUM(CASE WHEN r_word_count THEN 0 ELSE 1 END) AS BIGINT) AS f_word_count,
+           CAST(SUM(CASE WHEN r_mean_word_len THEN 0 ELSE 1 END) AS BIGINT) AS f_mean_word_len,
+           CAST(SUM(CASE WHEN r_symbol_ratio THEN 0 ELSE 1 END) AS BIGINT) AS f_symbol_ratio,
+           CAST(SUM(CASE WHEN r_bullet_lines THEN 0 ELSE 1 END) AS BIGINT) AS f_bullet_lines,
+           CAST(SUM(CASE WHEN r_ellipsis_lines THEN 0 ELSE 1 END) AS BIGINT) AS f_ellipsis_lines,
+           CAST(SUM(CASE WHEN r_alpha_words THEN 0 ELSE 1 END) AS BIGINT) AS f_alpha_words,
+           CAST(SUM(CASE WHEN r_stopwords THEN 0 ELSE 1 END) AS BIGINT) AS f_stopwords,
+           CAST(SUM(CASE WHEN r_word_count AND r_mean_word_len AND r_symbol_ratio
+                          AND r_bullet_lines AND r_ellipsis_lines AND r_alpha_words
+                          AND r_stopwords THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS keep_rate
+    FROM r
+    GROUP BY source
+    ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q203 — SemDeDup semantic deduplication (Abbas et al. 2023,
+# arXiv:2303.09540) as a graded row: IVF cell assignment over the
+# fixed Q28 centroid set, within-cell exact cosine pairs at
+# τ = 0.35, connected-component resolution, min-id keeper — reported
+# as the cluster-size histogram (n_clusters per size; Σ n_clusters
+# is the keeper count, Σ n_docs the corpus). Everything upstream of
+# the histogram is bit-deterministic: the numpy kernels accumulate
+# float64 left-to-right, matching the SQL twin's list_sum fold
+# exactly (parity pinned by tests/test_vectorized.py), so the
+# threshold decisions — hence the component structure — hash-match.
+# Scale: the quadratic term is Σ|cell|² only (cells sized by
+# occupancy at production — SCALING.md measures the knob at 16×);
+# the pair stage is the Arrow blocked kernel (block_col="cell"),
+# never the interpreted HOF path; cluster resolution is the
+# checkpointed min-label propagation. Oracle components use q84's
+# proven recursive-CTE idiom. Zero-norm vectors would diverge
+# (kernel drops NaN pairs, SQL divides) — the det-fake corpus has
+# none, and production embeddings are unit-normalized.
+# ---------------------------------------------------------------------------
+
+_Q203_TAU = 0.35
+
+
+def q203_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_data_pipeline_spark.operators.dedup import semantic_dedup
+    from ai_data_pipeline_spark.plans.constants import Q28_CENTROIDS
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = semantic_dedup(emb, Q28_CENTROIDS, min_cosine=_Q203_TAU)
+    sizes = out.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_clusters"))
+        .withColumn(
+            "n_docs", (F.col("cluster_size") * F.col("n_clusters")).cast("long")
+        )
+        .orderBy("cluster_size")
+    )
+
+
+QUERIES["q203_semantic_dedup"] = q203_semantic_dedup
+
+
+def _q203_oracle() -> str:
+    from ai_data_pipeline_spark.functions.vector import (
+        sql_lit_list,
+        sql_squared_l2,
+    )
+    from ai_data_pipeline_spark.plans.constants import EMBED_DIM, Q28_CENTROIDS
+
+    cells = ", ".join(
+        f"struct_pack(d := {sql_squared_l2('embedding', sql_lit_list(c), EMBED_DIM)}, c := {ci})"
+        for ci, c in enumerate(Q28_CENTROIDS)
+    )
+    # pre-cast each vector to a DOUBLE list and precompute its norm
+    # ONCE (the kernel does exactly the same: norms_ltr per vector,
+    # one cross-dot per pair) — folding 3 lambdas per candidate pair
+    # instead measured 54 s vs ~15 s at 500 vecs
+    rng = f"range(1, {EMBED_DIM + 1})"
+    dot_vv = f"list_sum(list_transform({rng}, i -> (v)[i] * (v)[i]))"
+    dot_ab = f"list_sum(list_transform({rng}, i -> (a.v)[i] * (b.v)[i]))"
+    # AS MATERIALIZED: without it DuckDB inlines `normed` into both
+    # sides of the self-join and re-evaluates the 8-centroid argmin
+    # per candidate PAIR — measured 49 s vs 5 s at 500 vecs
+    return f"""
+        WITH RECURSIVE assigned AS MATERIALIZED (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+                   struct_extract((list_sort([{cells}]))[1], 'c') AS cell
+            FROM embeddings
+        ), normed AS MATERIALIZED (
+            SELECT vec_id, v, cell, sqrt({dot_vv}) AS nrm FROM assigned
+        ), pairs AS (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM normed a JOIN normed b
+              ON a.cell = b.cell AND a.vec_id < b.vec_id
+            WHERE ({dot_ab}) / (a.nrm * b.nrm) >= '{_Q203_TAU!r}'::DOUBLE
+        ), edges AS (
+            SELECT id_a AS a, id_b AS b FROM pairs
+            UNION
+            SELECT id_b AS a, id_a AS b FROM pairs
+        ), reach AS (
+            SELECT a AS id, a AS lab FROM edges
+            UNION
+            SELECT e.a AS id, r.lab AS lab FROM edges e JOIN reach r ON r.id = e.b
+        ), comp AS (
+            SELECT id, MIN(lab) AS cluster_id FROM reach GROUP BY id
+        ), clusters AS (
+            SELECT v.vec_id AS id,
+                   COALESCE(c.cluster_id, v.vec_id) AS cluster_id
+            FROM embeddings v LEFT JOIN comp c ON c.id = v.vec_id
+        ), sizes AS (
+            SELECT cluster_id, COUNT(*) AS cluster_size
+            FROM clusters GROUP BY cluster_id
+        )
+        SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+               CAST(COUNT(*) AS BIGINT) AS n_clusters,
+               CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs
+        FROM sizes GROUP BY cluster_size ORDER BY cluster_size
+    """
+
+
+ORACLE["q203_semantic_dedup"] = _q203_oracle()

@@ -688,3 +688,25 @@ def test_q190_shuffle_carries_hash_not_text(spark, sf_dir):
         m = re.search(r"Input \[\d+\]: \[([^\]]+)\]", block)
         assert m and m.group(1).strip(), block
         assert "text#" not in m.group(1), block
+
+
+def test_q202_gopher_pure_catalyst(spark, sf_dir):
+    """The Gopher rule family must run AT THE SCAN: no Python eval
+    node of any kind, word/line metrics folded map-side into a
+    partial aggregate, and exactly two exchanges — the per-source
+    hash agg and the final presentation sort."""
+    from ai_data_pipeline_spark.plans import extended_queries as X
+
+    s = plan_of(X.q202_gopher_quality(spark, sf_dir))
+    assert "Python" not in s  # no BatchEvalPython / ArrowEvalPython / mapInPandas
+    assert "partial_count" in s and "partial_sum" in s  # map-side combine
+    uniq = {
+        re.sub(r"#\d+|plan_id=\d+", "", ln.strip())
+        for ln in s.splitlines()
+        if "Exchange" in ln and "ShuffleQueryStage" not in ln
+    }
+    hash_ex = [l for l in uniq if "hashpartitioning(source" in l]
+    range_ex = [l for l in uniq if "rangepartitioning(source" in l]
+    assert len(hash_ex) == 1, uniq
+    assert len(range_ex) == 1, uniq
+    assert len(uniq) == 2, uniq

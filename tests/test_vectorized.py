@@ -76,6 +76,24 @@ def test_cosine_pairs_min_cosine_full_set(spark, emb):
     assert a == b
 
 
+def test_cosine_pairs_blocked_parity(spark, emb):
+    """block_col mode: the kernel evaluates EXACTLY the within-block
+    pairs the expression path does — bit-equal sims, no cross-block
+    pair, no loss under sub-splitting (rows_per_block far below the
+    largest cell forces the sub-block triangle join to engage)."""
+    sub = ivf_assign_np(emb.filter(F.col("vec_id") < 160), Q28_CENTROIDS)
+    expr = dedup.embedding_neardup_pairs(
+        sub, block_col="cell", min_cosine=0.05, dim=EMBED_DIM
+    )
+    fast = cosine_pairs_np(
+        sub, block_col="cell", min_cosine=0.05, rows_per_block=13
+    )
+    a = sorted(_rows(expr, "id_a", "id_b", "sim"))
+    b = sorted(_rows(fast, "id_a", "id_b", "sim"))
+    assert a == b
+    assert len(a) > 0
+
+
 def test_ivf_parity(spark, emb):
     expr_cells = similarity.ivf_assign(emb, Q28_CENTROIDS, dim=EMBED_DIM)
     fast_cells = ivf_assign_np(emb, Q28_CENTROIDS)
