@@ -33,6 +33,7 @@ PROBE = [
     "q49_embed_knn",        # pandas-UDF encode + top-k
     "q54_top_tokens",       # explode + two-phase agg
     "q62_chunk_embed_sim",  # UDTF chunk → embed → score, composed
+    "q81_percentile_cont",  # domain-histogram percentile (r07 verdict flag)
     "q82_blocked_neardup",  # LSH blocking + exact within-block verify
     "q84_dedup_clusters",   # pair → connected components (star)
     "q86_asof_forward",     # join-free as-of (union + window)
@@ -82,6 +83,8 @@ PROBE = [
     "q196_interval_overlap",  # order⋈lineitem clamped-overlap measure
     "q198_skyline",         # running-max Pareto frontier
     "q200_largest_remainder",  # two-level apportionment windows
+    "q202_gopher_quality",  # pure-Catalyst rule projection (at the scan)
+    "q203_semantic_dedup",  # Σ|cell|² pair kernel + star components
 ]
 
 
