@@ -376,3 +376,48 @@ def gopher_quality_flags(
     for name in rules:
         keep = F.col(name) if keep is None else keep & F.col(name)
     return out.withColumn("gopher_keep", keep)
+
+
+def distributed_prefix_sum(
+    df: DataFrame,
+    bucket_col: str,
+    order_cols: list[str],
+    value_col: str,
+    out_col: str = "cum",
+) -> DataFrame:
+    """Global running sum WITHOUT a global single-task window — the
+    classic two-pass distributed prefix sum (the scale fix for q87's
+    documented giant-group caveat).
+
+    Contract: ``bucket_col`` must be MONOTONE in the global
+    ``order_cols`` order (bucket boundaries are ranges of the leading
+    order key), so "all rows of earlier buckets precede this bucket"
+    holds. Pass 1 computes the within-bucket cumsum in parallel
+    (window partitioned by bucket); pass 2 aggregates one total per
+    bucket — a B-row frame — takes its exclusive running sum with a
+    window ORDER BY bucket (single task over B rows, not the corpus),
+    and broadcast-joins the per-bucket offset back. Result column
+    ``out_col`` equals the single-window global cumsum bit-for-bit
+    (integer addition is associative), at the cost of one extra
+    metadata-sized exchange.
+    """
+    w_in = (
+        Window.partitionBy(bucket_col)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = df.withColumn("_local_cum", F.sum(value_col).over(w_in))
+    totals = df.groupBy(bucket_col).agg(F.sum(value_col).alias("_total"))
+    w_off = (
+        Window.orderBy(bucket_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        bucket_col,
+        F.coalesce(F.sum("_total").over(w_off), F.lit(0)).alias("_offset"),
+    )
+    return (
+        local.join(F.broadcast(offsets), bucket_col)
+        .withColumn(out_col, F.col("_local_cum") + F.col("_offset"))
+        .drop("_local_cum", "_offset")
+    )

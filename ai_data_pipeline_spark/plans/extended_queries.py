@@ -1183,3 +1183,213 @@ def _q203_oracle() -> str:
 
 
 ORACLE["q203_semantic_dedup"] = _q203_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Q204 — document-level MinHash dedup END-TO-END at a fixed policy
+# (the FineWeb/RefinedWeb production pass, Penedo et al. 2024): q24's
+# exact MinHash+LSH pipeline (3-gram shingles, 32 md5-family hashes,
+# 8 bands × 4 — banding threshold ≈ 0.59 at the 0.6 verification
+# cutoff) → star-contraction connected components → min-id keeper,
+# reported per source as docs before/after dedup. This composes the
+# three graded primitives (q24 pairs, q84/q107 components+keeper)
+# into the single pass a user actually runs — the same way q91
+# composed the curation funnel. removed_rate is one IEEE division of
+# exact BIGINTs. Scale: candidates come from banding (never an
+# all-pairs shingle join — the verification join is linear in
+# candidates), shuffles carry 60-bit hashes not text, components
+# resolve in O(log n) star rounds or the count-gated union-find.
+# ---------------------------------------------------------------------------
+
+def q204_minhash_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_data_pipeline_spark.catalog import spread
+    from ai_data_pipeline_spark.operators import dedup
+
+    docs = spread(_t(spark, sf_dir, "documents"))
+    pairs = dedup.minhash_neardup_pairs(
+        docs, "doc_id", "text", n=3, num_hashes=32, bands=8, min_jaccard=0.6
+    )
+    clusters = dedup.dedup_clusters_star(pairs)
+    keeper = (
+        docs.select("doc_id", "source")
+        .join(clusters.withColumnRenamed("id", "doc_id"), "doc_id", "left")
+        .select(
+            "source",
+            "doc_id",
+            F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id"),
+        )
+    )
+    agg = keeper.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum((F.col("doc_id") == F.col("cluster_id")).cast("int"))
+        .cast("long")
+        .alias("n_kept"),
+    )
+    return (
+        agg.withColumn("n_removed", (F.col("n_docs") - F.col("n_kept")).cast("long"))
+        .withColumn(
+            "removed_rate",
+            F.col("n_removed").cast("double") / F.col("n_docs").cast("double"),
+        )
+        .orderBy("source")
+    )
+
+
+QUERIES["q204_minhash_keeper"] = q204_minhash_keeper
+
+# Oracle: q24's SQL pipeline (signatures → band keys → candidates →
+# exact-Jaccard ≥ 0.6) over the SAME sql_word_ngrams fragment q24's
+# twin uses, then q84's recursive-CTE components and the same min-id
+# keeper defaulting to self.
+def _q204_oracle() -> str:
+    from ai_data_pipeline_spark.functions.text import sql_word_ngrams
+
+    return f"""
+    WITH RECURSIVE sh AS MATERIALIZED (
+        SELECT DISTINCT doc_id AS id, unnest({sql_word_ngrams("text", 3)}) AS shingle
+        FROM documents
+    ), sig AS (
+        SELECT id, j, MIN((('0x' || substr(md5(shingle || ':' || j), 1, 15))::BIGINT)) AS mh
+        FROM sh CROSS JOIN range(32) AS t(j)
+        GROUP BY id, j
+    ), bandkey AS (
+        SELECT id, j // 4 AS band, string_agg(mh::VARCHAR, ',' ORDER BY j) AS bk
+        FROM sig GROUP BY id, j // 4
+    ), cand AS (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        FROM bandkey a
+        JOIN bandkey b ON a.band = b.band AND a.bk = b.bk AND a.id < b.id
+    ), sizes AS (
+        SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id
+    ), inter AS (
+        SELECT id_a, id_b, COUNT(*) AS inter
+        FROM cand
+        JOIN sh sa ON sa.id = cand.id_a
+        JOIN sh sb ON sb.id = cand.id_b AND sb.shingle = sa.shingle
+        GROUP BY 1, 2
+    ), pairs AS (
+        SELECT id_a, id_b
+        FROM inter
+        JOIN sizes sa ON sa.id = id_a
+        JOIN sizes sb ON sb.id = id_b
+        WHERE inter / (sa.n_sh + sb.n_sh - inter) >= '0.6'::DOUBLE
+    ), edges AS (
+        SELECT id_a AS a, id_b AS b FROM pairs
+        UNION
+        SELECT id_b AS a, id_a AS b FROM pairs
+    ), reach AS (
+        SELECT a AS id, a AS lab FROM edges
+        UNION
+        SELECT e.a AS id, r.lab AS lab FROM edges e JOIN reach r ON r.id = e.b
+    ), comp AS (
+        SELECT id, MIN(lab) AS cluster_id FROM reach GROUP BY id
+    ), keeper AS (
+        SELECT d.source, d.doc_id,
+               COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+        FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN doc_id = cluster_id THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN doc_id = cluster_id THEN 0 ELSE 1 END) AS BIGINT) AS n_removed,
+           CAST(SUM(CASE WHEN doc_id = cluster_id THEN 0 ELSE 1 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS removed_rate
+    FROM keeper
+    GROUP BY source
+    ORDER BY source
+"""
+
+
+ORACLE["q204_minhash_keeper"] = _q204_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Q205 — tokenizer-aware multi-source interleaved sequence packing
+# (q87's per-source packing extended to the cross-source training
+# stream): documents from ALL sources interleave in a deterministic
+# pseudo-random order (multiplicative-hash key — the reproducible
+# stand-in for the shuffle every training run applies), concatenate,
+# and cut into 1024-token sequences using the BPE-ish token count;
+# report the per-sequence source-diversity histogram (sequences by
+# how many distinct sources contributed a doc STARTING in them) —
+# the mixing audit for curriculum/contamination concerns. The global
+# cumsum uses distributed_prefix_sum (operators/curation.py): the
+# hash key is uniform, so its range buckets are contiguous in the
+# global order and the two-pass prefix sum replaces q87's
+# single-task-window caveat with a B-row offset pass — the 100 TB
+# shape, graded. All integer arithmetic; every div/% dividend is
+# non-negative (doc_id ≥ 0, token counts ≥ 0, cum ≥ n_tok).
+# ---------------------------------------------------------------------------
+
+_Q205_BUDGET = 1024
+_Q205_P = 1_000_003          # hash modulus (prime)
+_Q205_MULT = 2_654_435_761   # Knuth multiplicative constant
+_Q205_BUCKETS = 64
+
+
+def q205_pack_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_data_pipeline_spark.functions.text import token_count_bpe_ish
+    from ai_data_pipeline_spark.operators.curation import distributed_prefix_sum
+
+    docs = _t(spark, sf_dir, "documents")
+    step = _Q205_P // _Q205_BUCKETS + 1  # ord_key range per bucket
+    base = docs.select(
+        "doc_id",
+        "source",
+        token_count_bpe_ish(F.col("text")).alias("n_tok"),
+        # doc_id ≥ 0 → product ≥ 0 → % and div non-negative
+        F.expr(f"(doc_id * {_Q205_MULT}) % {_Q205_P}").alias("ord_key"),
+    ).withColumn("bucket", F.expr(f"ord_key div {step}"))
+    cum = distributed_prefix_sum(
+        base, "bucket", ["ord_key", "doc_id"], "n_tok"
+    )
+    seqs = cum.select(
+        "source",
+        # cum ≥ n_tok ≥ 0: the doc's FIRST sequence index
+        F.expr(f"(cum - n_tok) div {_Q205_BUDGET}").alias("seq"),
+    )
+    per_seq = seqs.groupBy("seq").agg(
+        F.countDistinct("source").cast("long").alias("n_src"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+    )
+    return (
+        per_seq.groupBy("n_src")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_seqs"),
+            F.sum("n_docs").cast("long").alias("n_docs"),
+        )
+        .orderBy("n_src")
+    )
+
+
+QUERIES["q205_pack_interleave"] = q205_pack_interleave
+
+
+def _q205_oracle() -> str:
+    from ai_data_pipeline_spark.functions.text import BPE_ISH_PATTERN
+
+    return f"""
+    WITH base AS (
+        SELECT doc_id, source,
+               len(regexp_extract_all(text, '{BPE_ISH_PATTERN}')) AS n_tok,
+               (doc_id * {_Q205_MULT}) % {_Q205_P} AS ord_key
+        FROM documents
+    ), cum AS (
+        SELECT source, n_tok,
+               SUM(n_tok) OVER (ORDER BY ord_key, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM base
+    ), seqs AS (
+        SELECT source, (cum - n_tok) // {_Q205_BUDGET} AS seq FROM cum
+    ), per_seq AS (
+        SELECT seq, COUNT(DISTINCT source) AS n_src, COUNT(*) AS n_docs
+        FROM seqs GROUP BY seq
+    )
+    SELECT CAST(n_src AS BIGINT) AS n_src,
+           CAST(COUNT(*) AS BIGINT) AS n_seqs,
+           CAST(SUM(n_docs) AS BIGINT) AS n_docs
+    FROM per_seq GROUP BY n_src ORDER BY n_src
+    """
+
+
+ORACLE["q205_pack_interleave"] = _q205_oracle()

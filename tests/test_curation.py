@@ -291,3 +291,37 @@ def test_gopher_rules_corpus_matches_python(spark, sf_dir):
     # word-count rule must split it both ways
     n_pass_wc = sum(1 for _, n, _ in got.values() if 50 <= n <= 100_000)
     assert 0 < n_pass_wc < len(got)
+
+
+# --- distributed prefix sum ---------------------------------------------------
+
+
+def test_distributed_prefix_sum_matches_global_window(spark):
+    """Two-pass bucketed prefix sum == the single global-window cumsum
+    bit-for-bit (integer addition is associative), with the bucket
+    offsets pass actually exercised (multiple non-empty buckets) and
+    intentionally skewed bucket sizes."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ai_data_pipeline_spark.operators.curation import distributed_prefix_sum
+
+    rows = [(i, (i * 13) % 7 + 1) for i in range(500)]
+    df = (
+        spark.createDataFrame(rows, "id long, val long")
+        .withColumn("ok", F.expr("(id * 2654435761) % 1000003"))
+        .withColumn("bucket", F.expr("ok div 100001"))
+    )
+    assert df.select("bucket").distinct().count() >= 5
+    got = {
+        r["id"]: r["cum"]
+        for r in distributed_prefix_sum(df, "bucket", ["ok", "id"], "val").collect()
+    }
+    w = Window.orderBy("ok", "id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    want = {
+        r["id"]: r["cum"]
+        for r in df.withColumn("cum", F.sum("val").over(w)).collect()
+    }
+    assert got == want

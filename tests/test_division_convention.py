@@ -153,6 +153,14 @@ ALLOWED_DIV_SITES = {
     'base ), buck AS ( SELECT o_orderkey, ((a - a0) * 65535) //',
     '1)" ) . alias ( "au" ) , F . expr ( f"((b - b0) * {hi}) div',
     ' select ( "o_orderkey" , F . expr ( f"((a - a0) * {hi}) div',
+    # q205 interleaved packing — ord_key = (doc_id * MULT) % P with
+    # doc_id ≥ 0 so ord_key ∈ [0, P); cum ≥ n_tok ≥ 0 (running token
+    # budget, same proof as q87's cum - n_tok); _Q205_P // _BUCKETS
+    # is a positive module constant.
+    ' = cum . select ( "source" , F . expr ( f"(cum - n_tok) div',
+    'cs = _t ( spark , sf_dir , "documents" ) step = _Q205_P //',
+    'cum FROM base ), seqs AS ( SELECT source, (cum - n_tok) //',
+    'y" ) , ) . withColumn ( "bucket" , F . expr ( f"ord_key div',
 }
 
 
