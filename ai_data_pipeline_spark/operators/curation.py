@@ -421,3 +421,51 @@ def distributed_prefix_sum(
         .withColumn(out_col, F.col("_local_cum") + F.col("_offset"))
         .drop("_local_cum", "_offset")
     )
+
+
+def c4_quality_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document C4 cleaning metrics + verdict (Raffel et al. 2020
+    §2.2 — the other canonical structural pre-filter next to
+    :func:`gopher_quality_flags`). Line rules: a line is RETAINED iff
+    it ends in terminal punctuation (. ! ? ") and has ≥ 5 whitespace
+    words. Document rules: drop when the text contains '{' (code), a
+    'lorem ipsum' placeholder (case-insensitive), or keeps < 3 lines
+    (the paper's ≥3-sentence rule at line granularity).
+
+    Adds ``n_lines``, ``n_kept_lines``, ``kept_chars``, ``has_brace``,
+    ``has_lorem`` and ``c4_keep``. Same conventions as the Gopher
+    family: NULL text scores as the empty document (c4_keep is a real
+    False), explicit [ \\t\\r] whitespace classes (F.trim strips only
+    ASCII spaces), every metric an exact integer/boolean — the SQL
+    twin recomputes them bit-for-bit. One narrow pure-Catalyst
+    projection: no UDF, no shuffle, runs at the scan.
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    lines = F.filter(F.split(t, "\n"), lambda l: ~l.rlike("^[ \t\r]*$"))
+    kept = F.filter(
+        lines,
+        lambda l: l.rlike('[.!?"][ \t\r]*$')
+        & (
+            F.size(
+                F.filter(F.split(l, "[ \t\r]+"), lambda w: w != F.lit(""))
+            )
+            >= 5
+        ),
+    )
+    out = df.withColumns(
+        {
+            "n_lines": F.size(lines).cast("long"),
+            "n_kept_lines": F.size(kept).cast("long"),
+            "kept_chars": F.aggregate(
+                kept, F.lit(0).cast("long"), lambda acc, l: acc + F.length(l)
+            ),
+            "has_brace": t.contains("{"),
+            "has_lorem": F.lower(t).contains("lorem ipsum"),
+        }
+    )
+    return out.withColumn(
+        "c4_keep",
+        ~F.col("has_brace")
+        & ~F.col("has_lorem")
+        & (F.col("n_kept_lines") >= 3),
+    )

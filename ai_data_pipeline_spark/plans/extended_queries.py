@@ -1393,3 +1393,303 @@ def _q205_oracle() -> str:
 
 
 ORACLE["q205_pack_interleave"] = _q205_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Q206 — C4 cleaning report (Raffel et al. 2020 §2.2 — the other
+# canonical structural pre-filter next to q202's Gopher family):
+# per-source doc counts, per-rule doc rejections (brace / lorem-ipsum
+# / <3 retained lines) and the line-level retention mass (lines that
+# end in terminal punctuation AND have ≥5 words). Same discipline as
+# q202: explicit [ \t\r] classes on both engines, exact integers,
+# keep_rate as one IEEE division of exact BIGINTs, pure-Catalyst
+# projection at the scan.
+# ---------------------------------------------------------------------------
+
+def q206_c4_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_data_pipeline_spark.operators.curation import c4_quality_flags
+
+    docs = _t(spark, sf_dir, "documents").select("source", "text")
+    g = c4_quality_flags(docs)
+    out = g.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.col("c4_keep").cast("int")).cast("long").alias("n_kept"),
+        F.sum(F.col("has_brace").cast("int")).cast("long").alias("n_brace"),
+        F.sum(F.col("has_lorem").cast("int")).cast("long").alias("n_lorem"),
+        F.sum((F.col("n_kept_lines") < 3).cast("int")).cast("long").alias("n_too_few"),
+        F.sum("n_lines").cast("long").alias("lines_total"),
+        F.sum("n_kept_lines").cast("long").alias("lines_kept"),
+        F.sum("kept_chars").cast("long").alias("kept_chars"),
+    )
+    return (
+        out.withColumn(
+            "keep_rate",
+            F.col("n_kept").cast("double") / F.col("n_docs").cast("double"),
+        )
+        .orderBy("source")
+    )
+
+
+QUERIES["q206_c4_quality"] = q206_c4_quality
+ORACLE["q206_c4_quality"] = """
+    WITH d AS (
+        SELECT source,
+               coalesce(text, '') AS t,
+               list_filter(string_split(coalesce(text, ''), chr(10)),
+                           l -> NOT regexp_full_match(l, '[ \\t\\r]*')) AS lines
+        FROM documents
+    ), m AS (
+        SELECT source,
+               len(lines) AS n_lines,
+               list_filter(lines, l ->
+                   regexp_matches(l, '[.!?"][ \\t\\r]*$')
+                   AND len(list_filter(string_split_regex(l, '[ \\t\\r]+'),
+                                       w -> w != '')) >= 5) AS kept,
+               contains(t, '{') AS has_brace,
+               contains(lower(t), 'lorem ipsum') AS has_lorem
+        FROM d
+    ), r AS (
+        SELECT source, n_lines,
+               len(kept) AS n_kept_lines,
+               coalesce(list_sum(list_transform(kept, l -> len(l))), 0) AS kept_chars,
+               has_brace, has_lorem,
+               (NOT has_brace AND NOT has_lorem AND len(kept) >= 3) AS keep
+        FROM m
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN has_brace THEN 1 ELSE 0 END) AS BIGINT) AS n_brace,
+           CAST(SUM(CASE WHEN has_lorem THEN 1 ELSE 0 END) AS BIGINT) AS n_lorem,
+           CAST(SUM(CASE WHEN n_kept_lines < 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_too_few,
+           CAST(SUM(n_lines) AS BIGINT) AS lines_total,
+           CAST(SUM(n_kept_lines) AS BIGINT) AS lines_kept,
+           CAST(SUM(kept_chars) AS BIGINT) AS kept_chars,
+           CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS keep_rate
+    FROM r
+    GROUP BY source
+    ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q207 — temperature-based multilingual sampling weights (the XLM-R /
+# mBERT α-smoothed mixing rule, Conneau et al. 2020: p_l ∝ n_l^α,
+# α = 0.5): per language, token mass, the smoothed weight, its share
+# of the mix, and the document allocation out of a 100k budget.
+# Float policy: sqrt of an exact BIGINT (< 2^53) is ONE correctly-
+# rounded IEEE op on both engines; w = floor(sqrt(tokens) * 1e6) is
+# exact integer after one more exact-input multiply+floor (never
+# ROUND(double) — the .5 trap); share is a single division of two
+# exact BIGINTs; alloc is a truncating div of non-negative BIGINTs.
+# Scale: one agg on lang (tiny domain) — map-side combined counts.
+# ---------------------------------------------------------------------------
+
+_Q207_BUDGET = 100_000
+_Q207_WSCALE = 1_000_000
+
+
+def q207_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_data_pipeline_spark.functions.text import token_count_ws
+
+    docs = _t(spark, sf_dir, "documents")
+    per_lang = (
+        docs.select("lang", token_count_ws(F.col("text")).alias("n_tok"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("tokens"),
+        )
+    )
+    w = per_lang.withColumn(
+        "w",
+        F.floor(F.sqrt(F.col("tokens").cast("double")) * _Q207_WSCALE).cast("long"),
+    )
+    total = F.sum("w").over(Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    ))
+    return (
+        w.withColumn("w_total", total.cast("long"))
+        .select(
+            "lang",
+            "n_docs",
+            "tokens",
+            "w",
+            (F.col("w").cast("double") / F.col("w_total").cast("double")).alias("share"),
+            # w, w_total ≥ 0 → non-negative truncating div
+            F.expr(f"({_Q207_BUDGET} * w) div w_total").cast("long").alias("alloc"),
+        )
+        .orderBy("lang")
+    )
+
+
+QUERIES["q207_temperature_mix"] = q207_temperature_mix
+ORACLE["q207_temperature_mix"] = f"""
+    WITH per_lang AS (
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                        w -> len(w) > 0))) AS BIGINT) AS tokens
+        FROM documents
+        GROUP BY lang
+    ), w AS (
+        SELECT lang, n_docs, tokens,
+               CAST(floor(sqrt(CAST(tokens AS DOUBLE)) * {_Q207_WSCALE}) AS BIGINT) AS w
+        FROM per_lang
+    )
+    SELECT lang, n_docs, tokens, w,
+           CAST(w AS DOUBLE) / CAST(SUM(w) OVER () AS DOUBLE) AS share,
+           CAST(({_Q207_BUDGET} * w) // SUM(w) OVER () AS BIGINT) AS alloc
+    FROM w
+    ORDER BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q208 — integer-exact OLS trend per event type (regr_slope's
+# oracle-safe form): daily event counts regressed on the day index,
+# slope = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²) with every sum an exact
+# BIGINT (x = day − min_day ≤ a few hundred, y = daily count), so
+# the engine-native regr_* double accumulation — whose result is
+# summation-order-dependent — is replaced by one correctly-rounded
+# IEEE division of exact integers (slope), plus intercept =
+# (Σy − slope·Σx)/n as the identical three-op expression tree on
+# both engines. The numerator MAY be negative: it is never fed to
+# integer div (the one division is IEEE double), so the division-
+# convention rule does not apply. Scale: two map-side-combined aggs
+# (type×day, then type).
+# ---------------------------------------------------------------------------
+
+_Q208_DAY_NS = 86_400_000_000_000
+
+
+def q208_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_events(spark, sf_dir)
+    daily = (
+        e.select("event_type", F.expr(f"ts_ns div {_Q208_DAY_NS}").alias("day"))
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+    )
+    base = daily.withColumn(
+        "x",
+        (F.col("day") - F.min("day").over(Window.partitionBy("event_type")))
+        .cast("long"),
+    )
+    s = base.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("long")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("long")
+    out = s.select(
+        "event_type", "n", "sx", "sy", "sxy", "sxx",
+        num.alias("num"), den.alias("den"),
+    ).withColumn("slope", F.col("num").cast("double") / F.col("den").cast("double"))
+    return out.withColumn(
+        "intercept",
+        (F.col("sy").cast("double") - F.col("slope") * F.col("sx").cast("double"))
+        / F.col("n").cast("double"),
+    ).orderBy("event_type")
+
+
+QUERIES["q208_linear_trend"] = q208_linear_trend
+ORACLE["q208_linear_trend"] = f"""
+    WITH daily AS (
+        SELECT event_type, epoch_ns(ts) // {_Q208_DAY_NS} AS day,
+               CAST(COUNT(*) AS BIGINT) AS y
+        FROM events
+        GROUP BY event_type, day
+    ), base AS (
+        SELECT event_type, y,
+               day - MIN(day) OVER (PARTITION BY event_type) AS x
+        FROM daily
+    ), s AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx
+        FROM base
+        GROUP BY event_type
+    ), d AS (
+        SELECT event_type, n, sx, sy, sxy, sxx,
+               CAST(n * sxy - sx * sy AS BIGINT) AS num,
+               CAST(n * sxx - sx * sx AS BIGINT) AS den
+        FROM s
+    )
+    SELECT event_type, n, sx, sy, sxy, sxx, num, den,
+           CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS slope,
+           (CAST(sy AS DOUBLE)
+              - (CAST(num AS DOUBLE) / CAST(den AS DOUBLE)) * CAST(sx AS DOUBLE))
+             / CAST(n AS DOUBLE) AS intercept
+    FROM d
+    ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q209 — ANN quality audit: recall@3 of the IVF index (q28's fixed
+# 8-centroid / nprobe=2 policy) against the exact brute-force top-3
+# (q27), per query — the eval row every ANN deployment needs before
+# trusting the index. Both rankings are the already-graded
+# deterministic paths, so the audit is bit-deterministic end-to-end;
+# recall is one IEEE division of exact small integers. Scale: the
+# audit inherits q27/q28's shapes (broadcast query side, partition-
+# prunable cells); the join is on (qid, vec_id) over 15-row frames.
+# ---------------------------------------------------------------------------
+
+def q209_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_data_pipeline_spark.plans import pipeline_queries as P
+
+    bf = P.q27_cosine_topk(spark, sf_dir).select("qid", "vec_id")
+    ivf = P.q28_ivf_ann(spark, sf_dir).select("qid", "vec_id")
+    hits = (
+        bf.join(ivf, ["qid", "vec_id"])
+        .groupBy("qid")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    )
+    qids = bf.select("qid").distinct()
+    return (
+        qids.join(hits, "qid", "left")
+        .select(
+            F.col("qid").cast("long").alias("qid"),
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+        )
+        .withColumn("recall", F.col("n_hits").cast("double") / F.lit(3.0))
+        .orderBy("qid")
+    )
+
+
+QUERIES["q209_ann_recall"] = q209_ann_recall
+
+
+def _q209_oracle() -> str:
+    from ai_data_pipeline_spark.plans import pipeline_queries as P
+
+    bf = P.ORACLE["q27_cosine_topk"]
+    ivf = P.ORACLE["q28_ivf_ann"]
+    return f"""
+    WITH bf AS (
+        SELECT qid, vec_id FROM ({bf}) t
+    ), ivf AS (
+        SELECT qid, vec_id FROM ({ivf}) t
+    ), hits AS (
+        SELECT bf.qid, COUNT(*) AS n_hits
+        FROM bf JOIN ivf ON bf.qid = ivf.qid AND bf.vec_id = ivf.vec_id
+        GROUP BY bf.qid
+    )
+    SELECT CAST(q.qid AS BIGINT) AS qid,
+           CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+           CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / 3.0 AS recall
+    FROM (SELECT DISTINCT qid FROM bf) q
+    LEFT JOIN hits h ON h.qid = q.qid
+    ORDER BY qid
+    """
+
+
+ORACLE["q209_ann_recall"] = _q209_oracle()

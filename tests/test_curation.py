@@ -325,3 +325,81 @@ def test_distributed_prefix_sum_matches_global_window(spark):
         for r in df.withColumn("cum", F.sum("val").over(w)).collect()
     }
     assert got == want
+
+
+# --- C4 quality rules ----------------------------------------------------------
+
+
+def _c4_py(text: str | None) -> dict:
+    """Reference recompute of c4_quality_flags semantics (same
+    explicit [ \\t\\r] classes as the engine, never str.strip)."""
+    import re
+
+    text = text if text is not None else ""
+    lines = [l for l in text.split("\n") if not re.fullmatch(r"[ \t\r]*", l)]
+    kept = [
+        l
+        for l in lines
+        if re.search(r'[.!?"][ \t\r]*$', l)
+        and len([w for w in re.split(r"[ \t\r]+", l) if w != ""]) >= 5
+    ]
+    has_brace = "{" in text
+    has_lorem = "lorem ipsum" in text.lower()
+    return {
+        "n_lines": len(lines),
+        "n_kept_lines": len(kept),
+        "kept_chars": sum(len(l) for l in kept),
+        "has_brace": has_brace,
+        "has_lorem": has_lorem,
+        "c4_keep": (not has_brace) and (not has_lorem) and len(kept) >= 3,
+    }
+
+
+def test_c4_rules_crafted_docs(spark):
+    good_line = "This is a sentence with enough words to pass."
+    docs = {
+        "good": "\n".join([good_line] * 4),
+        "brace": "\n".join([good_line] * 4) + "\nif (x) { y(); }",
+        "lorem": "\n".join([good_line] * 3) + "\nLorem Ipsum dolor sit."
+                 ,
+        "too_few_kept": "\n".join([good_line] * 2) + "\nno punct here at all",
+        "short_lines": "\n".join(["Tiny line."] * 6),      # <5 words each
+        "no_terminal": "\n".join([good_line[:-1]] * 6),    # no punct
+        "tab_edge": "\n".join([good_line + "\t"] * 3),     # punct then tab
+        "null_text": None,
+    }
+    from ai_data_pipeline_spark.operators.curation import c4_quality_flags
+
+    df = spark.createDataFrame(list(docs.items()), "name string, text string")
+    got = {r["name"]: r.asDict() for r in c4_quality_flags(df).collect()}
+    for name, text in docs.items():
+        want = _c4_py(text)
+        for k, v in want.items():
+            assert got[name][k] == v, (name, k, got[name][k], v)
+    assert got["good"]["c4_keep"]
+    assert not got["brace"]["c4_keep"]
+    assert not got["lorem"]["c4_keep"]
+    assert not got["too_few_kept"]["c4_keep"]
+    assert not got["short_lines"]["c4_keep"]
+    assert not got["no_terminal"]["c4_keep"]
+    assert got["tab_edge"]["c4_keep"]  # [ \t\r]* after the punct
+    assert got["null_text"]["c4_keep"] is False
+    assert got["null_text"]["n_lines"] == 0
+
+
+def test_c4_rules_corpus_matches_python(spark, sf_dir):
+    from ai_data_pipeline_spark.catalog import load_table
+    from ai_data_pipeline_spark.operators.curation import c4_quality_flags
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    got = {
+        r["doc_id"]: (r["c4_keep"], r["n_kept_lines"], r["kept_chars"])
+        for r in c4_quality_flags(docs).collect()
+    }
+    raw = {r["doc_id"]: r["text"] for r in docs.collect()}
+    assert len(got) == len(raw)
+    for doc_id, text in raw.items():
+        want = _c4_py(text)
+        assert got[doc_id] == (
+            want["c4_keep"], want["n_kept_lines"], want["kept_chars"]
+        ), doc_id

@@ -161,6 +161,14 @@ ALLOWED_DIV_SITES = {
     'cs = _t ( spark , sf_dir , "documents" ) step = _Q205_P //',
     'cum FROM base ), seqs AS ( SELECT source, (cum - n_tok) //',
     'y" ) , ) . withColumn ( "bucket" , F . expr ( f"ord_key div',
+    # q207 allocation — budget > 0, w = floor(sqrt(tokens)*1e6) ≥ 0,
+    # w_total = Σw ≥ w ≥ 0: non-negative dividend, positive divisor.
+    ' OVER () AS DOUBLE) AS share, CAST(({_Q207_BUDGET} * w) //',
+    '. alias ( "share" ) , F . expr ( f"({_Q207_BUDGET} * w) div',
+    # q208 day bucketing — post-1970 ns epochs, non-negative (same
+    # proof as the q148 entries above).
+    ' = f""" WITH daily AS ( SELECT event_type, epoch_ns(ts) //',
+    'aily = ( e . select ( "event_type" , F . expr ( f"ts_ns div',
 }
 
 
