@@ -918,3 +918,73 @@ def semantic_dedup(
         )
         .withColumn("is_keeper", F.col("id") == F.col("cluster_id"))
     )
+
+
+def tf_cosine_pairs(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    max_term_df: int = 20,
+    min_sim: float | None = None,
+) -> DataFrame:
+    """TF-weighted sparse cosine near-dup pairs over word ``n``-gram
+    term vectors — the multiset (frequency-sensitive) sibling of the
+    set-Jaccard family (:func:`ngram_jaccard_pairs`): two docs that
+    repeat the same phrases at different multiplicities score high
+    here and lower there. Output: [id_a, id_b, dot, sim].
+
+    Exactness: tf and the dot products are exact BIGINTs; the only
+    floats are sim's three terminal IEEE ops (two sqrt of exact ints,
+    one divide) — identical expression tree on both engines, so a
+    DuckDB twin hash-matches.
+
+    Scale (the CLAUDE.md shingle-pair rules): the self-join on the
+    term carries Σ_term df² rows, so terms with document frequency >
+    ``max_term_df`` are dropped from every vector (boilerplate
+    phrases say nothing about near-duplication anyway); the df rides
+    a COUNT window over the term — the same frame the join consumes,
+    so the exchange is reused (never a groupBy+join-back).
+    """
+    from ai_data_pipeline_spark.functions.text import word_ngrams
+
+    grams = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_ngrams(F.lower(F.col(text_col)), n)).alias("term"),
+    )
+    tf = grams.groupBy("id", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    kept = tf.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
+    ).filter(F.col("df") <= max_term_df)
+    norms = kept.groupBy("id").agg(
+        F.sum(F.col("tf") * F.col("tf")).cast("long").alias("n2")
+    )
+    a = kept.select(F.col("id").alias("id_a"), "term", F.col("tf").alias("tf_a"))
+    b = kept.select(F.col("id").alias("id_b"), "term", F.col("tf").alias("tf_b"))
+    dots = (
+        a.join(b, ["term"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("tf_a") * F.col("tf_b")).cast("long").alias("dot"))
+    )
+    out = (
+        dots.join(norms.select(F.col("id").alias("id_a"), F.col("n2").alias("na2")), "id_a")
+        .join(norms.select(F.col("id").alias("id_b"), F.col("n2").alias("nb2")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "dot",
+            (
+                F.col("dot").cast("double")
+                / (
+                    F.sqrt(F.col("na2").cast("double"))
+                    * F.sqrt(F.col("nb2").cast("double"))
+                )
+            ).alias("sim"),
+        )
+    )
+    if min_sim is not None:
+        out = out.filter(F.col("sim") >= min_sim)
+    return out

@@ -137,10 +137,13 @@ def ivf_assign(
     centroids: list[list[float]],
     corpus_vec: str = "embedding",
     dim: int | None = None,
+    keep_dist: bool = False,
 ) -> DataFrame:
     """Assign each vector to its nearest centroid (the IVF 'index
-    build'). Adds a ``cell`` column; at scale, write the result
-    partitioned/bucketed by cell so probes prune files.
+    build'). Adds a ``cell`` column (and, with ``keep_dist``, the
+    squared-L2 ``dist`` to that centroid — the occupancy/balance
+    diagnostic); at scale, write the result partitioned/bucketed by
+    cell so probes prune files.
 
     Each centroid distance is materialized as its own column BEFORE
     the least() chain: inlining K full distance expressions into a
@@ -155,9 +158,10 @@ def ivf_assign(
     for ci in range(len(centroids)):
         cell = F.struct(F.col(f"_d{ci}").alias("d"), F.lit(ci).alias("c"))
         best = cell if best is None else F.least(best, cell)
-    return with_d.withColumn("cell", best["c"].cast("int")).drop(
-        *[f"_d{ci}" for ci in range(len(centroids))]
-    )
+    out = with_d.withColumn("cell", best["c"].cast("int"))
+    if keep_dist:
+        out = out.withColumn("dist", best["d"])
+    return out.drop(*[f"_d{ci}" for ci in range(len(centroids))])
 
 
 def ivf_search_cosine(

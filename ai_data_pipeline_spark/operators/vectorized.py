@@ -437,10 +437,13 @@ def ivf_assign_np(
     corpus: DataFrame,
     centroids: list[list[float]],
     corpus_vec: str = "embedding",
+    keep_dist: bool = False,
 ) -> DataFrame:
     """Nearest-centroid cell per vector (ties → lowest centroid
-    index, matching least(struct(d, c)) and np.argmin)."""
-    from pyspark.sql.types import IntegerType, StructField, StructType
+    index, matching least(struct(d, c)) and np.argmin); with
+    ``keep_dist``, also the squared-L2 to that centroid (ltr fold —
+    bit-identical with the expression path and the SQL twin)."""
+    from pyspark.sql.types import DoubleType, IntegerType, StructField, StructType
 
     cmat = np.array(centroids, dtype=np.float64)
 
@@ -450,11 +453,17 @@ def ivf_assign_np(
                 continue
             mat = _mat(pdf[corpus_vec])
             dists = np.stack([sqdists_ltr(mat, cmat[ci]) for ci in range(len(cmat))], axis=1)
+            cells = np.argmin(dists, axis=1)
             out = pdf.copy()
-            out["cell"] = np.argmin(dists, axis=1).astype(np.int32)
+            out["cell"] = cells.astype(np.int32)
+            if keep_dist:
+                out["dist"] = dists[np.arange(len(cells)), cells]
             yield out
 
-    schema = StructType(list(corpus.schema.fields) + [StructField("cell", IntegerType())])
+    extra = [StructField("cell", IntegerType())]
+    if keep_dist:
+        extra.append(StructField("dist", DoubleType()))
+    schema = StructType(list(corpus.schema.fields) + extra)
     return corpus.mapInPandas(kern, schema)
 
 

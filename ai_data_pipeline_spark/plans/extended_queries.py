@@ -1693,3 +1693,156 @@ def _q209_oracle() -> str:
 
 
 ORACLE["q209_ann_recall"] = _q209_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Q210 — TF-weighted sparse cosine near-dup (the multiset sibling of
+# q23's set Jaccard): word-3-gram term vectors with exact BIGINT
+# term frequencies, document-frequency cap 20 (the shingle-pair rule
+# — a term in f docs contributes f² join rows; the df rides a COUNT
+# window over the term so the join's exchange is reused), cosine =
+# dot / (√na²·√nb²) as three terminal IEEE ops over exact integers.
+# Frequency-sensitive: docs repeating the same phrases at different
+# multiplicities separate from the Jaccard ranking. Top-20 with a
+# total order.
+# ---------------------------------------------------------------------------
+
+_Q210_MAX_TERM_DF = 20
+
+
+def q210_tf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_data_pipeline_spark.catalog import spread
+    from ai_data_pipeline_spark.operators import dedup
+
+    docs = spread(_t(spark, sf_dir, "documents"))
+    return (
+        dedup.tf_cosine_pairs(
+            docs, "doc_id", "text", n=3, max_term_df=_Q210_MAX_TERM_DF
+        )
+        .orderBy(F.desc("sim"), F.asc("id_a"), F.asc("id_b"))
+        .limit(20)
+    )
+
+
+QUERIES["q210_tf_cosine"] = q210_tf_cosine
+ORACLE["q210_tf_cosine"] = f"""
+    WITH w AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                           t -> len(t) > 0) AS ws
+        FROM documents
+    ), g AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, greatest(len(ws) - 2, 0) + 1),
+                      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS term
+        FROM w
+    ), tf AS (
+        SELECT doc_id AS id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM g GROUP BY 1, 2
+    ), dfreq AS (
+        SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+    ), kept AS (
+        SELECT tf.id, tf.term, tf.tf
+        FROM tf JOIN dfreq ON tf.term = dfreq.term
+        WHERE dfreq.df <= {_Q210_MAX_TERM_DF}
+    ), nrm AS (
+        SELECT id, CAST(SUM(tf * tf) AS BIGINT) AS n2 FROM kept GROUP BY id
+    ), dots AS (
+        SELECT a.id AS id_a, b.id AS id_b,
+               CAST(SUM(a.tf * b.tf) AS BIGINT) AS dot
+        FROM kept a JOIN kept b ON a.term = b.term AND a.id < b.id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, dot,
+           CAST(dot AS DOUBLE)
+             / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS sim
+    FROM dots
+    JOIN nrm na ON na.id = id_a
+    JOIN nrm nb ON nb.id = id_b
+    ORDER BY sim DESC, id_a, id_b
+    LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q211 — IVF cell-occupancy profile: per cell of the fixed Q28
+# centroid set, vector count and total/mean squared-L2 distance to
+# the centroid — the balance diagnostic behind every IVF decision
+# (Σ|cell|² drives q203's pair cost and q28's probe cost; a hot cell
+# means re-seed or split). Float policy: the per-row distance is the
+# proven bit-identical ltr fold; it quantizes to floor(d²·1e4)
+# BIGINT per row (floor of an exact-input product — exact), sums as
+# exact integers, and the mean is one IEEE division. The occupancy
+# share is likewise exact-int / exact-int. Scale: one map-side
+# combined agg over the assignment scan — no shuffle of vectors.
+# ---------------------------------------------------------------------------
+
+def q211_ivf_cell_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_data_pipeline_spark.operators.vectorized import ivf_assign_np
+    from ai_data_pipeline_spark.plans.constants import Q28_CENTROIDS
+
+    emb = _t(spark, sf_dir, "embeddings")
+    # the Arrow kernel, not the unrolled expression path: 8 unrolled
+    # 64-dim distances + the least() chain are codegen-compile-bound
+    # (measured 15.9 s warm on 500 rows vs <1 s here); the kernel's
+    # ltr fold is bit-parity-pinned against both twins
+    assigned = ivf_assign_np(emb, Q28_CENTROIDS, keep_dist=True)
+    qd = F.floor(F.col("dist") * 10_000).cast("long")
+    out = (
+        assigned.select("cell", qd.alias("qd"))
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.sum("qd").cast("long").alias("sum_qd"),
+        )
+    )
+    total = F.sum("n_vecs").over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        out.withColumn("n_total", total.cast("long"))
+        .select(
+            F.col("cell").cast("int").alias("cell"),
+            "n_vecs",
+            "sum_qd",
+            (F.col("sum_qd").cast("double") / F.col("n_vecs").cast("double")).alias("mean_qd"),
+            (F.col("n_vecs").cast("double") / F.col("n_total").cast("double")).alias("occupancy"),
+        )
+        .orderBy("cell")
+    )
+
+
+QUERIES["q211_ivf_cell_profile"] = q211_ivf_cell_profile
+
+
+def _q211_oracle() -> str:
+    from ai_data_pipeline_spark.functions.vector import sql_lit_list, sql_squared_l2
+    from ai_data_pipeline_spark.plans.constants import EMBED_DIM, Q28_CENTROIDS
+
+    cells = ", ".join(
+        f"struct_pack(d := {sql_squared_l2('embedding', sql_lit_list(c), EMBED_DIM)}, c := {ci})"
+        for ci, c in enumerate(Q28_CENTROIDS)
+    )
+    return f"""
+    WITH assigned AS (
+        SELECT vec_id,
+               struct_extract((list_sort([{cells}]))[1], 'c') AS cell,
+               struct_extract((list_sort([{cells}]))[1], 'd') AS dist
+        FROM embeddings
+    ), q AS (
+        SELECT cell, CAST(floor(dist * 10000) AS BIGINT) AS qd FROM assigned
+    ), agg AS (
+        SELECT CAST(cell AS INTEGER) AS cell,
+               CAST(COUNT(*) AS BIGINT) AS n_vecs,
+               CAST(SUM(qd) AS BIGINT) AS sum_qd
+        FROM q GROUP BY cell
+    )
+    SELECT cell, n_vecs, sum_qd,
+           CAST(sum_qd AS DOUBLE) / CAST(n_vecs AS DOUBLE) AS mean_qd,
+           CAST(n_vecs AS DOUBLE) / CAST(SUM(n_vecs) OVER () AS DOUBLE) AS occupancy
+    FROM agg
+    ORDER BY cell
+    """
+
+
+ORACLE["q211_ivf_cell_profile"] = _q211_oracle()

@@ -85,6 +85,10 @@ PROBE = [
     "q200_largest_remainder",  # two-level apportionment windows
     "q202_gopher_quality",  # pure-Catalyst rule projection (at the scan)
     "q203_semantic_dedup",  # Σ|cell|² pair kernel + star components
+    "q204_minhash_keeper",  # banded candidates + components + keeper agg
+    "q205_pack_interleave", # two-pass distributed prefix sum packing
+    "q206_c4_quality",      # pure-Catalyst C4 rule projection
+    "q210_tf_cosine",       # df-capped sparse term self-join
 ]
 
 

@@ -99,15 +99,21 @@ def test_registered_shingle_pair_queries_engage_the_cap():
     import inspect
     import re as _re
 
+    from ai_data_pipeline_spark.plans import analysis_queries as A
+    from ai_data_pipeline_spark.plans import extended_queries as X
     from ai_data_pipeline_spark.plans import pipeline_queries as P
 
-    src = inspect.getsource(P)
-    for m in _re.finditer(
-        r"(ngram_jaccard_pairs|shingle_containment_pairs)\((.*?)\)",
-        src,
-        _re.DOTALL,
-    ):
-        assert "max_shingle_freq" in m.group(2), m.group(0)[:120]
+    for mod in (P, A, X):
+        src = inspect.getsource(mod)
+        for m in _re.finditer(
+            r"(ngram_jaccard_pairs|shingle_containment_pairs)\((.*?)\)",
+            src,
+            _re.DOTALL,
+        ):
+            assert "max_shingle_freq" in m.group(2), m.group(0)[:120]
+        # same f² law for the sparse-term self-join (q210 family)
+        for m in _re.finditer(r"tf_cosine_pairs\((.*?)\)", src, _re.DOTALL):
+            assert "max_term_df" in m.group(1), m.group(0)[:120]
 
 
 def test_dtype_classes_map_correctly():

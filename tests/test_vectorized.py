@@ -95,11 +95,21 @@ def test_cosine_pairs_blocked_parity(spark, emb):
 
 
 def test_ivf_parity(spark, emb):
-    expr_cells = similarity.ivf_assign(emb, Q28_CENTROIDS, dim=EMBED_DIM)
-    fast_cells = ivf_assign_np(emb, Q28_CENTROIDS)
-    a = {r["vec_id"]: r["cell"] for r in expr_cells.select("vec_id", "cell").collect()}
-    b = {r["vec_id"]: r["cell"] for r in fast_cells.select("vec_id", "cell").collect()}
-    assert a == b
+    expr_cells = similarity.ivf_assign(
+        emb, Q28_CENTROIDS, dim=EMBED_DIM, keep_dist=True
+    )
+    fast_cells = ivf_assign_np(emb, Q28_CENTROIDS, keep_dist=True)
+    a = {
+        r["vec_id"]: (r["cell"], r["dist"])
+        for r in expr_cells.select("vec_id", "cell", "dist").collect()
+    }
+    b = {
+        r["vec_id"]: (r["cell"], r["dist"])
+        for r in fast_cells.select("vec_id", "cell", "dist").collect()
+    }
+    assert a == b  # cell AND the squared-L2 dist, exact doubles
+    expr_cells = expr_cells.drop("dist")
+    fast_cells = fast_cells.drop("dist")
 
     q = similarity.queries_df(spark, Q27_QUERY_VECS)
     expr = similarity.ivf_search_cosine(
