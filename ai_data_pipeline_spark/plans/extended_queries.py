@@ -1846,3 +1846,240 @@ def _q211_oracle() -> str:
 
 
 ORACLE["q211_ivf_cell_profile"] = _q211_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Q212 — dataset card (one-row corpus summary): the release-notes
+# numbers every dataset ships — doc/source/language counts, token
+# and char mass, exact-duplicate mass (md5 of raw text — q20's
+# digest-first discipline), non-ASCII document count, and the
+# derived rates as single IEEE divisions of exact BIGINTs. One scan,
+# all aggregates map-side combinable (distincts are over tiny
+# domains except the digest, which is the dedup shuffle we'd pay
+# anyway and carries 16-byte digests, not text).
+# ---------------------------------------------------------------------------
+
+def q212_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_data_pipeline_spark.functions.text import token_count_ws
+
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select(
+        "source",
+        "lang",
+        token_count_ws(F.col("text")).alias("n_tok"),
+        F.length("text").cast("long").alias("n_chars"),
+        F.md5(F.col("text").cast("binary")).alias("digest"),
+        F.col("text").rlike("[^\\x00-\\x7F]").cast("int").alias("non_ascii"),
+    )
+    agg = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.sum("n_tok").cast("long").alias("tokens"),
+        F.sum("n_chars").cast("long").alias("chars"),
+        (F.count(F.lit(1)) - F.countDistinct("digest"))
+        .cast("long")
+        .alias("n_exact_dups"),
+        F.sum("non_ascii").cast("long").alias("n_non_ascii"),
+    )
+    return agg.select(
+        "*",
+        (F.col("tokens").cast("double") / F.col("n_docs").cast("double")).alias("mean_tokens"),
+        (F.col("n_exact_dups").cast("double") / F.col("n_docs").cast("double")).alias("dup_rate"),
+        (F.col("n_non_ascii").cast("double") / F.col("n_docs").cast("double")).alias("non_ascii_rate"),
+    )
+
+
+QUERIES["q212_dataset_card"] = q212_dataset_card
+ORACLE["q212_dataset_card"] = """
+    WITH base AS (
+        SELECT source, lang,
+               len(list_filter(string_split_regex(trim(text), '\\s+'),
+                               w -> len(w) > 0)) AS n_tok,
+               length(text) AS n_chars,
+               md5(text) AS digest,
+               CASE WHEN regexp_matches(text, '[^\\x00-\\x7F]') THEN 1 ELSE 0 END AS non_ascii
+        FROM documents
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(SUM(n_tok) AS BIGINT) AS tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS chars,
+           CAST(COUNT(*) - COUNT(DISTINCT digest) AS BIGINT) AS n_exact_dups,
+           CAST(SUM(non_ascii) AS BIGINT) AS n_non_ascii,
+           CAST(SUM(n_tok) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_tokens,
+           CAST(COUNT(*) - COUNT(DISTINCT digest) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS dup_rate,
+           CAST(SUM(non_ascii) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS non_ascii_rate
+    FROM base
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q213 — seasonality strength via integer-exact detrending: per
+# event type, daily counts y; the 7-row centered moving-average
+# detrend is kept integer by scaling (r = 7·y − Σ_{−3..+3} y over
+# COMPLETE row frames only), and the strength ratio is
+# (n·Σr² − (Σr)²) / (49·(n·Σy² − (Σy)²)) — residual variance over
+# scaled raw variance — with every sum an exact BIGINT and ONE
+# terminal IEEE division (q208's exact-moment discipline; the 49
+# compensates the 7× residual scaling). Row frames (not ranges) on
+# both engines, so missing days bind identically. Scale: daily
+# pre-agg then one partitioned window pass — shuffle carries
+# (type, day, count) longs.
+# ---------------------------------------------------------------------------
+
+def q213_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_events(spark, sf_dir)
+    daily = (
+        e.select("event_type", F.expr(f"ts_ns div {_Q208_DAY_NS}").alias("day"))
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-3, 3)
+    )
+    base = daily.select(
+        "event_type",
+        "y",
+        F.sum("y").over(w).alias("ma7"),
+        F.count(F.lit(1)).over(w).alias("nw"),
+    ).filter(F.col("nw") == 7)
+    r = (7 * F.col("y") - F.col("ma7")).cast("long")
+    s = base.select("event_type", F.col("y"), r.alias("r")).groupBy(
+        "event_type"
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        F.sum("r").cast("long").alias("sr"),
+        F.sum(F.col("r") * F.col("r")).cast("long").alias("srr"),
+    )
+    num = (F.col("n") * F.col("srr") - F.col("sr") * F.col("sr")).cast("long")
+    den = (49 * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))).cast("long")
+    return (
+        s.select("event_type", "n", "sy", "syy", "sr", "srr",
+                 num.alias("num"), den.alias("den"))
+        .withColumn(
+            "strength", F.col("num").cast("double") / F.col("den").cast("double")
+        )
+        .orderBy("event_type")
+    )
+
+
+QUERIES["q213_seasonal_strength"] = q213_seasonal_strength
+ORACLE["q213_seasonal_strength"] = f"""
+    WITH daily AS (
+        SELECT event_type, epoch_ns(ts) // {_Q208_DAY_NS} AS day,
+               CAST(COUNT(*) AS BIGINT) AS y
+        FROM events GROUP BY event_type, day
+    ), win AS (
+        SELECT event_type, y,
+               SUM(y) OVER (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS ma7,
+               COUNT(*) OVER (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS nw
+        FROM daily
+    ), base AS (
+        SELECT event_type, y, 7 * y - ma7 AS r FROM win WHERE nw = 7
+    ), s AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(y * y) AS BIGINT) AS syy,
+               CAST(SUM(r) AS BIGINT) AS sr,
+               CAST(SUM(r * r) AS BIGINT) AS srr
+        FROM base GROUP BY event_type
+    )
+    SELECT event_type, n, sy, syy, sr, srr,
+           CAST(n * srr - sr * sr AS BIGINT) AS num,
+           CAST(49 * (n * syy - sy * sy) AS BIGINT) AS den,
+           CAST(n * srr - sr * sr AS DOUBLE)
+             / CAST(49 * (n * syy - sy * sy) AS DOUBLE) AS strength
+    FROM s
+    ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q214 — market share (TPC-H Q8 shape, the 6-table star flagship):
+# for PROMO-type parts sold to ASIA-region customers, the share of
+# each order year's revenue supplied by NATION_3 suppliers. Exercises
+# Catalyst's join-order/broadcast machinery on the full star (fact
+# lineitem ⋈ orders ⋈ customer, dims part/supplier/nation/region
+# all broadcast; plan test pins zero SortMergeJoin on dims). Money
+# discipline: rev_u = cents × (10000 − discount-bp) exact BIGINT
+# (q03's idiom); the share is one IEEE division of two exact sums.
+# ---------------------------------------------------------------------------
+
+def q214_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    s = _t(spark, sf_dir, "supplier")
+    n_c = _t(spark, sf_dir, "nation").alias("nc")
+    n_s = _t(spark, sf_dir, "nation").alias("ns")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    ext_c = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    disc_bp = F.round(F.col("l_discount") * 10000, 0).cast("long")
+    rev_u = (ext_c * (10000 - disc_bp)).alias("rev_u")
+    base = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n_c), c.c_nationkey == F.col("nc.n_nationkey"))
+        .join(F.broadcast(r), F.col("nc.n_regionkey") == r.r_regionkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n_s), s.s_nationkey == F.col("ns.n_nationkey"))
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            rev_u,
+            (F.col("ns.n_name") == "NATION_3").alias("is_nat"),
+        )
+    )
+    agg = base.groupBy("o_year").agg(
+        F.sum("rev_u").cast("long").alias("total_u"),
+        F.sum(F.when(F.col("is_nat"), F.col("rev_u")).otherwise(0))
+        .cast("long")
+        .alias("nat_u"),
+    )
+    return (
+        agg.select(
+            F.col("o_year").cast("int").alias("o_year"),
+            "nat_u",
+            "total_u",
+            (F.col("nat_u").cast("double") / F.col("total_u").cast("double")).alias("share"),
+        )
+        .orderBy("o_year")
+    )
+
+
+QUERIES["q214_market_share"] = q214_market_share
+ORACLE["q214_market_share"] = """
+    WITH base AS (
+        SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+               CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                 * (10000 - CAST(ROUND(l_discount * 10000) AS BIGINT)) AS rev_u,
+               (ns.n_name = 'NATION_3') AS is_nat
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation nc ON c_nationkey = nc.n_nationkey
+        JOIN region ON nc.n_regionkey = r_regionkey AND r_name = 'ASIA'
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ns ON s_nationkey = ns.n_nationkey
+    )
+    SELECT o_year,
+           CAST(SUM(CASE WHEN is_nat THEN rev_u ELSE 0 END) AS BIGINT) AS nat_u,
+           CAST(SUM(rev_u) AS BIGINT) AS total_u,
+           CAST(SUM(CASE WHEN is_nat THEN rev_u ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(rev_u) AS DOUBLE) AS share
+    FROM base
+    GROUP BY o_year
+    ORDER BY o_year
+"""

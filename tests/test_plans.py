@@ -710,3 +710,21 @@ def test_q202_gopher_pure_catalyst(spark, sf_dir):
     assert len(hash_ex) == 1, uniq
     assert len(range_ex) == 1, uniq
     assert len(uniq) == 2, uniq
+
+
+def test_q214_star_joins_broadcast_dims(spark, sf_dir):
+    """The 6-table star: every dimension (part, supplier, both nation
+    roles, region) must arrive by broadcast — the fact chain is the
+    only thing allowed to shuffle. No cartesian/NL joins."""
+    from ai_data_pipeline_spark.plans import extended_queries as X
+
+    s = plan_of(X.q214_market_share(spark, sf_dir))
+    assert "CartesianProduct" not in s
+    assert "BroadcastNestedLoopJoin" not in s
+    uniq = {
+        re.sub(r"#\d+|plan_id=\d+", "", ln.strip())
+        for ln in s.splitlines()
+        if "BroadcastHashJoin" in ln
+    }
+    assert len(uniq) >= 5, uniq  # part, nc, region, supplier, ns
+    assert "partial_sum" in s  # map-side combined revenue
