@@ -172,6 +172,20 @@ HEADLINE = [
     "q199_equidepth_ntile",
     "q200_largest_remainder",
     "q201_sequence_gaps",
+    # round-8 additions
+    "q202_gopher_quality",
+    "q203_semantic_dedup",
+    "q204_minhash_keeper",
+    "q205_pack_interleave",
+    "q206_c4_quality",
+    "q207_temperature_mix",
+    "q208_linear_trend",
+    "q209_ann_recall",
+    "q210_tf_cosine",
+    "q211_ivf_cell_profile",
+    "q212_dataset_card",
+    "q213_seasonal_strength",
+    "q214_market_share",
 ]
 
 
