@@ -343,3 +343,79 @@ def test_dedup_clusters_star_raises_without_fixed_point(spark):
     df = spark.createDataFrame(edges, "id_a BIGINT, id_b BIGINT")
     with pytest.raises(RuntimeError, match="no fixed point"):
         dedup.dedup_clusters_star(df, max_iter=1, small_graph_edges=0)
+
+
+def test_tf_cosine_pairs_matches_bruteforce_and_is_multiset(spark):
+    """tf_cosine_pairs == python brute force on crafted docs, and the
+    measure is genuinely multiset: same term SETS at different
+    multiplicities give sim < 1 here while set-Jaccard reads 1.0."""
+    import math
+    import re
+
+    from ai_data_pipeline_spark.operators import dedup
+
+    docs = {
+        1: "alpha beta gamma alpha beta gamma alpha beta gamma",
+        2: "alpha beta gamma alpha beta gamma alpha beta gamma",   # exact dup of 1
+        3: "alpha beta gamma " * 1 + "alpha beta gamma delta x y",  # same grams + extras
+        4: "zeta eta theta iota kappa zeta eta theta",
+    }
+    df = spark.createDataFrame(list(docs.items()), "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): (r["dot"], r["sim"])
+        for r in dedup.tf_cosine_pairs(
+            df, "doc_id", "text", n=2, max_term_df=10
+        ).collect()
+    }
+
+    def grams(t):
+        ws = [w for w in re.split(r"\s+", t.strip().lower()) if w]
+        return [" ".join(ws[i : i + 2]) for i in range(len(ws) - 1)]
+
+    tf = {i: {} for i in docs}
+    for i, t in docs.items():
+        for g in grams(t):
+            tf[i][g] = tf[i].get(g, 0) + 1
+    want = {}
+    ids = sorted(docs)
+    for ai in range(len(ids)):
+        for bi in range(ai + 1, len(ids)):
+            a, b = ids[ai], ids[bi]
+            dot = sum(tf[a][g] * tf[b].get(g, 0) for g in tf[a])
+            if dot == 0:
+                continue
+            na = math.sqrt(float(sum(v * v for v in tf[a].values())))
+            nb = math.sqrt(float(sum(v * v for v in tf[b].values())))
+            want[(a, b)] = (dot, dot / (na * nb))
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][0] == want[k][0], k
+        assert abs(got[k][1] - want[k][1]) < 1e-12, k
+    assert got[(1, 2)][1] == 1.0          # exact dup
+    assert 0 < got[(1, 3)][1] < 1.0       # same grams, different multiplicity
+
+
+def test_tf_cosine_df_cap_drops_boilerplate_terms(spark):
+    """A term present in more docs than max_term_df contributes to NO
+    pair (the f² rule): with the cap at 2, the 3-doc shared phrase
+    vanishes and only the 2-doc phrase pairs survive."""
+    from ai_data_pipeline_spark.operators import dedup
+
+    common = "the shared boilerplate phrase here"
+    rare = "rare unique marker sequence q"
+    rows = [
+        (1, f"{common} {rare}"),
+        (2, f"{common} {rare}"),
+        (3, f"{common} totally different tail words"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.tf_cosine_pairs(
+            df, "doc_id", "text", n=4, max_term_df=2
+        ).collect()
+    }
+    # the 4-grams inside `common` appear in 3 docs -> capped away;
+    # only (1,2) still shares kept terms (the rare tail)
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs

@@ -728,3 +728,27 @@ def test_q214_star_joins_broadcast_dims(spark, sf_dir):
     }
     assert len(uniq) >= 5, uniq  # part, nc, region, supplier, ns
     assert "partial_sum" in s  # map-side combined revenue
+
+
+def test_q205_prefix_sum_never_windows_corpus_globally(spark, sf_dir):
+    """distributed_prefix_sum's scale contract in the executed plan:
+    the corpus cumsum Window is PARTITIONED by the bucket; the only
+    unpartitioned Window consumes the B-row per-bucket totals
+    (sum(_total…)), never the corpus rows; and the offsets come back
+    by broadcast on the bucket key."""
+    from ai_data_pipeline_spark.plans import extended_queries as X
+
+    s = plan_of(X.q205_pack_interleave(spark, sf_dir))
+    clean = re.sub(r"#\d+|plan_id=\d+", "", s)
+    window_lines = [
+        l.strip() for l in clean.splitlines() if "windowspecdefinition" in l
+    ]
+    assert window_lines
+    for l in window_lines:
+        if "sum(n_tok" in l:
+            # corpus cumsum: partition spec leads with the bucket
+            assert "windowspecdefinition(bucket" in l, l
+        else:
+            # the only other window is the B-row offset pass
+            assert "sum(_total" in l, l
+    assert "BroadcastHashJoin [bucket" in clean
