@@ -2083,3 +2083,264 @@ ORACLE["q214_market_share"] = """
     GROUP BY o_year
     ORDER BY o_year
 """
+
+
+# ---------------------------------------------------------------------------
+# Q215 — dynamic partition overwrite semantics (the incremental-
+# reload contract of every partitioned lake table): write orders
+# Hive-partitioned by status, then OVERWRITE with a frame containing
+# only half of status-'F' (per-write
+# option("partitionOverwriteMode", "dynamic") — no session conf, so
+# the driver's vanilla session behaves identically). Dynamic mode
+# must replace ONLY the 'F' partition and leave the others byte-
+# intact — the graded row reads back per-status counts and exact key
+# checksums (static mode would wipe the other statuses; the checksum
+# catches any partial rewrite). The bounded read-back (≤3 status
+# rows) drains to the driver so the temp dir can be deleted before
+# returning (the established tmp-dir shape).
+# ---------------------------------------------------------------------------
+
+def q215_dynamic_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus"
+    )
+    tmp = tempfile.mkdtemp(prefix="q215_")
+    path = tmp + "/orders_part"
+    try:
+        o.write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
+        (
+            o.filter(
+                (F.col("o_orderstatus") == "F") & (F.col("o_orderkey") % 2 == 0)
+            )
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("o_orderstatus")
+            .parquet(path)
+        )
+        back = (
+            spark.read.parquet(path)
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum("o_orderkey").cast("long").alias("key_sum"),
+                F.sum("o_custkey").cast("long").alias("cust_sum"),
+            )
+            .orderBy("o_orderstatus")
+            .collect()
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        back, "o_orderstatus string, n long, key_sum long, cust_sum long"
+    )
+
+
+QUERIES["q215_dynamic_overwrite"] = q215_dynamic_overwrite
+ORACLE["q215_dynamic_overwrite"] = """
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+           CAST(SUM(o_custkey) AS BIGINT) AS cust_sum
+    FROM orders
+    WHERE o_orderstatus <> 'F' OR o_orderkey % 2 = 0
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q216 — the corpus RELEASE FUNNEL end-to-end (the FineWeb-shaped
+# pass, composing the round's graded stages into the one row a
+# dataset release actually runs): per source,
+#   n_raw → n_quality (the four STRUCTURAL Gopher rules — word
+#   count, mean word length, symbol ratio, alpha-word share; the
+#   stopword/line rules are graded separately in q202/q206 and are
+#   degenerate on this single-line stopword-poor corpus, so the
+#   funnel pins the discriminating subset as its documented policy)
+#   → n_exact (global digest dedup, keep-first by doc_id, survivors
+#   attributed to their own source) → n_final (q204's MinHash
+#   policy — 3-gram, 32 hashes, 8×4 bands, Jaccard ≥ 0.6 — over the
+#   exact survivors, min-id keeper) plus the token mass retained.
+# Every stage reuses a proven fragment (q202 rules, q20 digests,
+# q24/q204 MinHash + components); the one double is tokens-per-kept
+# as an exact-int division. Scale posture inherits the stages':
+# rules at the scan, digest shuffle, banded candidates, star/union-
+# find components.
+# ---------------------------------------------------------------------------
+
+def q216_release_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_data_pipeline_spark.catalog import spread
+    from ai_data_pipeline_spark.operators import dedup
+    from ai_data_pipeline_spark.operators.curation import gopher_quality_flags
+
+    docs = spread(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "source", "text"
+    )
+    flagged = gopher_quality_flags(docs)
+    quality = flagged.filter(
+        F.col("r_word_count")
+        & F.col("r_mean_word_len")
+        & F.col("r_symbol_ratio")
+        & F.col("r_alpha_words")
+    ).select("doc_id", "source", "text", "n_words")
+    # exact dedup: keep the minimum doc_id per raw-text digest
+    w = Window.partitionBy(F.md5(F.col("text").cast("binary")))
+    exact = (
+        quality.withColumn("keep_id", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") == F.col("keep_id"))
+        .select("doc_id", "source", "text", "n_words")
+        .localCheckpoint()  # three downstream consumers (sig, shingles, final join)
+    )
+    pairs = dedup.minhash_neardup_pairs(
+        exact, "doc_id", "text", n=3, num_hashes=32, bands=8, min_jaccard=0.6
+    )
+    clusters = dedup.dedup_clusters_star(pairs)
+    final = (
+        exact.join(clusters.withColumnRenamed("id", "doc_id"), "doc_id", "left")
+        .withColumn(
+            "keeper",
+            F.coalesce(F.col("cluster_id"), F.col("doc_id")) == F.col("doc_id"),
+        )
+    )
+    # stage counts, all attributed to the doc's own source
+    raw_c = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_raw")
+    )
+    qual_c = quality.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_quality")
+    )
+    exact_c = exact.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact")
+    )
+    # tokens_final sums the SAME [ \t\r\n] word count the quality
+    # rules used (carried through the funnel), so both engines fold
+    # one class — token_count_ws's \s+ differs on exotic whitespace
+    final_c = final.filter(F.col("keeper")).groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_final"),
+        F.sum("n_words").cast("long").alias("tokens_final"),
+    )
+    out = (
+        raw_c.join(qual_c, "source", "left")
+        .join(exact_c, "source", "left")
+        .join(final_c, "source", "left")
+        .select(
+            "source",
+            "n_raw",
+            F.coalesce("n_quality", F.lit(0)).cast("long").alias("n_quality"),
+            F.coalesce("n_exact", F.lit(0)).cast("long").alias("n_exact"),
+            F.coalesce("n_final", F.lit(0)).cast("long").alias("n_final"),
+            F.coalesce("tokens_final", F.lit(0)).cast("long").alias("tokens_final"),
+        )
+    )
+    return out.withColumn(
+        "mean_tokens_kept",
+        F.when(
+            F.col("n_final") > 0,
+            F.col("tokens_final").cast("double") / F.col("n_final").cast("double"),
+        ).otherwise(F.lit(0.0)),
+    ).orderBy("source")
+
+
+QUERIES["q216_release_funnel"] = q216_release_funnel
+
+
+def _q216_oracle() -> str:
+    from ai_data_pipeline_spark.functions.text import sql_word_ngrams
+
+    ws = "list_filter(string_split_regex(coalesce(text, ''), '[ \\t\\r\\n]+'), w -> w != '')"
+    return f"""
+    WITH RECURSIVE m AS (
+        SELECT doc_id, source, text,
+               len({ws}) AS n_words,
+               coalesce(list_sum(list_transform({ws}, w -> len(w))), 0) AS word_chars,
+               len(list_filter({ws}, w -> regexp_matches(w, '[A-Za-z]'))) AS n_alpha,
+               length(coalesce(text, ''))
+                 - length(replace(coalesce(text, ''), '#', ''))
+                 + len(regexp_extract_all(coalesce(text, ''), '(\\.\\.\\.|…)')) AS n_sym
+        FROM documents
+    ), quality AS MATERIALIZED (
+        SELECT doc_id, source, text, n_words
+        FROM m
+        WHERE n_words >= 50 AND n_words <= 100000
+          AND 3 * n_words <= word_chars AND word_chars <= 10 * n_words
+          AND 10 * n_sym <= n_words
+          AND 5 * n_alpha >= 4 * n_words
+    ), exact AS MATERIALIZED (
+        SELECT doc_id, source, text, n_words
+        FROM (
+            SELECT *, MIN(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
+            FROM quality
+        )
+        WHERE doc_id = keep_id
+    ), sh AS MATERIALIZED (
+        SELECT DISTINCT doc_id AS id, unnest({sql_word_ngrams("text", 3)}) AS shingle
+        FROM exact
+    ), sig AS (
+        SELECT id, j, MIN((('0x' || substr(md5(shingle || ':' || j), 1, 15))::BIGINT)) AS mh
+        FROM sh CROSS JOIN range(32) AS t(j)
+        GROUP BY id, j
+    ), bandkey AS (
+        SELECT id, j // 4 AS band, string_agg(mh::VARCHAR, ',' ORDER BY j) AS bk
+        FROM sig GROUP BY id, j // 4
+    ), cand AS (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        FROM bandkey a
+        JOIN bandkey b ON a.band = b.band AND a.bk = b.bk AND a.id < b.id
+    ), sizes AS (
+        SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id
+    ), inter AS (
+        SELECT id_a, id_b, COUNT(*) AS inter
+        FROM cand
+        JOIN sh sa ON sa.id = cand.id_a
+        JOIN sh sb ON sb.id = cand.id_b AND sb.shingle = sa.shingle
+        GROUP BY 1, 2
+    ), pairs AS (
+        SELECT id_a, id_b
+        FROM inter
+        JOIN sizes sa ON sa.id = id_a
+        JOIN sizes sb ON sb.id = id_b
+        WHERE inter / (sa.n_sh + sb.n_sh - inter) >= '0.6'::DOUBLE
+    ), edges AS (
+        SELECT id_a AS a, id_b AS b FROM pairs
+        UNION
+        SELECT id_b AS a, id_a AS b FROM pairs
+    ), reach AS (
+        SELECT a AS id, a AS lab FROM edges
+        UNION
+        SELECT e.a AS id, r.lab AS lab FROM edges e JOIN reach r ON r.id = e.b
+    ), comp AS (
+        SELECT id, MIN(lab) AS cluster_id FROM reach GROUP BY id
+    ), final AS (
+        SELECT e.doc_id, e.source, e.n_words,
+               (COALESCE(c.cluster_id, e.doc_id) = e.doc_id) AS keeper
+        FROM exact e LEFT JOIN comp c ON c.id = e.doc_id
+    ), per_src AS (
+        SELECT d.source,
+               CAST(COUNT(*) AS BIGINT) AS n_raw,
+               CAST(COALESCE(MAX(q.nq), 0) AS BIGINT) AS n_quality,
+               CAST(COALESCE(MAX(x.nx), 0) AS BIGINT) AS n_exact,
+               CAST(COALESCE(MAX(f.nf), 0) AS BIGINT) AS n_final,
+               CAST(COALESCE(MAX(f.tok), 0) AS BIGINT) AS tokens_final
+        FROM documents d
+        LEFT JOIN (SELECT source, COUNT(*) AS nq FROM quality GROUP BY source) q
+          ON q.source = d.source
+        LEFT JOIN (SELECT source, COUNT(*) AS nx FROM exact GROUP BY source) x
+          ON x.source = d.source
+        LEFT JOIN (SELECT source, COUNT(*) AS nf, SUM(n_words) AS tok
+                   FROM final WHERE keeper GROUP BY source) f
+          ON f.source = d.source
+        GROUP BY d.source
+    )
+    SELECT source, n_raw, n_quality, n_exact, n_final, tokens_final,
+           CASE WHEN n_final > 0
+                THEN CAST(tokens_final AS DOUBLE) / CAST(n_final AS DOUBLE)
+                ELSE 0.0 END AS mean_tokens_kept
+    FROM per_src
+    ORDER BY source
+    """
+
+
+ORACLE["q216_release_funnel"] = _q216_oracle()

@@ -186,6 +186,8 @@ HEADLINE = [
     "q212_dataset_card",
     "q213_seasonal_strength",
     "q214_market_share",
+    "q215_dynamic_overwrite",
+    "q216_release_funnel",
 ]
 
 

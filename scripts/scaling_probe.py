@@ -89,6 +89,7 @@ PROBE = [
     "q205_pack_interleave", # two-pass distributed prefix sum packing
     "q206_c4_quality",      # pure-Catalyst C4 rule projection
     "q210_tf_cosine",       # df-capped sparse term self-join
+    "q216_release_funnel",  # quality → exact dedup → minhash keeper, composed
 ]
 
 
