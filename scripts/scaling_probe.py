@@ -89,6 +89,10 @@ PROBE = [
     "q205_pack_interleave", # two-pass distributed prefix sum packing
     "q206_c4_quality",      # pure-Catalyst C4 rule projection
     "q210_tf_cosine",       # df-capped sparse term self-join
+    "q211_ivf_cell_profile", # kernel assign + map-side agg
+    "q212_dataset_card",    # one-scan corpus summary (digest distinct)
+    "q213_seasonal_strength", # daily pre-agg + one window pass
+    "q214_market_share",    # 6-table star, broadcast dims
     "q216_release_funnel",  # quality → exact dedup → minhash keeper, composed
 ]
 

@@ -93,3 +93,53 @@ def test_aqe_skew_join_split_engages(spark):
         plan = _plan(j)
         assert "skew=true" in plan, plan
         assert j.count() == 200_000 + 1_999
+
+
+def test_cbo_stats_flip_join_to_broadcast(spark, tmp_path):
+    """Cost-based optimization: a managed table UNDER the broadcast
+    threshold joins as SortMergeJoin while the catalog has no stats
+    (unknown size defaults conservative with the file estimate of the
+    WIDE on-disk footprint), but after ANALYZE TABLE … COMPUTE
+    STATISTICS the known row/byte counts flip it to broadcast — the
+    mechanism that lets a 1000-executor plan pick the cheap side
+    without hints. Pinned on a dim whose parquet footprint exceeds
+    the threshold while its true (post-pruning) stats fit."""
+    import uuid
+
+    db_tag = uuid.uuid4().hex[:8]
+    big = f"cbo_fact_{db_tag}"
+    dim = f"cbo_dim_{db_tag}"
+    spark.sql(
+        f"CREATE TABLE {big} USING parquet LOCATION '{tmp_path}/fact' AS "
+        "SELECT id AS k, id % 97 AS payload FROM range(200000)"
+    )
+    # dim: few rows but a WIDE padding column so the on-disk size
+    # estimate (sizeInBytes from files) overshoots the threshold
+    spark.sql(
+        f"CREATE TABLE {dim} USING parquet LOCATION '{tmp_path}/dim' AS "
+        "SELECT id AS k, repeat(uuid(), 64) AS pad FROM range(4000)"
+    )
+    q = (
+        f"SELECT COUNT(*) FROM {big} b JOIN (SELECT k FROM {dim}) d ON b.k = d.k"
+    )
+    try:
+        with _confs(
+            spark,
+            **{
+                "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024),
+                "spark.sql.adaptive.enabled": "false",
+                "spark.sql.cbo.enabled": "true",
+            },
+        ):
+            df0 = spark.sql(q)
+            df0.collect()
+            before = _plan(df0)
+            spark.sql(f"ANALYZE TABLE {dim} COMPUTE STATISTICS FOR ALL COLUMNS")
+            df1 = spark.sql(q)
+            df1.collect()
+            after = _plan(df1)
+        assert "SortMergeJoin" in before and "BroadcastHashJoin" not in before, before
+        assert "BroadcastHashJoin" in after, after
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {big}")
+        spark.sql(f"DROP TABLE IF EXISTS {dim}")
