@@ -2344,3 +2344,252 @@ def _q216_oracle() -> str:
 
 
 ORACLE["q216_release_funnel"] = _q216_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Q217 — targeted deletion (right-to-be-forgotten processing, the
+# data-governance pass every training corpus needs): a deterministic
+# removal list (doc_id % 37 = 0 — the stand-in for a DSR/opt-out
+# table) anti-joins the corpus (broadcast LeftAnti — the list is
+# tiny relative to the corpus at any scale), the survivors rewrite
+# to a fresh partitioned location, and the AUDIT row reads the
+# rewrite back: per source, surviving count, exact id checksum, and
+# removed count vs the pre-image — proving the delete removed
+# exactly the listed rows and nothing else. Bounded read-back, temp
+# dir dropped before return (q215's shape).
+# ---------------------------------------------------------------------------
+
+def q217_targeted_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    removal = docs.filter(F.col("doc_id") % 37 == 0).select("doc_id")
+    tmp = tempfile.mkdtemp(prefix="q217_")
+    path = tmp + "/docs_clean"
+    try:
+        kept = docs.join(F.broadcast(removal), "doc_id", "left_anti")
+        kept.write.mode("overwrite").partitionBy("source").parquet(path)
+        back = (
+            spark.read.parquet(path)
+            .groupBy("source")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_kept"),
+                F.sum("doc_id").cast("long").alias("id_sum"),
+            )
+        )
+        pre = docs.groupBy("source").agg(
+            F.count(F.lit(1)).cast("long").alias("n_raw")
+        )
+        rows = (
+            pre.join(back, "source", "left")
+            .select(
+                "source",
+                "n_raw",
+                F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+                (F.col("n_raw") - F.coalesce("n_kept", F.lit(0)))
+                .cast("long")
+                .alias("n_removed"),
+                F.coalesce("id_sum", F.lit(0)).cast("long").alias("id_sum"),
+            )
+            .orderBy("source")
+            .collect()
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "source string, n_raw long, n_kept long, n_removed long, id_sum long"
+    )
+
+
+QUERIES["q217_targeted_delete"] = q217_targeted_delete
+ORACLE["q217_targeted_delete"] = """
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_raw,
+           CAST(SUM(CASE WHEN doc_id % 37 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN doc_id % 37 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+           CAST(SUM(CASE WHEN doc_id % 37 <> 0 THEN doc_id ELSE 0 END) AS BIGINT) AS id_sum
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q218 — BPE merge-candidate scoring (the first step of byte-pair-
+# encoding tokenizer training, Sennrich et al. 2016): count adjacent
+# character-pair occurrences inside whitespace words across the
+# corpus (repeats counted — BPE merges by occurrence mass, not
+# document frequency) and rank the top-20 merge candidates. Pure
+# integer counts; substr is codepoint-indexed on both engines so
+# multi-byte text binds identically. Scale: chars explode is linear
+# in corpus bytes, the count is map-side combinable, top-20 is
+# TakeOrdered.
+# ---------------------------------------------------------------------------
+
+def q218_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_data_pipeline_spark.functions.text import ws_tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select(F.explode(ws_tokens(F.col("text"))).alias("w"))
+    pairs = words.filter(F.length("w") >= 2).select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substr(w, i, 2))")
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(20)
+    )
+
+
+QUERIES["q218_bpe_merge_candidates"] = q218_bpe_merge_candidates
+ORACLE["q218_bpe_merge_candidates"] = """
+    WITH words AS (
+        SELECT unnest(list_filter(string_split_regex(trim(text), '\\s+'),
+                                  w -> len(w) > 0)) AS w
+        FROM documents
+    ), pairs AS (
+        SELECT unnest(list_transform(range(1, len(w)), i -> substr(w, i, 2))) AS pair
+        FROM words
+        WHERE len(w) >= 2
+    )
+    SELECT pair, CAST(COUNT(*) AS BIGINT) AS n
+    FROM pairs
+    GROUP BY pair
+    ORDER BY n DESC, pair ASC
+    LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q219 — LSH banding quality audit (measure, don't guess: the
+# recall check every MinHash deployment owes itself): the exact
+# capped 3-gram Jaccard pairs at τ=0.6 (the feasible exact baseline
+# — same Q23 hot-shingle cap, mirrored in the oracle) FULL-OUTER-
+# joined against the production MinHash+LSH output (q24/q204's
+# fixed policy), reported as one row of truth/found/common/missed/
+# extra counts and the recall ratio (one exact-int division).
+# n_missed counts banding false negatives AND cap-vs-uncapped
+# verification drift — both are real pipeline risk, which is the
+# point of auditing the composition rather than the theory.
+# ---------------------------------------------------------------------------
+
+def q219_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_data_pipeline_spark.catalog import spread
+    from ai_data_pipeline_spark.operators import dedup
+    from ai_data_pipeline_spark.plans.pipeline_queries import Q23_MAX_SHINGLE_FREQ
+
+    docs = spread(_t(spark, sf_dir, "documents"))
+    truth = (
+        dedup.ngram_jaccard_pairs(
+            docs, "doc_id", "text", n=3,
+            min_jaccard=0.6, max_shingle_freq=Q23_MAX_SHINGLE_FREQ,
+        )
+        .select("id_a", "id_b")
+        .withColumn("t", F.lit(1))
+    )
+    found = (
+        dedup.minhash_neardup_pairs(
+            docs, "doc_id", "text", n=3, num_hashes=32, bands=8, min_jaccard=0.6
+        )
+        .select("id_a", "id_b")
+        .withColumn("f", F.lit(1))
+    )
+    j = truth.join(found, ["id_a", "id_b"], "full_outer")
+    agg = j.agg(
+        F.sum(F.coalesce("t", F.lit(0))).cast("long").alias("n_truth"),
+        F.sum(F.coalesce("f", F.lit(0))).cast("long").alias("n_found"),
+        F.sum(
+            (F.col("t").isNotNull() & F.col("f").isNotNull()).cast("int")
+        ).cast("long").alias("n_common"),
+        F.sum(
+            (F.col("t").isNotNull() & F.col("f").isNull()).cast("int")
+        ).cast("long").alias("n_missed"),
+        F.sum(
+            (F.col("t").isNull() & F.col("f").isNotNull()).cast("int")
+        ).cast("long").alias("n_extra"),
+    )
+    return agg.withColumn(
+        "recall",
+        F.col("n_common").cast("double") / F.col("n_truth").cast("double"),
+    )
+
+
+QUERIES["q219_lsh_recall_audit"] = q219_lsh_recall_audit
+
+
+def _q219_oracle() -> str:
+    from ai_data_pipeline_spark.functions.text import sql_word_ngrams
+    from ai_data_pipeline_spark.plans.pipeline_queries import Q23_MAX_SHINGLE_FREQ
+
+    grams3 = sql_word_ngrams("text", 3)
+    return f"""
+    WITH sh0 AS MATERIALIZED (
+        SELECT DISTINCT doc_id AS id, unnest({grams3}) AS shingle
+        FROM documents
+    ), freq AS (
+        SELECT shingle, COUNT(*) AS fq FROM sh0 GROUP BY shingle
+    ), shc AS MATERIALIZED (
+        SELECT id, sh0.shingle
+        FROM sh0 JOIN freq ON sh0.shingle = freq.shingle
+        WHERE fq <= {Q23_MAX_SHINGLE_FREQ}
+    ), sizes_c AS (
+        SELECT id, COUNT(*) AS n_sh FROM shc GROUP BY id
+    ), inter_c AS (
+        SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS inter
+        FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.id < b.id
+        GROUP BY 1, 2
+    ), truth AS (
+        SELECT id_a, id_b
+        FROM inter_c
+        JOIN sizes_c sa ON sa.id = id_a
+        JOIN sizes_c sb ON sb.id = id_b
+        WHERE inter / (sa.n_sh + sb.n_sh - inter) >= '0.6'::DOUBLE
+    ), sig AS (
+        SELECT id, j, MIN((('0x' || substr(md5(shingle || ':' || j), 1, 15))::BIGINT)) AS mh
+        FROM sh0 CROSS JOIN range(32) AS t(j)
+        GROUP BY id, j
+    ), bandkey AS (
+        SELECT id, j // 4 AS band, string_agg(mh::VARCHAR, ',' ORDER BY j) AS bk
+        FROM sig GROUP BY id, j // 4
+    ), cand AS (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        FROM bandkey a
+        JOIN bandkey b ON a.band = b.band AND a.bk = b.bk AND a.id < b.id
+    ), sizes_u AS (
+        SELECT id, COUNT(*) AS n_sh FROM sh0 GROUP BY id
+    ), inter_u AS (
+        SELECT cand.id_a, cand.id_b, COUNT(*) AS inter
+        FROM cand
+        JOIN sh0 sa ON sa.id = cand.id_a
+        JOIN sh0 sb ON sb.id = cand.id_b AND sb.shingle = sa.shingle
+        GROUP BY 1, 2
+    ), found AS (
+        SELECT id_a, id_b
+        FROM inter_u
+        JOIN sizes_u sa ON sa.id = id_a
+        JOIN sizes_u sb ON sb.id = id_b
+        WHERE inter / (sa.n_sh + sb.n_sh - inter) >= '0.6'::DOUBLE
+    ), fo AS (
+        SELECT COALESCE(t.id_a, f.id_a) AS id_a,
+               COALESCE(t.id_b, f.id_b) AS id_b,
+               (t.id_a IS NOT NULL) AS in_t,
+               (f.id_a IS NOT NULL) AS in_f
+        FROM truth t FULL OUTER JOIN found f
+          ON t.id_a = f.id_a AND t.id_b = f.id_b
+    )
+    SELECT CAST(SUM(CASE WHEN in_t THEN 1 ELSE 0 END) AS BIGINT) AS n_truth,
+           CAST(SUM(CASE WHEN in_f THEN 1 ELSE 0 END) AS BIGINT) AS n_found,
+           CAST(SUM(CASE WHEN in_t AND in_f THEN 1 ELSE 0 END) AS BIGINT) AS n_common,
+           CAST(SUM(CASE WHEN in_t AND NOT in_f THEN 1 ELSE 0 END) AS BIGINT) AS n_missed,
+           CAST(SUM(CASE WHEN NOT in_t AND in_f THEN 1 ELSE 0 END) AS BIGINT) AS n_extra,
+           CAST(SUM(CASE WHEN in_t AND in_f THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(CASE WHEN in_t THEN 1 ELSE 0 END) AS DOUBLE) AS recall
+    FROM fo
+"""
+
+
+ORACLE["q219_lsh_recall_audit"] = _q219_oracle()

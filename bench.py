@@ -188,6 +188,9 @@ HEADLINE = [
     "q214_market_share",
     "q215_dynamic_overwrite",
     "q216_release_funnel",
+    "q217_targeted_delete",
+    "q218_bpe_merge_candidates",
+    "q219_lsh_recall_audit",
 ]
 
 

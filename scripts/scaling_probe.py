@@ -94,6 +94,8 @@ PROBE = [
     "q213_seasonal_strength", # daily pre-agg + one window pass
     "q214_market_share",    # 6-table star, broadcast dims
     "q216_release_funnel",  # quality → exact dedup → minhash keeper, composed
+    "q218_bpe_merge_candidates",  # char-pair explode + map-side count
+    "q219_lsh_recall_audit",      # exact capped pairs FULL OUTER lsh pairs
 ]
 
 
