@@ -1,12 +1,20 @@
-"""Round-7 extended query set: SURVEY.md §2B Q186+.
+"""Extended query set: SURVEY.md §2B Q186+ (rounds 7–8).
 
-Graph analytics (PageRank, triangle counting), exact-distinct bitmap
-rollups, sequential recurrences (EWMA), template-masked dedup,
-checksum validation, SQL-scripting / parameterized-SQL surface,
-frequent-items in the exact regime, temporal-overlap measures,
-try-arithmetic overflow semantics, skyline (Pareto frontier),
-equi-depth histograms, proportional allocation, and sequence-gap
-audits.
+Round 7: graph analytics (PageRank, triangle counting),
+exact-distinct bitmap rollups, sequential recurrences (EWMA),
+template-masked dedup, checksum validation, SQL-scripting /
+parameterized-SQL surface, frequent-items in the exact regime,
+temporal-overlap measures, try-arithmetic overflow semantics,
+skyline (Pareto frontier), equi-depth histograms, proportional
+allocation, and sequence-gap audits.
+
+Round 8: the LLM-curation graded frontier — Gopher and C4 quality
+reports, SemDeDup, the composed MinHash keeper pass and the full
+release funnel, temperature mixing, interleaved sequence packing on
+a distributed prefix sum, TF-cosine near-dup, IVF occupancy and ANN
+recall / LSH banding audits, BPE merge scoring, dataset card,
+integer-exact OLS/seasonality, the TPC-H-Q8-shape star, dynamic
+partition overwrite, and targeted-deletion auditing.
 
 Same oracle-parity discipline as relational.py (see the float-policy
 header there): identical aliases on both engines, exact integer
