@@ -2601,3 +2601,96 @@ def _q219_oracle() -> str:
 
 
 ORACLE["q219_lsh_recall_audit"] = _q219_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Q220 — the quality gate IN-STREAM (curation at ingest, the shape a
+# production corpus pipeline actually deploys: filter at the door,
+# never land junk): documents replay through a file stream, the
+# Gopher rule projection (pure Catalyst — streaming-compatible by
+# construction, no state) evaluates per micro-batch, and the append
+# sink collects per-row verdicts; the audit aggregates the sink per
+# source — counts through the gate, structural keeps, token mass of
+# keepers. Oracle recomputes the same four structural rules in SQL
+# (q202's fragments). Uses the q95 replay pattern (memory sink,
+# drained) — production wires the same projection into
+# streaming/pipelines.py's file/foreachBatch sinks.
+# ---------------------------------------------------------------------------
+
+def q220_streaming_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid as _uuid
+
+    from ai_data_pipeline_spark.operators.curation import gopher_quality_flags
+    from ai_data_pipeline_spark.plans.pipeline_queries import _drain_memory_sink
+
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    raw = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    flagged = gopher_quality_flags(raw).withColumn(
+        "structural_keep",
+        F.col("r_word_count")
+        & F.col("r_mean_word_len")
+        & F.col("r_symbol_ratio")
+        & F.col("r_alpha_words"),
+    )
+    name = f"q220_{_uuid.uuid4().hex[:8]}"
+    q = (
+        flagged.select("source", "structural_keep", "n_words")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    agg = (
+        spark.table(name)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.col("structural_keep").cast("int")).cast("long").alias("n_kept"),
+            F.sum(F.when(F.col("structural_keep"), F.col("n_words")).otherwise(0))
+            .cast("long")
+            .alias("tokens_kept"),
+        )
+    )
+    return _drain_memory_sink(agg, name).orderBy("source")
+
+
+QUERIES["q220_streaming_quality_gate"] = q220_streaming_quality_gate
+ORACLE["q220_streaming_quality_gate"] = """
+    WITH d AS (
+        SELECT source,
+               coalesce(text, '') AS t,
+               list_filter(string_split_regex(coalesce(text, ''), '[ \\t\\r\\n]+'),
+                           w -> w != '') AS words
+        FROM documents
+    ), m AS (
+        SELECT source,
+               len(words) AS n_words,
+               coalesce(list_sum(list_transform(words, w -> len(w))), 0) AS word_chars,
+               len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]'))) AS n_alpha,
+               length(t) - length(replace(t, '#', ''))
+                 + len(regexp_extract_all(t, '(\\.\\.\\.|…)')) AS n_sym
+        FROM d
+    ), r AS (
+        SELECT source, n_words,
+               (n_words >= 50 AND n_words <= 100000
+                AND 3 * n_words <= word_chars AND word_chars <= 10 * n_words
+                AND 10 * n_sym <= n_words
+                AND 5 * n_alpha >= 4 * n_words) AS keep
+        FROM m
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN keep THEN n_words ELSE 0 END) AS BIGINT) AS tokens_kept
+    FROM r
+    GROUP BY source
+    ORDER BY source
+"""

@@ -191,6 +191,7 @@ HEADLINE = [
     "q217_targeted_delete",
     "q218_bpe_merge_candidates",
     "q219_lsh_recall_audit",
+    "q220_streaming_quality_gate",
 ]
 
 
