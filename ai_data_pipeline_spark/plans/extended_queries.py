@@ -2694,3 +2694,34 @@ ORACLE["q220_streaming_quality_gate"] = """
     GROUP BY source
     ORDER BY source
 """
+
+
+# ---------------------------------------------------------------------------
+# Q221 — salted hot-key aggregation graded (operators/skew.py's
+# salted_count under the driver): event_type is the corpus's
+# power-law key (q138 measures the skew); the two-phase
+# (key, salt)-partial → key-final form splits the hot reduce
+# partition 8 ways, and the graded row proves it exactly equals the
+# plain GROUP BY (oracle). At 100 TB the plain form leaves one
+# straggler partition holding the hottest key's entire count stream;
+# the salted form bounds every reduce task at 1/salts of it.
+# ---------------------------------------------------------------------------
+
+def q221_salted_hot_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_data_pipeline_spark.operators.skew import salted_count
+
+    e = load_events(spark, sf_dir)
+    return (
+        salted_count(e.select("event_type"), "event_type", salts=8)
+        .select("event_type", F.col("n").cast("long").alias("n"))
+        .orderBy("event_type")
+    )
+
+
+QUERIES["q221_salted_hot_agg"] = q221_salted_hot_agg
+ORACLE["q221_salted_hot_agg"] = """
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+"""

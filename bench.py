@@ -192,6 +192,7 @@ HEADLINE = [
     "q218_bpe_merge_candidates",
     "q219_lsh_recall_audit",
     "q220_streaming_quality_gate",
+    "q221_salted_hot_agg",
 ]
 
 

@@ -143,3 +143,39 @@ def test_cbo_stats_flip_join_to_broadcast(spark, tmp_path):
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {big}")
         spark.sql(f"DROP TABLE IF EXISTS {dim}")
+
+
+def test_runtime_bloom_filter_join_engages(spark, tmp_path):
+    """Runtime (row-level) bloom-filter join: with broadcast off, a
+    selective dim filter must inject a BloomFilterAggregate on the
+    dim side and a might_contain probe on the FACT side — rows that
+    cannot match die at the fact scan instead of riding the shuffle.
+    At 100 TB this is the difference between shuffling the whole
+    fact table and shuffling the ~matching fraction. The injection
+    needs real scans with size estimates (parquet), not in-memory
+    ranges — probed empirically."""
+    from pyspark.sql import functions as F
+
+    big_p = str(tmp_path / "big")
+    dim_p = str(tmp_path / "dim")
+    spark.range(3_000_000).select(
+        (F.col("id") % 100_000).alias("k"), F.col("id").alias("v")
+    ).write.parquet(big_p)
+    spark.range(100_000).select(
+        F.col("id").alias("k"), (F.col("id") % 977).alias("f")
+    ).write.parquet(dim_p)
+    with _confs(
+        spark,
+        **{
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1KB",
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "50MB",
+        },
+    ):
+        big = spark.read.parquet(big_p)
+        dim = spark.read.parquet(dim_p).filter("f = 3")
+        j = big.join(dim, "k")
+        n = j.count()
+        plan = _plan(j)
+    assert "might_contain" in plan, plan[:2000]
+    assert n == dim.count() * 30  # 3M facts / 100k keys = 30 per key
