@@ -74,8 +74,8 @@ def test_declared_surface_does_not_shrink():
     a breakage in any one must fail THIS test loudly, never silently
     shrink the graded surface (review finding r03). Bump the floor
     when queries are added — never lower it."""
-    assert len(_QUERIES) >= 202
-    assert len(entrymod.oracle_sql()) >= 202
+    assert len(_QUERIES) >= 222
+    assert len(entrymod.oracle_sql()) >= 222
 
 
 def test_query_modules_do_not_collide():
@@ -150,3 +150,20 @@ def test_compare_rejects_uncast_hugeint(spark, duck):
         "SELECT CAST(SUM(x) AS BIGINT) AS s FROM (VALUES (1), (1), (1)) t(x)",
     )
     assert good["match"]
+
+
+def test_bench_and_probe_name_lists_resolve():
+    """Every name in bench.HEADLINE and scripts/scaling_probe.PROBE
+    must be a registered query — a typo would crash the driver's
+    per-round bench (recorded as rc!=0) instead of failing locally."""
+    import importlib
+
+    import __spark_entry__ as entrymod
+
+    qs = set(entrymod.queries())
+    bench = importlib.import_module("bench")
+    missing = [n for n in bench.HEADLINE if n not in qs]
+    assert not missing, missing
+    probe = importlib.import_module("scripts.scaling_probe")
+    missing = [n for n in probe.PROBE if n not in qs]
+    assert not missing, missing
