@@ -115,6 +115,14 @@ DRIVER_EVIDENCE = frozenset({
     "q194_approx_topk_exact", "q195_printf_format", "q196_interval_overlap",
     "q197_try_arithmetic", "q198_skyline", "q199_equidepth_ntile",
     "q200_largest_remainder", "q201_sequence_gaps",
+    # --- green in CORRECTNESS_r08.json (all 50 graded rows hashed green) ---
+    "q202_gopher_quality", "q203_semantic_dedup", "q204_minhash_keeper",
+    "q205_pack_interleave", "q206_c4_quality", "q207_temperature_mix",
+    "q208_linear_trend", "q209_ann_recall", "q210_tf_cosine",
+    "q211_ivf_cell_profile", "q212_dataset_card", "q213_seasonal_strength",
+    "q214_market_share", "q215_dynamic_overwrite", "q216_release_funnel",
+    "q217_targeted_delete", "q218_bpe_merge_candidates", "q219_lsh_recall_audit",
+    "q220_streaming_quality_gate", "q221_salted_hot_agg",
 })
 
 # Backward-compatible alias (pre-r03 name).
