@@ -27,7 +27,13 @@ from __future__ import annotations
 
 from pyspark.sql import SparkSession
 
-from ai_data_pipeline_spark.functions.text import BPE_ISH_PATTERN
+from ai_data_pipeline_spark.functions.text import BPE_ISH_PATTERN, WS, WS_RUN
+
+# Spark SQL string literals are backslash-escaped: double every
+# backslash so the regex engine sees the explicit whitespace class
+# (functions/text.py WS — the Java-\s-equivalent both engines share).
+_WS_SQL = WS.replace("\\", "\\\\")
+_WS_RUN_SQL = WS_RUN.replace("\\", "\\\\")
 
 # name -> (signature, return type, body). Bodies are pure Spark SQL
 # expressions — no Python at call time.
@@ -57,12 +63,13 @@ _DEFS: dict[str, tuple[str, str, str]] = {
     "norm_text": (
         "(s STRING)",
         "STRING",
-        r"trim(regexp_replace(regexp_replace(lower(s), '[^a-z0-9\\s]', ''), '\\s+', ' '))",
+        f"trim(regexp_replace(regexp_replace(lower(s), '[^a-z0-9{_WS_SQL}]', ''),"
+        f" '{_WS_RUN_SQL}', ' '))",
     ),
     "ws_tokens": (
         "(s STRING)",
         "ARRAY<STRING>",
-        r"filter(split(trim(s), '\\s+'), w -> length(w) > 0)",
+        f"filter(split(trim(s), '{_WS_RUN_SQL}'), w -> length(w) > 0)",
     ),
     "token_count_ws": ("(s STRING)", "BIGINT", "cast(size(ws_tokens(s)) AS BIGINT)"),
     "token_count_bpe": (

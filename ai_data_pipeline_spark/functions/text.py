@@ -11,14 +11,26 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+# Whitespace: ONE explicit class on BOTH engines. Java regex \s is
+# [ \t\n\x0b\f\r]; DuckDB's RE2 \s omits \x0b (vertical tab), so a
+# Spark-\s / DuckDB-\s pair silently diverges on a \x0b in the
+# corpus. WS below is exactly Java \s — every Spark-side result is
+# bit-identical to the old \s form — and the DuckDB twins now agree
+# on \x0b too. Compose as [{WS}] / [^…{WS}]; WS_RUN is a run. The
+# escapes survive a DuckDB single-quoted literal verbatim; a SPARK
+# SQL string literal unescapes backslashes, so double them there
+# (see functions/sql_udfs.py).
+WS = r" \t\n\x0b\f\r"
+WS_RUN = rf"[{WS}]+"
+
 # BPE-ish tokenizer: letter runs, digit runs, or single punctuation.
-BPE_ISH_PATTERN = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+BPE_ISH_PATTERN = rf"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9{WS}]"
 
 
 def ws_tokens(col: Column | str) -> Column:
     """Whitespace tokens with empties dropped (split on runs)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.filter(F.split(F.trim(c), r"\s+"), lambda w: F.length(w) > 0)
+    return F.filter(F.split(F.trim(c), WS_RUN), lambda w: F.length(w) > 0)
 
 
 def token_count_ws(col: Column | str) -> Column:
@@ -57,7 +69,7 @@ def word_ngrams(col: Column | str, n: int) -> Column:
 
 def sql_word_ngrams(text_expr: str, n: int) -> str:
     """DuckDB twin of word_ngrams (1-based lists)."""
-    ws = f"list_filter(string_split_regex(trim({text_expr}), '\\s+'), w -> len(w) > 0)"
+    ws = f"list_filter(string_split_regex(trim({text_expr}), '{WS_RUN}'), w -> len(w) > 0)"
     if n == 1:
         return ws
     parts = " || ' ' || ".join(f"({ws})[i + {k}]" for k in range(n))
@@ -70,9 +82,12 @@ def normalized_text(col: Column | str) -> Column:
     """Lowercase, strip non-alphanumerics, collapse whitespace — the
     canonical form for fingerprinting/dedup."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.trim(F.regexp_replace(F.regexp_replace(F.lower(c), r"[^a-z0-9\s]", ""), r"\s+", " "))
+    return F.trim(
+        F.regexp_replace(F.regexp_replace(F.lower(c), rf"[^a-z0-9{WS}]", ""), WS_RUN, " ")
+    )
 
 
 SQL_NORMALIZED = (
-    "trim(regexp_replace(regexp_replace(lower({x}), '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g'))"
+    f"trim(regexp_replace(regexp_replace(lower({{x}}), '[^a-z0-9{WS}]', '', 'g'),"
+    f" '{WS_RUN}', ' ', 'g'))"
 )

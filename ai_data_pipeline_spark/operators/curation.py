@@ -14,6 +14,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ai_data_pipeline_spark.functions.text import WS_RUN
+
 # Java∩RE2-portable subset (char classes, +, {n} — no lookaround), so
 # Spark and any RE2-based engine (DuckDB, Go, Hyperscan-style
 # scanners) match identical spans.
@@ -95,7 +97,7 @@ def segment_table(
     shuffle, documents never do.
     """
     toks = F.filter(
-        F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
+        F.split(F.trim(F.lower(F.col(text_col))), WS_RUN),
         lambda w: F.length(w) > 0,
     )
     n_seg = F.ceil(F.size(toks) / F.lit(float(seg_tokens))).cast("int")

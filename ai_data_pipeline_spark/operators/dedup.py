@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ai_data_pipeline_spark.functions.text import normalized_text, word_ngrams
+from ai_data_pipeline_spark.functions.text import WS_RUN, normalized_text, word_ngrams
 from ai_data_pipeline_spark.functions.vector import cosine
 
 
@@ -435,7 +435,7 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """
     toks = df.select(
         F.col(id_col).alias("id"),
-        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
+        F.explode(F.split(F.trim(F.col(text_col)), WS_RUN)).alias("tok"),
     ).filter(F.length("tok") > 0)
     h = md5_hash60(F.col("tok"))
     sums = [

@@ -48,12 +48,28 @@ def salted_count(
     df: DataFrame,
     key: str,
     salts: int = 8,
+    salt_cols: list[str] | None = None,
 ) -> DataFrame:
     """Two-phase count for a power-law key: partial count on
     (key, salt) — map-side combine already bounds this, but the salt
     also splits the single hot REDUCE partition — then final sum on
-    key. Output: [<key>, n]."""
-    salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salts))
+    key. Output: [<key>, n].
+
+    salt_cols: columns the content-derived salt hashes (default: all
+    of df's columns). They must VARY WITHIN a key, or every row of a
+    hot key gets the same salt and the (key, salt) partial collapses
+    back to the plain GROUP BY — e.g. df.select(key) alone is
+    degenerate. Pass the frame with a row-varying column (an id, a
+    timestamp) included, or name such columns here explicitly.
+    """
+    cols = salt_cols if salt_cols is not None else df.columns
+    if set(cols) <= {key}:
+        raise ValueError(
+            "salted_count salt must hash a column that varies within "
+            f"the key; got salt_cols={cols!r} == key only (degenerate: "
+            "one salt per key, no hot-partition split)"
+        )
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in cols]), F.lit(salts))
     partial = (
         df.withColumn("_salt", salt)
         .groupBy(key, "_salt")

@@ -13,6 +13,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ai_data_pipeline_spark.functions.text import (
+    WS,
     token_count_bpe_ish,
     token_count_ws,
     normalized_text,
@@ -73,7 +74,7 @@ def punct_ratio(text_col: str) -> Column:
     """Punctuation chars / total chars (0 for empty text)."""
     c = F.col(text_col)
     total = F.length(c)
-    punct = F.length(c) - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
+    punct = F.length(c) - F.length(F.regexp_replace(c, rf"[^\w{WS}]", ""))
     return F.when(total > 0, punct / total).otherwise(F.lit(0.0))
 
 

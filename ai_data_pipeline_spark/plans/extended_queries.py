@@ -1345,8 +1345,11 @@ def q205_pack_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "source",
         token_count_bpe_ish(F.col("text")).alias("n_tok"),
-        # doc_id ≥ 0 → product ≥ 0 → % and div non-negative
-        F.expr(f"(doc_id * {_Q205_MULT}) % {_Q205_P}").alias("ord_key"),
+        # Reduce BEFORE multiplying: (doc_id % P) ≤ P-1 keeps the
+        # product < 2^53 for ANY BIGINT doc_id (doc_id * MULT alone
+        # wraps negative past doc_id ≈ 3.47e9 — the 100 TB id range);
+        # mathematically identical mod P. doc_id ≥ 0 → non-negative.
+        F.expr(f"((doc_id % {_Q205_P}) * {_Q205_MULT}) % {_Q205_P}").alias("ord_key"),
     ).withColumn("bucket", F.expr(f"ord_key div {step}"))
     cum = distributed_prefix_sum(
         base, "bucket", ["ord_key", "doc_id"], "n_tok"
@@ -1380,7 +1383,7 @@ def _q205_oracle() -> str:
     WITH base AS (
         SELECT doc_id, source,
                len(regexp_extract_all(text, '{BPE_ISH_PATTERN}')) AS n_tok,
-               (doc_id * {_Q205_MULT}) % {_Q205_P} AS ord_key
+               ((doc_id % {_Q205_P}) * {_Q205_MULT}) % {_Q205_P} AS ord_key
         FROM documents
     ), cum AS (
         SELECT source, n_tok,
@@ -1537,7 +1540,7 @@ ORACLE["q207_temperature_mix"] = f"""
     WITH per_lang AS (
         SELECT lang,
                CAST(COUNT(*) AS BIGINT) AS n_docs,
-               CAST(SUM(len(list_filter(string_split_regex(trim(text), '\\s+'),
+               CAST(SUM(len(list_filter(string_split_regex(trim(text), '[ \\t\\n\\x0b\\f\\r]+'),
                                         w -> len(w) > 0))) AS BIGINT) AS tokens
         FROM documents
         GROUP BY lang
@@ -1596,11 +1599,23 @@ def q208_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = s.select(
         "event_type", "n", "sx", "sy", "sxy", "sxx",
         num.alias("num"), den.alias("den"),
-    ).withColumn("slope", F.col("num").cast("double") / F.col("den").cast("double"))
+    ).withColumn(
+        # den = 0 when a type has a single day (x constant): 0/0 is
+        # NaN on Spark but version-dependent on DuckDB (NULL pre-0.10)
+        # — the q131-class driver trap. NULL on both engines instead.
+        "slope",
+        F.when(
+            F.col("den") != 0,
+            F.col("num").cast("double") / F.col("den").cast("double"),
+        ),
+    )
     return out.withColumn(
         "intercept",
-        (F.col("sy").cast("double") - F.col("slope") * F.col("sx").cast("double"))
-        / F.col("n").cast("double"),
+        F.when(
+            F.col("den") != 0,
+            (F.col("sy").cast("double") - F.col("slope") * F.col("sx").cast("double"))
+            / F.col("n").cast("double"),
+        ),
     ).orderBy("event_type")
 
 
@@ -1631,10 +1646,12 @@ ORACLE["q208_linear_trend"] = f"""
         FROM s
     )
     SELECT event_type, n, sx, sy, sxy, sxx, num, den,
-           CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS slope,
-           (CAST(sy AS DOUBLE)
-              - (CAST(num AS DOUBLE) / CAST(den AS DOUBLE)) * CAST(sx AS DOUBLE))
-             / CAST(n AS DOUBLE) AS intercept
+           CASE WHEN den <> 0
+                THEN CAST(num AS DOUBLE) / CAST(den AS DOUBLE) END AS slope,
+           CASE WHEN den <> 0
+                THEN (CAST(sy AS DOUBLE)
+                        - (CAST(num AS DOUBLE) / CAST(den AS DOUBLE)) * CAST(sx AS DOUBLE))
+                       / CAST(n AS DOUBLE) END AS intercept
     FROM d
     ORDER BY event_type
 """
@@ -1736,7 +1753,7 @@ QUERIES["q210_tf_cosine"] = q210_tf_cosine
 ORACLE["q210_tf_cosine"] = f"""
     WITH w AS (
         SELECT doc_id,
-               list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+               list_filter(string_split_regex(trim(lower(text)), '[ \\t\\n\\x0b\\f\\r]+'),
                            t -> len(t) > 0) AS ws
         FROM documents
     ), g AS (
@@ -1902,7 +1919,7 @@ QUERIES["q212_dataset_card"] = q212_dataset_card
 ORACLE["q212_dataset_card"] = """
     WITH base AS (
         SELECT source, lang,
-               len(list_filter(string_split_regex(trim(text), '\\s+'),
+               len(list_filter(string_split_regex(trim(text), '[ \\t\\n\\x0b\\f\\r]+'),
                                w -> len(w) > 0)) AS n_tok,
                length(text) AS n_chars,
                md5(text) AS digest,
@@ -1972,7 +1989,13 @@ def q213_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
         s.select("event_type", "n", "sy", "syy", "sr", "srr",
                  num.alias("num"), den.alias("den"))
         .withColumn(
-            "strength", F.col("num").cast("double") / F.col("den").cast("double")
+            # den = 0 when daily counts are constant: NULL on both
+            # engines (DuckDB 0/0 is version-dependent — ADVICE r08).
+            "strength",
+            F.when(
+                F.col("den") != 0,
+                F.col("num").cast("double") / F.col("den").cast("double"),
+            ),
         )
         .orderBy("event_type")
     )
@@ -2005,8 +2028,9 @@ ORACLE["q213_seasonal_strength"] = f"""
     SELECT event_type, n, sy, syy, sr, srr,
            CAST(n * srr - sr * sr AS BIGINT) AS num,
            CAST(49 * (n * syy - sy * sy) AS BIGINT) AS den,
-           CAST(n * srr - sr * sr AS DOUBLE)
-             / CAST(49 * (n * syy - sy * sy) AS DOUBLE) AS strength
+           CASE WHEN 49 * (n * syy - sy * sy) <> 0
+                THEN CAST(n * srr - sr * sr AS DOUBLE)
+                       / CAST(49 * (n * syy - sy * sy) AS DOUBLE) END AS strength
     FROM s
     ORDER BY event_type
 """
@@ -2456,7 +2480,7 @@ def q218_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["q218_bpe_merge_candidates"] = q218_bpe_merge_candidates
 ORACLE["q218_bpe_merge_candidates"] = """
     WITH words AS (
-        SELECT unnest(list_filter(string_split_regex(trim(text), '\\s+'),
+        SELECT unnest(list_filter(string_split_regex(trim(text), '[ \\t\\n\\x0b\\f\\r]+'),
                                   w -> len(w) > 0)) AS w
         FROM documents
     ), pairs AS (
@@ -2718,8 +2742,11 @@ def q221_salted_hot_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ai_data_pipeline_spark.operators.skew import salted_count
 
     e = load_events(spark, sf_dir)
+    # event_id varies per row, so the content-derived salt actually
+    # splits each hot key 8 ways (key-only input is degenerate — one
+    # salt per key — and salted_count now rejects it).
     return (
-        salted_count(e.select("event_type"), "event_type", salts=8)
+        salted_count(e.select("event_type", "event_id"), "event_type", salts=8)
         .select("event_type", F.col("n").cast("long").alias("n"))
         .orderBy("event_type")
     )

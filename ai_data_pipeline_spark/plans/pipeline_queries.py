@@ -23,6 +23,7 @@ from ai_data_pipeline_spark.catalog import (
 )
 from ai_data_pipeline_spark.functions.text import (
     BPE_ISH_PATTERN,
+    WS,
     normalized_text,
     token_count_bpe_ish,
     token_count_ws,
@@ -371,7 +372,7 @@ def q29_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(toks).cast("long").alias("n_tok"),
         F.size(F.filter(toks, lambda w: w.isin(*en))).cast("long").alias("n_stop"),
         F.length("text").cast("long").alias("n_chars"),
-        (F.length("text") - F.length(F.regexp_replace(F.col("text"), r"[^\w\s]", "")))
+        (F.length("text") - F.length(F.regexp_replace(F.col("text"), rf"[^\w{WS}]", "")))
         .cast("long")
         .alias("n_punct"),
     )
@@ -2927,11 +2928,13 @@ QUERIES = {
 _Q19_VEC = sql_lit_list(Q19_QUERY_VEC)
 _L2_Q19 = sql_squared_l2("embedding", _Q19_VEC, EMBED_DIM)
 
-_SQL_WS = "list_filter(string_split_regex(trim({x}), '\\s+'), w -> len(w) > 0)"
+from ai_data_pipeline_spark.functions.text import WS, WS_RUN, sql_word_ngrams
+
+_SQL_WS = f"list_filter(string_split_regex(trim({{x}}), '{WS_RUN}'), w -> len(w) > 0)"
 _SQL_NORM = (
-    "trim(regexp_replace(regexp_replace(lower({x}), '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g'))"
+    f"trim(regexp_replace(regexp_replace(lower({{x}}), '[^a-z0-9{WS}]', '', 'g'),"
+    f" '{WS_RUN}', ' ', 'g'))"
 )
-from ai_data_pipeline_spark.functions.text import sql_word_ngrams
 
 _SQL_4GRAMS = sql_word_ngrams("text", 4)
 _SQL_3GRAMS = sql_word_ngrams("text", 3)
@@ -3116,7 +3119,7 @@ ORACLE = {
     # Spark output because blocking has exact recall by pigeonhole.
     "q25_simhash": f"""
         WITH toks AS (
-            SELECT doc_id AS id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+            SELECT doc_id AS id, unnest(string_split_regex(trim(text), '{WS_RUN}')) AS tok
             FROM documents
         ), tk AS (
             SELECT id, {_SQL_H60_TOK} AS h FROM toks WHERE len(tok) > 0
@@ -3158,7 +3161,7 @@ ORACLE = {
                    len(list_filter({_SQL_WS.format(x='text')},
                        w -> w IN ('the', 'a', 'of', 'and', 'to'))) AS n_stop,
                    length(text) AS n_chars,
-                   length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS n_punct
+                   length(text) - length(regexp_replace(text, '[^\\w{WS}]', '', 'g')) AS n_punct
             FROM documents
         )
         SELECT lang, COUNT(*) AS n_docs,

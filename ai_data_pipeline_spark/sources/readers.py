@@ -136,7 +136,8 @@ def read_jsonl_quarantine(
     raw = (
         reader.text(path)
         # NB: F.trim strips only ASCII spaces — rlike catches tabs too
-        .filter(~F.col("value").rlike(r"^\s*$"))
+        # (explicit class = Java \s; see functions/text.py WS policy)
+        .filter(~F.col("value").rlike(r"^[ \t\n\x0b\f\r]*$"))
         .select(F.col("value"), F.input_file_name().alias("_src"))
     )
     parsed = raw.select(

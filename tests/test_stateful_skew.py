@@ -96,6 +96,28 @@ def test_salted_count_equals_plain_count(spark, sf_dir):
     assert plain == salted
 
 
+def test_salted_count_salt_varies_within_key(spark, sf_dir):
+    # The whole point of the salt is >1 distinct value per hot key —
+    # a key-only frame gives every row of a key the SAME salt (the
+    # degenerate shape ADVICE r08 flagged on q221) and must be refused.
+    o = load_table(spark, sf_dir, "orders").select("o_orderstatus", "o_orderkey")
+    salt = F.pmod(F.xxhash64("o_orderstatus", "o_orderkey"), F.lit(4))
+    per_key = (
+        o.withColumn("_salt", salt)
+        .groupBy("o_orderstatus")
+        .agg(F.countDistinct("_salt").alias("n_salts"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    for r in per_key:
+        if r["n"] >= 8:  # enough rows that 4 salts should all appear
+            assert r["n_salts"] > 1, f"key {r['o_orderstatus']} got a single salt"
+
+    with pytest.raises(ValueError, match="degenerate"):
+        salted_count(o.select("o_orderstatus"), "o_orderstatus", salts=4)
+    with pytest.raises(ValueError, match="degenerate"):
+        salted_count(o, "o_orderstatus", salts=4, salt_cols=["o_orderstatus"])
+
+
 def test_read_csv_failfast(spark, tmp_path):
     p = tmp_path / "csv"
     p.mkdir()
