@@ -17,7 +17,9 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -225,6 +227,40 @@ def main() -> int:
         dt = time.perf_counter() - t0
         canary = dt if canary is None else min(canary, dt)
 
+    # streaming canary: a fixed 3-micro-batch no-op file replay
+    # (maxFilesPerTrigger=1, noop sink, fresh checkpoint per rep),
+    # timed best-of-3. The micro-batch engine's scheduling/commit
+    # overhead drifts independently of JVM compute throughput — r08
+    # saw q153/q182 move ±45% with plans untouched and the compute
+    # canary FASTER. Adjudicate stateful-row drift against THIS
+    # number first: if stream_canary_sec moved by a similar factor,
+    # it's engine variance, not a plan regression.
+    stream_dir = tempfile.mkdtemp(prefix="bench_stream_canary_")
+    try:
+        for i in range(3):
+            with open(os.path.join(stream_dir, f"b{i}.json"), "w") as f:
+                for j in range(100):
+                    f.write(json.dumps({"k": j, "v": i * 100 + j}) + "\n")
+        stream_canary = None
+        for _ in range(3):
+            ckpt = tempfile.mkdtemp(prefix="bench_stream_ckpt_")
+            t0 = time.perf_counter()
+            q = (
+                spark.readStream.schema("k bigint, v bigint")
+                .option("maxFilesPerTrigger", 1)
+                .json(stream_dir)
+                .writeStream.format("noop")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            dt = time.perf_counter() - t0
+            stream_canary = dt if stream_canary is None else min(stream_canary, dt)
+            shutil.rmtree(ckpt, ignore_errors=True)
+    finally:
+        shutil.rmtree(stream_dir, ignore_errors=True)
+
     # best-of-N: the box shows multi-second scheduler/GC noise on
     # individual runs (observed migrating between queries across
     # otherwise-identical runs); the min of N executions measures the
@@ -254,6 +290,7 @@ def main() -> int:
                 "unit": "sec",
                 "queries": timings,
                 "canary_sec": round(canary, 3),
+                "stream_canary_sec": round(stream_canary, 3),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
