@@ -149,6 +149,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from ai_data_pipeline_spark.plans import extended_queries
 
     merged.update(extended_queries.QUERIES)
+    from ai_data_pipeline_spark.plans import frontier_queries
+
+    merged.update(frontier_queries.QUERIES)
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for name in merged:
         if name not in DRIVER_EVIDENCE:
@@ -182,4 +185,7 @@ def oracle_sql() -> dict[str, str]:
     from ai_data_pipeline_spark.plans import extended_queries
 
     out.update(extended_queries.ORACLE)
+    from ai_data_pipeline_spark.plans import frontier_queries
+
+    out.update(frontier_queries.ORACLE)
     return out

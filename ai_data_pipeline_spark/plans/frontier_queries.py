@@ -1,0 +1,1014 @@
+"""Frontier query set: SURVEY.md §2B round 9.
+
+The round-9 graded frontier — the r08 verdict's queue plus the
+remaining canonical public-pipeline passes:
+
+- q222 exact-substring dedup at REAL span lengths (Lee et al. 2022
+  §4 — 50-token spans, the paper's own threshold);
+- q223 occupancy-SCALED SemDeDup: the cell count is DERIVED from the
+  corpus (stride seeding), grading the scale contract SCALING.md
+  measured (fixed-8 cells 5.3× at 16× data vs occupancy-scaled 1.5×);
+- q225 CCNet-style per-language quality bucketing (Wenzek et al.
+  2020): head/middle/tail tertiles by a log-free fluency proxy;
+- q226 C4 three-sentence-span dedup (Raffel et al. 2020 §2.2 — "we
+  removed all but one of any three-sentence span").
+
+Same oracle-parity discipline as relational.py (float-policy header
+there): identical aliases both engines, exact integer aggregation,
+doubles only from expression trees both engines evaluate identically
+(one IEEE division of exact BIGINTs; min/max of bit-identical
+per-row doubles). Every div/% dividend non-negative by construction
+(linted by tests/test_division_convention.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ai_data_pipeline_spark.catalog import load_table, spread
+
+QUERIES: dict = {}
+ORACLE: dict = {}
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Q222 — exact-substring dedup at the published span length (Lee et
+# al. 2022, "Deduplicating Training Data Makes Language Models
+# Better", §4: remove every duplicated substring of ≥ 50 tokens,
+# keeping one occurrence). q146 graded the REBUILD machinery at the
+# 8-token proxy length; this row runs the same operator at the
+# paper's 50-token threshold and grades the corpus-level accounting
+# per source. A duplicated substring of length L ≥ 50 duplicates all
+# of its L−49 50-grams, so "drop every token covered by a non-first
+# 50-gram" removes exactly the duplicated-substring mass while the
+# globally FIRST occurrence survives — the paper's keep-one policy
+# under (doc_id, position) corpus order. Scale (q146's law at n=50):
+# the gram-hash window shuffle carries 8-byte hashes, covered spans
+# explode to ≤ 50 index rows per duplicate occurrence (linear in
+# duplicated-gram mass, never f²), one anti-join, one rebuild.
+# removed_rate is one IEEE division of exact BIGINTs.
+# ---------------------------------------------------------------------------
+
+_Q222_SPAN = 50
+
+
+def q222_long_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_data_pipeline_spark.functions.text import token_count_ws
+    from ai_data_pipeline_spark.operators.curation import remove_duplicate_spans
+
+    docs = spread(_t(spark, sf_dir, "documents"))
+    rewritten = remove_duplicate_spans(
+        docs.select("doc_id", "text"), "doc_id", "text", n=_Q222_SPAN
+    )
+    before = docs.select(
+        "doc_id", "source", token_count_ws(F.col("text")).alias("tok_before")
+    )
+    after = rewritten.select("doc_id", token_count_ws(F.col("text")).alias("tok_after"))
+    j = before.join(after, "doc_id")
+    agg = j.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum((F.col("tok_after") < F.col("tok_before")).cast("int"))
+        .cast("long")
+        .alias("n_docs_trimmed"),
+        F.sum("tok_before").cast("long").alias("tokens_before"),
+        F.sum("tok_after").cast("long").alias("tokens_after"),
+    )
+    return (
+        agg.withColumn(
+            "removed_rate",
+            F.when(
+                F.col("tokens_before") != 0,
+                (F.col("tokens_before") - F.col("tokens_after")).cast("double")
+                / F.col("tokens_before").cast("double"),
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+QUERIES["q222_long_span_dedup"] = q222_long_span_dedup
+
+
+def _q222_oracle() -> str:
+    from ai_data_pipeline_spark.functions.text import sql_word_ngrams
+
+    toks = sql_word_ngrams("text", 1)
+    grams = sql_word_ngrams("text", _Q222_SPAN)
+    # kept tokens = n_tokens − |covered indexes|: exactly the token
+    # count of the operator's rebuilt text (single-space rejoin, ws
+    # re-split), without re-materializing the strings.
+    return f"""
+    WITH g0 AS (
+        SELECT doc_id, {grams} AS gs FROM documents
+    ), grams AS (
+        SELECT doc_id, generate_subscripts(gs, 1) - 1 AS p, unnest(gs) AS gram
+        FROM g0
+    ), dup AS (
+        SELECT doc_id, p FROM (
+            SELECT doc_id, p,
+                   ROW_NUMBER() OVER (PARTITION BY gram ORDER BY doc_id, p) AS rn
+            FROM grams)
+        WHERE rn > 1
+    ), covered AS (
+        SELECT doc_id, COUNT(*) AS n_cov FROM (
+            SELECT DISTINCT doc_id, idx FROM (
+                SELECT doc_id, unnest(generate_series(p, p + {_Q222_SPAN - 1})) AS idx
+                FROM dup))
+        GROUP BY doc_id
+    ), per_doc AS (
+        SELECT d.doc_id, d.source,
+               len({toks}) AS tok_before,
+               len({toks}) - COALESCE(c.n_cov, 0) AS tok_after
+        FROM documents d LEFT JOIN covered c USING (doc_id)
+    ), agg AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN tok_after < tok_before THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_docs_trimmed,
+               CAST(SUM(tok_before) AS BIGINT) AS tokens_before,
+               CAST(SUM(tok_after) AS BIGINT) AS tokens_after
+        FROM per_doc GROUP BY source
+    )
+    SELECT source, n_docs, n_docs_trimmed, tokens_before, tokens_after,
+           CASE WHEN tokens_before <> 0
+                THEN CAST(tokens_before - tokens_after AS DOUBLE)
+                       / CAST(tokens_before AS DOUBLE) END AS removed_rate
+    FROM agg ORDER BY source
+    """
+
+
+ORACLE["q222_long_span_dedup"] = _q222_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Q223 — occupancy-SCALED SemDeDup (the production knob of q203,
+# graded — r08 verdict #3): the cell count is COMPUTED from the
+# corpus, not a constant. Seeding: every vec_id ≡ 0 (mod 64) is a
+# seed, so K ≈ |corpus| / 64 and expected cell occupancy stays ~64
+# as the corpus grows — SCALING.md measured exactly this knob at 16×
+# (fixed 8 cells: 5.3×; occupancy-scaled: 1.5×). The assignment
+# argmin is a DECISION, so it runs on EXACT fixed-point integers
+# (quantize_q6 BIGINT fold — the q106/q131 discipline; |v6| ≤ 1e6 →
+# the 64-dim integer distance < 2.6e14, exact), via a broadcast of
+# the seed table and a map-side-combinable min-struct aggregation —
+# no window, no driver collect; at true 100 TB the flat seed scan
+# becomes a coarse-quantizer tree, which changes the assignment
+# CONSTANT, not the Σ|cell|² pair law this row grades. Within-cell
+# pairs run on the Arrow blocked kernel at τ = 0.35 (bit-parity with
+# the SQL fold pinned by tests/test_vectorized.py), components via
+# star contraction, min-id keeper — q203's exact shape downstream.
+# ---------------------------------------------------------------------------
+
+_Q223_TAU = 0.35
+_Q223_STRIDE = 64  # target occupancy: K = ceil(|corpus| / 64), computed
+
+
+def q223_semdedup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_data_pipeline_spark.functions.vector import quantize_q6
+    from ai_data_pipeline_spark.operators.dedup import dedup_clusters_star
+    from ai_data_pipeline_spark.operators.vectorized import cosine_pairs_np
+
+    emb = _t(spark, sf_dir, "embeddings")
+    seeds = emb.filter(F.pmod(F.col("vec_id"), F.lit(_Q223_STRIDE)) == 0).select(
+        F.col("vec_id").alias("seed_id"), quantize_q6("embedding").alias("s6")
+    )
+    base = emb.select("vec_id", quantize_q6("embedding").alias("v6"))
+    d6 = F.aggregate(
+        F.zip_with("v6", "s6", lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    cells = (
+        base.join(F.broadcast(seeds))
+        .select(
+            "vec_id", F.struct(d6.alias("d"), F.col("seed_id").alias("c")).alias("dc")
+        )
+        .groupBy("vec_id")
+        .agg(F.min("dc").alias("m"))
+        .select("vec_id", F.col("m.c").alias("cell"))
+    )
+    assigned = emb.select("vec_id", "embedding").join(cells, "vec_id")
+    pairs = cosine_pairs_np(
+        assigned,
+        id_col="vec_id",
+        vec_col="embedding",
+        block_col="cell",
+        min_cosine=_Q223_TAU,
+    )
+    clusters = dedup_clusters_star(pairs)
+    ids = assigned.select(F.col("vec_id").alias("id"))
+    members = ids.join(clusters, "id", "left").select(
+        "id", F.coalesce(F.col("cluster_id"), F.col("id")).alias("cluster_id")
+    )
+    sizes = members.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    n_seeds = seeds.agg(F.count(F.lit(1)).cast("long").alias("n_cells"))
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_clusters"))
+        .withColumn(
+            "n_docs", (F.col("cluster_size") * F.col("n_clusters")).cast("long")
+        )
+        .crossJoin(F.broadcast(n_seeds))
+        .orderBy("cluster_size")
+    )
+
+
+QUERIES["q223_semdedup_scaled"] = q223_semdedup_scaled
+
+
+def _q223_oracle() -> str:
+    from ai_data_pipeline_spark.plans.constants import EMBED_DIM
+
+    rng = f"range(1, {EMBED_DIM + 1})"
+    d6 = f"list_sum(list_transform({rng}, i -> (q.v6[i] - s.s6[i]) * (q.v6[i] - s.s6[i])))"
+    dot_vv = f"list_sum(list_transform({rng}, i -> (v)[i] * (v)[i]))"
+    dot_ab = f"list_sum(list_transform({rng}, i -> (a.v)[i] * (b.v)[i]))"
+    return f"""
+        WITH RECURSIVE q6 AS MATERIALIZED (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+                   list_transform(embedding,
+                       x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v6
+            FROM embeddings
+        ), seeds AS MATERIALIZED (
+            SELECT vec_id AS seed_id, v6 AS s6 FROM q6
+            WHERE vec_id % {_Q223_STRIDE} = 0
+        ), cells AS MATERIALIZED (
+            SELECT vec_id, seed_id AS cell FROM (
+                SELECT q.vec_id, s.seed_id,
+                       ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                          ORDER BY {d6}, s.seed_id) AS rn
+                FROM q6 q CROSS JOIN seeds s)
+            WHERE rn = 1
+        ), normed AS MATERIALIZED (
+            SELECT q.vec_id, q.v, c.cell, sqrt({dot_vv}) AS nrm
+            FROM q6 q JOIN cells c USING (vec_id)
+        ), pairs AS (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM normed a JOIN normed b
+              ON a.cell = b.cell AND a.vec_id < b.vec_id
+            WHERE ({dot_ab}) / (a.nrm * b.nrm) >= '{_Q223_TAU!r}'::DOUBLE
+        ), edges AS (
+            SELECT id_a AS a, id_b AS b FROM pairs
+            UNION
+            SELECT id_b AS a, id_a AS b FROM pairs
+        ), reach AS (
+            SELECT a AS id, a AS lab FROM edges
+            UNION
+            SELECT e.a AS id, r.lab AS lab FROM edges e JOIN reach r ON r.id = e.b
+        ), comp AS (
+            SELECT id, MIN(lab) AS cluster_id FROM reach GROUP BY id
+        ), clusters AS (
+            SELECT v.vec_id AS id,
+                   COALESCE(c.cluster_id, v.vec_id) AS cluster_id
+            FROM embeddings v LEFT JOIN comp c ON c.id = v.vec_id
+        ), sizes AS (
+            SELECT cluster_id, COUNT(*) AS cluster_size
+            FROM clusters GROUP BY cluster_id
+        )
+        SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+               CAST(COUNT(*) AS BIGINT) AS n_clusters,
+               CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM seeds) AS n_cells
+        FROM sizes GROUP BY cluster_size ORDER BY cluster_size
+    """
+
+
+ORACLE["q223_semdedup_scaled"] = _q223_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Q224 — one exact-integer Lloyd refinement of the stride seeds (the
+# k-means re-seed pass feeding q223/q211 — r08 verdict #3's other
+# half): assign every vector to its nearest stride seed (q223's
+# exact-q6 argmin), recompute each cell's centroid as the
+# per-dimension mean floored back to micro-units (floor(s/n) via the
+# offset form — components are NEGATIVE, so the raw div would hit
+# the truncate-vs-floor engine divergence the division lint guards),
+# then REASSIGN against the refined centroids. Per-cell audit:
+# occupancy before/after and the seed→centroid displacement (exact
+# BIGINT Σ∆², micro-unit² — the "how wrong was the seed" signal that
+# decides whether another Lloyd round is worth its pass). All
+# decisions on exact integers (q106/q131 discipline). Scale: two
+# broadcast-assignment passes + one (cell, dim) agg whose output is
+# K×64 rows; nothing pairwise.
+# ---------------------------------------------------------------------------
+
+_Q224_OFF = 2_000_000  # |v6| ≤ 1e6 ⇒ s + OFF·n ≥ n·(OFF − 1e6) > 0
+
+
+def q224_lloyd_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_data_pipeline_spark.functions.vector import quantize_q6
+
+    emb = _t(spark, sf_dir, "embeddings")
+    base = emb.select("vec_id", quantize_q6("embedding").alias("v6"))
+    seeds = base.filter(F.pmod(F.col("vec_id"), F.lit(_Q223_STRIDE)) == 0).select(
+        F.col("vec_id").alias("seed_id"), F.col("v6").alias("s6")
+    )
+
+    def assign(points: DataFrame, cents: DataFrame, cvec: str) -> DataFrame:
+        d6 = F.aggregate(
+            F.zip_with("v6", cvec, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        return (
+            points.join(F.broadcast(cents))
+            .select(
+                "vec_id",
+                F.struct(d6.alias("d"), F.col("seed_id").alias("c")).alias("dc"),
+            )
+            .groupBy("vec_id")
+            .agg(F.min("dc").alias("m"))
+            .select("vec_id", F.col("m.c").alias("cell"))
+        )
+
+    a1 = assign(base, seeds, "s6")
+    upd = (
+        base.join(a1, "vec_id")
+        .select("cell", F.posexplode("v6").alias("dim", "v"))
+        .groupBy("cell", "dim")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"))
+        # floor(s/n) for possibly-negative s: (s + OFF·n) div n − OFF
+        .withColumn(
+            "c6",
+            (
+                F.expr(f"(s + {_Q224_OFF} * n) div n") - F.lit(_Q224_OFF)
+            ).cast("long"),
+        )
+    )
+    cents2 = (
+        upd.groupBy("cell")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "c6"))),
+                lambda s: s["c6"],
+            ).alias("c6v"),
+            F.max("n").cast("long").alias("n_before"),
+        )
+        .select(F.col("cell").alias("seed_id"), "c6v", "n_before")
+    )
+    a2 = assign(base, cents2.select("seed_id", "c6v"), "c6v")
+    after = a2.groupBy("cell").agg(F.count(F.lit(1)).cast("long").alias("n_after"))
+    disp = F.aggregate(
+        F.zip_with("c6v", "s6", lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    return (
+        cents2.join(seeds, cents2.seed_id == seeds.seed_id)
+        .select(
+            cents2.seed_id.cast("long").alias("cell"),
+            "n_before",
+            disp.alias("disp_q6sq"),
+        )
+        .join(after, "cell", "left")
+        .select(
+            "cell",
+            "n_before",
+            F.coalesce(F.col("n_after"), F.lit(0)).cast("long").alias("n_after"),
+            "disp_q6sq",
+        )
+        .orderBy("cell")
+    )
+
+
+QUERIES["q224_lloyd_refine"] = q224_lloyd_refine
+
+
+def _q224_oracle() -> str:
+    from ai_data_pipeline_spark.plans.constants import EMBED_DIM
+
+    rng = f"range(1, {EMBED_DIM + 1})"
+    d_seed = f"list_sum(list_transform({rng}, i -> (q.v6[i] - s.s6[i]) * (q.v6[i] - s.s6[i])))"
+    d_cent = f"list_sum(list_transform({rng}, i -> (q.v6[i] - c.c6v[i]) * (q.v6[i] - c.c6v[i])))"
+    disp = f"list_sum(list_transform({rng}, i -> (c.c6v[i] - s.s6[i]) * (c.c6v[i] - s.s6[i])))"
+    return f"""
+    WITH q6 AS MATERIALIZED (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v6
+        FROM embeddings
+    ), seeds AS MATERIALIZED (
+        SELECT vec_id AS seed_id, v6 AS s6 FROM q6
+        WHERE vec_id % {_Q223_STRIDE} = 0
+    ), a1 AS MATERIALIZED (
+        SELECT vec_id, seed_id AS cell FROM (
+            SELECT q.vec_id, s.seed_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                      ORDER BY {d_seed}, s.seed_id) AS rn
+            FROM q6 q CROSS JOIN seeds s)
+        WHERE rn = 1
+    ), upd AS MATERIALIZED (
+        SELECT cell,
+               list(CAST((s + {_Q224_OFF} * n) // n - {_Q224_OFF} AS BIGINT)
+                    ORDER BY dim) AS c6v,
+               MAX(n) AS n_before
+        FROM (
+            SELECT a1.cell, t.i AS dim,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(q.v6[t.i]) AS BIGINT) AS s
+            FROM q6 q JOIN a1 USING (vec_id), unnest({rng}) AS t(i)
+            GROUP BY a1.cell, t.i)
+        GROUP BY cell
+    ), a2 AS (
+        SELECT vec_id, cell FROM (
+            SELECT q.vec_id, c.cell,
+                   ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                      ORDER BY {d_cent}, c.cell) AS rn
+            FROM q6 q CROSS JOIN upd c)
+        WHERE rn = 1
+    ), after AS (
+        SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_after FROM a2 GROUP BY cell
+    )
+    SELECT CAST(c.cell AS BIGINT) AS cell,
+           CAST(c.n_before AS BIGINT) AS n_before,
+           CAST(COALESCE(a.n_after, 0) AS BIGINT) AS n_after,
+           CAST({disp} AS BIGINT) AS disp_q6sq
+    FROM upd c
+    JOIN seeds s ON s.seed_id = c.cell
+    LEFT JOIN after a ON a.cell = c.cell
+    ORDER BY cell
+    """
+
+
+ORACLE["q224_lloyd_refine"] = _q224_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Q225 — CCNet-style per-language quality bucketing (Wenzek et al.
+# 2020, "CCNet: Extracting High Quality Monolingual Datasets from
+# Web Crawl Data"): CCNet scores each document with a per-language
+# LM perplexity and splits every language into head/middle/tail
+# thirds. The log-free cross-engine-exact proxy (r08 verdict #5):
+# the per-LANGUAGE bigram-frequency log2-bucket ladder (q103's
+# fluency, conditioned on lang — the "per-language LM" is the
+# language's own bigram table), per-doc fluency = sum_bucket /
+# n_bigrams (one IEEE division of exact BIGINTs), tertile = NTILE(3)
+# per language over (fluency DESC, doc_id) — tertile 1 is the head
+# (most-fluent), matching CCNet's head = lowest perplexity. Docs
+# with < 2 tokens have no bigrams and are excluded (CCNet likewise
+# drops paragraphs its LM cannot score). min/max fluency per bucket
+# are order-independent selections of bit-identical doubles. Scale:
+# one (lang, gram)-keyed COUNT window (shuffle carries 60-bit-hash-
+# sized grams), one per-doc agg, one NTILE window partitioned by
+# lang — no pairs, no driver state.
+# ---------------------------------------------------------------------------
+
+def q225_ccnet_lang_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_data_pipeline_spark.functions.buckets import log2_bucket_case
+    from ai_data_pipeline_spark.functions.text import token_count_ws, word_ngrams
+
+    docs = spread(_t(spark, sf_dir, "documents"))
+    grams = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(word_ngrams(F.lower(F.col("text")), 2)).alias("g"),
+    )
+    cnt = F.count(F.lit(1)).over(Window.partitionBy("lang", "g"))
+    bucketed = grams.select(
+        "doc_id", "lang", log2_bucket_case(cnt.cast("long")).alias("bucket")
+    )
+    per_doc = bucketed.groupBy("doc_id", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.sum("bucket").cast("long").alias("sum_bucket"),
+    )
+    scored = per_doc.withColumn(
+        "fluency",
+        F.col("sum_bucket").cast("double") / F.col("n_bigrams").cast("double"),
+    )
+    tert = F.ntile(3).over(
+        Window.partitionBy("lang").orderBy(F.desc("fluency"), F.asc("doc_id"))
+    )
+    toks = docs.select("doc_id", token_count_ws(F.col("text")).alias("n_tok"))
+    return (
+        scored.withColumn("tertile", tert.cast("long"))
+        .join(toks, "doc_id")
+        .groupBy("lang", "tertile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("tokens"),
+            F.min("fluency").alias("min_fluency"),
+            F.max("fluency").alias("max_fluency"),
+        )
+        .orderBy("lang", "tertile")
+    )
+
+
+QUERIES["q225_ccnet_lang_buckets"] = q225_ccnet_lang_buckets
+
+
+def _q225_oracle() -> str:
+    from ai_data_pipeline_spark.functions.buckets import sql_log2_bucket_case
+    from ai_data_pipeline_spark.functions.text import sql_word_ngrams
+
+    toks = sql_word_ngrams("text", 1)
+    grams2 = sql_word_ngrams("lower(text)", 2)
+    ladder = sql_log2_bucket_case("c")
+    return f"""
+    WITH grams AS (
+        SELECT doc_id, lang, unnest({grams2}) AS g FROM documents
+    ), c AS (
+        SELECT doc_id, lang,
+               COUNT(*) OVER (PARTITION BY lang, g) AS c
+        FROM grams
+    ), b AS (
+        SELECT doc_id, lang, {ladder} AS bucket FROM c
+    ), per_doc AS (
+        SELECT doc_id, lang, COUNT(*) AS n_bigrams,
+               CAST(SUM(bucket) AS BIGINT) AS sum_bucket
+        FROM b GROUP BY doc_id, lang
+    ), scored AS (
+        SELECT doc_id, lang,
+               CAST(sum_bucket AS DOUBLE) / CAST(n_bigrams AS DOUBLE) AS fluency,
+               NTILE(3) OVER (PARTITION BY lang
+                              ORDER BY CAST(sum_bucket AS DOUBLE)
+                                       / CAST(n_bigrams AS DOUBLE) DESC,
+                                       doc_id) AS tertile
+        FROM per_doc
+    ), toks AS (
+        SELECT doc_id, len({toks}) AS n_tok FROM documents
+    )
+    SELECT s.lang, CAST(s.tertile AS BIGINT) AS tertile,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(t.n_tok) AS BIGINT) AS tokens,
+           MIN(s.fluency) AS min_fluency,
+           MAX(s.fluency) AS max_fluency
+    FROM scored s JOIN toks t USING (doc_id)
+    GROUP BY s.lang, s.tertile
+    ORDER BY s.lang, s.tertile
+    """
+
+
+ORACLE["q225_ccnet_lang_buckets"] = _q225_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Q226 — vocabulary growth curve (Heaps'-law audit: does the corpus
+# keep contributing NEW types, or has it saturated into repetition?
+# — the curve every tokenizer-training and data-collection run
+# checks before adding another crawl). The corpus splits into 10
+# doc_id-range deciles (step derived IN-FRAME from max(doc_id) — no
+# driver action, no single-task NTILE window); each lowercased
+# whitespace type charges its FIRST decile; per decile: new types,
+# cumulative types, cumulative tokens, and the cumulative type/token
+# ratio (one IEEE division of exact BIGINTs). Scale: one groupBy
+# token → MIN(decile) (map-side combinable — the corpus-sized
+# shuffle carries one row per TYPE), then a 10-row window.
+# ---------------------------------------------------------------------------
+
+_Q226_BUCKETS = 10
+
+
+def q226_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_data_pipeline_spark.functions.text import ws_tokens
+
+    docs = spread(_t(spark, sf_dir, "documents"))
+    # step = ceil((max_id + 1) / 10): doc_id ≥ 0 and max ≥ 0, so both
+    # div dividends are non-negative (division-convention lint).
+    mx = docs.agg(
+        F.expr(f"(max(doc_id) + {_Q226_BUCKETS}) div {_Q226_BUCKETS}").alias("step")
+    )
+    toks = (
+        docs.crossJoin(F.broadcast(mx))
+        .select(
+            F.expr("doc_id div step").alias("decile"),
+            F.explode(ws_tokens(F.lower(F.col("text")))).alias("tok"),
+        )
+    )
+    per_decile_tokens = toks.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens")
+    )
+    first_seen = toks.groupBy("tok").agg(F.min("decile").alias("decile"))
+    new_types = first_seen.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("new_types")
+    )
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        per_decile_tokens.join(new_types, "decile", "left")
+        .select(
+            F.col("decile").cast("long").alias("decile"),
+            "n_tokens",
+            F.coalesce(F.col("new_types"), F.lit(0)).cast("long").alias("new_types"),
+        )
+        .withColumn("cum_types", F.sum("new_types").over(w).cast("long"))
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w).cast("long"))
+        .withColumn(
+            "ttr",
+            F.col("cum_types").cast("double") / F.col("cum_tokens").cast("double"),
+        )
+        .orderBy("decile")
+    )
+
+
+QUERIES["q226_vocab_growth"] = q226_vocab_growth
+
+
+def _q226_oracle() -> str:
+    from ai_data_pipeline_spark.functions.text import sql_word_ngrams
+
+    toks = sql_word_ngrams("lower(text)", 1)
+    return f"""
+    WITH mx AS (
+        SELECT (MAX(doc_id) + {_Q226_BUCKETS}) // {_Q226_BUCKETS} AS step
+        FROM documents
+    ), toks AS (
+        SELECT doc_id // (SELECT step FROM mx) AS decile, unnest({toks}) AS tok
+        FROM documents
+    ), per_decile AS (
+        SELECT decile, COUNT(*) AS n_tokens FROM toks GROUP BY decile
+    ), first_seen AS (
+        SELECT tok, MIN(decile) AS decile FROM toks GROUP BY tok
+    ), new_types AS (
+        SELECT decile, COUNT(*) AS new_types FROM first_seen GROUP BY decile
+    ), rows_ AS (
+        SELECT p.decile,
+               CAST(p.n_tokens AS BIGINT) AS n_tokens,
+               CAST(COALESCE(n.new_types, 0) AS BIGINT) AS new_types
+        FROM per_decile p LEFT JOIN new_types n USING (decile)
+    )
+    , cum AS (
+        SELECT decile, n_tokens, new_types,
+               CAST(SUM(new_types) OVER w AS BIGINT) AS cum_types,
+               CAST(SUM(n_tokens) OVER w AS BIGINT) AS cum_tokens
+        FROM rows_
+        WINDOW w AS (ORDER BY decile
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT CAST(decile AS BIGINT) AS decile, n_tokens, new_types,
+           cum_types, cum_tokens,
+           CAST(cum_types AS DOUBLE) / CAST(cum_tokens AS DOUBLE) AS ttr
+    FROM cum ORDER BY decile
+    """
+
+
+ORACLE["q226_vocab_growth"] = _q226_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Q227 — QUALITY-AWARE canonical keeper for MinHash dup clusters
+# (the production keeper policy: q204 keeps min-id — crawl-order
+# bias; q107 keeps longest; real release pipelines keep the member
+# that passes the most quality rules). Composition of graded
+# primitives: q204's exact MinHash+LSH clusters × q202's Gopher rule
+# score; keeper = argmax (rules passed, n_words, −doc_id) per
+# cluster via ONE row_number window. keeper_diff counts docs that
+# win on QUALITY but would lose under min-id — the measured value of
+# the better policy. Scale: q204's candidate/banding law unchanged;
+# the score is a scan-stage projection; the keeper window partitions
+# by cluster_id (bounded by dup volume, not corpus size).
+# ---------------------------------------------------------------------------
+
+def q227_quality_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_data_pipeline_spark.operators import dedup
+    from ai_data_pipeline_spark.operators.curation import gopher_quality_flags
+
+    docs = spread(_t(spark, sf_dir, "documents"))
+    pairs = dedup.minhash_neardup_pairs(
+        docs, "doc_id", "text", n=3, num_hashes=32, bands=8, min_jaccard=0.6
+    )
+    clusters = dedup.dedup_clusters_star(pairs)
+    rules = [
+        "r_word_count", "r_mean_word_len", "r_symbol_ratio", "r_bullet_lines",
+        "r_ellipsis_lines", "r_alpha_words", "r_stopwords",
+    ]
+    score = sum(F.col(r).cast("int") for r in rules).cast("long")
+    scored = gopher_quality_flags(docs).select(
+        "doc_id", "source", score.alias("score"), F.col("n_words").cast("long").alias("n_words")
+    )
+    members = (
+        scored.join(clusters.withColumnRenamed("id", "doc_id"), "doc_id", "left")
+        .withColumn("cluster_id", F.coalesce(F.col("cluster_id"), F.col("doc_id")))
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("cluster_id").orderBy(
+            F.desc("score"), F.desc("n_words"), F.asc("doc_id")
+        )
+    )
+    flagged = members.withColumn("rk", rk)
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum((F.col("rk") == 1).cast("int")).cast("long").alias("n_kept"),
+            F.sum((F.col("rk") != 1).cast("int")).cast("long").alias("n_removed"),
+            F.sum(
+                ((F.col("rk") == 1) & (F.col("doc_id") != F.col("cluster_id"))).cast("int")
+            )
+            .cast("long")
+            .alias("keeper_diff"),
+        )
+        .orderBy("source")
+    )
+
+
+QUERIES["q227_quality_keeper"] = q227_quality_keeper
+
+
+def _q227_oracle() -> str:
+    from ai_data_pipeline_spark.functions.text import sql_word_ngrams
+
+    # the q204 minhash chain verbatim (same fragments, same policy
+    # constants), then the Gopher score (q202's fragments) and the
+    # quality-keeper window in place of the min-id keeper.
+    return f"""
+    WITH RECURSIVE sh AS MATERIALIZED (
+        SELECT DISTINCT doc_id AS id, unnest({sql_word_ngrams("text", 3)}) AS shingle
+        FROM documents
+    ), sig AS (
+        SELECT id, j, MIN((('0x' || substr(md5(shingle || ':' || j), 1, 15))::BIGINT)) AS mh
+        FROM sh CROSS JOIN range(32) AS t(j)
+        GROUP BY id, j
+    ), bandkey AS (
+        SELECT id, j // 4 AS band, string_agg(mh::VARCHAR, ',' ORDER BY j) AS bk
+        FROM sig GROUP BY id, j // 4
+    ), cand AS (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        FROM bandkey a
+        JOIN bandkey b ON a.band = b.band AND a.bk = b.bk AND a.id < b.id
+    ), sizes AS (
+        SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id
+    ), inter AS (
+        SELECT id_a, id_b, COUNT(*) AS inter
+        FROM cand
+        JOIN sh sa ON sa.id = cand.id_a
+        JOIN sh sb ON sb.id = cand.id_b AND sb.shingle = sa.shingle
+        GROUP BY 1, 2
+    ), pairs AS (
+        SELECT id_a, id_b
+        FROM inter
+        JOIN sizes sa ON sa.id = id_a
+        JOIN sizes sb ON sb.id = id_b
+        WHERE inter / (sa.n_sh + sb.n_sh - inter) >= '0.6'::DOUBLE
+    ), edges AS (
+        SELECT id_a AS a, id_b AS b FROM pairs
+        UNION
+        SELECT id_b AS a, id_a AS b FROM pairs
+    ), reach AS (
+        SELECT a AS id, a AS lab FROM edges
+        UNION
+        SELECT e.a AS id, r.lab AS lab FROM edges e JOIN reach r ON r.id = e.b
+    ), comp AS (
+        SELECT id, MIN(lab) AS cluster_id FROM reach GROUP BY id
+    ), gd AS (
+        SELECT doc_id, source,
+               coalesce(text, '') AS t,
+               list_filter(string_split_regex(coalesce(text, ''), '[ \\t\\r\\n]+'),
+                           w -> w != '') AS words,
+               list_filter(string_split(coalesce(text, ''), chr(10)),
+                           l -> NOT regexp_full_match(l, '[ \\t\\r]*')) AS lines
+        FROM documents
+    ), gm AS (
+        SELECT doc_id, source,
+               len(words) AS n_words,
+               coalesce(list_sum(list_transform(words, w -> len(w))), 0) AS word_chars,
+               len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]'))) AS n_alpha,
+               len(lines) AS n_lines,
+               len(list_filter(lines, l -> regexp_matches(l, '^[ \\t]*[-*\u2022]'))) AS n_bullet,
+               len(list_filter(lines, l -> regexp_matches(l, '(\\.\\.\\.|\u2026)[ \\t\\r]*$'))) AS n_ell,
+               length(t) - length(replace(t, '#', ''))
+                 + len(regexp_extract_all(t, '(\\.\\.\\.|\u2026)')) AS n_sym,
+               len(list_intersect(list_distinct(list_transform(words, w -> lower(w))),
+                   ['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with'])) AS n_stop
+        FROM gd
+    ), scored AS (
+        SELECT doc_id, source, CAST(n_words AS BIGINT) AS n_words,
+               CAST(CASE WHEN n_words >= 50 AND n_words <= 100000 THEN 1 ELSE 0 END
+                  + CASE WHEN 3 * n_words <= word_chars AND word_chars <= 10 * n_words
+                         THEN 1 ELSE 0 END
+                  + CASE WHEN 10 * n_sym <= n_words THEN 1 ELSE 0 END
+                  + CASE WHEN 10 * n_bullet <= 9 * n_lines THEN 1 ELSE 0 END
+                  + CASE WHEN 10 * n_ell <= 3 * n_lines THEN 1 ELSE 0 END
+                  + CASE WHEN 5 * n_alpha >= 4 * n_words THEN 1 ELSE 0 END
+                  + CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END AS BIGINT) AS score
+        FROM gm
+    ), members AS (
+        SELECT s.doc_id, s.source, s.score, s.n_words,
+               COALESCE(c.cluster_id, s.doc_id) AS cluster_id
+        FROM scored s LEFT JOIN comp c ON c.id = s.doc_id
+    ), ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                     ORDER BY score DESC, n_words DESC, doc_id) AS rk
+        FROM members
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN rk = 1 THEN 0 ELSE 1 END) AS BIGINT) AS n_removed,
+           CAST(SUM(CASE WHEN rk = 1 AND doc_id <> cluster_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS keeper_diff
+    FROM ranked GROUP BY source ORDER BY source
+    """
+
+
+ORACLE["q227_quality_keeper"] = _q227_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Q228 — APPLY the temperature mixture by deterministic hash
+# sampling (q207 computes target weights; this row grades the pass
+# that realizes them): per language, acceptance probability
+# p = sqrt(t_min / t_lang) (α = 0.5 down-sampling normalized so the
+# rarest language keeps everything — up-sampling needs repetition,
+# which is an epoch-schedule concern, not a filter); a doc is kept
+# iff its 40-bit md5 uniform u < floor(p · 2^40). Every decision is
+# engine-exact: t_min/t_lang is one IEEE division of exact BIGINTs,
+# sqrt and the 2^40 scale are single correctly-rounded ops, u is an
+# md5-derived integer (q24's hash-family idiom) — no RNG, so retries
+# and both engines agree row-for-row. Scale: one per-lang agg
+# (map-side combinable), one broadcast of L thresholds, one scan-
+# stage filter — the shuffle carries (lang, counters) only.
+# ---------------------------------------------------------------------------
+
+_Q228_Q40 = 1 << 40
+
+
+def q228_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_data_pipeline_spark.functions.text import token_count_ws
+
+    docs = spread(_t(spark, sf_dir, "documents"))
+    per_doc = docs.select(
+        "doc_id", "lang", token_count_ws(F.col("text")).alias("n_tok")
+    )
+    per_lang = per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("tokens"),
+    )
+    t_min = F.min("tokens").over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    thr = per_lang.withColumn(
+        "thr_q40",
+        F.floor(
+            F.sqrt(t_min.cast("double") / F.col("tokens").cast("double"))
+            * F.lit(float(_Q228_Q40))
+        ).cast("long"),
+    )
+    u40 = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 10), 16, 10
+    ).cast("long")
+    sampled = per_doc.withColumn("u40", u40).join(
+        F.broadcast(thr.select("lang", "thr_q40")), "lang"
+    )
+    return (
+        sampled.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("tokens"),
+            F.max("thr_q40").cast("long").alias("thr_q40"),
+            F.sum((F.col("u40") < F.col("thr_q40")).cast("int"))
+            .cast("long")
+            .alias("n_sampled"),
+            F.sum(F.when(F.col("u40") < F.col("thr_q40"), F.col("n_tok")).otherwise(0))
+            .cast("long")
+            .alias("tokens_sampled"),
+        )
+        .withColumn(
+            "realized_rate",
+            F.col("n_sampled").cast("double") / F.col("n_docs").cast("double"),
+        )
+        .orderBy("lang")
+    )
+
+
+QUERIES["q228_mixture_sample"] = q228_mixture_sample
+
+
+def _q228_oracle() -> str:
+    from ai_data_pipeline_spark.functions.text import sql_word_ngrams
+
+    toks = sql_word_ngrams("text", 1)
+    return f"""
+    WITH per_doc AS (
+        SELECT doc_id, lang, len({toks}) AS n_tok FROM documents
+    ), per_lang AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tok) AS BIGINT) AS tokens
+        FROM per_doc GROUP BY lang
+    ), thr AS (
+        SELECT lang, n_docs, tokens,
+               CAST(floor(sqrt(CAST((SELECT MIN(tokens) FROM per_lang) AS DOUBLE)
+                               / CAST(tokens AS DOUBLE))
+                          * '{float(_Q228_Q40)!r}'::DOUBLE)
+                    AS BIGINT) AS thr_q40
+        FROM per_lang
+    ), s AS (
+        SELECT d.lang, d.n_tok, t.thr_q40,
+               (('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 10))::BIGINT)
+                   AS u40
+        FROM per_doc d JOIN thr t USING (lang)
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS tokens,
+           CAST(MAX(thr_q40) AS BIGINT) AS thr_q40,
+           CAST(SUM(CASE WHEN u40 < thr_q40 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_sampled,
+           CAST(SUM(CASE WHEN u40 < thr_q40 THEN n_tok ELSE 0 END) AS BIGINT)
+               AS tokens_sampled,
+           CAST(SUM(CASE WHEN u40 < thr_q40 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS realized_rate
+    FROM s GROUP BY lang ORDER BY lang
+    """
+
+
+ORACLE["q228_mixture_sample"] = _q228_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Q229 — embedding drift monitor between pipeline batches (the
+# re-embedding regression check every encoder upgrade needs): split
+# the corpus into batch A (even vec_id) and batch B (odd), compare
+# per-LABEL centroids as squared L2 displacement in micro-unit²
+# space. Components aggregate as exact q6 BIGINTs (float-parity
+# policy: never accumulate doubles); each per-dim mean is one IEEE
+# division of exact integers; the 64 squared terms fold left-to-
+# right in dim order on both engines (q203's list_sum discipline).
+# Labels missing a side are excluded (no 0/0). Scale: one
+# (label, dim) agg — 64·L cells regardless of corpus size; no pairs.
+# ---------------------------------------------------------------------------
+
+def q229_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_data_pipeline_spark.functions.vector import quantize_q6
+
+    emb = _t(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        "label",
+        (F.col("vec_id") % 2 == 0).alias("is_a"),
+        F.posexplode(quantize_q6("embedding")).alias("dim", "v6"),
+    )
+    per = dims.groupBy("label", "dim").agg(
+        F.sum(F.when(F.col("is_a"), 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(F.col("is_a"), F.col("v6")).otherwise(0)).cast("long").alias("s_a"),
+        F.sum(F.when(~F.col("is_a"), 1).otherwise(0)).cast("long").alias("n_b"),
+        F.sum(F.when(~F.col("is_a"), F.col("v6")).otherwise(0)).cast("long").alias("s_b"),
+    )
+    term = (
+        F.col("s_a").cast("double") / F.col("n_a").cast("double")
+        - F.col("s_b").cast("double") / F.col("n_b").cast("double")
+    )
+    per_t = per.filter((F.col("n_a") > 0) & (F.col("n_b") > 0)).select(
+        "label", "dim", "n_a", "n_b", (term * term).alias("t2")
+    )
+    fold = F.aggregate(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "t2"))), lambda s: s["t2"]
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        per_t.groupBy("label")
+        .agg(
+            F.max("n_a").cast("long").alias("n_a"),
+            F.max("n_b").cast("long").alias("n_b"),
+            fold.alias("drift_q6sq"),
+        )
+        .select(F.col("label").cast("long").alias("label"), "n_a", "n_b", "drift_q6sq")
+        .orderBy("label")
+    )
+
+
+QUERIES["q229_embedding_drift"] = q229_embedding_drift
+
+
+def _q229_oracle() -> str:
+    from ai_data_pipeline_spark.plans.constants import EMBED_DIM
+
+    rng = f"range(1, {EMBED_DIM + 1})"
+    return f"""
+    WITH q6 AS (
+        SELECT label, vec_id % 2 = 0 AS is_a, t.i AS dim,
+               CAST(floor(CAST(embedding[t.i] AS DOUBLE) * 1000000) AS BIGINT) AS v6
+        FROM embeddings, unnest({rng}) AS t(i)
+    ), per AS (
+        SELECT label, dim,
+               CAST(SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+               CAST(SUM(CASE WHEN is_a THEN v6 ELSE 0 END) AS BIGINT) AS s_a,
+               CAST(SUM(CASE WHEN is_a THEN 0 ELSE 1 END) AS BIGINT) AS n_b,
+               CAST(SUM(CASE WHEN is_a THEN 0 ELSE v6 END) AS BIGINT) AS s_b
+        FROM q6 GROUP BY label, dim
+    ), terms AS (
+        SELECT label, dim, n_a, n_b,
+               (CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                - CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+               * (CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                - CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE)) AS t2
+        FROM per WHERE n_a > 0 AND n_b > 0
+    )
+    SELECT CAST(label AS BIGINT) AS label,
+           CAST(MAX(n_a) AS BIGINT) AS n_a,
+           CAST(MAX(n_b) AS BIGINT) AS n_b,
+           list_sum(list(t2 ORDER BY dim)) AS drift_q6sq
+    FROM terms GROUP BY label ORDER BY label
+    """
+
+
+ORACLE["q229_embedding_drift"] = _q229_oracle()

@@ -195,6 +195,15 @@ HEADLINE = [
     "q219_lsh_recall_audit",
     "q220_streaming_quality_gate",
     "q221_salted_hot_agg",
+    # round-9 additions
+    "q222_long_span_dedup",
+    "q223_semdedup_scaled",
+    "q224_lloyd_refine",
+    "q225_ccnet_lang_buckets",
+    "q226_vocab_growth",
+    "q227_quality_keeper",
+    "q228_mixture_sample",
+    "q229_embedding_drift",
 ]
 
 

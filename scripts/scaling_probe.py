@@ -96,6 +96,12 @@ PROBE = [
     "q216_release_funnel",  # quality → exact dedup → minhash keeper, composed
     "q218_bpe_merge_candidates",  # char-pair explode + map-side count
     "q219_lsh_recall_audit",      # exact capped pairs FULL OUTER lsh pairs
+    "q222_long_span_dedup",       # 50-token gram window + span anti-join
+    "q223_semdedup_scaled",       # occupancy-scaled cells (K grows with corpus)
+    "q224_lloyd_refine",          # two broadcast-assign passes + (cell,dim) agg
+    "q225_ccnet_lang_buckets",    # per-lang bigram window + NTILE
+    "q226_vocab_growth",          # type-keyed MIN agg (one row per type)
+    "q227_quality_keeper",        # minhash clusters × gopher score keeper
 ]
 
 

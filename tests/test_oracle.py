@@ -74,16 +74,22 @@ def test_declared_surface_does_not_shrink():
     a breakage in any one must fail THIS test loudly, never silently
     shrink the graded surface (review finding r03). Bump the floor
     when queries are added — never lower it."""
-    assert len(_QUERIES) >= 222
-    assert len(entrymod.oracle_sql()) >= 222
+    assert len(_QUERIES) >= 230
+    assert len(entrymod.oracle_sql()) >= 230
 
 
 def test_query_modules_do_not_collide():
     """The three plan modules merge into one dict in __spark_entry__
     — a shared name would silently shadow a query."""
-    from ai_data_pipeline_spark.plans import analysis_queries, pipeline_queries, relational
+    from ai_data_pipeline_spark.plans import (
+        analysis_queries,
+        extended_queries,
+        frontier_queries,
+        pipeline_queries,
+        relational,
+    )
 
-    mods = [relational, pipeline_queries, analysis_queries]
+    mods = [relational, pipeline_queries, analysis_queries, extended_queries, frontier_queries]
     for i, m1 in enumerate(mods):
         for m2 in mods[i + 1 :]:
             assert set(m1.QUERIES) & set(m2.QUERIES) == set()
