@@ -467,6 +467,61 @@ def ivf_assign_np(
     return corpus.mapInPandas(kern, schema)
 
 
+def ivf_assign_q6_np(
+    corpus: DataFrame,
+    seeds: list[tuple[int, list[int]]],
+    q6_col: str = "v6",
+) -> DataFrame:
+    """EXACT nearest-seed assignment over micro-unit integer vectors
+    (quantize_q6 arrays): cell = the seed_id minimizing Σ(v6−s6)²,
+    ties → lowest seed_id. All arithmetic is int64 — for |v6| ≤ 1e6
+    and d ≤ 64 the distance is < 2.6e14, exact in int64, so the
+    result is bit-identical to the BIGINT zip_with fold AND the
+    DuckDB list_sum twin with ZERO float subtleties (the q106/q131
+    "decisions on exact integers" discipline at kernel speed — the
+    interpreted HOF fold measured ~5× super-linear wall at 16× on
+    q223 purely from the N×K assignment constant).
+
+    ``seeds`` is a driver-side list — callers must count-gate it
+    (the occupancy-scaling callers derive K ≈ n/occupancy; at
+    corpus sizes where K outgrows a broadcastable list, a coarse
+    quantizer tree replaces the flat scan — that changes this
+    CONSTANT, not the Σ|cell|² law downstream).
+
+    Output: the corpus schema + ``cell`` (long) carrying the winning
+    seed_id.
+    """
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    order = sorted(range(len(seeds)), key=lambda i: seeds[i][0])
+    sid = np.array([seeds[i][0] for i in order], dtype=np.int64)
+    smat = np.array([seeds[i][1] for i in order], dtype=np.int64)
+
+    def kern(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.stack(pdf[q6_col].to_numpy()).astype(np.int64)
+            best_d = None
+            best_c = None
+            for ci in range(len(sid)):
+                d = ((mat - smat[ci]) ** 2).sum(axis=1)
+                if best_d is None:
+                    best_d = d
+                    best_c = np.full(len(mat), sid[ci], dtype=np.int64)
+                else:
+                    # strict <: the earlier (lower) seed_id wins ties
+                    m = d < best_d
+                    best_d = np.where(m, d, best_d)
+                    best_c = np.where(m, sid[ci], best_c)
+            out = pdf.copy()
+            out["cell"] = best_c
+            yield out
+
+    schema = StructType(list(corpus.schema.fields) + [StructField("cell", LongType())])
+    return corpus.mapInPandas(kern, schema)
+
+
 def ivf_search_cosine_np(
     corpus_with_cells: DataFrame,
     queries: DataFrame,

@@ -153,12 +153,14 @@ ORACLE["q222_long_span_dedup"] = _q222_oracle()
 # as the corpus grows — SCALING.md measured exactly this knob at 16×
 # (fixed 8 cells: 5.3×; occupancy-scaled: 1.5×). The assignment
 # argmin is a DECISION, so it runs on EXACT fixed-point integers
-# (quantize_q6 BIGINT fold — the q106/q131 discipline; |v6| ≤ 1e6 →
-# the 64-dim integer distance < 2.6e14, exact), via a broadcast of
-# the seed table and a map-side-combinable min-struct aggregation —
-# no window, no driver collect; at true 100 TB the flat seed scan
-# becomes a coarse-quantizer tree, which changes the assignment
-# CONSTANT, not the Σ|cell|² pair law this row grades. Within-cell
+# (quantize_q6 — the q106/q131 discipline; |v6| ≤ 1e6 → the 64-dim
+# integer distance < 2.6e14, exact in int64) through the count-gated
+# Arrow kernel with a distributed BIGINT-fold fallback
+# (_assign_exact_q6 — identical integers either path; the HOF form
+# probed ~5× super-linear wall at 16× from the N×K constant alone);
+# at true 100 TB the flat seed scan becomes a coarse-quantizer tree,
+# which changes the assignment CONSTANT, not the Σ|cell|² pair law
+# this row grades. Within-cell
 # pairs run on the Arrow blocked kernel at τ = 0.35 (bit-parity with
 # the SQL fold pinned by tests/test_vectorized.py), components via
 # star contraction, min-id keeper — q203's exact shape downstream.
@@ -166,6 +168,46 @@ ORACLE["q222_long_span_dedup"] = _q222_oracle()
 
 _Q223_TAU = 0.35
 _Q223_STRIDE = 64  # target occupancy: K = ceil(|corpus| / 64), computed
+# K is a COMPUTED count (≈ n/64): collect + int64 kernel while it is
+# broadcast-small, distributed HOF-join fallback beyond — the q107
+# "driver work bounded by a computed count" rule.
+_Q223_KERNEL_MAX_SEEDS = 65536
+
+
+def _assign_exact_q6(base: DataFrame, seeds: DataFrame) -> DataFrame:
+    """[vec_id, cell]: exact-integer nearest-seed assignment.
+
+    base: [vec_id, v6]; seeds: [seed_id, s6] (both quantize_q6
+    arrays). Fast path: count-gate the seed table, collect it, and
+    run the int64 Arrow kernel (ivf_assign_q6_np — measured ~100×
+    the interpreted fold's constant; the HOF-join form probed ~5×
+    super-linear wall at 16× purely from the N×K assignment). If K
+    ever outgrows the gate, fall back to the distributed broadcast-
+    join + BIGINT fold — the identical integers, so the choice can
+    never change a result (parity pinned in tests/test_vectorized).
+    """
+    from ai_data_pipeline_spark.operators.vectorized import ivf_assign_q6_np
+
+    k = seeds.count()
+    if k <= _Q223_KERNEL_MAX_SEEDS:
+        rows = seeds.collect()
+        return ivf_assign_q6_np(
+            base, [(int(r["seed_id"]), list(r["s6"])) for r in rows]
+        ).select("vec_id", "cell")
+    d6 = F.aggregate(
+        F.zip_with("v6", "s6", lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    return (
+        base.join(F.broadcast(seeds))
+        .select(
+            "vec_id", F.struct(d6.alias("d"), F.col("seed_id").alias("c")).alias("dc")
+        )
+        .groupBy("vec_id")
+        .agg(F.min("dc").alias("m"))
+        .select("vec_id", F.col("m.c").alias("cell"))
+    )
 
 
 def q223_semdedup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -178,20 +220,7 @@ def q223_semdedup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("seed_id"), quantize_q6("embedding").alias("s6")
     )
     base = emb.select("vec_id", quantize_q6("embedding").alias("v6"))
-    d6 = F.aggregate(
-        F.zip_with("v6", "s6", lambda x, y: (x - y) * (x - y)),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
-    )
-    cells = (
-        base.join(F.broadcast(seeds))
-        .select(
-            "vec_id", F.struct(d6.alias("d"), F.col("seed_id").alias("c")).alias("dc")
-        )
-        .groupBy("vec_id")
-        .agg(F.min("dc").alias("m"))
-        .select("vec_id", F.col("m.c").alias("cell"))
-    )
+    cells = _assign_exact_q6(base, seeds)
     assigned = emb.select("vec_id", "embedding").join(cells, "vec_id")
     pairs = cosine_pairs_np(
         assigned,
@@ -297,8 +326,8 @@ ORACLE["q223_semdedup_scaled"] = _q223_oracle()
 # BIGINT Σ∆², micro-unit² — the "how wrong was the seed" signal that
 # decides whether another Lloyd round is worth its pass). All
 # decisions on exact integers (q106/q131 discipline). Scale: two
-# broadcast-assignment passes + one (cell, dim) agg whose output is
-# K×64 rows; nothing pairwise.
+# count-gated kernel assignment passes (_assign_exact_q6) + one
+# (cell, dim) agg whose output is K×64 rows; nothing pairwise.
 # ---------------------------------------------------------------------------
 
 _Q224_OFF = 2_000_000  # |v6| ≤ 1e6 ⇒ s + OFF·n ≥ n·(OFF − 1e6) > 0
@@ -312,25 +341,7 @@ def q224_lloyd_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     seeds = base.filter(F.pmod(F.col("vec_id"), F.lit(_Q223_STRIDE)) == 0).select(
         F.col("vec_id").alias("seed_id"), F.col("v6").alias("s6")
     )
-
-    def assign(points: DataFrame, cents: DataFrame, cvec: str) -> DataFrame:
-        d6 = F.aggregate(
-            F.zip_with("v6", cvec, lambda x, y: (x - y) * (x - y)),
-            F.lit(0).cast("long"),
-            lambda acc, v: acc + v,
-        )
-        return (
-            points.join(F.broadcast(cents))
-            .select(
-                "vec_id",
-                F.struct(d6.alias("d"), F.col("seed_id").alias("c")).alias("dc"),
-            )
-            .groupBy("vec_id")
-            .agg(F.min("dc").alias("m"))
-            .select("vec_id", F.col("m.c").alias("cell"))
-        )
-
-    a1 = assign(base, seeds, "s6")
+    a1 = _assign_exact_q6(base, seeds)
     upd = (
         base.join(a1, "vec_id")
         .select("cell", F.posexplode("v6").alias("dim", "v"))
@@ -355,7 +366,9 @@ def q224_lloyd_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("cell").alias("seed_id"), "c6v", "n_before")
     )
-    a2 = assign(base, cents2.select("seed_id", "c6v"), "c6v")
+    a2 = _assign_exact_q6(
+        base, cents2.select("seed_id", F.col("c6v").alias("s6"))
+    )
     after = a2.groupBy("cell").agg(F.count(F.lit(1)).cast("long").alias("n_after"))
     disp = F.aggregate(
         F.zip_with("c6v", "s6", lambda x, y: (x - y) * (x - y)),

@@ -14,7 +14,9 @@ from __future__ import annotations
 import re
 
 import pytest
+from pyspark.sql import functions as F
 
+from ai_data_pipeline_spark.catalog import load_table
 from ai_data_pipeline_spark.plans import pipeline_queries as P
 from ai_data_pipeline_spark.plans import relational as R
 
@@ -752,3 +754,72 @@ def test_q205_prefix_sum_never_windows_corpus_globally(spark, sf_dir):
             # the only other window is the B-row offset pass
             assert "sum(_total" in l, l
     assert "BroadcastHashJoin [bucket" in clean
+
+
+def test_q223_assignment_is_kernel_no_corpus_window(spark, sf_dir):
+    """Occupancy-scaled SemDeDup's assignment contract: the argmin
+    runs in the int64 Arrow kernel (a MapInPandas stage over the
+    corpus — the HOF-join form probed ~5× super-linear at 16× from
+    the N×K constant), with no Window and no cartesian join touching
+    corpus-sized input anywhere in the final plan."""
+    from ai_data_pipeline_spark.plans import frontier_queries as FQ
+
+    s = plan_of(FQ.q223_semdedup_scaled(spark, sf_dir))
+    assert "CartesianProduct" not in s
+    assert "MapInPandas" in s  # kernel assignment (+ pair kernel)
+    assert "Window" not in s
+
+
+def test_assign_exact_q6_kernel_matches_hof_fold(spark, sf_dir):
+    """The count-gated kernel and the distributed BIGINT-fold
+    fallback of _assign_exact_q6 are the SAME exact integers — the
+    path choice can never change a cell assignment."""
+    from ai_data_pipeline_spark.functions.vector import quantize_q6
+    from ai_data_pipeline_spark.plans import frontier_queries as FQ
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select("vec_id", quantize_q6("embedding").alias("v6"))
+    seeds = base.filter(F.pmod(F.col("vec_id"), F.lit(64)) == 0).select(
+        F.col("vec_id").alias("seed_id"), F.col("v6").alias("s6")
+    )
+    fast = {
+        r["vec_id"]: r["cell"]
+        for r in FQ._assign_exact_q6(base, seeds).collect()
+    }
+    d6 = F.aggregate(
+        F.zip_with("v6", "s6", lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    slow = {
+        r["vec_id"]: r["cell"]
+        for r in (
+            base.join(F.broadcast(seeds))
+            .select(
+                "vec_id",
+                F.struct(d6.alias("d"), F.col("seed_id").alias("c")).alias("dc"),
+            )
+            .groupBy("vec_id")
+            .agg(F.min("dc").alias("m"))
+            .select("vec_id", F.col("m.c").alias("cell"))
+            .collect()
+        )
+    }
+    assert fast == slow
+
+
+def test_q222_span_window_partitions_by_gram_hash(spark, sf_dir):
+    """Long-span dedup at n=50 keeps q146's scale shape: the
+    first-occurrence Window partitions by the 8-byte gram hash (the
+    only corpus-sized window), covered spans anti-join, and the text
+    column never enters the gram shuffle (hash only)."""
+    from ai_data_pipeline_spark.plans import frontier_queries as FQ
+
+    s = plan_of(FQ.q222_long_span_dedup(spark, sf_dir))
+    clean = re.sub(r"#\d+|plan_id=\d+", "", s)
+    gram_windows = [
+        l for l in clean.splitlines() if "windowspecdefinition(gh" in l
+    ]
+    assert gram_windows, "first-occurrence window must partition by gram hash"
+    assert "CartesianProduct" not in s
+    assert "LeftAnti" in s  # covered-span removal is an anti-join
