@@ -1025,3 +1025,336 @@ def _q229_oracle() -> str:
 
 
 ORACLE["q229_embedding_drift"] = _q229_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Q230 — winnowing candidate-selection audit for the 50-token span
+# pass (q122 × q222 — the r09 queue's recall-vs-cost trade): q222
+# hashes EVERY 50-gram; winnowing (SIGMOD'03) samples one fingerprint
+# per window of W=8 consecutive grams (ties → rightmost), catching
+# any duplicated span of ≥ n+W−1 = 57 tokens while paying ~1/W the
+# candidate mass. This row MEASURES that trade on the corpus: a
+# duplicated 50-gram key is "caught" iff ≥2 of its occurrences are
+# selected fingerprints (then the bucket join finds the pair);
+# recall = caught / duplicated keys, sampling_rate = selected
+# occurrences / gram occurrences — both one IEEE division of exact
+# BIGINTs. 50–56-token duplicates may legitimately be missed: that
+# gap is the audit's point. Scale: q122's shapes — narrow posexplode,
+# one per-doc window, fingerprint/dup accounting on 60-bit hashes.
+# ---------------------------------------------------------------------------
+
+_Q230_W = 8
+
+
+def q230_winnowing_span_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_data_pipeline_spark.functions.text import word_ngrams
+    from ai_data_pipeline_spark.operators.dedup import md5_hash60
+
+    docs = spread(_t(spark, sf_dir, "documents"))
+    arr = word_ngrams(F.col("text"), _Q222_SPAN)
+    g = docs.select("doc_id", F.posexplode(arr).alias("pos0", "gram")).select(
+        "doc_id",
+        (F.col("pos0") + 1).alias("pos"),
+        md5_hash60(F.col("gram")).alias("h"),
+    )
+    skey = F.concat(
+        F.lpad(F.col("h").cast("string"), 19, "0"),
+        F.lpad((F.lit(1_000_000_000) - F.col("pos")).cast("string"), 10, "0"),
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(-(_Q230_W - 1), Window.currentRow)
+    )
+    sel = (
+        g.withColumn("skey", skey)
+        .withColumn("wmin", F.min("skey").over(w))
+        .filter(F.col("pos") >= _Q230_W)
+        .select("doc_id", "wmin")
+        .distinct()
+        .select(
+            "doc_id",
+            F.substring("wmin", 1, 19).cast("long").alias("h"),
+        )
+    )
+    per_h = g.groupBy("h").agg(F.count(F.lit(1)).cast("long").alias("occ"))
+    fp_per_h = sel.groupBy("h").agg(F.count(F.lit(1)).cast("long").alias("n_fp"))
+    audit = per_h.join(fp_per_h, "h", "left").select(
+        "h",
+        "occ",
+        F.coalesce(F.col("n_fp"), F.lit(0)).cast("long").alias("n_fp"),
+    )
+    return audit.agg(
+        F.sum("occ").cast("long").alias("n_grams"),
+        F.sum("n_fp").cast("long").alias("n_selected"),
+        F.sum(((F.col("occ") >= 2)).cast("int")).cast("long").alias("n_dup_keys"),
+        F.sum(((F.col("occ") >= 2) & (F.col("n_fp") >= 2)).cast("int"))
+        .cast("long")
+        .alias("n_caught"),
+    ).select(
+        "n_grams",
+        "n_selected",
+        "n_dup_keys",
+        "n_caught",
+        F.when(
+            F.col("n_dup_keys") != 0,
+            F.col("n_caught").cast("double") / F.col("n_dup_keys").cast("double"),
+        ).alias("recall"),
+        (F.col("n_selected").cast("double") / F.col("n_grams").cast("double")).alias(
+            "sampling_rate"
+        ),
+    )
+
+
+QUERIES["q230_winnowing_span_audit"] = q230_winnowing_span_audit
+
+
+def _q230_oracle() -> str:
+    from ai_data_pipeline_spark.functions.text import sql_word_ngrams
+
+    grams = sql_word_ngrams("text", _Q222_SPAN)
+    return f"""
+    WITH lists AS (
+        SELECT doc_id, {grams} AS l FROM documents
+    ), g AS (
+        SELECT doc_id, u.pos AS pos,
+               (('0x' || substr(md5(u.g), 1, 15))::BIGINT) AS h
+        FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(l) + 1),
+                                         i -> struct_pack(pos := i, g := l[i]))) AS u
+            FROM lists
+        )
+    ), sel AS (
+        SELECT DISTINCT doc_id,
+               CAST(substr(wmin, 1, 19) AS BIGINT) AS h
+        FROM (
+            SELECT doc_id, pos,
+                   MIN(lpad(CAST(h AS VARCHAR), 19, '0')
+                       || lpad(CAST(1000000000 - pos AS VARCHAR), 10, '0'))
+                       OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS BETWEEN {_Q230_W - 1} PRECEDING AND CURRENT ROW)
+                       AS wmin
+            FROM g)
+        WHERE pos >= {_Q230_W}
+    ), per_h AS (
+        SELECT h, CAST(COUNT(*) AS BIGINT) AS occ FROM g GROUP BY h
+    ), fp_per_h AS (
+        SELECT h, CAST(COUNT(*) AS BIGINT) AS n_fp FROM sel GROUP BY h
+    ), audit AS (
+        SELECT p.h, p.occ, CAST(COALESCE(f.n_fp, 0) AS BIGINT) AS n_fp
+        FROM per_h p LEFT JOIN fp_per_h f USING (h)
+    ), agg AS (
+        SELECT CAST(SUM(occ) AS BIGINT) AS n_grams,
+               CAST(SUM(n_fp) AS BIGINT) AS n_selected,
+               CAST(SUM(CASE WHEN occ >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_dup_keys,
+               CAST(SUM(CASE WHEN occ >= 2 AND n_fp >= 2 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_caught
+        FROM audit
+    )
+    SELECT n_grams, n_selected, n_dup_keys, n_caught,
+           CASE WHEN n_dup_keys <> 0
+                THEN CAST(n_caught AS DOUBLE) / CAST(n_dup_keys AS DOUBLE)
+                END AS recall,
+           CAST(n_selected AS DOUBLE) / CAST(n_grams AS DOUBLE) AS sampling_rate
+    FROM agg
+    """
+
+
+ORACLE["q230_winnowing_span_audit"] = _q230_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Q231 — multi-epoch mixture scheduling (q228's other half: q228
+# DOWN-samples dominant languages; training runs UP-sample rare ones
+# by repetition — "epochs per source", the practice every data-
+# constrained run documents, cf. Muennighoff et al. 2023): per
+# language p = sqrt(t_max / t_lang) ≥ 1 (α = 0.5), each doc
+# materializes floor(p) copies plus one more iff its 40-bit md5
+# uniform < floor(frac(p)·2^40) — expected copies = p with ZERO RNG
+# (every decision is a correctly-rounded IEEE op or exact integer;
+# floor/frac of a double are exact). The epoch stream is actually
+# MATERIALIZED (explode over a sequence — linear, no skew: copies ≤
+# ceil(p) ≤ sqrt(corpus ratio)) and re-aggregated, so the graded row
+# proves stream = arithmetic. amplification is one IEEE division of
+# exact BIGINTs.
+# ---------------------------------------------------------------------------
+
+def q231_multi_epoch_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_data_pipeline_spark.functions.text import token_count_ws
+
+    docs = spread(_t(spark, sf_dir, "documents"))
+    per_doc = docs.select(
+        "doc_id", "lang", token_count_ws(F.col("text")).alias("n_tok")
+    )
+    per_lang = per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("tokens"),
+    )
+    t_max = F.max("tokens").over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    p = F.sqrt(t_max.cast("double") / F.col("tokens").cast("double"))
+    plan = per_lang.select(
+        "lang",
+        "n_docs",
+        "tokens",
+        F.floor(p).cast("long").alias("reps"),
+        F.floor((p - F.floor(p)) * F.lit(float(_Q228_Q40))).cast("long").alias("frac_q40"),
+    )
+    u40 = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 10), 16, 10
+    ).cast("long")
+    copies = F.col("reps") + (u40 < F.col("frac_q40")).cast("long")
+    stream = (
+        per_doc.join(F.broadcast(plan.select("lang", "reps", "frac_q40")), "lang")
+        .select("lang", "n_tok", copies.alias("n_copies"))
+        .filter(F.col("n_copies") > 0)
+        .select("lang", "n_tok", F.explode(F.sequence(F.lit(1), F.col("n_copies"))).alias("epoch"))
+    )
+    eff = stream.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("eff_docs"),
+        F.sum("n_tok").cast("long").alias("eff_tokens"),
+    )
+    return (
+        plan.join(eff, "lang", "left")
+        .select(
+            "lang",
+            "n_docs",
+            "tokens",
+            "reps",
+            "frac_q40",
+            F.coalesce(F.col("eff_docs"), F.lit(0)).cast("long").alias("eff_docs"),
+            F.coalesce(F.col("eff_tokens"), F.lit(0)).cast("long").alias("eff_tokens"),
+        )
+        .withColumn(
+            "amplification",
+            F.col("eff_tokens").cast("double") / F.col("tokens").cast("double"),
+        )
+        .orderBy("lang")
+    )
+
+
+QUERIES["q231_multi_epoch_mixture"] = q231_multi_epoch_mixture
+
+
+def _q231_oracle() -> str:
+    from ai_data_pipeline_spark.functions.text import sql_word_ngrams
+
+    toks = sql_word_ngrams("text", 1)
+    return f"""
+    WITH per_doc AS (
+        SELECT doc_id, lang, len({toks}) AS n_tok FROM documents
+    ), per_lang AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tok) AS BIGINT) AS tokens
+        FROM per_doc GROUP BY lang
+    ), plan AS (
+        SELECT lang, n_docs, tokens,
+               CAST(floor(sqrt(CAST((SELECT MAX(tokens) FROM per_lang) AS DOUBLE)
+                               / CAST(tokens AS DOUBLE))) AS BIGINT) AS reps,
+               CAST(floor((sqrt(CAST((SELECT MAX(tokens) FROM per_lang) AS DOUBLE)
+                               / CAST(tokens AS DOUBLE))
+                           - floor(sqrt(CAST((SELECT MAX(tokens) FROM per_lang) AS DOUBLE)
+                               / CAST(tokens AS DOUBLE))))
+                          * '{float(_Q228_Q40)!r}'::DOUBLE) AS BIGINT) AS frac_q40
+        FROM per_lang
+    ), stream AS (
+        SELECT d.lang, d.n_tok
+        FROM per_doc d
+        JOIN plan p USING (lang),
+        unnest(range(1, p.reps
+                        + CASE WHEN (('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)),
+                                                     1, 10))::BIGINT) < p.frac_q40
+                               THEN 1 ELSE 0 END + 1)) AS t(epoch)
+    ), eff AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS eff_docs,
+               CAST(SUM(n_tok) AS BIGINT) AS eff_tokens
+        FROM stream GROUP BY lang
+    )
+    SELECT p.lang, p.n_docs, p.tokens, p.reps, p.frac_q40,
+           CAST(COALESCE(e.eff_docs, 0) AS BIGINT) AS eff_docs,
+           CAST(COALESCE(e.eff_tokens, 0) AS BIGINT) AS eff_tokens,
+           CAST(COALESCE(e.eff_tokens, 0) AS DOUBLE)
+             / CAST(p.tokens AS DOUBLE) AS amplification
+    FROM plan p LEFT JOIN eff e USING (lang)
+    ORDER BY p.lang
+    """
+
+
+ORACLE["q231_multi_epoch_mixture"] = _q231_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Q232 — held-out bigram coverage / OOV audit (the tokenizer- and
+# LM-eval complement of q225: before training on a new slice, how
+# much of its bigram mass does the existing corpus already model?):
+# train = even doc_id, held-out = odd; a held-out bigram occurrence
+# is covered iff the SAME (lang, bigram) occurs anywhere in train.
+# Coverage is aggregated as exact occurrence counts and divided once
+# (IEEE, exact BIGINTs). Scale: coverage via MAX(is_train) window
+# over (lang, gram-hash) — ONE shuffle carrying 60-bit hashes, no
+# join-back (CLAUDE.md's exchange-reuse rule); the oracle recomputes
+# on gram strings (hash-collision note of q146 applies).
+# ---------------------------------------------------------------------------
+
+def q232_oov_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_data_pipeline_spark.functions.text import word_ngrams
+    from ai_data_pipeline_spark.operators.dedup import md5_hash60
+
+    docs = spread(_t(spark, sf_dir, "documents"))
+    occ = docs.select(
+        "lang",
+        (F.col("doc_id") % 2 == 0).cast("int").alias("is_train"),
+        F.explode(word_ngrams(F.lower(F.col("text")), 2)).alias("g"),
+    ).select("lang", "is_train", md5_hash60(F.col("g")).alias("h"))
+    covered = F.max("is_train").over(Window.partitionBy("lang", "h"))
+    marked = occ.withColumn("cov", covered).filter(F.col("is_train") == 0)
+    return (
+        marked.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("bigrams_heldout"),
+            F.sum("cov").cast("long").alias("bigrams_covered"),
+        )
+        .withColumn(
+            "oov", (F.col("bigrams_heldout") - F.col("bigrams_covered")).cast("long")
+        )
+        .withColumn(
+            "coverage",
+            F.col("bigrams_covered").cast("double")
+            / F.col("bigrams_heldout").cast("double"),
+        )
+        .orderBy("lang")
+    )
+
+
+QUERIES["q232_oov_coverage"] = q232_oov_coverage
+
+
+def _q232_oracle() -> str:
+    from ai_data_pipeline_spark.functions.text import sql_word_ngrams
+
+    grams2 = sql_word_ngrams("lower(text)", 2)
+    return f"""
+    WITH occ AS (
+        SELECT lang,
+               CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS is_train,
+               unnest({grams2}) AS g
+        FROM documents
+    ), marked AS (
+        SELECT lang, is_train,
+               MAX(is_train) OVER (PARTITION BY lang, g) AS cov
+        FROM occ
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS bigrams_heldout,
+           CAST(SUM(cov) AS BIGINT) AS bigrams_covered,
+           CAST(COUNT(*) - SUM(cov) AS BIGINT) AS oov,
+           CAST(SUM(cov) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS coverage
+    FROM marked WHERE is_train = 0
+    GROUP BY lang ORDER BY lang
+    """
+
+
+ORACLE["q232_oov_coverage"] = _q232_oracle()

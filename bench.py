@@ -204,6 +204,9 @@ HEADLINE = [
     "q227_quality_keeper",
     "q228_mixture_sample",
     "q229_embedding_drift",
+    "q230_winnowing_span_audit",
+    "q231_multi_epoch_mixture",
+    "q232_oov_coverage",
 ]
 
 

@@ -102,6 +102,8 @@ PROBE = [
     "q225_ccnet_lang_buckets",    # per-lang bigram window + NTILE
     "q226_vocab_growth",          # type-keyed MIN agg (one row per type)
     "q227_quality_keeper",        # minhash clusters × gopher score keeper
+    "q230_winnowing_span_audit",  # per-doc fingerprint window + hash accounting
+    "q232_oov_coverage",          # MAX window over (lang, gram-hash)
 ]
 
 
