@@ -305,3 +305,20 @@ def test_semantic_dedup_matches_bruteforce(spark, emb):
     assert all((k == v[0]) == v[1] for k, v in got.items())
     # sanity: threshold actually merges something on the fixture
     assert any(k != v for k, v in want.items())
+
+
+def test_ivf_assign_q6_np_tie_goes_to_lowest_seed_id(spark):
+    """Two identical seeds: every row must land in the LOWER seed_id
+    (the kernel's strict-< scan over ascending ids == min(struct(d,
+    c)) == the DuckDB ROW_NUMBER ORDER BY d, seed_id twin)."""
+    from ai_data_pipeline_spark.operators.vectorized import ivf_assign_q6_np
+
+    rows = [(i, [i % 3, -i % 5, 7]) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id long, v6 array<bigint>")
+    seeds = [(11, [0, 0, 7]), (4, [0, 0, 7]), (9, [100, 100, 100])]
+    out = {r["vec_id"]: r["cell"] for r in ivf_assign_q6_np(df, seeds).collect()}
+    for vid, v6 in rows:
+        d_seed = sum((a - b) ** 2 for a, b in zip(v6, [0, 0, 7]))
+        d_far = sum((a - b) ** 2 for a, b in zip(v6, [100, 100, 100]))
+        expect = 4 if d_seed <= d_far else 9  # tie between 11 and 4 -> 4
+        assert out[vid] == expect, (vid, out[vid], expect)
