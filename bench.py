@@ -24,12 +24,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from ai_data_pipeline_spark.plans import (
-    analysis_queries,
-    extended_queries,
-    pipeline_queries,
-    relational,
-)
+import __spark_entry__ as entrymod
 from ai_data_pipeline_spark.session import get_spark
 
 HEADLINE = [
@@ -213,15 +208,14 @@ HEADLINE = [
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("bench")
-    queries = {
-        **relational.QUERIES,
-        **pipeline_queries.QUERIES,
-        **analysis_queries.QUERIES,
-        **extended_queries.QUERIES,
-    }
+    # the driver contract's merge is the single source of truth — a
+    # plan module missing HERE once cost a mid-bench KeyError that
+    # the name-resolution guard (which checks against queries())
+    # could not see.
+    queries = entrymod.queries()
 
     # warm the JVM/session (plan + run one tiny query, not timed)
-    relational.q02_broadcast_join(spark, sf_dir).collect()
+    queries["q02_broadcast_join"](spark, sf_dir).collect()
 
     # machine canary: a fixed pure-JVM compute with no I/O and no
     # shuffle, timed best-of-3. Cross-round bench drift that moves
