@@ -1358,3 +1358,195 @@ def _q232_oracle() -> str:
 
 
 ORACLE["q232_oov_coverage"] = _q232_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Q233 — nprobe recall-vs-cost curve over the occupancy-scaled IVF
+# (the tuning sweep every ANN deployment runs before fixing nprobe;
+# q209 audits ONE point of q28's fixed-8-cell index — this row
+# sweeps nprobe ∈ {1, 2, 4} against q223's data-derived cells): for
+# each of the five fixed q27 query vectors, probe the nprobe nearest
+# seeds (EXACT integer q6 distance — queries quantize once in Python
+# and inline as literals, the q106 discipline, so the probe set is a
+# pure-integer decision), take the exact cosine top-3 within probed
+# cells, and compare against the exact brute-force top-3 (q27's
+# graded path). Output per nprobe: candidates examined (the cost
+# axis), hits, recall — recall is one IEEE division of exact
+# BIGINTs. Scale: the candidate filter is `cell IN probed` — over a
+# cell-partitioned corpus this is partition PRUNING, the IVF payoff;
+# candidate mass is nprobe × occupancy per query, never the corpus.
+# ---------------------------------------------------------------------------
+
+_Q233_NPROBES = [1, 2, 4]
+
+
+def q233_nprobe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_data_pipeline_spark.functions.vector import (
+        cosine,
+        quantize_q6,
+        quantize_q6_py,
+    )
+    from ai_data_pipeline_spark.plans import pipeline_queries as P
+    from ai_data_pipeline_spark.plans.constants import Q27_QUERY_VECS
+
+    emb = _t(spark, sf_dir, "embeddings")
+    base = emb.select("vec_id", quantize_q6("embedding").alias("v6"))
+    seeds = base.filter(F.pmod(F.col("vec_id"), F.lit(_Q223_STRIDE)) == 0).select(
+        F.col("vec_id").alias("seed_id"), F.col("v6").alias("s6")
+    )
+    cells = _assign_exact_q6(base, seeds)
+    corpus = emb.select("vec_id", "embedding").join(cells, "vec_id")
+
+    qrows = [
+        (i, [float(x) for x in Q27_QUERY_VECS[i]], quantize_q6_py(Q27_QUERY_VECS[i]))
+        for i in range(len(Q27_QUERY_VECS))
+    ]
+    qdf = spark.createDataFrame(
+        qrows, "qid long, qvec array<double>, q6 array<bigint>"
+    )
+    d6 = F.aggregate(
+        F.zip_with("q6", "s6", lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("qid").orderBy("d6", "seed_id")
+    )
+    probes = (
+        qdf.crossJoin(F.broadcast(seeds))
+        .select("qid", "qvec", "seed_id", d6.alias("d6"))
+        .withColumn("rk", rk)
+        .filter(F.col("rk") <= max(_Q233_NPROBES))
+        .select("qid", "qvec", "seed_id", "rk")
+    )
+    cand = corpus.join(
+        F.broadcast(probes), corpus.cell == probes.seed_id
+    ).select(
+        "qid", "rk", "vec_id", cosine(F.col("embedding"), F.col("qvec")).alias("sim")
+    )
+    nps = F.explode(
+        F.array(*[F.lit(n) for n in _Q233_NPROBES]).cast("array<bigint>")
+    ).alias("nprobe")
+    swept = cand.select(nps, "qid", "rk", "vec_id", "sim").filter(
+        F.col("rk") <= F.col("nprobe")
+    )
+    top = swept.withColumn(
+        "rk2",
+        F.row_number().over(
+            Window.partitionBy("nprobe", "qid").orderBy(F.desc("sim"), F.asc("vec_id"))
+        ),
+    ).filter(F.col("rk2") <= 3)
+    bf = P.q27_cosine_topk(spark, sf_dir).select("qid", "vec_id")
+    n_exact = bf.agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
+    hits = top.join(bf, ["qid", "vec_id"]).groupBy("nprobe").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hits")
+    )
+    cost = swept.groupBy("nprobe").agg(
+        F.count(F.lit(1)).cast("long").alias("n_candidates")
+    )
+    return (
+        cost.join(hits, "nprobe", "left")
+        .select(
+            "nprobe",
+            "n_candidates",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+        )
+        .crossJoin(F.broadcast(n_exact))
+        .withColumn(
+            "recall",
+            F.col("n_hits").cast("double") / F.col("n_exact").cast("double"),
+        )
+        .orderBy("nprobe")
+    )
+
+
+QUERIES["q233_nprobe_recall_curve"] = q233_nprobe_recall_curve
+
+
+def _q233_oracle() -> str:
+    from ai_data_pipeline_spark.functions.vector import (
+        quantize_q6_py,
+        sql_dot,
+        sql_lit_list,
+        sql_norm,
+    )
+    from ai_data_pipeline_spark.plans import pipeline_queries as P
+    from ai_data_pipeline_spark.plans.constants import EMBED_DIM, Q27_QUERY_VECS
+
+    rng = f"range(1, {EMBED_DIM + 1})"
+    d6 = f"list_sum(list_transform({rng}, i -> (q.q6[i] - s.s6[i]) * (q.q6[i] - s.s6[i])))"
+    qvals = ", ".join(
+        f"({i}, {sql_lit_list(v)}, {quantize_q6_py(v)})"
+        for i, v in enumerate(Q27_QUERY_VECS)
+    )
+    cos = (
+        f"({sql_dot('e.embedding', 'c2.qvec', EMBED_DIM)}) / "
+        f"(({sql_norm('e.embedding', EMBED_DIM)}) * ({sql_norm('c2.qvec', EMBED_DIM)}))"
+    )
+    bf = P.ORACLE["q27_cosine_topk"]
+    npvals = ", ".join(f"({n})" for n in _Q233_NPROBES)
+    return f"""
+    WITH q6c AS MATERIALIZED (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v6
+        FROM embeddings
+    ), seeds AS MATERIALIZED (
+        SELECT vec_id AS seed_id, v6 AS s6 FROM q6c
+        WHERE vec_id % {_Q223_STRIDE} = 0
+    ), cells AS MATERIALIZED (
+        SELECT vec_id, seed_id AS cell FROM (
+            SELECT q.vec_id, s.seed_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                       ORDER BY list_sum(list_transform({rng},
+                           i -> (q.v6[i] - s.s6[i]) * (q.v6[i] - s.s6[i]))),
+                           s.seed_id) AS rn
+            FROM q6c q CROSS JOIN seeds s)
+        WHERE rn = 1
+    ), queries AS (
+        SELECT * FROM (VALUES {qvals}) AS q(qid, qvec, q6)
+    ), probes AS MATERIALIZED (
+        SELECT qid, qvec, seed_id, rk FROM (
+            SELECT q.qid, q.qvec, s.seed_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.qid
+                                      ORDER BY {d6}, s.seed_id) AS rk
+            FROM queries q CROSS JOIN seeds s)
+        WHERE rk <= {max(_Q233_NPROBES)}
+    ), cand AS MATERIALIZED (
+        SELECT c2.qid, c2.rk, e.vec_id, {cos} AS sim
+        FROM embeddings e
+        JOIN cells ON cells.vec_id = e.vec_id
+        JOIN probes c2 ON cells.cell = c2.seed_id
+    ), swept AS MATERIALIZED (
+        SELECT np.nprobe, c.qid, c.vec_id, c.sim
+        FROM cand c CROSS JOIN (VALUES {npvals}) AS np(nprobe)
+        WHERE c.rk <= np.nprobe
+    ), top AS (
+        SELECT nprobe, qid, vec_id FROM (
+            SELECT nprobe, qid, vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY nprobe, qid
+                                      ORDER BY sim DESC, vec_id) AS rk2
+            FROM swept)
+        WHERE rk2 <= 3
+    ), bf AS (
+        SELECT qid, vec_id FROM ({bf}) t
+    ), hits AS (
+        SELECT t.nprobe, CAST(COUNT(*) AS BIGINT) AS n_hits
+        FROM top t JOIN bf ON t.qid = bf.qid AND t.vec_id = bf.vec_id
+        GROUP BY t.nprobe
+    ), cost AS (
+        SELECT nprobe, CAST(COUNT(*) AS BIGINT) AS n_candidates
+        FROM swept GROUP BY nprobe
+    )
+    SELECT CAST(c.nprobe AS BIGINT) AS nprobe,
+           c.n_candidates,
+           CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM bf) AS n_exact,
+           CAST(COALESCE(h.n_hits, 0) AS DOUBLE)
+             / CAST((SELECT COUNT(*) FROM bf) AS DOUBLE) AS recall
+    FROM cost c LEFT JOIN hits h ON h.nprobe = c.nprobe
+    ORDER BY nprobe
+    """
+
+
+ORACLE["q233_nprobe_recall_curve"] = _q233_oracle()

@@ -202,6 +202,7 @@ HEADLINE = [
     "q230_winnowing_span_audit",
     "q231_multi_epoch_mixture",
     "q232_oov_coverage",
+    "q233_nprobe_recall_curve",
 ]
 
 

@@ -104,6 +104,7 @@ PROBE = [
     "q227_quality_keeper",        # minhash clusters × gopher score keeper
     "q230_winnowing_span_audit",  # per-doc fingerprint window + hash accounting
     "q232_oov_coverage",          # MAX window over (lang, gram-hash)
+    "q233_nprobe_recall_curve",   # probe-pruned candidates vs linear exact side
 ]
 
 
