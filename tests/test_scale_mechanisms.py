@@ -179,3 +179,40 @@ def test_runtime_bloom_filter_join_engages(spark, tmp_path):
         plan = _plan(j)
     assert "might_contain" in plan, plan[:2000]
     assert n == dim.count() * 30  # 3M facts / 100k keys = 30 per key
+
+
+def test_ivf_cell_layout_prunes_partitions(spark, tmp_path):
+    """The IVF "index as layout" contract behind q233's cost axis: a
+    corpus WRITTEN partitioned by its assigned cell serves a probe
+    (`cell IN (...)`) by partition PRUNING — the scan reads only the
+    probed cells' files, never the corpus. This is what nprobe ×
+    occupancy candidate cost means at rest."""
+    from ai_data_pipeline_spark.functions.vector import quantize_q6
+    from ai_data_pipeline_spark.operators.vectorized import ivf_assign_q6_np
+    from tests.conftest import SF_SMOKE
+
+    from ai_data_pipeline_spark.catalog import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    base = emb.select("vec_id", "embedding", quantize_q6("embedding").alias("v6"))
+    seeds = [
+        (int(r["vec_id"]), list(r["v6"]))
+        for r in base.filter(F.pmod(F.col("vec_id"), F.lit(64)) == 0)
+        .select("vec_id", "v6")
+        .collect()
+    ]
+    out = str(tmp_path / "ivf_corpus")
+    ivf_assign_q6_np(base, seeds).drop("v6").write.partitionBy("cell").parquet(out)
+
+    probed = [seeds[0][0], seeds[-1][0]]
+    scan = spark.read.parquet(out).filter(F.col("cell").isin(probed))
+    n = scan.count()
+    assert 0 < n < emb.count()
+    plan = _plan(scan)
+    assert "PartitionFilters" in plan and "cell" in plan.split("PartitionFilters", 1)[1][:200]
+    # the data filter list must NOT carry the cell predicate (it is
+    # satisfied entirely by pruning), and only probed dirs are read
+    import re as _re
+
+    m = _re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "cell" in m.group(1), plan
