@@ -1550,3 +1550,125 @@ def _q233_oracle() -> str:
 
 
 ORACLE["q233_nprobe_recall_curve"] = _q233_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Q234 — the temperature mixture applied AT INGEST (q228's policy
+# through the micro-batch engine — q220's replay pattern): the
+# per-language acceptance thresholds are computed ONCE from the
+# static corpus (the offline policy table every ingest gate
+# broadcasts), then the document stream filters STATELESSLY via a
+# stream-static broadcast join + the same md5-uniform decision — no
+# state store, no watermark, exactly the shape that keeps a 100 TB/day
+# ingest gate embarrassingly parallel. Grades the stream-static-join
+# admission path; counts re-aggregate after the memory-sink drain.
+# Oracle: the policy is deterministic, so the stream's admission
+# equals q228's batch arithmetic (different output names: the gate's
+# ingest ledger).
+# ---------------------------------------------------------------------------
+
+def q234_streaming_mixture_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid as _uuid
+
+    from ai_data_pipeline_spark.functions.text import token_count_ws
+    from ai_data_pipeline_spark.plans.pipeline_queries import _drain_memory_sink
+
+    # offline policy pass (tiny): per-lang thresholds from the corpus
+    static = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    per_lang = (
+        static.select("lang", token_count_ws(F.col("text")).alias("n_tok"))
+        .groupBy("lang")
+        .agg(F.sum("n_tok").cast("long").alias("tokens"))
+    )
+    t_min = F.min("tokens").over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    thr = per_lang.select(
+        "lang",
+        F.floor(
+            F.sqrt(t_min.cast("double") / F.col("tokens").cast("double"))
+            * F.lit(float(_Q228_Q40))
+        )
+        .cast("long")
+        .alias("thr_q40"),
+    )
+
+    raw = (
+        spark.readStream.schema(static.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    raw = raw.repartition(spark.sparkContext.defaultParallelism)
+    u40 = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 10), 16, 10
+    ).cast("long")
+    gated = (
+        raw.select(
+            "lang", token_count_ws(F.col("text")).alias("n_tok"), u40.alias("u40")
+        )
+        .join(F.broadcast(thr), "lang")  # stream-static broadcast join
+        .withColumn("admit", (F.col("u40") < F.col("thr_q40")).cast("int"))
+    )
+    name = f"q234_{_uuid.uuid4().hex[:8]}"
+    q = (
+        gated.select("lang", "n_tok", "admit")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    agg = (
+        spark.table(name)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_seen"),
+            F.sum("admit").cast("long").alias("n_admitted"),
+            F.sum(F.when(F.col("admit") == 1, F.col("n_tok")).otherwise(0))
+            .cast("long")
+            .alias("tokens_admitted"),
+        )
+    )
+    return _drain_memory_sink(agg, name).orderBy("lang")
+
+
+QUERIES["q234_streaming_mixture_gate"] = q234_streaming_mixture_gate
+
+
+def _q234_oracle() -> str:
+    from ai_data_pipeline_spark.functions.text import sql_word_ngrams
+
+    toks = sql_word_ngrams("text", 1)
+    return f"""
+    WITH per_doc AS (
+        SELECT doc_id, lang, len({toks}) AS n_tok FROM documents
+    ), per_lang AS (
+        SELECT lang, CAST(SUM(n_tok) AS BIGINT) AS tokens
+        FROM per_doc GROUP BY lang
+    ), thr AS (
+        SELECT lang,
+               CAST(floor(sqrt(CAST((SELECT MIN(tokens) FROM per_lang) AS DOUBLE)
+                               / CAST(tokens AS DOUBLE))
+                          * '{float(_Q228_Q40)!r}'::DOUBLE)
+                    AS BIGINT) AS thr_q40
+        FROM per_lang
+    ), s AS (
+        SELECT d.lang, d.n_tok,
+               CASE WHEN (('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 10))::BIGINT)
+                         < t.thr_q40
+                    THEN 1 ELSE 0 END AS admit
+        FROM per_doc d JOIN thr t USING (lang)
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_seen,
+           CAST(SUM(admit) AS BIGINT) AS n_admitted,
+           CAST(SUM(CASE WHEN admit = 1 THEN n_tok ELSE 0 END) AS BIGINT)
+               AS tokens_admitted
+    FROM s GROUP BY lang ORDER BY lang
+    """
+
+
+ORACLE["q234_streaming_mixture_gate"] = _q234_oracle()

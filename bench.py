@@ -203,6 +203,7 @@ HEADLINE = [
     "q231_multi_epoch_mixture",
     "q232_oov_coverage",
     "q233_nprobe_recall_curve",
+    "q234_streaming_mixture_gate",
 ]
 
 
