@@ -823,3 +823,28 @@ def test_q222_span_window_partitions_by_gram_hash(spark, sf_dir):
     assert gram_windows, "first-occurrence window must partition by gram hash"
     assert "CartesianProduct" not in s
     assert "LeftAnti" in s  # covered-span removal is an anti-join
+
+
+def test_q232_coverage_is_one_window_no_join(spark, sf_dir):
+    """OOV coverage's scale contract: covered-ness comes from ONE MAX
+    window over (lang, gram-hash) — no join anywhere in the plan (the
+    groupBy+join-back form would re-execute the tokenize stage and
+    pay a second shuffle; CLAUDE.md's exchange-reuse rule)."""
+    from ai_data_pipeline_spark.plans import frontier_queries as FQ
+
+    s = plan_of(FQ.q232_oov_coverage(spark, sf_dir))
+    assert "Join" not in s, s
+    clean = re.sub(r"#\d+|plan_id=\d+", "", s)
+    wins = [l for l in clean.splitlines() if "windowspecdefinition" in l]
+    assert wins and all("lang" in l and "h" in l for l in wins)
+
+
+def test_q228_thresholds_broadcast(spark, sf_dir):
+    """Mixture sampling joins the corpus against L per-language
+    thresholds — that side must arrive by broadcast, never a shuffle
+    of the corpus on lang."""
+    from ai_data_pipeline_spark.plans import frontier_queries as FQ
+
+    s = plan_of(FQ.q228_mixture_sample(spark, sf_dir))
+    assert "BroadcastHashJoin" in s
+    assert "SortMergeJoin" not in s
