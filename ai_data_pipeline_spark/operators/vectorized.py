@@ -522,6 +522,68 @@ def ivf_assign_q6_np(
     return corpus.mapInPandas(kern, schema)
 
 
+def pq_assign_q6_np(
+    corpus: DataFrame,
+    codes: list[list[int]],
+    subdim: int,
+    id_col: str = "vec_id",
+    q6_col: str = "v6",
+) -> DataFrame:
+    """Product-quantization assignment over micro-unit integer
+    vectors: the d-dim q6 vector splits into d/subdim subspaces; per
+    subspace, the nearest of the K full-length ``codes`` (restricted
+    to that subspace's dims) wins by exact int64 squared distance,
+    ties → lowest code index. Same exactness contract as
+    ivf_assign_q6_np (int64 cannot overflow at |v6| ≤ 1e6, subdim ≤
+    64), so code ids AND errors are bit-identical to the BIGINT HOF
+    fold and the DuckDB twin. Output: [id, subspace, code, err] —
+    long format, one row per (vector, subspace).
+    """
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    cmat = np.array(codes, dtype=np.int64)  # (K, d)
+    n_sub = cmat.shape[1] // subdim
+
+    def kern(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.stack(pdf[q6_col].to_numpy()).astype(np.int64)
+            ids = pdf[id_col].to_numpy()
+            for s in range(n_sub):
+                lo, hi = s * subdim, (s + 1) * subdim
+                sub = mat[:, lo:hi]
+                best_d = None
+                best_k = None
+                for k in range(len(cmat)):
+                    d = ((sub - cmat[k, lo:hi]) ** 2).sum(axis=1)
+                    if best_d is None:
+                        best_d = d
+                        best_k = np.zeros(len(sub), dtype=np.int64)
+                    else:
+                        m = d < best_d  # strict <: lowest k wins ties
+                        best_d = np.where(m, d, best_d)
+                        best_k = np.where(m, k, best_k)
+                yield pd.DataFrame(
+                    {
+                        "id": ids,
+                        "subspace": np.full(len(sub), s, dtype=np.int64),
+                        "code": best_k,
+                        "err": best_d,
+                    }
+                )
+
+    schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("subspace", LongType()),
+            StructField("code", LongType()),
+            StructField("err", LongType()),
+        ]
+    )
+    return corpus.mapInPandas(kern, schema)
+
+
 def ivf_search_cosine_np(
     corpus_with_cells: DataFrame,
     queries: DataFrame,

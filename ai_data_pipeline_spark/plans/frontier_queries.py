@@ -1672,3 +1672,107 @@ def _q234_oracle() -> str:
 
 
 ORACLE["q234_streaming_mixture_gate"] = _q234_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Q235 — product-quantization audit with an exact-integer codebook
+# (Jégou et al. 2011's PQ, the ANN compression standard, in its
+# oracle-exact form — distinct from q104's SCALAR quantization): the
+# 64-dim space splits into 8 subspaces of 8 dims; the codebook is 8
+# FIXED codes per subspace (the first 8 stride seeds' subvectors —
+# PQ codebooks are constant-size by design, nbits=3 here; a trained
+# codebook swaps in via q224's Lloyd machinery); each vector's
+# subvector maps to its nearest code by EXACT q6 integer distance
+# (tie → lowest code index, the q106 argmin discipline), so code
+# assignments AND the per-subspace quantization error are pure
+# BIGINTs both engines. Per-subspace audit: codes actually used,
+# total/max error, mean error (one IEEE division of exact BIGINTs) —
+# the "is this codebook any good per stripe" read before shipping an
+# ADC index. Scale: one int64 Arrow kernel pass at the scan
+# (pq_assign_q6_np — the 64-struct expression form measured 7 s WARM
+# at sf0.1, pure codegen compile; the kernel is sub-second), zero
+# joins, one 8-row agg; the codes collect is 8 rows by construction.
+# ---------------------------------------------------------------------------
+
+_Q235_SUBSPACES = 8
+_Q235_SUBDIM = 8          # EMBED_DIM / _Q235_SUBSPACES
+_Q235_CODES = 8           # fixed codebook size (nbits = 3)
+
+
+def q235_pq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_data_pipeline_spark.functions.vector import quantize_q6
+    from ai_data_pipeline_spark.operators.vectorized import pq_assign_q6_np
+
+    emb = _t(spark, sf_dir, "embeddings")
+    base = emb.select("vec_id", quantize_q6("embedding").alias("v6"))
+    # codebook: the first _Q235_CODES stride seeds (fixed size — the
+    # collect is 8 rows by construction, not corpus-dependent)
+    code_rows = (
+        base.filter(
+            (F.pmod(F.col("vec_id"), F.lit(_Q223_STRIDE)) == 0)
+            & (F.col("vec_id") < _Q223_STRIDE * _Q235_CODES)
+        )
+        .orderBy("vec_id")
+        .collect()
+    )
+    codes = [list(r["v6"]) for r in code_rows]
+
+    expl = pq_assign_q6_np(base, codes, _Q235_SUBDIM)
+    return (
+        expl.groupBy("subspace")
+        .agg(
+            F.countDistinct("code").cast("long").alias("codes_used"),
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.sum("err").cast("long").alias("sum_err"),
+            F.max("err").cast("long").alias("max_err"),
+        )
+        .withColumn(
+            "mean_err",
+            F.col("sum_err").cast("double") / F.col("n_vecs").cast("double"),
+        )
+        .orderBy("subspace")
+    )
+
+
+QUERIES["q235_pq_audit"] = q235_pq_audit
+
+
+def _q235_oracle() -> str:
+    rng_sub = f"range(1, {_Q235_SUBDIM + 1})"
+    d6 = (
+        f"list_sum(list_transform({rng_sub}, "
+        f"i -> (q.v6[sp.s * {_Q235_SUBDIM} + i] - c.v6[sp.s * {_Q235_SUBDIM} + i])"
+        f" * (q.v6[sp.s * {_Q235_SUBDIM} + i] - c.v6[sp.s * {_Q235_SUBDIM} + i])))"
+    )
+    return f"""
+    WITH q6c AS MATERIALIZED (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v6
+        FROM embeddings
+    ), codes AS MATERIALIZED (
+        SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS k, v6
+        FROM q6c
+        WHERE vec_id % {_Q223_STRIDE} = 0
+          AND vec_id < {_Q223_STRIDE * _Q235_CODES}
+    ), assigned AS (
+        SELECT vec_id, subspace, err, code FROM (
+            SELECT q.vec_id, sp.s AS subspace, {d6} AS err, c.k AS code,
+                   ROW_NUMBER() OVER (PARTITION BY q.vec_id, sp.s
+                                      ORDER BY {d6}, c.k) AS rn
+            FROM q6c q
+            CROSS JOIN (SELECT unnest(range({_Q235_SUBSPACES})) AS s) sp
+            CROSS JOIN codes c)
+        WHERE rn = 1
+    )
+    SELECT CAST(subspace AS BIGINT) AS subspace,
+           CAST(COUNT(DISTINCT code) AS BIGINT) AS codes_used,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(err) AS BIGINT) AS sum_err,
+           CAST(MAX(err) AS BIGINT) AS max_err,
+           CAST(SUM(err) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_err
+    FROM assigned GROUP BY subspace ORDER BY subspace
+    """
+
+
+ORACLE["q235_pq_audit"] = _q235_oracle()

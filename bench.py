@@ -204,6 +204,7 @@ HEADLINE = [
     "q232_oov_coverage",
     "q233_nprobe_recall_curve",
     "q234_streaming_mixture_gate",
+    "q235_pq_audit",
 ]
 
 

@@ -105,6 +105,7 @@ PROBE = [
     "q230_winnowing_span_audit",  # per-doc fingerprint window + hash accounting
     "q232_oov_coverage",          # MAX window over (lang, gram-hash)
     "q233_nprobe_recall_curve",   # probe-pruned candidates vs linear exact side
+    "q235_pq_audit",              # K·S literal-code folds at the scan, no joins
 ]
 
 
