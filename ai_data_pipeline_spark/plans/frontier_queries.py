@@ -1776,3 +1776,197 @@ def _q235_oracle() -> str:
 
 
 ORACLE["q235_pq_audit"] = _q235_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Q236 — ADC retrieval audit over the PQ codes (Jégou et al. 2011
+# §IV: asymmetric distance computation — the reason q235's codes
+# exist): each query precomputes a lookup table of exact-integer q6
+# distances to every (subspace, code) centroid — 5 queries × 8
+# subspaces × 8 codes = 320 ints, computed ONCE in Python from the
+# collected codebook and the quantized query literals (definitionally
+# shared with the SQL twin, which recomputes the same integers) —
+# then a vector's approximate distance is the SUM of 8 table lookups
+# over its codes, and the audit compares the ADC top-3 against the
+# exact integer-L2 top-3 per query. Everything (table, sums, both
+# rankings) is exact BIGINT arithmetic, so the approximation error
+# measured is PQ's, not an engine's. Scale: the LUT broadcasts (KBs
+# at any corpus size); ADC cost is S lookups + adds per vector —
+# the compressed-index scan that replaces full-vector distance math;
+# recall is one IEEE division of exact BIGINTs. Expected read on
+# this corpus: LOW recall (~0.0–0.33) — an untrained 3-bit stride
+# codebook on near-uniform vectors quantizes coarsely by design;
+# this audit row is exactly what tells a deployment to train the
+# codebook (q224's Lloyd machinery) or raise nbits before trusting
+# ADC, and it moves with those knobs.
+# ---------------------------------------------------------------------------
+
+def q236_adc_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_data_pipeline_spark.functions.vector import quantize_q6, quantize_q6_py
+    from ai_data_pipeline_spark.operators.vectorized import pq_assign_q6_np
+    from ai_data_pipeline_spark.plans.constants import Q27_QUERY_VECS
+
+    emb = _t(spark, sf_dir, "embeddings")
+    base = emb.select("vec_id", quantize_q6("embedding").alias("v6"))
+    code_rows = (
+        base.filter(
+            (F.pmod(F.col("vec_id"), F.lit(_Q223_STRIDE)) == 0)
+            & (F.col("vec_id") < _Q223_STRIDE * _Q235_CODES)
+        )
+        .orderBy("vec_id")
+        .collect()
+    )
+    codes = [list(r["v6"]) for r in code_rows]
+    q6s = [quantize_q6_py(v) for v in Q27_QUERY_VECS]
+
+    # the ADC lookup table: exact Python ints == BIGINT == the twin
+    lut_rows = []
+    for qid, q6 in enumerate(q6s):
+        for s in range(_Q235_SUBSPACES):
+            lo = s * _Q235_SUBDIM
+            for k, c in enumerate(codes):
+                d = sum(
+                    (q6[lo + i] - c[lo + i]) ** 2 for i in range(_Q235_SUBDIM)
+                )
+                lut_rows.append((qid, s, k, d))
+    lut = spark.createDataFrame(
+        lut_rows, "qid long, subspace long, code long, d long"
+    )
+
+    assigned = pq_assign_q6_np(base, codes, _Q235_SUBDIM).select(
+        "id", "subspace", "code"
+    )
+    adc = (
+        assigned.join(F.broadcast(lut), ["subspace", "code"])
+        .groupBy("qid", "id")
+        .agg(F.sum("d").cast("long").alias("adc_d"))
+    )
+    adc_top = adc.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("qid").orderBy(F.asc("adc_d"), F.asc("id"))
+        ),
+    ).filter(F.col("rk") <= 3)
+
+    qdf = spark.createDataFrame(
+        [(i, q6s[i]) for i in range(len(q6s))], "qid long, q6 array<bigint>"
+    )
+    d_exact = F.aggregate(
+        F.zip_with("v6", "q6", lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    exact_top = (
+        base.crossJoin(F.broadcast(qdf))
+        .select("qid", F.col("vec_id").alias("id"), d_exact.alias("ed"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("qid").orderBy(F.asc("ed"), F.asc("id"))
+            ),
+        )
+        .filter(F.col("rk") <= 3)
+    )
+    hits = adc_top.join(exact_top.select("qid", "id"), ["qid", "id"]).groupBy(
+        "qid"
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    return (
+        exact_top.groupBy("qid")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
+        .join(hits, "qid", "left")
+        .select(
+            "qid",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+            "n_exact",
+        )
+        .withColumn(
+            "recall",
+            F.col("n_hits").cast("double") / F.col("n_exact").cast("double"),
+        )
+        .orderBy("qid")
+    )
+
+
+QUERIES["q236_adc_recall_audit"] = q236_adc_recall_audit
+
+
+def _q236_oracle() -> str:
+    from ai_data_pipeline_spark.functions.vector import quantize_q6_py
+    from ai_data_pipeline_spark.plans.constants import EMBED_DIM, Q27_QUERY_VECS
+
+    rng = f"range(1, {EMBED_DIM + 1})"
+    rng_sub = f"range(1, {_Q235_SUBDIM + 1})"
+    qvals = ", ".join(
+        f"({i}, {quantize_q6_py(v)})" for i, v in enumerate(Q27_QUERY_VECS)
+    )
+    d_sub = (
+        f"list_sum(list_transform({rng_sub}, "
+        f"i -> (q.q6[sp.s * {_Q235_SUBDIM} + i] - c.v6[sp.s * {_Q235_SUBDIM} + i])"
+        f" * (q.q6[sp.s * {_Q235_SUBDIM} + i] - c.v6[sp.s * {_Q235_SUBDIM} + i])))"
+    )
+    d_assign = (
+        f"list_sum(list_transform({rng_sub}, "
+        f"i -> (v.v6[sp.s * {_Q235_SUBDIM} + i] - c.v6[sp.s * {_Q235_SUBDIM} + i])"
+        f" * (v.v6[sp.s * {_Q235_SUBDIM} + i] - c.v6[sp.s * {_Q235_SUBDIM} + i])))"
+    )
+    d_exact = f"list_sum(list_transform({rng}, i -> (v.v6[i] - q.q6[i]) * (v.v6[i] - q.q6[i])))"
+    return f"""
+    WITH q6c AS MATERIALIZED (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v6
+        FROM embeddings
+    ), codes AS MATERIALIZED (
+        SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS k, v6
+        FROM q6c
+        WHERE vec_id % {_Q223_STRIDE} = 0
+          AND vec_id < {_Q223_STRIDE * _Q235_CODES}
+    ), queries AS (
+        SELECT * FROM (VALUES {qvals}) AS q(qid, q6)
+    ), sp AS (SELECT unnest(range({_Q235_SUBSPACES})) AS s
+    ), assigned AS MATERIALIZED (
+        SELECT vec_id, s AS subspace, code FROM (
+            SELECT v.vec_id, sp.s, c.k AS code,
+                   ROW_NUMBER() OVER (PARTITION BY v.vec_id, sp.s
+                                      ORDER BY {d_assign}, c.k) AS rn
+            FROM q6c v CROSS JOIN sp CROSS JOIN codes c)
+        WHERE rn = 1
+    ), lut AS MATERIALIZED (
+        SELECT q.qid, sp.s AS subspace, c.k AS code, {d_sub} AS d
+        FROM queries q CROSS JOIN sp CROSS JOIN codes c
+    ), adc AS (
+        SELECT l.qid, a.vec_id AS id, CAST(SUM(l.d) AS BIGINT) AS adc_d
+        FROM assigned a
+        JOIN lut l ON l.subspace = a.subspace AND l.code = a.code
+        GROUP BY l.qid, a.vec_id
+    ), adc_top AS (
+        SELECT qid, id FROM (
+            SELECT qid, id,
+                   ROW_NUMBER() OVER (PARTITION BY qid
+                                      ORDER BY adc_d ASC, id) AS rk
+            FROM adc)
+        WHERE rk <= 3
+    ), exact_top AS (
+        SELECT qid, id FROM (
+            SELECT q.qid, v.vec_id AS id,
+                   ROW_NUMBER() OVER (PARTITION BY q.qid
+                                      ORDER BY {d_exact} ASC, v.vec_id) AS rk
+            FROM q6c v CROSS JOIN queries q)
+        WHERE rk <= 3
+    ), hits AS (
+        SELECT a.qid, CAST(COUNT(*) AS BIGINT) AS n_hits
+        FROM adc_top a JOIN exact_top e ON a.qid = e.qid AND a.id = e.id
+        GROUP BY a.qid
+    )
+    SELECT CAST(e.qid AS BIGINT) AS qid,
+           CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+           CAST(COUNT(*) AS BIGINT) AS n_exact,
+           CAST(COALESCE(h.n_hits, 0) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS recall
+    FROM exact_top e LEFT JOIN hits h ON h.qid = e.qid
+    GROUP BY e.qid, h.n_hits
+    ORDER BY qid
+    """
+
+
+ORACLE["q236_adc_recall_audit"] = _q236_oracle()

@@ -205,6 +205,7 @@ HEADLINE = [
     "q233_nprobe_recall_curve",
     "q234_streaming_mixture_gate",
     "q235_pq_audit",
+    "q236_adc_recall_audit",
 ]
 
 
