@@ -98,14 +98,15 @@ PROBE = [
     "q219_lsh_recall_audit",      # exact capped pairs FULL OUTER lsh pairs
     "q222_long_span_dedup",       # 50-token gram window + span anti-join
     "q223_semdedup_scaled",       # occupancy-scaled cells (K grows with corpus)
-    "q224_lloyd_refine",          # two broadcast-assign passes + (cell,dim) agg
+    "q224_lloyd_refine",          # two kernel assignment passes + (cell,dim) agg
     "q225_ccnet_lang_buckets",    # per-lang bigram window + NTILE
     "q226_vocab_growth",          # type-keyed MIN agg (one row per type)
     "q227_quality_keeper",        # minhash clusters × gopher score keeper
     "q230_winnowing_span_audit",  # per-doc fingerprint window + hash accounting
     "q232_oov_coverage",          # MAX window over (lang, gram-hash)
     "q233_nprobe_recall_curve",   # probe-pruned candidates vs linear exact side
-    "q235_pq_audit",              # K·S literal-code folds at the scan, no joins
+    "q235_pq_audit",              # int64 kernel pass at the scan, no joins
+    "q236_adc_recall_audit",      # LUT broadcast + kernel codes vs linear exact side
 ]
 
 
