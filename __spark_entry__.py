@@ -123,6 +123,12 @@ DRIVER_EVIDENCE = frozenset({
     "q214_market_share", "q215_dynamic_overwrite", "q216_release_funnel",
     "q217_targeted_delete", "q218_bpe_merge_candidates", "q219_lsh_recall_audit",
     "q220_streaming_quality_gate", "q221_salted_hot_agg",
+    # --- green in CORRECTNESS_r09.json (all 50 graded rows hashed green) ---
+    "q222_long_span_dedup", "q223_semdedup_scaled", "q224_lloyd_refine",
+    "q225_ccnet_lang_buckets", "q226_vocab_growth", "q227_quality_keeper",
+    "q228_mixture_sample", "q229_embedding_drift", "q230_winnowing_span_audit",
+    "q231_multi_epoch_mixture", "q232_oov_coverage", "q233_nprobe_recall_curve",
+    "q234_streaming_mixture_gate", "q235_pq_audit", "q236_adc_recall_audit",
 })
 
 # Backward-compatible alias (pre-r03 name).
