@@ -126,7 +126,10 @@ DRIVER_EVIDENCE = frozenset({
     # --- green in CORRECTNESS_r09.json (all 50 graded rows hashed green) ---
     "q222_long_span_dedup", "q223_semdedup_scaled", "q224_lloyd_refine",
     "q225_ccnet_lang_buckets", "q226_vocab_growth", "q227_quality_keeper",
-    "q228_mixture_sample", "q229_embedding_drift", "q230_winnowing_span_audit",
+    "q228_mixture_sample", "q229_embedding_drift",
+    # q230_winnowing_span_audit: r09-green but its oracle changed in
+    # r10 (per-position fingerprint DISTINCT, ADVICE #1) — routed back
+    # into the graded window for a fresh hashed row.
     "q231_multi_epoch_mixture", "q232_oov_coverage", "q233_nprobe_recall_curve",
     "q234_streaming_mixture_gate", "q235_pq_audit", "q236_adc_recall_audit",
 })

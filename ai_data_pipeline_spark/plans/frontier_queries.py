@@ -1126,17 +1126,24 @@ def _q230_oracle() -> str:
             FROM lists
         )
     ), sel AS (
-        SELECT DISTINCT doc_id,
-               CAST(substr(wmin, 1, 19) AS BIGINT) AS h
+        -- winnowing proper counts fingerprints PER POSITION: the
+        -- DISTINCT must run on (doc_id, wmin) with the position
+        -- suffix still embedded, THEN strip to h — matching the
+        -- Spark side. DISTINCT after stripping would collapse the
+        -- same 50-gram selected at two positions in one doc to
+        -- n_fp=1 (r09 ADVICE #1 latent parity break).
+        SELECT doc_id, CAST(substr(wmin, 1, 19) AS BIGINT) AS h
         FROM (
-            SELECT doc_id, pos,
-                   MIN(lpad(CAST(h AS VARCHAR), 19, '0')
-                       || lpad(CAST(1000000000 - pos AS VARCHAR), 10, '0'))
-                       OVER (PARTITION BY doc_id ORDER BY pos
-                             ROWS BETWEEN {_Q230_W - 1} PRECEDING AND CURRENT ROW)
-                       AS wmin
-            FROM g)
-        WHERE pos >= {_Q230_W}
+            SELECT DISTINCT doc_id, wmin
+            FROM (
+                SELECT doc_id, pos,
+                       MIN(lpad(CAST(h AS VARCHAR), 19, '0')
+                           || lpad(CAST(1000000000 - pos AS VARCHAR), 10, '0'))
+                           OVER (PARTITION BY doc_id ORDER BY pos
+                                 ROWS BETWEEN {_Q230_W - 1} PRECEDING AND CURRENT ROW)
+                           AS wmin
+                FROM g)
+            WHERE pos >= {_Q230_W})
     ), per_h AS (
         SELECT h, CAST(COUNT(*) AS BIGINT) AS occ FROM g GROUP BY h
     ), fp_per_h AS (

@@ -292,6 +292,7 @@ def main() -> int:
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     print(
         json.dumps(
             {
@@ -301,7 +302,31 @@ def main() -> int:
                 "queries": timings,
                 "canary_sec": round(canary, 3),
                 "stream_canary_sec": round(stream_canary, 3),
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "sf": sf_val,
+            }
+        )
+    )
+    # The driver records only a ~2 KB stdout TAIL; the full per-query
+    # line above exceeds that, so r09's artifact lost most of its own
+    # data ("parsed": null, 64/237 numbers in the tail window). The
+    # LAST stdout line is therefore a compact self-contained summary —
+    # same contract keys, "queries" limited to the slowest 10 — so the
+    # graded tail always carries cross-round-comparable headline
+    # numbers no matter how many queries exist. Per-query detail for
+    # full-log readers: the big JSON line above + the stderr '#' lines.
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_seconds",
+                "value": total,
+                "unit": "sec",
+                "n_queries": len(timings),
+                "canary_sec": round(canary, 3),
+                "stream_canary_sec": round(stream_canary, 3),
+                "sf": sf_val,
+                "queries": slowest,
+                "note": "compact tail summary; full per-query dict on the previous line",
             }
         )
     )

@@ -29,12 +29,23 @@ import pytest
 from ai_data_pipeline_spark.oracle import _canon_rows, duckdb_connection
 from tests.conftest import SF_SMOKE
 
-PLAN_FILES = [
-    "ai_data_pipeline_spark/plans/relational.py",
-    "ai_data_pipeline_spark/plans/pipeline_queries.py",
-    "ai_data_pipeline_spark/plans/analysis_queries.py",
-    "ai_data_pipeline_spark/plans/extended_queries.py",
-]
+# Glob, not a hand-kept list: r09 ADVICE found frontier_queries.py had
+# silently bypassed this lint for a full round because the module list
+# was static. Every current AND future plans/ module is covered.
+import glob as _glob
+
+PLAN_FILES = sorted(_glob.glob("ai_data_pipeline_spark/plans/*.py"))
+
+
+def test_plan_files_glob_found_the_known_modules():
+    names = {p.rsplit("/", 1)[-1] for p in PLAN_FILES}
+    assert {
+        "relational.py",
+        "pipeline_queries.py",
+        "analysis_queries.py",
+        "extended_queries.py",
+        "frontier_queries.py",
+    } <= names
 
 # Every known div/`//` site as a whitespace-normalized 56-char-context
 # snippet (tokenizer-normalized: comments dropped, URL schemes and SQL
@@ -169,6 +180,20 @@ ALLOWED_DIV_SITES = {
     # proof as the q148 entries above).
     ' = f""" WITH daily AS ( SELECT event_type, epoch_ns(ts) //',
     'aily = ( e . select ( "event_type" , F . expr ( f"ts_ns div',
+    # frontier_queries.py (r09 ADVICE #2: module was outside the old
+    # static PLAN_FILES list — glob now covers it):
+    # q224 centroid update — THE offset form itself, both engines
+    # (s can be negative; (s + OFF·n) // n − OFF is convention-proof).
+    'ithColumn ( "c6" , ( F . expr ( f"(s + {_Q224_OFF} * n) div',
+    'RIALIZED ( SELECT cell, list(CAST((s + {_Q224_OFF} * n) //',
+    # q226 decile bucketing — doc_id ≥ 0 (generator ids), so
+    # MAX(doc_id) + BUCKETS ≥ 0 and step ≥ 1: never negative.
+    ' ( F . broadcast ( mx ) ) . select ( F . expr ( "doc_id div',
+    '""" WITH mx AS ( SELECT (MAX(doc_id) + {_Q226_BUCKETS}) //',
+    'KETS} AS step FROM documents ), toks AS ( SELECT doc_id //',
+    'cs . agg ( F . expr ( f"(max(doc_id) + {_Q226_BUCKETS}) div',
+    # module docstring prose mentioning the word 'div' (string token).
+    'GINTs; min/max of bit-identical per-row doubles). Every div',
 }
 
 

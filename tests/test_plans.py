@@ -848,3 +848,52 @@ def test_q228_thresholds_broadcast(spark, sf_dir):
     s = plan_of(FQ.q228_mixture_sample(spark, sf_dir))
     assert "BroadcastHashJoin" in s
     assert "SortMergeJoin" not in s
+
+
+def test_q230_within_doc_repeated_span_parity(spark, tmp_path):
+    """r09 ADVICE #1 regression fixture: a doc containing the SAME
+    50-token block at two positions. Winnowing proper counts
+    fingerprints PER POSITION, so the repeated gram selected at both
+    occurrences must yield n_fp=2 on BOTH engines — the oracle once
+    did DISTINCT after stripping the position suffix and would have
+    collapsed it to 1 (latent local-green/driver-red on boilerplate-
+    heavy corpora; both graded SFs happen to contain no within-doc
+    repeated 50-gram, so only this fixture exercises the branch)."""
+    import duckdb
+
+    from ai_data_pipeline_spark.oracle import compare
+    from ai_data_pipeline_spark.plans import frontier_queries as FQ
+
+    block = " ".join(f"a{i}" for i in range(60))
+    filler = " ".join(f"f{i}" for i in range(10))
+    docs = [
+        # doc 0: block twice -> interior winnowing windows of the two
+        # occurrences are identical gram sequences, so the same gram
+        # hash is selected at two positions in ONE doc.
+        (0, f"{block} {filler} {block}"),
+        (1, " ".join(f"b{i}" for i in range(80))),
+        (2, " ".join(f"c{i}" for i in range(55))),
+    ]
+    fix = str(tmp_path / "q230fix")
+    spark.createDataFrame(
+        [(i, t, "en", "fix", len(t)) for i, t in docs],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.parquet(f"{fix}/documents.parquet")
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{fix}/documents.parquet/*.parquet'"
+    )
+
+    # the fixture genuinely engages the branch: some (doc_id, h) is a
+    # selected fingerprint at >= 2 positions
+    sql = FQ.ORACLE["q230_winnowing_span_audit"]
+    sel_body = sql.split("), per_h AS (")[0] + ")"
+    n_multi = con.execute(
+        f"{sel_body} SELECT COUNT(*) FROM ("
+        "SELECT doc_id, h FROM sel GROUP BY doc_id, h HAVING COUNT(*) >= 2)"
+    ).fetchone()[0]
+    assert n_multi >= 1, "fixture failed to produce a within-doc repeated fingerprint"
+
+    report = compare(FQ.q230_winnowing_span_audit(spark, fix), con, sql)
+    assert report["match"], report
