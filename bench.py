@@ -206,6 +206,8 @@ HEADLINE = [
     "q234_streaming_mixture_gate",
     "q235_pq_audit",
     "q236_adc_recall_audit",
+    # round-10 additions
+    "q237_pq_train_lift",
 ]
 
 

@@ -194,6 +194,10 @@ ALLOWED_DIV_SITES = {
     'cs . agg ( F . expr ( f"(max(doc_id) + {_Q226_BUCKETS}) div',
     # module docstring prose mentioning the word 'div' (string token).
     'GINTs; min/max of bit-identical per-row doubles). Every div',
+    # q237 oracle per-subspace centroid — THE offset form again
+    # (subvector components are negative; Spark side shares q224's
+    # allowlisted `(s + {_Q224_OFF} * n) div` snippet).
+    '.v6[a0.subspace * {D} + t.i]) + {_Q224_OFF} * COUNT(*)) //',
 }
 
 
