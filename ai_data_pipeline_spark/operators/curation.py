@@ -228,7 +228,7 @@ def remove_duplicate_spans(
     on xxhash64(gram) — a collision can only cause an extra drop, and
     only when the colliding gram also precedes in corpus order.
     """
-    from ai_data_pipeline_spark.functions.text import word_ngrams, ws_tokens
+    from ai_data_pipeline_spark.functions.text import word_ngrams
 
     ident = F.col(id_col)
     grams = docs.select(
@@ -242,7 +242,25 @@ def remove_duplicate_spans(
         .filter(occ != F.col("first_occ"))
         .select(id_col, "p")
     )
-    covered = dup_spans.select(
+    return _rebuild_minus_spans(docs, dup_spans, id_col, text_col, n)
+
+
+def _rebuild_minus_spans(
+    docs: DataFrame,
+    spans: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+) -> DataFrame:
+    """Rebuild ``docs`` with every token index covered by a ``[p, p+n)``
+    span in ``spans`` (columns: id_col, p) dropped; surviving tokens
+    rejoin with single spaces. Shared tail of remove_duplicate_spans /
+    remove_contaminated_spans: span explode (≤ n index rows per span
+    occurrence), one anti-join on (doc, index), one groupBy rebuild."""
+    from ai_data_pipeline_spark.functions.text import ws_tokens
+
+    ident = F.col(id_col)
+    covered = spans.select(
         id_col, F.explode(F.sequence(F.col("p"), F.col("p") + (n - 1))).alias("idx")
     ).distinct()
     toks = docs.select(ident, F.posexplode(ws_tokens(text_col)).alias("idx", "tok"))
@@ -260,6 +278,47 @@ def remove_duplicate_spans(
     return docs.select(ident).join(rebuilt, id_col, "left").select(
         id_col, F.coalesce(F.col(text_col), F.lit("")).alias(text_col)
     )
+
+
+def remove_contaminated_spans(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 13,
+) -> DataFrame:
+    """Benchmark decontamination at the published gram length (GPT-3
+    Appendix C / The Pile practice: 13-gram collision with a held-out
+    evaluation set): rewrite each corpus document with every token
+    span whose ``n``-gram also occurs ANYWHERE in ``benchmark``
+    dropped. Span policy: exactly the colliding ``[p, p+n)`` token
+    span is removed (overlaps union) — GPT-3 removes a 200-character
+    window and splits the doc; the span form is the deterministic,
+    token-accountable variant most open pipelines (The Pile, Dolma)
+    converged on.
+
+    Scale shape: the benchmark gram set is DISTINCT hashes (8-byte),
+    so the collision probe is a LEFT SEMI equi-join — one row out per
+    colliding corpus gram occurrence, never a pair explosion (no
+    max_shingle_freq needed: a semi-join against a set cannot go f²).
+    Real benchmarks are tiny vs the corpus, so AQE broadcasts the
+    hash set and the probe runs AT THE SCAN; rebuild tail shared with
+    remove_duplicate_spans. Hash note: xxhash64 collisions can only
+    cause an extra (span) drop, same contract as the dedup pass.
+    """
+    from ai_data_pipeline_spark.functions.text import word_ngrams
+
+    bench_ghs = (
+        benchmark.select(F.explode(word_ngrams(text_col, n)).alias("gram"))
+        .select(F.xxhash64("gram").alias("gh"))
+        .distinct()
+    )
+    grams = corpus.select(
+        F.col(id_col),
+        F.posexplode(word_ngrams(text_col, n)).alias("p", "gram"),
+    ).select(id_col, "p", F.xxhash64("gram").alias("gh"))
+    hit = grams.join(bench_ghs, "gh", "left_semi").select(id_col, "p")
+    return _rebuild_minus_spans(corpus, hit, id_col, text_col, n)
 
 
 # --- Gopher-style document quality rules -------------------------------------

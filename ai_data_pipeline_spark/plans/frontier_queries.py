@@ -2261,3 +2261,117 @@ def _q237_oracle() -> str:
 
 
 ORACLE["q237_pq_train_lift"] = _q237_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Q238 — 13-gram benchmark decontamination (GPT-3 Appendix C / The
+# Pile practice — the r09 verdict's #4): the held-out "benchmark"
+# split is source = src0 (q56's convention); every corpus (source ≠
+# src0) token span whose 13-gram also occurs anywhere in the
+# benchmark is removed (overlaps union) and the doc REBUILT — the
+# span-level pass, distinct from q56's doc-level ≥3-shared-4-grams
+# flag. Graded accounting per source: docs hit, tokens before/after,
+# removed_rate (one IEEE division of exact BIGINTs). Scale: the
+# collision probe is a LEFT SEMI join against the DISTINCT benchmark
+# gram-hash set — one output row per colliding occurrence, never a
+# pair explosion, so no max_shingle_freq is needed (a semi-join
+# against a set cannot go f²; real benchmarks are corpus-tiny and
+# the hash set broadcasts, putting the probe at the scan); covered
+# spans ≤ 13 index rows per hit; one anti-join; one rebuild agg —
+# q222's law at n=13 with the window swapped for the semi-join.
+# ---------------------------------------------------------------------------
+
+_Q238_N = 13
+
+
+def q238_decontaminate_13gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_data_pipeline_spark.functions.text import token_count_ws
+    from ai_data_pipeline_spark.operators.curation import remove_contaminated_spans
+
+    docs = spread(_t(spark, sf_dir, "documents"))
+    corpus = docs.filter(F.col("source") != "src0")
+    benchmark = docs.filter(F.col("source") == "src0")
+    rewritten = remove_contaminated_spans(
+        corpus.select("doc_id", "text"),
+        benchmark.select("text"),
+        "doc_id",
+        "text",
+        n=_Q238_N,
+    )
+    before = corpus.select(
+        "doc_id", "source", token_count_ws(F.col("text")).alias("tok_before")
+    )
+    after = rewritten.select("doc_id", token_count_ws(F.col("text")).alias("tok_after"))
+    return (
+        before.join(after, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum((F.col("tok_after") < F.col("tok_before")).cast("int"))
+            .cast("long")
+            .alias("n_docs_hit"),
+            F.sum("tok_before").cast("long").alias("tokens_before"),
+            F.sum("tok_after").cast("long").alias("tokens_after"),
+        )
+        .withColumn(
+            "removed_rate",
+            F.when(
+                F.col("tokens_before") != 0,
+                (F.col("tokens_before") - F.col("tokens_after")).cast("double")
+                / F.col("tokens_before").cast("double"),
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+QUERIES["q238_decontaminate_13gram"] = q238_decontaminate_13gram
+
+
+def _q238_oracle() -> str:
+    from ai_data_pipeline_spark.functions.text import sql_word_ngrams
+
+    toks = sql_word_ngrams("text", 1)
+    grams = sql_word_ngrams("text", _Q238_N)
+    return f"""
+    WITH bench AS MATERIALIZED (
+        SELECT DISTINCT unnest({grams}) AS gram
+        FROM documents WHERE source = 'src0'
+    ), g0 AS (
+        SELECT doc_id, {grams} AS gs FROM documents WHERE source <> 'src0'
+    ), grams AS (
+        SELECT doc_id, generate_subscripts(gs, 1) - 1 AS p, unnest(gs) AS gram
+        FROM g0
+    ), hit AS (
+        SELECT g.doc_id, g.p FROM grams g
+        WHERE g.gram IN (SELECT gram FROM bench)
+    ), covered AS (
+        SELECT doc_id, COUNT(*) AS n_cov FROM (
+            SELECT DISTINCT doc_id, idx FROM (
+                SELECT doc_id, unnest(generate_series(p, p + {_Q238_N - 1})) AS idx
+                FROM hit))
+        GROUP BY doc_id
+    ), per_doc AS (
+        SELECT d.doc_id, d.source,
+               len({toks}) AS tok_before,
+               len({toks}) - COALESCE(c.n_cov, 0) AS tok_after
+        FROM documents d LEFT JOIN covered c USING (doc_id)
+        WHERE d.source <> 'src0'
+    ), agg AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN tok_after < tok_before THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_docs_hit,
+               CAST(SUM(tok_before) AS BIGINT) AS tokens_before,
+               CAST(SUM(tok_after) AS BIGINT) AS tokens_after
+        FROM per_doc GROUP BY source
+    )
+    SELECT source, n_docs, n_docs_hit, tokens_before, tokens_after,
+           CASE WHEN tokens_before <> 0
+                THEN CAST(tokens_before - tokens_after AS DOUBLE)
+                       / CAST(tokens_before AS DOUBLE) END AS removed_rate
+    FROM agg ORDER BY source
+    """
+
+
+ORACLE["q238_decontaminate_13gram"] = _q238_oracle()

@@ -208,6 +208,7 @@ HEADLINE = [
     "q236_adc_recall_audit",
     # round-10 additions
     "q237_pq_train_lift",
+    "q238_decontaminate_13gram",
 ]
 
 

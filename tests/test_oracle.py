@@ -107,9 +107,10 @@ def test_registered_shingle_pair_queries_engage_the_cap():
 
     from ai_data_pipeline_spark.plans import analysis_queries as A
     from ai_data_pipeline_spark.plans import extended_queries as X
+    from ai_data_pipeline_spark.plans import frontier_queries as FQ
     from ai_data_pipeline_spark.plans import pipeline_queries as P
 
-    for mod in (P, A, X):
+    for mod in (P, A, X, FQ):
         src = inspect.getsource(mod)
         for m in _re.finditer(
             r"(ngram_jaccard_pairs|shingle_containment_pairs)\((.*?)\)",

@@ -897,3 +897,16 @@ def test_q230_within_doc_repeated_span_parity(spark, tmp_path):
 
     report = compare(FQ.q230_winnowing_span_audit(spark, fix), con, sql)
     assert report["match"], report
+
+
+def test_q238_collision_probe_is_semi_join_no_pair_explosion(spark, sf_dir):
+    """Decontamination's scale contract: the benchmark collision
+    probe is a (broadcast) LEFT SEMI join against the DISTINCT gram-
+    hash set — one output row per colliding corpus occurrence, never
+    an f² pair join — and the covered-span removal is an anti-join."""
+    from ai_data_pipeline_spark.plans import frontier_queries as FQ
+
+    s = plan_of(FQ.q238_decontaminate_13gram(spark, sf_dir))
+    assert "LeftSemi" in s
+    assert "LeftAnti" in s
+    assert "CartesianProduct" not in s
