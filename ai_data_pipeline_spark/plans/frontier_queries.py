@@ -2375,3 +2375,120 @@ def _q238_oracle() -> str:
 
 
 ORACLE["q238_decontaminate_13gram"] = _q238_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Q239 — boundary-respecting sequence packing (the r09 verdict's #5):
+# q87/q205 pack by token cumsum and let a document STRADDLE sequence
+# boundaries (the T5 "pack and split" regime); training recipes that
+# forbid splitting (contrastive pairs, long-context curricula, any
+# loss masked at doc granularity) need every document WHOLLY inside
+# one pack. True best-fit/next-fit is a data-dependent RESTART
+# recurrence — bin fill resets whenever a doc would overflow, so each
+# boundary depends on every prior bump; that is a segmented scan with
+# value-dependent segmentation, NOT window-expressible (same verdict
+# as q235's rejected expression form, documented here as the verdict
+# asks). The window-expressible contract shipped instead is the
+# capacity-reserving start-bin assignment: cap kept docs at L tokens
+# (longer docs are counted as overflow and routed to a long-doc
+# shard), reserve headroom B' = B − L, and assign each doc to the
+# bin where its EXCLUSIVE prefix sum lands: bin = (cum − n_tok) div
+# B'. Every doc whose start falls in bin k fits entirely because the
+# starts in a bin span < B' tokens and the last-starting doc adds ≤
+# L: max fill ≤ B by CONSTRUCTION (the guarantee is a graded output
+# column), no doc ever splits, utilization loss is bounded by L/B —
+# the deterministic two-pass form of the packing used by TPU-style
+# fixed-shape batch builders. Scale: q205's law — one
+# distributed_prefix_sum (two window passes, no single-task global
+# window) + one bin agg; everything else is arithmetic at the scan.
+# ---------------------------------------------------------------------------
+
+_Q239_BUDGET = 320  # pack capacity B
+_Q239_CAP = 80      # max kept doc length L (longer → overflow shard)
+_Q239_EFF = _Q239_BUDGET - _Q239_CAP  # start-bin stride B'
+
+
+def q239_boundary_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_data_pipeline_spark.functions.text import token_count_bpe_ish
+    from ai_data_pipeline_spark.operators.curation import distributed_prefix_sum
+
+    docs = _t(spark, sf_dir, "documents")
+    step = 1_000_003 // 64 + 1  # q205's ord_key range per bucket
+    base = docs.select(
+        "doc_id",
+        token_count_bpe_ish(F.col("text")).alias("n_tok"),
+        # q205's deterministic interleave order (reduce-before-multiply)
+        F.expr("((doc_id % 1000003) * 2654435761) % 1000003").alias("ord_key"),
+    ).withColumn("bucket", F.expr(f"ord_key div {step}"))
+    kept = base.filter(F.col("n_tok") <= _Q239_CAP)
+    overflow = base.filter(F.col("n_tok") > _Q239_CAP).agg(
+        F.count(F.lit(1)).cast("long").alias("n_overflow")
+    )
+    cum = distributed_prefix_sum(kept, "bucket", ["ord_key", "doc_id"], "n_tok")
+    bins = (
+        cum.select(F.expr(f"(cum - n_tok) div {_Q239_EFF}").alias("bin"), "n_tok")
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("fill"),
+        )
+    )
+    summary = bins.agg(
+        F.sum("n_docs").cast("long").alias("n_docs_packed"),
+        F.count(F.lit(1)).cast("long").alias("n_bins"),
+        F.sum("fill").cast("long").alias("total_tokens"),
+        F.max("fill").cast("long").alias("max_bin_fill"),
+    )
+    return summary.crossJoin(overflow).select(
+        "n_docs_packed",
+        "n_overflow",
+        "n_bins",
+        "total_tokens",
+        "max_bin_fill",
+        (
+            F.col("total_tokens").cast("double")
+            / (F.col("n_bins") * F.lit(_Q239_BUDGET)).cast("double")
+        ).alias("utilization"),
+    )
+
+
+QUERIES["q239_boundary_pack"] = q239_boundary_pack
+
+
+def _q239_oracle() -> str:
+    from ai_data_pipeline_spark.functions.text import BPE_ISH_PATTERN
+
+    return f"""
+    WITH base AS (
+        SELECT doc_id,
+               len(regexp_extract_all(text, '{BPE_ISH_PATTERN}')) AS n_tok,
+               ((doc_id % 1000003) * 2654435761) % 1000003 AS ord_key
+        FROM documents
+    ), cum AS (
+        SELECT n_tok,
+               SUM(n_tok) OVER (ORDER BY ord_key, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM base WHERE n_tok <= {_Q239_CAP}
+    ), bins AS (
+        SELECT (cum - n_tok) // {_Q239_EFF} AS bin,
+               COUNT(*) AS n_docs, SUM(n_tok) AS fill
+        FROM cum GROUP BY bin
+    ), summary AS (
+        SELECT CAST(SUM(n_docs) AS BIGINT) AS n_docs_packed,
+               CAST(COUNT(*) AS BIGINT) AS n_bins,
+               CAST(SUM(fill) AS BIGINT) AS total_tokens,
+               CAST(MAX(fill) AS BIGINT) AS max_bin_fill
+        FROM bins
+    ), overflow AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_overflow
+        FROM base WHERE n_tok > {_Q239_CAP}
+    )
+    SELECT s.n_docs_packed, o.n_overflow, s.n_bins, s.total_tokens,
+           s.max_bin_fill,
+           CAST(s.total_tokens AS DOUBLE)
+             / CAST(s.n_bins * {_Q239_BUDGET} AS DOUBLE) AS utilization
+    FROM summary s, overflow o
+    """
+
+
+ORACLE["q239_boundary_pack"] = _q239_oracle()

@@ -209,6 +209,7 @@ HEADLINE = [
     # round-10 additions
     "q237_pq_train_lift",
     "q238_decontaminate_13gram",
+    "q239_boundary_pack",
 ]
 
 

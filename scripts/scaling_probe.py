@@ -109,6 +109,7 @@ PROBE = [
     "q236_adc_recall_audit",      # LUT broadcast + kernel codes vs linear exact side
     "q237_pq_train_lift",         # 3 kernel passes + linear (vec,subspace) training shuffle
     "q238_decontaminate_13gram",  # semi-join gram probe + span anti-join rebuild
+    "q239_boundary_pack",         # distributed prefix sum + bin agg
 ]
 
 

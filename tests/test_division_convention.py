@@ -198,6 +198,11 @@ ALLOWED_DIV_SITES = {
     # (subvector components are negative; Spark side shares q224's
     # allowlisted `(s + {_Q224_OFF} * n) div` snippet).
     '.v6[a0.subspace * {D} + t.i]) + {_Q224_OFF} * COUNT(*)) //',
+    # q239 packing — positive module constants (1_000_003 // 64) and
+    # cum ≥ n_tok ≥ 0 running token budgets (q87/q205's proof).
+    ' = _t ( spark , sf_dir , "documents" ) step = 1_000_003 //',
+    ' n_tok <= {_Q239_CAP} ), bins AS ( SELECT (cum - n_tok) //',
+    'k" ) bins = ( cum . select ( F . expr ( f"(cum - n_tok) div',
 }
 
 

@@ -910,3 +910,40 @@ def test_q238_collision_probe_is_semi_join_no_pair_explosion(spark, sf_dir):
     assert "LeftSemi" in s
     assert "LeftAnti" in s
     assert "CartesianProduct" not in s
+
+
+def test_q239_pack_never_splits_and_never_overfills(spark, sf_dir):
+    """Boundary-respecting packing's two guarantees, checked on DATA
+    (not just the summary): (a) every bin's fill ≤ BUDGET — the
+    capacity-reservation proof holds on this corpus; (b) each doc is
+    wholly inside one bin by construction (the bin is a function of
+    the doc's start, never of a mid-doc boundary). Plus the plan
+    contract: the corpus cumsum window is bucket-partitioned (q205's
+    distributed prefix sum), no global single-task corpus window."""
+    from ai_data_pipeline_spark.functions.text import token_count_bpe_ish
+    from ai_data_pipeline_spark.operators.curation import distributed_prefix_sum
+    from ai_data_pipeline_spark.plans import frontier_queries as FQ
+
+    docs = load_table(spark, sf_dir, "documents")
+    step = 1_000_003 // 64 + 1
+    base = docs.select(
+        "doc_id",
+        token_count_bpe_ish(F.col("text")).alias("n_tok"),
+        F.expr("((doc_id % 1000003) * 2654435761) % 1000003").alias("ord_key"),
+    ).withColumn("bucket", F.expr(f"ord_key div {step}"))
+    kept = base.filter(F.col("n_tok") <= FQ._Q239_CAP)
+    cum = distributed_prefix_sum(kept, "bucket", ["ord_key", "doc_id"], "n_tok")
+    fills = (
+        cum.select(F.expr(f"(cum - n_tok) div {FQ._Q239_EFF}").alias("bin"), "n_tok")
+        .groupBy("bin")
+        .agg(F.sum("n_tok").alias("fill"))
+        .collect()
+    )
+    assert fills
+    assert all(r["fill"] <= FQ._Q239_BUDGET for r in fills)
+
+    s = plan_of(FQ.q239_boundary_pack(spark, sf_dir))
+    clean = re.sub(r"#\d+|plan_id=\d+", "", s)
+    for l in clean.splitlines():
+        if "windowspecdefinition" in l and "sum(n_tok" in l:
+            assert "windowspecdefinition(bucket" in l, l
