@@ -2492,3 +2492,161 @@ def _q239_oracle() -> str:
 
 
 ORACLE["q239_boundary_pack"] = _q239_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Q240 — hard-negative mining for the retrieval stack (the r09
+# verdict's #6 — the standard contrastive-training data pass: DPR /
+# ANCE-style "nearest non-positives" negatives): for each fixed q27
+# query, the positives are the exact brute-force cosine top-3 (q27's
+# graded path); the hard negatives are the top-5 docs by cosine
+# WITHIN the probed IVF cells (q233's candidate machinery at
+# nprobe=2 over the occupancy-scaled index: probe set by EXACT
+# integer q6 distance, query literals quantized once in Python) that
+# are NOT positives — an anti-join, then one per-query rank window
+# over the pruned candidate set. Emitting the raw cosine is safe by
+# the float policy: both engines evaluate the identical LTR
+# dot/norm/divide tree on identical doubles (the q62/q27 precedent).
+# Scale: candidates are nprobe × occupancy per query (partition
+# pruning over a cell-partitioned corpus — the IVF payoff); the
+# anti-join's right side is 15 rows, broadcast; never the corpus.
+# ---------------------------------------------------------------------------
+
+_Q240_NPROBE = 2
+_Q240_K = 5
+
+
+def q240_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_data_pipeline_spark.functions.vector import (
+        cosine,
+        quantize_q6,
+        quantize_q6_py,
+    )
+    from ai_data_pipeline_spark.plans import pipeline_queries as P
+    from ai_data_pipeline_spark.plans.constants import Q27_QUERY_VECS
+
+    emb = _t(spark, sf_dir, "embeddings")
+    base = emb.select("vec_id", quantize_q6("embedding").alias("v6"))
+    seeds = base.filter(F.pmod(F.col("vec_id"), F.lit(_Q223_STRIDE)) == 0).select(
+        F.col("vec_id").alias("seed_id"), F.col("v6").alias("s6")
+    )
+    cells = _assign_exact_q6(base, seeds)
+    corpus = emb.select("vec_id", "embedding").join(cells, "vec_id")
+
+    qrows = [
+        (i, [float(x) for x in Q27_QUERY_VECS[i]], quantize_q6_py(Q27_QUERY_VECS[i]))
+        for i in range(len(Q27_QUERY_VECS))
+    ]
+    qdf = spark.createDataFrame(
+        qrows, "qid long, qvec array<double>, q6 array<bigint>"
+    )
+    d6 = F.aggregate(
+        F.zip_with("q6", "s6", lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    probes = (
+        qdf.crossJoin(F.broadcast(seeds))
+        .select("qid", "qvec", "seed_id", d6.alias("d6"))
+        .withColumn(
+            "rk",
+            F.row_number().over(Window.partitionBy("qid").orderBy("d6", "seed_id")),
+        )
+        .filter(F.col("rk") <= _Q240_NPROBE)
+        .select("qid", "qvec", "seed_id")
+    )
+    cand = corpus.join(
+        F.broadcast(probes), corpus.cell == probes.seed_id
+    ).select(
+        "qid", "vec_id", cosine(F.col("embedding"), F.col("qvec")).alias("sim")
+    )
+    positives = P.q27_cosine_topk(spark, sf_dir).select("qid", "vec_id")
+    negs = cand.join(F.broadcast(positives), ["qid", "vec_id"], "left_anti")
+    return (
+        negs.withColumn(
+            "rank",
+            F.row_number()
+            .over(Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id")))
+            .cast("long"),
+        )
+        .filter(F.col("rank") <= _Q240_K)
+        .select("qid", "rank", "vec_id", "sim")
+        .orderBy("qid", "rank")
+    )
+
+
+QUERIES["q240_hard_negatives"] = q240_hard_negatives
+
+
+def _q240_oracle() -> str:
+    from ai_data_pipeline_spark.functions.vector import (
+        quantize_q6_py,
+        sql_dot,
+        sql_lit_list,
+        sql_norm,
+    )
+    from ai_data_pipeline_spark.plans import pipeline_queries as P
+    from ai_data_pipeline_spark.plans.constants import EMBED_DIM, Q27_QUERY_VECS
+
+    rng = f"range(1, {EMBED_DIM + 1})"
+    d6 = f"list_sum(list_transform({rng}, i -> (q.q6[i] - s.s6[i]) * (q.q6[i] - s.s6[i])))"
+    qvals = ", ".join(
+        f"({i}, {sql_lit_list(v)}, {quantize_q6_py(v)})"
+        for i, v in enumerate(Q27_QUERY_VECS)
+    )
+    cos = (
+        f"({sql_dot('e.embedding', 'c2.qvec', EMBED_DIM)}) / "
+        f"(({sql_norm('e.embedding', EMBED_DIM)}) * ({sql_norm('c2.qvec', EMBED_DIM)}))"
+    )
+    bf = P.ORACLE["q27_cosine_topk"]
+    return f"""
+    WITH q6c AS MATERIALIZED (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v6
+        FROM embeddings
+    ), seeds AS MATERIALIZED (
+        SELECT vec_id AS seed_id, v6 AS s6 FROM q6c
+        WHERE vec_id % {_Q223_STRIDE} = 0
+    ), cells AS MATERIALIZED (
+        SELECT vec_id, seed_id AS cell FROM (
+            SELECT q.vec_id, s.seed_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                       ORDER BY list_sum(list_transform({rng},
+                           i -> (q.v6[i] - s.s6[i]) * (q.v6[i] - s.s6[i]))),
+                           s.seed_id) AS rn
+            FROM q6c q CROSS JOIN seeds s)
+        WHERE rn = 1
+    ), queries AS (
+        SELECT * FROM (VALUES {qvals}) AS q(qid, qvec, q6)
+    ), probes AS MATERIALIZED (
+        SELECT qid, qvec, seed_id FROM (
+            SELECT q.qid, q.qvec, s.seed_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.qid
+                                      ORDER BY {d6}, s.seed_id) AS rk
+            FROM queries q CROSS JOIN seeds s)
+        WHERE rk <= {_Q240_NPROBE}
+    ), cand AS MATERIALIZED (
+        SELECT c2.qid, e.vec_id, {cos} AS sim
+        FROM embeddings e
+        JOIN cells ON cells.vec_id = e.vec_id
+        JOIN probes c2 ON cells.cell = c2.seed_id
+    ), bf AS MATERIALIZED (
+        SELECT qid, vec_id FROM ({bf}) t
+    ), negs AS (
+        SELECT c.qid, c.vec_id, c.sim
+        FROM cand c
+        WHERE NOT EXISTS (
+            SELECT 1 FROM bf WHERE bf.qid = c.qid AND bf.vec_id = c.vec_id)
+    )
+    SELECT qid, CAST(rank AS BIGINT) AS rank, vec_id, sim FROM (
+        SELECT qid, vec_id, sim,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY sim DESC, vec_id) AS rank
+        FROM negs)
+    WHERE rank <= {_Q240_K}
+    ORDER BY qid, rank
+    """
+
+
+ORACLE["q240_hard_negatives"] = _q240_oracle()

@@ -210,6 +210,7 @@ HEADLINE = [
     "q237_pq_train_lift",
     "q238_decontaminate_13gram",
     "q239_boundary_pack",
+    "q240_hard_negatives",
 ]
 
 

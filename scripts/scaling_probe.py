@@ -110,6 +110,7 @@ PROBE = [
     "q237_pq_train_lift",         # 3 kernel passes + linear (vec,subspace) training shuffle
     "q238_decontaminate_13gram",  # semi-join gram probe + span anti-join rebuild
     "q239_boundary_pack",         # distributed prefix sum + bin agg
+    "q240_hard_negatives",        # probed-cell candidates + 15-row anti-join
 ]
 
 
