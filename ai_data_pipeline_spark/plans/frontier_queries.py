@@ -2650,3 +2650,137 @@ def _q240_oracle() -> str:
 
 
 ORACLE["q240_hard_negatives"] = _q240_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Q241 — content-defined chunking (CDC) dedup audit: the LBFS /
+# FastCDC boundary trick (Muthitacharoen et al. 2001; Xia et al.
+# 2016) at token granularity — chunk boundaries are declared where a
+# rolling-window fingerprint hits a modulus, so boundaries move WITH
+# the content and an insertion only perturbs its own chunk (the
+# property fixed-size blocks lack, and why storage dedup and
+# cross-snapshot corpus dedup both use CDC). Deterministic,
+# engine-exact form: the rolling fingerprint at token idx IS the
+# 60-bit md5 hash of the 4-gram ending at idx (a fixed window IS a
+# rolling hash — no Rabin recurrence needed for exactness); idx is a
+# boundary iff hash % 16 = 0 (expected chunk ≈ 16 tokens);
+# chunk_id = exclusive prefix count of boundaries (per-DOC window —
+# bounded partitions, never a corpus window); chunk content rejoins
+# and hashes, and the audit reports, per chunk-length band, distinct
+# vs duplicate chunk occurrences and the duplicate token mass —
+# dup_rate is one IEEE division of exact BIGINTs. Scale: two narrow
+# per-doc passes + one chunk-hash agg; all keys are 8-byte hashes;
+# no pairs anywhere (dedup accounting is GROUP BY chunk hash).
+# ---------------------------------------------------------------------------
+
+_Q241_W = 4      # rolling-window width (tokens)
+_Q241_MOD = 16   # boundary modulus -> expected chunk ~16 tokens
+
+
+def q241_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_data_pipeline_spark.functions.text import word_ngrams, ws_tokens
+    from ai_data_pipeline_spark.operators.dedup import md5_hash60
+
+    docs = spread(_t(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id", F.posexplode(ws_tokens(F.col("text"))).alias("idx", "tok")
+    )
+    bpos = (
+        docs.select(
+            "doc_id",
+            F.posexplode(word_ngrams(F.col("text"), _Q241_W)).alias("p", "gram"),
+        )
+        .filter(F.pmod(md5_hash60(F.col("gram")), F.lit(_Q241_MOD)) == 0)
+        .select("doc_id", (F.col("p") + _Q241_W - 1).alias("idx"), F.lit(1).alias("is_b"))
+    )
+    w_excl = (
+        Window.partitionBy("doc_id")
+        .orderBy("idx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    chunked = toks.join(bpos, ["doc_id", "idx"], "left").withColumn(
+        "chunk_id", F.coalesce(F.sum("is_b").over(w_excl), F.lit(0))
+    )
+    chunks = chunked.groupBy("doc_id", "chunk_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("content"),
+        F.count(F.lit(1)).cast("long").alias("n_tok"),
+    )
+    per_hash = (
+        chunks.select(md5_hash60(F.col("content")).alias("chash"), "n_tok")
+        .groupBy("chash")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("occ"),
+            F.max("n_tok").cast("long").alias("n_tok"),
+        )
+    )
+    return (
+        per_hash.withColumn("band", F.expr("n_tok div 8"))
+        .groupBy("band")
+        .agg(
+            F.sum("occ").cast("long").alias("n_occurrences"),
+            F.count(F.lit(1)).cast("long").alias("n_distinct"),
+            F.sum(F.col("occ") - 1).cast("long").alias("n_dup_occurrences"),
+            F.sum(F.col("occ") * F.col("n_tok")).cast("long").alias("tok_mass"),
+            F.sum((F.col("occ") - 1) * F.col("n_tok")).cast("long").alias("dup_tok_mass"),
+        )
+        .withColumn(
+            "dup_rate",
+            F.col("dup_tok_mass").cast("double") / F.col("tok_mass").cast("double"),
+        )
+        .orderBy("band")
+    )
+
+
+QUERIES["q241_cdc_chunk_dedup"] = q241_cdc_chunk_dedup
+
+
+def _q241_oracle() -> str:
+    from ai_data_pipeline_spark.functions.text import sql_word_ngrams
+
+    ws = sql_word_ngrams("text", 1)
+    grams = sql_word_ngrams("text", _Q241_W)
+    h = "(('0x' || substr(md5({x}), 1, 15))::BIGINT)"
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, generate_subscripts(ws, 1) - 1 AS idx, unnest(ws) AS tok
+        FROM (SELECT doc_id, {ws} AS ws FROM documents)
+    ), bpos AS (
+        SELECT doc_id, p + {_Q241_W - 1} AS idx, 1 AS is_b FROM (
+            SELECT doc_id, generate_subscripts(gs, 1) - 1 AS p, unnest(gs) AS gram
+            FROM (SELECT doc_id, {grams} AS gs FROM documents))
+        WHERE {h.format(x='gram')} % {_Q241_MOD} = 0
+    ), chunked AS (
+        SELECT t.doc_id, t.idx, t.tok,
+               COALESCE(SUM(b.is_b) OVER (PARTITION BY t.doc_id ORDER BY t.idx
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_id
+        FROM toks t LEFT JOIN bpos b ON b.doc_id = t.doc_id AND b.idx = t.idx
+    ), chunks AS (
+        SELECT doc_id, chunk_id,
+               string_agg(tok, ' ' ORDER BY idx) AS content,
+               CAST(COUNT(*) AS BIGINT) AS n_tok
+        FROM chunked GROUP BY doc_id, chunk_id
+    ), per_hash AS (
+        SELECT {h.format(x='content')} AS chash,
+               CAST(COUNT(*) AS BIGINT) AS occ,
+               CAST(MAX(n_tok) AS BIGINT) AS n_tok
+        FROM chunks GROUP BY 1
+    )
+    SELECT CAST(n_tok // 8 AS BIGINT) AS band,
+           CAST(SUM(occ) AS BIGINT) AS n_occurrences,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           CAST(SUM(occ - 1) AS BIGINT) AS n_dup_occurrences,
+           CAST(SUM(occ * n_tok) AS BIGINT) AS tok_mass,
+           CAST(SUM((occ - 1) * n_tok) AS BIGINT) AS dup_tok_mass,
+           CAST(SUM((occ - 1) * n_tok) AS DOUBLE)
+             / CAST(SUM(occ * n_tok) AS DOUBLE) AS dup_rate
+    FROM per_hash GROUP BY band ORDER BY band
+    """
+
+
+ORACLE["q241_cdc_chunk_dedup"] = _q241_oracle()

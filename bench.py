@@ -211,6 +211,7 @@ HEADLINE = [
     "q238_decontaminate_13gram",
     "q239_boundary_pack",
     "q240_hard_negatives",
+    "q241_cdc_chunk_dedup",
 ]
 
 

@@ -111,6 +111,7 @@ PROBE = [
     "q238_decontaminate_13gram",  # semi-join gram probe + span anti-join rebuild
     "q239_boundary_pack",         # distributed prefix sum + bin agg
     "q240_hard_negatives",        # probed-cell candidates + 15-row anti-join
+    "q241_cdc_chunk_dedup",       # per-doc boundary window + chunk-hash agg
 ]
 
 

@@ -203,6 +203,9 @@ ALLOWED_DIV_SITES = {
     ' = _t ( spark , sf_dir , "documents" ) step = 1_000_003 //',
     ' n_tok <= {_Q239_CAP} ), bins AS ( SELECT (cum - n_tok) //',
     'k" ) bins = ( cum . select ( F . expr ( f"(cum - n_tok) div',
+    # q241 chunk-length banding — n_tok = COUNT(*) ≥ 1, non-negative.
+    'NT) AS n_tok FROM chunks GROUP BY 1 ) SELECT CAST(n_tok //',
+    'rn ( per_hash . withColumn ( "band" , F . expr ( "n_tok div',
 }
 
 
