@@ -2784,3 +2784,156 @@ def _q241_oracle() -> str:
 
 
 ORACLE["q241_cdc_chunk_dedup"] = _q241_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Q242 — DSIR-style importance scoring (Xie et al. 2023, "Data
+# Selection for Language Models via Importance Resampling" — the
+# hashed-ngram data-selection pass): features are word unigrams +
+# bigrams hashed into 8192 buckets (DSIR's recipe); the target
+# distribution is the held-out split (source = src0, q56/q238's
+# convention), raw is the rest; each corpus doc scores
+# Σ_features λ(bucket) with λ = the LOG2-QUANTIZED likelihood ratio
+# lb(c_target+1) − lb(c_raw+1) — the q103 integer CASE-ladder trick
+# that replaces DSIR's float log-probs with exact BIGINTs both
+# engines agree on bit-for-bit (the quantization is the documented
+# trade: scores are rank-preserving at log2 granularity; add-one
+# smoothing mirrors DSIR's). DSIR's per-distribution normalization
+# (log p needs ÷ total mass) enters as the CONSTANT per-feature
+# shift lb(T_raw+1) − lb(T_target+1), applied as score + n_feats ×
+# shift — without it every λ is biased by the raw:target corpus size
+# ratio and "selected" degenerates to zero. Graded per source: docs,
+# docs selected (normalized score > 0 — more target-like than raw-
+# like), total and mean normalized score (one IEEE division of exact
+# BIGINTs, possibly negative — exactness is what makes that safe).
+# Scale: one feature explode (linear gram mass), two 8192-row count
+# aggs, λ broadcasts (≤ 8192 rows at ANY corpus size), one per-doc
+# sum — no pairs, no corpus-wide window.
+# ---------------------------------------------------------------------------
+
+_Q242_BUCKETS = 8192
+_Q242_T_RAW = "(SUM(CASE WHEN source <> 'src0' THEN 1 ELSE 0 END) + 1)"
+_Q242_T_TGT = "(SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) + 1)"
+
+
+def q242_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_data_pipeline_spark.functions.buckets import log2_bucket_case as lb
+    from ai_data_pipeline_spark.functions.text import word_ngrams
+    from ai_data_pipeline_spark.operators.dedup import md5_hash60
+
+    docs = spread(_t(spark, sf_dir, "documents"))
+    uni = docs.select(
+        "doc_id", "source", F.explode(word_ngrams(F.col("text"), 1)).alias("gram")
+    )
+    bi = docs.select(
+        "doc_id", "source", F.explode(word_ngrams(F.col("text"), 2)).alias("gram")
+    )
+    feats = uni.unionAll(bi).select(
+        "doc_id",
+        "source",
+        F.pmod(md5_hash60(F.col("gram")), F.lit(_Q242_BUCKETS)).alias("b"),
+    )
+    c_t = (
+        feats.filter(F.col("source") == "src0")
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    c_r = (
+        feats.filter(F.col("source") != "src0")
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("cr"))
+    )
+    lam = (
+        c_t.join(c_r, "b", "full")
+        .select(
+            "b",
+            (
+                lb(F.coalesce(F.col("ct"), F.lit(0)) + 1)
+                - lb(F.coalesce(F.col("cr"), F.lit(0)) + 1)
+            ).alias("lam"),
+        )
+    )
+    # normalization constant: lb(T_raw+1) − lb(T_target+1), exact ints
+    shift = (
+        feats.agg(
+            F.sum((F.col("source") == "src0").cast("long")).alias("tt"),
+            F.sum((F.col("source") != "src0").cast("long")).alias("tr"),
+        ).select(
+            (lb(F.col("tr") + 1) - lb(F.col("tt") + 1)).alias("shift")
+        )
+    )
+    scores = (
+        feats.filter(F.col("source") != "src0")
+        .join(F.broadcast(lam), "b")
+        .groupBy("source", "doc_id")
+        .agg(
+            F.sum("lam").cast("long").alias("s"),
+            F.count(F.lit(1)).cast("long").alias("nf"),
+        )
+        .crossJoin(F.broadcast(shift))
+        .select(
+            "source",
+            (F.col("s") + F.col("nf") * F.col("shift")).alias("s2"),
+        )
+    )
+    return (
+        scores.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum((F.col("s2") > 0).cast("int")).cast("long").alias("n_selected"),
+            F.sum("s2").cast("long").alias("sum_score"),
+        )
+        .withColumn(
+            "mean_score",
+            F.col("sum_score").cast("double") / F.col("n_docs").cast("double"),
+        )
+        .orderBy("source")
+    )
+
+
+QUERIES["q242_dsir_importance"] = q242_dsir_importance
+
+
+def _q242_oracle() -> str:
+    from ai_data_pipeline_spark.functions.buckets import sql_log2_bucket_case as slb
+    from ai_data_pipeline_spark.functions.text import sql_word_ngrams
+
+    uni = sql_word_ngrams("text", 1)
+    bi = sql_word_ngrams("text", 2)
+    h = "(('0x' || substr(md5(gram), 1, 15))::BIGINT)"
+    return f"""
+    WITH feats AS MATERIALIZED (
+        SELECT doc_id, source, {h} % {_Q242_BUCKETS} AS b FROM (
+            SELECT doc_id, source, unnest(list_concat({uni}, {bi})) AS gram
+            FROM documents)
+    ), lam AS MATERIALIZED (
+        SELECT COALESCE(t.b, r.b) AS b,
+               {slb('(COALESCE(t.ct, 0) + 1)')}
+                 - {slb('(COALESCE(r.cr, 0) + 1)')} AS lam
+        FROM (SELECT b, COUNT(*) AS ct FROM feats
+              WHERE source = 'src0' GROUP BY b) t
+        FULL OUTER JOIN
+             (SELECT b, COUNT(*) AS cr FROM feats
+              WHERE source <> 'src0' GROUP BY b) r
+          ON t.b = r.b
+    ), shift AS (
+        SELECT {slb(_Q242_T_RAW)} - {slb(_Q242_T_TGT)} AS shift
+        FROM feats
+    ), scores AS (
+        SELECT f.source, f.doc_id,
+               CAST(SUM(l.lam) + COUNT(*) * (SELECT shift FROM shift)
+                    AS BIGINT) AS s2
+        FROM feats f JOIN lam l USING (b)
+        WHERE f.source <> 'src0'
+        GROUP BY f.source, f.doc_id
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN s2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_selected,
+           CAST(SUM(s2) AS BIGINT) AS sum_score,
+           CAST(SUM(s2) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_score
+    FROM scores GROUP BY source ORDER BY source
+    """
+
+
+ORACLE["q242_dsir_importance"] = _q242_oracle()

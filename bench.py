@@ -212,6 +212,7 @@ HEADLINE = [
     "q239_boundary_pack",
     "q240_hard_negatives",
     "q241_cdc_chunk_dedup",
+    "q242_dsir_importance",
 ]
 
 

@@ -112,6 +112,7 @@ PROBE = [
     "q239_boundary_pack",         # distributed prefix sum + bin agg
     "q240_hard_negatives",        # probed-cell candidates + 15-row anti-join
     "q241_cdc_chunk_dedup",       # per-doc boundary window + chunk-hash agg
+    "q242_dsir_importance",       # feature explode + 8192-row lambda broadcast
 ]
 
 
