@@ -2937,3 +2937,319 @@ def _q242_oracle() -> str:
 
 
 ORACLE["q242_dsir_importance"] = _q242_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Q243 — longest duplicated-substring audit (the distribution view of
+# what q222/q146 REMOVE): for every doc, the longest token span whose
+# every 8-gram already occurred earlier in the corpus — i.e. the
+# longest run of consecutive duplicated-gram positions, + n−1 tokens.
+# Suffix arrays answer this exactly per pair; the gram-run form is
+# the shuffle-friendly corpus-order equivalent (a duplicated
+# substring of length L duplicates all its L−n+1 n-grams, so run
+# length r ⇒ span length r+n−1). Machinery: q222's global
+# first-occurrence window on the 8-byte gram hash marks non-first
+# occurrences; per doc, consecutive dup positions group by the
+# gaps-and-islands key p − row_number() (both engines order by the
+# unique p); per-source audit: docs with any duplicated span, the
+# longest span, and the mean longest-span over affected docs (one
+# IEEE division of exact BIGINTs). Scale: q222's law — the only
+# corpus-sized shuffles are the gram-hash window and the per-DOC
+# islands window (bounded partitions); everything after is ≤ one row
+# per dup position.
+# ---------------------------------------------------------------------------
+
+_Q243_N = 8
+
+
+def q243_longest_dup_span(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_data_pipeline_spark.functions.text import word_ngrams
+
+    docs = spread(_t(spark, sf_dir, "documents"))
+    grams = docs.select(
+        "doc_id",
+        "source",
+        F.posexplode(word_ngrams(F.col("text"), _Q243_N)).alias("p", "gram"),
+    ).select("doc_id", "source", "p", F.xxhash64("gram").alias("gh"))
+    w_first = Window.partitionBy("gh")
+    occ = F.struct(F.col("doc_id"), F.col("p"))
+    dups = grams.withColumn("first_occ", F.min(occ).over(w_first)).filter(
+        occ != F.col("first_occ")
+    )
+    w_doc = Window.partitionBy("doc_id").orderBy("p")
+    runs = (
+        dups.withColumn("k", F.col("p") - F.row_number().over(w_doc))
+        .groupBy("doc_id", "source", "k")
+        .agg((F.count(F.lit(1)) + _Q243_N - 1).cast("long").alias("span_len"))
+    )
+    per_doc = runs.groupBy("doc_id", "source").agg(
+        F.max("span_len").cast("long").alias("longest")
+    )
+    n_docs = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    return (
+        n_docs.join(
+            per_doc.groupBy("source").agg(
+                F.count(F.lit(1)).cast("long").alias("n_docs_with_dup"),
+                F.max("longest").cast("long").alias("max_span"),
+                F.sum("longest").cast("long").alias("sum_longest"),
+            ),
+            "source",
+            "left",
+        )
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce(F.col("n_docs_with_dup"), F.lit(0))
+            .cast("long")
+            .alias("n_docs_with_dup"),
+            F.coalesce(F.col("max_span"), F.lit(0)).cast("long").alias("max_span"),
+            F.when(
+                F.col("n_docs_with_dup") > 0,
+                F.col("sum_longest").cast("double")
+                / F.col("n_docs_with_dup").cast("double"),
+            ).alias("mean_longest"),
+        )
+        .orderBy("source")
+    )
+
+
+QUERIES["q243_longest_dup_span"] = q243_longest_dup_span
+
+
+def _q243_oracle() -> str:
+    from ai_data_pipeline_spark.functions.text import sql_word_ngrams
+
+    grams = sql_word_ngrams("text", _Q243_N)
+    return f"""
+    WITH g0 AS (
+        SELECT doc_id, source, {grams} AS gs FROM documents
+    ), grams AS (
+        SELECT doc_id, source, generate_subscripts(gs, 1) - 1 AS p,
+               unnest(gs) AS gram
+        FROM g0
+    ), dups AS (
+        SELECT doc_id, source, p FROM (
+            SELECT doc_id, source, p,
+                   ROW_NUMBER() OVER (PARTITION BY gram
+                                      ORDER BY doc_id, p) AS rn
+            FROM grams)
+        WHERE rn > 1
+    ), runs AS (
+        SELECT doc_id, source,
+               CAST(COUNT(*) + {_Q243_N - 1} AS BIGINT) AS span_len
+        FROM (
+            SELECT doc_id, source, p,
+                   p - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY p) AS k
+            FROM dups)
+        GROUP BY doc_id, source, k
+    ), per_doc AS (
+        SELECT doc_id, source, CAST(MAX(span_len) AS BIGINT) AS longest
+        FROM runs GROUP BY doc_id, source
+    ), agg AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs_with_dup,
+               CAST(MAX(longest) AS BIGINT) AS max_span,
+               CAST(SUM(longest) AS BIGINT) AS sum_longest
+        FROM per_doc GROUP BY source
+    )
+    SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COALESCE(a.n_docs_with_dup, 0) AS BIGINT) AS n_docs_with_dup,
+           CAST(COALESCE(a.max_span, 0) AS BIGINT) AS max_span,
+           CASE WHEN a.n_docs_with_dup > 0
+                THEN CAST(a.sum_longest AS DOUBLE)
+                       / CAST(a.n_docs_with_dup AS DOUBLE) END AS mean_longest
+    FROM documents d LEFT JOIN agg a ON a.source = d.source
+    GROUP BY d.source, a.n_docs_with_dup, a.max_span, a.sum_longest
+    ORDER BY d.source
+    """
+
+
+ORACLE["q243_longest_dup_span"] = _q243_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Q244 — merge-vocabulary truncation curve (the tokenizer-design
+# sweep behind every BPE vocab-size choice — SentencePiece/BPE teams
+# pick |V| by exactly this curve; q218 grades ONE merge round, this
+# row grades coverage vs vocabulary SIZE): rank bigram types by
+# corpus frequency (ties → lexicographic, both engines), and for
+# each candidate vocab size K ∈ {64, 256, 1024} report the kept
+# types and the share of total bigram mass the top-K covers — one
+# IEEE division of exact BIGINTs. The ranking window runs over TYPES
+# (vocab), not tokens: two-phase partial agg collapses the corpus to
+# the type table first, and type count grows ~Heaps-sublinearly, so
+# the single-task rank over it is metadata-sized at any corpus scale
+# (same justification as q54's top-30; for vocabularies too big for
+# one task, pre-bucket by the q103 log2-frequency ladder and rank
+# within bands). Scale: one explode + two-phase agg + a vocab-sized
+# window + a 3-row sweep join.
+# ---------------------------------------------------------------------------
+
+_Q244_KS = [64, 256, 1024]
+
+
+def q244_vocab_truncation_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_data_pipeline_spark.functions.text import word_ngrams
+
+    docs = spread(_t(spark, sf_dir, "documents"))
+    types = (
+        docs.select(
+            F.explode(word_ngrams(F.lower(F.col("text")), 2)).alias("gram")
+        )
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    ranked = types.withColumn(
+        "rk",
+        F.row_number().over(Window.orderBy(F.desc("tf"), F.asc("gram"))),
+    )
+    ks = spark.createDataFrame([(k,) for k in _Q244_KS], "k long")
+    total = types.agg(F.sum("tf").cast("long").alias("total_mass"))
+    return (
+        ranked.crossJoin(F.broadcast(ks))
+        .filter(F.col("rk") <= F.col("k"))
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_types_kept"),
+            F.sum("tf").cast("long").alias("covered_mass"),
+        )
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "coverage",
+            F.col("covered_mass").cast("double") / F.col("total_mass").cast("double"),
+        )
+        .orderBy("k")
+    )
+
+
+QUERIES["q244_vocab_truncation_curve"] = q244_vocab_truncation_curve
+
+
+def _q244_oracle() -> str:
+    from ai_data_pipeline_spark.functions.text import sql_word_ngrams
+
+    grams = sql_word_ngrams("lower(text)", 2)
+    ks = ", ".join(f"({k})" for k in _Q244_KS)
+    return f"""
+    WITH types AS MATERIALIZED (
+        SELECT gram, CAST(COUNT(*) AS BIGINT) AS tf FROM (
+            SELECT unnest({grams}) AS gram FROM documents)
+        GROUP BY gram
+    ), ranked AS (
+        SELECT gram, tf,
+               ROW_NUMBER() OVER (ORDER BY tf DESC, gram) AS rk
+        FROM types
+    ), total AS (
+        SELECT CAST(SUM(tf) AS BIGINT) AS total_mass FROM types
+    )
+    SELECT k.k,
+           CAST(COUNT(*) AS BIGINT) AS n_types_kept,
+           CAST(SUM(r.tf) AS BIGINT) AS covered_mass,
+           (SELECT total_mass FROM total) AS total_mass,
+           CAST(SUM(r.tf) AS DOUBLE)
+             / CAST((SELECT total_mass FROM total) AS DOUBLE) AS coverage
+    FROM (VALUES {ks}) AS k(k)
+    JOIN ranked r ON r.rk <= k.k
+    GROUP BY k.k ORDER BY k.k
+    """
+
+
+ORACLE["q244_vocab_truncation_curve"] = _q244_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Q245 — embedding-space benchmark decontamination (the SEMANTIC
+# twin of q238's token-space pass — modern release pipelines run
+# both: paraphrased eval leakage survives 13-gram matching but not a
+# cosine screen): a held-out benchmark split (vec_id ≡ 0 mod 50 —
+# the q100 hash-split convention at the vector table) is screened
+# against the corpus (the rest); a benchmark item is CONTAMINATED at
+# threshold τ iff its nearest corpus vector by cosine reaches τ.
+# Graded as a τ ladder (0.35 / 0.40 / 0.45 — chosen to straddle this
+# corpus's measured NN-cosine range 0.356–0.453, so the curve moves)
+# with per-τ flag counts and rate (one IEEE division of exact
+# BIGINTs). Cosine parity: both engines evaluate the identical LTR
+# dot/norm/divide tree on per-element-cast doubles; per-item MAX of
+# bit-identical doubles is policy-safe; τ literals enter DuckDB as
+# '0.35'::DOUBLE string parses (the DECIMAL-literal rule). Scale:
+# the benchmark side is corpus-tiny by construction and BROADCASTS;
+# the corpus is scanned once, never shuffled on content (q56's
+# shape); per-item max is a hash agg keyed by the benchmark id. At
+# production scale the corpus side swaps in the q233 IVF probe to
+# prune the scan — this row grades the exact contract.
+# ---------------------------------------------------------------------------
+
+_Q245_SPLIT = 50
+_Q245_TAUS = ["0.35", "0.40", "0.45"]
+
+
+def q245_embedding_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_data_pipeline_spark.functions.vector import cosine
+
+    emb = _t(spark, sf_dir, "embeddings")
+    bench = emb.filter(F.pmod(F.col("vec_id"), F.lit(_Q245_SPLIT)) == 0).select(
+        F.col("vec_id").alias("bid"), F.col("embedding").alias("bvec")
+    )
+    corpus = emb.filter(F.pmod(F.col("vec_id"), F.lit(_Q245_SPLIT)) != 0)
+    best = (
+        corpus.crossJoin(F.broadcast(bench))
+        .select("bid", cosine(F.col("embedding"), F.col("bvec")).alias("sim"))
+        .groupBy("bid")
+        .agg(F.max("sim").alias("best"))
+    )
+    taus = spark.createDataFrame(
+        [(float(t),) for t in _Q245_TAUS], "tau double"
+    )
+    return (
+        best.crossJoin(F.broadcast(taus))
+        .groupBy("tau")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bench"),
+            F.sum((F.col("best") >= F.col("tau")).cast("int"))
+            .cast("long")
+            .alias("n_flagged"),
+        )
+        .withColumn(
+            "flag_rate",
+            F.col("n_flagged").cast("double") / F.col("n_bench").cast("double"),
+        )
+        .orderBy("tau")
+    )
+
+
+QUERIES["q245_embedding_decontamination"] = q245_embedding_decontamination
+
+
+def _q245_oracle() -> str:
+    from ai_data_pipeline_spark.functions.vector import sql_dot, sql_norm
+    from ai_data_pipeline_spark.plans.constants import EMBED_DIM
+
+    cos = (
+        f"({sql_dot('c.embedding', 'b.embedding', EMBED_DIM)}) / "
+        f"(({sql_norm('c.embedding', EMBED_DIM)}) * ({sql_norm('b.embedding', EMBED_DIM)}))"
+    )
+    taus = ", ".join(f"('{t}'::DOUBLE)" for t in _Q245_TAUS)
+    return f"""
+    WITH bench AS (
+        SELECT vec_id AS bid, embedding FROM embeddings
+        WHERE vec_id % {_Q245_SPLIT} = 0
+    ), best AS MATERIALIZED (
+        SELECT b.bid, MAX({cos}) AS best
+        FROM embeddings c JOIN bench b ON true
+        WHERE c.vec_id % {_Q245_SPLIT} <> 0
+        GROUP BY b.bid
+    )
+    SELECT t.tau,
+           CAST(COUNT(*) AS BIGINT) AS n_bench,
+           CAST(SUM(CASE WHEN best >= t.tau THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_flagged,
+           CAST(SUM(CASE WHEN best >= t.tau THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS flag_rate
+    FROM best CROSS JOIN (VALUES {taus}) AS t(tau)
+    GROUP BY t.tau ORDER BY t.tau
+    """
+
+
+ORACLE["q245_embedding_decontamination"] = _q245_oracle()

@@ -213,6 +213,9 @@ HEADLINE = [
     "q240_hard_negatives",
     "q241_cdc_chunk_dedup",
     "q242_dsir_importance",
+    "q243_longest_dup_span",
+    "q244_vocab_truncation_curve",
+    "q245_embedding_decontamination",
 ]
 
 

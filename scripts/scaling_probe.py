@@ -113,6 +113,9 @@ PROBE = [
     "q240_hard_negatives",        # probed-cell candidates + 15-row anti-join
     "q241_cdc_chunk_dedup",       # per-doc boundary window + chunk-hash agg
     "q242_dsir_importance",       # feature explode + 8192-row lambda broadcast
+    "q243_longest_dup_span",      # gram-hash window + per-doc islands window
+    "q244_vocab_truncation_curve",# two-phase type agg + vocab-sized rank window
+    "q245_embedding_decontamination", # broadcast bench side, corpus scanned once
 ]
 
 
