@@ -3253,3 +3253,118 @@ def _q245_oracle() -> str:
 
 
 ORACLE["q245_embedding_decontamination"] = _q245_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Q246 — padding-waste audit for fixed-size batch assembly (the
+# length-sorted batching trade every training-data loader measures:
+# batches pad to their longest member, so grouping similar lengths
+# — bucketed/sorted batching — cuts padded-token waste vs arrival
+# order; this row QUANTIFIES the win on this corpus): batch size 8,
+# two strategies over the same docs — 'hash' (q205's deterministic
+# interleave order: the arrival-order baseline) and 'sorted'
+# (n_tok DESC, doc_id). Global rank WITHOUT a corpus single-task
+# window: distributed_prefix_sum of 1s, whose monotone bucket is the
+# leading order key's band (ord_key div step for hash, (CAP − n_tok)
+# div 8 for sorted — CAP = 128 > max n_tok keeps the key ≥ 0 and
+# ascending = length descending). batch = (rank − 1) div 8; per
+# batch padded mass = n·max(n_tok); waste_rate = (padded − real) /
+# padded, one IEEE division of exact BIGINTs. Scale: q205's two-pass
+# prefix-sum law twice + two 8-row-per-batch aggs.
+# ---------------------------------------------------------------------------
+
+_Q246_B = 8
+_Q246_CAP = 128  # > max doc n_tok on this corpus (measured max 99)
+
+
+def q246_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_data_pipeline_spark.functions.text import token_count_bpe_ish
+    from ai_data_pipeline_spark.operators.curation import distributed_prefix_sum
+
+    docs = _t(spark, sf_dir, "documents")
+    step = 1_000_003 // 64 + 1
+    base = docs.select(
+        "doc_id",
+        token_count_bpe_ish(F.col("text")).alias("n_tok"),
+        F.expr("((doc_id % 1000003) * 2654435761) % 1000003").alias("ord_key"),
+        # 'sorted' order key: ascending = longest first, clamped ≥ 0
+        # (docs beyond CAP all tie at 0 = "longest", doc_id breaks the
+        # tie) so its div-8 band stays a valid monotone prefix-sum
+        # bucket at any corpus
+        F.greatest(
+            F.lit(_Q246_CAP) - token_count_bpe_ish(F.col("text")),
+            F.lit(0).cast("long"),
+        ).alias("neg_tok"),
+    )
+
+    def strategy(name: str, order_cols: list, bucket_expr: str) -> DataFrame:
+        b = base.withColumn("bucket", F.expr(bucket_expr)).withColumn(
+            "one", F.lit(1).cast("long")
+        )
+        cum = distributed_prefix_sum(b, "bucket", order_cols, "one", out_col="rank")
+        per_batch = (
+            cum.select(F.expr(f"(rank - 1) div {_Q246_B}").alias("batch"), "n_tok")
+            .groupBy("batch")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.max("n_tok").cast("long").alias("mx"),
+                F.sum("n_tok").cast("long").alias("real"),
+            )
+        )
+        return per_batch.agg(
+            F.lit(name).alias("strategy"),
+            F.count(F.lit(1)).cast("long").alias("n_batches"),
+            F.sum("real").cast("long").alias("real_mass"),
+            F.sum(F.col("n") * F.col("mx")).cast("long").alias("padded_mass"),
+        )
+
+    hsh = strategy("hash", ["ord_key", "doc_id"], f"ord_key div {step}")
+    srt = strategy("sorted", ["neg_tok", "doc_id"], "neg_tok div 8")
+    return (
+        hsh.unionAll(srt)
+        .withColumn(
+            "waste_rate",
+            (F.col("padded_mass") - F.col("real_mass")).cast("double")
+            / F.col("padded_mass").cast("double"),
+        )
+        .orderBy("strategy")
+    )
+
+
+QUERIES["q246_padding_waste"] = q246_padding_waste
+
+
+def _q246_oracle() -> str:
+    from ai_data_pipeline_spark.functions.text import BPE_ISH_PATTERN
+
+    return f"""
+    WITH base AS (
+        SELECT doc_id,
+               len(regexp_extract_all(text, '{BPE_ISH_PATTERN}')) AS n_tok,
+               ((doc_id % 1000003) * 2654435761) % 1000003 AS ord_key
+        FROM documents
+    ), ranked AS (
+        SELECT n_tok, 'hash' AS strategy,
+               ROW_NUMBER() OVER (ORDER BY ord_key, doc_id) AS rank
+        FROM base
+        UNION ALL
+        SELECT n_tok, 'sorted' AS strategy,
+               ROW_NUMBER() OVER (ORDER BY greatest({_Q246_CAP} - n_tok, 0),
+                                  doc_id) AS rank
+        FROM base
+    ), per_batch AS (
+        SELECT strategy, (rank - 1) // {_Q246_B} AS batch,
+               COUNT(*) AS n, MAX(n_tok) AS mx, SUM(n_tok) AS real
+        FROM ranked GROUP BY strategy, batch
+    )
+    SELECT strategy,
+           CAST(COUNT(*) AS BIGINT) AS n_batches,
+           CAST(SUM(real) AS BIGINT) AS real_mass,
+           CAST(SUM(n * mx) AS BIGINT) AS padded_mass,
+           CAST(SUM(n * mx) - SUM(real) AS DOUBLE)
+             / CAST(SUM(n * mx) AS DOUBLE) AS waste_rate
+    FROM per_batch GROUP BY strategy ORDER BY strategy
+    """
+
+
+ORACLE["q246_padding_waste"] = _q246_oracle()

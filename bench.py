@@ -216,6 +216,7 @@ HEADLINE = [
     "q243_longest_dup_span",
     "q244_vocab_truncation_curve",
     "q245_embedding_decontamination",
+    "q246_padding_waste",
 ]
 
 

@@ -116,6 +116,7 @@ PROBE = [
     "q243_longest_dup_span",      # gram-hash window + per-doc islands window
     "q244_vocab_truncation_curve",# two-phase type agg + vocab-sized rank window
     "q245_embedding_decontamination", # broadcast bench side, corpus scanned once
+    "q246_padding_waste",         # two prefix-sum rank passes + batch aggs
 ]
 
 

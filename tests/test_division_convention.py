@@ -206,6 +206,13 @@ ALLOWED_DIV_SITES = {
     # q241 chunk-length banding — n_tok = COUNT(*) ≥ 1, non-negative.
     'NT) AS n_tok FROM chunks GROUP BY 1 ) SELECT CAST(n_tok //',
     'rn ( per_hash . withColumn ( "band" , F . expr ( "n_tok div',
+    # q246 batching — rank ≥ 1 (prefix count of 1s / ROW_NUMBER);
+    # ord_key ∈ [0, 1000003); neg_tok = CAP − n_tok ≥ 29 ≥ 0
+    # (CAP = 128 > measured max n_tok 99).
+    ' ) per_batch = ( cum . select ( F . expr ( f"(rank - 1) div',
+    'FROM base ), per_batch AS ( SELECT strategy, (rank - 1) //',
+    'rategy ( "sorted" , [ "neg_tok" , "doc_id" ] , "neg_tok div',
+    'trategy ( "hash" , [ "ord_key" , "doc_id" ] , f"ord_key div',
 }
 
 
