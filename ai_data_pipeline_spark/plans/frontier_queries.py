@@ -3368,3 +3368,299 @@ def _q246_oracle() -> str:
 
 
 ORACLE["q246_padding_waste"] = _q246_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Q247 — two-level coarse-quantizer IVF assignment audit (the 100 TB
+# constant-changer q223's docstring promises: "at true 100 TB the
+# flat seed scan becomes a coarse-quantizer tree, which changes the
+# assignment CONSTANT, not the Σ|cell|² law" — this row GRADES that
+# tree against the flat scan instead of asserting it): supers are
+# every 4th stride seed (vec_id ≡ 0 mod 256); each seed routes to
+# its nearest super (exact q6 argmin, ties → lowest id); a vector
+# assigns by (1) nearest super, (2) argmin over only that super's
+# seed group. The audit reports, per super-cell: seeds in the group,
+# vectors routed there, how many agree with the FLAT argmin over all
+# seeds, and the agreement rate (one IEEE division of exact
+# BIGINTs) — tree assignment is a lossy pruning (the true nearest
+# seed can live under a different super), and the disagreement rate
+# is exactly the price the tree pays for cutting per-vector work
+# from K to S + K/S comparisons. All decisions exact int64
+# (q106/q131 discipline). Scale: three count-gated kernel/broadcast
+# assignment passes + one grouped argmin whose candidate mass is
+# Σ_sup |vecs(sup)|·|seeds(sup)| ≈ N·K/S — the tree's own cost
+# model, visible in the plan.
+# ---------------------------------------------------------------------------
+
+_Q247_SUPER_STRIDE = 256  # every 4th stride-64 seed
+
+
+def q247_ivf_tree_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_data_pipeline_spark.functions.vector import quantize_q6
+
+    emb = _t(spark, sf_dir, "embeddings")
+    base = emb.select("vec_id", quantize_q6("embedding").alias("v6"))
+    seeds = base.filter(F.pmod(F.col("vec_id"), F.lit(_Q223_STRIDE)) == 0).select(
+        F.col("vec_id").alias("seed_id"), F.col("v6").alias("s6")
+    )
+    supers = seeds.filter(
+        F.pmod(F.col("seed_id"), F.lit(_Q247_SUPER_STRIDE)) == 0
+    ).select(F.col("seed_id").alias("super_id"), F.col("s6").alias("p6"))
+
+    # seed -> super routing (K rows) and vector -> super routing
+    seed_sup = _assign_exact_q6(
+        seeds.select(F.col("seed_id").alias("vec_id"), F.col("s6").alias("v6")),
+        supers.select(F.col("super_id").alias("seed_id"), F.col("p6").alias("s6")),
+    ).select(F.col("vec_id").alias("seed_id"), F.col("cell").alias("super_id"))
+    vec_sup = _assign_exact_q6(
+        base,
+        supers.select(F.col("super_id").alias("seed_id"), F.col("p6").alias("s6")),
+    ).select("vec_id", F.col("cell").alias("super_id"))
+
+    # tree assignment: argmin over ONLY the routed super's seed group
+    d6 = F.aggregate(
+        F.zip_with("v6", "s6", lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    group = seeds.join(seed_sup, "seed_id")  # [seed_id, s6, super_id]
+    tree = (
+        base.join(vec_sup, "vec_id")
+        .join(F.broadcast(group), "super_id")
+        .select(
+            "vec_id",
+            "super_id",
+            F.struct(d6.alias("d"), F.col("seed_id").alias("c")).alias("dc"),
+        )
+        .groupBy("vec_id", "super_id")
+        .agg(F.min("dc").alias("m"))
+        .select("vec_id", "super_id", F.col("m.c").alias("tree_cell"))
+    )
+    flat = _assign_exact_q6(base, seeds).select(
+        "vec_id", F.col("cell").alias("flat_cell")
+    )
+    joined = tree.join(flat, "vec_id")
+    sizes = seed_sup.groupBy("super_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_seeds")
+    )
+    return (
+        joined.groupBy("super_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.sum((F.col("tree_cell") == F.col("flat_cell")).cast("int"))
+            .cast("long")
+            .alias("n_agree"),
+        )
+        .join(sizes, "super_id")
+        .select(
+            F.col("super_id").cast("long").alias("super_id"),
+            "n_seeds",
+            "n_vecs",
+            "n_agree",
+            (F.col("n_agree").cast("double") / F.col("n_vecs").cast("double")).alias(
+                "agree_rate"
+            ),
+        )
+        .orderBy("super_id")
+    )
+
+
+QUERIES["q247_ivf_tree_assign"] = q247_ivf_tree_assign
+
+
+def _q247_oracle() -> str:
+    from ai_data_pipeline_spark.plans.constants import EMBED_DIM
+
+    rng = f"range(1, {EMBED_DIM + 1})"
+
+    def d(a: str, av: str, b: str, bv: str) -> str:
+        return (
+            f"list_sum(list_transform({rng}, "
+            f"i -> ({a}.{av}[i] - {b}.{bv}[i]) * ({a}.{av}[i] - {b}.{bv}[i])))"
+        )
+
+    return f"""
+    WITH q6 AS MATERIALIZED (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v6
+        FROM embeddings
+    ), seeds AS MATERIALIZED (
+        SELECT vec_id AS seed_id, v6 AS s6 FROM q6
+        WHERE vec_id % {_Q223_STRIDE} = 0
+    ), supers AS MATERIALIZED (
+        SELECT seed_id AS super_id, s6 AS p6 FROM seeds
+        WHERE seed_id % {_Q247_SUPER_STRIDE} = 0
+    ), seed_sup AS MATERIALIZED (
+        SELECT seed_id, super_id FROM (
+            SELECT s.seed_id, p.super_id,
+                   ROW_NUMBER() OVER (PARTITION BY s.seed_id
+                       ORDER BY {d('s', 's6', 'p', 'p6')}, p.super_id) AS rn
+            FROM seeds s CROSS JOIN supers p)
+        WHERE rn = 1
+    ), vec_sup AS MATERIALIZED (
+        SELECT vec_id, super_id FROM (
+            SELECT v.vec_id, p.super_id,
+                   ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                       ORDER BY {d('v', 'v6', 'p', 'p6')}, p.super_id) AS rn
+            FROM q6 v CROSS JOIN supers p)
+        WHERE rn = 1
+    ), tree AS MATERIALIZED (
+        SELECT vec_id, super_id, tree_cell FROM (
+            SELECT v.vec_id, vs.super_id, s.seed_id AS tree_cell,
+                   ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                       ORDER BY {d('v', 'v6', 's', 's6')}, s.seed_id) AS rn
+            FROM q6 v
+            JOIN vec_sup vs ON vs.vec_id = v.vec_id
+            JOIN seed_sup ss ON ss.super_id = vs.super_id
+            JOIN seeds s ON s.seed_id = ss.seed_id)
+        WHERE rn = 1
+    ), flat AS MATERIALIZED (
+        SELECT vec_id, flat_cell FROM (
+            SELECT v.vec_id, s.seed_id AS flat_cell,
+                   ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                       ORDER BY {d('v', 'v6', 's', 's6')}, s.seed_id) AS rn
+            FROM q6 v CROSS JOIN seeds s)
+        WHERE rn = 1
+    ), sizes AS (
+        SELECT super_id, CAST(COUNT(*) AS BIGINT) AS n_seeds
+        FROM seed_sup GROUP BY super_id
+    )
+    SELECT CAST(t.super_id AS BIGINT) AS super_id,
+           z.n_seeds,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(CASE WHEN t.tree_cell = f.flat_cell THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_agree,
+           CAST(SUM(CASE WHEN t.tree_cell = f.flat_cell THEN 1 ELSE 0 END)
+                AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS agree_rate
+    FROM tree t
+    JOIN flat f ON f.vec_id = t.vec_id
+    JOIN sizes z ON z.super_id = t.super_id
+    GROUP BY t.super_id, z.n_seeds
+    ORDER BY super_id
+    """
+
+
+ORACLE["q247_ivf_tree_assign"] = _q247_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Q248 — the 13-gram decontamination gate AT INGEST (q238's policy
+# through the micro-batch engine, q234's stateless-admission shape —
+# the form a release pipeline actually deploys: the benchmark gram
+# set is computed ONCE offline and broadcast into the stream; every
+# arriving doc is admitted iff NONE of its 13-grams hits the set —
+# doc-level rejection in-flight; the span-level rewrite q238 grades
+# stays an offline pass). Implementation: the static side aggregates
+# the DISTINCT benchmark gram hashes into ONE array row; the stream
+# side computes each doc's gram-hash array as a pure expression and
+# gates on arrays_overlap after a stream-static broadcast join on a
+# constant key — stateless, no watermark, no state store, exactly-
+# once by construction. Benchmark docs themselves self-hit and show
+# as fully rejected (the built-in sanity row). Scale: the gram set
+# is benchmark-sized (corpus-tiny) and broadcasts; per-doc work is
+# one hash-array build + one overlap probe at the scan. Oracle: the
+# same admission computed batch-side in DuckDB (raw grams — the
+# 64-bit hash-collision asymmetry can only cause an extra rejection,
+# q222/q238's documented contract).
+# ---------------------------------------------------------------------------
+
+
+def q248_streaming_decontamination_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid as _uuid
+
+    from ai_data_pipeline_spark.functions.text import token_count_ws, word_ngrams
+    from ai_data_pipeline_spark.plans.pipeline_queries import _drain_memory_sink
+
+    static = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench_arr = (
+        static.filter(F.col("source") == "src0")
+        .select(F.explode(word_ngrams(F.col("text"), _Q238_N)).alias("gram"))
+        .agg(F.collect_set(F.xxhash64("gram")).alias("bench_ghs"))
+        .withColumn("j", F.lit(1))
+    )
+
+    raw = (
+        spark.readStream.schema(static.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    raw = raw.repartition(spark.sparkContext.defaultParallelism)
+    doc_ghs = F.transform(
+        word_ngrams(F.col("text"), _Q238_N), lambda g: F.xxhash64(g)
+    )
+    gated = (
+        raw.select(
+            "source",
+            token_count_ws(F.col("text")).alias("n_tok"),
+            doc_ghs.alias("ghs"),
+            F.lit(1).alias("j"),
+        )
+        .join(F.broadcast(bench_arr), "j")  # stream-static broadcast join
+        .withColumn(
+            "admit",
+            (~F.arrays_overlap(F.col("ghs"), F.col("bench_ghs"))).cast("int"),
+        )
+    )
+    name = f"q248_{_uuid.uuid4().hex[:8]}"
+    q = (
+        gated.select("source", "n_tok", "admit")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    agg = (
+        spark.table(name)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_seen"),
+            F.sum("admit").cast("long").alias("n_admitted"),
+            F.sum(F.when(F.col("admit") == 1, F.col("n_tok")).otherwise(0))
+            .cast("long")
+            .alias("tokens_admitted"),
+        )
+        .withColumn(
+            "admit_rate",
+            F.col("n_admitted").cast("double") / F.col("n_seen").cast("double"),
+        )
+    )
+    return _drain_memory_sink(agg, name).orderBy("source")
+
+
+QUERIES["q248_streaming_decontamination_gate"] = q248_streaming_decontamination_gate
+
+
+def _q248_oracle() -> str:
+    from ai_data_pipeline_spark.functions.text import sql_word_ngrams
+
+    toks = sql_word_ngrams("text", 1)
+    grams = sql_word_ngrams("text", _Q238_N)
+    return f"""
+    WITH bench AS MATERIALIZED (
+        SELECT DISTINCT unnest({grams}) AS gram
+        FROM documents WHERE source = 'src0'
+    ), hits AS (
+        SELECT DISTINCT doc_id FROM (
+            SELECT doc_id, unnest({grams}) AS gram FROM documents) t
+        JOIN bench USING (gram)
+    ), per_doc AS (
+        SELECT d.doc_id, d.source, len({toks}) AS n_tok,
+               CASE WHEN h.doc_id IS NULL THEN 1 ELSE 0 END AS admit
+        FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_seen,
+           CAST(SUM(admit) AS BIGINT) AS n_admitted,
+           CAST(SUM(CASE WHEN admit = 1 THEN n_tok ELSE 0 END) AS BIGINT)
+               AS tokens_admitted,
+           CAST(SUM(admit) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS admit_rate
+    FROM per_doc GROUP BY source ORDER BY source
+    """
+
+
+ORACLE["q248_streaming_decontamination_gate"] = _q248_oracle()

@@ -217,6 +217,8 @@ HEADLINE = [
     "q244_vocab_truncation_curve",
     "q245_embedding_decontamination",
     "q246_padding_waste",
+    "q247_ivf_tree_assign",
+    "q248_streaming_decontamination_gate",
 ]
 
 

@@ -117,6 +117,7 @@ PROBE = [
     "q244_vocab_truncation_curve",# two-phase type agg + vocab-sized rank window
     "q245_embedding_decontamination", # broadcast bench side, corpus scanned once
     "q246_padding_waste",         # two prefix-sum rank passes + batch aggs
+    "q247_ivf_tree_assign",       # 3 kernel assigns + N*K/S grouped argmin
 ]
 
 
