@@ -3664,3 +3664,178 @@ def _q248_oracle() -> str:
 
 
 ORACLE["q248_streaming_decontamination_gate"] = _q248_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Q249 — OPQ-lite dimension allocation audit (the motivation behind
+# Optimized Product Quantization, Ge et al. 2013: PQ's subspaces
+# should carry BALANCED information; natural dim order can
+# concentrate variance in one stripe and waste the others' code
+# budgets — OPQ learns a rotation; the deterministic, exact-integer
+# variant graded here is variance-balanced dim ALLOCATION: rank dims
+# by exact q6 variance numerator N·Σv² − (Σv)² and deal them
+# round-robin into the 8 subspaces, snake order, so each stripe gets
+# an even variance mix): re-run q235's per-subspace quantization
+# (same stride codebook, subvectors gathered through the permutation
+# on BOTH the codes and the vectors) and grade total/max error and
+# per-stripe error spread (max−min of per-subspace sums) for the
+# natural vs balanced layout. Expected read on THIS corpus: the
+# synthetic embeddings are near-isotropic (per-dim variance ~equal),
+# so allocation is a measured no-op ± rank noise (sf0.01: sum_err
+# −0.7%, spread moves WITH the noise) — which is exactly what the
+# audit is for: a deployment runs it to learn whether its real
+# embedding geometry needs OPQ before paying for a learned rotation.
+# All integers exact — the variance numerator reaches ~N²·var
+# (~1e21 at the 16× probe, past int64), so it runs in DECIMAL(38,0)
+# ≡ DuckDB HUGEINT and is only ever RANKED, never emitted; one row
+# per layout. Scale: q235's kernel law twice + one 64-row
+# variance agg; the allocation is a 64-int rank mapping the twin
+# recomputes from the same exact integers (stripe membership is all
+# that matters — within-stripe slot order cannot change a sum).
+# ---------------------------------------------------------------------------
+
+
+def _q249_perm_from_varnum(varnums: list[tuple[int, int]], n_sub: int) -> list[int]:
+    """Snake-deal dims (ranked by variance numerator DESC, dim ASC)
+    into n_sub stripes; returns perm where perm[s*subdim + j] = the
+    source dim at stripe s, slot j. Pure integer ordering — both
+    engines' twins recompute the identical list."""
+    order = [d for d, _ in sorted(varnums, key=lambda t: (-t[1], t[0]))]
+    stripes: list[list[int]] = [[] for _ in range(n_sub)]
+    for i, d in enumerate(order):
+        r, c = divmod(i, n_sub)
+        s = c if r % 2 == 0 else n_sub - 1 - c  # snake
+        stripes[s].append(d)
+    return [d for stripe in stripes for d in stripe]
+
+
+def q249_opq_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_data_pipeline_spark.functions.vector import quantize_q6
+    from ai_data_pipeline_spark.operators.vectorized import pq_assign_q6_np
+    from ai_data_pipeline_spark.plans.constants import EMBED_DIM
+
+    S, D, K = _Q235_SUBSPACES, _Q235_SUBDIM, _Q235_CODES
+    emb = _t(spark, sf_dir, "embeddings")
+    base = emb.select("vec_id", quantize_q6("embedding").alias("v6"))
+
+    # exact per-dim variance numerator N·Σv² − (Σv)²  (64 rows).
+    # DECIMAL(38,0) end-to-end: N·Σv² reaches ~1e21 at the 16× probe
+    # (> 2^63 — the long form overflowed there); decimal38 ≡ DuckDB
+    # HUGEINT, both exact integers, and vn is only ever RANKED.
+    dec = "decimal(38,0)"
+    varnums = (
+        base.select(F.posexplode("v6").alias("dim", "v"))
+        .groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).cast(dec).alias("n"),
+            F.sum(F.col("v").cast(dec)).cast(dec).alias("s1"),
+            F.sum((F.col("v") * F.col("v")).cast(dec)).cast(dec).alias("s2"),
+        )
+        .select(
+            "dim",
+            (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")).alias("vn"),
+        )
+        .collect()  # 64 rows by construction; vn is an exact Decimal
+    )
+    perm = _q249_perm_from_varnum([(r["dim"], r["vn"]) for r in varnums], S)
+    natural = list(range(EMBED_DIM))
+
+    code_rows = (
+        base.filter(
+            (F.pmod(F.col("vec_id"), F.lit(_Q223_STRIDE)) == 0)
+            & (F.col("vec_id") < _Q223_STRIDE * K)
+        )
+        .orderBy("vec_id")
+        .collect()
+    )
+    codes_raw = [list(r["v6"]) for r in code_rows]
+
+    def layout_row(name: str, p: list[int]) -> DataFrame:
+        gathered = base.select(
+            "vec_id",
+            F.array(*[F.col("v6").getItem(i) for i in p]).alias("v6"),
+        )
+        codes = [[c[i] for i in p] for c in codes_raw]
+        per_sub = (
+            pq_assign_q6_np(gathered, codes, D)
+            .groupBy("subspace")
+            .agg(F.sum("err").cast("long").alias("sub_err"), F.max("err").cast("long").alias("mx"))
+        )
+        return per_sub.agg(
+            F.lit(name).alias("layout"),
+            F.sum("sub_err").cast("long").alias("sum_err"),
+            F.max("mx").cast("long").alias("max_err"),
+            (F.max("sub_err") - F.min("sub_err")).cast("long").alias("stripe_spread"),
+        )
+
+    return (
+        layout_row("balanced", perm)
+        .unionAll(layout_row("natural", natural))
+        .orderBy("layout")
+    )
+
+
+QUERIES["q249_opq_allocation"] = q249_opq_allocation
+
+
+def _q249_oracle() -> str:
+    from ai_data_pipeline_spark.plans.constants import EMBED_DIM
+
+    S, D, K = _Q235_SUBSPACES, _Q235_SUBDIM, _Q235_CODES
+    return f"""
+    WITH q6l AS MATERIALIZED (
+        SELECT vec_id, t.i - 1 AS dim,
+               CAST(floor(CAST(embedding[t.i] AS DOUBLE) * 1000000) AS BIGINT) AS v
+        FROM embeddings, unnest(range(1, {EMBED_DIM + 1})) AS t(i)
+    ), varnum AS (
+        -- HUGEINT (128-bit): N·Σv² reaches ~1e21 at the 16× probe,
+        -- past BIGINT; mirrors the Spark side's DECIMAL(38,0)
+        SELECT dim,
+               CAST(COUNT(*) AS HUGEINT) * CAST(SUM(v * v) AS HUGEINT)
+                 - CAST(SUM(v) AS HUGEINT) * CAST(SUM(v) AS HUGEINT) AS vn
+        FROM q6l GROUP BY dim
+    ), rankd AS (
+        SELECT dim, ROW_NUMBER() OVER (ORDER BY vn DESC, dim) - 1 AS rnk
+        FROM varnum
+    ), alloc AS MATERIALIZED (
+        SELECT 'balanced' AS layout, dim,
+               CASE WHEN (rnk // {S}) % 2 = 0 THEN rnk % {S}
+                    ELSE {S - 1} - (rnk % {S}) END AS s
+        FROM rankd
+        UNION ALL
+        SELECT 'natural' AS layout, dim, dim // {D} AS s FROM rankd
+    ), codesl AS MATERIALIZED (
+        SELECT ROW_NUMBER() OVER (PARTITION BY dim ORDER BY vec_id) - 1 AS k,
+               dim, v AS cv
+        FROM q6l
+        WHERE vec_id % {_Q223_STRIDE} = 0
+          AND vec_id < {_Q223_STRIDE * K}
+    ), errs AS MATERIALIZED (
+        SELECT a.layout, q.vec_id, a.s, c.k,
+               CAST(SUM((q.v - c.cv) * (q.v - c.cv)) AS BIGINT) AS d
+        FROM q6l q
+        JOIN alloc a USING (dim)
+        JOIN codesl c USING (dim)
+        GROUP BY a.layout, q.vec_id, a.s, c.k
+    ), best AS (
+        SELECT layout, vec_id, s, d FROM (
+            SELECT layout, vec_id, s, d,
+                   ROW_NUMBER() OVER (PARTITION BY layout, vec_id, s
+                                      ORDER BY d, k) AS rn
+            FROM errs)
+        WHERE rn = 1
+    ), per_sub AS (
+        SELECT layout, s,
+               CAST(SUM(d) AS BIGINT) AS sub_err,
+               CAST(MAX(d) AS BIGINT) AS mx
+        FROM best GROUP BY layout, s
+    )
+    SELECT layout,
+           CAST(SUM(sub_err) AS BIGINT) AS sum_err,
+           CAST(MAX(mx) AS BIGINT) AS max_err,
+           CAST(MAX(sub_err) - MIN(sub_err) AS BIGINT) AS stripe_spread
+    FROM per_sub GROUP BY layout ORDER BY layout
+    """
+
+
+ORACLE["q249_opq_allocation"] = _q249_oracle()

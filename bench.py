@@ -219,6 +219,7 @@ HEADLINE = [
     "q246_padding_waste",
     "q247_ivf_tree_assign",
     "q248_streaming_decontamination_gate",
+    "q249_opq_allocation",
 ]
 
 

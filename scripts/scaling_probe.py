@@ -118,6 +118,7 @@ PROBE = [
     "q245_embedding_decontamination", # broadcast bench side, corpus scanned once
     "q246_padding_waste",         # two prefix-sum rank passes + batch aggs
     "q247_ivf_tree_assign",       # 3 kernel assigns + N*K/S grouped argmin
+    "q249_opq_allocation",        # 64-row variance agg + two pq-kernel passes
 ]
 
 

@@ -213,6 +213,9 @@ ALLOWED_DIV_SITES = {
     'FROM base ), per_batch AS ( SELECT strategy, (rank - 1) //',
     'rategy ( "sorted" , [ "neg_tok" , "doc_id" ] , "neg_tok div',
     'trategy ( "hash" , [ "ord_key" , "doc_id" ] , f"ord_key div',
+    # q249 allocation — rnk = ROW_NUMBER()−1 ≥ 0 and dim ∈ [0, 64).
+    "IZED ( SELECT 'balanced' AS layout, dim, CASE WHEN (rnk //",
+    "OM rankd UNION ALL SELECT 'natural' AS layout, dim, dim //",
 }
 
 
