@@ -2822,13 +2822,15 @@ def q242_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ai_data_pipeline_spark.operators.dedup import md5_hash60
 
     docs = spread(_t(spark, sf_dir, "documents"))
-    uni = docs.select(
-        "doc_id", "source", F.explode(word_ngrams(F.col("text"), 1)).alias("gram")
-    )
-    bi = docs.select(
-        "doc_id", "source", F.explode(word_ngrams(F.col("text"), 2)).alias("gram")
-    )
-    feats = uni.unionAll(bi).select(
+    # ONE scan/explode for both feature orders (a union of two explode
+    # branches re-reads the docs per consumer — this frame has three)
+    feats = docs.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.concat(word_ngrams(F.col("text"), 1), word_ngrams(F.col("text"), 2))
+        ).alias("gram"),
+    ).select(
         "doc_id",
         "source",
         F.pmod(md5_hash60(F.col("gram")), F.lit(_Q242_BUCKETS)).alias("b"),
