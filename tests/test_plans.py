@@ -947,3 +947,43 @@ def test_q239_pack_never_splits_and_never_overfills(spark, sf_dir):
     for l in clean.splitlines():
         if "windowspecdefinition" in l and "sum(n_tok" in l:
             assert "windowspecdefinition(bucket" in l, l
+
+
+def test_q241_cdc_windows_are_doc_partitioned(spark, sf_dir):
+    """CDC dedup's scale contract: the only windows are per-DOC
+    (bounded partitions — boundary prefix count), dedup accounting is
+    a hash agg on the chunk hash, and nothing goes pairwise."""
+    from ai_data_pipeline_spark.plans import frontier_queries as FQ
+
+    s = plan_of(FQ.q241_cdc_chunk_dedup(spark, sf_dir))
+    clean = re.sub(r"#\d+|plan_id=\d+", "", s)
+    assert "CartesianProduct" not in s
+    for l in clean.splitlines():
+        if "windowspecdefinition" in l:
+            assert "windowspecdefinition(doc_id" in l, l
+
+
+def test_q244_rank_window_runs_over_the_type_table(spark, sf_dir):
+    """The vocab-rank window must consume the AGGREGATED type table
+    (HashAggregate feeds Window), never raw corpus gram rows — the
+    plan print is TOP-DOWN, so the agg appears AFTER the window."""
+    from ai_data_pipeline_spark.plans import frontier_queries as FQ
+
+    s = plan_of(FQ.q244_vocab_truncation_curve(spark, sf_dir))
+    i_win = s.find("Window")
+    assert i_win != -1
+    assert s.find("HashAggregate", i_win) != -1
+    # the 3-row K sweep joins by broadcast (BroadcastNestedLoopJoin),
+    # never a corpus cartesian
+    assert "CartesianProduct" not in s
+
+
+def test_q247_assignments_run_in_kernel_no_cartesian(spark, sf_dir):
+    """Two-level IVF audit: every assignment pass is the count-gated
+    Arrow kernel (MapInPandas) at graded K, and the within-group
+    argmin join never degrades to a cartesian product."""
+    from ai_data_pipeline_spark.plans import frontier_queries as FQ
+
+    s = plan_of(FQ.q247_ivf_tree_assign(spark, sf_dir))
+    assert "MapInPandas" in s
+    assert "CartesianProduct" not in s
