@@ -3841,3 +3841,177 @@ def _q249_oracle() -> str:
 
 
 ORACLE["q249_opq_allocation"] = _q249_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Q250 — cell-partitioned vector store (the STORAGE half of the IVF
+# contract q233's docstring asserts: "over a cell-partitioned corpus
+# the candidate filter is partition PRUNING"): the corpus is written
+# `partitionBy(cell)` (exact-integer assignment, q223's kernel) to a
+# store directory, read BACK, pruned to the nprobe=2 probed cells of
+# the five fixed queries via a `cell IN (...)` literal filter (the
+# probed ids are a ≤ 2·|queries| bounded collect — a partition
+# filter must be a literal predicate to prune at planning), and the
+# exact cosine top-3 within probed cells is returned WITH sims. The
+# graded claim is storage-layout EQUIVALENCE: the partitioned
+# round-trip must be value-identical to computing straight from the
+# source table (the oracle recomputes it from `embeddings`, never
+# touching the store); the pruning itself is pinned by a plan test
+# (PartitionFilters on the read-back scan). Scale: the store write
+# is one shuffle by cell; the read scans nprobe/K of the data by
+# construction — the IVF payoff as an I/O property, not a compute
+# one. Post-agg collect is 15 rows before temp-dir cleanup (the
+# q215/q217 audited pattern).
+# ---------------------------------------------------------------------------
+
+
+def q250_ivf_partitioned_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ai_data_pipeline_spark.functions.vector import (
+        cosine,
+        quantize_q6,
+        quantize_q6_py,
+    )
+    from ai_data_pipeline_spark.plans.constants import Q27_QUERY_VECS
+
+    emb = _t(spark, sf_dir, "embeddings")
+    base = emb.select("vec_id", quantize_q6("embedding").alias("v6"))
+    seeds = base.filter(F.pmod(F.col("vec_id"), F.lit(_Q223_STRIDE)) == 0).select(
+        F.col("vec_id").alias("seed_id"), F.col("v6").alias("s6")
+    )
+    cells = _assign_exact_q6(base, seeds)
+    corpus = emb.select("vec_id", "embedding").join(cells, "vec_id")
+
+    # probed cells per query (exact integer distance, nprobe = 2)
+    qrows = [
+        (i, [float(x) for x in Q27_QUERY_VECS[i]], quantize_q6_py(Q27_QUERY_VECS[i]))
+        for i in range(len(Q27_QUERY_VECS))
+    ]
+    qdf = spark.createDataFrame(
+        qrows, "qid long, qvec array<double>, q6 array<bigint>"
+    )
+    d6 = F.aggregate(
+        F.zip_with("q6", "s6", lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    probes = (
+        qdf.crossJoin(F.broadcast(seeds))
+        .select("qid", "qvec", "seed_id", d6.alias("d6"))
+        .withColumn(
+            "rk",
+            F.row_number().over(Window.partitionBy("qid").orderBy("d6", "seed_id")),
+        )
+        .filter(F.col("rk") <= 2)
+        .select("qid", "qvec", "seed_id")
+    )
+    probe_rows = probes.select("qid", "seed_id").collect()  # ≤ 2·|queries| rows
+    probed_cells = sorted({int(r["seed_id"]) for r in probe_rows})
+
+    tmp = tempfile.mkdtemp(prefix="q250_")
+    path = tmp + "/vectors_by_cell"
+    try:
+        # repartition ON the partition column first: without it every
+        # shuffle partition writes a sliver into every cell directory
+        # (tasks × cells tiny files — probed 6.2× at 16× data); with
+        # it each cell gets one file and the write is one shuffle
+        corpus.repartition("cell").write.mode("overwrite").partitionBy(
+            "cell"
+        ).parquet(path)
+        store = spark.read.parquet(path)
+        cand = (
+            store.filter(F.col("cell").cast("long").isin(probed_cells))
+            .join(
+                F.broadcast(probes),
+                store["cell"].cast("long") == probes["seed_id"],
+            )
+            .select(
+                "qid",
+                "vec_id",
+                cosine(F.col("embedding"), F.col("qvec")).alias("sim"),
+            )
+        )
+        top = (
+            cand.withColumn(
+                "rk",
+                F.row_number().over(
+                    Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
+                ),
+            )
+            .filter(F.col("rk") <= 3)
+            .select("qid", F.col("rk").cast("long").alias("rk"), "vec_id", "sim")
+            .orderBy("qid", "rk")
+            .collect()  # 15 rows before temp-dir cleanup
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        top, "qid long, rk long, vec_id long, sim double"
+    ).orderBy("qid", "rk")
+
+
+QUERIES["q250_ivf_partitioned_store"] = q250_ivf_partitioned_store
+
+
+def _q250_oracle() -> str:
+    from ai_data_pipeline_spark.functions.vector import (
+        quantize_q6_py,
+        sql_dot,
+        sql_lit_list,
+        sql_norm,
+    )
+    from ai_data_pipeline_spark.plans.constants import EMBED_DIM, Q27_QUERY_VECS
+
+    rng = f"range(1, {EMBED_DIM + 1})"
+    d6 = f"list_sum(list_transform({rng}, i -> (q.q6[i] - s.s6[i]) * (q.q6[i] - s.s6[i])))"
+    qvals = ", ".join(
+        f"({i}, {sql_lit_list(v)}, {quantize_q6_py(v)})"
+        for i, v in enumerate(Q27_QUERY_VECS)
+    )
+    cos = (
+        f"({sql_dot('e.embedding', 'c2.qvec', EMBED_DIM)}) / "
+        f"(({sql_norm('e.embedding', EMBED_DIM)}) * ({sql_norm('c2.qvec', EMBED_DIM)}))"
+    )
+    return f"""
+    WITH q6c AS MATERIALIZED (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v6
+        FROM embeddings
+    ), seeds AS MATERIALIZED (
+        SELECT vec_id AS seed_id, v6 AS s6 FROM q6c
+        WHERE vec_id % {_Q223_STRIDE} = 0
+    ), cells AS MATERIALIZED (
+        SELECT vec_id, seed_id AS cell FROM (
+            SELECT q.vec_id, s.seed_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                       ORDER BY list_sum(list_transform({rng},
+                           i -> (q.v6[i] - s.s6[i]) * (q.v6[i] - s.s6[i]))),
+                           s.seed_id) AS rn
+            FROM q6c q CROSS JOIN seeds s)
+        WHERE rn = 1
+    ), queries AS (
+        SELECT * FROM (VALUES {qvals}) AS q(qid, qvec, q6)
+    ), probes AS MATERIALIZED (
+        SELECT qid, qvec, seed_id FROM (
+            SELECT q.qid, q.qvec, s.seed_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.qid
+                                      ORDER BY {d6}, s.seed_id) AS rk
+            FROM queries q CROSS JOIN seeds s)
+        WHERE rk <= 2
+    )
+    SELECT qid, CAST(rk AS BIGINT) AS rk, vec_id, sim FROM (
+        SELECT c2.qid, e.vec_id, {cos} AS sim,
+               ROW_NUMBER() OVER (PARTITION BY c2.qid
+                                  ORDER BY {cos} DESC, e.vec_id) AS rk
+        FROM embeddings e
+        JOIN cells ON cells.vec_id = e.vec_id
+        JOIN probes c2 ON cells.cell = c2.seed_id)
+    WHERE rk <= 3
+    ORDER BY qid, rk
+    """
+
+
+ORACLE["q250_ivf_partitioned_store"] = _q250_oracle()

@@ -220,6 +220,7 @@ HEADLINE = [
     "q247_ivf_tree_assign",
     "q248_streaming_decontamination_gate",
     "q249_opq_allocation",
+    "q250_ivf_partitioned_store",
 ]
 
 

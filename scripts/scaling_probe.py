@@ -119,6 +119,7 @@ PROBE = [
     "q246_padding_waste",         # two prefix-sum rank passes + batch aggs
     "q247_ivf_tree_assign",       # 3 kernel assigns + N*K/S grouped argmin
     "q249_opq_allocation",        # 64-row variance agg + two pq-kernel passes
+    "q250_ivf_partitioned_store", # partitionBy(cell) write + pruned read-back
 ]
 
 

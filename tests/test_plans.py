@@ -987,3 +987,30 @@ def test_q247_assignments_run_in_kernel_no_cartesian(spark, sf_dir):
     s = plan_of(FQ.q247_ivf_tree_assign(spark, sf_dir))
     assert "MapInPandas" in s
     assert "CartesianProduct" not in s
+
+
+def test_q250_store_read_is_partition_pruned(spark, sf_dir, tmp_path):
+    """The IVF payoff as an I/O property: reading the cell-partitioned
+    store with a literal `cell IN (...)` filter must prune at the
+    SCAN — PartitionFilters carries the cell predicate, and only the
+    probed cells' directories are read."""
+    import pyspark.sql.functions as F
+
+    from ai_data_pipeline_spark.functions.vector import quantize_q6
+    from ai_data_pipeline_spark.plans import frontier_queries as FQ
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select("vec_id", quantize_q6("embedding").alias("v6"))
+    seeds = base.filter(F.pmod(F.col("vec_id"), F.lit(FQ._Q223_STRIDE)) == 0).select(
+        F.col("vec_id").alias("seed_id"), F.col("v6").alias("s6")
+    )
+    cells = FQ._assign_exact_q6(base, seeds)
+    path = str(tmp_path / "store")
+    emb.select("vec_id", "embedding").join(cells, "vec_id").write.partitionBy(
+        "cell"
+    ).parquet(path)
+    probed = [int(r["seed_id"]) for r in seeds.limit(2).collect()]
+    df = spark.read.parquet(path).filter(F.col("cell").cast("long").isin(probed))
+    s = plan_of(df)
+    assert "PartitionFilters" in s
+    assert "cell" in s.split("PartitionFilters", 1)[1][:200]
