@@ -4015,3 +4015,149 @@ def _q250_oracle() -> str:
 
 
 ORACLE["q250_ivf_partitioned_store"] = _q250_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Q251 — MinHash-LSH banding sweep (q233's recall-vs-cost curve on
+# the TEXT side: the (bands × rows) S-curve every MinHash deployment
+# tunes before fixing its geometry — Broder banding theory says
+# P[candidate] = 1 − (1 − j^r)^b, so more bands catch lower-Jaccard
+# pairs at more candidate cost; this row MEASURES that curve on the
+# corpus): one 16-hash signature pass (the md5-seeded deterministic
+# family, q24's — SQL-recomputable, which is what buys the oracle),
+# swept at bands ∈ {2, 4, 8} (rows/band 8/4/2); per config: candidate
+# pairs (the cost axis), truth pairs caught, and recall vs the
+# capped exact 3-gram Jaccard ≥ 0.6 pairs (q219's truth side —
+# max_shingle_freq mandatory and mirrored, the CLAUDE.md rule).
+# Scale: candidates come only from band-digest equality joins
+# (bucketed, never all-pairs); the truth side is the documented
+# audit-only capped self-join; the signature agg is map-side
+# combinable (16 longs per doc).
+# ---------------------------------------------------------------------------
+
+_Q251_BANDS = [2, 4, 8]
+_Q251_H = 16
+
+
+def q251_lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_data_pipeline_spark.operators import dedup
+    from ai_data_pipeline_spark.plans.pipeline_queries import Q23_MAX_SHINGLE_FREQ
+
+    docs = spread(_t(spark, sf_dir, "documents"))
+    truth = dedup.ngram_jaccard_pairs(
+        docs,
+        "doc_id",
+        "text",
+        n=3,
+        min_jaccard=0.6,
+        max_shingle_freq=Q23_MAX_SHINGLE_FREQ,
+    ).select("id_a", "id_b")
+    n_truth = truth.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
+    sigs = dedup.minhash_signatures(docs, "doc_id", "text", n=3, num_hashes=_Q251_H)
+
+    def config_row(bands: int) -> DataFrame:
+        cands = dedup.minhash_lsh_candidates(sigs, _Q251_H, bands).select(
+            "id_a", "id_b"
+        )
+        stats = cands.join(truth, ["id_a", "id_b"], "left_semi").agg(
+            F.count(F.lit(1)).cast("long").alias("n_caught")
+        )
+        return (
+            cands.agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
+            .crossJoin(stats)
+            .select(
+                F.lit(bands).cast("long").alias("bands"),
+                F.lit(_Q251_H // bands).cast("long").alias("rows_per_band"),
+                "n_candidates",
+                "n_caught",
+            )
+        )
+
+    out = config_row(_Q251_BANDS[0])
+    for b in _Q251_BANDS[1:]:
+        out = out.unionAll(config_row(b))
+    return (
+        out.crossJoin(F.broadcast(n_truth))
+        .withColumn(
+            "recall",
+            F.when(
+                F.col("n_truth") != 0,
+                F.col("n_caught").cast("double") / F.col("n_truth").cast("double"),
+            ),
+        )
+        .orderBy("bands")
+    )
+
+
+QUERIES["q251_lsh_band_sweep"] = q251_lsh_band_sweep
+
+
+def _q251_oracle() -> str:
+    from ai_data_pipeline_spark.functions.text import sql_word_ngrams
+    from ai_data_pipeline_spark.plans.pipeline_queries import (
+        _SQL_H60_SEEDED,
+        Q23_MAX_SHINGLE_FREQ,
+    )
+
+    grams3 = sql_word_ngrams("text", 3)
+    band_cte = "\n        UNION ALL\n".join(
+        f"""
+        SELECT {b} AS bands, a.id AS id_a, b2.id AS id_b FROM (
+            SELECT id, j // {_Q251_H // b} AS band,
+                   string_agg(mh::VARCHAR, ',' ORDER BY j) AS bk
+            FROM sig GROUP BY id, j // {_Q251_H // b}) a
+        JOIN (
+            SELECT id, j // {_Q251_H // b} AS band,
+                   string_agg(mh::VARCHAR, ',' ORDER BY j) AS bk
+            FROM sig GROUP BY id, j // {_Q251_H // b}) b2
+          ON a.band = b2.band AND a.bk = b2.bk AND a.id < b2.id
+        GROUP BY 1, 2, 3"""
+        for b in _Q251_BANDS
+    )
+    return f"""
+    WITH sh0 AS MATERIALIZED (
+        SELECT DISTINCT doc_id AS id, unnest({grams3}) AS shingle
+        FROM documents
+    ), freq AS (
+        SELECT shingle, COUNT(*) AS fq FROM sh0 GROUP BY shingle
+    ), shc AS MATERIALIZED (
+        SELECT id, sh0.shingle FROM sh0
+        JOIN freq USING (shingle) WHERE fq <= {Q23_MAX_SHINGLE_FREQ}
+    ), sizes AS (
+        SELECT id, COUNT(*) AS n_sh FROM shc GROUP BY id
+    ), inter AS (
+        SELECT sa.id AS id_a, sb.id AS id_b, COUNT(*) AS inter
+        FROM shc sa JOIN shc sb ON sa.shingle = sb.shingle AND sa.id < sb.id
+        GROUP BY 1, 2
+    ), truth AS MATERIALIZED (
+        SELECT id_a, id_b FROM inter
+        JOIN sizes za ON za.id = id_a
+        JOIN sizes zb ON zb.id = id_b
+        WHERE inter / (za.n_sh + zb.n_sh - inter) >= '0.6'::DOUBLE
+    ), sig AS MATERIALIZED (
+        SELECT id, j, MIN({_SQL_H60_SEEDED}) AS mh
+        FROM sh0 CROSS JOIN range({_Q251_H}) AS t(j)
+        GROUP BY id, j
+    ), cand AS MATERIALIZED (
+        {band_cte}
+    ), per_cfg AS (
+        SELECT c.bands,
+               CAST(COUNT(*) AS BIGINT) AS n_candidates,
+               CAST(SUM(CASE WHEN t.id_a IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_caught
+        FROM cand c
+        LEFT JOIN truth t ON t.id_a = c.id_a AND t.id_b = c.id_b
+        GROUP BY c.bands
+    )
+    SELECT CAST(bands AS BIGINT) AS bands,
+           CAST({_Q251_H} // bands AS BIGINT) AS rows_per_band,
+           n_candidates, n_caught,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_truth,
+           CASE WHEN (SELECT COUNT(*) FROM truth) <> 0
+                THEN CAST(n_caught AS DOUBLE)
+                       / CAST((SELECT COUNT(*) FROM truth) AS DOUBLE) END AS recall
+    FROM per_cfg ORDER BY bands
+    """
+
+
+ORACLE["q251_lsh_band_sweep"] = _q251_oracle()

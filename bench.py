@@ -221,6 +221,7 @@ HEADLINE = [
     "q248_streaming_decontamination_gate",
     "q249_opq_allocation",
     "q250_ivf_partitioned_store",
+    "q251_lsh_band_sweep",
 ]
 
 

@@ -120,6 +120,7 @@ PROBE = [
     "q247_ivf_tree_assign",       # 3 kernel assigns + N*K/S grouped argmin
     "q249_opq_allocation",        # 64-row variance agg + two pq-kernel passes
     "q250_ivf_partitioned_store", # partitionBy(cell) write + pruned read-back
+    "q251_lsh_band_sweep",        # banded candidate joins x3 + capped exact truth
 ]
 
 

@@ -216,6 +216,15 @@ ALLOWED_DIV_SITES = {
     # q249 allocation — rnk = ROW_NUMBER()−1 ≥ 0 and dim ∈ [0, 64).
     "IZED ( SELECT 'balanced' AS layout, dim, CASE WHEN (rnk //",
     "OM rankd UNION ALL SELECT 'natural' AS layout, dim, dim //",
+    # q251 banding — j ∈ [0, 16) (range index), _Q251_H = 16 and
+    # bands ∈ {2,4,8}: all positive module constants / range indexes.
+    ' AS id_a, b2.id AS id_b FROM ( SELECT id, j // {_Q251_H //',
+    ' bands, a.id AS id_a, b2.id AS id_b FROM ( SELECT id, j //',
+    ' j // {_Q251_H // b}) a JOIN ( SELECT id, j // {_Q251_H //',
+    "' ORDER BY j) AS bk FROM sig GROUP BY id, j // {_Q251_H //",
+    ') SELECT CAST(bands AS BIGINT) AS bands, CAST({_Q251_H} //',
+    'GROUP BY id, j // {_Q251_H // b}) a JOIN ( SELECT id, j //',
+    'cast ( "long" ) . alias ( "bands" ) , F . lit ( _Q251_H //',
 }
 
 
