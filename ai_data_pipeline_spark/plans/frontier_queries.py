@@ -4161,3 +4161,150 @@ def _q251_oracle() -> str:
 
 
 ORACLE["q251_lsh_band_sweep"] = _q251_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Q252 — quantization-depth retrieval sweep (q104 audits int8
+# RECONSTRUCTION error; this row grades what a deployment actually
+# risks: does quantizing the index change the RETRIEVAL results?):
+# for scale S ∈ {64, 4096, 1000000} (≈ int8 / int13 / the q6 micro-
+# unit), corpus and query vectors quantize to floor(v·S) and the
+# integer-L2 top-3 per fixed query is compared against the full-
+# precision double-L2 top-3 (LTR fold, identical tree both engines —
+# the q19/q27 precedent); pooled hits / recall per scale, one IEEE
+# division of exact BIGINTs. The quantized distances are exact int64
+# at every swept S (|q| ≤ 1e6, d = 64 ⇒ Σ∆² < 2.6e14). Expected
+# read: recall climbs to 1.0 by S = 1e6 — the measured justification
+# for the repo-wide q6 convention — while the int8 point shows
+# whether cheap quantization already suffices on this geometry.
+# Scale: three expression-only corpus scans (one per S), queries
+# broadcast, per-qid rank windows over 5-partition frames.
+# ---------------------------------------------------------------------------
+
+_Q252_SCALES = [64, 4096, 1_000_000]
+
+
+def q252_quantization_retrieval_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_data_pipeline_spark.plans.constants import Q27_QUERY_VECS
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qdf = spark.createDataFrame(
+        [(i, [float(x) for x in Q27_QUERY_VECS[i]]) for i in range(len(Q27_QUERY_VECS))],
+        "qid long, qvec array<double>",
+    )
+    d_exact = F.aggregate(
+        F.zip_with(
+            "embedding",
+            "qvec",
+            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    joined = emb.crossJoin(F.broadcast(qdf))
+    truth = (
+        joined.select("qid", "vec_id", d_exact.alias("ed"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("qid").orderBy(F.asc("ed"), F.asc("vec_id"))
+            ),
+        )
+        .filter(F.col("rk") <= 3)
+        .select("qid", "vec_id")
+    )
+    n_exact = truth.agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
+
+    def scale_row(s: int) -> DataFrame:
+        qz = lambda c: F.floor(c.cast("double") * s).cast("long")  # noqa: E731
+        dq = F.aggregate(
+            F.zip_with("embedding", "qvec", lambda x, y: (qz(x) - qz(y)) * (qz(x) - qz(y))),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        top = (
+            joined.select("qid", "vec_id", dq.alias("qd"))
+            .withColumn(
+                "rk",
+                F.row_number().over(
+                    Window.partitionBy("qid").orderBy(F.asc("qd"), F.asc("vec_id"))
+                ),
+            )
+            .filter(F.col("rk") <= 3)
+        )
+        return top.join(truth, ["qid", "vec_id"], "left_semi").agg(
+            F.lit(s).cast("long").alias("scale"),
+            F.count(F.lit(1)).cast("long").alias("n_hits"),
+        )
+
+    out = scale_row(_Q252_SCALES[0])
+    for s in _Q252_SCALES[1:]:
+        out = out.unionAll(scale_row(s))
+    return (
+        out.crossJoin(F.broadcast(n_exact))
+        .withColumn(
+            "recall",
+            F.col("n_hits").cast("double") / F.col("n_exact").cast("double"),
+        )
+        .orderBy("scale")
+    )
+
+
+QUERIES["q252_quantization_retrieval_sweep"] = q252_quantization_retrieval_sweep
+
+
+def _q252_oracle() -> str:
+    from ai_data_pipeline_spark.functions.vector import sql_lit_list
+    from ai_data_pipeline_spark.plans.constants import EMBED_DIM, Q27_QUERY_VECS
+
+    rng = f"range(1, {EMBED_DIM + 1})"
+    qvals = ", ".join(
+        f"({i}, {sql_lit_list(v)})" for i, v in enumerate(Q27_QUERY_VECS)
+    )
+    d_exact = (
+        f"list_sum(list_transform({rng}, "
+        f"i -> (CAST(e.embedding[i] AS DOUBLE) - q.qvec[i])"
+        f" * (CAST(e.embedding[i] AS DOUBLE) - q.qvec[i])))"
+    )
+
+    def dq(s: int) -> str:
+        qe = f"CAST(floor(CAST(e.embedding[i] AS DOUBLE) * {s}) AS BIGINT)"
+        qq = f"CAST(floor(q.qvec[i] * {s}) AS BIGINT)"
+        return f"list_sum(list_transform({rng}, i -> ({qe} - {qq}) * ({qe} - {qq})))"
+
+    sweep = "\n        UNION ALL\n".join(
+        f"""
+        SELECT {s} AS scale, qid, vec_id FROM (
+            SELECT q.qid, e.vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.qid
+                                      ORDER BY {dq(s)}, e.vec_id) AS rk
+            FROM embeddings e CROSS JOIN queries q)
+        WHERE rk <= 3"""
+        for s in _Q252_SCALES
+    )
+    return f"""
+    WITH queries AS (
+        SELECT * FROM (VALUES {qvals}) AS q(qid, qvec)
+    ), truth AS MATERIALIZED (
+        SELECT qid, vec_id FROM (
+            SELECT q.qid, e.vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.qid
+                                      ORDER BY {d_exact}, e.vec_id) AS rk
+            FROM embeddings e CROSS JOIN queries q)
+        WHERE rk <= 3
+    ), swept AS (
+        {sweep}
+    )
+    SELECT CAST(s.scale AS BIGINT) AS scale,
+           CAST(SUM(CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hits,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_exact,
+           CAST(SUM(CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST((SELECT COUNT(*) FROM truth) AS DOUBLE) AS recall
+    FROM swept s
+    LEFT JOIN truth t ON t.qid = s.qid AND t.vec_id = s.vec_id
+    GROUP BY s.scale ORDER BY scale
+    """
+
+
+ORACLE["q252_quantization_retrieval_sweep"] = _q252_oracle()

@@ -222,6 +222,7 @@ HEADLINE = [
     "q249_opq_allocation",
     "q250_ivf_partitioned_store",
     "q251_lsh_band_sweep",
+    "q252_quantization_retrieval_sweep",
 ]
 
 

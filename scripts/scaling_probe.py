@@ -121,6 +121,7 @@ PROBE = [
     "q249_opq_allocation",        # 64-row variance agg + two pq-kernel passes
     "q250_ivf_partitioned_store", # partitionBy(cell) write + pruned read-back
     "q251_lsh_band_sweep",        # banded candidate joins x3 + capped exact truth
+    "q252_quantization_retrieval_sweep", # 3 expression-only corpus scans
 ]
 
 
