@@ -4308,3 +4308,109 @@ def _q252_oracle() -> str:
 
 
 ORACLE["q252_quantization_retrieval_sweep"] = _q252_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Q253 — robust location estimators per group (the aggregation-
+# surface gap next to q113/q135's medians: TRIMMED and WINSORIZED
+# means are the standard outlier-robust summaries for skewed corpus
+# stats — a handful of boilerplate giants otherwise dominate a
+# per-source mean token count): per source, over doc bpe-ish token
+# counts, the 10%-trimmed mean (drop the ⌊n/10⌋ smallest and largest
+# by (value, doc_id) rank — deterministic total order) and the
+# winsorized mean (clamp those tails to the surviving min/max). All
+# selection by integer ranks; sums exact BIGINT; means are one IEEE
+# division each. Scale: ONE window pass per source partition
+# (bounded groups) + a hash agg — the window ranks within source,
+# never globally.
+# ---------------------------------------------------------------------------
+
+
+def q253_trimmed_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_data_pipeline_spark.functions.text import token_count_bpe_ish
+
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select(
+        "source", "doc_id", token_count_bpe_ish(F.col("text")).alias("v")
+    )
+    w = Window.partitionBy("source").orderBy(F.asc("v"), F.asc("doc_id"))
+    n = F.count(F.lit(1)).over(Window.partitionBy("source"))
+    ranked = base.select(
+        "source",
+        "v",
+        F.row_number().over(w).alias("rk"),
+        n.alias("n"),
+    ).withColumn("k", F.expr("n div 10"))
+    kept = (F.col("rk") > F.col("k")) & (F.col("rk") <= F.col("n") - F.col("k"))
+    stats = ranked.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.max("k").cast("long").alias("n_trimmed_each"),
+        F.sum(F.when(kept, F.col("v")).otherwise(0)).cast("long").alias("trim_sum"),
+        F.sum(kept.cast("int")).cast("long").alias("trim_n"),
+        F.min(F.when(kept, F.col("v"))).cast("long").alias("lo"),
+        F.max(F.when(kept, F.col("v"))).cast("long").alias("hi"),
+        F.sum("v").cast("long").alias("raw_sum"),
+    )
+    wins_sum = (
+        F.col("trim_sum")
+        + F.col("n_trimmed_each") * F.col("lo")
+        + F.col("n_trimmed_each") * F.col("hi")
+    )
+    return stats.select(
+        "source",
+        "n_docs",
+        "n_trimmed_each",
+        (F.col("raw_sum").cast("double") / F.col("n_docs").cast("double")).alias(
+            "mean"
+        ),
+        (F.col("trim_sum").cast("double") / F.col("trim_n").cast("double")).alias(
+            "trimmed_mean"
+        ),
+        (wins_sum.cast("double") / F.col("n_docs").cast("double")).alias(
+            "winsorized_mean"
+        ),
+    ).orderBy("source")
+
+
+QUERIES["q253_trimmed_robust_stats"] = q253_trimmed_robust_stats
+
+
+def _q253_oracle() -> str:
+    from ai_data_pipeline_spark.functions.text import BPE_ISH_PATTERN
+
+    return f"""
+    WITH base AS (
+        SELECT source, doc_id,
+               len(regexp_extract_all(text, '{BPE_ISH_PATTERN}')) AS v
+        FROM documents
+    ), ranked AS (
+        SELECT source, v,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY v, doc_id) AS rk,
+               COUNT(*) OVER (PARTITION BY source) AS n
+        FROM base
+    ), flagged AS (
+        SELECT source, v, n, n // 10 AS k,
+               (rk > n // 10 AND rk <= n - n // 10) AS kept
+        FROM ranked
+    ), stats AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(MAX(k) AS BIGINT) AS n_trimmed_each,
+               CAST(SUM(CASE WHEN kept THEN v ELSE 0 END) AS BIGINT) AS trim_sum,
+               CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS trim_n,
+               CAST(MIN(CASE WHEN kept THEN v END) AS BIGINT) AS lo,
+               CAST(MAX(CASE WHEN kept THEN v END) AS BIGINT) AS hi,
+               CAST(SUM(v) AS BIGINT) AS raw_sum
+        FROM flagged GROUP BY source
+    )
+    SELECT source, n_docs, n_trimmed_each,
+           CAST(raw_sum AS DOUBLE) / CAST(n_docs AS DOUBLE) AS mean,
+           CAST(trim_sum AS DOUBLE) / CAST(trim_n AS DOUBLE) AS trimmed_mean,
+           CAST(trim_sum + n_trimmed_each * lo + n_trimmed_each * hi AS DOUBLE)
+             / CAST(n_docs AS DOUBLE) AS winsorized_mean
+    FROM stats ORDER BY source
+    """
+
+
+ORACLE["q253_trimmed_robust_stats"] = _q253_oracle()

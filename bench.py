@@ -223,6 +223,7 @@ HEADLINE = [
     "q250_ivf_partitioned_store",
     "q251_lsh_band_sweep",
     "q252_quantization_retrieval_sweep",
+    "q253_trimmed_robust_stats",
 ]
 
 

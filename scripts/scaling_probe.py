@@ -122,6 +122,7 @@ PROBE = [
     "q250_ivf_partitioned_store", # partitionBy(cell) write + pruned read-back
     "q251_lsh_band_sweep",        # banded candidate joins x3 + capped exact truth
     "q252_quantization_retrieval_sweep", # 3 expression-only corpus scans
+    "q253_trimmed_robust_stats",  # per-source rank window + hash agg
 ]
 
 

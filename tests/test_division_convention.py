@@ -225,6 +225,11 @@ ALLOWED_DIV_SITES = {
     ') SELECT CAST(bands AS BIGINT) AS bands, CAST({_Q251_H} //',
     'GROUP BY id, j // {_Q251_H // b}) a JOIN ( SELECT id, j //',
     'cast ( "long" ) . alias ( "bands" ) , F . lit ( _Q251_H //',
+    # q253 trim count — n = COUNT(*) OVER (...) ≥ 1, non-negative.
+    ' . alias ( "n" ) , ) . withColumn ( "k" , F . expr ( "n div',
+    ') AS n FROM base ), flagged AS ( SELECT source, v, n, n //',
+    'flagged AS ( SELECT source, v, n, n // 10 AS k, (rk > n //',
+    'urce, v, n, n // 10 AS k, (rk > n // 10 AND rk <= n - n //',
 }
 
 
