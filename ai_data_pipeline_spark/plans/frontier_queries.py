@@ -4414,3 +4414,175 @@ def _q253_oracle() -> str:
 
 
 ORACLE["q253_trimmed_robust_stats"] = _q253_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Q254 — anti-clustered shard assignment audit (the placement
+# constraint behind "spread near-duplicates across shards/epochs":
+# if a near-dup cluster lands in one training shard the model sees
+# its members back-to-back — the repetition harm Lee et al. 2022
+# measures — while spreading them apart makes residual duplication
+# behave like benign multi-epoch exposure): clusters come from the
+# q204 MinHash+verify+components pipeline (singletons = own
+# cluster); 'hash' assigns each doc shard = mult-hash(doc_id) mod 8
+# (the placement-blind baseline); 'anti' assigns shard = (rank
+# within cluster + mult-hash(cluster_id)) mod 8 — members of any
+# cluster ≤ 8 land in 8 DISTINCT shards by construction, and the
+# cluster-hash offset keeps shard sizes balanced. Audit per
+# strategy: the worst same-cluster co-location, the total excess
+# co-located docs (Σ count−1 over (shard, cluster) groups with ≥ 2),
+# and the shard-size spread. Expected read: 'anti' max_colocated =
+# 1 (no cluster here exceeds 8 members), 'hash' ≥ 2 — the graded
+# guarantee. Scale: q204's law + one per-cluster rank window
+# (bounded groups) + two (shard, cluster) hash aggs.
+# ---------------------------------------------------------------------------
+
+_Q254_SHARDS = 8
+
+
+def q254_anti_clustered_sharding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_data_pipeline_spark.operators import dedup
+
+    docs = spread(_t(spark, sf_dir, "documents"))
+    pairs = dedup.minhash_neardup_pairs(
+        docs, "doc_id", "text", n=3, num_hashes=32, bands=8, min_jaccard=0.6
+    )
+    clusters = dedup.dedup_clusters_star(pairs)
+    assigned = (
+        docs.select("doc_id")
+        .join(clusters.withColumnRenamed("id", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id"),
+        )
+    )
+    mh = lambda c: F.expr(  # noqa: E731
+        f"(({c} % 1000003) * 2654435761) % 1000003 % {_Q254_SHARDS}"
+    )
+    rank0 = (
+        F.row_number().over(Window.partitionBy("cluster_id").orderBy("doc_id")) - 1
+    )
+    shards = assigned.select(
+        "doc_id",
+        "cluster_id",
+        mh("doc_id").alias("hash_shard"),
+        F.pmod(rank0 + mh("cluster_id"), F.lit(_Q254_SHARDS)).alias("anti_shard"),
+    )
+
+    def audit(name: str, col: str) -> DataFrame:
+        grp = shards.groupBy(F.col(col).alias("shard"), F.col("cluster_id")).agg(
+            F.count(F.lit(1)).cast("long").alias("cnt")
+        )
+        per_shard = grp.groupBy("shard").agg(F.sum("cnt").cast("long").alias("sz"))
+        colo = grp.agg(
+            F.max("cnt").cast("long").alias("max_colocated"),
+            F.sum(
+                F.when(F.col("cnt") >= 2, F.col("cnt") - 1).otherwise(0)
+            ).cast("long").alias("n_excess_colocated"),
+        )
+        spread_ = per_shard.agg(
+            F.max("sz").cast("long").alias("shard_max"),
+            F.min("sz").cast("long").alias("shard_min"),
+        )
+        return colo.crossJoin(spread_).select(
+            F.lit(name).alias("strategy"),
+            "max_colocated",
+            "n_excess_colocated",
+            "shard_max",
+            "shard_min",
+        )
+
+    return (
+        audit("anti", "anti_shard")
+        .unionAll(audit("hash", "hash_shard"))
+        .orderBy("strategy")
+    )
+
+
+QUERIES["q254_anti_clustered_sharding"] = q254_anti_clustered_sharding
+
+
+def _q254_oracle() -> str:
+    from ai_data_pipeline_spark.functions.text import sql_word_ngrams
+
+    mh = lambda c: f"((({c}) % 1000003) * 2654435761) % 1000003 % {_Q254_SHARDS}"  # noqa: E731
+
+    def audit(name: str, shard_expr: str) -> str:
+        return f"""
+        SELECT '{name}' AS strategy,
+               CAST(MAX(cnt) AS BIGINT) AS max_colocated,
+               CAST(SUM(CASE WHEN cnt >= 2 THEN cnt - 1 ELSE 0 END) AS BIGINT)
+                   AS n_excess_colocated,
+               (SELECT CAST(MAX(sz) AS BIGINT) FROM (
+                    SELECT SUM(cnt) AS sz FROM (
+                        SELECT {shard_expr} AS shard, cluster_id,
+                               COUNT(*) AS cnt
+                        FROM shards GROUP BY 1, 2) g2 GROUP BY shard) s2)
+                   AS shard_max,
+               (SELECT CAST(MIN(sz) AS BIGINT) FROM (
+                    SELECT SUM(cnt) AS sz FROM (
+                        SELECT {shard_expr} AS shard, cluster_id,
+                               COUNT(*) AS cnt
+                        FROM shards GROUP BY 1, 2) g3 GROUP BY shard) s3)
+                   AS shard_min
+        FROM (
+            SELECT {shard_expr} AS shard, cluster_id, COUNT(*) AS cnt
+            FROM shards GROUP BY 1, 2) g"""
+
+    return f"""
+    WITH RECURSIVE sh AS MATERIALIZED (
+        SELECT DISTINCT doc_id AS id, unnest({sql_word_ngrams("text", 3)}) AS shingle
+        FROM documents
+    ), sig AS (
+        SELECT id, j, MIN((('0x' || substr(md5(shingle || ':' || j), 1, 15))::BIGINT)) AS mh
+        FROM sh CROSS JOIN range(32) AS t(j)
+        GROUP BY id, j
+    ), bandkey AS (
+        SELECT id, j // 4 AS band, string_agg(mh::VARCHAR, ',' ORDER BY j) AS bk
+        FROM sig GROUP BY id, j // 4
+    ), cand AS (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        FROM bandkey a
+        JOIN bandkey b ON a.band = b.band AND a.bk = b.bk AND a.id < b.id
+    ), sizes AS (
+        SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id
+    ), inter AS (
+        SELECT id_a, id_b, COUNT(*) AS inter
+        FROM cand
+        JOIN sh sa ON sa.id = cand.id_a
+        JOIN sh sb ON sb.id = cand.id_b AND sb.shingle = sa.shingle
+        GROUP BY 1, 2
+    ), pairs AS (
+        SELECT id_a, id_b
+        FROM inter
+        JOIN sizes sa ON sa.id = id_a
+        JOIN sizes sb ON sb.id = id_b
+        WHERE inter / (sa.n_sh + sb.n_sh - inter) >= '0.6'::DOUBLE
+    ), edges AS (
+        SELECT id_a AS a, id_b AS b FROM pairs
+        UNION
+        SELECT id_b AS a, id_a AS b FROM pairs
+    ), reach AS (
+        SELECT a AS id, a AS lab FROM edges
+        UNION
+        SELECT e.a AS id, r.lab AS lab FROM edges e JOIN reach r ON r.id = e.b
+    ), comp AS (
+        SELECT id, MIN(lab) AS cluster_id FROM reach GROUP BY id
+    ), assigned AS MATERIALIZED (
+        SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+        FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+    ), shards AS MATERIALIZED (
+        SELECT doc_id, cluster_id,
+               {mh('doc_id')} AS hash_shard,
+               (ROW_NUMBER() OVER (PARTITION BY cluster_id ORDER BY doc_id) - 1
+                + {mh('cluster_id')}) % {_Q254_SHARDS} AS anti_shard
+        FROM assigned
+    )
+    {audit('anti', 'anti_shard')}
+    UNION ALL
+    {audit('hash', 'hash_shard')}
+    ORDER BY strategy
+    """
+
+
+ORACLE["q254_anti_clustered_sharding"] = _q254_oracle()

@@ -224,6 +224,7 @@ HEADLINE = [
     "q251_lsh_band_sweep",
     "q252_quantization_retrieval_sweep",
     "q253_trimmed_robust_stats",
+    "q254_anti_clustered_sharding",
 ]
 
 

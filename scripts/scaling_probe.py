@@ -123,6 +123,7 @@ PROBE = [
     "q251_lsh_band_sweep",        # banded candidate joins x3 + capped exact truth
     "q252_quantization_retrieval_sweep", # 3 expression-only corpus scans
     "q253_trimmed_robust_stats",  # per-source rank window + hash agg
+    "q254_anti_clustered_sharding", # q204 clusters + per-cluster rank window
 ]
 
 
