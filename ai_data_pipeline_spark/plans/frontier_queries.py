@@ -2007,27 +2007,19 @@ ORACLE["q236_adc_recall_audit"] = _q236_oracle()
 # ---------------------------------------------------------------------------
 
 
-def q237_pq_train_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ai_data_pipeline_spark.functions.vector import quantize_q6, quantize_q6_py
+def _pq_lloyd_once(base: DataFrame, codes0: list[list[int]], D: int) -> list[list[int]]:
+    """One exact-integer Lloyd pass per PQ subspace: assign with the
+    kernel, floor-mean each (subspace, code) cell in micro-units
+    (offset form — subvector components are negative), keep the
+    untrained subvector for empty cells. The centroid collect is
+    ≤ S·K·D rows by construction, never corpus-dependent. Returns the
+    trained codebook in codes0's layout (index s*D + d), so the same
+    kernel applies. Shared by q237 (ADC lift) and q255 (layout ×
+    training ablation)."""
     from ai_data_pipeline_spark.operators.vectorized import pq_assign_q6_np
-    from ai_data_pipeline_spark.plans.constants import Q27_QUERY_VECS
 
-    S, D, K = _Q235_SUBSPACES, _Q235_SUBDIM, _Q235_CODES
-    emb = _t(spark, sf_dir, "embeddings")
-    base = emb.select("vec_id", quantize_q6("embedding").alias("v6"))
-    code_rows = (
-        base.filter(
-            (F.pmod(F.col("vec_id"), F.lit(_Q223_STRIDE)) == 0)
-            & (F.col("vec_id") < _Q223_STRIDE * K)
-        )
-        .orderBy("vec_id")
-        .collect()
-    )
-    codes0 = [list(r["v6"]) for r in code_rows]
-
-    # one Lloyd pass per subspace: floor-mean centroid of each
-    # (subspace, code) cell in micro-units (offset form: subvector
-    # components are negative)
+    S = len(codes0[0]) // D
+    K = len(codes0)
     a0 = pq_assign_q6_np(base, codes0, D).select("id", "subspace", "code")
     trained_rows = (
         base.join(a0, base.vec_id == a0.id)
@@ -2047,16 +2039,34 @@ def q237_pq_train_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .select("subspace", "code", "sd", "c6")
-        .collect()  # ≤ S·K·D = 512 rows by construction
+        .collect()
     )
     tr = {(r["subspace"], r["code"], r["sd"]): r["c6"] for r in trained_rows}
-    # codes1[k] keeps codes0's layout (index s*D+d), so the same
-    # kernel applies; empty (subspace, code) cells keep the untrained
-    # subvector (COALESCE in the twin).
-    codes1 = [
+    return [
         [tr.get((s, k, d), codes0[k][s * D + d]) for s in range(S) for d in range(D)]
         for k in range(K)
     ]
+
+
+def q237_pq_train_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_data_pipeline_spark.functions.vector import quantize_q6, quantize_q6_py
+    from ai_data_pipeline_spark.operators.vectorized import pq_assign_q6_np
+    from ai_data_pipeline_spark.plans.constants import Q27_QUERY_VECS
+
+    S, D, K = _Q235_SUBSPACES, _Q235_SUBDIM, _Q235_CODES
+    emb = _t(spark, sf_dir, "embeddings")
+    base = emb.select("vec_id", quantize_q6("embedding").alias("v6"))
+    code_rows = (
+        base.filter(
+            (F.pmod(F.col("vec_id"), F.lit(_Q223_STRIDE)) == 0)
+            & (F.col("vec_id") < _Q223_STRIDE * K)
+        )
+        .orderBy("vec_id")
+        .collect()
+    )
+    codes0 = [list(r["v6"]) for r in code_rows]
+    # one Lloyd pass per subspace (helper shared with q255)
+    codes1 = _pq_lloyd_once(base, codes0, D)
 
     q6s = [quantize_q6_py(v) for v in Q27_QUERY_VECS]
 
@@ -4586,3 +4596,174 @@ def _q254_oracle() -> str:
 
 
 ORACLE["q254_anti_clustered_sharding"] = _q254_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Q255 — PQ layout × training ABLATION (the 2×2 every quantization
+# deployment should run before picking its recipe — q237 grades
+# training alone, q249 allocation alone; this row grades their
+# INTERACTION: does variance-balanced allocation still matter AFTER
+# one Lloyd pass, or does training wash it out?): for layout ∈
+# {natural, balanced} (q249's exact-integer variance-rank snake
+# deal) × phase ∈ {untrained, trained} (q237's per-subspace Lloyd
+# pass via _pq_lloyd_once, run on the GATHERED arrays so the stripes
+# being trained are the layout's own), the total exact quantization
+# error. Expected read on this near-isotropic corpus: training
+# dominates (~25% drop) and allocation stays a no-op ± noise in BOTH
+# phases — the measured "don't pay for OPQ here" answer; on real
+# anisotropic embeddings the balanced×trained cell is where OPQ
+# earns its keep. Scale: four pq-kernel scan passes + two bounded
+# training aggs + the 64-row variance agg; nothing pairwise.
+# ---------------------------------------------------------------------------
+
+
+def q255_pq_layout_training_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_data_pipeline_spark.functions.vector import quantize_q6
+    from ai_data_pipeline_spark.operators.vectorized import pq_assign_q6_np
+    from ai_data_pipeline_spark.plans.constants import EMBED_DIM
+
+    S, D, K = _Q235_SUBSPACES, _Q235_SUBDIM, _Q235_CODES
+    dec = "decimal(38,0)"
+    emb = _t(spark, sf_dir, "embeddings")
+    base = emb.select("vec_id", quantize_q6("embedding").alias("v6"))
+    varnums = (
+        base.select(F.posexplode("v6").alias("dim", "v"))
+        .groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).cast(dec).alias("n"),
+            F.sum(F.col("v").cast(dec)).cast(dec).alias("s1"),
+            F.sum((F.col("v") * F.col("v")).cast(dec)).cast(dec).alias("s2"),
+        )
+        .select(
+            "dim",
+            (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")).alias("vn"),
+        )
+        .collect()
+    )
+    perm_b = _q249_perm_from_varnum([(r["dim"], r["vn"]) for r in varnums], S)
+    layouts = {"natural": list(range(EMBED_DIM)), "balanced": perm_b}
+
+    code_rows = (
+        base.filter(
+            (F.pmod(F.col("vec_id"), F.lit(_Q223_STRIDE)) == 0)
+            & (F.col("vec_id") < _Q223_STRIDE * K)
+        )
+        .orderBy("vec_id")
+        .collect()
+    )
+    codes_raw = [list(r["v6"]) for r in code_rows]
+
+    def cell(layout: str, p: list[int]) -> DataFrame:
+        gathered = base.select(
+            "vec_id",
+            F.array(*[F.col("v6").getItem(i) for i in p]).alias("v6"),
+        )
+        codes0 = [[c[i] for i in p] for c in codes_raw]
+        codes1 = _pq_lloyd_once(gathered, codes0, D)
+
+        def err(codes: list[list[int]], phase: str) -> DataFrame:
+            return pq_assign_q6_np(gathered, codes, D).agg(
+                F.lit(layout).alias("layout"),
+                F.lit(phase).alias("phase"),
+                F.sum("err").cast("long").alias("sum_err"),
+            )
+
+        return err(codes0, "p0_untrained").unionAll(err(codes1, "p1_trained"))
+
+    return (
+        cell("balanced", layouts["balanced"])
+        .unionAll(cell("natural", layouts["natural"]))
+        .orderBy("layout", "phase")
+    )
+
+
+QUERIES["q255_pq_layout_training_ablation"] = q255_pq_layout_training_ablation
+
+
+def _q255_oracle() -> str:
+    from ai_data_pipeline_spark.plans.constants import EMBED_DIM
+
+    S, D, K = _Q235_SUBSPACES, _Q235_SUBDIM, _Q235_CODES
+    return f"""
+    WITH q6l AS MATERIALIZED (
+        SELECT vec_id, t.i - 1 AS dim,
+               CAST(floor(CAST(embedding[t.i] AS DOUBLE) * 1000000) AS BIGINT) AS v
+        FROM embeddings, unnest(range(1, {EMBED_DIM + 1})) AS t(i)
+    ), varnum AS (
+        SELECT dim,
+               CAST(COUNT(*) AS HUGEINT) * CAST(SUM(v * v) AS HUGEINT)
+                 - CAST(SUM(v) AS HUGEINT) * CAST(SUM(v) AS HUGEINT) AS vn
+        FROM q6l GROUP BY dim
+    ), rankd AS (
+        SELECT dim, ROW_NUMBER() OVER (ORDER BY vn DESC, dim) - 1 AS rnk
+        FROM varnum
+    ), alloc AS MATERIALIZED (
+        SELECT 'balanced' AS layout, dim,
+               CASE WHEN (rnk // {S}) % 2 = 0 THEN rnk % {S}
+                    ELSE {S - 1} - (rnk % {S}) END AS s
+        FROM rankd
+        UNION ALL
+        SELECT 'natural' AS layout, dim, dim // {D} AS s FROM rankd
+    ), codesl AS MATERIALIZED (
+        SELECT ROW_NUMBER() OVER (PARTITION BY dim ORDER BY vec_id) - 1 AS k,
+               dim, v AS cv
+        FROM q6l
+        WHERE vec_id % {_Q223_STRIDE} = 0
+          AND vec_id < {_Q223_STRIDE * K}
+    ), e0 AS MATERIALIZED (
+        SELECT a.layout, q.vec_id, a.s, c.k,
+               CAST(SUM((q.v - c.cv) * (q.v - c.cv)) AS BIGINT) AS d
+        FROM q6l q
+        JOIN alloc a USING (dim)
+        JOIN codesl c USING (dim)
+        GROUP BY a.layout, q.vec_id, a.s, c.k
+    ), a0 AS MATERIALIZED (
+        SELECT layout, vec_id, s, k, d FROM (
+            SELECT layout, vec_id, s, k, d,
+                   ROW_NUMBER() OVER (PARTITION BY layout, vec_id, s
+                                      ORDER BY d, k) AS rn
+            FROM e0)
+        WHERE rn = 1
+    ), trained AS MATERIALIZED (
+        SELECT a.layout, a.s, a.k AS code, q.dim,
+               CAST((SUM(q.v) + {_Q224_OFF} * COUNT(*)) // COUNT(*)
+                    - {_Q224_OFF} AS BIGINT) AS cv1
+        FROM q6l q
+        JOIN alloc al ON al.dim = q.dim
+        JOIN a0 a ON a.vec_id = q.vec_id AND a.layout = al.layout
+               AND a.s = al.s
+        GROUP BY a.layout, a.s, a.k, q.dim
+    ), codes1 AS MATERIALIZED (
+        SELECT al.layout, c.k, c.dim, COALESCE(t.cv1, c.cv) AS cv
+        FROM codesl c
+        JOIN alloc al ON al.dim = c.dim
+        LEFT JOIN trained t
+          ON t.layout = al.layout AND t.s = al.s AND t.code = c.k
+         AND t.dim = c.dim
+    ), e1 AS MATERIALIZED (
+        SELECT al.layout, q.vec_id, al.s, c.k,
+               CAST(SUM((q.v - c.cv) * (q.v - c.cv)) AS BIGINT) AS d
+        FROM q6l q
+        JOIN alloc al ON al.dim = q.dim
+        JOIN codes1 c ON c.dim = q.dim AND c.layout = al.layout
+        GROUP BY al.layout, q.vec_id, al.s, c.k
+    ), b1 AS (
+        SELECT layout, vec_id, s, d FROM (
+            SELECT layout, vec_id, s, d,
+                   ROW_NUMBER() OVER (PARTITION BY layout, vec_id, s
+                                      ORDER BY d, k) AS rn
+            FROM e1)
+        WHERE rn = 1
+    )
+    SELECT layout, 'p0_untrained' AS phase,
+           CAST(SUM(d) AS BIGINT) AS sum_err
+    FROM a0 GROUP BY layout
+    UNION ALL
+    SELECT layout, 'p1_trained' AS phase,
+           CAST(SUM(d) AS BIGINT) AS sum_err
+    FROM b1 GROUP BY layout
+    ORDER BY layout, phase
+    """
+
+
+ORACLE["q255_pq_layout_training_ablation"] = _q255_oracle()

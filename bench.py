@@ -225,6 +225,7 @@ HEADLINE = [
     "q252_quantization_retrieval_sweep",
     "q253_trimmed_robust_stats",
     "q254_anti_clustered_sharding",
+    "q255_pq_layout_training_ablation",
 ]
 
 

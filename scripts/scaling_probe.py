@@ -124,6 +124,7 @@ PROBE = [
     "q252_quantization_retrieval_sweep", # 3 expression-only corpus scans
     "q253_trimmed_robust_stats",  # per-source rank window + hash agg
     "q254_anti_clustered_sharding", # q204 clusters + per-cluster rank window
+    "q255_pq_layout_training_ablation", # 4 kernel passes + 2 bounded training aggs
 ]
 
 

@@ -225,6 +225,10 @@ ALLOWED_DIV_SITES = {
     ') SELECT CAST(bands AS BIGINT) AS bands, CAST({_Q251_H} //',
     'GROUP BY id, j // {_Q251_H // b}) a JOIN ( SELECT id, j //',
     'cast ( "long" ) . alias ( "bands" ) , F . lit ( _Q251_H //',
+    # q255 — THE offset form again (oracle twin) and a positive
+    # length-derived constant (len(codes0[0]) // D).
+    'S code, q.dim, CAST((SUM(q.v) + {_Q224_OFF} * COUNT(*)) //',
+    'torized import pq_assign_q6_np S = len ( codes0 [ 0 ] ) //',
     # q253 trim count — n = COUNT(*) OVER (...) ≥ 1, non-negative.
     ' . alias ( "n" ) , ) . withColumn ( "k" , F . expr ( "n div',
     ') AS n FROM base ), flagged AS ( SELECT source, v, n, n //',
