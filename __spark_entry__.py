@@ -161,6 +161,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from ai_data_pipeline_spark.plans import frontier_queries
 
     merged.update(frontier_queries.QUERIES)
+    from ai_data_pipeline_spark.plans import frontier2_queries
+
+    merged.update(frontier2_queries.QUERIES)
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for name in merged:
         if name not in DRIVER_EVIDENCE:
@@ -197,4 +200,7 @@ def oracle_sql() -> dict[str, str]:
     from ai_data_pipeline_spark.plans import frontier_queries
 
     out.update(frontier_queries.ORACLE)
+    from ai_data_pipeline_spark.plans import frontier2_queries
+
+    out.update(frontier2_queries.ORACLE)
     return out

@@ -74,8 +74,8 @@ def test_declared_surface_does_not_shrink():
     a breakage in any one must fail THIS test loudly, never silently
     shrink the graded surface (review finding r03). Bump the floor
     when queries are added — never lower it."""
-    assert len(_QUERIES) >= 256
-    assert len(entrymod.oracle_sql()) >= 256
+    assert len(_QUERIES) >= 257
+    assert len(entrymod.oracle_sql()) >= 257
 
 
 def test_query_modules_do_not_collide():
@@ -84,12 +84,20 @@ def test_query_modules_do_not_collide():
     from ai_data_pipeline_spark.plans import (
         analysis_queries,
         extended_queries,
+        frontier2_queries,
         frontier_queries,
         pipeline_queries,
         relational,
     )
 
-    mods = [relational, pipeline_queries, analysis_queries, extended_queries, frontier_queries]
+    mods = [
+        relational,
+        pipeline_queries,
+        analysis_queries,
+        extended_queries,
+        frontier_queries,
+        frontier2_queries,
+    ]
     for i, m1 in enumerate(mods):
         for m2 in mods[i + 1 :]:
             assert set(m1.QUERIES) & set(m2.QUERIES) == set()
