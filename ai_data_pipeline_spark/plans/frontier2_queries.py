@@ -132,3 +132,279 @@ def _q256_oracle() -> str:
 
 
 ORACLE["q256_source_snapshot_drift"] = _q256_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Q257 — two-level IVF tree ROUTED OVER the cell-partitioned store
+# (q247 × q250, the round-11 queue composition): q247 grades the
+# tree's assignment agreement, q250 grades flat single-level
+# partition pruning; at 100 TB the two compose — the store is laid
+# out sup=<super>/cell=<seed> (two-level directory), a query routes
+# to its nearest super and probes the 2 nearest seeds WITHIN that
+# super's group, and the read back prunes on BOTH literal partition
+# predicates (sup IN (...) AND cell IN (...) — the directory walk
+# touches one super directory instead of all of them; PartitionFilters
+# pinned by plan test). Corpus vectors are assigned by the SAME tree
+# (nearest super, then argmin within its seed group — q247's exact
+# int64 semantics), so the store layout and the query routing agree.
+# Exact cosine top-3 with sims per query; the oracle recomputes the
+# identical tree from `embeddings`, never touching the store — the
+# graded claim is storage-layout EQUIVALENCE under tree routing.
+# Scale: the write is one shuffle by cell (one file per directory);
+# the read scans ~nprobe/K of the data after pruning a 1/S super
+# slice of the directory tree; probed ids are a ≤ (1+2)·|queries|
+# bounded collect (a partition filter must be literal to prune at
+# planning). Post-agg collect is 15 rows before temp-dir cleanup
+# (the q215/q217/q250 audited pattern).
+# ---------------------------------------------------------------------------
+
+_Q257_NPROBE = 2
+
+
+def q257_tree_partitioned_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ai_data_pipeline_spark.functions.vector import (
+        cosine,
+        quantize_q6,
+        quantize_q6_py,
+    )
+    from ai_data_pipeline_spark.plans.constants import Q27_QUERY_VECS
+    from ai_data_pipeline_spark.plans.frontier_queries import (
+        _Q223_STRIDE,
+        _Q247_SUPER_STRIDE,
+        _assign_exact_q6,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    base = emb.select("vec_id", quantize_q6("embedding").alias("v6"))
+    seeds = base.filter(F.pmod(F.col("vec_id"), F.lit(_Q223_STRIDE)) == 0).select(
+        F.col("vec_id").alias("seed_id"), F.col("v6").alias("s6")
+    )
+    supers = seeds.filter(
+        F.pmod(F.col("seed_id"), F.lit(_Q247_SUPER_STRIDE)) == 0
+    ).select(F.col("seed_id").alias("super_id"), F.col("s6").alias("p6"))
+
+    seed_sup = _assign_exact_q6(
+        seeds.select(F.col("seed_id").alias("vec_id"), F.col("s6").alias("v6")),
+        supers.select(F.col("super_id").alias("seed_id"), F.col("p6").alias("s6")),
+    ).select(F.col("vec_id").alias("seed_id"), F.col("cell").alias("super_id"))
+    vec_sup = _assign_exact_q6(
+        base,
+        supers.select(F.col("super_id").alias("seed_id"), F.col("p6").alias("s6")),
+    ).select("vec_id", F.col("cell").alias("super_id"))
+
+    d6 = F.aggregate(
+        F.zip_with("v6", "s6", lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    group = seeds.join(seed_sup, "seed_id")  # [seed_id, s6, super_id]
+    tree = (
+        base.join(vec_sup, "vec_id")
+        .join(F.broadcast(group), "super_id")
+        .select(
+            "vec_id",
+            "super_id",
+            F.struct(d6.alias("d"), F.col("seed_id").alias("c")).alias("dc"),
+        )
+        .groupBy("vec_id", "super_id")
+        .agg(F.min("dc").alias("m"))
+        .select("vec_id", F.col("super_id").alias("sup"), F.col("m.c").alias("cell"))
+    )
+    corpus = emb.select("vec_id", "embedding").join(tree, "vec_id")
+
+    # query routing: nearest super, then the nprobe nearest seeds
+    # WITHIN that super's group (exact integer distances throughout)
+    qrows = [
+        (i, [float(x) for x in Q27_QUERY_VECS[i]], quantize_q6_py(Q27_QUERY_VECS[i]))
+        for i in range(len(Q27_QUERY_VECS))
+    ]
+    qdf = spark.createDataFrame(qrows, "qid long, qvec array<double>, q6 array<bigint>")
+    dq_sup = F.aggregate(
+        F.zip_with("q6", "p6", lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    q_sup = (
+        qdf.crossJoin(F.broadcast(supers))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("qid").orderBy(dq_sup, "super_id")
+            ),
+        )
+        .filter(F.col("rk") == 1)
+        .select("qid", "qvec", "q6", "super_id")
+    )
+    dq_seed = F.aggregate(
+        F.zip_with("q6", "s6", lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    probes = (
+        q_sup.join(F.broadcast(group), "super_id")
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("qid").orderBy(dq_seed, "seed_id")
+            ),
+        )
+        .filter(F.col("rk") <= _Q257_NPROBE)
+        .select("qid", "qvec", F.col("super_id").alias("sup"), "seed_id")
+    )
+    probe_rows = probes.select("sup", "seed_id").collect()  # ≤ nprobe·|queries|
+    probed_sups = sorted({int(r["sup"]) for r in probe_rows})
+    probed_cells = sorted({int(r["seed_id"]) for r in probe_rows})
+
+    tmp = tempfile.mkdtemp(prefix="q257_")
+    path = tmp + "/vectors_tree"
+    try:
+        # repartition on cell first (cell implies sup): one file per
+        # sup=/cell= directory, not tasks × cells slivers (q250's law)
+        corpus.repartition("cell").write.mode("overwrite").partitionBy(
+            "sup", "cell"
+        ).parquet(path)
+        store = spark.read.parquet(path)
+        cand = (
+            store.filter(
+                F.col("sup").cast("long").isin(probed_sups)
+                & F.col("cell").cast("long").isin(probed_cells)
+            )
+            .join(
+                F.broadcast(probes),
+                store["cell"].cast("long") == probes["seed_id"],
+            )
+            .select(
+                "qid",
+                probes["sup"].alias("sup"),
+                "vec_id",
+                cosine(F.col("embedding"), F.col("qvec")).alias("sim"),
+            )
+        )
+        top = (
+            cand.withColumn(
+                "rk",
+                F.row_number().over(
+                    Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
+                ),
+            )
+            .filter(F.col("rk") <= 3)
+            .select(
+                "qid",
+                F.col("sup").cast("long").alias("sup"),
+                F.col("rk").cast("long").alias("rk"),
+                "vec_id",
+                "sim",
+            )
+            .orderBy("qid", "rk")
+            .collect()  # 15 rows before temp-dir cleanup
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        top, "qid long, sup long, rk long, vec_id long, sim double"
+    ).orderBy("qid", "rk")
+
+
+QUERIES["q257_tree_partitioned_store"] = q257_tree_partitioned_store
+
+
+def _q257_oracle() -> str:
+    from ai_data_pipeline_spark.functions.vector import (
+        quantize_q6_py,
+        sql_dot,
+        sql_lit_list,
+        sql_norm,
+    )
+    from ai_data_pipeline_spark.plans.constants import EMBED_DIM, Q27_QUERY_VECS
+    from ai_data_pipeline_spark.plans.frontier_queries import (
+        _Q223_STRIDE,
+        _Q247_SUPER_STRIDE,
+    )
+
+    rng = f"range(1, {EMBED_DIM + 1})"
+
+    def d(a: str, av: str, b: str, bv: str) -> str:
+        return (
+            f"list_sum(list_transform({rng}, "
+            f"i -> ({a}.{av}[i] - {b}.{bv}[i]) * ({a}.{av}[i] - {b}.{bv}[i])))"
+        )
+
+    qvals = ", ".join(
+        f"({i}, {sql_lit_list(v)}, {quantize_q6_py(v)})"
+        for i, v in enumerate(Q27_QUERY_VECS)
+    )
+    cos = (
+        f"({sql_dot('e.embedding', 'p2.qvec', EMBED_DIM)}) / "
+        f"(({sql_norm('e.embedding', EMBED_DIM)}) * ({sql_norm('p2.qvec', EMBED_DIM)}))"
+    )
+    return f"""
+    WITH q6c AS MATERIALIZED (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v6
+        FROM embeddings
+    ), seeds AS MATERIALIZED (
+        SELECT vec_id AS seed_id, v6 AS s6 FROM q6c
+        WHERE vec_id % {_Q223_STRIDE} = 0
+    ), supers AS MATERIALIZED (
+        SELECT seed_id AS super_id, s6 AS p6 FROM seeds
+        WHERE seed_id % {_Q247_SUPER_STRIDE} = 0
+    ), seed_sup AS MATERIALIZED (
+        SELECT seed_id, super_id FROM (
+            SELECT s.seed_id, p.super_id,
+                   ROW_NUMBER() OVER (PARTITION BY s.seed_id
+                       ORDER BY {d('s', 's6', 'p', 'p6')}, p.super_id) AS rn
+            FROM seeds s CROSS JOIN supers p)
+        WHERE rn = 1
+    ), vec_sup AS MATERIALIZED (
+        SELECT vec_id, super_id FROM (
+            SELECT v.vec_id, p.super_id,
+                   ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                       ORDER BY {d('v', 'v6', 'p', 'p6')}, p.super_id) AS rn
+            FROM q6c v CROSS JOIN supers p)
+        WHERE rn = 1
+    ), tree AS MATERIALIZED (
+        SELECT vec_id, sup, cell FROM (
+            SELECT v.vec_id, vs.super_id AS sup, s.seed_id AS cell,
+                   ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                       ORDER BY {d('v', 'v6', 's', 's6')}, s.seed_id) AS rn
+            FROM q6c v
+            JOIN vec_sup vs ON vs.vec_id = v.vec_id
+            JOIN seed_sup ss ON ss.super_id = vs.super_id
+            JOIN seeds s ON s.seed_id = ss.seed_id)
+        WHERE rn = 1
+    ), queries AS (
+        SELECT * FROM (VALUES {qvals}) AS q(qid, qvec, q6)
+    ), q_sup AS MATERIALIZED (
+        SELECT qid, qvec, q6, super_id FROM (
+            SELECT q.qid, q.qvec, q.q6, p.super_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.qid
+                       ORDER BY {d('q', 'q6', 'p', 'p6')}, p.super_id) AS rk
+            FROM queries q CROSS JOIN supers p)
+        WHERE rk = 1
+    ), probes AS MATERIALIZED (
+        SELECT qid, qvec, super_id AS sup, seed_id FROM (
+            SELECT q.qid, q.qvec, q.super_id, s.seed_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.qid
+                       ORDER BY {d('q', 'q6', 's', 's6')}, s.seed_id) AS rk
+            FROM q_sup q
+            JOIN seed_sup ss ON ss.super_id = q.super_id
+            JOIN seeds s ON s.seed_id = ss.seed_id)
+        WHERE rk <= {_Q257_NPROBE}
+    )
+    SELECT qid, sup, CAST(rk AS BIGINT) AS rk, vec_id, sim FROM (
+        SELECT p2.qid, p2.sup, e.vec_id, {cos} AS sim,
+               ROW_NUMBER() OVER (PARTITION BY p2.qid
+                                  ORDER BY {cos} DESC, e.vec_id) AS rk
+        FROM embeddings e
+        JOIN tree t ON t.vec_id = e.vec_id
+        JOIN probes p2 ON t.cell = p2.seed_id)
+    WHERE rk <= 3
+    ORDER BY qid, rk
+    """
+
+
+ORACLE["q257_tree_partitioned_store"] = _q257_oracle()

@@ -74,8 +74,8 @@ def test_declared_surface_does_not_shrink():
     a breakage in any one must fail THIS test loudly, never silently
     shrink the graded surface (review finding r03). Bump the floor
     when queries are added — never lower it."""
-    assert len(_QUERIES) >= 257
-    assert len(entrymod.oracle_sql()) >= 257
+    assert len(_QUERIES) >= 258
+    assert len(entrymod.oracle_sql()) >= 258
 
 
 def test_query_modules_do_not_collide():
@@ -115,10 +115,11 @@ def test_registered_shingle_pair_queries_engage_the_cap():
 
     from ai_data_pipeline_spark.plans import analysis_queries as A
     from ai_data_pipeline_spark.plans import extended_queries as X
+    from ai_data_pipeline_spark.plans import frontier2_queries as F2
     from ai_data_pipeline_spark.plans import frontier_queries as FQ
     from ai_data_pipeline_spark.plans import pipeline_queries as P
 
-    for mod in (P, A, X, FQ):
+    for mod in (P, A, X, FQ, F2):
         src = inspect.getsource(mod)
         for m in _re.finditer(
             r"(ngram_jaccard_pairs|shingle_containment_pairs)\((.*?)\)",

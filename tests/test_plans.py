@@ -1014,3 +1014,35 @@ def test_q250_store_read_is_partition_pruned(spark, sf_dir, tmp_path):
     s = plan_of(df)
     assert "PartitionFilters" in s
     assert "cell" in s.split("PartitionFilters", 1)[1][:200]
+
+
+def test_q257_two_level_store_read_prunes_both_levels(spark, sf_dir, tmp_path):
+    """q257's read-back must carry BOTH partition predicates (sup AND
+    cell) in PartitionFilters — the two-level directory walk touches
+    one super directory, then only the probed cell subdirectories."""
+    import pyspark.sql.functions as F
+
+    from ai_data_pipeline_spark.functions.vector import quantize_q6
+    from ai_data_pipeline_spark.plans import frontier_queries as FQ
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select("vec_id", quantize_q6("embedding").alias("v6"))
+    seeds = base.filter(F.pmod(F.col("vec_id"), F.lit(FQ._Q223_STRIDE)) == 0).select(
+        F.col("vec_id").alias("seed_id"), F.col("v6").alias("s6")
+    )
+    cells = FQ._assign_exact_q6(base, seeds)
+    two = emb.select("vec_id", "embedding").join(cells, "vec_id").withColumn(
+        "sup", (F.col("cell") - F.pmod(F.col("cell"), F.lit(FQ._Q247_SUPER_STRIDE)))
+    )
+    path = str(tmp_path / "store2")
+    two.repartition("cell").write.partitionBy("sup", "cell").parquet(path)
+    probed = [int(r["seed_id"]) for r in seeds.limit(2).collect()]
+    sups = sorted({p - p % FQ._Q247_SUPER_STRIDE for p in probed})
+    df = spark.read.parquet(path).filter(
+        F.col("sup").cast("long").isin(sups)
+        & F.col("cell").cast("long").isin(probed)
+    )
+    s = plan_of(df)
+    assert "PartitionFilters" in s
+    window = s.split("PartitionFilters", 1)[1][:400]
+    assert "cell" in window and "sup" in window
