@@ -18,8 +18,9 @@ Same oracle-parity discipline as relational.py (float-policy header
 there): identical aliases both engines, exact integer aggregation,
 doubles only from expression trees both engines evaluate identically
 (one IEEE division of exact BIGINTs; differences/min/max of
-bit-identical doubles). Every div/% dividend non-negative by
-construction (linted by tests/test_division_convention.py).
+bit-identical doubles). Every integer-division dividend is
+non-negative by construction (linted by
+tests/test_division_convention.py).
 """
 
 from __future__ import annotations
@@ -43,9 +44,13 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # TEXT side): production corpora ship in releases, and the question
 # a data card cannot answer is "did source X get shorter / junkier
 # between snapshot k−1 and k?". Documents are binned into 4
-# deterministic release snapshots (doc_id mod 4 — the corpus has no
-# release column; the AUDIT machinery is what is graded, not the
-# existence of drift); per (source, snapshot): docs, whitespace
+# deterministic release snapshots (40-bit md5 uniform of doc_id mod
+# 4, q228's hash idiom — doc_id mod 4 raw is DEGENERATE here: the
+# generator deals sources round-robin mod 20, so doc_id ≡ const mod
+# 4 within a source and every source would land in ONE snapshot; the
+# corpus has no release column, so the AUDIT machinery is what is
+# graded, not the existence of drift); per (source, snapshot): docs,
+# whitespace
 # tokens, chars, short-doc count (< 20 tokens, a Gopher-style floor)
 # — all exact BIGINTs — plus mean tokens/doc (ONE IEEE division of
 # exact ints) and the deltas vs the previous snapshot of the same
@@ -63,9 +68,12 @@ def q256_source_snapshot_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ai_data_pipeline_spark.functions.text import token_count_ws
 
     docs = spread(_t(spark, sf_dir, "documents"))
+    u40 = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 10), 16, 10
+    ).cast("long")
     per = docs.select(
         "source",
-        F.pmod(F.col("doc_id"), F.lit(_Q256_SNAPS)).cast("long").alias("snap"),
+        F.pmod(u40, F.lit(_Q256_SNAPS)).cast("long").alias("snap"),
         token_count_ws(F.col("text")).alias("tok"),
         F.col("n_chars").cast("long").alias("nc"),
     )
@@ -106,7 +114,8 @@ def _q256_oracle() -> str:
     return f"""
     WITH per AS (
         SELECT source,
-               doc_id % {_Q256_SNAPS} AS snap,
+               (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 10))::BIGINT)
+                   % {_Q256_SNAPS} AS snap,
                len({toks}) AS tok,
                n_chars AS nc
         FROM documents
@@ -408,3 +417,153 @@ def _q257_oracle() -> str:
 
 
 ORACLE["q257_tree_partitioned_store"] = _q257_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Q258 — exact water-filling token-budget allocator (the classic
+# max-min fair allocation: give every source as much of the token
+# budget as possible without any source exceeding its available
+# mass, raising one common water level until the budget is spent —
+# the per-source cap scheduling used when a training mix wants
+# "equal shares, except sources that run out"). The round-11 queue
+# admits this only "if an exact fixed-round form is defensible" —
+# it is BETTER than fixed-round: the level has a closed form. Sort
+# sources by avail ascending; source i is capped iff
+# P_{i-1} + m_i·avail_i ≤ B (P = prefix sum, m_i = sources left) —
+# the floor-free multiplicative test (floor(x/m) ≥ a ⟺ x ≥ a·m for
+# positive m), so the capped set needs NO division and no rounds.
+# Level t = (B − P_k) div (n − k) over the k capped sources; the
+# remainder r distributes +1 to the r lowest-avail uncapped sources
+# (largest-remainder discipline, q200's). Everything exact BIGINT;
+# Σ alloc = B by construction when the budget binds (data-level
+# test). Dividends non-negative by construction: B = total div 2 ≥ 0
+# and B − P_k ≥ 0 because the capped test for source k gives
+# P_k ≤ P_{k-1} + m_k·avail_k ≤ B. Scale: one agg to |sources| rows,
+# then tiny global windows on the aggregated frame — never the
+# corpus.
+# ---------------------------------------------------------------------------
+
+
+def q258_water_filling_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_data_pipeline_spark.functions.text import token_count_ws
+
+    docs = spread(_t(spark, sf_dir, "documents"))
+    src = (
+        docs.select("source", token_count_ws(F.col("text")).alias("tok"))
+        .groupBy("source")
+        .agg(F.sum("tok").cast("long").alias("avail"))
+        # |sources| rows; three downstream consumers (tot, ordd, cap's
+        # re-read through ordd) — checkpoint so the corpus tokenize
+        # scan runs ONCE, not once per consumer (q216's pattern)
+        .localCheckpoint()
+    )
+    tot = src.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("avail").cast("long").alias("total"),
+    ).withColumn("budget", F.expr("total div 2"))
+    w = Window.orderBy("avail", "source")
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ordd = (
+        src.crossJoin(F.broadcast(tot))
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .withColumn("p", F.sum("avail").over(wsum))
+        .withColumn(
+            "capped",
+            (
+                (F.col("p") - F.col("avail"))
+                + (F.col("n") - F.col("rn") + 1) * F.col("avail")
+                <= F.col("budget")
+            ).cast("long"),
+        )
+        .withColumn("urank", F.sum(1 - F.col("capped")).over(wsum))
+    )
+    cap = ordd.agg(
+        F.sum("capped").cast("long").alias("k"),
+        F.coalesce(F.sum(F.col("avail") * F.col("capped")), F.lit(0))
+        .cast("long")
+        .alias("pk"),
+    )
+    out = (
+        ordd.crossJoin(F.broadcast(cap))
+        .withColumn(
+            "level",
+            F.when(F.col("k") < F.col("n"), F.expr("(budget - pk) div (n - k)")),
+        )
+        .withColumn(
+            "rem",
+            F.when(
+                F.col("k") < F.col("n"), F.expr("(budget - pk) % (n - k)")
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn(
+            "alloc",
+            F.when(F.col("capped") == 1, F.col("avail")).otherwise(
+                F.col("level")
+                + (F.col("urank") <= F.col("rem")).cast("long")
+            ),
+        )
+    )
+    return out.select(
+        "source",
+        "avail",
+        "capped",
+        F.col("alloc").cast("long").alias("alloc"),
+        F.col("level").cast("long").alias("level"),
+        "budget",
+    ).orderBy("source")
+
+
+QUERIES["q258_water_filling_budget"] = q258_water_filling_budget
+
+
+def _q258_oracle() -> str:
+    from ai_data_pipeline_spark.functions.text import sql_word_ngrams
+
+    toks = sql_word_ngrams("text", 1)
+    return f"""
+    WITH per AS (
+        SELECT source, len({toks}) AS tok FROM documents
+    ), src AS (
+        SELECT source, CAST(SUM(tok) AS BIGINT) AS avail
+        FROM per GROUP BY source
+    ), tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(avail) AS BIGINT) AS total,
+               CAST(SUM(avail) AS BIGINT) // 2 AS budget
+        FROM src
+    ), ordd AS (
+        SELECT s.source, s.avail, t.n, t.budget,
+               CAST(ROW_NUMBER() OVER (ORDER BY s.avail, s.source) AS BIGINT) AS rn,
+               CAST(SUM(s.avail) OVER (ORDER BY s.avail, s.source
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS p
+        FROM src s CROSS JOIN tot t
+    ), flagged AS (
+        SELECT *,
+               CASE WHEN (p - avail) + (n - rn + 1) * avail <= budget
+                    THEN 1 ELSE 0 END AS capped
+        FROM ordd
+    ), f2 AS (
+        SELECT *,
+               CAST(SUM(1 - capped) OVER (ORDER BY avail, source
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS urank
+        FROM flagged
+    ), cap AS (
+        SELECT CAST(SUM(capped) AS BIGINT) AS k,
+               CAST(COALESCE(SUM(avail * capped), 0) AS BIGINT) AS pk
+        FROM flagged
+    )
+    SELECT source, avail, CAST(capped AS BIGINT) AS capped,
+           CAST(CASE WHEN capped = 1 THEN avail
+                     ELSE (budget - pk) // (n - k)
+                          + (CASE WHEN urank <= (budget - pk) % (n - k)
+                                  THEN 1 ELSE 0 END)
+                END AS BIGINT) AS alloc,
+           CAST(CASE WHEN k < n THEN (budget - pk) // (n - k) END AS BIGINT)
+               AS level,
+           budget
+    FROM f2 CROSS JOIN cap
+    ORDER BY source
+    """
+
+
+ORACLE["q258_water_filling_budget"] = _q258_oracle()

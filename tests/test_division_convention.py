@@ -234,6 +234,16 @@ ALLOWED_DIV_SITES = {
     ') AS n FROM base ), flagged AS ( SELECT source, v, n, n //',
     'flagged AS ( SELECT source, v, n, n // 10 AS k, (rk > n //',
     'urce, v, n, n // 10 AS k, (rk > n // 10 AND rk <= n - n //',
+    # q258 water-filling — budget = total div 2 with total = SUM of
+    # token counts ≥ 0; level dividend budget − pk ≥ 0 because the
+    # capped test for the k-th source gives P_k ≤ P_{k−1} +
+    # m_k·avail_k ≤ B (docstring proof); divisor n − k ≥ 1 in the
+    # k < n branch.
+    '(avail) AS BIGINT) AS total, CAST(SUM(avail) AS BIGINT) //',
+    'CAST(CASE WHEN capped = 1 THEN avail ELSE (budget - pk) //',
+    'GINT) AS alloc, CAST(CASE WHEN k < n THEN (budget - pk) //',
+    'l ( "k" ) < F . col ( "n" ) , F . expr ( "(budget - pk) div',
+    'otal" ) , ) . withColumn ( "budget" , F . expr ( "total div',
 }
 
 

@@ -295,3 +295,26 @@ def test_q190_template_mask_matches_python(spark, sf_dir):
         for r in X.q190_template_dedup(spark, sf_dir).collect()
     ]
     assert got == want
+
+
+def test_q258_water_filling_invariants(spark, sf_dir):
+    """Water-filling contract: when the budget binds (some source
+    uncapped), Σ alloc == budget exactly; every alloc ≤ avail; capped
+    sources get exactly their avail; uncapped allocs differ by ≤ 1
+    (level vs level+1 remainder winners)."""
+    from ai_data_pipeline_spark.plans import frontier2_queries as F2
+
+    rows = F2.q258_water_filling_budget(spark, sf_dir).collect()
+    budget = rows[0]["budget"]
+    assert all(r["budget"] == budget for r in rows)
+    assert all(r["alloc"] <= r["avail"] for r in rows)
+    uncapped = [r for r in rows if r["capped"] == 0]
+    for r in rows:
+        if r["capped"] == 1:
+            assert r["alloc"] == r["avail"]
+    if uncapped:
+        assert sum(r["alloc"] for r in rows) == budget
+        allocs = {r["alloc"] for r in uncapped}
+        assert max(allocs) - min(allocs) <= 1
+        level = rows[0]["level"]
+        assert allocs <= {level, level + 1}
