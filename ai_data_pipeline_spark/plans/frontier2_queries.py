@@ -937,3 +937,273 @@ def _q259_oracle() -> str:
 
 
 ORACLE["q259_ivfadc_residual"] = _q259_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Q260 — median/MAD robust outlier gate per source (the robust
+# sibling of q120's z-score: mean/stddev move with the outliers they
+# are supposed to find; median and MAD = median(|x − median|) have
+# 50% breakdown). All decisions exact integers: the median is the
+# inclusive-rank lower median (rank (n+1) div 2 over (v, doc_id) —
+# quantile_disc semantics, the KLL-verified convention), MAD the
+# same selection over |v − med|, and the outlier test
+# |v − med| > 3·MAD compares BIGINTs (no 1.4826 consistency scaling
+# — that constant matters for Gaussian σ-equivalence, not for a
+# rank-exact gate; 3·MAD_raw is the documented knob). Both picks are
+# window-expressible (MAX(CASE WHEN rk = pick...) OVER the source
+# partition) — no groupBy+join-back (the q23 rule), and the second
+# ranking window reuses the first's hash partitioning: ONE shuffle.
+# Per source: docs, median, mad, outliers, outlier_rate (one IEEE
+# division of exact BIGINTs).
+# ---------------------------------------------------------------------------
+
+
+def q260_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(_t(spark, sf_dir, "documents"))
+    base = docs.select("source", "doc_id", F.col("n_chars").cast("long").alias("v"))
+    wsrc = Window.partitionBy("source")
+    w1 = Window.partitionBy("source").orderBy("v", "doc_id")
+    step1 = (
+        base.withColumn("rk", F.row_number().over(w1))
+        .withColumn("n", F.count(F.lit(1)).over(wsrc))
+        .withColumn("pick", F.expr("(n + 1) div 2"))
+        .withColumn(
+            "med",
+            F.max(F.when(F.col("rk") == F.col("pick"), F.col("v"))).over(wsrc),
+        )
+        .withColumn("dev", F.abs(F.col("v") - F.col("med")))
+    )
+    w2 = Window.partitionBy("source").orderBy("dev", "doc_id")
+    step2 = step1.withColumn("rk2", F.row_number().over(w2)).withColumn(
+        "mad",
+        F.max(F.when(F.col("rk2") == F.col("pick"), F.col("dev"))).over(wsrc),
+    )
+    return (
+        step2.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.max("med").cast("long").alias("median_chars"),
+            F.max("mad").cast("long").alias("mad_chars"),
+            F.sum((F.col("dev") > 3 * F.col("mad")).cast("int"))
+            .cast("long")
+            .alias("n_outliers"),
+        )
+        .withColumn(
+            "outlier_rate",
+            F.col("n_outliers").cast("double") / F.col("n_docs").cast("double"),
+        )
+        .orderBy("source")
+    )
+
+
+QUERIES["q260_mad_outliers"] = q260_mad_outliers
+
+
+def _q260_oracle() -> str:
+    return """
+    WITH base AS (
+        SELECT source, doc_id, CAST(n_chars AS BIGINT) AS v FROM documents
+    ), s1 AS (
+        SELECT *,
+               ROW_NUMBER() OVER (PARTITION BY source ORDER BY v, doc_id) AS rk,
+               COUNT(*) OVER (PARTITION BY source) AS n
+        FROM base
+    ), s2 AS (
+        SELECT *,
+               (n + 1) // 2 AS pick,
+               MAX(CASE WHEN rk = (n + 1) // 2 THEN v END)
+                   OVER (PARTITION BY source) AS med
+        FROM s1
+    ), s3 AS (
+        SELECT *, abs(v - med) AS dev,
+               ROW_NUMBER() OVER (PARTITION BY source ORDER BY abs(v - med), doc_id)
+                   AS rk2
+        FROM s2
+    ), s4 AS (
+        SELECT *,
+               MAX(CASE WHEN rk2 = pick THEN dev END)
+                   OVER (PARTITION BY source) AS mad
+        FROM s3
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MAX(med) AS BIGINT) AS median_chars,
+           CAST(MAX(mad) AS BIGINT) AS mad_chars,
+           CAST(SUM(CASE WHEN dev > 3 * mad THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_outliers,
+           CAST(SUM(CASE WHEN dev > 3 * mad THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS outlier_rate
+    FROM s4
+    GROUP BY source
+    ORDER BY source
+    """
+
+
+ORACLE["q260_mad_outliers"] = _q260_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Q261 — shared-prefix cache savings audit (LLM serving / boilerplate
+# detection: documents that open with the same first-k tokens share
+# prefix KV-cache, and heavy prefix groups usually ARE templated
+# boilerplate — the prefix view of what q190 masks at 8 tokens).
+# Group key = the first min(8, n_tok) whitespace tokens re-joined
+# with single spaces; equal keys tokenize identically, so the
+# group's prefix token count is a property of the key. Savings =
+# Σ over groups (|group| − 1) · prefix_tok — the tokens a
+# prefix-cached decode never recomputes. One summary row: groups
+# with ≥ 2 members, docs covered, tokens saved, corpus tokens,
+# saved_rate (one IEEE division of exact BIGINTs). Scale: one
+# tokenize scan + one hash groupBy on the 8-token key (map-side
+# combinable), one tiny final agg.
+# ---------------------------------------------------------------------------
+
+_Q261_K = 8
+
+
+def q261_prefix_cache_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_data_pipeline_spark.functions.text import token_count_ws, ws_tokens
+
+    docs = spread(_t(spark, sf_dir, "documents"))
+    per = docs.select(
+        "doc_id",
+        token_count_ws(F.col("text")).alias("n_tok"),
+        F.concat_ws(" ", F.slice(ws_tokens(F.col("text")), 1, _Q261_K)).alias(
+            "prefix"
+        ),
+    )
+    groups = per.groupBy("prefix").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.least(F.min("n_tok"), F.lit(_Q261_K)).cast("long").alias("prefix_tok"),
+    )
+    tot = per.agg(F.sum("n_tok").cast("long").alias("total_tokens"))
+    return (
+        groups.filter(F.col("cnt") >= 2)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_groups"),
+            F.coalesce(F.sum("cnt"), F.lit(0)).cast("long").alias("n_docs_covered"),
+            F.coalesce(F.sum((F.col("cnt") - 1) * F.col("prefix_tok")), F.lit(0))
+            .cast("long")
+            .alias("tokens_saved"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "saved_rate",
+            F.col("tokens_saved").cast("double")
+            / F.col("total_tokens").cast("double"),
+        )
+    )
+
+
+QUERIES["q261_prefix_cache_savings"] = q261_prefix_cache_savings
+
+
+def _q261_oracle() -> str:
+    from ai_data_pipeline_spark.functions.text import sql_word_ngrams
+
+    toks = sql_word_ngrams("text", 1)
+    return f"""
+    WITH per AS (
+        SELECT doc_id,
+               len({toks}) AS n_tok,
+               array_to_string(list_slice({toks}, 1, {_Q261_K}), ' ') AS prefix
+        FROM documents
+    ), groups AS (
+        SELECT prefix,
+               CAST(COUNT(*) AS BIGINT) AS cnt,
+               CAST(LEAST(MIN(n_tok), {_Q261_K}) AS BIGINT) AS prefix_tok
+        FROM per GROUP BY prefix
+    ), tot AS (
+        SELECT CAST(SUM(n_tok) AS BIGINT) AS total_tokens FROM per
+    )
+    , agg AS (
+        -- no GROUP BY: aggregates over zero input still return ONE
+        -- row, matching Spark's global agg when no prefix repeats
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+               CAST(COALESCE(SUM(cnt), 0) AS BIGINT) AS n_docs_covered,
+               CAST(COALESCE(SUM((cnt - 1) * prefix_tok), 0) AS BIGINT)
+                   AS tokens_saved
+        FROM groups WHERE cnt >= 2
+    )
+    SELECT a.n_groups, a.n_docs_covered, a.tokens_saved, t.total_tokens,
+           CAST(a.tokens_saved AS DOUBLE) / CAST(t.total_tokens AS DOUBLE)
+               AS saved_rate
+    FROM agg a CROSS JOIN tot t
+    """
+
+
+ORACLE["q261_prefix_cache_savings"] = _q261_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Q262 — lexical richness per source (type-token ratio + hapax
+# tail): the corpus-health summary next to q92's Zipf slope and
+# q226's Heaps growth — a source whose TTR collapses is templated or
+# duplicated, one whose hapax share explodes is noisy OCR / junk.
+# Types are lowercased whitespace tokens scoped PER SOURCE; hapax =
+# types occurring exactly once in that source. Two-phase aggregation:
+# (source, token) partial counts (map-side combinable — the explode
+# never shuffles raw text, only 8-byte-ish tokens), then per-source
+# rollup; ttr and hapax_share are single IEEE divisions of exact
+# BIGINTs.
+# ---------------------------------------------------------------------------
+
+
+def q262_lexical_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_data_pipeline_spark.functions.text import ws_tokens
+
+    docs = spread(_t(spark, sf_dir, "documents"))
+    tok = docs.select(
+        "source",
+        F.explode(ws_tokens(F.lower(F.col("text")))).alias("w"),
+    )
+    counts = tok.groupBy("source", "w").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    return (
+        counts.groupBy("source")
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).cast("long").alias("n_types"),
+            F.sum((F.col("c") == 1).cast("int")).cast("long").alias("n_hapax"),
+        )
+        .withColumn(
+            "ttr",
+            F.col("n_types").cast("double") / F.col("n_tokens").cast("double"),
+        )
+        .withColumn(
+            "hapax_share",
+            F.col("n_hapax").cast("double") / F.col("n_types").cast("double"),
+        )
+        .orderBy("source")
+    )
+
+
+QUERIES["q262_lexical_richness"] = q262_lexical_richness
+
+
+def _q262_oracle() -> str:
+    from ai_data_pipeline_spark.functions.text import sql_word_ngrams
+
+    toks = sql_word_ngrams("lower(text)", 1)
+    return f"""
+    WITH tok AS (
+        SELECT source, unnest({toks}) AS w FROM documents
+    ), counts AS (
+        SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c
+        FROM tok GROUP BY source, w
+    )
+    SELECT source,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+           CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS ttr,
+           CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS hapax_share
+    FROM counts
+    GROUP BY source
+    ORDER BY source
+    """
+
+
+ORACLE["q262_lexical_richness"] = _q262_oracle()

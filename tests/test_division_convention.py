@@ -244,6 +244,11 @@ ALLOWED_DIV_SITES = {
     'GINT) AS alloc, CAST(CASE WHEN k < n THEN (budget - pk) //',
     'l ( "k" ) < F . col ( "n" ) , F . expr ( "(budget - pk) div',
     'otal" ) , ) . withColumn ( "budget" , F . expr ( "total div',
+    # q260 median pick — n = COUNT(*) OVER (...) ≥ 1, so n + 1 ≥ 2:
+    # non-negative on both engines.
+    ' ( wsrc ) ) . withColumn ( "pick" , F . expr ( "(n + 1) div',
+    ' BY source) AS n FROM base ), s2 AS ( SELECT *, (n + 1) //',
+    'ECT *, (n + 1) // 2 AS pick, MAX(CASE WHEN rk = (n + 1) //',
 }
 
 
