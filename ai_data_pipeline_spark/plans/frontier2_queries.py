@@ -1207,3 +1207,259 @@ def _q262_oracle() -> str:
 
 
 ORACLE["q262_lexical_richness"] = _q262_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Q263 — the three-stage dedup CASCADE audit (the production funnel
+# every large corpus actually runs — FineWeb/Dolma/RefinedWeb order:
+# exact → near → semantic, each stage only paying for the previous
+# stage's survivors): stage 1 exact keep-first on the normalized
+# text (q20/q190's canonical form — lowercase, strip punctuation,
+# collapse whitespace); stage 2 capped 4-gram Jaccard ≥ 0.6 pairs →
+# connected components → keep-min (q23/q107 machinery,
+# max_shingle_freq mandatory and mirrored); stage 3 SemDeDup at
+# τ = 0.35 over the survivors' embeddings (doc_id ≡ vec_id),
+# occupancy-scaled cells seeded from the SURVIVOR set (q223's exact
+# q6 argmin through the count-gated kernel; doc 0 always survives
+# keep-min stages, so the stride-0 seed always exists). The graded
+# read is the MARGINAL removal per stage per source — the number
+# that tells a deployment which stages still earn their pass. Exact
+# integer tallies; kept_rate one IEEE division of exact BIGINTs.
+# Scale: stage 1 is a hash window; stage 2 is the banded/capped pair
+# machinery (never f²); stage 3 is Σ|cell|² within survivor cells;
+# each stage's input shrinks monotonically — the cascade's whole
+# point at 100 TB.
+# ---------------------------------------------------------------------------
+
+_Q263_N = 4
+_Q263_JACCARD = "0.6"
+_Q263_MAXF = 50
+_Q263_TAU = 0.35
+
+
+def q263_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_data_pipeline_spark.functions.text import normalized_text
+    from ai_data_pipeline_spark.functions.vector import quantize_q6
+    from ai_data_pipeline_spark.operators.dedup import (
+        dedup_clusters_star,
+        ngram_jaccard_pairs,
+    )
+    from ai_data_pipeline_spark.operators.vectorized import cosine_pairs_np
+    from ai_data_pipeline_spark.plans.frontier_queries import (
+        _Q223_STRIDE,
+        _assign_exact_q6,
+    )
+
+    docs = spread(_t(spark, sf_dir, "documents")).select("doc_id", "source", "text")
+
+    # stage 1 — exact (normalized) keep-first
+    wn = Window.partitionBy("norm").orderBy("doc_id")
+    s1 = docs.withColumn("norm", normalized_text(F.col("text"))).withColumn(
+        "rn", F.row_number().over(wn)
+    )
+    rem1 = s1.filter(F.col("rn") > 1).select("doc_id", "source")
+    surv1 = (
+        s1.filter(F.col("rn") == 1)
+        .select("doc_id", "source", "text")
+        # three consumers (pair machinery, tally anti-join, stage-3
+        # feed) — checkpoint so stage 1 runs once
+        .localCheckpoint()
+    )
+
+    # stage 2 — capped shingle Jaccard → components → keep-min
+    pairs2 = ngram_jaccard_pairs(
+        surv1,
+        "doc_id",
+        "text",
+        n=_Q263_N,
+        min_jaccard=float(_Q263_JACCARD),
+        max_shingle_freq=_Q263_MAXF,
+    ).select("id_a", "id_b")
+    cl2 = dedup_clusters_star(pairs2)
+    rem2_ids = cl2.filter(F.col("id") != F.col("cluster_id")).select(
+        F.col("id").alias("doc_id")
+    )
+    rem2 = surv1.join(rem2_ids, "doc_id").select("doc_id", "source")
+    surv2 = surv1.join(rem2_ids, "doc_id", "left_anti").localCheckpoint()
+
+    # stage 3 — SemDeDup over the survivors' embeddings
+    emb = _t(spark, sf_dir, "embeddings")
+    sem = emb.join(
+        surv2.select(F.col("doc_id").alias("vec_id")), "vec_id"
+    ).localCheckpoint()
+    seeds = sem.filter(F.pmod(F.col("vec_id"), F.lit(_Q223_STRIDE)) == 0).select(
+        F.col("vec_id").alias("seed_id"), quantize_q6("embedding").alias("s6")
+    )
+    cells = _assign_exact_q6(
+        sem.select("vec_id", quantize_q6("embedding").alias("v6")), seeds
+    )
+    assigned = sem.select("vec_id", "embedding").join(cells, "vec_id")
+    pairs3 = cosine_pairs_np(
+        assigned,
+        id_col="vec_id",
+        vec_col="embedding",
+        block_col="cell",
+        min_cosine=_Q263_TAU,
+    )
+    cl3 = dedup_clusters_star(pairs3)
+    rem3_ids = cl3.filter(F.col("id") != F.col("cluster_id")).select(
+        F.col("id").alias("doc_id")
+    )
+    rem3 = surv2.join(rem3_ids, "doc_id").select("doc_id", "source")
+
+    tot = docs.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+
+    def cnt(df: DataFrame, name: str) -> DataFrame:
+        return df.groupBy("source").agg(
+            F.count(F.lit(1)).cast("long").alias(name)
+        )
+
+    return (
+        tot.join(cnt(rem1, "removed_exact"), "source", "left")
+        .join(cnt(rem2, "removed_near"), "source", "left")
+        .join(cnt(rem3, "removed_semantic"), "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce("removed_exact", F.lit(0)).cast("long").alias("removed_exact"),
+            F.coalesce("removed_near", F.lit(0)).cast("long").alias("removed_near"),
+            F.coalesce("removed_semantic", F.lit(0))
+            .cast("long")
+            .alias("removed_semantic"),
+        )
+        .withColumn(
+            "kept",
+            F.col("n_docs")
+            - F.col("removed_exact")
+            - F.col("removed_near")
+            - F.col("removed_semantic"),
+        )
+        .withColumn(
+            "kept_rate",
+            F.col("kept").cast("double") / F.col("n_docs").cast("double"),
+        )
+        .orderBy("source")
+    )
+
+
+QUERIES["q263_dedup_cascade"] = q263_dedup_cascade
+
+
+def _q263_oracle() -> str:
+    from ai_data_pipeline_spark.functions.text import SQL_NORMALIZED, sql_word_ngrams
+    from ai_data_pipeline_spark.plans.constants import EMBED_DIM
+    from ai_data_pipeline_spark.plans.frontier_queries import _Q223_STRIDE
+
+    grams = sql_word_ngrams("text", _Q263_N)
+    norm = SQL_NORMALIZED.format(x="text")
+    rng = f"range(1, {EMBED_DIM + 1})"
+    d6 = f"list_sum(list_transform({rng}, i -> (q.v6[i] - s.s6[i]) * (q.v6[i] - s.s6[i])))"
+    dot_vv = f"list_sum(list_transform({rng}, i -> (v)[i] * (v)[i]))"
+    dot_ab = f"list_sum(list_transform({rng}, i -> (a.v)[i] * (b.v)[i]))"
+    return f"""
+    WITH RECURSIVE s1 AS MATERIALIZED (
+        SELECT doc_id, source, text,
+               ROW_NUMBER() OVER (PARTITION BY {norm} ORDER BY doc_id) AS rn
+        FROM documents
+    ), rem1 AS (
+        SELECT doc_id, source FROM s1 WHERE rn > 1
+    ), surv1 AS MATERIALIZED (
+        SELECT doc_id, source, text FROM s1 WHERE rn = 1
+    ), sh0 AS (
+        SELECT DISTINCT doc_id AS id, unnest({grams}) AS shingle FROM surv1
+    ), freq AS (
+        SELECT shingle, COUNT(*) AS f FROM sh0 GROUP BY shingle
+    ), sh AS MATERIALIZED (
+        SELECT id, sh0.shingle
+        FROM sh0 JOIN freq ON sh0.shingle = freq.shingle
+        WHERE f <= {_Q263_MAXF}
+    ), sizes AS (
+        SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id
+    ), inter AS (
+        SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+        GROUP BY 1, 2
+    ), pairs2 AS (
+        SELECT id_a, id_b FROM inter
+        JOIN sizes sa ON sa.id = id_a
+        JOIN sizes sb ON sb.id = id_b
+        WHERE inter / (sa.n_sh + sb.n_sh - inter) >= '{_Q263_JACCARD}'::DOUBLE
+    ), edges2 AS (
+        SELECT id_a AS a, id_b AS b FROM pairs2
+        UNION
+        SELECT id_b AS a, id_a AS b FROM pairs2
+    ), reach2 AS (
+        SELECT a AS id, a AS lab FROM edges2
+        UNION
+        SELECT e.a AS id, r.lab AS lab FROM edges2 e JOIN reach2 r ON r.id = e.b
+    ), comp2 AS (
+        SELECT id, MIN(lab) AS cluster_id FROM reach2 GROUP BY id
+    ), rem2 AS (
+        SELECT s.doc_id, s.source
+        FROM surv1 s JOIN comp2 c ON c.id = s.doc_id
+        WHERE c.id <> c.cluster_id
+    ), surv2 AS MATERIALIZED (
+        SELECT s.doc_id, s.source FROM surv1 s
+        WHERE s.doc_id NOT IN (SELECT doc_id FROM rem2)
+    ), sem AS MATERIALIZED (
+        SELECT e.vec_id,
+               list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS v,
+               list_transform(e.embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v6
+        FROM embeddings e JOIN surv2 s ON s.doc_id = e.vec_id
+    ), seeds AS MATERIALIZED (
+        SELECT vec_id AS seed_id, v6 AS s6 FROM sem
+        WHERE vec_id % {_Q223_STRIDE} = 0
+    ), cells AS MATERIALIZED (
+        SELECT vec_id, seed_id AS cell FROM (
+            SELECT q.vec_id, s.seed_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                      ORDER BY {d6}, s.seed_id) AS rn
+            FROM sem q CROSS JOIN seeds s)
+        WHERE rn = 1
+    ), normed AS MATERIALIZED (
+        SELECT q.vec_id, q.v, c.cell, sqrt({dot_vv}) AS nrm
+        FROM sem q JOIN cells c USING (vec_id)
+    ), pairs3 AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM normed a JOIN normed b
+          ON a.cell = b.cell AND a.vec_id < b.vec_id
+        WHERE ({dot_ab}) / (a.nrm * b.nrm) >= '{_Q263_TAU!r}'::DOUBLE
+    ), edges3 AS (
+        SELECT id_a AS a, id_b AS b FROM pairs3
+        UNION
+        SELECT id_b AS a, id_a AS b FROM pairs3
+    ), reach3 AS (
+        SELECT a AS id, a AS lab FROM edges3
+        UNION
+        SELECT e.a AS id, r.lab AS lab FROM edges3 e JOIN reach3 r ON r.id = e.b
+    ), comp3 AS (
+        SELECT id, MIN(lab) AS cluster_id FROM reach3 GROUP BY id
+    ), rem3 AS (
+        SELECT s.doc_id, s.source
+        FROM surv2 s JOIN comp3 c ON c.id = s.doc_id
+        WHERE c.id <> c.cluster_id
+    ), tot AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM documents GROUP BY source
+    ), c1 AS (SELECT source, COUNT(*) AS c FROM rem1 GROUP BY source
+    ), c2 AS (SELECT source, COUNT(*) AS c FROM rem2 GROUP BY source
+    ), c3 AS (SELECT source, COUNT(*) AS c FROM rem3 GROUP BY source)
+    SELECT t.source, t.n_docs,
+           CAST(COALESCE(c1.c, 0) AS BIGINT) AS removed_exact,
+           CAST(COALESCE(c2.c, 0) AS BIGINT) AS removed_near,
+           CAST(COALESCE(c3.c, 0) AS BIGINT) AS removed_semantic,
+           CAST(t.n_docs - COALESCE(c1.c, 0) - COALESCE(c2.c, 0)
+                - COALESCE(c3.c, 0) AS BIGINT) AS kept,
+           CAST(t.n_docs - COALESCE(c1.c, 0) - COALESCE(c2.c, 0)
+                - COALESCE(c3.c, 0) AS DOUBLE) / CAST(t.n_docs AS DOUBLE)
+               AS kept_rate
+    FROM tot t
+    LEFT JOIN c1 ON c1.source = t.source
+    LEFT JOIN c2 ON c2.source = t.source
+    LEFT JOIN c3 ON c3.source = t.source
+    ORDER BY t.source
+    """
+
+
+ORACLE["q263_dedup_cascade"] = _q263_oracle()
