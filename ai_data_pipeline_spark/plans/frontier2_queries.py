@@ -1463,3 +1463,340 @@ def _q263_oracle() -> str:
 
 
 ORACLE["q263_dedup_cascade"] = _q263_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Q264 — within-source sample diversity (the self-BLEU analog a
+# mixture designer reads next to per-source quality: a source whose
+# own documents overlap heavily is templated even if no pair crosses
+# the dedup threshold): a deterministic hash-priority sample of ≤ 8
+# docs per source (rank by 40-bit md5 uniform, q228's idiom — no
+# RNG), then exact 3-gram Jaccard machinery over the sample
+# (max_shingle_freq engaged and mirrored — the CLAUDE.md shingle
+# rule, even on a bounded sample), pairs restricted to same-source.
+# Per source: sample size, total pairs C(k,2), pairs sharing ≥ 1
+# surviving shingle, Σinter, Σunion — and micro_jaccard =
+# Σinter/Σunion (NOT a mean of per-pair doubles: a sum of doubles is
+# order-dependent, the micro form is two exact BIGINTs and one IEEE
+# division; overlap_rate likewise). Scale: the sample is ≤ 8 docs
+# per source BY CONSTRUCTION, so the pair stage is O(|sources|·64)
+# regardless of corpus size — the audit stays constant-cost at
+# 100 TB while the rank window that builds it is one shuffle.
+# ---------------------------------------------------------------------------
+
+_Q264_K = 8
+_Q264_N = 3
+_Q264_MAXF = 50
+
+
+def q264_sample_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_data_pipeline_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = spread(_t(spark, sf_dir, "documents"))
+    u40 = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 10), 16, 10
+    ).cast("long")
+    w = Window.partitionBy("source").orderBy("u", "doc_id")
+    sample = (
+        docs.select("doc_id", "source", "text", u40.alias("u"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _Q264_K)
+        .select("doc_id", "source", "text")
+        .localCheckpoint()  # pair machinery + two id→source joins + size agg
+    )
+    pairs = ngram_jaccard_pairs(
+        sample, "doc_id", "text", n=_Q264_N, max_shingle_freq=_Q264_MAXF
+    )
+    src = sample.select(F.col("doc_id").alias("id"), "source")
+    same = (
+        pairs.join(src.withColumnRenamed("id", "id_a"), "id_a")
+        .join(
+            src.withColumnRenamed("id", "id_b").withColumnRenamed(
+                "source", "source_b"
+            ),
+            "id_b",
+        )
+        .filter(F.col("source") == F.col("source_b"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs_nonzero"),
+            F.sum("inter").cast("long").alias("sum_inter"),
+            F.sum(F.col("n_a") + F.col("n_b") - F.col("inter"))
+            .cast("long")
+            .alias("sum_union"),
+        )
+    )
+    sizes = sample.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("k"))
+    return (
+        sizes.join(same, "source", "left")
+        .select(
+            "source",
+            "k",
+            F.expr("k * (k - 1) div 2").alias("n_pairs_total"),
+            F.coalesce("n_pairs_nonzero", F.lit(0))
+            .cast("long")
+            .alias("n_pairs_nonzero"),
+            F.coalesce("sum_inter", F.lit(0)).cast("long").alias("sum_inter"),
+            F.coalesce("sum_union", F.lit(0)).cast("long").alias("sum_union"),
+        )
+        .withColumn(
+            "micro_jaccard",
+            F.when(
+                F.col("sum_union") > 0,
+                F.col("sum_inter").cast("double") / F.col("sum_union").cast("double"),
+            ),
+        )
+        .withColumn(
+            "overlap_rate",
+            F.col("n_pairs_nonzero").cast("double")
+            / F.col("n_pairs_total").cast("double"),
+        )
+        .orderBy("source")
+    )
+
+
+QUERIES["q264_sample_diversity"] = q264_sample_diversity
+
+
+def _q264_oracle() -> str:
+    from ai_data_pipeline_spark.functions.text import sql_word_ngrams
+
+    grams = sql_word_ngrams("text", _Q264_N)
+    return f"""
+    WITH sample AS MATERIALIZED (
+        SELECT doc_id, source, text FROM (
+            SELECT doc_id, source, text,
+                   ROW_NUMBER() OVER (PARTITION BY source
+                       ORDER BY (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 10))::BIGINT),
+                                doc_id) AS rk
+            FROM documents)
+        WHERE rk <= {_Q264_K}
+    ), sh AS MATERIALIZED (
+        SELECT DISTINCT doc_id AS id, unnest({grams}) AS shingle FROM sample
+    ), freq AS (
+        SELECT shingle, COUNT(*) AS f FROM sh GROUP BY shingle
+    ), shf AS MATERIALIZED (
+        SELECT id, sh.shingle FROM sh JOIN freq USING (shingle)
+        WHERE f <= {_Q264_MAXF}
+    ), sizes AS (
+        SELECT id, COUNT(*) AS n_sh FROM shf GROUP BY id
+    ), inter AS (
+        SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS inter
+        FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.id < b.id
+        GROUP BY 1, 2
+    ), same AS (
+        SELECT sa2.source,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs_nonzero,
+               CAST(SUM(i.inter) AS BIGINT) AS sum_inter,
+               CAST(SUM(za.n_sh + zb.n_sh - i.inter) AS BIGINT) AS sum_union
+        FROM inter i
+        JOIN sample sa2 ON sa2.doc_id = i.id_a
+        JOIN sample sb2 ON sb2.doc_id = i.id_b AND sb2.source = sa2.source
+        JOIN sizes za ON za.id = i.id_a
+        JOIN sizes zb ON zb.id = i.id_b
+        GROUP BY sa2.source
+    ), ks AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS k FROM sample GROUP BY source
+    )
+    SELECT ks.source, ks.k,
+           CAST(ks.k * (ks.k - 1) // 2 AS BIGINT) AS n_pairs_total,
+           CAST(COALESCE(s.n_pairs_nonzero, 0) AS BIGINT) AS n_pairs_nonzero,
+           CAST(COALESCE(s.sum_inter, 0) AS BIGINT) AS sum_inter,
+           CAST(COALESCE(s.sum_union, 0) AS BIGINT) AS sum_union,
+           CASE WHEN COALESCE(s.sum_union, 0) > 0
+                THEN CAST(s.sum_inter AS DOUBLE) / CAST(s.sum_union AS DOUBLE)
+           END AS micro_jaccard,
+           CAST(COALESCE(s.n_pairs_nonzero, 0) AS DOUBLE)
+               / CAST(ks.k * (ks.k - 1) // 2 AS DOUBLE) AS overlap_rate
+    FROM ks LEFT JOIN same s ON s.source = ks.source
+    ORDER BY ks.source
+    """
+
+
+ORACLE["q264_sample_diversity"] = _q264_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Q265 — epochs-to-exhaustion mixture planner (the scheduling view
+# of q228/q231's temperature mixtures: before a run starts, a data
+# planner needs "at this per-epoch budget and these temperature
+# draws, after how many epochs does each source run dry and start
+# repeating?" — Muennighoff et al. 2023 frames repetition budgets
+# exactly this way). Per-epoch draw for source s =
+# (T · share_q40) div 2^40 where share_q40 = floor(sqrt(avail_s /
+# total) · 2^40): the UNNORMALIZED temperature-0.5 draw in the
+# repo's exact-q40 idiom — avail/total is one IEEE division of
+# exact BIGINTs, sqrt is correctly rounded (identical on both
+# engines), and the 2^40 fixed-point floor makes every downstream
+# decision integer-exact (q228's discipline; normalizing by
+# Σ sqrt(avail) would sum doubles in engine order — rejected).
+# epochs_to_exhaust = ceil(avail / draw) in integers ((avail + draw
+# − 1) div draw), NULL when the draw rounds to zero. T = total div
+# 4. Scale: one tokenize agg to |sources| rows; everything after is
+# arithmetic on the tiny frame.
+# ---------------------------------------------------------------------------
+
+_Q265_Q40 = 1 << 40
+
+
+def q265_epochs_to_exhaustion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_data_pipeline_spark.functions.text import token_count_ws
+
+    docs = spread(_t(spark, sf_dir, "documents"))
+    src = (
+        docs.select("source", token_count_ws(F.col("text")).alias("tok"))
+        .groupBy("source")
+        .agg(F.sum("tok").cast("long").alias("avail"))
+        .localCheckpoint()  # two consumers: total agg + per-source math
+    )
+    tot = src.agg(F.sum("avail").cast("long").alias("total")).withColumn(
+        "t_epoch", F.expr("total div 4")
+    )
+    out = (
+        src.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "share_q40",
+            F.floor(
+                F.sqrt(F.col("avail").cast("double") / F.col("total").cast("double"))
+                * F.lit(float(_Q265_Q40))
+            ).cast("long"),
+        )
+        .withColumn(
+            "draw", F.expr(f"(t_epoch * share_q40) div {_Q265_Q40}")
+        )
+        .withColumn(
+            "epochs_to_exhaust",
+            F.when(
+                F.col("draw") > 0, F.expr("(avail + draw - 1) div draw")
+            ),
+        )
+    )
+    return out.select(
+        "source", "avail", "share_q40", "draw", "epochs_to_exhaust", "t_epoch"
+    ).orderBy("source")
+
+
+QUERIES["q265_epochs_to_exhaustion"] = q265_epochs_to_exhaustion
+
+
+def _q265_oracle() -> str:
+    from ai_data_pipeline_spark.functions.text import sql_word_ngrams
+
+    toks = sql_word_ngrams("text", 1)
+    return f"""
+    WITH per AS (
+        SELECT source, len({toks}) AS tok FROM documents
+    ), src AS (
+        SELECT source, CAST(SUM(tok) AS BIGINT) AS avail
+        FROM per GROUP BY source
+    ), tot AS (
+        SELECT CAST(SUM(avail) AS BIGINT) AS total,
+               CAST(SUM(avail) AS BIGINT) // 4 AS t_epoch
+        FROM src
+    ), m AS (
+        SELECT s.source, s.avail, t.t_epoch,
+               CAST(floor(sqrt(CAST(s.avail AS DOUBLE) / CAST(t.total AS DOUBLE))
+                          * CAST({_Q265_Q40} AS DOUBLE)) AS BIGINT) AS share_q40
+        FROM src s CROSS JOIN tot t
+    )
+    SELECT source, avail, share_q40,
+           CAST((t_epoch * share_q40) // {_Q265_Q40} AS BIGINT) AS draw,
+           CAST(CASE WHEN (t_epoch * share_q40) // {_Q265_Q40} > 0
+                     THEN (avail + (t_epoch * share_q40) // {_Q265_Q40} - 1)
+                          // ((t_epoch * share_q40) // {_Q265_Q40})
+                END AS BIGINT) AS epochs_to_exhaust,
+           t_epoch
+    FROM m
+    ORDER BY source
+    """
+
+
+ORACLE["q265_epochs_to_exhaustion"] = _q265_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Q266 — cross-snapshot content novelty (q121's novelty axis applied
+# to q256's release snapshots: "how much NEW content does the next
+# release actually add?" — the corpus-staleness read that decides
+# whether ingesting release k is worth the pipeline run). Every
+# distinct 8-gram hash charges its FIRST snapshot (MIN(snap) over
+# the gram — one hash-keyed agg, q226's first-decile trick); per
+# snapshot: distinct grams present, grams first seen there, novelty
+# = new/present (one IEEE division of exact BIGINTs), plus gram
+# OCCURRENCE mass for weight. Gram identity is the md5-60 hash of
+# the gram string (8-byte shuffle keys, q121's law; collision odds
+# ~|grams|²/2⁶⁰ — the documented trade every gram-hash query makes).
+# Scale: one explode + two hash aggs (gram-keyed then snap-keyed),
+# no pairs, no windows over the corpus.
+# ---------------------------------------------------------------------------
+
+_Q266_N = 8
+
+
+def q266_snapshot_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_data_pipeline_spark.functions.text import word_ngrams
+    from ai_data_pipeline_spark.operators.dedup import md5_hash60
+
+    docs = spread(_t(spark, sf_dir, "documents"))
+    u40 = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 10), 16, 10
+    ).cast("long")
+    grams = docs.select(
+        F.pmod(u40, F.lit(_Q256_SNAPS)).cast("long").alias("snap"),
+        F.explode(word_ngrams(F.col("text"), _Q266_N)).alias("gram"),
+    ).select("snap", md5_hash60(F.col("gram")).alias("h"))
+    per_gram_snap = grams.groupBy("snap", "h").agg(
+        F.count(F.lit(1)).cast("long").alias("occ")
+    )
+    first = per_gram_snap.groupBy("h").agg(F.min("snap").alias("first_snap"))
+    return (
+        per_gram_snap.join(first, "h")
+        .groupBy("snap")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum("occ").cast("long").alias("n_occurrences"),
+            F.sum((F.col("first_snap") == F.col("snap")).cast("int"))
+            .cast("long")
+            .alias("n_new"),
+        )
+        .withColumn(
+            "novelty",
+            F.col("n_new").cast("double") / F.col("n_grams").cast("double"),
+        )
+        .orderBy("snap")
+    )
+
+
+QUERIES["q266_snapshot_novelty"] = q266_snapshot_novelty
+
+
+def _q266_oracle() -> str:
+    from ai_data_pipeline_spark.functions.text import sql_word_ngrams
+
+    grams = sql_word_ngrams("text", _Q266_N)
+    return f"""
+    WITH g AS (
+        SELECT (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 10))::BIGINT)
+                   % {_Q256_SNAPS} AS snap,
+               (('0x' || substr(md5(u.gram), 1, 15))::BIGINT) AS h
+        FROM documents, unnest({grams}) AS u(gram)
+    ), pgs AS (
+        SELECT snap, h, CAST(COUNT(*) AS BIGINT) AS occ
+        FROM g GROUP BY snap, h
+    ), first AS (
+        SELECT h, MIN(snap) AS first_snap FROM pgs GROUP BY h
+    )
+    SELECT CAST(p.snap AS BIGINT) AS snap,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(p.occ) AS BIGINT) AS n_occurrences,
+           CAST(SUM(CASE WHEN f.first_snap = p.snap THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_new,
+           CAST(SUM(CASE WHEN f.first_snap = p.snap THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS novelty
+    FROM pgs p JOIN first f ON f.h = p.h
+    GROUP BY p.snap
+    ORDER BY snap
+    """
+
+
+ORACLE["q266_snapshot_novelty"] = _q266_oracle()

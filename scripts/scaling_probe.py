@@ -125,6 +125,14 @@ PROBE = [
     "q253_trimmed_robust_stats",  # per-source rank window + hash agg
     "q254_anti_clustered_sharding", # q204 clusters + per-cluster rank window
     "q255_pq_layout_training_ablation", # 4 kernel passes + 2 bounded training aggs
+    "q256_source_snapshot_drift",  # one scan + (source, snap) agg + tiny window
+    "q257_tree_partitioned_store", # tree assign + 2-level partitioned write/pruned read
+    "q258_water_filling_budget",   # one corpus agg + |sources|-row windows
+    "q259_ivfadc_residual",        # 2 pq-kernel passes + coarse assign + probed-cell ADC
+    "q260_mad_outliers",           # two rank windows sharing one source shuffle
+    "q261_prefix_cache_savings",   # tokenize scan + prefix-key hash agg
+    "q262_lexical_richness",       # token explode + two-phase agg
+    "q263_dedup_cascade",          # exact window + capped pairs + survivor semdedup
 ]
 
 

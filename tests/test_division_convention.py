@@ -249,6 +249,21 @@ ALLOWED_DIV_SITES = {
     ' ( wsrc ) ) . withColumn ( "pick" , F . expr ( "(n + 1) div',
     ' BY source) AS n FROM base ), s2 AS ( SELECT *, (n + 1) //',
     'ECT *, (n + 1) // 2 AS pick, MAX(CASE WHEN rk = (n + 1) //',
+    # q264 pair counting — k = COUNT(*) ≥ 1, k·(k−1) ≥ 0.
+    '" ) . select ( "source" , "k" , F . expr ( "k * (k - 1) div',
+    'n_pairs_nonzero, 0) AS DOUBLE) / CAST(ks.k * (ks.k - 1) //',
+    'source ) SELECT ks.source, ks.k, CAST(ks.k * (ks.k - 1) //',
+    # q265 mixture planner — total/avail/t_epoch/share_q40/draw are
+    # all sums or floors of non-negative values; every dividend is a
+    # product or sum of them (guarded draw > 0 before the ceil-div).
+    'total" ) ) . withColumn ( "t_epoch" , F . expr ( "total div',
+    'ithColumn ( "draw" , F . expr ( f"(t_epoch * share_q40) div',
+    'F . col ( "draw" ) > 0 , F . expr ( "(avail + draw - 1) div',
+    'CT source, avail, share_q40, CAST((t_epoch * share_q40) //',
+    'S BIGINT) AS draw, CAST(CASE WHEN (t_epoch * share_q40) //',
+    ' // {_Q265_Q40} > 0 THEN (avail + (t_epoch * share_q40) //',
+    'THEN (avail + (t_epoch * share_q40) // {_Q265_Q40} - 1) //',
+    'hare_q40) // {_Q265_Q40} - 1) // ((t_epoch * share_q40) //',
 }
 
 
