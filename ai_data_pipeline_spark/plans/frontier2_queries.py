@@ -1748,10 +1748,14 @@ def q266_snapshot_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_gram_snap = grams.groupBy("snap", "h").agg(
         F.count(F.lit(1)).cast("long").alias("occ")
     )
-    first = per_gram_snap.groupBy("h").agg(F.min("snap").alias("first_snap"))
+    # MIN window over h, NOT groupBy(h)+join-back: the join form
+    # re-executes the whole explode+agg DAG for the first-snap branch
+    # (the q23/q232 rule) — the window is one h-keyed shuffle
+    flagged = per_gram_snap.withColumn(
+        "first_snap", F.min("snap").over(Window.partitionBy("h"))
+    )
     return (
-        per_gram_snap.join(first, "h")
-        .groupBy("snap")
+        flagged.groupBy("snap")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_grams"),
             F.sum("occ").cast("long").alias("n_occurrences"),

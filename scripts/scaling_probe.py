@@ -133,6 +133,9 @@ PROBE = [
     "q261_prefix_cache_savings",   # tokenize scan + prefix-key hash agg
     "q262_lexical_richness",       # token explode + two-phase agg
     "q263_dedup_cascade",          # exact window + capped pairs + survivor semdedup
+    "q264_sample_diversity",       # rank-window sample + bounded capped pairs
+    "q265_epochs_to_exhaustion",   # tokenize agg to |sources| rows + arithmetic
+    "q266_snapshot_novelty",       # gram explode + two hash aggs
 ]
 
 
