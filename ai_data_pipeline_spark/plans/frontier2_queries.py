@@ -1804,3 +1804,351 @@ def _q266_oracle() -> str:
 
 
 ORACLE["q266_snapshot_novelty"] = _q266_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Q267 — cross-snapshot length-distribution drift per source (the
+# distribution-shape companion to q256's mean deltas: a source can
+# hold its mean while its length histogram bifurcates — q126's TVD
+# statistic, applied between a source's FIRST and LAST release
+# snapshot): docs bin to length bands (n_chars div 256), snapshots
+# 0 and 3 (q256's md5 binning); TVD numerator =
+# Σ_bands |c0_b·N3 − c3_b·N0| in exact BIGINTs (cross-multiplied to
+# avoid per-band double ratios), tvd = num / (2·N0·N3) — ONE IEEE
+# division of exact integers, NULL when either snapshot is empty.
+# Scale: one scan → (source, band) partial agg → per-source window
+# for the marginals (reuses the agg's hash partitioning) → per-source
+# rollup; no joins.
+# ---------------------------------------------------------------------------
+
+_Q267_BAND = 256
+_Q267_A = 0
+_Q267_B = 3
+
+
+def q267_snapshot_length_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(_t(spark, sf_dir, "documents"))
+    u40 = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 10), 16, 10
+    ).cast("long")
+    per = docs.select(
+        "source",
+        F.pmod(u40, F.lit(_Q256_SNAPS)).cast("long").alias("snap"),
+        F.expr(f"CAST(n_chars AS BIGINT) div {_Q267_BAND}").alias("band"),
+    ).filter(F.col("snap").isin(_Q267_A, _Q267_B))
+    hist = per.groupBy("source", "band").agg(
+        F.sum((F.col("snap") == _Q267_A).cast("int")).cast("long").alias("c0"),
+        F.sum((F.col("snap") == _Q267_B).cast("int")).cast("long").alias("c3"),
+    )
+    wsrc = Window.partitionBy("source")
+    m = hist.withColumn("n0", F.sum("c0").over(wsrc)).withColumn(
+        "n3", F.sum("c3").over(wsrc)
+    )
+    return (
+        m.groupBy("source")
+        .agg(
+            F.max("n0").cast("long").alias("n0"),
+            F.max("n3").cast("long").alias("n3"),
+            F.count(F.lit(1)).cast("long").alias("n_bands"),
+            F.sum(F.abs(F.col("c0") * F.col("n3") - F.col("c3") * F.col("n0")))
+            .cast("long")
+            .alias("tvd_num"),
+        )
+        .withColumn(
+            "tvd",
+            F.when(
+                (F.col("n0") > 0) & (F.col("n3") > 0),
+                F.col("tvd_num").cast("double")
+                / (2 * F.col("n0") * F.col("n3")).cast("double"),
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+QUERIES["q267_snapshot_length_drift"] = q267_snapshot_length_drift
+
+
+def _q267_oracle() -> str:
+    return f"""
+    WITH per AS (
+        SELECT source,
+               (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 10))::BIGINT)
+                   % {_Q256_SNAPS} AS snap,
+               CAST(n_chars AS BIGINT) // {_Q267_BAND} AS band
+        FROM documents
+    ), hist AS (
+        SELECT source, band,
+               CAST(SUM(CASE WHEN snap = {_Q267_A} THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+               CAST(SUM(CASE WHEN snap = {_Q267_B} THEN 1 ELSE 0 END) AS BIGINT) AS c3
+        FROM per WHERE snap IN ({_Q267_A}, {_Q267_B})
+        GROUP BY source, band
+    ), m AS (
+        SELECT *,
+               CAST(SUM(c0) OVER (PARTITION BY source) AS BIGINT) AS n0,
+               CAST(SUM(c3) OVER (PARTITION BY source) AS BIGINT) AS n3
+        FROM hist
+    ), agg AS (
+        SELECT source,
+               CAST(MAX(n0) AS BIGINT) AS n0,
+               CAST(MAX(n3) AS BIGINT) AS n3,
+               CAST(COUNT(*) AS BIGINT) AS n_bands,
+               CAST(SUM(abs(c0 * n3 - c3 * n0)) AS BIGINT) AS tvd_num
+        FROM m GROUP BY source
+    )
+    SELECT source, n0, n3, n_bands, tvd_num,
+           CASE WHEN n0 > 0 AND n3 > 0
+                THEN CAST(tvd_num AS DOUBLE) / CAST(2 * n0 * n3 AS DOUBLE)
+           END AS tvd
+    FROM agg
+    ORDER BY source
+    """
+
+
+ORACLE["q267_snapshot_length_drift"] = _q267_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Q268 — duplication × quality interaction ("is junk more
+# duplicated?"): the dedup-policy question behind every cascade
+# ordering — if near-dups concentrate in low-quality strata, a
+# quality gate FIRST shrinks the expensive pair stage; if they
+# don't, dedup first preserves quality-score mass. Strata = exact
+# Gopher rules-passed count (0..7, q202's integer rule family — no
+# arbitrary banding); dup membership = q107/q263's capped 4-gram
+# Jaccard ≥ 0.6 pairs → connected components (a doc is "duplicated"
+# iff it has at least one qualifying edge — every node of `reach`).
+# Per stratum: docs, duplicated docs, dup_rate (one IEEE division of
+# exact BIGINTs). Scale: the rule projection runs at the scan; the
+# pair stage is the capped shingle machinery (never f²); the final
+# join is a broadcast of the ≤ |dup docs| id set.
+# ---------------------------------------------------------------------------
+
+
+def q268_dup_quality_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_data_pipeline_spark.operators.curation import gopher_quality_flags
+    from ai_data_pipeline_spark.operators.dedup import (
+        dedup_clusters_star,
+        ngram_jaccard_pairs,
+    )
+
+    docs = spread(_t(spark, sf_dir, "documents")).select("doc_id", "text")
+    rules = [
+        "r_word_count", "r_mean_word_len", "r_symbol_ratio",
+        "r_bullet_lines", "r_ellipsis_lines", "r_alpha_words",
+        "r_stopwords",
+    ]
+    g = gopher_quality_flags(docs).select(
+        "doc_id",
+        sum(F.col(r).cast("int") for r in rules).cast("long").alias("rules_passed"),
+    )
+    pairs = ngram_jaccard_pairs(
+        docs, "doc_id", "text",
+        n=_Q263_N,
+        min_jaccard=float(_Q263_JACCARD),
+        max_shingle_freq=_Q263_MAXF,
+    ).select("id_a", "id_b")
+    members = dedup_clusters_star(pairs).select(F.col("id").alias("doc_id"))
+    flagged = g.join(
+        members.withColumn("is_dup", F.lit(1)), "doc_id", "left"
+    ).select("rules_passed", F.coalesce("is_dup", F.lit(0)).alias("is_dup"))
+    return (
+        flagged.groupBy("rules_passed")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("is_dup").cast("long").alias("n_dup"),
+        )
+        .withColumn(
+            "dup_rate",
+            F.col("n_dup").cast("double") / F.col("n_docs").cast("double"),
+        )
+        .orderBy("rules_passed")
+    )
+
+
+QUERIES["q268_dup_quality_interaction"] = q268_dup_quality_interaction
+
+
+def _q268_oracle() -> str:
+    from ai_data_pipeline_spark.functions.text import sql_word_ngrams
+
+    grams = sql_word_ngrams("text", _Q263_N)
+    return f"""
+    WITH RECURSIVE d AS (
+        SELECT doc_id,
+               coalesce(text, '') AS t,
+               list_filter(string_split_regex(coalesce(text, ''), '[ \\t\\r\\n]+'),
+                           w -> w != '') AS words,
+               list_filter(string_split(coalesce(text, ''), chr(10)),
+                           l -> NOT regexp_full_match(l, '[ \\t\\r]*')) AS lines
+        FROM documents
+    ), m AS (
+        SELECT doc_id,
+               len(words) AS n_words,
+               coalesce(list_sum(list_transform(words, w -> len(w))), 0) AS word_chars,
+               len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]'))) AS n_alpha,
+               len(lines) AS n_lines,
+               len(list_filter(lines, l -> regexp_matches(l, '^[ \\t]*[-*\u2022]'))) AS n_bullet,
+               len(list_filter(lines, l -> regexp_matches(l, '(\\.\\.\\.|\u2026)[ \\t\\r]*$'))) AS n_ell,
+               length(t) - length(replace(t, '#', ''))
+                 + len(regexp_extract_all(t, '(\\.\\.\\.|\u2026)')) AS n_sym,
+               len(list_intersect(list_distinct(list_transform(words, w -> lower(w))),
+                   ['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with'])) AS n_stop
+        FROM d
+    ), rp AS (
+        SELECT doc_id,
+               CAST((CASE WHEN n_words >= 50 AND n_words <= 100000 THEN 1 ELSE 0 END)
+                  + (CASE WHEN 3 * n_words <= word_chars
+                           AND word_chars <= 10 * n_words THEN 1 ELSE 0 END)
+                  + (CASE WHEN 10 * n_sym <= n_words THEN 1 ELSE 0 END)
+                  + (CASE WHEN 10 * n_bullet <= 9 * n_lines THEN 1 ELSE 0 END)
+                  + (CASE WHEN 10 * n_ell <= 3 * n_lines THEN 1 ELSE 0 END)
+                  + (CASE WHEN 5 * n_alpha >= 4 * n_words THEN 1 ELSE 0 END)
+                  + (CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS rules_passed
+        FROM m
+    ), sh0 AS (
+        SELECT DISTINCT doc_id AS id, unnest({grams}) AS shingle FROM documents
+    ), freq AS (
+        SELECT shingle, COUNT(*) AS f FROM sh0 GROUP BY shingle
+    ), sh AS MATERIALIZED (
+        SELECT id, sh0.shingle
+        FROM sh0 JOIN freq ON sh0.shingle = freq.shingle
+        WHERE f <= {_Q263_MAXF}
+    ), sizes AS (
+        SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id
+    ), inter AS (
+        SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+        GROUP BY 1, 2
+    ), pairs AS (
+        SELECT id_a, id_b FROM inter
+        JOIN sizes sa ON sa.id = id_a
+        JOIN sizes sb ON sb.id = id_b
+        WHERE inter / (sa.n_sh + sb.n_sh - inter) >= '{_Q263_JACCARD}'::DOUBLE
+    ), edges AS (
+        SELECT id_a AS a, id_b AS b FROM pairs
+        UNION
+        SELECT id_b AS a, id_a AS b FROM pairs
+    ), reach AS (
+        SELECT a AS id, a AS lab FROM edges
+        UNION
+        SELECT e.a AS id, r.lab AS lab FROM edges e JOIN reach r ON r.id = e.b
+    ), dup AS (
+        SELECT DISTINCT id AS doc_id FROM reach
+    )
+    SELECT rp.rules_passed,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN dup.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup,
+           CAST(SUM(CASE WHEN dup.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS dup_rate
+    FROM rp LEFT JOIN dup ON dup.doc_id = rp.doc_id
+    GROUP BY rp.rules_passed
+    ORDER BY rp.rules_passed
+    """
+
+
+ORACLE["q268_dup_quality_interaction"] = _q268_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Q269 — duplicated-span POSITION profile (where does duplication
+# LIVE inside documents?): boilerplate headers and footers duplicate
+# at document EDGES while quoted/mirrored content duplicates in the
+# middle — the positional read that turns a dedup report into a
+# cleanup strategy (strip templates vs drop docs). q222's
+# first-occurrence gram window at n=8: every non-first occurrence of
+# a corpus-duplicated 8-gram charges its position tercile
+# (3·p div m ∈ {0,1,2} over the doc's m gram positions — exact
+# integer binning). Per (source, tercile): gram positions, duplicated
+# positions, dup_rate (one IEEE division of exact BIGINTs). Scale:
+# q222's law — the gram-hash window shuffles 8-byte hashes once;
+# tercile accounting is a map-side projection after it.
+# ---------------------------------------------------------------------------
+
+_Q269_N = 8
+
+
+def q269_dup_position_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_data_pipeline_spark.functions.text import word_ngrams
+    from ai_data_pipeline_spark.operators.dedup import md5_hash60
+
+    docs = spread(_t(spark, sf_dir, "documents"))
+    # m = per-doc gram count computed BEFORE the explode (array size)
+    # — no doc_id window, so the only shuffle is the gram-hash one
+    g0 = docs.select(
+        "doc_id", "source", word_ngrams(F.col("text"), _Q269_N).alias("gs")
+    ).withColumn("m", F.size("gs").cast("long"))
+    grams = g0.select(
+        "doc_id",
+        "source",
+        "m",
+        F.posexplode(F.col("gs")).alias("p", "gram"),
+    ).select("doc_id", "source", "m", "p", md5_hash60(F.col("gram")).alias("h"))
+    wg = Window.partitionBy("h").orderBy("doc_id", "p")
+    flagged = (
+        grams.withColumn("rn", F.row_number().over(wg))
+        .select(
+            "source",
+            F.expr("(3 * p) div m").alias("tercile"),
+            (F.col("rn") > 1).cast("int").alias("is_dup"),
+        )
+    )
+    return (
+        flagged.groupBy("source", "tercile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_positions"),
+            F.sum("is_dup").cast("long").alias("n_dup_positions"),
+        )
+        .withColumn(
+            "dup_rate",
+            F.col("n_dup_positions").cast("double")
+            / F.col("n_positions").cast("double"),
+        )
+        .select(
+            "source",
+            F.col("tercile").cast("long").alias("tercile"),
+            "n_positions",
+            "n_dup_positions",
+            "dup_rate",
+        )
+        .orderBy("source", "tercile")
+    )
+
+
+QUERIES["q269_dup_position_profile"] = q269_dup_position_profile
+
+
+def _q269_oracle() -> str:
+    from ai_data_pipeline_spark.functions.text import sql_word_ngrams
+
+    grams = sql_word_ngrams("text", _Q269_N)
+    return f"""
+    WITH g0 AS (
+        SELECT doc_id, source, {grams} AS gs FROM documents
+    ), g AS (
+        SELECT doc_id, source, len(gs) AS m,
+               generate_subscripts(gs, 1) - 1 AS p,
+               (('0x' || substr(md5(unnest(gs)), 1, 15))::BIGINT) AS h
+        FROM g0
+    ), flagged AS (
+        SELECT source,
+               (3 * p) // m AS tercile,
+               CASE WHEN rn > 1 THEN 1 ELSE 0 END AS is_dup
+        FROM (
+            SELECT source, p, m,
+                   ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, p) AS rn
+            FROM g)
+    )
+    SELECT source, CAST(tercile AS BIGINT) AS tercile,
+           CAST(COUNT(*) AS BIGINT) AS n_positions,
+           CAST(SUM(is_dup) AS BIGINT) AS n_dup_positions,
+           CAST(SUM(is_dup) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS dup_rate
+    FROM flagged
+    GROUP BY source, tercile
+    ORDER BY source, tercile
+    """
+
+
+ORACLE["q269_dup_position_profile"] = _q269_oracle()

@@ -264,6 +264,13 @@ ALLOWED_DIV_SITES = {
     ' // {_Q265_Q40} > 0 THEN (avail + (t_epoch * share_q40) //',
     'THEN (avail + (t_epoch * share_q40) // {_Q265_Q40} - 1) //',
     'hare_q40) // {_Q265_Q40} - 1) // ((t_epoch * share_q40) //',
+    # q267 length banding — n_chars ≥ 0 (generator column).
+    'IGINT) % {_Q256_SNAPS} AS snap, CAST(n_chars AS BIGINT) //',
+    'alias ( "snap" ) , F . expr ( f"CAST(n_chars AS BIGINT) div',
+    # q269 position terciles — p is a 0-based gram position, m ≥ 1
+    # whenever a gram row exists.
+    'NT) AS h FROM g0 ), flagged AS ( SELECT source, (3 * p) //',
+    'over ( wg ) ) . select ( "source" , F . expr ( "(3 * p) div',
 }
 
 
