@@ -2152,3 +2152,187 @@ def _q269_oracle() -> str:
 
 
 ORACLE["q269_dup_position_profile"] = _q269_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Q270 — retrieval margin audit (the number a contrastive-training
+# pass reads off q240's hard negatives: how far below the weakest
+# true positive does the strongest mined negative sit? A small or
+# negative margin means the negatives are GOOD — near the decision
+# boundary — or that the ANN candidate pool contains uncaught
+# positives): per q27 query, pos_min_sim = the 3rd-ranked
+# brute-force cosine (the weakest positive), neg_max_sim = the best
+# cosine among probed-cell candidates that are NOT brute-force
+# top-3 (q240's negative pool, unranked — the max is over ALL of
+# it), margin = pos_min − neg_max. All sims are the identical-LTR
+# cosine expression both engines (q27/q240 float precedent);
+# min/max/difference of bit-identical doubles is deterministic.
+# Scale: one brute-force pass (queries broadcast, corpus never
+# collected — q27's law) + the probed-cell candidate pool (nprobe/K
+# of the corpus); both aggregate per qid.
+# ---------------------------------------------------------------------------
+
+_Q270_NPROBE = 2
+
+
+def q270_retrieval_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_data_pipeline_spark.functions.vector import (
+        cosine,
+        quantize_q6,
+        quantize_q6_py,
+    )
+    from ai_data_pipeline_spark.plans.constants import Q27_QUERY_VECS
+    from ai_data_pipeline_spark.plans.frontier_queries import (
+        _Q223_STRIDE,
+        _assign_exact_q6,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    base = emb.select("vec_id", quantize_q6("embedding").alias("v6"))
+    seeds = base.filter(F.pmod(F.col("vec_id"), F.lit(_Q223_STRIDE)) == 0).select(
+        F.col("vec_id").alias("seed_id"), F.col("v6").alias("s6")
+    )
+    cells = _assign_exact_q6(base, seeds)
+    corpus = emb.select("vec_id", "embedding").join(cells, "vec_id")
+
+    qrows = [
+        (i, [float(x) for x in Q27_QUERY_VECS[i]], quantize_q6_py(Q27_QUERY_VECS[i]))
+        for i in range(len(Q27_QUERY_VECS))
+    ]
+    qdf = spark.createDataFrame(qrows, "qid long, qvec array<double>, q6 array<bigint>")
+
+    bf = (
+        emb.crossJoin(F.broadcast(qdf))
+        .select("qid", "vec_id", cosine(F.col("embedding"), F.col("qvec")).alias("sim"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
+            ),
+        )
+        .filter(F.col("rk") <= 3)
+        # positives feed the anti-join AND the per-qid min — 15 rows
+        .localCheckpoint()
+    )
+    pos = bf.groupBy("qid").agg(F.min("sim").alias("pos_min_sim"))
+
+    d6 = F.aggregate(
+        F.zip_with("q6", "s6", lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    probes = (
+        qdf.crossJoin(F.broadcast(seeds))
+        .select("qid", "qvec", "seed_id", d6.alias("d6"))
+        .withColumn(
+            "rk",
+            F.row_number().over(Window.partitionBy("qid").orderBy("d6", "seed_id")),
+        )
+        .filter(F.col("rk") <= _Q270_NPROBE)
+        .select("qid", "qvec", "seed_id")
+    )
+    cand = corpus.join(F.broadcast(probes), corpus.cell == probes.seed_id).select(
+        "qid", "vec_id", cosine(F.col("embedding"), F.col("qvec")).alias("sim")
+    )
+    negs = cand.join(F.broadcast(bf.select("qid", "vec_id")), ["qid", "vec_id"], "left_anti")
+    nagg = negs.groupBy("qid").agg(
+        F.count(F.lit(1)).cast("long").alias("n_neg"),
+        F.max("sim").alias("neg_max_sim"),
+    )
+    return (
+        pos.join(nagg, "qid")
+        .select(
+            "qid",
+            "pos_min_sim",
+            "n_neg",
+            "neg_max_sim",
+            (F.col("pos_min_sim") - F.col("neg_max_sim")).alias("margin"),
+        )
+        .orderBy("qid")
+    )
+
+
+QUERIES["q270_retrieval_margin"] = q270_retrieval_margin
+
+
+def _q270_oracle() -> str:
+    from ai_data_pipeline_spark.functions.vector import (
+        quantize_q6_py,
+        sql_dot,
+        sql_lit_list,
+        sql_norm,
+    )
+    from ai_data_pipeline_spark.plans.constants import EMBED_DIM, Q27_QUERY_VECS
+    from ai_data_pipeline_spark.plans.frontier_queries import _Q223_STRIDE
+
+    rng = f"range(1, {EMBED_DIM + 1})"
+    d6 = f"list_sum(list_transform({rng}, i -> (q.q6[i] - s.s6[i]) * (q.q6[i] - s.s6[i])))"
+    qvals = ", ".join(
+        f"({i}, {sql_lit_list(v)}, {quantize_q6_py(v)})"
+        for i, v in enumerate(Q27_QUERY_VECS)
+    )
+
+    def cos(e: str, qv: str) -> str:
+        return (
+            f"({sql_dot(e, qv, EMBED_DIM)}) / "
+            f"(({sql_norm(e, EMBED_DIM)}) * ({sql_norm(qv, EMBED_DIM)}))"
+        )
+
+    return f"""
+    WITH q6c AS MATERIALIZED (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v6
+        FROM embeddings
+    ), seeds AS MATERIALIZED (
+        SELECT vec_id AS seed_id, v6 AS s6 FROM q6c
+        WHERE vec_id % {_Q223_STRIDE} = 0
+    ), cells AS MATERIALIZED (
+        SELECT vec_id, seed_id AS cell FROM (
+            SELECT q.vec_id, s.seed_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                       ORDER BY list_sum(list_transform({rng},
+                           i -> (q.v6[i] - s.s6[i]) * (q.v6[i] - s.s6[i]))),
+                           s.seed_id) AS rn
+            FROM q6c q CROSS JOIN seeds s)
+        WHERE rn = 1
+    ), queries AS (
+        SELECT * FROM (VALUES {qvals}) AS q(qid, qvec, q6)
+    ), bf AS MATERIALIZED (
+        SELECT qid, vec_id, sim FROM (
+            SELECT c2.qid, e.vec_id, {cos('e.embedding', 'c2.qvec')} AS sim,
+                   ROW_NUMBER() OVER (PARTITION BY c2.qid
+                       ORDER BY {cos('e.embedding', 'c2.qvec')} DESC, e.vec_id) AS rk
+            FROM embeddings e CROSS JOIN queries c2)
+        WHERE rk <= 3
+    ), pos AS (
+        SELECT qid, MIN(sim) AS pos_min_sim FROM bf GROUP BY qid
+    ), probes AS MATERIALIZED (
+        SELECT qid, qvec, seed_id FROM (
+            SELECT q.qid, q.qvec, s.seed_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.qid
+                                      ORDER BY {d6}, s.seed_id) AS rk
+            FROM queries q CROSS JOIN seeds s)
+        WHERE rk <= {_Q270_NPROBE}
+    ), cand AS (
+        SELECT c2.qid, e.vec_id, {cos('e.embedding', 'c2.qvec')} AS sim
+        FROM embeddings e
+        JOIN cells ON cells.vec_id = e.vec_id
+        JOIN probes c2 ON cells.cell = c2.seed_id
+    ), negs AS (
+        SELECT c.qid, c.vec_id, c.sim
+        FROM cand c
+        WHERE NOT EXISTS (
+            SELECT 1 FROM bf WHERE bf.qid = c.qid AND bf.vec_id = c.vec_id)
+    ), nagg AS (
+        SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_neg, MAX(sim) AS neg_max_sim
+        FROM negs GROUP BY qid
+    )
+    SELECT p.qid, p.pos_min_sim, n.n_neg, n.neg_max_sim,
+           p.pos_min_sim - n.neg_max_sim AS margin
+    FROM pos p JOIN nagg n ON n.qid = p.qid
+    ORDER BY p.qid
+    """
+
+
+ORACLE["q270_retrieval_margin"] = _q270_oracle()
