@@ -136,6 +136,10 @@ PROBE = [
     "q264_sample_diversity",       # rank-window sample + bounded capped pairs
     "q265_epochs_to_exhaustion",   # tokenize agg to |sources| rows + arithmetic
     "q266_snapshot_novelty",       # gram explode + two hash aggs
+    "q267_snapshot_length_drift",  # (source, band) agg + source window
+    "q268_dup_quality_interaction", # rule scan + capped pairs + components
+    "q269_dup_position_profile",   # gram-hash window + tercile projection
+    "q270_retrieval_margin",       # brute-force pass + probed-cell pool
 ]
 
 
