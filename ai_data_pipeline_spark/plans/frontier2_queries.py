@@ -2336,3 +2336,245 @@ def _q270_oracle() -> str:
 
 
 ORACLE["q270_retrieval_margin"] = _q270_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Q271 — cross-source near-dup FLOW matrix (q139 counts exact-digest
+# dups across sources; this is the near-dup version with direction:
+# for every capped 4-gram Jaccard ≥ 0.6 pair, the lower doc_id is
+# the canonical/original side (the keep-min keeper convention), so
+# (source of min, source of max) reads as "src_to duplicates
+# src_from" — the provenance matrix that tells a pipeline which
+# sources are mirrors/scrapes of which): per (src_from, src_to)
+# ordered pair: n_pairs, distinct duplicator docs. Scale: the pair
+# stage is the capped shingle machinery (never f²); the matrix is
+# |sources|² rows max.
+# ---------------------------------------------------------------------------
+
+
+def q271_neardup_flow_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_data_pipeline_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = spread(_t(spark, sf_dir, "documents")).select("doc_id", "source", "text")
+    pairs = ngram_jaccard_pairs(
+        docs,
+        "doc_id",
+        "text",
+        n=_Q263_N,
+        min_jaccard=float(_Q263_JACCARD),
+        max_shingle_freq=_Q263_MAXF,
+    ).select("id_a", "id_b")  # id_a < id_b by construction
+    src = docs.select(F.col("doc_id").alias("id"), "source")
+    return (
+        pairs.join(
+            src.withColumnRenamed("id", "id_a").withColumnRenamed(
+                "source", "src_from"
+            ),
+            "id_a",
+        )
+        .join(
+            src.withColumnRenamed("id", "id_b").withColumnRenamed("source", "src_to"),
+            "id_b",
+        )
+        .groupBy("src_from", "src_to")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.countDistinct("id_b").cast("long").alias("n_duplicators"),
+        )
+        .orderBy("src_from", "src_to")
+    )
+
+
+QUERIES["q271_neardup_flow_matrix"] = q271_neardup_flow_matrix
+
+
+def _q271_oracle() -> str:
+    from ai_data_pipeline_spark.functions.text import sql_word_ngrams
+
+    grams = sql_word_ngrams("text", _Q263_N)
+    return f"""
+    WITH sh0 AS (
+        SELECT DISTINCT doc_id AS id, unnest({grams}) AS shingle FROM documents
+    ), freq AS (
+        SELECT shingle, COUNT(*) AS f FROM sh0 GROUP BY shingle
+    ), sh AS MATERIALIZED (
+        SELECT id, sh0.shingle FROM sh0 JOIN freq ON sh0.shingle = freq.shingle
+        WHERE f <= {_Q263_MAXF}
+    ), sizes AS (
+        SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id
+    ), inter AS (
+        SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+        GROUP BY 1, 2
+    ), pairs AS (
+        SELECT id_a, id_b FROM inter
+        JOIN sizes sa ON sa.id = id_a
+        JOIN sizes sb ON sb.id = id_b
+        WHERE inter / (sa.n_sh + sb.n_sh - inter) >= '{_Q263_JACCARD}'::DOUBLE
+    )
+    SELECT da.source AS src_from, db.source AS src_to,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(COUNT(DISTINCT p.id_b) AS BIGINT) AS n_duplicators
+    FROM pairs p
+    JOIN documents da ON da.doc_id = p.id_a
+    JOIN documents db ON db.doc_id = p.id_b
+    GROUP BY da.source, db.source
+    ORDER BY src_from, src_to
+    """
+
+
+ORACLE["q271_neardup_flow_matrix"] = _q271_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Q272 — consistent-hash ring resharding audit (Karger et al. 1997;
+# the ingestion-sharding contract at 100 TB: adding a shard must
+# remap ~1/(n+1) of the corpus, not reshuffle all of it — this row
+# MEASURES that on the real ring arithmetic instead of asserting
+# it): 8 nodes × 8 virtual nodes, ring positions = the 60-bit md5 of
+# "node{n}:vnode{v}" computed ONCE in Python (constant literals,
+# definitionally shared with the twin — the LUT idiom); a doc at
+# position md5-60(doc_id) assigns to the first ring point clockwise
+# (first vnode position ≥ doc pos, wrapping to the ring's first
+# point). Assignment is the ring_assign_np Arrow kernel (one scan
+# pass, np.searchsorted over the 64-point ring — bit-identical to
+# the twin's len(list_filter(ring, p -> p < pos)) index because
+# both count strictly-smaller points over exact int64): no window,
+# no shuffle, no single-partition sort. The literal-array HOF
+# expression form was measured and REJECTED — ~9.4 s WARM per
+# invocation at ANY corpus size (two 64/72-point literal filters
+# are codegen-COMPILE-bound, the q235/CLAUDE.md class). Ring 2 adds
+# node 8 (9×8 points); per node: docs before, docs after, inflow
+# (docs that moved TO the node), and the corpus remap_rate (one IEEE
+# division of exact BIGINTs) — expected ≈ 1/9, measured.
+# ---------------------------------------------------------------------------
+
+_Q272_NODES = 8
+_Q272_VNODES = 8
+
+
+def _q272_ring(n_nodes: int) -> tuple[list[int], list[int]]:
+    """Sorted (positions, node-ids) for the ring — pure Python md5,
+    the exact integers the SQL twin recomputes from the same
+    strings."""
+    import hashlib
+
+    pts = []
+    for n in range(n_nodes):
+        for v in range(_Q272_VNODES):
+            h = hashlib.md5(f"node{n}:vnode{v}".encode()).hexdigest()
+            pts.append((int(h[:15], 16), n))
+    pts.sort()
+    assert len({p for p, _ in pts}) == len(pts)  # no ring collisions
+    return [p for p, _ in pts], [n for _, n in pts]
+
+
+def q272_consistent_hash_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_data_pipeline_spark.operators.dedup import md5_hash60
+    from ai_data_pipeline_spark.operators.vectorized import ring_assign_np
+
+    docs = spread(_t(spark, sf_dir, "documents"))
+    r1 = _q272_ring(_Q272_NODES)
+    r2 = _q272_ring(_Q272_NODES + 1)
+    pos = md5_hash60(F.col("doc_id").cast("string"))
+    # ONE corpus scan collapses to the ≤ (n+1)² transition matrix;
+    # every tally derives from the tiny frame (no multi-consumer
+    # re-scan of the corpus)
+    matrix = (
+        ring_assign_np(
+            docs.select(pos.alias("pos")),
+            {"node_before": r1, "node_after": r2},
+        )
+        .groupBy("node_before", "node_after")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint()
+    )
+    moved = (F.col("node_before") != F.col("node_after")).cast("int")
+    tot = matrix.agg(
+        F.sum("c").cast("long").alias("n_total"),
+        F.sum(F.col("c") * moved).cast("long").alias("n_remapped"),
+    )
+    per = (
+        matrix.groupBy(F.col("node_after").alias("node"))
+        .agg(
+            F.sum("c").cast("long").alias("n_after"),
+            F.sum(F.col("c") * moved).cast("long").alias("n_inflow"),
+        )
+        .join(
+            matrix.groupBy(F.col("node_before").alias("node")).agg(
+                F.sum("c").cast("long").alias("n_before")
+            ),
+            "node",
+            "full_outer",
+        )
+        .select(
+            "node",
+            F.coalesce("n_before", F.lit(0)).cast("long").alias("n_before"),
+            F.coalesce("n_after", F.lit(0)).cast("long").alias("n_after"),
+            F.coalesce("n_inflow", F.lit(0)).cast("long").alias("n_inflow"),
+        )
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "remap_rate",
+            F.col("n_remapped").cast("double") / F.col("n_total").cast("double"),
+        )
+        .select("node", "n_before", "n_after", "n_inflow", "n_remapped", "remap_rate")
+        .orderBy("node")
+    )
+
+
+QUERIES["q272_consistent_hash_ring"] = q272_consistent_hash_ring
+
+
+def _q272_oracle() -> str:
+    r1 = _q272_ring(_Q272_NODES)
+    r2 = _q272_ring(_Q272_NODES + 1)
+
+    def lst(v: list[int]) -> str:
+        return "[" + ", ".join(f"{x}::BIGINT" for x in v) + "]"
+
+    def assign(ring: tuple[list[int], list[int]]) -> str:
+        rp, rn = lst(ring[0]), lst(ring[1])
+        idx = f"len(list_filter({rp}, p -> p < pos))"
+        return (
+            f"({rn})[(CASE WHEN {idx} >= {len(ring[0])} THEN 0 ELSE {idx} END) + 1]"
+        )
+
+    return f"""
+    WITH d AS (
+        SELECT (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT)
+                   AS pos
+        FROM documents
+    ), assigned AS MATERIALIZED (
+        SELECT {assign(r1)} AS node_before, {assign(r2)} AS node_after FROM d
+    ), tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+               CAST(SUM(CASE WHEN node_before <> node_after THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_remapped
+        FROM assigned
+    ), aft AS (
+        SELECT node_after AS node,
+               CAST(COUNT(*) AS BIGINT) AS n_after,
+               CAST(SUM(CASE WHEN node_before <> node_after THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_inflow
+        FROM assigned GROUP BY node_after
+    ), bef AS (
+        SELECT node_before AS node, CAST(COUNT(*) AS BIGINT) AS n_before
+        FROM assigned GROUP BY node_before
+    )
+    SELECT CAST(COALESCE(a.node, b.node) AS BIGINT) AS node,
+           CAST(COALESCE(b.n_before, 0) AS BIGINT) AS n_before,
+           CAST(COALESCE(a.n_after, 0) AS BIGINT) AS n_after,
+           CAST(COALESCE(a.n_inflow, 0) AS BIGINT) AS n_inflow,
+           t.n_remapped,
+           CAST(t.n_remapped AS DOUBLE) / CAST(t.n_total AS DOUBLE) AS remap_rate
+    FROM aft a
+    FULL OUTER JOIN bef b ON b.node = a.node
+    CROSS JOIN tot t
+    ORDER BY node
+    """
+
+
+ORACLE["q272_consistent_hash_ring"] = _q272_oracle()

@@ -226,6 +226,23 @@ HEADLINE = [
     "q253_trimmed_robust_stats",
     "q254_anti_clustered_sharding",
     "q255_pq_layout_training_ablation",
+    "q256_source_snapshot_drift",
+    "q257_tree_partitioned_store",
+    "q258_water_filling_budget",
+    "q259_ivfadc_residual",
+    "q260_mad_outliers",
+    "q261_prefix_cache_savings",
+    "q262_lexical_richness",
+    "q263_dedup_cascade",
+    "q264_sample_diversity",
+    "q265_epochs_to_exhaustion",
+    "q266_snapshot_novelty",
+    "q267_snapshot_length_drift",
+    "q268_dup_quality_interaction",
+    "q269_dup_position_profile",
+    "q270_retrieval_margin",
+    "q271_neardup_flow_matrix",
+    "q272_consistent_hash_ring",
 ]
 
 

@@ -322,3 +322,20 @@ def test_ivf_assign_q6_np_tie_goes_to_lowest_seed_id(spark):
         d_far = sum((a - b) ** 2 for a, b in zip(v6, [100, 100, 100]))
         expect = 4 if d_seed <= d_far else 9  # tie between 11 and 4 -> 4
         assert out[vid] == expect, (vid, out[vid], expect)
+
+
+def test_ring_assign_np_wrap_and_tie(spark):
+    """searchsorted semantics pinned: a pos EQUAL to a ring point
+    assigns to that point (strictly-smaller count), and a pos past
+    the last point wraps to the ring's first node."""
+    from ai_data_pipeline_spark.operators.vectorized import ring_assign_np
+
+    ring = ([10, 20, 30], [7, 8, 9])
+    df = spark.createDataFrame(
+        [(5,), (10,), (11,), (30,), (31,)], "pos long"
+    )
+    got = {
+        r["pos"]: r["node"]
+        for r in ring_assign_np(df, {"node": ring}).collect()
+    }
+    assert got == {5: 7, 10: 7, 11: 8, 30: 9, 31: 7}
