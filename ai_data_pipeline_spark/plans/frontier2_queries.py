@@ -2578,3 +2578,172 @@ def _q272_oracle() -> str:
 
 
 ORACLE["q272_consistent_hash_ring"] = _q272_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Q273 — frequent-LINE removal (CCNet's paragraph-hash dedup /
+# RefinedWeb's line-wise filtering: navigation chrome, cookie
+# banners and footers repeat as whole LINES across many documents —
+# a granularity neither token-span dedup (q222) nor doc-level
+# near-dup (q204) targets): a line's document frequency counts each
+# doc once (dense_rank-max over the line-hash partition — two
+# window passes on ONE h-keyed shuffle; the distinct+groupBy+
+# join-back form would re-execute the line explode, the q23 trap);
+# lines with df > 5 drop, docs rebuild in original line order
+# (collect_list of (pos, line) structs, sort_array, rejoin with
+# \n — deterministic both engines). Per source: docs, lines and
+# whitespace tokens before/after, docs touched, token removed_rate
+# (one IEEE division of exact BIGINTs). Line identity = the 60-bit
+# md5 of the raw line (8-byte shuffle keys, q121's trade). Empty /
+# whitespace-only lines are kept verbatim (they carry no df signal:
+# dropping the universal "" line would join every paragraph pair).
+# Scale: one explode, one h-keyed window shuffle, one per-doc
+# rebuild agg — no pairs. Measured read on the graded corpora: the
+# generator emits single-line docs with ZERO repeated lines, so the
+# drop path never fires under grading (before == after — itself the
+# corpus fact); the drop path is pinned by a multi-line fixture test
+# against a pure-Python twin
+# (tests/test_extended_invariants.py::
+#  test_q273_line_removal_drop_path_fixture — the r09-advice rule).
+# ---------------------------------------------------------------------------
+
+_Q273_MAX_DF = 5
+
+
+def q273_frequent_line_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_data_pipeline_spark.functions.text import token_count_ws
+    from ai_data_pipeline_spark.operators.dedup import md5_hash60
+
+    docs = spread(_t(spark, sf_dir, "documents")).select("doc_id", "source", "text")
+    lines = docs.select(
+        "doc_id",
+        "source",
+        F.posexplode(F.split(F.col("text"), "\n")).alias("pos", "line"),
+    ).withColumn(
+        "blank", F.col("line").rlike(r"^[ \t\r]*$")
+    ).withColumn("h", md5_hash60(F.col("line")))
+    # df per line hash over non-blank lines: dense_rank over doc_id
+    # then MAX — one shuffle on h, no join-back
+    wh = Window.partitionBy("blank", "h").orderBy("doc_id")
+    whf = Window.partitionBy("blank", "h")
+    flagged = (
+        lines.withColumn("dr", F.dense_rank().over(wh))
+        .withColumn("df", F.max("dr").over(whf))
+        .withColumn(
+            "drop",
+            (~F.col("blank")) & (F.col("df") > _Q273_MAX_DF),
+        )
+    )
+    rebuilt = (
+        flagged.filter(~F.col("drop"))
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("pos"), F.col("line")))
+                    ),
+                    lambda s: s["line"],
+                ),
+                "\n",
+            ).alias("new_text"),
+            F.count(F.lit(1)).cast("long").alias("lines_after"),
+        )
+    )
+    per_doc = (
+        docs.join(rebuilt, "doc_id", "left")
+        .select(
+            "source",
+            token_count_ws(F.col("text")).alias("tok_before"),
+            F.coalesce(token_count_ws(F.col("new_text")), F.lit(0)).alias(
+                "tok_after"
+            ),
+            F.size(F.split(F.col("text"), "\n")).cast("long").alias("lines_before"),
+            F.coalesce("lines_after", F.lit(0)).cast("long").alias("lines_after"),
+        )
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("lines_before").cast("long").alias("lines_before"),
+            F.sum("lines_after").cast("long").alias("lines_after"),
+            F.sum("tok_before").cast("long").alias("tokens_before"),
+            F.sum("tok_after").cast("long").alias("tokens_after"),
+            F.sum((F.col("tok_after") < F.col("tok_before")).cast("int"))
+            .cast("long")
+            .alias("n_docs_trimmed"),
+        )
+        .withColumn(
+            "removed_rate",
+            F.when(
+                F.col("tokens_before") != 0,
+                (F.col("tokens_before") - F.col("tokens_after")).cast("double")
+                / F.col("tokens_before").cast("double"),
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+QUERIES["q273_frequent_line_removal"] = q273_frequent_line_removal
+
+
+def _q273_oracle() -> str:
+    from ai_data_pipeline_spark.functions.text import sql_word_ngrams
+
+    tok_before = f"len({sql_word_ngrams('text', 1)})"
+    tok_after = f"len({sql_word_ngrams('new_text', 1)})"
+    return f"""
+    WITH lines AS (
+        SELECT doc_id, source,
+               generate_subscripts(ls, 1) - 1 AS pos,
+               unnest(ls) AS line
+        FROM (SELECT doc_id, source, string_split(text, chr(10)) AS ls
+              FROM documents)
+    ), marked AS (
+        SELECT *,
+               regexp_full_match(line, '[ \\t\\r]*') AS blank,
+               (('0x' || substr(md5(line), 1, 15))::BIGINT) AS h
+        FROM lines
+    ), flagged AS (
+        SELECT *,
+               MAX(dr) OVER (PARTITION BY blank, h) AS df
+        FROM (
+            SELECT *,
+                   DENSE_RANK() OVER (PARTITION BY blank, h ORDER BY doc_id) AS dr
+            FROM marked)
+    ), rebuilt AS (
+        SELECT doc_id,
+               array_to_string(list(line ORDER BY pos), chr(10)) AS new_text,
+               CAST(COUNT(*) AS BIGINT) AS lines_after
+        FROM flagged
+        WHERE NOT ((NOT blank) AND df > {_Q273_MAX_DF})
+        GROUP BY doc_id
+    ), per_doc AS (
+        SELECT d.source,
+               {tok_before} AS tok_before,
+               COALESCE({tok_after}, 0) AS tok_after,
+               CAST(len(string_split(d.text, chr(10))) AS BIGINT) AS lines_before,
+               COALESCE(r.lines_after, 0) AS lines_after
+        FROM documents d LEFT JOIN rebuilt r ON r.doc_id = d.doc_id
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(lines_before) AS BIGINT) AS lines_before,
+           CAST(SUM(lines_after) AS BIGINT) AS lines_after,
+           CAST(SUM(tok_before) AS BIGINT) AS tokens_before,
+           CAST(SUM(tok_after) AS BIGINT) AS tokens_after,
+           CAST(SUM(CASE WHEN tok_after < tok_before THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_docs_trimmed,
+           CASE WHEN SUM(tok_before) <> 0
+                THEN CAST(SUM(tok_before) - SUM(tok_after) AS DOUBLE)
+                     / CAST(SUM(tok_before) AS DOUBLE)
+           END AS removed_rate
+    FROM per_doc
+    GROUP BY source
+    ORDER BY source
+    """
+
+
+ORACLE["q273_frequent_line_removal"] = _q273_oracle()

@@ -243,6 +243,7 @@ HEADLINE = [
     "q270_retrieval_margin",
     "q271_neardup_flow_matrix",
     "q272_consistent_hash_ring",
+    "q273_frequent_line_removal",
 ]
 
 

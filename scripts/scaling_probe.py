@@ -141,7 +141,8 @@ PROBE = [
     "q269_dup_position_profile",   # gram-hash window + tercile projection
     "q270_retrieval_margin",       # brute-force pass + probed-cell pool
     "q271_neardup_flow_matrix",    # capped pairs + |sources|^2 matrix
-    "q272_consistent_hash_ring",   # expression-only scan + 81-row matrix
+    "q272_consistent_hash_ring",   # ring kernel scan + 81-row matrix
+    "q273_frequent_line_removal",  # line explode + h-window + rebuild agg
 ]
 
 

@@ -318,3 +318,52 @@ def test_q258_water_filling_invariants(spark, sf_dir):
         assert max(allocs) - min(allocs) <= 1
         level = rows[0]["level"]
         assert allocs <= {level, level + 1}
+
+
+def test_q273_line_removal_drop_path_fixture(spark, tmp_path):
+    """The graded corpora are single-line docs with zero repeated
+    lines, so q273's DROP path never fires under grading (documented
+    measured read). This fixture pins it against a pure-Python twin
+    on multi-line docs where a boilerplate footer repeats across
+    more than MAX_DF docs — the r09-advice rule: never leave a
+    branch that only plausible data exercises untested."""
+    import re
+
+    from ai_data_pipeline_spark.plans import frontier2_queries as F2
+
+    footer = "subscribe to our newsletter"
+    rows = []
+    for i in range(8):
+        body = f"unique body text number {i} with several words"
+        text = body + "\n" + footer + "\n\t \n" + f"tail {i}"
+        rows.append((i, "srcA" if i % 2 == 0 else "srcB", text))
+    rows.append((8, "srcA", "no footer here at all"))
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    path = str(tmp_path / "documents.parquet")
+    df.coalesce(1).write.parquet(path)
+    # load_table reads <dir>/<name>.parquet files
+    out = {
+        r["source"]: r
+        for r in F2.q273_frequent_line_removal(spark, str(tmp_path)).collect()
+    }
+
+    def toks(s):
+        return len([w for w in re.split(r"[ \t\n\x0b\f\r]+", s.strip()) if w])
+
+    # python twin: footer df = 8 > 5 -> dropped everywhere; blank
+    # line kept; all other lines df = 1
+    for src in ("srcA", "srcB"):
+        docs = [r for r in rows if r[1] == src]
+        before = sum(toks(r[2]) for r in docs)
+        after = sum(
+            toks("\n".join(l for l in r[2].split("\n") if l != footer))
+            for r in docs
+        )
+        got = out[src]
+        assert got["tokens_before"] == before
+        assert got["tokens_after"] == after
+        assert got["n_docs_trimmed"] == len([r for r in docs if footer in r[2]])
+        # blank lines survive: lines drop only by the footer count
+        assert got["lines_before"] - got["lines_after"] == len(
+            [r for r in docs if footer in r[2]]
+        )
