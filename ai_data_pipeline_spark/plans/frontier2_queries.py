@@ -1233,6 +1233,7 @@ ORACLE["q262_lexical_richness"] = _q262_oracle()
 
 _Q263_N = 4
 _Q263_JACCARD = "0.6"
+_Q263_JACCARD_F = 0.6  # same literal; float twin for the Spark call sites
 _Q263_MAXF = 50
 _Q263_TAU = 0.35
 
@@ -1272,7 +1273,7 @@ def q263_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "text",
         n=_Q263_N,
-        min_jaccard=float(_Q263_JACCARD),
+        min_jaccard=_Q263_JACCARD_F,
         max_shingle_freq=_Q263_MAXF,
     ).select("id_a", "id_b")
     cl2 = dedup_clusters_star(pairs2)
@@ -1945,7 +1946,7 @@ def q268_dup_quality_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = ngram_jaccard_pairs(
         docs, "doc_id", "text",
         n=_Q263_N,
-        min_jaccard=float(_Q263_JACCARD),
+        min_jaccard=_Q263_JACCARD_F,
         max_shingle_freq=_Q263_MAXF,
     ).select("id_a", "id_b")
     members = dedup_clusters_star(pairs).select(F.col("id").alias("doc_id"))
@@ -2361,7 +2362,7 @@ def q271_neardup_flow_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "text",
         n=_Q263_N,
-        min_jaccard=float(_Q263_JACCARD),
+        min_jaccard=_Q263_JACCARD_F,
         max_shingle_freq=_Q263_MAXF,
     ).select("id_a", "id_b")  # id_a < id_b by construction
     src = docs.select(F.col("doc_id").alias("id"), "source")
@@ -2747,3 +2748,132 @@ def _q273_oracle() -> str:
 
 
 ORACLE["q273_frequent_line_removal"] = _q273_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Q274 — transitive over-merge audit (the dedup-theory number every
+# connected-components keeper silently bets on: components make
+# "near-duplicate" TRANSITIVE, so a cluster of size s removes s−1
+# docs while only its direct ≥ τ pairs were ever verified — chained
+# merges can pull in docs that share nothing with the keeper): per
+# component-size band, components, implied pairs Σ C(s,2), directly
+# verified pairs (the capped 4-gram Jaccard ≥ 0.6 edges), and
+# chain_rate = 1 − direct/implied (one IEEE division of exact
+# BIGINTs; 0 for size-2, grows when merging chains) — the measured
+# price of transitivity that decides between component-keeper and
+# pairwise-greedy dedup policies. Scale: the pair stage is the
+# capped machinery; everything after runs on |clusters| rows; the
+# edge→cluster attribution joins the pair list (already small) to
+# the cluster map once.
+# ---------------------------------------------------------------------------
+
+
+def q274_transitivity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_data_pipeline_spark.operators.dedup import (
+        dedup_clusters_star,
+        ngram_jaccard_pairs,
+    )
+
+    docs = spread(_t(spark, sf_dir, "documents")).select("doc_id", "source", "text")
+    pairs = ngram_jaccard_pairs(
+        docs,
+        "doc_id",
+        "text",
+        n=_Q263_N,
+        min_jaccard=_Q263_JACCARD_F,
+        max_shingle_freq=_Q263_MAXF,
+    ).select("id_a", "id_b").localCheckpoint()  # clusters + edge attribution
+    clusters = dedup_clusters_star(pairs)  # [id, cluster_id]
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("s")
+    )
+    # every direct edge lives inside one component by construction —
+    # attribute it through its lower endpoint's cluster
+    edges_per_cluster = (
+        pairs.join(clusters.withColumnRenamed("id", "id_a"), "id_a")
+        .groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("direct"))
+    )
+    per_cluster = sizes.join(edges_per_cluster, "cluster_id").withColumn(
+        "implied", F.expr("s * (s - 1) div 2")
+    )
+    return (
+        per_cluster.groupBy("s")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_clusters"),
+            F.sum("implied").cast("long").alias("implied_pairs"),
+            F.sum("direct").cast("long").alias("direct_pairs"),
+        )
+        .withColumn(
+            "chain_rate",
+            (F.col("implied_pairs") - F.col("direct_pairs")).cast("double")
+            / F.col("implied_pairs").cast("double"),
+        )
+        .select(
+            F.col("s").alias("cluster_size"),
+            "n_clusters",
+            "implied_pairs",
+            "direct_pairs",
+            "chain_rate",
+        )
+        .orderBy("cluster_size")
+    )
+
+
+QUERIES["q274_transitivity_audit"] = q274_transitivity_audit
+
+
+def _q274_oracle() -> str:
+    from ai_data_pipeline_spark.functions.text import sql_word_ngrams
+
+    grams = sql_word_ngrams("text", _Q263_N)
+    return f"""
+    WITH RECURSIVE sh0 AS (
+        SELECT DISTINCT doc_id AS id, unnest({grams}) AS shingle FROM documents
+    ), freq AS (
+        SELECT shingle, COUNT(*) AS f FROM sh0 GROUP BY shingle
+    ), sh AS MATERIALIZED (
+        SELECT id, sh0.shingle FROM sh0 JOIN freq ON sh0.shingle = freq.shingle
+        WHERE f <= {_Q263_MAXF}
+    ), sizes0 AS (
+        SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id
+    ), inter AS (
+        SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+        GROUP BY 1, 2
+    ), pairs AS MATERIALIZED (
+        SELECT id_a, id_b FROM inter
+        JOIN sizes0 sa ON sa.id = id_a
+        JOIN sizes0 sb ON sb.id = id_b
+        WHERE inter / (sa.n_sh + sb.n_sh - inter) >= '{_Q263_JACCARD}'::DOUBLE
+    ), edges AS (
+        SELECT id_a AS a, id_b AS b FROM pairs
+        UNION
+        SELECT id_b AS a, id_a AS b FROM pairs
+    ), reach AS (
+        SELECT a AS id, a AS lab FROM edges
+        UNION
+        SELECT e.a AS id, r.lab AS lab FROM edges e JOIN reach r ON r.id = e.b
+    ), comp AS MATERIALIZED (
+        SELECT id, MIN(lab) AS cluster_id FROM reach GROUP BY id
+    ), csizes AS (
+        SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS s
+        FROM comp GROUP BY cluster_id
+    ), epc AS (
+        SELECT c.cluster_id, CAST(COUNT(*) AS BIGINT) AS direct
+        FROM pairs p JOIN comp c ON c.id = p.id_a
+        GROUP BY c.cluster_id
+    )
+    SELECT z.s AS cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(SUM(z.s * (z.s - 1) // 2) AS BIGINT) AS implied_pairs,
+           CAST(SUM(e.direct) AS BIGINT) AS direct_pairs,
+           CAST(SUM(z.s * (z.s - 1) // 2) - SUM(e.direct) AS DOUBLE)
+               / CAST(SUM(z.s * (z.s - 1) // 2) AS DOUBLE) AS chain_rate
+    FROM csizes z JOIN epc e ON e.cluster_id = z.cluster_id
+    GROUP BY z.s
+    ORDER BY cluster_size
+    """
+
+
+ORACLE["q274_transitivity_audit"] = _q274_oracle()

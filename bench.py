@@ -244,6 +244,7 @@ HEADLINE = [
     "q271_neardup_flow_matrix",
     "q272_consistent_hash_ring",
     "q273_frequent_line_removal",
+    "q274_transitivity_audit",
 ]
 
 

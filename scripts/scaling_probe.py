@@ -143,6 +143,7 @@ PROBE = [
     "q271_neardup_flow_matrix",    # capped pairs + |sources|^2 matrix
     "q272_consistent_hash_ring",   # ring kernel scan + 81-row matrix
     "q273_frequent_line_removal",  # line explode + h-window + rebuild agg
+    "q274_transitivity_audit",     # capped pairs + cluster-size rollup
 ]
 
 

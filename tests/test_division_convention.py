@@ -271,6 +271,11 @@ ALLOWED_DIV_SITES = {
     # whenever a gram row exists.
     'NT) AS h FROM g0 ), flagged AS ( SELECT source, (3 * p) //',
     'over ( wg ) ) . select ( "source" , F . expr ( "(3 * p) div',
+    # q274 implied pairs — s = COUNT(*) ≥ 1, s·(s−1) ≥ 0.
+    ') - SUM(e.direct) AS DOUBLE) / CAST(SUM(z.s * (z.s - 1) //',
+    'T(*) AS BIGINT) AS n_clusters, CAST(SUM(z.s * (z.s - 1) //',
+    'd" ) . withColumn ( "implied" , F . expr ( "s * (s - 1) div',
+    't) AS BIGINT) AS direct_pairs, CAST(SUM(z.s * (z.s - 1) //',
 }
 
 
