@@ -646,8 +646,11 @@ def q259_ivfadc_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
         list(r["r6"]) for r in resid.filter(train).orderBy("vec_id").collect()
     ]  # 8 rows by construction
 
-    asg_d = pq_assign_q6_np(base, codes_d, _Q259_SUBDIM)
-    asg_r = pq_assign_q6_np(resid, codes_r, _Q259_SUBDIM, q6_col="r6")
+    # each assignment feeds TWO consumers (qerr + its ADC branch) —
+    # checkpoint the (N×S)-row code tables so each kernel pass runs
+    # once, not once per consumer
+    asg_d = pq_assign_q6_np(base, codes_d, _Q259_SUBDIM).localCheckpoint()
+    asg_r = pq_assign_q6_np(resid, codes_r, _Q259_SUBDIM, q6_col="r6").localCheckpoint()
     qerr = (
         asg_d.select(F.lit("direct").alias("variant"), "err")
         .unionByName(asg_r.select(F.lit("residual").alias("variant"), "err"))
@@ -2877,3 +2880,152 @@ def _q274_oracle() -> str:
 
 
 ORACLE["q274_transitivity_audit"] = _q274_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Q275 — quality-threshold token-budget curve (the data-selection
+# planning read: "if training keeps only docs passing ≥ t Gopher
+# rules, how many tokens survive and how many sources still
+# contribute?" — the curve a mixture designer sweeps before fixing
+# a quality gate, the selection-side complement of q227's keeper
+# and q242's DSIR scores): for every threshold t ∈ 0..7 (all 8
+# emitted even where the corpus has no docs at a band), cumulative
+# docs/tokens at rules_passed ≥ t, token_share (one IEEE division
+# of exact BIGINTs), and the count of sources still represented
+# (per-source MAX band vs t). Scale: the rule projection runs at
+# the scan and collapses to ≤ 8×|sources| rows; the curve is
+# arithmetic on that tiny frame (threshold × band cross join —
+# 64 rows).
+# ---------------------------------------------------------------------------
+
+
+def q275_quality_budget_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_data_pipeline_spark.operators.curation import gopher_quality_flags
+
+    docs = spread(_t(spark, sf_dir, "documents")).select("doc_id", "source", "text")
+    rules = [
+        "r_word_count", "r_mean_word_len", "r_symbol_ratio",
+        "r_bullet_lines", "r_ellipsis_lines", "r_alpha_words",
+        "r_stopwords",
+    ]
+    g = gopher_quality_flags(docs).select(
+        "source",
+        "n_words",
+        sum(F.col(r).cast("int") for r in rules).cast("long").alias("band"),
+    )
+    per_bs = g.groupBy("band", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_words").cast("long").alias("n_tokens"),
+    ).localCheckpoint()  # ≤ 8×|sources| rows; three consumers below
+    tot = per_bs.agg(F.sum("n_tokens").cast("long").alias("total_tokens"))
+    src_max = per_bs.groupBy("source").agg(F.max("band").alias("max_band"))
+    ts = spark.range(8).select(F.col("id").cast("long").alias("t"))
+    cum = (
+        ts.crossJoin(per_bs)
+        .groupBy("t")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("band") >= F.col("t"), F.col("n_docs")))
+            , F.lit(0)).cast("long").alias("n_docs_cum"),
+            F.coalesce(
+                F.sum(F.when(F.col("band") >= F.col("t"), F.col("n_tokens")))
+            , F.lit(0)).cast("long").alias("n_tokens_cum"),
+        )
+    )
+    srcs = (
+        ts.crossJoin(src_max)
+        .groupBy("t")
+        .agg(
+            F.sum((F.col("max_band") >= F.col("t")).cast("int"))
+            .cast("long")
+            .alias("n_sources")
+        )
+    )
+    return (
+        cum.join(srcs, "t")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "t",
+            "n_docs_cum",
+            "n_tokens_cum",
+            (
+                F.col("n_tokens_cum").cast("double")
+                / F.col("total_tokens").cast("double")
+            ).alias("token_share"),
+            "n_sources",
+        )
+        .orderBy("t")
+    )
+
+
+QUERIES["q275_quality_budget_curve"] = q275_quality_budget_curve
+
+
+def _q275_oracle() -> str:
+    return """
+    WITH d AS (
+        SELECT source,
+               coalesce(text, '') AS t,
+               list_filter(string_split_regex(coalesce(text, ''), '[ \\t\\r\\n]+'),
+                           w -> w != '') AS words,
+               list_filter(string_split(coalesce(text, ''), chr(10)),
+                           l -> NOT regexp_full_match(l, '[ \\t\\r]*')) AS lines
+        FROM documents
+    ), m AS (
+        SELECT source,
+               len(words) AS n_words,
+               coalesce(list_sum(list_transform(words, w -> len(w))), 0) AS word_chars,
+               len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]'))) AS n_alpha,
+               len(lines) AS n_lines,
+               len(list_filter(lines, l -> regexp_matches(l, '^[ \\t]*[-*\u2022]'))) AS n_bullet,
+               len(list_filter(lines, l -> regexp_matches(l, '(\\.\\.\\.|\u2026)[ \\t\\r]*$'))) AS n_ell,
+               length(t) - length(replace(t, '#', ''))
+                 + len(regexp_extract_all(t, '(\\.\\.\\.|\u2026)')) AS n_sym,
+               len(list_intersect(list_distinct(list_transform(words, w -> lower(w))),
+                   ['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with'])) AS n_stop
+        FROM d
+    ), rp AS (
+        SELECT source, n_words,
+               CAST((CASE WHEN n_words >= 50 AND n_words <= 100000 THEN 1 ELSE 0 END)
+                  + (CASE WHEN 3 * n_words <= word_chars
+                           AND word_chars <= 10 * n_words THEN 1 ELSE 0 END)
+                  + (CASE WHEN 10 * n_sym <= n_words THEN 1 ELSE 0 END)
+                  + (CASE WHEN 10 * n_bullet <= 9 * n_lines THEN 1 ELSE 0 END)
+                  + (CASE WHEN 10 * n_ell <= 3 * n_lines THEN 1 ELSE 0 END)
+                  + (CASE WHEN 5 * n_alpha >= 4 * n_words THEN 1 ELSE 0 END)
+                  + (CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS band
+        FROM m
+    ), per_bs AS (
+        SELECT band, source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_words) AS BIGINT) AS n_tokens
+        FROM rp GROUP BY band, source
+    ), tot AS (
+        SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens FROM per_bs
+    ), src_max AS (
+        SELECT source, MAX(band) AS max_band FROM per_bs GROUP BY source
+    ), ts AS (
+        SELECT CAST(unnest(range(8)) AS BIGINT) AS t
+    ), cum AS (
+        SELECT ts.t,
+               CAST(COALESCE(SUM(CASE WHEN p.band >= ts.t THEN p.n_docs END), 0)
+                    AS BIGINT) AS n_docs_cum,
+               CAST(COALESCE(SUM(CASE WHEN p.band >= ts.t THEN p.n_tokens END), 0)
+                    AS BIGINT) AS n_tokens_cum
+        FROM ts CROSS JOIN per_bs p GROUP BY ts.t
+    ), srcs AS (
+        SELECT ts.t,
+               CAST(SUM(CASE WHEN s.max_band >= ts.t THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_sources
+        FROM ts CROSS JOIN src_max s GROUP BY ts.t
+    )
+    SELECT c.t, c.n_docs_cum, c.n_tokens_cum,
+           CAST(c.n_tokens_cum AS DOUBLE) / CAST(x.total_tokens AS DOUBLE)
+               AS token_share,
+           s.n_sources
+    FROM cum c JOIN srcs s ON s.t = c.t CROSS JOIN tot x
+    ORDER BY c.t
+    """
+
+
+ORACLE["q275_quality_budget_curve"] = _q275_oracle()

@@ -245,6 +245,7 @@ HEADLINE = [
     "q272_consistent_hash_ring",
     "q273_frequent_line_removal",
     "q274_transitivity_audit",
+    "q275_quality_budget_curve",
 ]
 
 

@@ -144,6 +144,7 @@ PROBE = [
     "q272_consistent_hash_ring",   # ring kernel scan + 81-row matrix
     "q273_frequent_line_removal",  # line explode + h-window + rebuild agg
     "q274_transitivity_audit",     # capped pairs + cluster-size rollup
+    "q275_quality_budget_curve",   # rule scan to 8x|sources| rows + tiny cross join
 ]
 
 
