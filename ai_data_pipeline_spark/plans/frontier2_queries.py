@@ -3029,3 +3029,133 @@ def _q275_oracle() -> str:
 
 
 ORACLE["q275_quality_budget_curve"] = _q275_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Q276 — dedup-threshold sensitivity sweep (the τ knob curve for the
+# near-dup keeper, q251's S-curve discipline applied to the EXACT
+# pipeline: how many docs does keep-min remove at τ ∈ {0.1, 0.5,
+# 0.9}? A cliff between adjacent τ values means the corpus has a
+# similarity mode sitting on the threshold and the knob needs care;
+# a flat curve means the choice is free): ONE capped 4-gram pair
+# pass at the loosest τ = 0.1 retains per-pair jaccard (int/int
+# division — comparison-safe both engines; τ literals string-parsed
+# doubles per the float policy), then per-τ edge filtering →
+# connected components → removed = members − clusters. Per τ:
+# edges, matched docs, clusters, removed. Scale: the pair stage runs
+# ONCE (checkpointed); each τ re-runs only components on the ≤
+# |pairs| edge subset. Measured read at sf0.01: every candidate
+# pair sits at jaccard ≥ 0.85 (one in [0.85, 0.90), 24 at ≥ 0.95) —
+# the curve is FLAT across 0.1→0.5 and sheds exactly one edge at
+# 0.9: on this corpus the τ knob is free, which is the answer the
+# sweep exists to give (the q249/q259 graded-no-op discipline).
+# ---------------------------------------------------------------------------
+
+_Q276_TAUS = ["0.1", "0.5", "0.9"]
+
+
+def q276_tau_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_data_pipeline_spark.operators.dedup import (
+        dedup_clusters_star,
+        ngram_jaccard_pairs,
+    )
+
+    docs = spread(_t(spark, sf_dir, "documents")).select("doc_id", "source", "text")
+    pairs = ngram_jaccard_pairs(
+        docs,
+        "doc_id",
+        "text",
+        n=_Q263_N,
+        min_jaccard=0.1,
+        max_shingle_freq=_Q263_MAXF,
+    ).select("id_a", "id_b", "jaccard").localCheckpoint()  # one pair pass, 3 τ consumers
+    outs = []
+    for tau in _Q276_TAUS:
+        e = pairs.filter(F.col("jaccard") >= F.lit(float(tau))).select(
+            "id_a", "id_b"
+        )
+        cl = dedup_clusters_star(e)
+        stats = cl.agg(
+            F.count(F.lit(1)).cast("long").alias("n_matched_docs"),
+            F.countDistinct("cluster_id").cast("long").alias("n_clusters"),
+        )
+        edges = e.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+        outs.append(
+            edges.crossJoin(stats).select(
+                F.lit(tau).alias("tau"),
+                "n_edges",
+                "n_matched_docs",
+                "n_clusters",
+                (F.col("n_matched_docs") - F.col("n_clusters"))
+                .cast("long")
+                .alias("n_removed"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("tau")
+
+
+QUERIES["q276_tau_sensitivity"] = q276_tau_sensitivity
+
+
+def _q276_oracle() -> str:
+    from ai_data_pipeline_spark.functions.text import sql_word_ngrams
+
+    grams = sql_word_ngrams("text", _Q263_N)
+
+    def closure(tau: str) -> str:
+        t = tau.replace(".", "")
+        return f"""edges{t} AS (
+        SELECT id_a AS a, id_b AS b FROM pairs WHERE jaccard >= '{tau}'::DOUBLE
+        UNION
+        SELECT id_b AS a, id_a AS b FROM pairs WHERE jaccard >= '{tau}'::DOUBLE
+    ), reach{t} AS (
+        SELECT a AS id, a AS lab FROM edges{t}
+        UNION
+        SELECT e.a AS id, r.lab AS lab
+        FROM edges{t} e JOIN reach{t} r ON r.id = e.b
+    ), comp{t} AS (
+        SELECT id, MIN(lab) AS cluster_id FROM reach{t} GROUP BY id
+    )"""
+
+    def row(tau: str) -> str:
+        t = tau.replace(".", "")
+        return f"""SELECT '{tau}' AS tau,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM pairs
+             WHERE jaccard >= '{tau}'::DOUBLE) AS n_edges,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM comp{t}) AS n_matched_docs,
+           (SELECT CAST(COUNT(DISTINCT cluster_id) AS BIGINT) FROM comp{t})
+               AS n_clusters,
+           (SELECT CAST(COUNT(*) - COUNT(DISTINCT cluster_id) AS BIGINT)
+              FROM comp{t}) AS n_removed"""
+
+    closures = ", ".join(closure(t) for t in _Q276_TAUS)
+    rows = " UNION ALL ".join(row(t) for t in _Q276_TAUS)
+    return f"""
+    WITH RECURSIVE sh0 AS (
+        SELECT DISTINCT doc_id AS id, unnest({grams}) AS shingle FROM documents
+    ), freq AS (
+        SELECT shingle, COUNT(*) AS f FROM sh0 GROUP BY shingle
+    ), sh AS MATERIALIZED (
+        SELECT id, sh0.shingle FROM sh0 JOIN freq ON sh0.shingle = freq.shingle
+        WHERE f <= {_Q263_MAXF}
+    ), sizes AS (
+        SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id
+    ), inter AS (
+        SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+        GROUP BY 1, 2
+    ), pairs AS MATERIALIZED (
+        SELECT id_a, id_b, inter / (sa.n_sh + sb.n_sh - inter) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.id = id_a
+        JOIN sizes sb ON sb.id = id_b
+        WHERE inter / (sa.n_sh + sb.n_sh - inter) >= '0.1'::DOUBLE
+    ), {closures}
+    SELECT * FROM ({rows}) ORDER BY tau
+    """
+
+
+ORACLE["q276_tau_sensitivity"] = _q276_oracle()

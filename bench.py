@@ -246,6 +246,7 @@ HEADLINE = [
     "q273_frequent_line_removal",
     "q274_transitivity_audit",
     "q275_quality_budget_curve",
+    "q276_tau_sensitivity",
 ]
 
 

@@ -145,6 +145,7 @@ PROBE = [
     "q273_frequent_line_removal",  # line explode + h-window + rebuild agg
     "q274_transitivity_audit",     # capped pairs + cluster-size rollup
     "q275_quality_budget_curve",   # rule scan to 8x|sources| rows + tiny cross join
+    "q276_tau_sensitivity",        # one capped pair pass + 3 component runs
 ]
 
 
