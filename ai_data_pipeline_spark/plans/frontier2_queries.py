@@ -3034,11 +3034,11 @@ ORACLE["q275_quality_budget_curve"] = _q275_oracle()
 # ---------------------------------------------------------------------------
 # Q276 — dedup-threshold sensitivity sweep (the τ knob curve for the
 # near-dup keeper, q251's S-curve discipline applied to the EXACT
-# pipeline: how many docs does keep-min remove at τ ∈ {0.1, 0.5,
+# pipeline: how many docs does keep-min remove at τ ∈ {0.5, 0.7,
 # 0.9}? A cliff between adjacent τ values means the corpus has a
 # similarity mode sitting on the threshold and the knob needs care;
 # a flat curve means the choice is free): ONE capped 4-gram pair
-# pass at the loosest τ = 0.1 retains per-pair jaccard (int/int
+# pass at the loosest τ = 0.5 retains per-pair jaccard (int/int
 # division — comparison-safe both engines; τ literals string-parsed
 # doubles per the float policy), then per-τ edge filtering →
 # connected components → removed = members − clusters. Per τ:
@@ -3046,12 +3046,15 @@ ORACLE["q275_quality_budget_curve"] = _q275_oracle()
 # ONCE (checkpointed); each τ re-runs only components on the ≤
 # |pairs| edge subset. Measured read at sf0.01: every candidate
 # pair sits at jaccard ≥ 0.85 (one in [0.85, 0.90), 24 at ≥ 0.95) —
-# the curve is FLAT across 0.1→0.5 and sheds exactly one edge at
+# the curve is FLAT across 0.5→0.7 and sheds exactly one edge at
 # 0.9: on this corpus the τ knob is free, which is the answer the
-# sweep exists to give (the q249/q259 graded-no-op discipline).
+# sweep exists to give (the q249/q259 graded-no-op discipline). A
+# τ = 0.1 floor was measured and REJECTED: at 16× the sub-dup pair
+# mass floods all three component runs (ratio 9.9 vs 1.x here) —
+# and no production keeper components at 0.1 anyway.
 # ---------------------------------------------------------------------------
 
-_Q276_TAUS = ["0.1", "0.5", "0.9"]
+_Q276_TAUS = ["0.5", "0.7", "0.9"]
 
 
 def q276_tau_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3066,7 +3069,7 @@ def q276_tau_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "text",
         n=_Q263_N,
-        min_jaccard=0.1,
+        min_jaccard=0.5,
         max_shingle_freq=_Q263_MAXF,
     ).select("id_a", "id_b", "jaccard").localCheckpoint()  # one pair pass, 3 τ consumers
     outs = []
@@ -3152,7 +3155,7 @@ def _q276_oracle() -> str:
         FROM inter
         JOIN sizes sa ON sa.id = id_a
         JOIN sizes sb ON sb.id = id_b
-        WHERE inter / (sa.n_sh + sb.n_sh - inter) >= '0.1'::DOUBLE
+        WHERE inter / (sa.n_sh + sb.n_sh - inter) >= '0.5'::DOUBLE
     ), {closures}
     SELECT * FROM ({rows}) ORDER BY tau
     """
