@@ -3162,3 +3162,415 @@ def _q276_oracle() -> str:
 
 
 ORACLE["q276_tau_sensitivity"] = _q276_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Q277 — cross-source quality calibration against the corpus
+# distribution ("is src X's 'good' globally good?" — per-source
+# quality summaries like q202/q225 can't answer it because each
+# source grades on its own curve): per-doc score = the exact
+# micro-TTR (distinct lowercased tokens ×1e6 div tokens), banded at
+# div 10⁴ (≤ 101 bands); the corpus's 75th-percentile BAND cut =
+# the smallest band whose cumulative count ≥ ceil(3n/4) (integer
+# ceil, (3n+3) div 4); per source: docs, docs strictly above the
+# cut band, docs at it, above_share (one IEEE division of exact
+# BIGINTs). DELIBERATELY banded: an exact per-doc global percentile
+# needs a corpus-wide rank (single-task window or a prefix-sum
+# pass); the banded cut answers the calibration question with ONE
+# (source, band) partial agg and a ≤101-row cumulative window —
+# the q88 exact-quantile trade at audit granularity.
+# ---------------------------------------------------------------------------
+
+_Q277_BAND = 10_000
+
+
+def q277_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_data_pipeline_spark.functions.text import ws_tokens
+
+    docs = spread(_t(spark, sf_dir, "documents"))
+    toks = ws_tokens(F.lower(F.col("text")))
+    per = docs.select(
+        "source",
+        F.size(toks).cast("long").alias("n_tok"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_dist"),
+    ).filter(F.col("n_tok") > 0)
+    bands = (
+        per.withColumn(
+            "band", F.expr(f"(n_dist * 1000000 div n_tok) div {_Q277_BAND}")
+        )
+        .groupBy("source", "band")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint()  # ≤ |sources|×101 rows; hist + per-source consumers
+    )
+    hist = bands.groupBy("band").agg(F.sum("c").cast("long").alias("n"))
+    wcum = Window.orderBy("band").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    cut = (
+        hist.withColumn("cum", F.sum("n").over(wcum))
+        .withColumn("total", F.sum("n").over(wall))
+        .filter(F.col("cum") * 4 >= F.col("total") * 3)  # cum ≥ ceil(3n/4) ⟺ 4·cum ≥ 3n
+        .agg(F.min("band").alias("q75_band"))
+    )
+    return (
+        bands.crossJoin(F.broadcast(cut))
+        .groupBy("source", "q75_band")
+        .agg(
+            F.sum("c").cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("band") > F.col("q75_band"), F.col("c")).otherwise(0))
+            .cast("long")
+            .alias("n_above"),
+            F.sum(F.when(F.col("band") == F.col("q75_band"), F.col("c")).otherwise(0))
+            .cast("long")
+            .alias("n_at"),
+        )
+        .withColumn(
+            "above_share",
+            F.col("n_above").cast("double") / F.col("n_docs").cast("double"),
+        )
+        .select("source", "q75_band", "n_docs", "n_above", "n_at", "above_share")
+        .orderBy("source")
+    )
+
+
+QUERIES["q277_quality_calibration"] = q277_quality_calibration
+
+
+def _q277_oracle() -> str:
+    from ai_data_pipeline_spark.functions.text import sql_word_ngrams
+
+    toks = sql_word_ngrams("lower(text)", 1)
+    return f"""
+    WITH per AS (
+        SELECT source,
+               len({toks}) AS n_tok,
+               len(list_distinct({toks})) AS n_dist
+        FROM documents
+    ), b AS (
+        SELECT source,
+               (n_dist * 1000000 // n_tok) // {_Q277_BAND} AS band,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM per WHERE n_tok > 0
+        GROUP BY 1, 2
+    ), hist AS (
+        SELECT band, CAST(SUM(c) AS BIGINT) AS n FROM b GROUP BY band
+    ), cum AS (
+        SELECT band,
+               CAST(SUM(n) OVER (ORDER BY band ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS cum,
+               CAST(SUM(n) OVER () AS BIGINT) AS total
+        FROM hist
+    ), cut AS (
+        SELECT MIN(band) AS q75_band FROM cum WHERE cum * 4 >= total * 3
+    )
+    SELECT b.source, CAST(cut.q75_band AS BIGINT) AS q75_band,
+           CAST(SUM(b.c) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN b.band > cut.q75_band THEN b.c ELSE 0 END) AS BIGINT)
+               AS n_above,
+           CAST(SUM(CASE WHEN b.band = cut.q75_band THEN b.c ELSE 0 END) AS BIGINT)
+               AS n_at,
+           CAST(SUM(CASE WHEN b.band > cut.q75_band THEN b.c ELSE 0 END) AS DOUBLE)
+               / CAST(SUM(b.c) AS DOUBLE) AS above_share
+    FROM b CROSS JOIN cut
+    GROUP BY b.source, cut.q75_band
+    ORDER BY b.source
+    """
+
+
+ORACLE["q277_quality_calibration"] = _q277_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Q278 — BPE merge APPLICATION round (q218 ranks merge candidates;
+# this row grades the other half of a tokenizer trainer's loop —
+# APPLY the winning merge corpus-wide and recount, Sennrich et al.
+# 2016's algorithm step): the top round-1 pair (occurrence mass,
+# ties lexicographic) merges LEFT-TO-RIGHT NON-OVERLAPPING inside
+# every word — realized by wrapping every symbol as " sym " (each
+# symbol carries its OWN boundary spaces, so consecutive matches
+# never share a delimiter — "a b a b" merges BOTH pairs, "a a a"
+# merges only the first, exactly BPE's scan) and a single replace()
+# (sequential non-overlapping in both engines); merged symbol
+# sequences rejoin single-spaced and round-2 pairs are their word
+# 2-grams (word_ngrams — symbols are multi-char now, so pair
+# identity needs the space separator, not substr). Output: top-10
+# round-2 candidates (n DESC, pair), the applied pair, and the
+# total realized merge count Σ(symbols_before − symbols_after) —
+# which differs from the round-1 occurrence count exactly on
+# overlaps, the off-by-one every naive BPE implementation ships.
+# Scale: two char-explode scans + map-side combinable counts; the
+# rank window runs on the Heaps-sublinear pair-type table (q244's
+# law); the merge winner is a 1-row broadcast, never a collect.
+# ---------------------------------------------------------------------------
+
+_Q278_TOPK = 10
+
+
+def q278_bpe_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_data_pipeline_spark.functions.text import word_ngrams, ws_tokens
+
+    docs = spread(_t(spark, sf_dir, "documents"))
+    words = (
+        docs.select(F.explode(ws_tokens(F.col("text"))).alias("w"))
+        .localCheckpoint()  # round-1 counts + the apply pass
+    )
+    pairs1 = words.filter(F.length("w") >= 2).select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substr(w, i, 2))")
+        ).alias("pair")
+    )
+    top1 = (
+        pairs1.groupBy("pair")
+        .agg(F.count(F.lit(1)).cast("long").alias("n1"))
+        .orderBy(F.desc("n1"), F.asc("pair"))
+        .limit(1)
+        .select(
+            F.substring("pair", 1, 1).alias("c1"),
+            F.substring("pair", 2, 1).alias("c2"),
+        )
+    )
+    padded = words.crossJoin(F.broadcast(top1)).select(
+        "w",
+        F.concat(
+            F.lit(" "),
+            F.array_join(
+                F.expr("transform(sequence(1, length(w)), i -> substr(w, i, 1))"),
+                "  ",
+            ),
+            F.lit(" "),
+        ).alias("s"),
+        "c1",
+        "c2",
+    )
+    merged = padded.select(
+        "w",
+        F.replace(
+            F.col("s"),
+            F.concat(F.lit(" "), F.col("c1"), F.lit("  "), F.col("c2"), F.lit(" ")),
+            F.concat(F.lit(" "), F.col("c1"), F.col("c2"), F.lit(" ")),
+        ).alias("m"),
+        "c1",
+        "c2",
+    )
+    sym = merged.select(
+        "c1",
+        "c2",
+        F.array_join(
+            F.filter(F.split(F.col("m"), " "), lambda x: x != F.lit("")), " "
+        ).alias("sw"),
+        (F.length("w")).alias("lw"),
+    ).withColumn(
+        "merges", F.col("lw") - F.size(F.split(F.col("sw"), " "))
+    ).localCheckpoint()  # merge-count agg + round-2 pair counts
+    meta = sym.agg(
+        F.sum("merges").cast("long").alias("n_merges_total"),
+        F.max(F.concat(F.col("c1"), F.col("c2"))).alias("applied_pair"),
+    )
+    pairs2 = sym.select(F.explode(word_ngrams(F.col("sw"), 2)).alias("pair"))
+    cnt = pairs2.groupBy("pair").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    ranked = (
+        cnt.withColumn(
+            "rank",
+            F.row_number()
+            .over(Window.orderBy(F.desc("n"), F.asc("pair")))
+            .cast("long"),
+        )
+        .filter(F.col("rank") <= _Q278_TOPK)
+    )
+    return (
+        ranked.crossJoin(F.broadcast(meta))
+        .select("rank", "pair", "n", "applied_pair", "n_merges_total")
+        .orderBy("rank")
+    )
+
+
+QUERIES["q278_bpe_merge_apply"] = q278_bpe_merge_apply
+
+
+def _q278_oracle() -> str:
+    from ai_data_pipeline_spark.functions.text import sql_word_ngrams
+
+    words = (
+        f"SELECT unnest({sql_word_ngrams('text', 1)}) AS w FROM documents"
+    )
+    pairs2 = sql_word_ngrams("sw", 2)
+    return f"""
+    WITH words AS MATERIALIZED (
+        {words}
+    ), p1 AS (
+        SELECT unnest(list_transform(range(1, len(w)), i -> substr(w, i, 2))) AS pair
+        FROM words WHERE len(w) >= 2
+    ), top1 AS (
+        SELECT substr(pair, 1, 1) AS c1, substr(pair, 2, 1) AS c2
+        FROM (SELECT pair, COUNT(*) AS n1 FROM p1 GROUP BY pair
+              ORDER BY n1 DESC, pair LIMIT 1)
+    ), padded AS (
+        SELECT w,
+               ' ' || array_to_string(
+                   list_transform(range(1, len(w) + 1), i -> substr(w, i, 1)),
+                   '  ') || ' ' AS s,
+               c1, c2
+        FROM words CROSS JOIN top1
+    ), merged AS (
+        SELECT w,
+               replace(s, ' ' || c1 || '  ' || c2 || ' ',
+                          ' ' || c1 || c2 || ' ') AS m,
+               c1, c2
+        FROM padded
+    ), sym AS MATERIALIZED (
+        SELECT c1, c2,
+               array_to_string(list_filter(string_split(m, ' '), x -> x != ''), ' ')
+                   AS sw,
+               len(w) AS lw
+        FROM merged
+    ), sym2 AS (
+        SELECT *, lw - len(string_split(sw, ' ')) AS merges FROM sym
+    ), meta AS (
+        SELECT CAST(SUM(merges) AS BIGINT) AS n_merges_total,
+               MAX(c1 || c2) AS applied_pair
+        FROM sym2
+    ), p2 AS (
+        SELECT unnest({pairs2}) AS pair FROM sym2
+    ), cnt AS (
+        SELECT pair, CAST(COUNT(*) AS BIGINT) AS n FROM p2 GROUP BY pair
+    )
+    SELECT CAST(rank AS BIGINT) AS rank, pair, n, m.applied_pair, m.n_merges_total
+    FROM (
+        SELECT pair, n,
+               ROW_NUMBER() OVER (ORDER BY n DESC, pair) AS rank
+        FROM cnt) CROSS JOIN meta m
+    WHERE rank <= {_Q278_TOPK}
+    ORDER BY rank
+    """
+
+
+ORACLE["q278_bpe_merge_apply"] = _q278_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Q279 — streaming consistent-hash shard router (q272's ring AT
+# INGEST, in q234's stateless stream-static shape: the arriving
+# corpus routes to shards with no state store, no watermark, no
+# coordinator — the embarrassingly-parallel ingest topology a 100 TB
+# feed actually uses; adding a node later remaps ~1/(n+1), the
+# contract q272 measures). The ring's 64 points convert to 65
+# half-open integer SEGMENTS ([prev+1, point] inclusive in
+# searchsorted-left semantics, the wrap split in two) computed once
+# in Python (the LUT idiom, definitionally shared with the twin);
+# each streamed doc joins the broadcast segment table on
+# start ≤ pos < end — exactly ONE match by construction, so the
+# stream-static inequality join stays stateless and append-only.
+# Per node: docs routed, whitespace-token mass, share of docs (one
+# IEEE division of exact BIGINTs). Stream equals batch because the
+# policy is deterministic — the oracle recomputes the same segments
+# as VALUES literals.
+# ---------------------------------------------------------------------------
+
+
+def _q279_segments() -> list[tuple[int, int, int]]:
+    """[start, end) integer segments over the 60-bit position space
+    for _q272_ring(8): pos ∈ [p_{i-1}+1, p_i] → node(p_i); the wrap
+    ([p_max+1, 2^60) and [0, p_0]) routes to the first ring point."""
+    rp, rn = _q272_ring(_Q272_NODES)
+    segs = []
+    for i in range(1, len(rp)):
+        segs.append((rp[i - 1] + 1, rp[i] + 1, rn[i]))
+    segs.append((0, rp[0] + 1, rn[0]))          # [0, p_0]
+    segs.append((rp[-1] + 1, 1 << 60, rn[0]))   # wrap high side
+    return segs
+
+
+def q279_streaming_ring_router(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid as _uuid
+
+    from ai_data_pipeline_spark.functions.text import token_count_ws
+    from ai_data_pipeline_spark.operators.dedup import md5_hash60
+    from ai_data_pipeline_spark.plans.pipeline_queries import _drain_memory_sink
+
+    static = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    segs = spark.createDataFrame(
+        _q279_segments(), "seg_start long, seg_end long, node long"
+    )
+    raw = (
+        spark.readStream.schema(static.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    raw = raw.repartition(spark.sparkContext.defaultParallelism)
+    routed = (
+        raw.select(
+            md5_hash60(F.col("doc_id").cast("string")).alias("pos"),
+            token_count_ws(F.col("text")).alias("n_tok"),
+        )
+        .join(
+            F.broadcast(segs),
+            (F.col("pos") >= F.col("seg_start")) & (F.col("pos") < F.col("seg_end")),
+        )
+        .select("node", "n_tok")
+    )
+    name = f"q279_{_uuid.uuid4().hex[:8]}"
+    q = (
+        routed.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    agg = (
+        spark.table(name)
+        .groupBy("node")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+        )
+    )
+    tot = agg.agg(F.sum("n_docs").cast("long").alias("n_total"))
+    out = (
+        agg.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "doc_share",
+            F.col("n_docs").cast("double") / F.col("n_total").cast("double"),
+        )
+        .select("node", "n_docs", "n_tokens", "doc_share")
+        .orderBy("node")
+    )
+    return _drain_memory_sink(out, name)
+
+
+QUERIES["q279_streaming_ring_router"] = q279_streaming_ring_router
+
+
+def _q279_oracle() -> str:
+    from ai_data_pipeline_spark.functions.text import sql_word_ngrams
+
+    toks = sql_word_ngrams("text", 1)
+    vals = ", ".join(f"({a}, {b}, {n})" for a, b, n in _q279_segments())
+    return f"""
+    WITH segs(seg_start, seg_end, node) AS (
+        SELECT * FROM (VALUES {vals})
+    ), d AS (
+        SELECT (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT)
+                   AS pos,
+               len({toks}) AS n_tok
+        FROM documents
+    ), routed AS (
+        SELECT s.node, d.n_tok
+        FROM d JOIN segs s ON d.pos >= s.seg_start AND d.pos < s.seg_end
+    ), agg AS (
+        SELECT CAST(node AS BIGINT) AS node,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+        FROM routed GROUP BY node
+    ), tot AS (
+        SELECT CAST(SUM(n_docs) AS BIGINT) AS n_total FROM agg
+    )
+    SELECT a.node, a.n_docs, a.n_tokens,
+           CAST(a.n_docs AS DOUBLE) / CAST(t.n_total AS DOUBLE) AS doc_share
+    FROM agg a CROSS JOIN tot t
+    ORDER BY a.node
+    """
+
+
+ORACLE["q279_streaming_ring_router"] = _q279_oracle()

@@ -247,6 +247,9 @@ HEADLINE = [
     "q274_transitivity_audit",
     "q275_quality_budget_curve",
     "q276_tau_sensitivity",
+    "q277_quality_calibration",
+    "q278_bpe_merge_apply",
+    "q279_streaming_ring_router",
 ]
 
 

@@ -146,6 +146,8 @@ PROBE = [
     "q274_transitivity_audit",     # capped pairs + cluster-size rollup
     "q275_quality_budget_curve",   # rule scan to 8x|sources| rows + tiny cross join
     "q276_tau_sensitivity",        # one capped pair pass + 3 component runs
+    "q277_quality_calibration",    # (source, band) agg + 101-row cut window
+    "q278_bpe_merge_apply",        # 2 char-explode scans + 1-row broadcast merge
 ]
 
 

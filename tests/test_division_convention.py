@@ -271,6 +271,11 @@ ALLOWED_DIV_SITES = {
     # whenever a gram row exists.
     'NT) AS h FROM g0 ), flagged AS ( SELECT source, (3 * p) //',
     'over ( wg ) ) . select ( "source" , F . expr ( "(3 * p) div',
+    # q277 micro-TTR banding — n_dist ≥ 0 and n_tok ≥ 1 (filtered).
+    ' . withColumn ( "band" , F . expr ( f"(n_dist * 1000000 div',
+    'mn ( "band" , F . expr ( f"(n_dist * 1000000 div n_tok) div',
+    'OM documents ), b AS ( SELECT source, (n_dist * 1000000 //',
+    'ts ), b AS ( SELECT source, (n_dist * 1000000 // n_tok) //',
     # q274 implied pairs — s = COUNT(*) ≥ 1, s·(s−1) ≥ 0.
     ') - SUM(e.direct) AS DOUBLE) / CAST(SUM(z.s * (z.s - 1) //',
     'T(*) AS BIGINT) AS n_clusters, CAST(SUM(z.s * (z.s - 1) //',
