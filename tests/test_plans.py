@@ -1046,3 +1046,31 @@ def test_q257_two_level_store_read_prunes_both_levels(spark, sf_dir, tmp_path):
     assert "PartitionFilters" in s
     window = s.split("PartitionFilters", 1)[1][:400]
     assert "cell" in window and "sup" in window
+
+
+def test_q260_two_windows_share_one_source_shuffle(spark, sf_dir):
+    """Both ranking windows and the final agg key on source: the plan
+    must carry ONE distinct source hash exchange (plus the ORDER BY
+    range exchange) — the no-join-back contract in q260's docstring."""
+    from ai_data_pipeline_spark.plans import frontier2_queries as F2
+
+    s = plan_of(F2.q260_mad_outliers(spark, sf_dir))
+    hash_exchanges = {
+        re.sub(r"#\d+L?|plan_id=\d+", "", seg).strip()
+        for seg in s.splitlines()
+        if "Exchange hashpartitioning" in seg
+    }
+    assert len(hash_exchanges) <= 1, hash_exchanges
+
+
+def test_q272_ring_assignment_is_kernel_scan(spark, sf_dir):
+    """The ring assignment must run as the Arrow kernel (one scan
+    pass), never the codegen-compile-bound literal-HOF form, and the
+    plan must stay join-free up to the 81-row matrix agg."""
+    from ai_data_pipeline_spark.plans import frontier2_queries as F2
+
+    s = plan_of(F2.q272_consistent_hash_ring(spark, sf_dir))
+    assert "CartesianProduct" not in s
+    # the matrix is checkpointed: the returned plan starts from the
+    # scanned checkpoint, so the kernel ran exactly once upstream
+    assert "ExistingRDD" in s or "Scan" in s
