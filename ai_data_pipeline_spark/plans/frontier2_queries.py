@@ -3574,3 +3574,124 @@ def _q279_oracle() -> str:
 
 
 ORACLE["q279_streaming_ring_router"] = _q279_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Q280 — per-snapshot recycled-content trend ("how much of release k
+# is near-duplicate of earlier releases?" — q266 answers it for raw
+# 8-gram novelty; this row answers it at the DOCUMENT policy level,
+# where an incremental ingest (q108's shape) would actually skip:
+# a doc is RECYCLED iff it has a capped 4-gram Jaccard ≥ 0.6
+# neighbor in a strictly earlier snapshot (q256's md5 release
+# binning). Per snapshot: docs, docs with any near-dup neighbor at
+# all, docs recycled from earlier releases, recycled_rate (one IEEE
+# division of exact BIGINTs) — the trend that decides whether the
+# next release is worth a full dedup pass or an incremental one.
+# Scale: the pair stage is the capped machinery (never f²);
+# neighbor snapshots aggregate per doc (MIN partner snap), no
+# components needed.
+# ---------------------------------------------------------------------------
+
+
+def q280_snapshot_recycling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_data_pipeline_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = spread(_t(spark, sf_dir, "documents"))
+    u40 = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 10), 16, 10
+    ).cast("long")
+    snaps = docs.select(
+        "doc_id", F.pmod(u40, F.lit(_Q256_SNAPS)).cast("long").alias("snap")
+    ).localCheckpoint()  # totals + two partner-edge joins
+    pairs = ngram_jaccard_pairs(
+        docs,
+        "doc_id",
+        "text",
+        n=_Q263_N,
+        min_jaccard=_Q263_JACCARD_F,
+        max_shingle_freq=_Q263_MAXF,
+    ).select("id_a", "id_b")
+    sa = snaps.select(F.col("doc_id").alias("id_a"), F.col("snap").alias("snap_a"))
+    sb = snaps.select(F.col("doc_id").alias("id_b"), F.col("snap").alias("snap_b"))
+    both = pairs.join(sa, "id_a").join(sb, "id_b")
+    partners = both.select(
+        F.col("id_a").alias("doc_id"), F.col("snap_b").alias("p_snap")
+    ).unionByName(
+        both.select(F.col("id_b").alias("doc_id"), F.col("snap_a").alias("p_snap"))
+    )
+    per_doc = partners.groupBy("doc_id").agg(F.min("p_snap").alias("min_p_snap"))
+    flagged = snaps.join(per_doc, "doc_id", "left").select(
+        "snap",
+        F.col("min_p_snap").isNotNull().cast("int").alias("has_neighbor"),
+        (F.col("min_p_snap") < F.col("snap")).cast("int").alias("recycled"),
+    )
+    return (
+        flagged.groupBy("snap")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("has_neighbor").cast("long").alias("n_with_neighbor"),
+            F.coalesce(F.sum("recycled"), F.lit(0)).cast("long").alias("n_recycled"),
+        )
+        .withColumn(
+            "recycled_rate",
+            F.col("n_recycled").cast("double") / F.col("n_docs").cast("double"),
+        )
+        .orderBy("snap")
+    )
+
+
+QUERIES["q280_snapshot_recycling"] = q280_snapshot_recycling
+
+
+def _q280_oracle() -> str:
+    from ai_data_pipeline_spark.functions.text import sql_word_ngrams
+
+    grams = sql_word_ngrams("text", _Q263_N)
+    return f"""
+    WITH snaps AS MATERIALIZED (
+        SELECT doc_id,
+               (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 10))::BIGINT)
+                   % {_Q256_SNAPS} AS snap
+        FROM documents
+    ), sh0 AS (
+        SELECT DISTINCT doc_id AS id, unnest({grams}) AS shingle FROM documents
+    ), freq AS (
+        SELECT shingle, COUNT(*) AS f FROM sh0 GROUP BY shingle
+    ), sh AS MATERIALIZED (
+        SELECT id, sh0.shingle FROM sh0 JOIN freq ON sh0.shingle = freq.shingle
+        WHERE f <= {_Q263_MAXF}
+    ), sizes AS (
+        SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id
+    ), inter AS (
+        SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+        GROUP BY 1, 2
+    ), pairs AS (
+        SELECT id_a, id_b FROM inter
+        JOIN sizes sa ON sa.id = id_a
+        JOIN sizes sb ON sb.id = id_b
+        WHERE inter / (sa.n_sh + sb.n_sh - inter) >= '{_Q263_JACCARD}'::DOUBLE
+    ), partners AS (
+        SELECT p.id_a AS doc_id, sb.snap AS p_snap
+        FROM pairs p JOIN snaps sb ON sb.doc_id = p.id_b
+        UNION ALL
+        SELECT p.id_b AS doc_id, sa.snap AS p_snap
+        FROM pairs p JOIN snaps sa ON sa.doc_id = p.id_a
+    ), per_doc AS (
+        SELECT doc_id, MIN(p_snap) AS min_p_snap FROM partners GROUP BY doc_id
+    )
+    SELECT CAST(s.snap AS BIGINT) AS snap,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN d.min_p_snap IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_with_neighbor,
+           CAST(SUM(CASE WHEN d.min_p_snap < s.snap THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_recycled,
+           CAST(SUM(CASE WHEN d.min_p_snap < s.snap THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS recycled_rate
+    FROM snaps s LEFT JOIN per_doc d ON d.doc_id = s.doc_id
+    GROUP BY s.snap
+    ORDER BY snap
+    """
+
+
+ORACLE["q280_snapshot_recycling"] = _q280_oracle()

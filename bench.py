@@ -250,6 +250,7 @@ HEADLINE = [
     "q277_quality_calibration",
     "q278_bpe_merge_apply",
     "q279_streaming_ring_router",
+    "q280_snapshot_recycling",
 ]
 
 

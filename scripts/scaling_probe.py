@@ -148,6 +148,7 @@ PROBE = [
     "q276_tau_sensitivity",        # one capped pair pass + 3 component runs
     "q277_quality_calibration",    # (source, band) agg + 101-row cut window
     "q278_bpe_merge_apply",        # 2 char-explode scans + 1-row broadcast merge
+    "q280_snapshot_recycling",     # capped pairs + per-doc MIN partner snap
 ]
 
 
