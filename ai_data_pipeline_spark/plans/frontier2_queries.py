@@ -3695,3 +3695,243 @@ def _q280_oracle() -> str:
 
 
 ORACLE["q280_snapshot_recycling"] = _q280_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Q281 — cascade ORDER ablation: quality-gate-first vs dedup-first,
+# end-to-end (q268 measures whether junk is more duplicated; this
+# row measures what that CORRELATION is worth — gating before the
+# near-dup pass shrinks the pair stage's input, but also changes
+# WHICH doc a keep-min keeper survives as, so the two orders are
+# not equivalent, only comparable). Isolation discipline: the
+# shingle frequency cap and the candidate pair set are computed
+# ONCE on the full corpus (the shared-index form every production
+# stack uses) — the ONLY moving part is the gate order; the
+# quality-first variant components over the kept∧kept edge subset
+# (q276's per-knob closure shape). Gate = Gopher rules_passed ≥ 6:
+# the full 7-rule AND gate keeps ZERO docs on this corpus (measured
+# — every doc fails at least one rule), so the ablation uses the
+# corpus's own selective cut (keeps ~55%; documented, mirrored).
+# Per variant: pair-stage doc count (the cost axis), docs removed
+# by each stage, final kept docs and tokens. Scale: one capped pair
+# pass (never f²) + two component runs over real-dup-sized edge
+# sets.
+# ---------------------------------------------------------------------------
+
+_Q281_MIN_RULES = 6
+
+
+def q281_cascade_order_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_data_pipeline_spark.functions.text import token_count_ws
+    from ai_data_pipeline_spark.operators.curation import gopher_quality_flags
+    from ai_data_pipeline_spark.operators.dedup import (
+        dedup_clusters_star,
+        ngram_jaccard_pairs,
+    )
+
+    docs = spread(_t(spark, sf_dir, "documents")).select("doc_id", "text")
+    rules = [
+        "r_word_count", "r_mean_word_len", "r_symbol_ratio",
+        "r_bullet_lines", "r_ellipsis_lines", "r_alpha_words",
+        "r_stopwords",
+    ]
+    flags = (
+        gopher_quality_flags(docs)
+        .select(
+            "doc_id",
+            (
+                sum(F.col(r).cast("int") for r in rules) >= _Q281_MIN_RULES
+            ).alias("keep"),
+            token_count_ws(F.col("text")).alias("n_tok"),
+        )
+        .localCheckpoint()  # both variants + the summary consume it
+    )
+    n_all = flags.count()  # metadata-scale count on the checkpoint
+    pairs = (
+        ngram_jaccard_pairs(
+            docs,
+            "doc_id",
+            "text",
+            n=_Q263_N,
+            min_jaccard=_Q263_JACCARD_F,
+            max_shingle_freq=_Q263_MAXF,
+        )
+        .select("id_a", "id_b")
+        .join(
+            flags.select(F.col("doc_id").alias("id_a"), F.col("keep").alias("ka")),
+            "id_a",
+        )
+        .join(
+            flags.select(F.col("doc_id").alias("id_b"), F.col("keep").alias("kb")),
+            "id_b",
+        )
+        .localCheckpoint()  # one pair pass, two component consumers
+    )
+
+    def removed_of(edges: DataFrame) -> DataFrame:
+        cl = dedup_clusters_star(edges.select("id_a", "id_b"))
+        return cl.filter(F.col("id") != F.col("cluster_id")).select(
+            F.col("id").alias("doc_id")
+        )
+
+    # dedup first: components on ALL pairs, then the gate
+    remA = removed_of(pairs)
+    survA = flags.join(remA, "doc_id", "left_anti")
+    dfv = (
+        survA.agg(
+            F.count(F.lit(1)).cast("long").alias("n_surv"),
+            F.sum(F.col("keep").cast("int")).cast("long").alias("kept_docs"),
+            F.coalesce(F.sum(F.when(F.col("keep"), F.col("n_tok"))), F.lit(0))
+            .cast("long")
+            .alias("kept_tokens"),
+        )
+        .crossJoin(remA.agg(F.count(F.lit(1)).cast("long").alias("dedup_removed")))
+        .select(
+            F.lit("dedup_first").alias("variant"),
+            F.lit(n_all).cast("long").alias("docs_pair_stage"),
+            (F.col("n_surv") - F.col("kept_docs"))
+            .cast("long")
+            .alias("quality_removed"),
+            "dedup_removed",
+            "kept_docs",
+            "kept_tokens",
+        )
+    )
+    # quality first: gate, then components on the kept-kept edges
+    remQ = removed_of(pairs.filter(F.col("ka") & F.col("kb")))
+    kept = flags.filter(F.col("keep"))
+    survQ = kept.join(remQ, "doc_id", "left_anti")
+    qfv = (
+        survQ.agg(
+            F.count(F.lit(1)).cast("long").alias("kept_docs"),
+            F.coalesce(F.sum("n_tok"), F.lit(0)).cast("long").alias("kept_tokens"),
+        )
+        .crossJoin(kept.agg(F.count(F.lit(1)).cast("long").alias("docs_pair_stage")))
+        .crossJoin(remQ.agg(F.count(F.lit(1)).cast("long").alias("dedup_removed")))
+        .select(
+            F.lit("quality_first").alias("variant"),
+            "docs_pair_stage",
+            (F.lit(n_all) - F.col("docs_pair_stage"))
+            .cast("long")
+            .alias("quality_removed"),
+            "dedup_removed",
+            "kept_docs",
+            "kept_tokens",
+        )
+    )
+    return dfv.unionByName(qfv).orderBy("variant")
+
+
+QUERIES["q281_cascade_order_ablation"] = q281_cascade_order_ablation
+
+
+def _q281_oracle() -> str:
+    from ai_data_pipeline_spark.functions.text import sql_word_ngrams
+
+    grams = sql_word_ngrams("text", _Q263_N)
+    toks = sql_word_ngrams("text", 1)
+
+    def closure(tag: str, edge_src: str) -> str:
+        return f"""edges{tag} AS (
+        SELECT id_a AS a, id_b AS b FROM {edge_src}
+        UNION
+        SELECT id_b AS a, id_a AS b FROM {edge_src}
+    ), reach{tag} AS (
+        SELECT a AS id, a AS lab FROM edges{tag}
+        UNION
+        SELECT e.a AS id, r.lab AS lab
+        FROM edges{tag} e JOIN reach{tag} r ON r.id = e.b
+    ), removed{tag} AS MATERIALIZED (
+        SELECT id AS doc_id FROM (
+            SELECT id, MIN(lab) AS cluster_id FROM reach{tag} GROUP BY id)
+        WHERE id <> cluster_id
+    )"""
+
+    return f"""
+    WITH RECURSIVE d0 AS MATERIALIZED (
+        SELECT doc_id,
+               coalesce(text, '') AS t,
+               len({toks}) AS n_tok,
+               list_filter(string_split_regex(coalesce(text, ''), '[ \\t\\r\\n]+'),
+                           w -> w != '') AS words,
+               list_filter(string_split(coalesce(text, ''), chr(10)),
+                           l -> NOT regexp_full_match(l, '[ \\t\\r]*')) AS lines
+        FROM documents
+    ), m AS (
+        SELECT doc_id, n_tok,
+               len(words) AS n_words,
+               coalesce(list_sum(list_transform(words, w -> len(w))), 0) AS word_chars,
+               len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]'))) AS n_alpha,
+               len(lines) AS n_lines,
+               len(list_filter(lines, l -> regexp_matches(l, '^[ \\t]*[-*\u2022]'))) AS n_bullet,
+               len(list_filter(lines, l -> regexp_matches(l, '(\\.\\.\\.|\u2026)[ \\t\\r]*$'))) AS n_ell,
+               length(t) - length(replace(t, '#', ''))
+                 + len(regexp_extract_all(t, '(\\.\\.\\.|\u2026)')) AS n_sym,
+               len(list_intersect(list_distinct(list_transform(words, w -> lower(w))),
+                   ['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with'])) AS n_stop
+        FROM d0
+    ), flags AS MATERIALIZED (
+        SELECT doc_id, n_tok,
+               ((CASE WHEN n_words >= 50 AND n_words <= 100000 THEN 1 ELSE 0 END)
+              + (CASE WHEN 3 * n_words <= word_chars
+                       AND word_chars <= 10 * n_words THEN 1 ELSE 0 END)
+              + (CASE WHEN 10 * n_sym <= n_words THEN 1 ELSE 0 END)
+              + (CASE WHEN 10 * n_bullet <= 9 * n_lines THEN 1 ELSE 0 END)
+              + (CASE WHEN 10 * n_ell <= 3 * n_lines THEN 1 ELSE 0 END)
+              + (CASE WHEN 5 * n_alpha >= 4 * n_words THEN 1 ELSE 0 END)
+              + (CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END)) >= {_Q281_MIN_RULES}
+                   AS keep
+        FROM m
+    ), sh0 AS (
+        SELECT DISTINCT doc_id AS id, unnest({grams}) AS shingle FROM documents
+    ), freq AS (
+        SELECT shingle, COUNT(*) AS f FROM sh0 GROUP BY shingle
+    ), sh AS MATERIALIZED (
+        SELECT id, sh0.shingle FROM sh0 JOIN freq ON sh0.shingle = freq.shingle
+        WHERE f <= {_Q263_MAXF}
+    ), sizes AS (
+        SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id
+    ), inter AS (
+        SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+        GROUP BY 1, 2
+    ), pairs AS MATERIALIZED (
+        SELECT i.id_a, i.id_b, fa.keep AS ka, fb.keep AS kb FROM inter i
+        JOIN sizes sa ON sa.id = i.id_a
+        JOIN sizes sb ON sb.id = i.id_b
+        JOIN flags fa ON fa.doc_id = i.id_a
+        JOIN flags fb ON fb.doc_id = i.id_b
+        WHERE i.inter / (sa.n_sh + sb.n_sh - i.inter) >= '{_Q263_JACCARD}'::DOUBLE
+    ), pairsQ AS (
+        SELECT id_a, id_b FROM pairs WHERE ka AND kb
+    ), {closure('A', 'pairs')}, {closure('Q', 'pairsQ')}
+    SELECT 'dedup_first' AS variant,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM flags) AS docs_pair_stage,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM flags f
+             WHERE f.doc_id NOT IN (SELECT doc_id FROM removedA)
+               AND NOT f.keep) AS quality_removed,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM removedA) AS dedup_removed,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM flags f
+             WHERE f.doc_id NOT IN (SELECT doc_id FROM removedA)
+               AND f.keep) AS kept_docs,
+           (SELECT CAST(COALESCE(SUM(f.n_tok), 0) AS BIGINT) FROM flags f
+             WHERE f.doc_id NOT IN (SELECT doc_id FROM removedA)
+               AND f.keep) AS kept_tokens
+    UNION ALL
+    SELECT 'quality_first' AS variant,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM flags WHERE keep)
+               AS docs_pair_stage,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM flags WHERE NOT keep)
+               AS quality_removed,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM removedQ) AS dedup_removed,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM flags f
+             WHERE f.keep
+               AND f.doc_id NOT IN (SELECT doc_id FROM removedQ)) AS kept_docs,
+           (SELECT CAST(COALESCE(SUM(f.n_tok), 0) AS BIGINT) FROM flags f
+             WHERE f.keep
+               AND f.doc_id NOT IN (SELECT doc_id FROM removedQ)) AS kept_tokens
+    ORDER BY variant
+    """
+
+
+ORACLE["q281_cascade_order_ablation"] = _q281_oracle()

@@ -251,6 +251,7 @@ HEADLINE = [
     "q278_bpe_merge_apply",
     "q279_streaming_ring_router",
     "q280_snapshot_recycling",
+    "q281_cascade_order_ablation",
 ]
 
 

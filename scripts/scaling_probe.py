@@ -149,6 +149,7 @@ PROBE = [
     "q277_quality_calibration",    # (source, band) agg + 101-row cut window
     "q278_bpe_merge_apply",        # 2 char-explode scans + 1-row broadcast merge
     "q280_snapshot_recycling",     # capped pairs + per-doc MIN partner snap
+    "q281_cascade_order_ablation", # one shared pair pass + two component runs
 ]
 
 
