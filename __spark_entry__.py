@@ -127,11 +127,26 @@ DRIVER_EVIDENCE = frozenset({
     "q222_long_span_dedup", "q223_semdedup_scaled", "q224_lloyd_refine",
     "q225_ccnet_lang_buckets", "q226_vocab_growth", "q227_quality_keeper",
     "q228_mixture_sample", "q229_embedding_drift",
-    # q230_winnowing_span_audit: r09-green but its oracle changed in
-    # r10 (per-position fingerprint DISTINCT, ADVICE #1) — routed back
-    # into the graded window for a fresh hashed row.
     "q231_multi_epoch_mixture", "q232_oov_coverage", "q233_nprobe_recall_curve",
     "q234_streaming_mixture_gate", "q235_pq_audit", "q236_adc_recall_audit",
+    # --- green in CORRECTNESS_r10.json (all 50 graded rows hashed green,
+    # including q230's changed-oracle re-grade) ---
+    "q230_winnowing_span_audit", "q237_pq_train_lift", "q238_decontaminate_13gram",
+    "q239_boundary_pack", "q240_hard_negatives", "q241_cdc_chunk_dedup",
+    "q242_dsir_importance", "q243_longest_dup_span", "q244_vocab_truncation_curve",
+    "q245_embedding_decontamination", "q246_padding_waste", "q247_ivf_tree_assign",
+    "q248_streaming_decontamination_gate", "q249_opq_allocation", "q250_ivf_partitioned_store",
+    "q251_lsh_band_sweep", "q252_quantization_retrieval_sweep", "q253_trimmed_robust_stats",
+    "q254_anti_clustered_sharding", "q255_pq_layout_training_ablation", "q256_source_snapshot_drift",
+    "q257_tree_partitioned_store", "q258_water_filling_budget", "q259_ivfadc_residual",
+    "q260_mad_outliers", "q261_prefix_cache_savings", "q262_lexical_richness",
+    "q263_dedup_cascade", "q264_sample_diversity", "q265_epochs_to_exhaustion",
+    "q266_snapshot_novelty", "q267_snapshot_length_drift", "q268_dup_quality_interaction",
+    "q269_dup_position_profile", "q270_retrieval_margin", "q271_neardup_flow_matrix",
+    "q272_consistent_hash_ring", "q273_frequent_line_removal", "q274_transitivity_audit",
+    "q275_quality_budget_curve", "q276_tau_sensitivity", "q277_quality_calibration",
+    "q278_bpe_merge_apply", "q279_streaming_ring_router", "q280_snapshot_recycling",
+    "q281_cascade_order_ablation",
 })
 
 # Backward-compatible alias (pre-r03 name).
