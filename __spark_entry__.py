@@ -179,6 +179,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from ai_data_pipeline_spark.plans import frontier2_queries
 
     merged.update(frontier2_queries.QUERIES)
+    from ai_data_pipeline_spark.plans import frontier3_queries
+
+    merged.update(frontier3_queries.QUERIES)
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for name in merged:
         if name not in DRIVER_EVIDENCE:
@@ -218,4 +221,7 @@ def oracle_sql() -> dict[str, str]:
     from ai_data_pipeline_spark.plans import frontier2_queries
 
     out.update(frontier2_queries.ORACLE)
+    from ai_data_pipeline_spark.plans import frontier3_queries
+
+    out.update(frontier3_queries.ORACLE)
     return out

@@ -337,6 +337,37 @@ def minhash_signatures(
     return sig.select("id", F.array(*[F.col(f"h{j}") for j in range(num_hashes)]).alias("sig"))
 
 
+def minhash_banded(
+    sigs: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """[id, band, band_digest] — LSH band digests of MinHash
+    signatures (xxhash64 of the comma-joined band rows).
+
+    Factored out of :func:`minhash_lsh_candidates` so an INCREMENTAL
+    pipeline can persist this table as the signature STORE (q282) and
+    band a new batch with the exact same digest expression — store
+    and fresh digests must agree bit-for-bit for the banded join to
+    see history.
+    """
+    if num_hashes % bands != 0:
+        raise ValueError("num_hashes must be divisible by bands")
+    rpb = num_hashes // bands
+    band_digest = lambda b: F.xxhash64(  # noqa: E731
+        F.concat_ws(
+            ",",
+            *[F.element_at(F.col("sig"), b * rpb + r + 1).cast("string") for r in range(rpb)],
+        )
+    )
+    return sigs.select(
+        "id",
+        F.posexplode(F.array(*[band_digest(b) for b in range(bands)])).alias(
+            "band", "band_digest"
+        ),
+    )
+
+
 def minhash_lsh_candidates(
     sigs: DataFrame,
     num_hashes: int = 16,
@@ -349,21 +380,7 @@ def minhash_lsh_candidates(
     Output: [id_a, id_b, n_bands] (id_a < id_b), n_bands = how many
     bands collided (monotone in estimated Jaccard).
     """
-    if num_hashes % bands != 0:
-        raise ValueError("num_hashes must be divisible by bands")
-    rpb = num_hashes // bands
-    band_digest = lambda b: F.xxhash64(  # noqa: E731
-        F.concat_ws(
-            ",",
-            *[F.element_at(F.col("sig"), b * rpb + r + 1).cast("string") for r in range(rpb)],
-        )
-    )
-    banded = sigs.select(
-        "id",
-        F.posexplode(F.array(*[band_digest(b) for b in range(bands)])).alias(
-            "band", "band_digest"
-        ),
-    )
+    banded = minhash_banded(sigs, num_hashes, bands)
     a = banded.alias("a")
     b = banded.alias("b")
     return (

@@ -1,0 +1,1272 @@
+"""Frontier query set III: SURVEY.md §2B round 11+ (q282+).
+
+Continuation of plans/frontier2_queries.py (same modular split so no
+plan file grows without bound; wired through __spark_entry__
+queries()/oracle_sql(); the division/whitespace lints glob over
+plans/ so this module is covered automatically).
+
+Round-11 queue (VERDICT r10 "Next round" items 3–7): incremental
+near-dup admission against a PERSISTED MinHash signature store, the
+second BPE merge round (merges compose), perceptual-hash image
+dedup over the multimodal stub machinery, retrieval rank-quality
+eval (MRR + Kendall concordance), and the Unicode script-mixture
+audit.
+
+Same oracle-parity discipline as relational.py (float-policy header
+there): identical aliases both engines, exact integer aggregation,
+doubles only from expression trees both engines evaluate identically
+(one IEEE division of exact BIGINTs; differences/min/max of
+bit-identical doubles). Every integer-division dividend is
+non-negative by construction (linted by
+tests/test_division_convention.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ai_data_pipeline_spark.catalog import load_table, spread
+
+QUERIES: dict = {}
+ORACLE: dict = {}
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Q282 — incremental NEAR-dup admission against a persisted MinHash
+# signature store (the production dedup shape q108 grades for EXACT
+# dups and q204 grades for one-shot batch near-dups: a daily-ingest
+# pipeline admits TODAY'S batch against a STORED signature table —
+# history text is never re-shingled corpus-wide). History = every
+# source but src0; its 32-hash/8-band MinHash signatures (q204's
+# exact policy: word-3-gram shingles, md5 hash family, banding
+# threshold ≈ 0.59 at the 0.6 verification cutoff) are WRITTEN to a
+# parquet store and read BACK — the graded claim is round-trip
+# equivalence (the oracle recomputes everything from `documents`,
+# never touching the store). The batch (src0) computes its own
+# signatures, band-joins against the store's band digests
+# (minhash_banded — definitionally the same expression that built
+# the store), and candidates are verified at EXACT Jaccard ≥ 0.6;
+# history shingles are recomputed ONLY for candidate history docs (a
+# semi-join-bounded text fetch — at 100 TB a point-lookup read, not
+# a history scan). Within-batch near-dups: the banded self-join +
+# exact verify + star-contraction components + min-id keeper (q204's
+# policy, batch-local). Admission per lang (q108's triple):
+# dropped-vs-history takes precedence; a surviving doc is admitted
+# iff it is its within-batch cluster minimum (clusters computed over
+# ALL batch docs, so a keeper that itself matched history does not
+# resurrect its near-dups — their content lives in history
+# transitively). Scale: the store read carries (id, 32×int64) — 256
+# bytes/doc instead of text; the banded join shuffles on
+# (band, digest) with candidate mass bounded by banding; exact
+# verification is linear in candidates; components run on batch
+# pairs only. 16× probe with history ≫ batch in SCALING.md.
+# ---------------------------------------------------------------------------
+
+_Q282_HASHES = 32
+_Q282_BANDS = 8
+_Q282_TAU = 0.6
+
+
+def q282_incremental_neardup_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ai_data_pipeline_spark.operators import dedup
+
+    docs = spread(_t(spark, sf_dir, "documents"))
+    hist_docs = docs.filter(F.col("source") != "src0")
+    batch_docs = docs.filter(F.col("source") == "src0")
+
+    tmp = tempfile.mkdtemp(prefix="q282_")
+    path = tmp + "/minhash_store"
+    try:
+        # ---- store build (amortized across ingests in production;
+        # written once here so the graded query is self-contained).
+        # repartition first: without it every upstream task writes a
+        # sliver (the q250 tiny-file lesson); 8 files of packed
+        # (id, sig) rows — no text in the store.
+        sigs_hist = dedup.minhash_signatures(
+            hist_docs, "doc_id", "text", n=3, num_hashes=_Q282_HASHES
+        )
+        sigs_hist.repartition(8).write.mode("overwrite").parquet(path)
+
+        store = spark.read.parquet(path)
+        banded_hist = dedup.minhash_banded(store, _Q282_HASHES, _Q282_BANDS).select(
+            F.col("id").alias("hid"), "band", "band_digest"
+        )
+
+        # ---- batch side: signatures + band digests (same expression).
+        # localCheckpoint: the signature agg feeds THREE consumers
+        # (store join + both sides of the within-batch self-join) and
+        # would re-execute the whole shingle→min pipeline per
+        # reference otherwise (the q84 iterative-reuse lesson); the
+        # frame is |batch| × 32 longs.
+        sigs_batch = dedup.minhash_signatures(
+            batch_docs, "doc_id", "text", n=3, num_hashes=_Q282_HASHES
+        ).localCheckpoint()
+        banded_batch = dedup.minhash_banded(sigs_batch, _Q282_HASHES, _Q282_BANDS)
+
+        # ---- candidates vs history: banded equi-join, then exact
+        # Jaccard verification over shingles; history shingles only
+        # for candidate docs (semi-join-bounded fetch).
+        # localCheckpoint: cand_h feeds the semi-join text fetch AND
+        # the verification join — without it each reference re-runs
+        # the banded store join (the q84 iterative-reuse lesson)
+        cand_h = (
+            banded_batch.join(banded_hist, ["band", "band_digest"])
+            .select(F.col("id").alias("bid"), "hid")
+            .distinct()
+            .localCheckpoint()
+        )
+        # batch shingles verify BOTH the history and the within-batch
+        # candidates (three join references) — materialize once
+        sh_batch = dedup.shingle_table(
+            batch_docs, "doc_id", "text", 3, hashed=True
+        ).localCheckpoint()
+        cand_hist_docs = hist_docs.join(
+            cand_h.select(F.col("hid").alias("doc_id")).distinct(), "doc_id", "semi"
+        )
+        # two consumers (sizes + the intersection join) — materialize
+        sh_hist = dedup.shingle_table(
+            cand_hist_docs, "doc_id", "text", 3, hashed=True
+        ).localCheckpoint()
+        nb = sh_batch.groupBy("id").agg(F.count(F.lit(1)).alias("n_b"))
+        nh = sh_hist.groupBy("id").agg(F.count(F.lit(1)).alias("n_h"))
+        inter_h = (
+            cand_h.join(sh_batch.select(F.col("id").alias("bid"), "sh"), "bid")
+            .join(sh_hist.select(F.col("id").alias("hid"), "sh"), ["hid", "sh"])
+            .groupBy("bid", "hid")
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
+        hist_dup = (
+            inter_h.join(nb.select(F.col("id").alias("bid"), "n_b"), "bid")
+            .join(nh.select(F.col("id").alias("hid"), "n_h"), "hid")
+            .filter(
+                F.col("inter") / (F.col("n_b") + F.col("n_h") - F.col("inter"))
+                >= F.lit(_Q282_TAU)
+            )
+            .select("bid")
+            .distinct()
+            .withColumn("in_hist", F.lit(1))
+        )
+
+        # ---- within-batch: banded self-join (REUSING the
+        # checkpointed batch signatures — minhash_neardup_pairs
+        # would recompute signatures AND shingles from text) + exact
+        # verify over sh_batch + star components + min-id keeper
+        # (q204's policy, batch-local)
+        cand_bb = dedup.minhash_lsh_candidates(
+            sigs_batch, _Q282_HASHES, _Q282_BANDS
+        ).select("id_a", "id_b")
+        inter_bb = (
+            cand_bb.join(sh_batch.select(F.col("id").alias("id_a"), "sh"), "id_a")
+            .join(sh_batch.select(F.col("id").alias("id_b"), "sh"), ["id_b", "sh"])
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
+        pairs_bb = (
+            inter_bb.join(nb.select(F.col("id").alias("id_a"), F.col("n_b").alias("n_a")), "id_a")
+            .join(nb.select(F.col("id").alias("id_b"), F.col("n_b").alias("n_bb")), "id_b")
+            .filter(
+                F.col("inter") / (F.col("n_a") + F.col("n_bb") - F.col("inter"))
+                >= F.lit(_Q282_TAU)
+            )
+            .select("id_a", "id_b")
+        )
+        clusters = dedup.dedup_clusters_star(pairs_bb)
+
+        keyed = (
+            batch_docs.select("doc_id", "lang")
+            .join(clusters.withColumnRenamed("id", "doc_id"), "doc_id", "left")
+            .withColumn(
+                "cluster_id", F.coalesce(F.col("cluster_id"), F.col("doc_id"))
+            )
+            .join(hist_dup.withColumnRenamed("bid", "doc_id"), "doc_id", "left")
+        )
+        flag = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("long")  # noqa: E731
+        is_hist = F.col("in_hist").isNotNull()
+        is_keeper = F.col("doc_id") == F.col("cluster_id")
+        out = (
+            keyed.groupBy("lang")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_batch"),
+                flag(~is_hist & is_keeper).alias("n_admitted"),
+                flag(is_hist).alias("n_dropped_history"),
+                flag(~is_hist & ~is_keeper).alias("n_dropped_batch"),
+            )
+            .orderBy("lang")
+            .collect()  # ≤ |langs| rows, before temp-dir cleanup
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        out,
+        "lang string, n_batch long, n_admitted long, "
+        "n_dropped_history long, n_dropped_batch long",
+    ).orderBy("lang")
+
+
+QUERIES["q282_incremental_neardup_store"] = q282_incremental_neardup_store
+
+
+# Oracle: q204's SQL pipeline split into history/batch halves — the
+# store round-trip disappears (the oracle recomputes signatures from
+# `documents` directly; value-identity IS the graded claim). Band
+# equality compares the string_agg band key (the Spark side xxhash64s
+# the same comma-joined string — equality is preserved).
+def _q282_oracle() -> str:
+    from ai_data_pipeline_spark.functions.text import sql_word_ngrams
+
+    h = _Q282_HASHES
+    rpb = _Q282_HASHES // _Q282_BANDS
+    return f"""
+    WITH RECURSIVE sh AS MATERIALIZED (
+        SELECT DISTINCT doc_id AS id, source,
+               unnest({sql_word_ngrams("text", 3)}) AS shingle
+        FROM documents
+    ), sig AS MATERIALIZED (
+        SELECT id, MAX(source = 'src0') AS is_batch, j,
+               MIN((('0x' || substr(md5(shingle || ':' || j), 1, 15))::BIGINT)) AS mh
+        FROM sh CROSS JOIN range({h}) AS t(j)
+        GROUP BY id, j
+    ), bandkey AS MATERIALIZED (
+        SELECT id, is_batch, j // {rpb} AS band,
+               string_agg(mh::VARCHAR, ',' ORDER BY j) AS bk
+        FROM sig GROUP BY id, is_batch, j // {rpb}
+    ), sizes AS MATERIALIZED (
+        SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id
+    ), cand_h AS (
+        SELECT DISTINCT b.id AS bid, a.id AS hid
+        FROM bandkey b JOIN bandkey a
+          ON b.is_batch AND NOT a.is_batch
+         AND b.band = a.band AND b.bk = a.bk
+    ), inter_h AS (
+        SELECT bid, hid, COUNT(*) AS inter
+        FROM cand_h
+        JOIN sh sb ON sb.id = cand_h.bid
+        JOIN sh sa ON sa.id = cand_h.hid AND sa.shingle = sb.shingle
+        GROUP BY 1, 2
+    ), hist_dup AS (
+        SELECT DISTINCT bid FROM inter_h
+        JOIN sizes zb ON zb.id = bid
+        JOIN sizes za ON za.id = hid
+        WHERE inter / (zb.n_sh + za.n_sh - inter) >= '{_Q282_TAU!r}'::DOUBLE
+    ), cand_bb AS (
+        SELECT DISTINCT x.id AS id_a, y.id AS id_b
+        FROM bandkey x JOIN bandkey y
+          ON x.is_batch AND y.is_batch
+         AND x.band = y.band AND x.bk = y.bk AND x.id < y.id
+    ), inter_bb AS (
+        SELECT id_a, id_b, COUNT(*) AS inter
+        FROM cand_bb
+        JOIN sh sa ON sa.id = cand_bb.id_a
+        JOIN sh sb ON sb.id = cand_bb.id_b AND sb.shingle = sa.shingle
+        GROUP BY 1, 2
+    ), pairs AS (
+        SELECT id_a, id_b FROM inter_bb
+        JOIN sizes za ON za.id = id_a
+        JOIN sizes zb ON zb.id = id_b
+        WHERE inter / (za.n_sh + zb.n_sh - inter) >= '{_Q282_TAU!r}'::DOUBLE
+    ), edges AS (
+        SELECT id_a AS a, id_b AS b FROM pairs
+        UNION
+        SELECT id_b AS a, id_a AS b FROM pairs
+    ), reach AS (
+        SELECT a AS id, a AS lab FROM edges
+        UNION
+        SELECT e.a AS id, r.lab AS lab FROM edges e JOIN reach r ON r.id = e.b
+    ), comp AS (
+        SELECT id, MIN(lab) AS cluster_id FROM reach GROUP BY id
+    ), keyed AS (
+        SELECT d.doc_id, d.lang,
+               COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+               (hd.bid IS NOT NULL) AS is_hist
+        FROM documents d
+        LEFT JOIN comp c ON c.id = d.doc_id
+        LEFT JOIN hist_dup hd ON hd.bid = d.doc_id
+        WHERE d.source = 'src0'
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_batch,
+           CAST(SUM(CASE WHEN NOT is_hist AND doc_id = cluster_id
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_admitted,
+           CAST(SUM(CASE WHEN is_hist THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dropped_history,
+           CAST(SUM(CASE WHEN NOT is_hist AND doc_id != cluster_id
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped_batch
+    FROM keyed
+    GROUP BY lang
+    ORDER BY lang
+    """
+
+
+ORACLE["q282_incremental_neardup_store"] = _q282_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Q283 — BPE merge rounds COMPOSE (the VERDICT r10 queue item
+# completing q218 → q278: q218 ranks round-1 candidates, q278
+# applies the winner once; this row runs a SECOND full
+# select-and-apply cycle over the POST-merge symbol stream —
+# Sennrich et al. 2016's training loop unrolled twice). Round 1 is
+# exactly q278's machinery (every char wrapped in its own boundary
+# spaces, one replace() = left-to-right non-overlapping merge);
+# round 2 re-ranks pair candidates over the merged symbols (2-grams
+# with the SPACE separator — symbols are multi-char now), picks the
+# winner (n DESC, pair ASC — the deterministic tie policy), and
+# applies it with the SAME padded-replace idiom over multi-char
+# symbols. Output: top-10 ROUND-3 candidates + both applied pairs
+# (round 2's kept space-separated — "ab c" is unambiguous where
+# "abc" is not) + both realized merge counts
+# Σ(symbols_before − symbols_after), the overlap-accounting audit
+# (a naive overlap-counting implementation drifts on "aaa" chains —
+# realized ≠ occurrence count exactly there). Scale: three
+# explode+count passes and two 1-row broadcasts; the rank windows
+# run on Heaps-sublinear pair-type tables (q244's law); the symbol
+# stream is localCheckpointed between rounds so the apply pass never
+# re-executes upstream (the q84/dedup_clusters lesson).
+# ---------------------------------------------------------------------------
+
+_Q283_TOPK = 10
+
+
+def _sym_bigrams(col) -> "F.Column":
+    """Space-joined 2-grams of a SINGLE-space-joined symbol string.
+
+    The symbol stream is single-spaced with no empties by
+    construction (array_join of a filtered split), so a literal
+    split replaces ws_tokens' trim+regex+filter — word_ngrams(sw, 2)
+    evaluates the regex tokenizer 3× per row and measured 15 s for
+    the 16× pair count vs ~5 s for this (same slice+zip_with shape,
+    identical values on these strings)."""
+    a = F.split(col, " ")
+    m = F.greatest(F.size(a) - 1, F.lit(0))
+    return F.zip_with(
+        F.slice(a, 1, m), F.slice(a, 2, m), lambda x, y: F.concat_ws(" ", x, y)
+    )
+
+
+def q283_bpe_two_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_data_pipeline_spark.functions.text import ws_tokens
+
+    docs = spread(_t(spark, sf_dir, "documents"))
+    words = (
+        docs.select(F.explode(ws_tokens(F.col("text"))).alias("w"))
+        .localCheckpoint()  # round-1 counts + the round-1 apply pass
+    )
+    pairs1 = words.filter(F.length("w") >= 2).select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substr(w, i, 2))")
+        ).alias("pair")
+    )
+    top1 = (
+        pairs1.groupBy("pair")
+        .agg(F.count(F.lit(1)).cast("long").alias("n1"))
+        .orderBy(F.desc("n1"), F.asc("pair"))
+        .limit(1)
+        .select(
+            F.substring("pair", 1, 1).alias("c1"),
+            F.substring("pair", 2, 1).alias("c2"),
+        )
+    )
+    padded1 = words.crossJoin(F.broadcast(top1)).select(
+        "w",
+        F.concat(
+            F.lit(" "),
+            F.array_join(
+                F.expr("transform(sequence(1, length(w)), i -> substr(w, i, 1))"),
+                "  ",
+            ),
+            F.lit(" "),
+        ).alias("s"),
+        "c1",
+        "c2",
+    )
+    merged1 = padded1.select(
+        "w",
+        F.replace(
+            F.col("s"),
+            F.concat(F.lit(" "), F.col("c1"), F.lit("  "), F.col("c2"), F.lit(" ")),
+            F.concat(F.lit(" "), F.col("c1"), F.col("c2"), F.lit(" ")),
+        ).alias("m"),
+        "c1",
+        "c2",
+    )
+    sym1 = (
+        merged1.select(
+            F.concat(F.col("c1"), F.col("c2")).alias("ap1"),
+            F.array_join(
+                F.filter(F.split(F.col("m"), " "), lambda x: x != F.lit("")), " "
+            ).alias("sw"),
+            F.length("w").alias("n0"),
+        )
+        .withColumn("n1sym", F.size(F.split(F.col("sw"), " ")))
+        .localCheckpoint()  # round-2 counts + the round-2 apply pass
+    )
+    # round-2 winner over the post-merge symbol stream
+    pairs2 = sym1.select(F.explode(_sym_bigrams(F.col("sw"))).alias("pair"))
+    top2 = (
+        pairs2.groupBy("pair")
+        .agg(F.count(F.lit(1)).cast("long").alias("n2"))
+        .orderBy(F.desc("n2"), F.asc("pair"))
+        .limit(1)
+        .select(
+            F.element_at(F.split(F.col("pair"), " "), 1).alias("s1"),
+            F.element_at(F.split(F.col("pair"), " "), 2).alias("s2"),
+        )
+    )
+    padded2 = sym1.crossJoin(F.broadcast(top2)).select(
+        "ap1",
+        "n0",
+        "n1sym",
+        F.concat(
+            F.lit(" "),
+            F.array_join(F.split(F.col("sw"), " "), "  "),
+            F.lit(" "),
+        ).alias("s"),
+        "s1",
+        "s2",
+    )
+    merged2 = padded2.select(
+        "ap1",
+        "n0",
+        "n1sym",
+        F.replace(
+            F.col("s"),
+            F.concat(F.lit(" "), F.col("s1"), F.lit("  "), F.col("s2"), F.lit(" ")),
+            F.concat(F.lit(" "), F.col("s1"), F.col("s2"), F.lit(" ")),
+        ).alias("m"),
+        F.concat(F.col("s1"), F.lit(" "), F.col("s2")).alias("ap2"),
+    )
+    sym2 = (
+        merged2.select(
+            "ap1",
+            "ap2",
+            "n0",
+            "n1sym",
+            F.array_join(
+                F.filter(F.split(F.col("m"), " "), lambda x: x != F.lit("")), " "
+            ).alias("sw"),
+        )
+        .withColumn("n2sym", F.size(F.split(F.col("sw"), " ")))
+        .localCheckpoint()  # merge-count agg + round-3 pair counts
+    )
+    meta = sym2.agg(
+        F.max("ap1").alias("applied_r1"),
+        F.max("ap2").alias("applied_r2"),
+        F.sum(F.col("n0") - F.col("n1sym")).cast("long").alias("n_merges_r1"),
+        F.sum(F.col("n1sym") - F.col("n2sym")).cast("long").alias("n_merges_r2"),
+    )
+    pairs3 = sym2.select(F.explode(_sym_bigrams(F.col("sw"))).alias("pair"))
+    ranked = (
+        pairs3.groupBy("pair")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .withColumn(
+            "rank",
+            F.row_number()
+            .over(Window.orderBy(F.desc("n"), F.asc("pair")))
+            .cast("long"),
+        )
+        .filter(F.col("rank") <= _Q283_TOPK)
+    )
+    return (
+        ranked.crossJoin(F.broadcast(meta))
+        .select(
+            "rank", "pair", "n",
+            "applied_r1", "applied_r2", "n_merges_r1", "n_merges_r2",
+        )
+        .orderBy("rank")
+    )
+
+
+QUERIES["q283_bpe_two_rounds"] = q283_bpe_two_rounds
+
+
+def _q283_oracle() -> str:
+    from ai_data_pipeline_spark.functions.text import sql_word_ngrams
+
+    words = f"SELECT unnest({sql_word_ngrams('text', 1)}) AS w FROM documents"
+    pairs2 = sql_word_ngrams("sw", 2)
+    pairs3 = sql_word_ngrams("sw2", 2)
+    return f"""
+    WITH words AS MATERIALIZED (
+        {words}
+    ), p1 AS (
+        SELECT unnest(list_transform(range(1, len(w)), i -> substr(w, i, 2))) AS pair
+        FROM words WHERE len(w) >= 2
+    ), top1 AS (
+        SELECT substr(pair, 1, 1) AS c1, substr(pair, 2, 1) AS c2
+        FROM (SELECT pair, COUNT(*) AS n1 FROM p1 GROUP BY pair
+              ORDER BY n1 DESC, pair LIMIT 1)
+    ), merged1 AS (
+        SELECT w,
+               replace(' ' || array_to_string(
+                           list_transform(range(1, len(w) + 1), i -> substr(w, i, 1)),
+                           '  ') || ' ',
+                       ' ' || c1 || '  ' || c2 || ' ',
+                       ' ' || c1 || c2 || ' ') AS m,
+               c1 || c2 AS ap1
+        FROM words CROSS JOIN top1
+    ), sym1 AS MATERIALIZED (
+        SELECT ap1,
+               array_to_string(list_filter(string_split(m, ' '), x -> x != ''), ' ')
+                   AS sw,
+               len(w) AS n0
+        FROM merged1
+    ), sym1n AS MATERIALIZED (
+        SELECT *, len(string_split(sw, ' ')) AS n1sym FROM sym1
+    ), p2 AS (
+        SELECT unnest({pairs2}) AS pair FROM sym1n
+    ), top2 AS (
+        SELECT string_split(pair, ' ')[1] AS s1, string_split(pair, ' ')[2] AS s2
+        FROM (SELECT pair, COUNT(*) AS n2 FROM p2 GROUP BY pair
+              ORDER BY n2 DESC, pair LIMIT 1)
+    ), merged2 AS (
+        SELECT ap1, n0, n1sym,
+               replace(' ' || array_to_string(string_split(sw, ' '), '  ') || ' ',
+                       ' ' || s1 || '  ' || s2 || ' ',
+                       ' ' || s1 || s2 || ' ') AS m,
+               s1 || ' ' || s2 AS ap2
+        FROM sym1n CROSS JOIN top2
+    ), sym2 AS MATERIALIZED (
+        SELECT ap1, ap2, n0, n1sym,
+               array_to_string(list_filter(string_split(m, ' '), x -> x != ''), ' ')
+                   AS sw2
+        FROM merged2
+    ), sym2n AS MATERIALIZED (
+        SELECT *, len(string_split(sw2, ' ')) AS n2sym FROM sym2
+    ), meta AS (
+        SELECT MAX(ap1) AS applied_r1, MAX(ap2) AS applied_r2,
+               CAST(SUM(n0 - n1sym) AS BIGINT) AS n_merges_r1,
+               CAST(SUM(n1sym - n2sym) AS BIGINT) AS n_merges_r2
+        FROM sym2n
+    ), cnt AS (
+        SELECT pair, CAST(COUNT(*) AS BIGINT) AS n
+        FROM (SELECT unnest({pairs3}) AS pair FROM sym2n)
+        GROUP BY pair
+    )
+    SELECT CAST(rank AS BIGINT) AS rank, pair, n,
+           m.applied_r1, m.applied_r2, m.n_merges_r1, m.n_merges_r2
+    FROM (
+        SELECT pair, n,
+               ROW_NUMBER() OVER (ORDER BY n DESC, pair) AS rank
+        FROM cnt) CROSS JOIN meta m
+    WHERE rank <= {_Q283_TOPK}
+    ORDER BY rank
+    """
+
+
+ORACLE["q283_bpe_two_rounds"] = _q283_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Q284 — perceptual-hash image dedup (dHash; extends the dedup
+# family to the image modality — VERDICT r10 queue item 5): each
+# document stands in for a decoded image exactly as in q36/q72 (the
+# container has no codec; the Spark-side plumbing is what is
+# graded). The stub "decode" yields a deterministic 6×11 integer
+# LUMINANCE GRID whose cell (k = 0..65) is the first md5 byte of the
+# (k mod n_tokens)-th whitespace token salted with k — token-LOCAL,
+# so a near-dup doc differing in a few tokens perturbs only the
+# cells those tokens feed, exactly how a local edit perturbs a
+# real image's grid (a whole-text hash would flip every cell and
+# degenerate this to exact dedup). The dHash is the classic
+# gradient fingerprint: bit i (i = 0..59) = 1 iff lum(r, c+1) >
+# lum(r, c) with r = i div 10, c = i mod 10 — 60 bits so the
+# fingerprint rides the engine-parity-safe SIMHASH_BITS width and
+# REUSES simhash_neardup_pairs' pigeonhole segment blocking
+# (recall-exact for Hamming ≤ 3: 4 segments of 15 bits, any
+# qualifying pair shares a whole segment) + star-contraction
+# components + q204's min-id keeper, per source. All exact
+# integers; the luminance HOF is narrow (no shuffle until the
+# 60-bit fingerprints — 8 bytes/image — reach the segment join).
+# The near-dup (Hamming 1..3) branch is additionally pinned by a
+# token-substitution fixture vs a pure-Python twin
+# (tests/test_frontier3.py) — the graded corpus may only exercise
+# Hamming 0. Scale: per-image work is constant (66 md5s), pairing
+# is segment-blocked, components run on pair survivors.
+# ---------------------------------------------------------------------------
+
+_Q284_ROWS = 6  # grid rows
+_Q284_COLS = 11  # grid cols; 6 rows × 10 adjacent-col comparisons = 60 bits
+_Q284_MAX_HAMMING = 3
+
+
+def dhash60(text_col) -> "F.Column":
+    """60-bit dHash of the deterministic stub luminance grid of a
+    text-as-image column (see Q284 header). Pure Catalyst — exact
+    integers, DuckDB-recomputable.
+
+    ONE ``aggregate`` fold over the 66 cell indices with a
+    (prev_lum, fp) struct accumulator, so each luminance md5 is
+    computed exactly once per image. The naive form — a 66-element
+    ``transform`` array referenced by 120 ``element_at`` bit
+    comparisons — re-inlines the whole transform per reference
+    (Catalyst inlines HOF results; the shingle_table O(words²)
+    class): measured 58 s for 500 docs vs ~1 s for this fold."""
+    from ai_data_pipeline_spark.functions.text import ws_tokens
+
+    ws = ws_tokens(text_col)
+    n = F.size(ws)
+    cells = _Q284_ROWS * _Q284_COLS
+    lum = lambda k: F.conv(  # noqa: E731
+        F.substring(
+            F.md5(
+                F.concat(
+                    # try_element_at: a zero-token doc has an empty
+                    # array (plain element_at raises under ANSI)
+                    F.coalesce(
+                        F.try_element_at(
+                            ws, F.pmod(k, F.greatest(n, F.lit(1))) + F.lit(1)
+                        ),
+                        F.lit(""),
+                    ),
+                    F.lit(":"),
+                    k.cast("string"),
+                )
+            ),
+            1,
+            2,
+        ),
+        16,
+        10,
+    ).cast("long")
+
+    def merge(st, k):
+        lk = lum(k)
+        c = F.pmod(k, F.lit(_Q284_COLS))
+        # c = 0 starts a new grid row (no comparison there). Bit
+        # values come from a running power-of-two multiplier carried
+        # in the accumulator (shiftleft needs a literal bit count):
+        # comparisons occur in increasing bit order, so doubling the
+        # multiplier per comparison assigns bit i = r*10 + c - 1.
+        is_cmp = c != F.lit(0)
+        add = F.when(is_cmp & (lk > st["prev"]), st["mult"]).otherwise(
+            F.lit(0).cast("long")
+        )
+        return F.struct(
+            lk.alias("prev"),
+            (st["fp"] + add).alias("fp"),
+            F.when(is_cmp, st["mult"] * F.lit(2).cast("long"))
+            .otherwise(st["mult"])
+            .alias("mult"),
+        )
+
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(cells - 1)),
+        F.struct(
+            F.lit(0).cast("long").alias("prev"),
+            F.lit(0).cast("long").alias("fp"),
+            F.lit(1).cast("long").alias("mult"),
+        ),
+        merge,
+        lambda st: st["fp"],
+    )
+
+
+def q284_phash_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_data_pipeline_spark.operators import dedup
+
+    docs = spread(_t(spark, sf_dir, "documents"))
+    # localCheckpoint: the segment self-join references the
+    # fingerprint frame on BOTH sides plus the XOR projection — each
+    # reference would re-inline the 66-md5 fold (measured 19.7 s vs
+    # 0.5 s at sf0.1); the frame is 8 bytes/image.
+    fps = docs.select(
+        F.col("doc_id").alias("id"), dhash60(F.col("text")).alias("simhash")
+    ).localCheckpoint()
+    pairs = dedup.simhash_neardup_pairs(fps, max_hamming=_Q284_MAX_HAMMING).select(
+        "id_a", "id_b"
+    )
+    clusters = dedup.dedup_clusters_star(pairs)
+    keeper = (
+        docs.select("doc_id", "source")
+        .join(clusters.withColumnRenamed("id", "doc_id"), "doc_id", "left")
+        .select(
+            "source",
+            "doc_id",
+            F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id"),
+        )
+    )
+    agg = keeper.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_images"),
+        F.sum((F.col("doc_id") == F.col("cluster_id")).cast("int"))
+        .cast("long")
+        .alias("n_kept"),
+    )
+    return (
+        agg.withColumn("n_removed", (F.col("n_images") - F.col("n_kept")).cast("long"))
+        .withColumn(
+            "removed_rate",
+            F.col("n_removed").cast("double") / F.col("n_images").cast("double"),
+        )
+        .orderBy("source")
+    )
+
+
+QUERIES["q284_phash_image_dedup"] = q284_phash_image_dedup
+
+
+# Oracle: identical fingerprint arithmetic (md5-byte luminance, the
+# same 1-based indices), then ALL-pairs Hamming ≤ 3 (the oracle need
+# not mirror the blocking — only the values) + q204's recursive
+# components and keeper tail.
+def _q284_oracle() -> str:
+    from ai_data_pipeline_spark.functions.text import sql_word_ngrams
+
+    cells = _Q284_ROWS * _Q284_COLS
+    ws = sql_word_ngrams("text", 1)
+    lum = (
+        "('0x' || substr(md5((CASE WHEN len(ws) = 0 THEN '' "
+        "ELSE ws[(k % len(ws)) + 1] END) || ':' || k), 1, 2))::BIGINT"
+    )
+    bits = " + ".join(
+        f"(CASE WHEN lums[{(i // 10) * _Q284_COLS + (i % 10) + 2}] > "
+        f"lums[{(i // 10) * _Q284_COLS + (i % 10) + 1}] "
+        f"THEN {1 << i}::BIGINT ELSE 0::BIGINT END)"
+        for i in range(60)
+    )
+    return f"""
+    WITH RECURSIVE toks AS (
+        SELECT doc_id AS id, source, {ws} AS ws FROM documents
+    ), grids AS (
+        SELECT id, source,
+               list_transform(range(0, {cells}), k -> {lum}) AS lums
+        FROM toks
+    ), fp AS MATERIALIZED (
+        SELECT id, source, ({bits}) AS simhash FROM grids
+    ), pairs AS (
+        SELECT a.id AS id_a, b.id AS id_b
+        FROM fp a JOIN fp b ON a.id < b.id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= {_Q284_MAX_HAMMING}
+    ), edges AS (
+        SELECT id_a AS a, id_b AS b FROM pairs
+        UNION
+        SELECT id_b AS a, id_a AS b FROM pairs
+    ), reach AS (
+        SELECT a AS id, a AS lab FROM edges
+        UNION
+        SELECT e.a AS id, r.lab AS lab FROM edges e JOIN reach r ON r.id = e.b
+    ), comp AS (
+        SELECT id, MIN(lab) AS cluster_id FROM reach GROUP BY id
+    ), keeper AS (
+        SELECT f.source, f.id,
+               COALESCE(c.cluster_id, f.id) AS cluster_id
+        FROM fp f LEFT JOIN comp c ON c.id = f.id
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_images,
+           CAST(SUM(CASE WHEN id = cluster_id THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN id = cluster_id THEN 0 ELSE 1 END) AS BIGINT) AS n_removed,
+           CAST(SUM(CASE WHEN id = cluster_id THEN 0 ELSE 1 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS removed_rate
+    FROM keeper
+    GROUP BY source
+    ORDER BY source
+    """
+
+
+ORACLE["q284_phash_image_dedup"] = _q284_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Q285 — retrieval rank-quality eval: MRR + Kendall concordance of
+# ANN vs brute force (VERDICT r10 queue item 6 — completes the
+# index-quality suite: q209 grades set recall, q233 the
+# recall-vs-nprobe curve, q270 margins; a retrieval deployment's
+# dashboard also reads RANK quality). Over the fixed q27 query set:
+# brute-force cosine top-10 is ground truth (cosine_topk_np — the
+# Arrow kernel whose doubles are bit-identical to the SQL
+# expression tree, q27's pinned property); the IVF search (q28's
+# policy: 8 centroids, nprobe=2) returns its top-10. Per query:
+# reciprocal rank of the TRUE top-1 in the ANN list (q114's
+# discipline — ONE IEEE division of exact BIGINTs per query, 0.0
+# when missed; never averaged across rows in doubles), and integer
+# Kendall counts over the intersection of both top-10 lists
+# (concordant/discordant ordered pairs — ranks are distinct ints so
+# no ties; tau = (C−D)/(C+D), again one exact-int division, NULL
+# when fewer than 2 common items). Scale: both sides are k-row
+# frames per query (5×10 here) — the eval is O(k²) per query
+# regardless of corpus size; the expensive parts are the graded
+# search operators themselves.
+# ---------------------------------------------------------------------------
+
+_Q285_K = 10
+
+
+def q285_retrieval_rank_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_data_pipeline_spark.operators import similarity
+    from ai_data_pipeline_spark.operators.vectorized import (
+        cosine_topk_np,
+        ivf_assign_np,
+        ivf_search_cosine_np,
+    )
+    from ai_data_pipeline_spark.plans.constants import Q27_QUERY_VECS, Q28_CENTROIDS
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = similarity.queries_df(spark, Q27_QUERY_VECS)
+    bf = cosine_topk_np(emb, queries, k=_Q285_K).select(
+        "qid", "vec_id", F.col("rk").cast("long").alias("rk_bf")
+    )
+    corpus = ivf_assign_np(emb, Q28_CENTROIDS)
+    ann = ivf_search_cosine_np(
+        corpus, queries, Q28_CENTROIDS, k=_Q285_K, nprobe=2
+    ).select("qid", "vec_id", F.col("rk").cast("long").alias("rk_ann"))
+
+    qids = bf.select("qid").distinct()
+    truth = bf.filter(F.col("rk_bf") == 1).select("qid", "vec_id")
+    tr = (
+        truth.join(ann, ["qid", "vec_id"], "left")
+        .select("qid", F.coalesce(F.col("rk_ann"), F.lit(0)).alias("truth_rank"))
+    )
+    common = bf.join(ann, ["qid", "vec_id"]).select("qid", "vec_id", "rk_bf", "rk_ann")
+    ncom = common.groupBy("qid").agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    a, b = common.alias("a"), common.alias("b")
+    cd = (
+        a.join(
+            b,
+            (F.col("a.qid") == F.col("b.qid"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.qid").alias("qid"),
+            (
+                (F.col("a.rk_bf") - F.col("b.rk_bf"))
+                * (F.col("a.rk_ann") - F.col("b.rk_ann"))
+                > 0
+            ).alias("conc"),
+        )
+        .groupBy("qid")
+        .agg(
+            F.sum(F.when(F.col("conc"), 1).otherwise(0)).cast("long").alias("concordant"),
+            F.sum(F.when(~F.col("conc"), 1).otherwise(0)).cast("long").alias("discordant"),
+        )
+    )
+    return (
+        qids.join(tr, "qid", "left")
+        .join(ncom, "qid", "left")
+        .join(cd, "qid", "left")
+        .select(
+            F.col("qid").cast("long").alias("qid"),
+            F.coalesce(F.col("n_common"), F.lit(0)).cast("long").alias("n_common"),
+            F.col("truth_rank").cast("long").alias("truth_rank"),
+            F.when(
+                F.col("truth_rank") > 0,
+                F.lit(1.0) / F.col("truth_rank").cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("rr"),
+            F.coalesce(F.col("concordant"), F.lit(0)).cast("long").alias("concordant"),
+            F.coalesce(F.col("discordant"), F.lit(0)).cast("long").alias("discordant"),
+            F.when(
+                F.coalesce(F.col("concordant"), F.lit(0))
+                + F.coalesce(F.col("discordant"), F.lit(0))
+                > 0,
+                (
+                    F.coalesce(F.col("concordant"), F.lit(0))
+                    - F.coalesce(F.col("discordant"), F.lit(0))
+                ).cast("double")
+                / (
+                    F.coalesce(F.col("concordant"), F.lit(0))
+                    + F.coalesce(F.col("discordant"), F.lit(0))
+                ).cast("double"),
+            ).alias("kendall_tau"),
+        )
+        .orderBy("qid")
+    )
+
+
+QUERIES["q285_retrieval_rank_eval"] = q285_retrieval_rank_eval
+
+
+def _q285_oracle() -> str:
+    from ai_data_pipeline_spark.functions.vector import (
+        sql_dot,
+        sql_lit_list,
+        sql_norm,
+    )
+    from ai_data_pipeline_spark.plans.constants import (
+        EMBED_DIM,
+        Q27_QUERY_VECS,
+        Q28_CENTROIDS,
+    )
+    from ai_data_pipeline_spark.plans.pipeline_queries import _sqdist_py
+
+    # per-query probed cells: 2 nearest centroids, ties → lowest
+    # index (ivf_search_cosine_np's lexsort policy)
+    probes = {}
+    for qi, qv in enumerate(Q27_QUERY_VECS):
+        cdist = [_sqdist_py(c, qv) for c in Q28_CENTROIDS]
+        probes[qi] = sorted(range(len(Q28_CENTROIDS)), key=lambda c: (cdist[c], c))[:2]
+    qrows = ", ".join(
+        f"({qi}, {sql_lit_list(v)}, {list(probes[qi])})"
+        for qi, v in enumerate(Q27_QUERY_VECS)
+    )
+    from ai_data_pipeline_spark.functions.vector import sql_squared_l2
+
+    cells = ", ".join(
+        f"struct_pack(d := {sql_squared_l2('embedding', sql_lit_list(c), EMBED_DIM)}, c := {ci})"
+        for ci, c in enumerate(Q28_CENTROIDS)
+    )
+    cos = (
+        f"({sql_dot('a.embedding', 'q.qvec', EMBED_DIM)}) / "
+        f"(({sql_norm('a.embedding', EMBED_DIM)}) * ({sql_norm('q.qvec', EMBED_DIM)}))"
+    )
+    return f"""
+    WITH qs AS (
+        SELECT * FROM (VALUES {qrows}) AS t(qid, qvec, cells)
+    ), bf AS MATERIALIZED (
+        SELECT qid, vec_id, rk_bf FROM (
+            SELECT q.qid, a.vec_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.qid
+                       ORDER BY {cos} DESC, a.vec_id) AS rk_bf
+            FROM embeddings a CROSS JOIN qs q)
+        WHERE rk_bf <= {_Q285_K}
+    ), assigned AS (
+        SELECT vec_id, embedding,
+               struct_extract((list_sort([{cells}]))[1], 'c') AS cell
+        FROM embeddings
+    ), ann AS MATERIALIZED (
+        SELECT qid, vec_id, rk_ann FROM (
+            SELECT q.qid, a.vec_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.qid
+                       ORDER BY {cos} DESC, a.vec_id) AS rk_ann
+            FROM assigned a JOIN qs q ON list_contains(q.cells, a.cell))
+        WHERE rk_ann <= {_Q285_K}
+    ), truth AS (
+        SELECT bf.qid, COALESCE(ann.rk_ann, 0) AS truth_rank
+        FROM bf LEFT JOIN ann ON ann.qid = bf.qid AND ann.vec_id = bf.vec_id
+        WHERE bf.rk_bf = 1
+    ), common AS MATERIALIZED (
+        SELECT bf.qid, bf.vec_id, bf.rk_bf, ann.rk_ann
+        FROM bf JOIN ann ON ann.qid = bf.qid AND ann.vec_id = bf.vec_id
+    ), ncom AS (
+        SELECT qid, COUNT(*) AS n_common FROM common GROUP BY qid
+    ), cd AS (
+        SELECT a.qid,
+               SUM(CASE WHEN (a.rk_bf - b.rk_bf) * (a.rk_ann - b.rk_ann) > 0
+                        THEN 1 ELSE 0 END) AS concordant,
+               SUM(CASE WHEN (a.rk_bf - b.rk_bf) * (a.rk_ann - b.rk_ann) > 0
+                        THEN 0 ELSE 1 END) AS discordant
+        FROM common a JOIN common b
+          ON a.qid = b.qid AND a.vec_id < b.vec_id
+        GROUP BY a.qid
+    )
+    SELECT CAST(q.qid AS BIGINT) AS qid,
+           CAST(COALESCE(n.n_common, 0) AS BIGINT) AS n_common,
+           CAST(t.truth_rank AS BIGINT) AS truth_rank,
+           CASE WHEN t.truth_rank > 0
+                THEN 1.0::DOUBLE / CAST(t.truth_rank AS DOUBLE)
+                ELSE 0.0::DOUBLE END AS rr,
+           CAST(COALESCE(c.concordant, 0) AS BIGINT) AS concordant,
+           CAST(COALESCE(c.discordant, 0) AS BIGINT) AS discordant,
+           CASE WHEN COALESCE(c.concordant, 0) + COALESCE(c.discordant, 0) > 0
+                THEN CAST(COALESCE(c.concordant, 0) - COALESCE(c.discordant, 0)
+                          AS DOUBLE)
+                     / CAST(COALESCE(c.concordant, 0) + COALESCE(c.discordant, 0)
+                            AS DOUBLE)
+                END AS kendall_tau
+    FROM (SELECT DISTINCT qid FROM qs) q
+    LEFT JOIN truth t ON t.qid = q.qid
+    LEFT JOIN ncom n ON n.qid = q.qid
+    LEFT JOIN cd c ON c.qid = q.qid
+    ORDER BY qid
+    """
+
+
+ORACLE["q285_retrieval_rank_eval"] = _q285_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Q286 — Unicode script-mixture / confusable audit (VERDICT r10
+# queue item 7 — the text-analysis gap next to q37/q71 lang-id:
+# multilingual curation's spam/homoglyph signal is "which SCRIPTS
+# does this doc mix, and do single tokens mix them?"). Per-document
+# codepoint-class char counts via the length-minus-stripped idiom
+# (q29's punct counter — one regexp_replace per class, zero
+# explodes) over explicit codepoint ranges spelled \\x{...} (the
+# RE2∩Java-safe syntax; Java \\p{IsCyrillic}-style properties do
+# NOT exist in RE2, so ranges are the only dialect-portable form;
+# the Latin ranges exclude × U+00D7 and ÷ U+00F7 — math signs, not
+# letters). Mixed-script tokens (e.g. Latin+Cyrillic homoglyph
+# spoofs) are counted in the SAME single scan by a whitespace-token
+# HOF filter: a token is mixed iff ≥ 2 of the five letter-script
+# classes match it. Output per lang: exact BIGINT char counts per
+# class + mixed-token count + mixed rate (ONE IEEE division of
+# exact BIGINTs). The graded corpus is pure ASCII, so every
+# non-Latin branch is additionally pinned by a homoglyph fixture vs
+# a pure-Python twin (tests/test_frontier3.py — the q273 rule for
+# branches the graded data never exercises). Scale: one scan, one
+# partial-aggregating groupBy(lang) — no shuffle beyond the 5-row
+# agg; the regex work is per-char bounded and JVM-side.
+# ---------------------------------------------------------------------------
+
+# codepoint ranges per script class — \x{...} parses identically in
+# Java (Spark) and RE2 (DuckDB); ASCII letters first so the common
+# case short-circuits early in the class match
+_Q286_CLASSES = {
+    "latin": "A-Za-z\\x{00C0}-\\x{00D6}\\x{00D8}-\\x{00F6}\\x{00F8}-\\x{024F}",
+    "greek": "\\x{0370}-\\x{03FF}",
+    "cyrillic": "\\x{0400}-\\x{04FF}",
+    "arabic": "\\x{0600}-\\x{06FF}",
+    "cjk": "\\x{4E00}-\\x{9FFF}\\x{3040}-\\x{30FF}",
+}
+_Q286_DIGIT = "0-9"
+
+
+def q286_script_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_data_pipeline_spark.functions.text import ws_tokens
+
+    docs = spread(_t(spark, sf_dir, "documents"))
+    cnt = lambda ranges: (  # noqa: E731
+        F.length("text")
+        - F.length(F.regexp_replace(F.col("text"), f"[{ranges}]", ""))
+    ).cast("long")
+    ws = ws_tokens(F.col("text"))
+    script_hits = lambda t: sum(  # noqa: E731
+        F.when(t.rlike(f"[{r}]"), 1).otherwise(0) for r in _Q286_CLASSES.values()
+    )
+    per = docs.select(
+        "lang",
+        F.length("text").cast("long").alias("chars"),
+        *[cnt(r).alias(name) for name, r in _Q286_CLASSES.items()],
+        cnt(_Q286_DIGIT).alias("digit"),
+        F.size(ws).cast("long").alias("n_tok"),
+        F.size(F.filter(ws, lambda t: script_hits(t) >= F.lit(2)))
+        .cast("long")
+        .alias("n_mixed"),
+    )
+    agg = per.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("chars").cast("long").alias("chars"),
+        *[F.sum(name).cast("long").alias(name) for name in _Q286_CLASSES],
+        F.sum("digit").cast("long").alias("digit"),
+        F.sum("n_tok").cast("long").alias("n_tokens"),
+        F.sum("n_mixed").cast("long").alias("n_mixed_tokens"),
+    )
+    classes_sum = None
+    for name in list(_Q286_CLASSES) + ["digit"]:
+        classes_sum = F.col(name) if classes_sum is None else classes_sum + F.col(name)
+    return (
+        agg.withColumn("other", (F.col("chars") - classes_sum).cast("long"))
+        .withColumn(
+            "mixed_rate",
+            F.when(
+                F.col("n_tokens") > 0,
+                F.col("n_mixed_tokens").cast("double")
+                / F.col("n_tokens").cast("double"),
+            ).otherwise(F.lit(0.0)),
+        )
+        .select(
+            "lang", "n_docs", "chars",
+            *list(_Q286_CLASSES), "digit", "other",
+            "n_tokens", "n_mixed_tokens", "mixed_rate",
+        )
+        .orderBy("lang")
+    )
+
+
+QUERIES["q286_script_mixture"] = q286_script_mixture
+
+
+def _q286_oracle() -> str:
+    from ai_data_pipeline_spark.functions.text import sql_word_ngrams
+
+    ws = sql_word_ngrams("text", 1)
+    cnt = lambda r: f"(len(text) - len(regexp_replace(text, '[{r}]', '', 'g')))"  # noqa: E731
+    hits = " + ".join(
+        f"(CASE WHEN regexp_matches(t, '[{r}]') THEN 1 ELSE 0 END)"
+        for r in _Q286_CLASSES.values()
+    )
+    class_cols = ",\n               ".join(
+        f"{cnt(r)} AS {name}" for name, r in _Q286_CLASSES.items()
+    )
+    class_sums = ",\n           ".join(
+        f"CAST(SUM({name}) AS BIGINT) AS {name}" for name in _Q286_CLASSES
+    )
+    other = " - ".join(["SUM(chars)"] + [f"SUM({n})" for n in _Q286_CLASSES] + ["SUM(digit)"])
+    return f"""
+    WITH per AS (
+        SELECT lang,
+               len(text) AS chars,
+               {class_cols},
+               {cnt(_Q286_DIGIT)} AS digit,
+               len({ws}) AS n_tok,
+               len(list_filter({ws}, t -> ({hits}) >= 2)) AS n_mixed
+        FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(chars) AS BIGINT) AS chars,
+           {class_sums},
+           CAST(SUM(digit) AS BIGINT) AS digit,
+           CAST({other} AS BIGINT) AS other,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           CAST(SUM(n_mixed) AS BIGINT) AS n_mixed_tokens,
+           CASE WHEN SUM(n_tok) > 0
+                THEN CAST(SUM(n_mixed) AS DOUBLE) / CAST(SUM(n_tok) AS DOUBLE)
+                ELSE 0.0::DOUBLE END AS mixed_rate
+    FROM per
+    GROUP BY lang
+    ORDER BY lang
+    """
+
+
+ORACLE["q286_script_mixture"] = _q286_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Q287 — per-snapshot WITHIN-release dedup-rate trend (the SURVEY §7
+# round-11 queue's last frontier item, q263's dedup stage × q256's
+# release snapshots; the complement of q280 which grades CROSS-
+# release recycling): is each release more internally duplicated
+# than the last? ONE capped 4-gram pair pass (q263's constants —
+# max_shingle_freq engaged and mirrored in the freq CTE), edges
+# filtered to SAME-snapshot pairs, star-contraction components
+# (within-snap edges cannot merge across snapshots, so one
+# components run covers all four releases), min-id keeper; per
+# snapshot docs / removed / dup_rate (one IEEE division of exact
+# BIGINTs) + the LAG delta vs the previous release (difference of
+# bit-identical doubles — float-policy rule). Scale: the pair law
+# is q107's (capped candidate mass tracks dup structure); the
+# snapshot join is a broadcast of (doc_id, snap) longs; the trend
+# window runs on 4 rows.
+# ---------------------------------------------------------------------------
+
+
+def q287_snapshot_dedup_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_data_pipeline_spark.operators import dedup
+    from ai_data_pipeline_spark.plans.frontier2_queries import (
+        _Q256_SNAPS,
+        _Q263_JACCARD_F,
+        _Q263_MAXF,
+        _Q263_N,
+    )
+
+    docs = spread(_t(spark, sf_dir, "documents"))
+    u40 = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 10), 16, 10
+    ).cast("long")
+    snaps = docs.select(
+        "doc_id", F.pmod(u40, F.lit(_Q256_SNAPS)).cast("long").alias("snap")
+    ).localCheckpoint()  # totals + both pair-endpoint joins
+    pairs = dedup.ngram_jaccard_pairs(
+        docs,
+        "doc_id",
+        "text",
+        n=_Q263_N,
+        min_jaccard=_Q263_JACCARD_F,
+        max_shingle_freq=_Q263_MAXF,
+    ).select("id_a", "id_b")
+    sa = snaps.select(F.col("doc_id").alias("id_a"), F.col("snap").alias("snap_a"))
+    sb = snaps.select(F.col("doc_id").alias("id_b"), F.col("snap").alias("snap_b"))
+    within = (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(F.col("snap_a") == F.col("snap_b"))
+        .select("id_a", "id_b")
+    )
+    clusters = dedup.dedup_clusters_star(within)
+    keyed = (
+        snaps.join(clusters.withColumnRenamed("id", "doc_id"), "doc_id", "left")
+        .withColumn("cluster_id", F.coalesce(F.col("cluster_id"), F.col("doc_id")))
+    )
+    agg = keyed.groupBy("snap").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum((F.col("doc_id") != F.col("cluster_id")).cast("int"))
+        .cast("long")
+        .alias("n_removed"),
+    )
+    w = Window.orderBy("snap")
+    return (
+        agg.withColumn(
+            "dup_rate",
+            F.col("n_removed").cast("double") / F.col("n_docs").cast("double"),
+        )
+        .withColumn("dup_rate_delta", F.col("dup_rate") - F.lag("dup_rate").over(w))
+        .orderBy("snap")
+    )
+
+
+QUERIES["q287_snapshot_dedup_trend"] = q287_snapshot_dedup_trend
+
+
+def _q287_oracle() -> str:
+    from ai_data_pipeline_spark.functions.text import sql_word_ngrams
+    from ai_data_pipeline_spark.plans.frontier2_queries import (
+        _Q256_SNAPS,
+        _Q263_JACCARD,
+        _Q263_MAXF,
+        _Q263_N,
+    )
+
+    grams = sql_word_ngrams("text", _Q263_N)
+    return f"""
+    WITH RECURSIVE snaps AS MATERIALIZED (
+        SELECT doc_id,
+               (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 10))::BIGINT)
+                   % {_Q256_SNAPS} AS snap
+        FROM documents
+    ), sh0 AS (
+        SELECT DISTINCT doc_id AS id, unnest({grams}) AS shingle FROM documents
+    ), freq AS (
+        SELECT shingle, COUNT(*) AS f FROM sh0 GROUP BY shingle
+    ), sh AS MATERIALIZED (
+        SELECT id, sh0.shingle FROM sh0 JOIN freq ON sh0.shingle = freq.shingle
+        WHERE f <= {_Q263_MAXF}
+    ), sizes AS (
+        SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id
+    ), inter AS (
+        SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+        GROUP BY 1, 2
+    ), pairs AS (
+        SELECT id_a, id_b FROM inter
+        JOIN sizes sa ON sa.id = id_a
+        JOIN sizes sb ON sb.id = id_b
+        WHERE inter / (sa.n_sh + sb.n_sh - inter) >= '{_Q263_JACCARD}'::DOUBLE
+    ), within AS (
+        SELECT p.id_a, p.id_b
+        FROM pairs p
+        JOIN snaps na ON na.doc_id = p.id_a
+        JOIN snaps nb ON nb.doc_id = p.id_b
+        WHERE na.snap = nb.snap
+    ), edges AS (
+        SELECT id_a AS a, id_b AS b FROM within
+        UNION
+        SELECT id_b AS a, id_a AS b FROM within
+    ), reach AS (
+        SELECT a AS id, a AS lab FROM edges
+        UNION
+        SELECT e.a AS id, r.lab AS lab FROM edges e JOIN reach r ON r.id = e.b
+    ), comp AS (
+        SELECT id, MIN(lab) AS cluster_id FROM reach GROUP BY id
+    ), keyed AS (
+        SELECT s.snap, s.doc_id,
+               COALESCE(c.cluster_id, s.doc_id) AS cluster_id
+        FROM snaps s LEFT JOIN comp c ON c.id = s.doc_id
+    ), agg AS (
+        SELECT snap,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN doc_id != cluster_id THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_removed
+        FROM keyed GROUP BY snap
+    )
+    SELECT CAST(snap AS BIGINT) AS snap, n_docs, n_removed,
+           CAST(n_removed AS DOUBLE) / CAST(n_docs AS DOUBLE) AS dup_rate,
+           CAST(n_removed AS DOUBLE) / CAST(n_docs AS DOUBLE)
+             - LAG(CAST(n_removed AS DOUBLE) / CAST(n_docs AS DOUBLE))
+               OVER (ORDER BY snap) AS dup_rate_delta
+    FROM agg
+    ORDER BY snap
+    """
+
+
+ORACLE["q287_snapshot_dedup_trend"] = _q287_oracle()

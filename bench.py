@@ -252,6 +252,12 @@ HEADLINE = [
     "q279_streaming_ring_router",
     "q280_snapshot_recycling",
     "q281_cascade_order_ablation",
+    "q282_incremental_neardup_store",
+    "q283_bpe_two_rounds",
+    "q284_phash_image_dedup",
+    "q285_retrieval_rank_eval",
+    "q286_script_mixture",
+    "q287_snapshot_dedup_trend",
 ]
 
 

@@ -150,6 +150,12 @@ PROBE = [
     "q278_bpe_merge_apply",        # 2 char-explode scans + 1-row broadcast merge
     "q280_snapshot_recycling",     # capped pairs + per-doc MIN partner snap
     "q281_cascade_order_ablation", # one shared pair pass + two component runs
+    "q282_incremental_neardup_store",  # store write/read + banded batch-vs-store join
+    "q283_bpe_two_rounds",         # 3 explode scans + two 1-row broadcast merges
+    "q284_phash_image_dedup",      # 66-md5 fold/doc + segment-blocked pairs
+    "q285_retrieval_rank_eval",    # bf pass (q27 law) + probed-cell ANN + k-row eval
+    "q286_script_mixture",         # one regex scan + 5-row agg
+    "q287_snapshot_dedup_trend",   # one capped pair pass + per-snap components
 ]
 
 

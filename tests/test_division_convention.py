@@ -61,6 +61,15 @@ def test_plan_files_glob_found_the_known_modules():
 #   * props.'$.k' — generator emits k >= 0 (verified at sf0.001/0.01)
 #   * (s6 + 8388608*n) div n - 8388608 / oracle twin — THE offset form
 ALLOWED_DIV_SITES = {
+    # q282 oracle: j ∈ range(32) (hash index) — non-negative by
+    # construction; rpb is the Python constant 32 // 8.
+    "',' ORDER BY j) AS bk FROM sig GROUP BY id, is_batch, j //",
+    ', j ), bandkey AS MATERIALIZED ( SELECT id, is_batch, j //',
+    'ort sql_word_ngrams h = _Q282_HASHES rpb = _Q282_HASHES //',
+    # q284 oracle builder: i is the Python literal loop var 0..59
+    # (bit index) — non-negative grid arithmetic at plan-build time.
+    '::BIGINT" ) bits = " + " . join ( f"(CASE WHEN lums[{(i //',
+    '{(i // 10) * _Q284_COLS + (i % 10) + 2}] > " f"lums[{(i //',
     # q155 oracle: start is a generate_series(0, …, 90) value — ≥ 0
     # by construction (max_index = start // 90).
     ', n - start)) AS BIGINT) AS total_chars, CAST(MAX(start //',

@@ -1,0 +1,173 @@
+"""Fixture pins for plans/frontier3_queries.py (q282+).
+
+The r09-advice rule: any branch the graded corpora cannot exercise
+gets a fixture test against a pure-Python twin. The graded documents
+are single-line pure-ASCII with near-dup structure but no homoglyphs
+and (possibly) no Hamming-1..3 image pairs — these tests pin:
+
+- q282's admission POLICY (a batch doc whose within-batch cluster
+  keeper was itself dropped against history stays dropped);
+- q283's overlap accounting (realized merges != occurrence count on
+  "aaa" chains — the classic naive-BPE off-by-one);
+- q284's Hamming-1..3 near-dup branch (a token substitution perturbs
+  only the grid cells that token feeds);
+- q286's non-Latin script classes and mixed-token homoglyph flag.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+
+def _dhash60_py(text: str) -> int:
+    """Pure-Python twin of frontier3_queries.dhash60 (6×11 grid,
+    md5-byte luminance of token[(k mod n)] salted with k, 60 bits of
+    row-wise adjacent comparisons)."""
+    toks = text.split()
+    n = len(toks)
+    lums = []
+    for k in range(66):
+        tok = toks[k % n] if n else ""
+        lums.append(int(hashlib.md5(f"{tok}:{k}".encode()).hexdigest()[:2], 16))
+    fp = 0
+    for i in range(60):
+        r, c = divmod(i, 10)
+        if lums[r * 11 + c + 1] > lums[r * 11 + c]:
+            fp |= 1 << i
+    return fp
+
+
+def test_q284_dhash_matches_python_twin(spark, tmp_path):
+    from ai_data_pipeline_spark.plans.frontier3_queries import dhash60
+
+    texts = [
+        " ".join(f"w{j}" for j in range(70)),
+        "single",
+        "two words",
+        "",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "id long, text string")
+    got = {
+        r["id"]: r["fp"]
+        for r in df.select("id", dhash60(F.col("text")).alias("fp")).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == _dhash60_py(t), f"text {i!r}"
+
+
+def test_q284_neardup_branch_fixture(spark, tmp_path):
+    """A one-token substitution in a 70-token doc perturbs only the
+    cells that token feeds — Hamming lands in 1..3 and the pair is
+    found by the segment blocking (recall-exact for ≤ 3), clustering
+    the two docs; an unrelated doc stays unclustered."""
+    from ai_data_pipeline_spark.plans import frontier3_queries as F3
+
+    base = [f"w{j}" for j in range(70)]
+    sub = list(base)
+    sub[30] = "SUBSTITUTED"
+    other = [f"z{j}" for j in range(70)]
+    texts = {0: " ".join(base), 1: " ".join(sub), 2: " ".join(other)}
+    ham01 = bin(_dhash60_py(texts[0]) ^ _dhash60_py(texts[1])).count("1")
+    ham02 = bin(_dhash60_py(texts[0]) ^ _dhash60_py(texts[2])).count("1")
+    assert 1 <= ham01 <= 3, ham01  # the fixture's premise, via the twin
+    assert ham02 > 3, ham02
+    rows = [(i, t, "en", "srcA", len(t)) for i, t in texts.items()]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        r["source"]: r
+        for r in F3.q284_phash_image_dedup(spark, str(tmp_path)).collect()
+    }
+    assert got["srcA"]["n_images"] == 3
+    assert got["srcA"]["n_kept"] == 2  # {0,1} cluster keeps 0; 2 alone
+    assert got["srcA"]["n_removed"] == 1
+
+
+def test_q283_overlap_accounting_fixture(spark, tmp_path):
+    """'aaa' merges ONCE under BPE's left-to-right scan (occurrence
+    count says twice) — realized-merge accounting is the graded
+    claim. Hand-computed twin: words = 5×'aaa' + 3×'ab';
+    round 1 merges 'aa' (10 occurrences, 5 realized) → 'aa a' / 'a b';
+    round 2 merges ('aa','a') (5 realized) → 'aaa' / 'a b';
+    round 3 top candidate is ('a','b') ×3."""
+    from ai_data_pipeline_spark.plans import frontier3_queries as F3
+
+    text = " ".join(["aaa"] * 5 + ["ab"] * 3)
+    spark.createDataFrame(
+        [(0, text, "en", "srcA", len(text))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+    rows = F3.q283_bpe_two_rounds(spark, str(tmp_path)).collect()
+    assert rows[0]["applied_r1"] == "aa"
+    assert rows[0]["applied_r2"] == "aa a"
+    assert rows[0]["n_merges_r1"] == 5  # NOT 10
+    assert rows[0]["n_merges_r2"] == 5
+    assert (rows[0]["pair"], rows[0]["n"]) == ("a b", 3)
+    assert len(rows) == 1  # 'aaa' words are single symbols now
+
+
+def test_q286_homoglyph_fixture(spark, tmp_path):
+    """Non-Latin classes + the mixed-script token flag never fire on
+    the ASCII graded corpora; pin them against hand-counted Unicode
+    text (Cyrillic homoglyphs, CJK, digits)."""
+    from ai_data_pipeline_spark.plans import frontier3_queries as F3
+
+    # 'payра1' = latin p,a,y + CYRILLIC р,а + digit 1 (mixed)
+    # 'сash'   = CYRILLIC с + latin a,s,h (mixed)
+    # 'привет' pure cyrillic; '世界' cjk; 'abc' pure latin
+    text = "payра1 сash привет 世界 abc"
+    spark.createDataFrame(
+        [(0, text, "xx", "s", len(text))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+    r = F3.q286_script_mixture(spark, str(tmp_path)).collect()[0]
+    assert r["latin"] == 9  # p,a,y + a,s,h + a,b,c
+    assert r["cyrillic"] == 9  # р,а + с + привет(6)
+    assert r["cjk"] == 2
+    assert r["digit"] == 1
+    assert r["other"] == 4  # the four spaces
+    assert r["n_tokens"] == 5
+    assert r["n_mixed_tokens"] == 2
+    assert r["mixed_rate"] == 2.0 / 5.0
+
+
+def test_q282_admission_policy_fixture(spark, tmp_path):
+    """Pins the admission policy end-to-end on a corpus where every
+    branch fires: exact-dup vs history → dropped_history; within-
+    batch near-dup pair → min admitted, other dropped_batch; a doc
+    near its HISTORY-DROPPED batch keeper but NOT near history
+    itself → dropped_batch (no resurrection); a unique doc →
+    admitted."""
+    from ai_data_pipeline_spark.plans import frontier3_queries as F3
+
+    hist_text = " ".join(f"h{j}" for j in range(20))
+    # batch 100: history text + 4 extra tokens → J vs hist ≈ 18/22 ≥ 0.6
+    b100 = hist_text + " x1 x2 x3 x4"
+    # batch 104: b100 + 10 more → J vs hist = 18/32 < 0.6, J vs b100 = 22/32 ≥ 0.6
+    b104 = b100 + " " + " ".join(f"y{j}" for j in range(10))
+    pair_text = " ".join(f"p{j}" for j in range(15))
+    uniq = " ".join(f"u{j}" for j in range(15))
+    rows = [
+        (10, hist_text, "en", "src1", len(hist_text)),
+        (11, " ".join(f"g{j}" for j in range(15)), "en", "src2", 1),
+        (100, b100, "en", "src0", len(b100)),
+        (101, pair_text, "en", "src0", len(pair_text)),
+        (102, pair_text, "en", "src0", len(pair_text)),
+        (103, uniq, "en", "src0", len(uniq)),
+        (104, b104, "en", "src0", len(b104)),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+    r = F3.q282_incremental_neardup_store(spark, str(tmp_path)).collect()
+    assert len(r) == 1 and r[0]["lang"] == "en"
+    assert r[0]["n_batch"] == 5
+    # 100 → dropped_history; 101 admitted, 102 dropped_batch (exact
+    # pair, min wins); 103 admitted; 104 survives the history check
+    # but its cluster keeper 100 was dropped → dropped_batch
+    assert r[0]["n_dropped_history"] == 1
+    assert r[0]["n_admitted"] == 2
+    assert r[0]["n_dropped_batch"] == 2
