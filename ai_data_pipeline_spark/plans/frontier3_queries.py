@@ -1270,3 +1270,486 @@ def _q287_oracle() -> str:
 
 
 ORACLE["q287_snapshot_dedup_trend"] = _q287_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Q288 — streaming signature-store admission gate (q282's store AT
+# INGEST, in q248/q234's stateless stream-static shape): the
+# persisted history MinHash store (here its banded digest SET —
+# |hist|×8 keys of 8 bytes) broadcasts into the stream; each
+# arriving doc computes its OWN 32-hash signature as a pure ROW
+# expression (per-seed MIN over the shingle array via one HOF fold
+# per seed — MIN over a multiset equals MIN over the set, so no
+# DISTINCT and no stateful agg is needed; the shingle array is
+# materialized in its own projection first so the 32 lambda
+# references don't re-run the tokenizer — the CollapseProject
+# multi-reference rule), derives the 8 band keys with EXACTLY
+# minhash_banded's digest expression, and is FLAGGED iff any band
+# key hits the store (arrays_overlap — no state store, no
+# watermark, append-only). This is CANDIDATE-level gating — the
+# conservative flag-for-review ingest gate; exact-Jaccard
+# adjudication of flagged docs is q282's batch pass. Stream equals
+# batch because the policy is deterministic: the oracle recomputes
+# the same admission in SQL (band-key equality via the string_agg
+# form, q204's equivalence). Scale note: at a store too large to
+# broadcast as one array, the same stateless gate is a
+# stream-static EQUI-join on (band, digest) against the store
+# parquet — documented here, array form shipped (q248's audited
+# single-pass shape).
+# ---------------------------------------------------------------------------
+
+
+def q288_streaming_store_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid as _uuid
+
+    from ai_data_pipeline_spark.functions.text import token_count_ws, word_ngrams
+    from ai_data_pipeline_spark.operators import dedup
+    from ai_data_pipeline_spark.plans.pipeline_queries import _drain_memory_sink
+
+    static = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    hist = static.filter(F.col("source") != "src0")
+    sigs_hist = dedup.minhash_signatures(
+        hist, "doc_id", "text", n=3, num_hashes=_Q282_HASHES
+    )
+    store_keys = (
+        dedup.minhash_banded(sigs_hist, _Q282_HASHES, _Q282_BANDS)
+        .select(
+            F.xxhash64(
+                F.concat_ws("|", F.col("band"), F.col("band_digest"))
+            ).alias("k")
+        )
+        .agg(F.collect_set("k").alias("store_ks"))
+        .withColumn("j", F.lit(1))
+    )
+
+    raw = (
+        spark.readStream.schema(static.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    raw = raw.repartition(spark.sparkContext.defaultParallelism)
+    rpb = _Q282_HASHES // _Q282_BANDS
+    seed_min = lambda j: F.array_min(  # noqa: E731
+        F.transform(
+            F.col("sh_arr"),
+            lambda s: F.conv(
+                F.substring(F.md5(F.concat(s, F.lit(f":{j}"))), 1, 15), 16, 10
+            ).cast("long"),
+        )
+    )
+    band_key = lambda b: F.xxhash64(  # noqa: E731
+        F.concat_ws(
+            "|",
+            F.lit(b),
+            F.xxhash64(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.element_at(F.col("sig"), b * rpb + r + 1).cast("string")
+                        for r in range(rpb)
+                    ],
+                )
+            ),
+        )
+    )
+    staged = (
+        raw.select(
+            "source",
+            token_count_ws(F.col("text")).alias("n_tok"),
+            word_ngrams(F.col("text"), 3).alias("sh_arr"),
+        )
+        .select(
+            "source",
+            "n_tok",
+            F.size("sh_arr").alias("n_sh"),
+            F.array(*[seed_min(j) for j in range(_Q282_HASHES)]).alias("sig"),
+        )
+        .select(
+            "source",
+            "n_tok",
+            F.when(
+                F.col("n_sh") > 0,
+                F.array(*[band_key(b) for b in range(_Q282_BANDS)]),
+            )
+            .otherwise(F.array().cast("array<bigint>"))
+            .alias("doc_ks"),
+            F.lit(1).alias("j"),
+        )
+    )
+    gated = staged.join(F.broadcast(store_keys), "j").withColumn(
+        "flagged", F.arrays_overlap(F.col("doc_ks"), F.col("store_ks")).cast("int")
+    )
+    name = f"q288_{_uuid.uuid4().hex[:8]}"
+    q = (
+        gated.select("source", "n_tok", "flagged")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    agg = (
+        spark.table(name)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_seen"),
+            F.sum(F.lit(1) - F.col("flagged")).cast("long").alias("n_admitted"),
+            F.sum("flagged").cast("long").alias("n_flagged"),
+            F.sum(F.when(F.col("flagged") == 0, F.col("n_tok")).otherwise(0))
+            .cast("long")
+            .alias("tokens_admitted"),
+        )
+        .withColumn(
+            "admit_rate",
+            F.col("n_admitted").cast("double") / F.col("n_seen").cast("double"),
+        )
+    )
+    return _drain_memory_sink(agg, name).orderBy("source")
+
+
+QUERIES["q288_streaming_store_gate"] = q288_streaming_store_gate
+
+
+def _q288_oracle() -> str:
+    from ai_data_pipeline_spark.functions.text import sql_word_ngrams
+
+    h = _Q282_HASHES
+    rpb = _Q282_HASHES // _Q282_BANDS
+    toks = sql_word_ngrams("text", 1)
+    return f"""
+    WITH sh AS MATERIALIZED (
+        SELECT DISTINCT doc_id AS id, source,
+               unnest({sql_word_ngrams("text", 3)}) AS shingle
+        FROM documents
+    ), sig AS MATERIALIZED (
+        SELECT id, MAX(source) AS source, j,
+               MIN((('0x' || substr(md5(shingle || ':' || j), 1, 15))::BIGINT)) AS mh
+        FROM sh CROSS JOIN range({h}) AS t(j)
+        GROUP BY id, j
+    ), bandkey AS MATERIALIZED (
+        SELECT id, MAX(source) AS source, j // {rpb} AS band,
+               string_agg(mh::VARCHAR, ',' ORDER BY j) AS bk
+        FROM sig GROUP BY id, j // {rpb}
+    ), flagged AS (
+        -- EVERY streamed doc gates against the history store,
+        -- history docs included: they self-hit and show ~fully
+        -- flagged (q248's built-in sanity). Self-match allowed.
+        SELECT DISTINCT b.id
+        FROM bandkey b JOIN bandkey a
+          ON a.source != 'src0'
+         AND b.band = a.band AND b.bk = a.bk
+    ), per AS (
+        SELECT d.source, len({toks}) AS n_tok,
+               (CASE WHEN f.id IS NOT NULL THEN 1 ELSE 0 END) AS flg
+        FROM documents d LEFT JOIN flagged f ON f.id = d.doc_id
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_seen,
+           CAST(SUM(1 - flg) AS BIGINT) AS n_admitted,
+           CAST(SUM(flg) AS BIGINT) AS n_flagged,
+           CAST(SUM(CASE WHEN flg = 0 THEN n_tok ELSE 0 END) AS BIGINT)
+               AS tokens_admitted,
+           CAST(SUM(1 - flg) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS admit_rate
+    FROM per
+    GROUP BY source
+    ORDER BY source
+    """
+
+
+ORACLE["q288_streaming_store_gate"] = _q288_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Q290 — positional inverted index + phrase / boolean-AND search
+# (the exact-match retrieval primitive next to the vector-search
+# suite — every RAG deployment runs BOTH; ES/Lucene's core data
+# structure re-expressed Spark-first): ONE postings table
+# (token, doc_id, pos) built from a single tokenize+posexplode scan
+# and materialized (localCheckpoint — every query consumes it; at
+# 100 TB this is the bucketed-by-token parquet table the index
+# build writes once, q164's discipline), then each fixed query runs
+# AS JOINS ON THE INDEX: a k-word phrase is the k-way positional
+# self-join p1.pos + i = p(i).pos on the same doc (never a text
+# rescan); a boolean AND is a distinct-doc semi-intersection.
+# Per query: matching docs, total occurrences (phrase = phrase
+# starts; AND = Σ term occurrences inside matching docs — exact
+# BIGINTs). The postings shuffle partitions by token — the phrase
+# join touches only the queried tokens' lists (at scale: partition
+# pruning on the token-bucketed store). Oracle recomputes via the
+# n-gram/containment forms — value-identical by construction.
+# ---------------------------------------------------------------------------
+
+_Q290_PHRASES = [("p1", "order sort"), ("p2", "batch batch"), ("p3", "the fast key")]
+_Q290_ANDS = [("a1", ["spark", "window"]), ("a2", ["dup", "merge"])]
+
+
+def q290_inverted_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_data_pipeline_spark.functions.text import ws_tokens
+
+    docs = spread(_t(spark, sf_dir, "documents"))
+    needed = sorted(
+        {w for _, p in _Q290_PHRASES for w in p.split()}
+        | {w for _, ts in _Q290_ANDS for t in [ts] for w in t}
+    )
+    # postings for the queried tokens only — the index SERVES these
+    # queries; pruning to the probe tokens at build time models the
+    # token-partition pruning a full bucketed index gives reads.
+    postings = (
+        docs.select(
+            "doc_id", F.posexplode(ws_tokens(F.col("text"))).alias("pos", "token")
+        )
+        .filter(F.col("token").isin(needed))
+        .localCheckpoint()
+    )
+
+    frames = []
+    for qid, phrase in _Q290_PHRASES:
+        words = phrase.split()
+        cur = postings.filter(F.col("token") == words[0]).select(
+            "doc_id", F.col("pos").alias("p0")
+        )
+        for i, w in enumerate(words[1:], start=1):
+            nxt = postings.filter(F.col("token") == w).select(
+                "doc_id", F.col("pos").alias(f"p{i}")
+            )
+            cur = cur.join(nxt, "doc_id").filter(
+                F.col(f"p{i}") == F.col("p0") + F.lit(i)
+            )
+        hits = cur.select("doc_id")
+        frames.append(
+            hits.agg(
+                F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+                F.count_distinct("doc_id").cast("long").alias("n_docs"),
+            ).select(
+                F.lit(qid).alias("query_id"),
+                F.lit("phrase").alias("kind"),
+                F.lit(phrase).alias("query"),
+                "n_docs",
+                "n_occurrences",
+            )
+        )
+    for qid, terms in _Q290_ANDS:
+        per_doc = (
+            postings.filter(F.col("token").isin(terms))
+            .groupBy("doc_id")
+            .agg(
+                F.count_distinct("token").alias("n_terms"),
+                F.count(F.lit(1)).cast("long").alias("occ"),
+            )
+            .filter(F.col("n_terms") == len(terms))
+        )
+        frames.append(
+            per_doc.agg(
+                F.coalesce(F.sum("occ"), F.lit(0)).cast("long").alias("n_occurrences"),
+                F.count(F.lit(1)).cast("long").alias("n_docs"),
+            ).select(
+                F.lit(qid).alias("query_id"),
+                F.lit("and").alias("kind"),
+                F.lit(" ".join(terms)).alias("query"),
+                "n_docs",
+                "n_occurrences",
+            )
+        )
+    out = frames[0]
+    for fdf in frames[1:]:
+        out = out.unionByName(fdf)
+    return out.orderBy("query_id")
+
+
+QUERIES["q290_inverted_index_search"] = q290_inverted_index_search
+
+
+def _q290_oracle() -> str:
+    from ai_data_pipeline_spark.functions.text import sql_word_ngrams
+
+    toks = sql_word_ngrams("text", 1)
+    parts = []
+    for qid, phrase in _Q290_PHRASES:
+        k = len(phrase.split())
+        grams = sql_word_ngrams("text", k)
+        parts.append(f"""
+        SELECT '{qid}' AS query_id, 'phrase' AS kind, '{phrase}' AS query,
+               CAST(COUNT(DISTINCT CASE WHEN n > 0 THEN doc_id END) AS BIGINT)
+                   AS n_docs,
+               CAST(COALESCE(SUM(n), 0) AS BIGINT) AS n_occurrences
+        FROM (
+            SELECT doc_id,
+                   len(list_filter({grams}, g -> g = '{phrase}')) AS n
+            FROM documents)
+        """)
+    for qid, terms in _Q290_ANDS:
+        conds = " AND ".join(
+            f"len(list_filter({toks}, t -> t = '{w}')) > 0" for w in terms
+        )
+        occ = " + ".join(
+            f"len(list_filter({toks}, t -> t = '{w}'))" for w in terms
+        )
+        q = " ".join(terms)
+        parts.append(f"""
+        SELECT '{qid}' AS query_id, 'and' AS kind, '{q}' AS query,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(COALESCE(SUM(occ), 0) AS BIGINT) AS n_occurrences
+        FROM (
+            SELECT doc_id, {occ} AS occ
+            FROM documents
+            WHERE {conds})
+        """)
+    body = " UNION ALL ".join(parts)
+    return f"SELECT * FROM ({body}) ORDER BY query_id"
+
+
+ORACLE["q290_inverted_index_search"] = _q290_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Q291 — video shot-overlap near-dup (the VIDEO modality joining
+# q284's image dHash in the dedup family, over q72's frame-sample
+# stub machinery): each doc stands in for a video; its 8 sampled
+# "frames" hash the token window [f·8, f·8+16) (STRIDE 8 < WINDOW
+# 16, so an edited token perturbs ≤ 2 frames — content-local, the
+# same reason q284 seeds per-token; md5-60 of the joined window,
+# the DuckDB-recomputable family). Videos sharing ≥ 4 of 8 frame
+# hashes are near-dups — a SET-OVERLAP join on frame hashes
+# (groupBy hash → pairs), deliberately a THIRD pairing mechanism
+# next to q282's banding and q284's pigeonhole segments; boilerplate
+# frames are capped at df ≤ 50 by a count window (the
+# max_shingle_freq convention, freq CTE mirrored), empty frames
+# (doc shorter than the window start) are dropped so short docs
+# never pair on emptiness. Components + min-id keeper per source
+# (q204's tail). Scale: 8 rows per video into one hash-keyed
+# shuffle; pair mass tracks dup structure under the cap.
+# ---------------------------------------------------------------------------
+
+_Q291_FRAMES = 8
+_Q291_STRIDE = 8
+_Q291_WIN = 16
+_Q291_MIN_SHARED = 4
+_Q291_MAXF = 50
+
+
+def q291_video_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_data_pipeline_spark.functions.text import ws_tokens
+    from ai_data_pipeline_spark.operators import dedup
+
+    docs = spread(_t(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id", "source", ws_tokens(F.col("text")).alias("ws"))
+    frame = lambda f: F.array_join(  # noqa: E731
+        F.slice(F.col("ws"), f * _Q291_STRIDE + 1, _Q291_WIN), " "
+    )
+    framed = toks.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.array(*[frame(f) for f in range(_Q291_FRAMES)]),
+                lambda s: s != F.lit(""),
+            )
+        ).alias("fs"),
+    ).select(
+        "doc_id",
+        F.conv(F.substring(F.md5(F.col("fs")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("fh"),
+    ).distinct()
+    w = Window.partitionBy("fh")
+    capped = (
+        framed.withColumn("df", F.count(F.lit(1)).over(w))
+        .filter(F.col("df") <= _Q291_MAXF)
+        .select("doc_id", "fh")
+    )
+    a = capped.select(F.col("doc_id").alias("id_a"), "fh")
+    b = capped.select(F.col("doc_id").alias("id_b"), "fh")
+    pairs = (
+        a.join(b, "fh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= _Q291_MIN_SHARED)
+        .select("id_a", "id_b")
+    )
+    clusters = dedup.dedup_clusters_star(pairs)
+    keeper = (
+        docs.select("doc_id", "source")
+        .join(clusters.withColumnRenamed("id", "doc_id"), "doc_id", "left")
+        .select(
+            "source",
+            "doc_id",
+            F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id"),
+        )
+    )
+    agg = keeper.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_videos"),
+        F.sum((F.col("doc_id") == F.col("cluster_id")).cast("int"))
+        .cast("long")
+        .alias("n_kept"),
+    )
+    return (
+        agg.withColumn("n_removed", (F.col("n_videos") - F.col("n_kept")).cast("long"))
+        .withColumn(
+            "removed_rate",
+            F.col("n_removed").cast("double") / F.col("n_videos").cast("double"),
+        )
+        .orderBy("source")
+    )
+
+
+QUERIES["q291_video_frame_dedup"] = q291_video_frame_dedup
+
+
+def _q291_oracle() -> str:
+    from ai_data_pipeline_spark.functions.text import sql_word_ngrams
+
+    toks = sql_word_ngrams("text", 1)
+    frames = ", ".join(
+        f"array_to_string(({toks})[{f * _Q291_STRIDE + 1}:{f * _Q291_STRIDE + _Q291_WIN}], ' ')"
+        for f in range(_Q291_FRAMES)
+    )
+    return f"""
+    WITH RECURSIVE framed AS MATERIALIZED (
+        SELECT DISTINCT doc_id, (('0x' || substr(md5(fs), 1, 15))::BIGINT) AS fh
+        FROM (
+            SELECT doc_id, unnest(list_filter([{frames}], s -> s != '')) AS fs
+            FROM documents)
+    ), freq AS (
+        SELECT fh, COUNT(*) AS df FROM framed GROUP BY fh
+    ), capped AS MATERIALIZED (
+        SELECT doc_id, framed.fh FROM framed
+        JOIN freq ON freq.fh = framed.fh
+        WHERE df <= {_Q291_MAXF}
+    ), pairs AS (
+        SELECT id_a, id_b FROM (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+            FROM capped a JOIN capped b
+              ON a.fh = b.fh AND a.doc_id < b.doc_id
+            GROUP BY 1, 2)
+        WHERE n_shared >= {_Q291_MIN_SHARED}
+    ), edges AS (
+        SELECT id_a AS a, id_b AS b FROM pairs
+        UNION
+        SELECT id_b AS a, id_a AS b FROM pairs
+    ), reach AS (
+        SELECT a AS id, a AS lab FROM edges
+        UNION
+        SELECT e.a AS id, r.lab AS lab FROM edges e JOIN reach r ON r.id = e.b
+    ), comp AS (
+        SELECT id, MIN(lab) AS cluster_id FROM reach GROUP BY id
+    ), keeper AS (
+        SELECT d.source, d.doc_id,
+               COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+        FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_videos,
+           CAST(SUM(CASE WHEN doc_id = cluster_id THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN doc_id = cluster_id THEN 0 ELSE 1 END) AS BIGINT) AS n_removed,
+           CAST(SUM(CASE WHEN doc_id = cluster_id THEN 0 ELSE 1 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS removed_rate
+    FROM keeper
+    GROUP BY source
+    ORDER BY source
+    """
+
+
+ORACLE["q291_video_frame_dedup"] = _q291_oracle()

@@ -258,6 +258,9 @@ HEADLINE = [
     "q285_retrieval_rank_eval",
     "q286_script_mixture",
     "q287_snapshot_dedup_trend",
+    "q288_streaming_store_gate",
+    "q290_inverted_index_search",
+    "q291_video_frame_dedup",
 ]
 
 
@@ -322,6 +325,30 @@ def main() -> int:
             shutil.rmtree(ckpt, ignore_errors=True)
     finally:
         shutil.rmtree(stream_dir, ignore_errors=True)
+
+    # JIT warm-up (r10 verdict "fixed-overhead creep", attributed
+    # r11): a cold JVM runs the first ~10 timed queries 3-5x slower
+    # REGARDLESS of reps — all three reps of an early query land
+    # before HotSpot C2 has compiled the shared scan/agg/window/join
+    # codegen infra (q12 best-of-3 measured 1.06 s cold vs 0.26 s
+    # after ~4 untimed queries; catalog growth / listener history /
+    # SQL-UDF registration were each tested and make the session
+    # FASTER, not slower). One untimed pass over a small
+    # representative plan set (~5-8 s) puts every timed row on the
+    # same warm footing the r01 recordings had.
+    for warm_name in (
+        "q01_scan_filter_project",
+        "q03_revenue_by_nation",
+        "q08_agg_suite",
+        "q12_analytic_window",
+        "q14_global_topk",
+        "q15a_intersect",
+        "q16_string_functions",
+        "q42_window_suite",
+        "q44_pivot_counts",
+        "q53_rank_fns",
+    ):
+        queries[warm_name](spark, sf_dir).count()
 
     # best-of-N: the box shows multi-second scheduler/GC noise on
     # individual runs (observed migrating between queries across

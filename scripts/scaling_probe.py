@@ -156,6 +156,8 @@ PROBE = [
     "q285_retrieval_rank_eval",    # bf pass (q27 law) + probed-cell ANN + k-row eval
     "q286_script_mixture",         # one regex scan + 5-row agg
     "q287_snapshot_dedup_trend",   # one capped pair pass + per-snap components
+    "q290_inverted_index_search",  # postings build + positional joins
+    "q291_video_frame_dedup",      # 8 frame hashes/video + set-overlap pairs
 ]
 
 
