@@ -72,6 +72,111 @@ _Q282_BANDS = 8
 _Q282_TAU = 0.6
 
 
+def _store_admission(hist_docs, batch_docs, store):
+    """q282's admission core, shared with q289's lifecycle row.
+
+    Given the history docs, the batch docs, and the READ-BACK
+    signature store frame [id, sig], returns (keyed, sigs_batch):
+    ``keyed`` = [doc_id, lang, cluster_id, in_hist] for every batch
+    doc (cluster over ALL batch docs; in_hist non-null iff verified
+    ≥ τ against a store candidate), ``sigs_batch`` = the
+    checkpointed batch signature frame (q289 merges the admitted
+    subset into the next store generation)."""
+    from ai_data_pipeline_spark.operators import dedup
+
+    banded_hist = dedup.minhash_banded(store, _Q282_HASHES, _Q282_BANDS).select(
+        F.col("id").alias("hid"), "band", "band_digest"
+    )
+
+    # ---- batch side: signatures + band digests (same expression).
+    # localCheckpoint: the signature agg feeds THREE consumers
+    # (store join + both sides of the within-batch self-join) and
+    # would re-execute the whole shingle→min pipeline per
+    # reference otherwise (the q84 iterative-reuse lesson); the
+    # frame is |batch| × 32 longs.
+    sigs_batch = dedup.minhash_signatures(
+        batch_docs, "doc_id", "text", n=3, num_hashes=_Q282_HASHES
+    ).localCheckpoint()
+    banded_batch = dedup.minhash_banded(sigs_batch, _Q282_HASHES, _Q282_BANDS)
+
+    # ---- candidates vs history: banded equi-join, then exact
+    # Jaccard verification over shingles; history shingles only
+    # for candidate docs (semi-join-bounded fetch).
+    # localCheckpoint: cand_h feeds the semi-join text fetch AND
+    # the verification join — without it each reference re-runs
+    # the banded store join (the q84 iterative-reuse lesson)
+    cand_h = (
+        banded_batch.join(banded_hist, ["band", "band_digest"])
+        .select(F.col("id").alias("bid"), "hid")
+        .distinct()
+        .localCheckpoint()
+    )
+    # batch shingles verify BOTH the history and the within-batch
+    # candidates (three join references) — materialize once
+    sh_batch = dedup.shingle_table(
+        batch_docs, "doc_id", "text", 3, hashed=True
+    ).localCheckpoint()
+    cand_hist_docs = hist_docs.join(
+        cand_h.select(F.col("hid").alias("doc_id")).distinct(), "doc_id", "semi"
+    )
+    # two consumers (sizes + the intersection join) — materialize
+    sh_hist = dedup.shingle_table(
+        cand_hist_docs, "doc_id", "text", 3, hashed=True
+    ).localCheckpoint()
+    nb = sh_batch.groupBy("id").agg(F.count(F.lit(1)).alias("n_b"))
+    nh = sh_hist.groupBy("id").agg(F.count(F.lit(1)).alias("n_h"))
+    inter_h = (
+        cand_h.join(sh_batch.select(F.col("id").alias("bid"), "sh"), "bid")
+        .join(sh_hist.select(F.col("id").alias("hid"), "sh"), ["hid", "sh"])
+        .groupBy("bid", "hid")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    hist_dup = (
+        inter_h.join(nb.select(F.col("id").alias("bid"), "n_b"), "bid")
+        .join(nh.select(F.col("id").alias("hid"), "n_h"), "hid")
+        .filter(
+            F.col("inter") / (F.col("n_b") + F.col("n_h") - F.col("inter"))
+            >= F.lit(_Q282_TAU)
+        )
+        .select("bid")
+        .distinct()
+        .withColumn("in_hist", F.lit(1))
+    )
+
+    # ---- within-batch: banded self-join (REUSING the
+    # checkpointed batch signatures — minhash_neardup_pairs
+    # would recompute signatures AND shingles from text) + exact
+    # verify over sh_batch + star components + min-id keeper
+    # (q204's policy, batch-local)
+    cand_bb = dedup.minhash_lsh_candidates(
+        sigs_batch, _Q282_HASHES, _Q282_BANDS
+    ).select("id_a", "id_b")
+    inter_bb = (
+        cand_bb.join(sh_batch.select(F.col("id").alias("id_a"), "sh"), "id_a")
+        .join(sh_batch.select(F.col("id").alias("id_b"), "sh"), ["id_b", "sh"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    pairs_bb = (
+        inter_bb.join(nb.select(F.col("id").alias("id_a"), F.col("n_b").alias("n_a")), "id_a")
+        .join(nb.select(F.col("id").alias("id_b"), F.col("n_b").alias("n_bb")), "id_b")
+        .filter(
+            F.col("inter") / (F.col("n_a") + F.col("n_bb") - F.col("inter"))
+            >= F.lit(_Q282_TAU)
+        )
+        .select("id_a", "id_b")
+    )
+    clusters = dedup.dedup_clusters_star(pairs_bb)
+
+    keyed = (
+        batch_docs.select("doc_id", "lang")
+        .join(clusters.withColumnRenamed("id", "doc_id"), "doc_id", "left")
+        .withColumn("cluster_id", F.coalesce(F.col("cluster_id"), F.col("doc_id")))
+        .join(hist_dup.withColumnRenamed("bid", "doc_id"), "doc_id", "left")
+    )
+    return keyed, sigs_batch
+
+
 def q282_incremental_neardup_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
@@ -94,100 +199,9 @@ def q282_incremental_neardup_store(spark: SparkSession, sf_dir: str) -> DataFram
             hist_docs, "doc_id", "text", n=3, num_hashes=_Q282_HASHES
         )
         sigs_hist.repartition(8).write.mode("overwrite").parquet(path)
-
         store = spark.read.parquet(path)
-        banded_hist = dedup.minhash_banded(store, _Q282_HASHES, _Q282_BANDS).select(
-            F.col("id").alias("hid"), "band", "band_digest"
-        )
 
-        # ---- batch side: signatures + band digests (same expression).
-        # localCheckpoint: the signature agg feeds THREE consumers
-        # (store join + both sides of the within-batch self-join) and
-        # would re-execute the whole shingle→min pipeline per
-        # reference otherwise (the q84 iterative-reuse lesson); the
-        # frame is |batch| × 32 longs.
-        sigs_batch = dedup.minhash_signatures(
-            batch_docs, "doc_id", "text", n=3, num_hashes=_Q282_HASHES
-        ).localCheckpoint()
-        banded_batch = dedup.minhash_banded(sigs_batch, _Q282_HASHES, _Q282_BANDS)
-
-        # ---- candidates vs history: banded equi-join, then exact
-        # Jaccard verification over shingles; history shingles only
-        # for candidate docs (semi-join-bounded fetch).
-        # localCheckpoint: cand_h feeds the semi-join text fetch AND
-        # the verification join — without it each reference re-runs
-        # the banded store join (the q84 iterative-reuse lesson)
-        cand_h = (
-            banded_batch.join(banded_hist, ["band", "band_digest"])
-            .select(F.col("id").alias("bid"), "hid")
-            .distinct()
-            .localCheckpoint()
-        )
-        # batch shingles verify BOTH the history and the within-batch
-        # candidates (three join references) — materialize once
-        sh_batch = dedup.shingle_table(
-            batch_docs, "doc_id", "text", 3, hashed=True
-        ).localCheckpoint()
-        cand_hist_docs = hist_docs.join(
-            cand_h.select(F.col("hid").alias("doc_id")).distinct(), "doc_id", "semi"
-        )
-        # two consumers (sizes + the intersection join) — materialize
-        sh_hist = dedup.shingle_table(
-            cand_hist_docs, "doc_id", "text", 3, hashed=True
-        ).localCheckpoint()
-        nb = sh_batch.groupBy("id").agg(F.count(F.lit(1)).alias("n_b"))
-        nh = sh_hist.groupBy("id").agg(F.count(F.lit(1)).alias("n_h"))
-        inter_h = (
-            cand_h.join(sh_batch.select(F.col("id").alias("bid"), "sh"), "bid")
-            .join(sh_hist.select(F.col("id").alias("hid"), "sh"), ["hid", "sh"])
-            .groupBy("bid", "hid")
-            .agg(F.count(F.lit(1)).alias("inter"))
-        )
-        hist_dup = (
-            inter_h.join(nb.select(F.col("id").alias("bid"), "n_b"), "bid")
-            .join(nh.select(F.col("id").alias("hid"), "n_h"), "hid")
-            .filter(
-                F.col("inter") / (F.col("n_b") + F.col("n_h") - F.col("inter"))
-                >= F.lit(_Q282_TAU)
-            )
-            .select("bid")
-            .distinct()
-            .withColumn("in_hist", F.lit(1))
-        )
-
-        # ---- within-batch: banded self-join (REUSING the
-        # checkpointed batch signatures — minhash_neardup_pairs
-        # would recompute signatures AND shingles from text) + exact
-        # verify over sh_batch + star components + min-id keeper
-        # (q204's policy, batch-local)
-        cand_bb = dedup.minhash_lsh_candidates(
-            sigs_batch, _Q282_HASHES, _Q282_BANDS
-        ).select("id_a", "id_b")
-        inter_bb = (
-            cand_bb.join(sh_batch.select(F.col("id").alias("id_a"), "sh"), "id_a")
-            .join(sh_batch.select(F.col("id").alias("id_b"), "sh"), ["id_b", "sh"])
-            .groupBy("id_a", "id_b")
-            .agg(F.count(F.lit(1)).alias("inter"))
-        )
-        pairs_bb = (
-            inter_bb.join(nb.select(F.col("id").alias("id_a"), F.col("n_b").alias("n_a")), "id_a")
-            .join(nb.select(F.col("id").alias("id_b"), F.col("n_b").alias("n_bb")), "id_b")
-            .filter(
-                F.col("inter") / (F.col("n_a") + F.col("n_bb") - F.col("inter"))
-                >= F.lit(_Q282_TAU)
-            )
-            .select("id_a", "id_b")
-        )
-        clusters = dedup.dedup_clusters_star(pairs_bb)
-
-        keyed = (
-            batch_docs.select("doc_id", "lang")
-            .join(clusters.withColumnRenamed("id", "doc_id"), "doc_id", "left")
-            .withColumn(
-                "cluster_id", F.coalesce(F.col("cluster_id"), F.col("doc_id"))
-            )
-            .join(hist_dup.withColumnRenamed("bid", "doc_id"), "doc_id", "left")
-        )
+        keyed, _ = _store_admission(hist_docs, batch_docs, store)
         flag = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("long")  # noqa: E731
         is_hist = F.col("in_hist").isNotNull()
         is_keeper = F.col("doc_id") == F.col("cluster_id")
@@ -219,7 +233,10 @@ QUERIES["q282_incremental_neardup_store"] = q282_incremental_neardup_store
 # `documents` directly; value-identity IS the graded claim). Band
 # equality compares the string_agg band key (the Spark side xxhash64s
 # the same comma-joined string — equality is preserved).
-def _q282_oracle() -> str:
+def _q282_chain() -> str:
+    """The shared WITH chain (shingles → signatures → band keys →
+    candidates → verified admission `keyed`) — q282's oracle appends
+    the admission-triple tail, q289's the store-content tail."""
     from ai_data_pipeline_spark.functions.text import sql_word_ngrams
 
     h = _Q282_HASHES
@@ -290,7 +307,11 @@ def _q282_oracle() -> str:
         LEFT JOIN comp c ON c.id = d.doc_id
         LEFT JOIN hist_dup hd ON hd.bid = d.doc_id
         WHERE d.source = 'src0'
-    )
+    )"""
+
+
+def _q282_oracle() -> str:
+    return _q282_chain() + """
     SELECT lang,
            CAST(COUNT(*) AS BIGINT) AS n_batch,
            CAST(SUM(CASE WHEN NOT is_hist AND doc_id = cluster_id
@@ -1753,3 +1774,256 @@ def _q291_oracle() -> str:
 
 
 ORACLE["q291_video_frame_dedup"] = _q291_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Q289 — signature-store LIFECYCLE: merge the admitted batch into
+# the next store generation and prove content equality (the daily
+# roll q282 leaves implicit, graded: store_gen2 = store_gen1 ∪
+# sigs(admitted), and that must equal recomputing signatures from
+# scratch over history ∪ admitted — the invariant that keeps an
+# incremental store trustworthy after months of daily merges).
+# Spark side runs TWO store generations through parquet (gen-1
+# written from history, read back, q282's admission via the shared
+# _store_admission core, gen-2 written as read-back-gen-1 UNION the
+# admitted subset of the checkpointed batch signatures, read back
+# again); the graded output is a per-band CONTENT digest of gen-2:
+# distinct docs, signature rows, and bit_xor over the band's
+# minhash values (order-independent, overflow-free, md5-family —
+# the oracle recomputes the identical BIGINTs from `documents`;
+# bands via shiftright(j, 2) since rows-per-band = 4). Scale: the
+# merge is an append of |admitted| × 32 longs — never a history
+# recompute; both writes repartition(8) first (the q250 tiny-file
+# rule).
+# ---------------------------------------------------------------------------
+
+
+def q289_store_lifecycle_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ai_data_pipeline_spark.operators import dedup
+
+    assert _Q282_HASHES // _Q282_BANDS == 4  # shiftright(j, 2) below
+
+    docs = spread(_t(spark, sf_dir, "documents"))
+    hist_docs = docs.filter(F.col("source") != "src0")
+    batch_docs = docs.filter(F.col("source") == "src0")
+
+    tmp = tempfile.mkdtemp(prefix="q289_")
+    p1, p2 = tmp + "/store_gen1", tmp + "/store_gen2"
+    try:
+        sigs_hist = dedup.minhash_signatures(
+            hist_docs, "doc_id", "text", n=3, num_hashes=_Q282_HASHES
+        )
+        sigs_hist.repartition(8).write.mode("overwrite").parquet(p1)
+        store1 = spark.read.parquet(p1)
+
+        keyed, sigs_batch = _store_admission(hist_docs, batch_docs, store1)
+        admitted = keyed.filter(
+            F.col("in_hist").isNull() & (F.col("doc_id") == F.col("cluster_id"))
+        ).select(F.col("doc_id").alias("id"))
+        merged = store1.unionByName(sigs_batch.join(admitted, "id", "semi"))
+        merged.repartition(8).write.mode("overwrite").parquet(p2)
+        store2 = spark.read.parquet(p2)
+
+        out = (
+            store2.select("id", F.posexplode("sig").alias("j", "mh"))
+            .select("id", F.shiftright("j", 2).cast("long").alias("band"), "mh")
+            .groupBy("band")
+            .agg(
+                F.count_distinct("id").cast("long").alias("n_docs"),
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.bit_xor("mh").cast("long").alias("sig_xor"),
+            )
+            .orderBy("band")
+            .collect()  # 8 rows, before temp-dir cleanup
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        out, "band long, n_docs long, n_rows long, sig_xor long"
+    ).orderBy("band")
+
+
+QUERIES["q289_store_lifecycle_merge"] = q289_store_lifecycle_merge
+
+
+# Oracle: q282's shared chain decides admission; the store content
+# is then recomputed FROM SCRATCH over history ∪ admitted — equality
+# with Spark's two-generation parquet round-trip IS the graded
+# lifecycle invariant. (sig's j is 0-based range(32), so j // 4
+# matches shiftright(j, 2) on the Spark side.)
+def _q289_oracle() -> str:
+    return _q282_chain() + """
+    , admitted AS (
+        SELECT doc_id FROM keyed
+        WHERE NOT is_hist AND doc_id = cluster_id
+    ), union_ids AS (
+        SELECT doc_id FROM documents WHERE source != 'src0'
+        UNION ALL
+        SELECT doc_id FROM admitted
+    ), store2 AS (
+        SELECT s.id, s.j, s.mh
+        FROM sig s JOIN union_ids u ON u.doc_id = s.id
+    )
+    SELECT CAST(j // 4 AS BIGINT) AS band,
+           CAST(COUNT(DISTINCT id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(bit_xor(mh) AS BIGINT) AS sig_xor
+    FROM store2
+    GROUP BY j // 4
+    ORDER BY band
+    """
+
+
+ORACLE["q289_store_lifecycle_merge"] = _q289_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Q292 — near-dup-decontaminated train/validation split (split
+# hygiene: a random split leaks near-duplicate pairs across the
+# train/val boundary and inflates eval scores — the documented
+# failure FineWeb/Dolma guard against): docs split 90/10 by the
+# 40-bit md5 uniform of doc_id (u40 mod 10 = 7 → val; q228's idiom —
+# raw doc_id mod is degenerate vs the round-robin source deal), ONE
+# capped 4-gram pair pass (q263 constants, freq CTE mirrored), and
+# every val doc with a ≥ 0.6 neighbor in TRAIN is moved to train
+# (leaky — no data discarded, the boundary just stops cutting
+# through near-dup clusters). Per source: docs, initial train/val,
+# leaky count, final val, final val share (one IEEE division of
+# exact BIGINTs). Scale: the pair law is q107's; the split flag is
+# a scan-stage expression; leak detection is one projection over
+# the pair output — no second pass.
+# ---------------------------------------------------------------------------
+
+_Q292_VAL_MOD = 10
+_Q292_VAL_PICK = 7
+
+
+def q292_decontaminated_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_data_pipeline_spark.operators import dedup
+    from ai_data_pipeline_spark.plans.frontier2_queries import (
+        _Q263_JACCARD_F,
+        _Q263_MAXF,
+        _Q263_N,
+    )
+
+    docs = spread(_t(spark, sf_dir, "documents"))
+    u40 = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 10), 16, 10
+    ).cast("long")
+    split = docs.select(
+        "doc_id",
+        "source",
+        (F.pmod(u40, F.lit(_Q292_VAL_MOD)) == _Q292_VAL_PICK)
+        .cast("int")
+        .alias("is_val"),
+    ).localCheckpoint()  # totals + both pair-endpoint joins
+    pairs = dedup.ngram_jaccard_pairs(
+        docs,
+        "doc_id",
+        "text",
+        n=_Q263_N,
+        min_jaccard=_Q263_JACCARD_F,
+        max_shingle_freq=_Q263_MAXF,
+    ).select("id_a", "id_b")
+    sa = split.select(F.col("doc_id").alias("id_a"), F.col("is_val").alias("va"))
+    sb = split.select(F.col("doc_id").alias("id_b"), F.col("is_val").alias("vb"))
+    both = pairs.join(sa, "id_a").join(sb, "id_b")
+    leaky = (
+        both.filter(F.col("va") != F.col("vb"))
+        .select(
+            F.when(F.col("va") == 1, F.col("id_a"))
+            .otherwise(F.col("id_b"))
+            .alias("doc_id")
+        )
+        .distinct()
+        .withColumn("leak", F.lit(1))
+    )
+    flagged = split.join(leaky, "doc_id", "left")
+    agg = flagged.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.lit(1) - F.col("is_val")).cast("long").alias("n_train0"),
+        F.sum("is_val").cast("long").alias("n_val0"),
+        F.sum(F.when(F.col("leak").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_leaky"),
+        F.sum(
+            F.when((F.col("is_val") == 1) & F.col("leak").isNull(), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_val_final"),
+    )
+    return (
+        agg.withColumn(
+            "val_share_final",
+            F.col("n_val_final").cast("double") / F.col("n_docs").cast("double"),
+        )
+        .orderBy("source")
+    )
+
+
+QUERIES["q292_decontaminated_split"] = q292_decontaminated_split
+
+
+def _q292_oracle() -> str:
+    from ai_data_pipeline_spark.functions.text import sql_word_ngrams
+    from ai_data_pipeline_spark.plans.frontier2_queries import (
+        _Q263_JACCARD,
+        _Q263_MAXF,
+        _Q263_N,
+    )
+
+    grams = sql_word_ngrams("text", _Q263_N)
+    return f"""
+    WITH split AS MATERIALIZED (
+        SELECT doc_id, source,
+               (CASE WHEN (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 10))::BIGINT)
+                          % {_Q292_VAL_MOD} = {_Q292_VAL_PICK}
+                     THEN 1 ELSE 0 END) AS is_val
+        FROM documents
+    ), sh0 AS (
+        SELECT DISTINCT doc_id AS id, unnest({grams}) AS shingle FROM documents
+    ), freq AS (
+        SELECT shingle, COUNT(*) AS f FROM sh0 GROUP BY shingle
+    ), sh AS MATERIALIZED (
+        SELECT id, sh0.shingle FROM sh0 JOIN freq ON sh0.shingle = freq.shingle
+        WHERE f <= {_Q263_MAXF}
+    ), sizes AS (
+        SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id
+    ), inter AS (
+        SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+        GROUP BY 1, 2
+    ), pairs AS (
+        SELECT id_a, id_b FROM inter
+        JOIN sizes sa ON sa.id = id_a
+        JOIN sizes sb ON sb.id = id_b
+        WHERE inter / (sa.n_sh + sb.n_sh - inter) >= '{_Q263_JACCARD}'::DOUBLE
+    ), leaky AS (
+        SELECT DISTINCT (CASE WHEN va.is_val = 1 THEN p.id_a ELSE p.id_b END)
+                   AS doc_id
+        FROM pairs p
+        JOIN split va ON va.doc_id = p.id_a
+        JOIN split vb ON vb.doc_id = p.id_b
+        WHERE va.is_val != vb.is_val
+    )
+    SELECT s.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(1 - s.is_val) AS BIGINT) AS n_train0,
+           CAST(SUM(s.is_val) AS BIGINT) AS n_val0,
+           CAST(SUM(CASE WHEN l.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_leaky,
+           CAST(SUM(CASE WHEN s.is_val = 1 AND l.doc_id IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_val_final,
+           CAST(SUM(CASE WHEN s.is_val = 1 AND l.doc_id IS NULL
+                         THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS val_share_final
+    FROM split s LEFT JOIN leaky l ON l.doc_id = s.doc_id
+    GROUP BY s.source
+    ORDER BY s.source
+    """
+
+
+ORACLE["q292_decontaminated_split"] = _q292_oracle()

@@ -259,8 +259,10 @@ HEADLINE = [
     "q286_script_mixture",
     "q287_snapshot_dedup_trend",
     "q288_streaming_store_gate",
+    "q289_store_lifecycle_merge",
     "q290_inverted_index_search",
     "q291_video_frame_dedup",
+    "q292_decontaminated_split",
 ]
 
 

@@ -158,6 +158,8 @@ PROBE = [
     "q287_snapshot_dedup_trend",   # one capped pair pass + per-snap components
     "q290_inverted_index_search",  # postings build + positional joins
     "q291_video_frame_dedup",      # 8 frame hashes/video + set-overlap pairs
+    "q289_store_lifecycle_merge",  # q282 admission + gen-2 store merge/digest
+    "q292_decontaminated_split",   # capped pair pass + boundary leak flags
 ]
 
 

@@ -70,6 +70,13 @@ ALLOWED_DIV_SITES = {
     # (bit index) — non-negative grid arithmetic at plan-build time.
     '::BIGINT" ) bits = " + " . join ( f"(CASE WHEN lums[{(i //',
     '{(i // 10) * _Q284_COLS + (i % 10) + 2}] > " f"lums[{(i //',
+    # q288/q289: rpb = Python constant 32 // 8; oracle j ∈ range(32)
+    # — every dividend non-negative by construction.
+    ' sparkContext . defaultParallelism ) rpb = _Q282_HASHES //',
+    'line_spark . operators import dedup assert _Q282_HASHES //',
+    'y AS MATERIALIZED ( SELECT id, MAX(source) AS source, j //',
+    'g s JOIN union_ids u ON u.doc_id = s.id ) SELECT CAST(j //',
+    'it_xor(mh) AS BIGINT) AS sig_xor FROM store2 GROUP BY j //',
     # q155 oracle: start is a generate_series(0, …, 90) value — ≥ 0
     # by construction (max_index = start // 90).
     ', n - start)) AS BIGINT) AS total_chars, CAST(MAX(start //',

@@ -259,3 +259,53 @@ def test_q288_short_doc_admitted(spark, tmp_path):
     assert got["src0"]["n_flagged"] == 1  # only the exact copy
     assert got["src0"]["n_admitted"] == 2  # short doc + unique doc
     assert got["src1"]["n_flagged"] == 1  # store self-hit sanity
+
+
+def test_q292_leak_policy_fixture(spark, tmp_path):
+    """A val doc (md5-split) near-duplicating a train doc moves to
+    train (n_leaky; excluded from n_val_final); a clean val doc
+    stays."""
+    from ai_data_pipeline_spark.plans import frontier3_queries as F3
+
+    # doc_id 2 and 11 hash into the val split (u40 % 10 == 7);
+    # 0,1,3 land in train (verified by the same md5 arithmetic)
+    shared = " ".join(f"s{j}" for j in range(20))
+    rows = [
+        (0, shared, "en", "sA", 1),                                   # train
+        (2, shared + " extra1 extra2", "en", "sA", 1),                # val, leaky
+        (11, " ".join(f"c{j}" for j in range(20)), "en", "sA", 1),    # val, clean
+        (3, " ".join(f"t{j}" for j in range(20)), "en", "sA", 1),     # train
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+    r = F3.q292_decontaminated_split(spark, str(tmp_path)).collect()[0]
+    assert (r["n_docs"], r["n_train0"], r["n_val0"]) == (4, 2, 2)
+    assert r["n_leaky"] == 1
+    assert r["n_val_final"] == 1
+    assert r["val_share_final"] == 0.25
+
+
+def test_q289_merge_counts_fixture(spark, tmp_path):
+    """The gen-2 store holds exactly (history docs with signatures)
+    + (admitted batch docs): dropped batch docs never enter the
+    store, and every band digests the same doc set."""
+    from ai_data_pipeline_spark.plans import frontier3_queries as F3
+
+    hist = " ".join(f"h{j}" for j in range(20))
+    rows = [
+        (10, hist, "en", "src1", 1),
+        (100, hist, "en", "src0", 1),   # exact copy → dropped vs history
+        (101, " ".join(f"u{j}" for j in range(20)), "en", "src0", 1),  # admitted
+        (102, "one two", "en", "src0", 1),  # < 3 tokens: no signature at all
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+    out = F3.q289_store_lifecycle_merge(spark, str(tmp_path)).collect()
+    assert len(out) == 8
+    for r in out:
+        # store = hist doc 10 + admitted 101 (102 admitted but has no
+        # signature; 100 dropped) — 2 docs × 4 rows per band
+        assert r["n_docs"] == 2
+        assert r["n_rows"] == 8
