@@ -2027,3 +2027,176 @@ def _q292_oracle() -> str:
 
 
 ORACLE["q292_decontaminated_split"] = _q292_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Q293 — partition-pruned DELETE on the cell-partitioned vector
+# store (the GDPR/right-to-erasure path of the q250 storage layout;
+# q217 grades targeted delete-rewrite on a plain table — here the
+# IVF cell partitioning makes the rewrite PRUNED: only partitions
+# containing a deleted vector are rewritten, via dynamic partition
+# overwrite [q215's mechanism] with the remaining rows of affected
+# cells; a cell whose vectors are ALL deleted gets its directory
+# dropped explicitly — dynamic overwrite cannot touch a partition
+# absent from the written frame, the documented drop-partition
+# step of every table format, fixture-pinned). The graded claim is
+# END-TO-END equivalence: exact cosine top-3 over the post-delete
+# read-back must be value-identical to searching the never-deleted
+# rows of the source table (the oracle never sees the store).
+# Delete set = 40-bit md5 uniform of vec_id mod 17 == 3 (q228's
+# idiom). Affected-cell discovery is a bounded collect gated by the
+# cell count it already computes (≤ |centroids| = 8). Output: the
+# 15 search rows + the delete audit as constant columns
+# (n_deleted, n_cells_rewritten). Scale: delete cost is
+# |affected cells| / K of the store, not a full rewrite — the
+# pruning IS the payoff of the q250 layout on the write path too.
+# ---------------------------------------------------------------------------
+
+_Q293_MOD = 17
+_Q293_PICK = 3
+
+
+def q293_vector_store_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ai_data_pipeline_spark.functions.vector import cosine
+    from ai_data_pipeline_spark.operators import similarity
+    from ai_data_pipeline_spark.operators.vectorized import ivf_assign_np
+    from ai_data_pipeline_spark.plans.constants import Q27_QUERY_VECS, Q28_CENTROIDS
+
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus = ivf_assign_np(emb, Q28_CENTROIDS).select("vec_id", "embedding", "cell")
+    u40 = F.conv(
+        F.substring(F.md5(F.col("vec_id").cast("string")), 1, 10), 16, 10
+    ).cast("long")
+    is_del = F.pmod(u40, F.lit(_Q293_MOD)) == _Q293_PICK
+
+    tmp = tempfile.mkdtemp(prefix="q293_")
+    path = tmp + "/vectors_by_cell"
+    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    try:
+        corpus.repartition("cell").write.mode("overwrite").partitionBy(
+            "cell"
+        ).parquet(path)
+        store = spark.read.parquet(path)
+
+        dels = store.filter(is_del).select("vec_id", "cell")
+        # affected-cell audit: per cell, deleted vs total rows — a
+        # ≤ |centroids| collect, gated by construction
+        per_cell = (
+            store.groupBy("cell")
+            .agg(
+                F.count(F.lit(1)).alias("n_total"),
+                F.sum(is_del.cast("int")).alias("n_del"),
+            )
+            .filter(F.col("n_del") > 0)
+            .collect()
+        )
+        affected = sorted(int(r["cell"]) for r in per_cell)
+        emptied = sorted(
+            int(r["cell"]) for r in per_cell if r["n_del"] == r["n_total"]
+        )
+        n_deleted = int(sum(r["n_del"] for r in per_cell))
+
+        # dynamic overwrite: ONLY the partitions present in the
+        # written frame are replaced — the remaining rows of each
+        # affected cell (minus fully-emptied cells, handled below)
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        remaining = store.filter(
+            F.col("cell").cast("int").isin(affected) & ~is_del
+        ).select("vec_id", "embedding", "cell")
+        remaining.repartition("cell").write.mode("overwrite").partitionBy(
+            "cell"
+        ).parquet(path)
+        for c in emptied:
+            shutil.rmtree(f"{path}/cell={c}", ignore_errors=True)
+
+        store2 = spark.read.parquet(path)
+        queries = similarity.queries_df(spark, Q27_QUERY_VECS)
+        cand = store2.crossJoin(F.broadcast(queries)).select(
+            "qid",
+            "vec_id",
+            cosine(F.col("embedding"), F.col("qvec")).alias("sim"),
+        )
+        top = (
+            cand.withColumn(
+                "rk",
+                F.row_number().over(
+                    Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
+                ),
+            )
+            .filter(F.col("rk") <= 3)
+            .select("qid", F.col("rk").cast("long").alias("rk"), "vec_id", "sim")
+            .orderBy("qid", "rk")
+            .collect()  # 15 rows, before temp-dir cleanup
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+        shutil.rmtree(tmp, ignore_errors=True)
+    out = spark.createDataFrame(top, "qid long, rk long, vec_id long, sim double")
+    return (
+        out.withColumn("n_deleted", F.lit(n_deleted).cast("long"))
+        .withColumn("n_cells_rewritten", F.lit(len(affected)).cast("long"))
+        .orderBy("qid", "rk")
+    )
+
+
+QUERIES["q293_vector_store_delete"] = q293_vector_store_delete
+
+
+# Oracle: search the never-deleted rows of the SOURCE table — the
+# store, both writes, and the partition drop must be value-invisible.
+def _q293_oracle() -> str:
+    from ai_data_pipeline_spark.functions.vector import (
+        sql_dot,
+        sql_lit_list,
+        sql_norm,
+        sql_squared_l2,
+    )
+    from ai_data_pipeline_spark.plans.constants import (
+        EMBED_DIM,
+        Q27_QUERY_VECS,
+        Q28_CENTROIDS,
+    )
+
+    qrows = ", ".join(
+        f"({qi}, {sql_lit_list(v)})" for qi, v in enumerate(Q27_QUERY_VECS)
+    )
+    cells = ", ".join(
+        f"struct_pack(d := {sql_squared_l2('embedding', sql_lit_list(c), EMBED_DIM)}, c := {ci})"
+        for ci, c in enumerate(Q28_CENTROIDS)
+    )
+    cos = (
+        f"({sql_dot('a.embedding', 'q.qvec', EMBED_DIM)}) / "
+        f"(({sql_norm('a.embedding', EMBED_DIM)}) * ({sql_norm('q.qvec', EMBED_DIM)}))"
+    )
+    return f"""
+    WITH flags AS MATERIALIZED (
+        SELECT vec_id, embedding,
+               ((('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 10))::BIGINT)
+                    % {_Q293_MOD} = {_Q293_PICK}) AS is_del,
+               struct_extract((list_sort([{cells}]))[1], 'c') AS cell
+        FROM embeddings
+    ), audit AS (
+        SELECT CAST(SUM(CASE WHEN is_del THEN 1 ELSE 0 END) AS BIGINT) AS n_deleted,
+               CAST(COUNT(DISTINCT CASE WHEN is_del THEN cell END) AS BIGINT)
+                   AS n_cells_rewritten
+        FROM flags
+    ), ranked AS (
+        SELECT q.qid, a.vec_id, {cos} AS sim,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.qid
+                   ORDER BY {cos} DESC, a.vec_id) AS rk
+        FROM flags a CROSS JOIN (VALUES {qrows}) AS q(qid, qvec)
+        WHERE NOT a.is_del
+    )
+    SELECT CAST(qid AS BIGINT) AS qid, CAST(rk AS BIGINT) AS rk,
+           vec_id, sim, d.n_deleted, d.n_cells_rewritten
+    FROM ranked CROSS JOIN audit d
+    WHERE rk <= 3
+    ORDER BY qid, rk
+    """
+
+
+ORACLE["q293_vector_store_delete"] = _q293_oracle()

@@ -263,6 +263,7 @@ HEADLINE = [
     "q290_inverted_index_search",
     "q291_video_frame_dedup",
     "q292_decontaminated_split",
+    "q293_vector_store_delete",
 ]
 
 

@@ -160,6 +160,7 @@ PROBE = [
     "q291_video_frame_dedup",      # 8 frame hashes/video + set-overlap pairs
     "q289_store_lifecycle_merge",  # q282 admission + gen-2 store merge/digest
     "q292_decontaminated_split",   # capped pair pass + boundary leak flags
+    "q293_vector_store_delete",    # pruned delete-rewrite + post-delete search
 ]
 
 

@@ -309,3 +309,35 @@ def test_q289_merge_counts_fixture(spark, tmp_path):
         # signature; 100 dropped) — 2 docs × 4 rows per band
         assert r["n_docs"] == 2
         assert r["n_rows"] == 8
+
+
+def test_q293_emptied_cell_dropped(spark, tmp_path):
+    """A cell whose vectors are ALL deleted must have its partition
+    directory dropped (dynamic overwrite cannot rewrite a partition
+    absent from the written frame) — post-delete search must never
+    return a deleted vector."""
+    import numpy as np
+
+    from ai_data_pipeline_spark.plans import frontier3_queries as F3
+    from ai_data_pipeline_spark.plans.constants import Q28_CENTROIDS
+
+    # vec_ids 5 and 18 hash into the delete pick (u40 % 17 == 3);
+    # 0,1,2,3 do not. Put the two deleted ids alone in centroid 0's
+    # cell; the four survivors near centroid 1.
+    c0 = np.array(Q28_CENTROIDS[0], dtype=np.float64)
+    c1 = np.array(Q28_CENTROIDS[1], dtype=np.float64)
+    rows = []
+    for vid in (5, 18):
+        rows.append((vid, [float(x) for x in (c0 + 0.001 * vid)], 0))
+    for vid in (0, 1, 2, 3):
+        rows.append((vid, [float(x) for x in (c1 + 0.001 * (vid + 1))], 1))
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.parquet(str(tmp_path / "embeddings.parquet"))
+    out = F3.q293_vector_store_delete(spark, str(tmp_path)).collect()
+    assert out[0]["n_deleted"] == 2
+    assert out[0]["n_cells_rewritten"] == 1
+    returned = {r["vec_id"] for r in out}
+    assert returned <= {0, 1, 2, 3}  # never a deleted id
+    # with only 4 survivors, every query's top-3 comes from them
+    assert all(r["vec_id"] in (0, 1, 2, 3) for r in out)
