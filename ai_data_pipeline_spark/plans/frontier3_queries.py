@@ -690,10 +690,11 @@ def dhash60(text_col) -> "F.Column":
     )
 
 
-def q284_phash_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _q284_pairs(docs) -> DataFrame:
+    """[id_a, id_b] image near-dup pairs (Hamming ≤ 3 dHash) —
+    shared with q295's cross-modality agreement row."""
     from ai_data_pipeline_spark.operators import dedup
 
-    docs = spread(_t(spark, sf_dir, "documents"))
     # localCheckpoint: the segment self-join references the
     # fingerprint frame on BOTH sides plus the XOR projection — each
     # reference would re-inline the 66-md5 fold (measured 19.7 s vs
@@ -701,9 +702,16 @@ def q284_phash_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     fps = docs.select(
         F.col("doc_id").alias("id"), dhash60(F.col("text")).alias("simhash")
     ).localCheckpoint()
-    pairs = dedup.simhash_neardup_pairs(fps, max_hamming=_Q284_MAX_HAMMING).select(
+    return dedup.simhash_neardup_pairs(fps, max_hamming=_Q284_MAX_HAMMING).select(
         "id_a", "id_b"
     )
+
+
+def q284_phash_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_data_pipeline_spark.operators import dedup
+
+    docs = spread(_t(spark, sf_dir, "documents"))
+    pairs = _q284_pairs(docs)
     clusters = dedup.dedup_clusters_star(pairs)
     keeper = (
         docs.select("doc_id", "source")
@@ -1651,11 +1659,11 @@ _Q291_MIN_SHARED = 4
 _Q291_MAXF = 50
 
 
-def q291_video_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _q291_pairs(docs) -> DataFrame:
+    """[id_a, id_b] video shot-overlap pairs (≥ 4 of 8 frame hashes
+    shared, df ≤ 50 cap) — shared with q295's agreement row."""
     from ai_data_pipeline_spark.functions.text import ws_tokens
-    from ai_data_pipeline_spark.operators import dedup
 
-    docs = spread(_t(spark, sf_dir, "documents"))
     toks = docs.select("doc_id", "source", ws_tokens(F.col("text")).alias("ws"))
     frame = lambda f: F.array_join(  # noqa: E731
         F.slice(F.col("ws"), f * _Q291_STRIDE + 1, _Q291_WIN), " "
@@ -1682,7 +1690,7 @@ def q291_video_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = capped.select(F.col("doc_id").alias("id_a"), "fh")
     b = capped.select(F.col("doc_id").alias("id_b"), "fh")
-    pairs = (
+    return (
         a.join(b, "fh")
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
@@ -1690,6 +1698,13 @@ def q291_video_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_shared") >= _Q291_MIN_SHARED)
         .select("id_a", "id_b")
     )
+
+
+def q291_video_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_data_pipeline_spark.operators import dedup
+
+    docs = spread(_t(spark, sf_dir, "documents"))
+    pairs = _q291_pairs(docs)
     clusters = dedup.dedup_clusters_star(pairs)
     keeper = (
         docs.select("doc_id", "source")
@@ -2200,3 +2215,286 @@ def _q293_oracle() -> str:
 
 
 ORACLE["q293_vector_store_delete"] = _q293_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Q294 — incremental inverted-index maintenance (q290's postings
+# table gets q289's lifecycle treatment — the second index family's
+# daily roll): gen-1 postings are built from the base corpus (every
+# source but src0) over the q290 probe tokens, written PARTITIONED
+# BY TOKEN (the token-bucketed layout q290's docstring names — each
+# query reads one directory), read back; the src0 delta's postings
+# APPEND (postings are immutable per (doc, pos) — append IS the
+# merge, no rewrite of existing token partitions); the read-back
+# gen-2 must be content-identical to rebuilding postings over the
+# full corpus, graded as a per-token digest: distinct docs, posting
+# rows, bit_xor of md5-60(doc_id:pos) (order-independent,
+# overflow-free, md5-family — the oracle recomputes the same
+# BIGINTs from `documents`). Scale: the merge writes |delta
+# postings| rows; existing partitions are untouched files — the
+# append-only property every log-structured index build relies on.
+# ---------------------------------------------------------------------------
+
+
+def q294_incremental_postings_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ai_data_pipeline_spark.functions.text import ws_tokens
+
+    needed = sorted(
+        {w for _, p in _Q290_PHRASES for w in p.split()}
+        | {w for _, ts in _Q290_ANDS for w in ts}
+    )
+
+    def postings(df):
+        return (
+            df.select(
+                "doc_id", F.posexplode(ws_tokens(F.col("text"))).alias("pos", "token")
+            )
+            .filter(F.col("token").isin(needed))
+            .select("doc_id", "pos", "token")
+        )
+
+    docs = spread(_t(spark, sf_dir, "documents"))
+    tmp = tempfile.mkdtemp(prefix="q294_")
+    path = tmp + "/postings_by_token"
+    try:
+        postings(docs.filter(F.col("source") != "src0")).repartition(
+            "token"
+        ).write.mode("overwrite").partitionBy("token").parquet(path)
+        # delta merge = APPEND of the new batch's postings
+        postings(docs.filter(F.col("source") == "src0")).repartition(
+            "token"
+        ).write.mode("append").partitionBy("token").parquet(path)
+        store = spark.read.parquet(path)
+        ph = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("doc_id").cast("string"),
+                        F.lit(":"),
+                        F.col("pos").cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        out = (
+            store.select("token", "doc_id", ph.alias("ph"))
+            .groupBy("token")
+            .agg(
+                F.count_distinct("doc_id").cast("long").alias("n_docs"),
+                F.count(F.lit(1)).cast("long").alias("n_postings"),
+                F.bit_xor("ph").cast("long").alias("postings_xor"),
+            )
+            .orderBy("token")
+            .collect()  # ≤ |probe tokens| rows, before temp-dir cleanup
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        out, "token string, n_docs long, n_postings long, postings_xor long"
+    ).orderBy("token")
+
+
+QUERIES["q294_incremental_postings_merge"] = q294_incremental_postings_merge
+
+
+def _q294_oracle() -> str:
+    from ai_data_pipeline_spark.functions.text import sql_word_ngrams
+
+    needed = sorted(
+        {w for _, p in _Q290_PHRASES for w in p.split()}
+        | {w for _, ts in _Q290_ANDS for w in ts}
+    )
+    lits = ", ".join(f"'{w}'" for w in needed)
+    toks = sql_word_ngrams("text", 1)
+    return f"""
+    WITH post AS (
+        SELECT doc_id, u.pos - 1 AS pos, u.token
+        FROM documents,
+             LATERAL (SELECT unnest({toks}) AS token,
+                             generate_subscripts({toks}, 1) AS pos) u
+        WHERE u.token IN ({lits})
+    )
+    SELECT token,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_postings,
+           CAST(bit_xor((('0x' || substr(md5(doc_id || ':' || pos), 1, 15))::BIGINT))
+                AS BIGINT) AS postings_xor
+    FROM post
+    GROUP BY token
+    ORDER BY token
+    """
+
+
+ORACLE["q294_incremental_postings_merge"] = _q294_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Q295 — cross-modality dedup AGREEMENT audit (the dedup family's
+# capstone ablation: a production multimodal pipeline runs text,
+# image, and video near-dup mechanisms side by side — which docs do
+# they AGREE on?): text = the capped 4-gram Jaccard ≥ 0.6 pairs
+# (q263 constants, freq CTE mirrored), image = q284's dHash pairs,
+# video = q291's frame-overlap pairs — each mechanism flags every
+# doc appearing in one of its pairs; per (has_text, has_image,
+# has_video) combination: doc count (8 rows — including the
+# untouched-by-all-three row, the LEFT join keeps it). Divergence is
+# the audit's point: the mechanisms key on different granularities
+# (shingle sets vs token-local grids vs window runs), so a doc
+# flagged by one but not another localizes WHERE the edit lives.
+# Scale: three pair stages each already scale-audited (q284/q291
+# probes, the q107 pair law); the mask agg is one scan + an 8-row
+# group.
+# ---------------------------------------------------------------------------
+
+
+def q295_cross_modality_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_data_pipeline_spark.operators import dedup
+    from ai_data_pipeline_spark.plans.frontier2_queries import (
+        _Q263_JACCARD_F,
+        _Q263_MAXF,
+        _Q263_N,
+    )
+
+    docs = spread(_t(spark, sf_dir, "documents"))
+    text_pairs = dedup.ngram_jaccard_pairs(
+        docs,
+        "doc_id",
+        "text",
+        n=_Q263_N,
+        min_jaccard=_Q263_JACCARD_F,
+        max_shingle_freq=_Q263_MAXF,
+    ).select("id_a", "id_b")
+
+    def flagged(pairs, name):
+        # checkpoint: the two-sided union references the pair frame
+        # twice — without it the WHOLE pair stage re-executes per
+        # side (measured 26.8 s vs ~7 s at sf0.1; the q84 class)
+        p = pairs.localCheckpoint()
+        ids = (
+            p.select(F.col("id_a").alias("doc_id"))
+            .unionByName(p.select(F.col("id_b").alias("doc_id")))
+            .distinct()
+        )
+        return ids.withColumn(name, F.lit(1))
+
+    combined = (
+        docs.select("doc_id")
+        .join(flagged(text_pairs, "has_text"), "doc_id", "left")
+        .join(flagged(_q284_pairs(docs), "has_image"), "doc_id", "left")
+        .join(flagged(_q291_pairs(docs), "has_video"), "doc_id", "left")
+        .select(
+            F.coalesce(F.col("has_text"), F.lit(0)).cast("long").alias("has_text"),
+            F.coalesce(F.col("has_image"), F.lit(0)).cast("long").alias("has_image"),
+            F.coalesce(F.col("has_video"), F.lit(0)).cast("long").alias("has_video"),
+        )
+    )
+    return (
+        combined.groupBy("has_text", "has_image", "has_video")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .orderBy("has_text", "has_image", "has_video")
+    )
+
+
+QUERIES["q295_cross_modality_agreement"] = q295_cross_modality_agreement
+
+
+def _q295_oracle() -> str:
+    from ai_data_pipeline_spark.functions.text import sql_word_ngrams
+    from ai_data_pipeline_spark.plans.frontier2_queries import (
+        _Q263_JACCARD,
+        _Q263_MAXF,
+        _Q263_N,
+    )
+
+    grams = sql_word_ngrams("text", _Q263_N)
+    toks = sql_word_ngrams("text", 1)
+    cells = _Q284_ROWS * _Q284_COLS
+    lum = (
+        "('0x' || substr(md5((CASE WHEN len(ws) = 0 THEN '' "
+        "ELSE ws[(k % len(ws)) + 1] END) || ':' || k), 1, 2))::BIGINT"
+    )
+    bits = " + ".join(
+        f"(CASE WHEN lums[{(i // 10) * _Q284_COLS + (i % 10) + 2}] > "
+        f"lums[{(i // 10) * _Q284_COLS + (i % 10) + 1}] "
+        f"THEN {1 << i}::BIGINT ELSE 0::BIGINT END)"
+        for i in range(60)
+    )
+    frames = ", ".join(
+        f"array_to_string(({toks})[{f * _Q291_STRIDE + 1}:{f * _Q291_STRIDE + _Q291_WIN}], ' ')"
+        for f in range(_Q291_FRAMES)
+    )
+    return f"""
+    WITH sh0 AS (
+        SELECT DISTINCT doc_id AS id, unnest({grams}) AS shingle FROM documents
+    ), tfreq AS (
+        SELECT shingle, COUNT(*) AS f FROM sh0 GROUP BY shingle
+    ), sh AS MATERIALIZED (
+        SELECT id, sh0.shingle FROM sh0 JOIN tfreq ON sh0.shingle = tfreq.shingle
+        WHERE f <= {_Q263_MAXF}
+    ), sizes AS (
+        SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id
+    ), tinter AS (
+        SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+        GROUP BY 1, 2
+    ), text_ids AS (
+        SELECT DISTINCT u AS doc_id FROM (
+            SELECT unnest([id_a, id_b]) AS u FROM tinter
+            JOIN sizes sa ON sa.id = id_a
+            JOIN sizes sb ON sb.id = id_b
+            WHERE inter / (sa.n_sh + sb.n_sh - inter) >= '{_Q263_JACCARD}'::DOUBLE)
+    ), grids AS (
+        SELECT doc_id AS id,
+               list_transform(range(0, {cells}), k -> {lum}) AS lums
+        FROM (SELECT doc_id, {toks} AS ws FROM documents)
+    ), fp AS MATERIALIZED (
+        SELECT id, ({bits}) AS simhash FROM grids
+    ), image_ids AS (
+        SELECT DISTINCT u AS doc_id FROM (
+            SELECT unnest([a.id, b.id]) AS u
+            FROM fp a JOIN fp b ON a.id < b.id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= {_Q284_MAX_HAMMING})
+    ), framed AS MATERIALIZED (
+        SELECT DISTINCT doc_id, (('0x' || substr(md5(fs), 1, 15))::BIGINT) AS fh
+        FROM (
+            SELECT doc_id, unnest(list_filter([{frames}], s -> s != '')) AS fs
+            FROM documents)
+    ), ffreq AS (
+        SELECT fh, COUNT(*) AS df FROM framed GROUP BY fh
+    ), fcapped AS MATERIALIZED (
+        SELECT doc_id, framed.fh FROM framed
+        JOIN ffreq ON ffreq.fh = framed.fh
+        WHERE df <= {_Q291_MAXF}
+    ), video_ids AS (
+        SELECT DISTINCT u AS doc_id FROM (
+            SELECT unnest([id_a, id_b]) AS u FROM (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+                FROM fcapped a JOIN fcapped b
+                  ON a.fh = b.fh AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+            WHERE n_shared >= {_Q291_MIN_SHARED})
+    )
+    SELECT CAST(CASE WHEN t.doc_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+               AS has_text,
+           CAST(CASE WHEN i.doc_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+               AS has_image,
+           CAST(CASE WHEN v.doc_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+               AS has_video,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM documents d
+    LEFT JOIN text_ids t ON t.doc_id = d.doc_id
+    LEFT JOIN image_ids i ON i.doc_id = d.doc_id
+    LEFT JOIN video_ids v ON v.doc_id = d.doc_id
+    GROUP BY 1, 2, 3
+    ORDER BY has_text, has_image, has_video
+    """
+
+
+ORACLE["q295_cross_modality_agreement"] = _q295_oracle()

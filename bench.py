@@ -264,6 +264,8 @@ HEADLINE = [
     "q291_video_frame_dedup",
     "q292_decontaminated_split",
     "q293_vector_store_delete",
+    "q294_incremental_postings_merge",
+    "q295_cross_modality_agreement",
 ]
 
 

@@ -161,6 +161,8 @@ PROBE = [
     "q289_store_lifecycle_merge",  # q282 admission + gen-2 store merge/digest
     "q292_decontaminated_split",   # capped pair pass + boundary leak flags
     "q293_vector_store_delete",    # pruned delete-rewrite + post-delete search
+    "q294_incremental_postings_merge",  # token-partitioned postings append + digest
+    "q295_cross_modality_agreement",    # three pair stages + 8-row mask agg
 ]
 
 

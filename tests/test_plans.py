@@ -1074,3 +1074,32 @@ def test_q272_ring_assignment_is_kernel_scan(spark, sf_dir):
     # the matrix is checkpointed: the returned plan starts from the
     # scanned checkpoint, so the kernel ran exactly once upstream
     assert "ExistingRDD" in s or "Scan" in s
+
+
+def test_q293_delete_rewrite_scan_is_partition_pruned(spark, sf_dir, tmp_path):
+    """q293's delete-rewrite claim as a PLAN property: the
+    remaining-rows scan filters on the affected cells, and that
+    predicate must land in PartitionFilters — the rewrite reads only
+    |affected|/K of the store, never a full pass."""
+    import pyspark.sql.functions as F
+
+    from ai_data_pipeline_spark.operators.vectorized import ivf_assign_np
+    from ai_data_pipeline_spark.plans.constants import Q28_CENTROIDS
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = ivf_assign_np(emb, Q28_CENTROIDS).select("vec_id", "embedding", "cell")
+    path = str(tmp_path / "store293")
+    corpus.repartition("cell").write.partitionBy("cell").parquet(path)
+    store = spark.read.parquet(path)
+    u40 = F.conv(
+        F.substring(F.md5(F.col("vec_id").cast("string")), 1, 10), 16, 10
+    ).cast("long")
+    is_del = F.pmod(u40, F.lit(17)) == 3
+    affected = sorted(
+        int(r["cell"])
+        for r in store.filter(is_del).select("cell").distinct().collect()
+    )
+    remaining = store.filter(F.col("cell").cast("int").isin(affected) & ~is_del)
+    s = plan_of(remaining)
+    assert "PartitionFilters" in s
+    assert "cell" in s.split("PartitionFilters", 1)[1][:200]
