@@ -1103,3 +1103,28 @@ def test_q293_delete_rewrite_scan_is_partition_pruned(spark, sf_dir, tmp_path):
     s = plan_of(remaining)
     assert "PartitionFilters" in s
     assert "cell" in s.split("PartitionFilters", 1)[1][:200]
+
+
+def test_q290_phrase_joins_have_no_cartesian(spark, sf_dir):
+    """The phrase search must run as positional equi-joins on the
+    postings table — never a cartesian re-scan of text."""
+    from ai_data_pipeline_spark.plans import frontier3_queries as F3
+
+    s = plan_of(F3.q290_inverted_index_search(spark, sf_dir))
+    assert "CartesianProduct" not in s
+
+
+def test_q284_pair_stage_consumes_checkpointed_fingerprints(spark, sf_dir):
+    """q284's segment self-join must consume the CHECKPOINTED
+    fingerprint frame (Scan ExistingRDD on BOTH sides), not
+    re-inline the 66-md5 fold per side — the r11 probe's
+    19.7 s → 0.5 s fix. (The final q284 plan can't show this: the
+    count-gated union-find collapses clusters to a LocalTableScan,
+    so the pair stage is asserted directly.)"""
+    from ai_data_pipeline_spark.plans import frontier3_queries as F3
+    from ai_data_pipeline_spark.catalog import spread
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    s = plan_of(F3._q284_pairs(docs))
+    assert s.count("ExistingRDD") >= 2  # both join sides
+    assert "md5" not in s  # the fold never re-inlines into the join
