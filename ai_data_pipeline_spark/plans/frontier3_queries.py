@@ -2498,3 +2498,522 @@ def _q295_oracle() -> str:
 
 
 ORACLE["q295_cross_modality_agreement"] = _q295_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Q296 — ranked keyword retrieval over the postings index (the
+# TF-IDF/BM25 read q290's boolean/phrase search stops short of —
+# together they complete the keyword half of a RAG retrieval stack):
+# score(q, d) = Σ_{t ∈ q} tf(t, d) · idf_int(t) with idf_int =
+# lb(N+1) − lb(df_t+1) on the exact-integer log2 CASE ladder (q242's
+# discipline — float idf replaced by a rank-preserving BIGINT at
+# log2 granularity, bit-identical both engines; df_t ≤ N keeps it
+# ≥ 0). OR semantics over the query terms (BM25's), top-5 per query
+# by (score DESC, doc_id). N enters as a 1-row broadcast agg — no
+# driver collect. Scale: the scoring join touches only the queried
+# tokens' postings lists (q290's pruning posture); df is a ≤
+# |probe tokens| aggregate; the rank window partitions by query
+# over candidate docs only. The log2 granularity is a DOCUMENTED
+# trade (q242's): on this near-uniform vocabulary every common term
+# lands at idf 0 and only rare terms ('dup', df ≈ N/20) separate —
+# so the rank key is (score, total tf, doc_id): idf separates rare
+# hits, exact term MASS ranks within an idf tier, never a bare
+# doc_id tie on content-free zeros.
+# ---------------------------------------------------------------------------
+
+_Q296_QUERIES = [
+    ("r1", ["dup", "stream"]),
+    ("r2", ["dup", "merge"]),
+    ("r3", ["the", "fast", "key"]),
+]
+_Q296_TOPK = 5
+
+
+def q296_ranked_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_data_pipeline_spark.functions.buckets import log2_bucket_case as lb
+    from ai_data_pipeline_spark.functions.text import ws_tokens
+
+    needed = sorted({w for _, ts in _Q296_QUERIES for w in ts})
+    docs = spread(_t(spark, sf_dir, "documents"))
+    postings = (
+        docs.select(
+            "doc_id", F.explode(ws_tokens(F.col("text"))).alias("token")
+        )
+        .filter(F.col("token").isin(needed))
+        .localCheckpoint()  # df agg + the scoring join
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n")).withColumn("j", F.lit(1))
+    df_t = (
+        postings.groupBy("token")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .withColumn("j", F.lit(1))
+        .join(F.broadcast(n_docs), "j")
+        .select(
+            "token",
+            (lb(F.col("n") + 1) - lb(F.col("df") + 1)).alias("idf"),
+        )
+    )
+    qterms = spark.createDataFrame(
+        [(qid, t) for qid, ts in _Q296_QUERIES for t in ts], "qid string, token string"
+    )
+    scored = (
+        postings.join(F.broadcast(qterms), "token")
+        .groupBy("qid", "doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .join(F.broadcast(df_t), "token")
+        .groupBy("qid", "doc_id")
+        .agg(
+            F.sum(F.col("tf") * F.col("idf")).cast("long").alias("score"),
+            F.sum("tf").cast("long").alias("tf_total"),
+        )
+    )
+    return (
+        scored.withColumn(
+            "rank",
+            F.row_number()
+            .over(
+                Window.partitionBy("qid").orderBy(
+                    F.desc("score"), F.desc("tf_total"), F.asc("doc_id")
+                )
+            )
+            .cast("long"),
+        )
+        .filter(F.col("rank") <= _Q296_TOPK)
+        .select("qid", "rank", "doc_id", "score", "tf_total")
+        .orderBy("qid", "rank")
+    )
+
+
+QUERIES["q296_ranked_retrieval"] = q296_ranked_retrieval
+
+
+def _q296_oracle() -> str:
+    from ai_data_pipeline_spark.functions.buckets import sql_log2_bucket_case
+    from ai_data_pipeline_spark.functions.text import sql_word_ngrams
+
+    needed = sorted({w for _, ts in _Q296_QUERIES for w in ts})
+    lits = ", ".join(f"'{w}'" for w in needed)
+    qvals = ", ".join(
+        f"('{qid}', '{t}')" for qid, ts in _Q296_QUERIES for t in ts
+    )
+    toks = sql_word_ngrams("text", 1)
+    return f"""
+    WITH post AS MATERIALIZED (
+        SELECT doc_id, u.token
+        FROM documents, LATERAL (SELECT unnest({toks}) AS token) u
+        WHERE u.token IN ({lits})
+    ), nn AS (
+        SELECT COUNT(*) AS n FROM documents
+    ), dfs AS (
+        SELECT token,
+               {sql_log2_bucket_case("(nn.n + 1)")}
+                 - {sql_log2_bucket_case("(COUNT(DISTINCT doc_id) + 1)")} AS idf
+        FROM post CROSS JOIN nn
+        GROUP BY token, nn.n
+    ), tfs AS (
+        SELECT q.qid, p.doc_id, p.token, COUNT(*) AS tf
+        FROM post p JOIN (VALUES {qvals}) AS q(qid, token)
+          ON q.token = p.token
+        GROUP BY 1, 2, 3
+    ), scored AS (
+        SELECT qid, doc_id, CAST(SUM(tf * idf) AS BIGINT) AS score,
+               CAST(SUM(tf) AS BIGINT) AS tf_total
+        FROM tfs JOIN dfs ON dfs.token = tfs.token
+        GROUP BY qid, doc_id
+    )
+    SELECT qid, CAST(rank AS BIGINT) AS rank, doc_id, score, tf_total
+    FROM (
+        SELECT qid, doc_id, score, tf_total,
+               ROW_NUMBER() OVER (
+                   PARTITION BY qid
+                   ORDER BY score DESC, tf_total DESC, doc_id) AS rank
+        FROM scored)
+    WHERE rank <= {_Q296_TOPK}
+    ORDER BY qid, rank
+    """
+
+
+ORACLE["q296_ranked_retrieval"] = _q296_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Q297 — streaming tombstone-driven store deletes (q293's erasure
+# path AT INGEST: a GDPR pipeline receives delete requests as a
+# STREAM and applies each micro-batch as a partition-pruned rewrite
+# — foreachBatch is exactly the Spark idiom for transactional sinks
+# the built-in writers don't cover): the q293 delete set splits
+# into 3 tombstone files replayed one per micro-batch
+# (maxFilesPerTrigger=1); each batch joins its ids against the
+# store read-back, collects the ≤ |centroids| affected cells
+# (count-gated by construction), rewrites ONLY those cells via
+# dynamic partition overwrite minus the batch's ids, and drops any
+# cell the batch emptied. The graded claim: the FINAL store after
+# three incremental micro-batch rewrites is value-identical to
+# q293's one-shot batch delete AND to searching the never-deleted
+# source rows — the oracle is the same recompute, so stream-of-
+# deletes ≡ batch-delete ≡ no-store-at-all. Output: q293's 15
+# search rows + audit constants (n_deleted, n_cells_rewritten =
+# distinct cells across all batches).
+# ---------------------------------------------------------------------------
+
+
+def q297_streaming_tombstone_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json as _json
+    import os as _os
+    import shutil
+    import tempfile
+
+    from ai_data_pipeline_spark.functions.vector import cosine
+    from ai_data_pipeline_spark.operators import similarity
+    from ai_data_pipeline_spark.operators.vectorized import ivf_assign_np
+    from ai_data_pipeline_spark.plans.constants import Q27_QUERY_VECS, Q28_CENTROIDS
+
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus = ivf_assign_np(emb, Q28_CENTROIDS).select("vec_id", "embedding", "cell")
+    u40 = F.conv(
+        F.substring(F.md5(F.col("vec_id").cast("string")), 1, 10), 16, 10
+    ).cast("long")
+    is_del = F.pmod(u40, F.lit(_Q293_MOD)) == _Q293_PICK
+
+    tmp = tempfile.mkdtemp(prefix="q297_")
+    path = tmp + "/vectors_by_cell"
+    tomb_dir = tmp + "/tombstones"
+    ckpt = tmp + "/ckpt"
+    _os.makedirs(tomb_dir)
+    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    rewritten: set[int] = set()
+    try:
+        corpus.repartition("cell").write.mode("overwrite").partitionBy(
+            "cell"
+        ).parquet(path)
+
+        # tombstone batches: the delete set dealt into 3 files by
+        # vec_id mod 3 (non-negative) — one micro-batch each
+        del_ids = [
+            int(r["vec_id"])
+            for r in emb.select("vec_id").filter(is_del).collect()
+        ]  # gated: |corpus|/17 ids of 8 bytes (the audit needs them anyway)
+        n_deleted = len(del_ids)
+        for b in range(3):
+            with open(f"{tomb_dir}/batch{b}.json", "w") as f:
+                for vid in del_ids:
+                    if vid % 3 == b:
+                        f.write(_json.dumps({"vec_id": vid}) + "\n")
+
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+        def apply_batch(batch_df, epoch_id):
+            store = spark.read.parquet(path)
+            hits = store.join(batch_df.select("vec_id"), "vec_id", "semi")
+            hit_cells = hits.groupBy("cell").agg(F.count(F.lit(1)).alias("n_hit"))
+            # per affected cell: total vs hit rows — BEFORE the write
+            # (remaining's lineage scans `path`; evaluating it after
+            # the overwrite would read the rewritten store)
+            per_cell = (
+                store.groupBy("cell")
+                .agg(F.count(F.lit(1)).alias("n_total"))
+                .join(hit_cells, "cell")
+                .collect()  # ≤ |centroids| rows by construction
+            )
+            affected = sorted(int(r["cell"]) for r in per_cell)
+            if not affected:
+                return
+            emptied = [int(r["cell"]) for r in per_cell if r["n_hit"] == r["n_total"]]
+            remaining = (
+                store.filter(F.col("cell").cast("int").isin(affected))
+                .join(batch_df.select("vec_id"), "vec_id", "anti")
+                .localCheckpoint()  # pin content before the path is overwritten
+            )
+            remaining.repartition("cell").write.mode("overwrite").partitionBy(
+                "cell"
+            ).parquet(path)
+            rewritten.update(affected)
+            for c in emptied:
+                shutil.rmtree(f"{path}/cell={c}", ignore_errors=True)
+
+        q = (
+            spark.readStream.schema("vec_id long")
+            .option("maxFilesPerTrigger", 1)
+            .json(tomb_dir)
+            .writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+        store2 = spark.read.parquet(path)
+        queries = similarity.queries_df(spark, Q27_QUERY_VECS)
+        cand = store2.crossJoin(F.broadcast(queries)).select(
+            "qid",
+            "vec_id",
+            cosine(F.col("embedding"), F.col("qvec")).alias("sim"),
+        )
+        top = (
+            cand.withColumn(
+                "rk",
+                F.row_number().over(
+                    Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
+                ),
+            )
+            .filter(F.col("rk") <= 3)
+            .select("qid", F.col("rk").cast("long").alias("rk"), "vec_id", "sim")
+            .orderBy("qid", "rk")
+            .collect()  # 15 rows, before temp-dir cleanup
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+        shutil.rmtree(tmp, ignore_errors=True)
+    out = spark.createDataFrame(top, "qid long, rk long, vec_id long, sim double")
+    return (
+        out.withColumn("n_deleted", F.lit(n_deleted).cast("long"))
+        .withColumn("n_cells_rewritten", F.lit(len(rewritten)).cast("long"))
+        .orderBy("qid", "rk")
+    )
+
+
+QUERIES["q297_streaming_tombstone_deletes"] = q297_streaming_tombstone_deletes
+
+# Oracle: IDENTICAL to q293's — the graded claim is exactly that the
+# three micro-batch rewrites land on the same final state as the
+# one-shot batch delete (and as never storing the deleted rows).
+ORACLE["q297_streaming_tombstone_deletes"] = _q293_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Q298 — end-to-end MULTIMODAL curation funnel (the capstone
+# composing q281's quality-first ordering with q295's three dedup
+# mechanisms into ONE keeper policy — the pass a multimodal corpus
+# release actually runs): stage 1 gates on Gopher rules_passed ≥ 6
+# (q281's shared gate — the full 7-rule AND keeps zero docs on this
+# corpus, measured there); stage 2 computes text (capped 4-gram),
+# image (dHash), and video (frame-overlap) pairs over the quality
+# SURVIVORS only (the q281 lesson: quality-first cuts every pair
+# stage's input), unions the edge sets, runs ONE star-contraction
+# components pass over the union (cross-modality clusters — a text
+# edge and a video edge chain through a shared doc), and keeps each
+# cluster's min id. Per source: docs, quality-failed, dedup-removed,
+# kept, kept_rate (one IEEE division of exact BIGINTs). Scale:
+# the gate is a scan-stage projection; each pair stage carries its
+# own audited law on a strictly smaller input; the union adds no
+# shuffle (components symmetrize anyway).
+# ---------------------------------------------------------------------------
+
+_Q298_MIN_RULES = 6
+
+
+def q298_multimodal_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_data_pipeline_spark.operators import dedup
+    from ai_data_pipeline_spark.operators.curation import gopher_quality_flags
+    from ai_data_pipeline_spark.plans.frontier2_queries import (
+        _Q263_JACCARD_F,
+        _Q263_MAXF,
+        _Q263_N,
+    )
+
+    docs = spread(_t(spark, sf_dir, "documents"))
+    rules = [
+        "r_word_count", "r_mean_word_len", "r_symbol_ratio",
+        "r_bullet_lines", "r_ellipsis_lines", "r_alpha_words",
+        "r_stopwords",
+    ]
+    gated = gopher_quality_flags(docs.select("doc_id", "text")).select(
+        "doc_id",
+        (
+            sum(F.col(r).cast("int") for r in rules) >= _Q298_MIN_RULES
+        ).alias("passed"),
+    )
+    surv = docs.join(
+        gated.filter(F.col("passed")).select("doc_id"), "doc_id", "semi"
+    ).localCheckpoint()  # three pair stages + the keeper join consume it
+    text_pairs = dedup.ngram_jaccard_pairs(
+        surv,
+        "doc_id",
+        "text",
+        n=_Q263_N,
+        min_jaccard=_Q263_JACCARD_F,
+        max_shingle_freq=_Q263_MAXF,
+    ).select("id_a", "id_b")
+    edges = (
+        text_pairs.unionByName(_q284_pairs(surv))
+        .unionByName(_q291_pairs(surv))
+        .distinct()
+    )
+    clusters = dedup.dedup_clusters_star(edges)
+    keyed = (
+        docs.select("doc_id", "source")
+        .join(gated, "doc_id")
+        .join(clusters.withColumnRenamed("id", "doc_id"), "doc_id", "left")
+        .withColumn("cluster_id", F.coalesce(F.col("cluster_id"), F.col("doc_id")))
+    )
+    flag = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("long")  # noqa: E731
+    keep = F.col("passed") & (F.col("doc_id") == F.col("cluster_id"))
+    agg = keyed.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        flag(~F.col("passed")).alias("n_quality_failed"),
+        flag(F.col("passed") & (F.col("doc_id") != F.col("cluster_id"))).alias(
+            "n_dedup_removed"
+        ),
+        flag(keep).alias("n_kept"),
+    )
+    return (
+        agg.withColumn(
+            "kept_rate",
+            F.col("n_kept").cast("double") / F.col("n_docs").cast("double"),
+        )
+        .orderBy("source")
+    )
+
+
+QUERIES["q298_multimodal_funnel"] = q298_multimodal_funnel
+
+
+def _q298_oracle() -> str:
+    from ai_data_pipeline_spark.functions.text import sql_word_ngrams
+    from ai_data_pipeline_spark.plans.frontier2_queries import (
+        _Q263_JACCARD,
+        _Q263_MAXF,
+        _Q263_N,
+    )
+
+    grams = sql_word_ngrams("text", _Q263_N)
+    toks = sql_word_ngrams("text", 1)
+    cells = _Q284_ROWS * _Q284_COLS
+    lum = (
+        "('0x' || substr(md5((CASE WHEN len(ws) = 0 THEN '' "
+        "ELSE ws[(k % len(ws)) + 1] END) || ':' || k), 1, 2))::BIGINT"
+    )
+    bits = " + ".join(
+        f"(CASE WHEN lums[{(i // 10) * _Q284_COLS + (i % 10) + 2}] > "
+        f"lums[{(i // 10) * _Q284_COLS + (i % 10) + 1}] "
+        f"THEN {1 << i}::BIGINT ELSE 0::BIGINT END)"
+        for i in range(60)
+    )
+    frames = ", ".join(
+        f"array_to_string(({toks})[{f * _Q291_STRIDE + 1}:{f * _Q291_STRIDE + _Q291_WIN}], ' ')"
+        for f in range(_Q291_FRAMES)
+    )
+    return f"""
+    WITH RECURSIVE d AS (
+        SELECT doc_id,
+               coalesce(text, '') AS t,
+               list_filter(string_split_regex(coalesce(text, ''), '[ \\t\\r\\n]+'),
+                           w -> w != '') AS words,
+               list_filter(string_split(coalesce(text, ''), chr(10)),
+                           l -> NOT regexp_full_match(l, '[ \\t\\r]*')) AS lines
+        FROM documents
+    ), m AS (
+        SELECT doc_id,
+               len(words) AS n_words,
+               coalesce(list_sum(list_transform(words, w -> len(w))), 0) AS word_chars,
+               len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]'))) AS n_alpha,
+               len(lines) AS n_lines,
+               len(list_filter(lines, l -> regexp_matches(l, '^[ \\t]*[-*\u2022]'))) AS n_bullet,
+               len(list_filter(lines, l -> regexp_matches(l, '(\\.\\.\\.|\u2026)[ \\t\\r]*$'))) AS n_ell,
+               length(t) - length(replace(t, '#', ''))
+                 + len(regexp_extract_all(t, '(\\.\\.\\.|\u2026)')) AS n_sym,
+               len(list_intersect(list_distinct(list_transform(words, w -> lower(w))),
+                   ['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with'])) AS n_stop
+        FROM d
+    ), rp AS (
+        SELECT doc_id,
+               ((CASE WHEN n_words >= 50 AND n_words <= 100000 THEN 1 ELSE 0 END)
+              + (CASE WHEN 3 * n_words <= word_chars
+                       AND word_chars <= 10 * n_words THEN 1 ELSE 0 END)
+              + (CASE WHEN 10 * n_sym <= n_words THEN 1 ELSE 0 END)
+              + (CASE WHEN 10 * n_bullet <= 9 * n_lines THEN 1 ELSE 0 END)
+              + (CASE WHEN 10 * n_ell <= 3 * n_lines THEN 1 ELSE 0 END)
+              + (CASE WHEN 5 * n_alpha >= 4 * n_words THEN 1 ELSE 0 END)
+              + (CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END))
+                 >= {_Q298_MIN_RULES} AS passed
+        FROM m
+    ), surv AS MATERIALIZED (
+        SELECT dd.doc_id, dd.text FROM documents dd
+        JOIN rp ON rp.doc_id = dd.doc_id AND rp.passed
+    ), sh0 AS (
+        SELECT DISTINCT doc_id AS id, unnest({grams}) AS shingle FROM surv
+    ), tfreq AS (
+        SELECT shingle, COUNT(*) AS f FROM sh0 GROUP BY shingle
+    ), sh AS MATERIALIZED (
+        SELECT id, sh0.shingle FROM sh0 JOIN tfreq ON sh0.shingle = tfreq.shingle
+        WHERE f <= {_Q263_MAXF}
+    ), sizes AS (
+        SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id
+    ), tinter AS (
+        SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+        GROUP BY 1, 2
+    ), text_pairs AS (
+        SELECT id_a, id_b FROM tinter
+        JOIN sizes sa ON sa.id = id_a
+        JOIN sizes sb ON sb.id = id_b
+        WHERE inter / (sa.n_sh + sb.n_sh - inter) >= '{_Q263_JACCARD}'::DOUBLE
+    ), grids AS (
+        SELECT doc_id AS id,
+               list_transform(range(0, {cells}), k -> {lum}) AS lums
+        FROM (SELECT doc_id, {toks} AS ws FROM surv)
+    ), fp AS MATERIALIZED (
+        SELECT id, ({bits}) AS simhash FROM grids
+    ), image_pairs AS (
+        SELECT a.id AS id_a, b.id AS id_b
+        FROM fp a JOIN fp b ON a.id < b.id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= {_Q284_MAX_HAMMING}
+    ), framed AS MATERIALIZED (
+        SELECT DISTINCT doc_id, (('0x' || substr(md5(fs), 1, 15))::BIGINT) AS fh
+        FROM (
+            SELECT doc_id, unnest(list_filter([{frames}], s -> s != '')) AS fs
+            FROM surv)
+    ), ffreq AS (
+        SELECT fh, COUNT(*) AS df FROM framed GROUP BY fh
+    ), fcapped AS MATERIALIZED (
+        SELECT doc_id, framed.fh FROM framed
+        JOIN ffreq ON ffreq.fh = framed.fh
+        WHERE df <= {_Q291_MAXF}
+    ), video_pairs AS (
+        SELECT id_a, id_b FROM (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+            FROM fcapped a JOIN fcapped b
+              ON a.fh = b.fh AND a.doc_id < b.doc_id
+            GROUP BY 1, 2)
+        WHERE n_shared >= {_Q291_MIN_SHARED}
+    ), all_pairs AS (
+        SELECT id_a, id_b FROM text_pairs
+        UNION
+        SELECT id_a, id_b FROM image_pairs
+        UNION
+        SELECT id_a, id_b FROM video_pairs
+    ), edges AS (
+        SELECT id_a AS a, id_b AS b FROM all_pairs
+        UNION
+        SELECT id_b AS a, id_a AS b FROM all_pairs
+    ), reach AS (
+        SELECT a AS id, a AS lab FROM edges
+        UNION
+        SELECT e.a AS id, r.lab AS lab FROM edges e JOIN reach r ON r.id = e.b
+    ), comp AS (
+        SELECT id, MIN(lab) AS cluster_id FROM reach GROUP BY id
+    ), keyed AS (
+        SELECT dd.source, dd.doc_id, rp.passed,
+               COALESCE(c.cluster_id, dd.doc_id) AS cluster_id
+        FROM documents dd
+        JOIN rp ON rp.doc_id = dd.doc_id
+        LEFT JOIN comp c ON c.id = dd.doc_id
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN NOT passed THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_quality_failed,
+           CAST(SUM(CASE WHEN passed AND doc_id != cluster_id
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_dedup_removed,
+           CAST(SUM(CASE WHEN passed AND doc_id = cluster_id
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN passed AND doc_id = cluster_id
+                         THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS kept_rate
+    FROM keyed
+    GROUP BY source
+    ORDER BY source
+    """
+
+
+ORACLE["q298_multimodal_funnel"] = _q298_oracle()

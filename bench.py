@@ -266,6 +266,9 @@ HEADLINE = [
     "q293_vector_store_delete",
     "q294_incremental_postings_merge",
     "q295_cross_modality_agreement",
+    "q296_ranked_retrieval",
+    "q297_streaming_tombstone_deletes",
+    "q298_multimodal_funnel",
 ]
 
 

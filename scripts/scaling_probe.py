@@ -163,6 +163,8 @@ PROBE = [
     "q293_vector_store_delete",    # pruned delete-rewrite + post-delete search
     "q294_incremental_postings_merge",  # token-partitioned postings append + digest
     "q295_cross_modality_agreement",    # three pair stages + 8-row mask agg
+    "q296_ranked_retrieval",            # postings-pruned tf·idf scoring + rank window
+    "q298_multimodal_funnel",           # gate scan + 3 survivor pair stages + components
 ]
 
 
