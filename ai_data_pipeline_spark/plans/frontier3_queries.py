@@ -3017,3 +3017,155 @@ def _q298_oracle() -> str:
 
 
 ORACLE["q298_multimodal_funnel"] = _q298_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Q299 — incremental vector ADMISSION into the cell-partitioned
+# store (the ingest side completing the storage lifecycle: q250
+# builds, q299 adds, q289 merges signatures, q293/q297 delete):
+# a new batch (40-bit md5 uniform of vec_id mod 5 == 0, ~20%)
+# assigns cells with the SAME fixed centroids the store was built
+# with (assignment is corpus-independent — the property that makes
+# append-only ingest correct without reclustering) and APPENDS to
+# the store: only the batch's cells gain files, existing files are
+# untouched (the log-structured property q294 grades for postings).
+# Graded end-to-end: top-3 cosine search over the read-back gen-2
+# store ≡ searching the full source table (the oracle never splits);
+# audit constants: n_base, n_added, n_cells_touched. Scale: ingest
+# cost is |batch| rows shuffled to its ≤ K cells — never a store
+# rewrite, never a recluster.
+# ---------------------------------------------------------------------------
+
+_Q299_MOD = 5
+_Q299_PICK = 0
+
+
+def q299_vector_store_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ai_data_pipeline_spark.functions.vector import cosine
+    from ai_data_pipeline_spark.operators import similarity
+    from ai_data_pipeline_spark.operators.vectorized import ivf_assign_np
+    from ai_data_pipeline_spark.plans.constants import Q27_QUERY_VECS, Q28_CENTROIDS
+
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus = ivf_assign_np(emb, Q28_CENTROIDS).select("vec_id", "embedding", "cell")
+    u40 = F.conv(
+        F.substring(F.md5(F.col("vec_id").cast("string")), 1, 10), 16, 10
+    ).cast("long")
+    is_new = F.pmod(u40, F.lit(_Q299_MOD)) == _Q299_PICK
+
+    tmp = tempfile.mkdtemp(prefix="q299_")
+    path = tmp + "/vectors_by_cell"
+    try:
+        base = corpus.filter(~is_new)
+        batch = corpus.filter(is_new)
+        base.repartition("cell").write.mode("overwrite").partitionBy(
+            "cell"
+        ).parquet(path)
+        # the admission: append-only — existing cell files untouched
+        batch.repartition("cell").write.mode("append").partitionBy(
+            "cell"
+        ).parquet(path)
+        store = spark.read.parquet(path)
+
+        audit = (
+            corpus.agg(
+                F.sum((~is_new).cast("int")).cast("long").alias("n_base"),
+                F.sum(is_new.cast("int")).cast("long").alias("n_added"),
+                F.count_distinct(F.when(is_new, F.col("cell"))).cast("long")
+                .alias("n_cells_touched"),
+            )
+            .collect()[0]
+        )
+        queries = similarity.queries_df(spark, Q27_QUERY_VECS)
+        cand = store.crossJoin(F.broadcast(queries)).select(
+            "qid",
+            "vec_id",
+            cosine(F.col("embedding"), F.col("qvec")).alias("sim"),
+        )
+        top = (
+            cand.withColumn(
+                "rk",
+                F.row_number().over(
+                    Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
+                ),
+            )
+            .filter(F.col("rk") <= 3)
+            .select("qid", F.col("rk").cast("long").alias("rk"), "vec_id", "sim")
+            .orderBy("qid", "rk")
+            .collect()  # 15 rows, before temp-dir cleanup
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    out = spark.createDataFrame(top, "qid long, rk long, vec_id long, sim double")
+    return (
+        out.withColumn("n_base", F.lit(int(audit["n_base"])).cast("long"))
+        .withColumn("n_added", F.lit(int(audit["n_added"])).cast("long"))
+        .withColumn(
+            "n_cells_touched", F.lit(int(audit["n_cells_touched"])).cast("long")
+        )
+        .orderBy("qid", "rk")
+    )
+
+
+QUERIES["q299_vector_store_admission"] = q299_vector_store_admission
+
+
+# Oracle: the full-table search — the split, both writes, and the
+# append must be value-invisible; audit recomputed from the same
+# md5 split + centroid assignment.
+def _q299_oracle() -> str:
+    from ai_data_pipeline_spark.functions.vector import (
+        sql_dot,
+        sql_lit_list,
+        sql_norm,
+        sql_squared_l2,
+    )
+    from ai_data_pipeline_spark.plans.constants import (
+        EMBED_DIM,
+        Q27_QUERY_VECS,
+        Q28_CENTROIDS,
+    )
+
+    qrows = ", ".join(
+        f"({qi}, {sql_lit_list(v)})" for qi, v in enumerate(Q27_QUERY_VECS)
+    )
+    cells = ", ".join(
+        f"struct_pack(d := {sql_squared_l2('embedding', sql_lit_list(c), EMBED_DIM)}, c := {ci})"
+        for ci, c in enumerate(Q28_CENTROIDS)
+    )
+    cos = (
+        f"({sql_dot('a.embedding', 'q.qvec', EMBED_DIM)}) / "
+        f"(({sql_norm('a.embedding', EMBED_DIM)}) * ({sql_norm('q.qvec', EMBED_DIM)}))"
+    )
+    return f"""
+    WITH flags AS MATERIALIZED (
+        SELECT vec_id, embedding,
+               ((('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 10))::BIGINT)
+                    % {_Q299_MOD} = {_Q299_PICK}) AS is_new,
+               struct_extract((list_sort([{cells}]))[1], 'c') AS cell
+        FROM embeddings
+    ), audit AS (
+        SELECT CAST(SUM(CASE WHEN NOT is_new THEN 1 ELSE 0 END) AS BIGINT) AS n_base,
+               CAST(SUM(CASE WHEN is_new THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+               CAST(COUNT(DISTINCT CASE WHEN is_new THEN cell END) AS BIGINT)
+                   AS n_cells_touched
+        FROM flags
+    ), ranked AS (
+        SELECT q.qid, a.vec_id, {cos} AS sim,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.qid
+                   ORDER BY {cos} DESC, a.vec_id) AS rk
+        FROM flags a CROSS JOIN (VALUES {qrows}) AS q(qid, qvec)
+    )
+    SELECT CAST(qid AS BIGINT) AS qid, CAST(rk AS BIGINT) AS rk,
+           vec_id, sim, d.n_base, d.n_added, d.n_cells_touched
+    FROM ranked CROSS JOIN audit d
+    WHERE rk <= 3
+    ORDER BY qid, rk
+    """
+
+
+ORACLE["q299_vector_store_admission"] = _q299_oracle()

@@ -269,6 +269,7 @@ HEADLINE = [
     "q296_ranked_retrieval",
     "q297_streaming_tombstone_deletes",
     "q298_multimodal_funnel",
+    "q299_vector_store_admission",
 ]
 
 

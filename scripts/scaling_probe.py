@@ -165,6 +165,7 @@ PROBE = [
     "q295_cross_modality_agreement",    # three pair stages + 8-row mask agg
     "q296_ranked_retrieval",            # postings-pruned tf·idf scoring + rank window
     "q298_multimodal_funnel",           # gate scan + 3 survivor pair stages + components
+    "q299_vector_store_admission",      # append-only cell ingest + full-store search
 ]
 
 
