@@ -341,3 +341,57 @@ def test_q293_emptied_cell_dropped(spark, tmp_path):
     assert returned <= {0, 1, 2, 3}  # never a deleted id
     # with only 4 survivors, every query's top-3 comes from them
     assert all(r["vec_id"] in (0, 1, 2, 3) for r in out)
+
+
+def test_q297_stream_deletes_match_batch_delete(spark, tmp_path):
+    """The three tombstone micro-batches must land on exactly q293's
+    one-shot final state — including the emptied-cell directory drop
+    when a batch wipes out a whole cell (the q293 fixture replayed
+    through the stream)."""
+    import numpy as np
+
+    from ai_data_pipeline_spark.plans import frontier3_queries as F3
+    from ai_data_pipeline_spark.plans.constants import Q28_CENTROIDS
+
+    c0 = np.array(Q28_CENTROIDS[0], dtype=np.float64)
+    c1 = np.array(Q28_CENTROIDS[1], dtype=np.float64)
+    rows = []
+    for vid in (5, 18):  # u40 % 17 == 3 → deleted; alone in cell 0
+        rows.append((vid, [float(x) for x in (c0 + 0.001 * vid)], 0))
+    for vid in (0, 1, 2, 3):
+        rows.append((vid, [float(x) for x in (c1 + 0.001 * (vid + 1))], 1))
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.parquet(str(tmp_path / "embeddings.parquet"))
+    batch = F3.q293_vector_store_delete(spark, str(tmp_path)).collect()
+    stream = F3.q297_streaming_tombstone_deletes(spark, str(tmp_path)).collect()
+    assert [tuple(r) for r in batch] == [tuple(r) for r in stream]
+    assert stream[0]["n_deleted"] == 2 and stream[0]["n_cells_rewritten"] == 1
+
+
+def test_q299_appended_batch_is_searchable(spark, tmp_path):
+    """Appended vectors must be first-class citizens of the store:
+    a batch vector that is the best match for a query must surface
+    in the post-ingest search (vec_id 6 hashes into the ~20% batch
+    split; it sits alone nearest centroid 0)."""
+    import numpy as np
+
+    from ai_data_pipeline_spark.plans import frontier3_queries as F3
+    from ai_data_pipeline_spark.plans.constants import Q28_CENTROIDS
+
+    # u40 % 5 == 0 picks: vec_id 6 is in the new batch; 2,4,5,7 base
+    import hashlib
+
+    assert int(hashlib.md5(b"6").hexdigest()[:10], 16) % 5 == 0
+    c0 = np.array(Q28_CENTROIDS[0], dtype=np.float64)
+    c1 = np.array(Q28_CENTROIDS[1], dtype=np.float64)
+    rows = [(6, [float(x) for x in (c0 + 0.001)], 0)]
+    for vid in (2, 4, 5, 7):
+        assert int(hashlib.md5(str(vid).encode()).hexdigest()[:10], 16) % 5 != 0
+        rows.append((vid, [float(x) for x in (c1 + 0.001 * (vid + 1))], 1))
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.parquet(str(tmp_path / "embeddings.parquet"))
+    out = F3.q299_vector_store_admission(spark, str(tmp_path)).collect()
+    assert out[0]["n_added"] == 1 and out[0]["n_base"] == 4
+    assert 6 in {r["vec_id"] for r in out}  # the appended vector surfaces
