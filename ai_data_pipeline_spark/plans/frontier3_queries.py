@@ -2688,11 +2688,16 @@ def q297_streaming_tombstone_deletes(spark: SparkSession, sf_dir: str) -> DataFr
         ).parquet(path)
 
         # tombstone batches: the delete set dealt into 3 files by
-        # vec_id mod 3 (non-negative) — one micro-batch each
+        # vec_id mod 3 (non-negative) — one micro-batch each. This
+        # collect is TEST-HARNESS setup, not engine work: in
+        # production the tombstone feed arrives from outside (a
+        # Kafka topic, an erasure-request table) — the engine's own
+        # driver-side state is only the ≤ |centroids| per-batch
+        # affected-cell list inside apply_batch.
         del_ids = [
             int(r["vec_id"])
             for r in emb.select("vec_id").filter(is_del).collect()
-        ]  # gated: |corpus|/17 ids of 8 bytes (the audit needs them anyway)
+        ]
         n_deleted = len(del_ids)
         for b in range(3):
             with open(f"{tomb_dir}/batch{b}.json", "w") as f:
