@@ -147,6 +147,12 @@ DRIVER_EVIDENCE = frozenset({
     "q275_quality_budget_curve", "q276_tau_sensitivity", "q277_quality_calibration",
     "q278_bpe_merge_apply", "q279_streaming_ring_router", "q280_snapshot_recycling",
     "q281_cascade_order_ablation",
+    "q282_incremental_neardup_store", "q283_bpe_two_rounds", "q284_phash_image_dedup",
+    "q285_retrieval_rank_eval", "q286_script_mixture", "q287_snapshot_dedup_trend",
+    "q288_streaming_store_gate", "q289_store_lifecycle_merge", "q290_inverted_index_search",
+    "q291_video_frame_dedup", "q292_decontaminated_split", "q293_vector_store_delete",
+    "q294_incremental_postings_merge", "q295_cross_modality_agreement", "q296_ranked_retrieval",
+    "q297_streaming_tombstone_deletes", "q298_multimodal_funnel", "q299_vector_store_admission",
 })
 
 # Backward-compatible alias (pre-r03 name).

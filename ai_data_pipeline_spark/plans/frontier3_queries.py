@@ -65,6 +65,12 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # (band, digest) with candidate mass bounded by banding; exact
 # verification is linear in candidates; components run on batch
 # pairs only. 16× probe with history ≫ batch in SCALING.md.
+# Collision note (r11 ADVICE): exact-Jaccard verification intersects
+# xxhash64-hashed shingles (shingle_table hashed=True) while the
+# oracle intersects raw shingle strings — the same assumption the
+# ngram_jaccard_pairs / md5-60 family documents: a cross-doc 64-bit
+# collision INSIDE a candidate pair would inflate `inter` Spark-side
+# only; with ~10^3 shingles/doc the per-pair probability is ~1e-13.
 # ---------------------------------------------------------------------------
 
 _Q282_HASHES = 32
@@ -2118,9 +2124,15 @@ def q293_vector_store_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         # written frame are replaced — the remaining rows of each
         # affected cell (minus fully-emptied cells, handled below)
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        remaining = store.filter(
-            F.col("cell").cast("int").isin(affected) & ~is_del
-        ).select("vec_id", "embedding", "cell")
+        # Pin the frame before overwriting the path its lineage reads
+        # (same hazard q297's apply_batch documents: without the
+        # checkpoint, the write's read tasks scan files the commit is
+        # about to replace).
+        remaining = (
+            store.filter(F.col("cell").cast("int").isin(affected) & ~is_del)
+            .select("vec_id", "embedding", "cell")
+            .localCheckpoint()
+        )
         remaining.repartition("cell").write.mode("overwrite").partitionBy(
             "cell"
         ).parquet(path)

@@ -357,7 +357,10 @@ def main() -> int:
         "q44_pivot_counts",
         "q53_rank_fns",
     ):
-        queries[warm_name](spark, sf_dir).count()
+        # Guard against renames: a stale warmup name must not crash
+        # the whole bench run before any timed row.
+        if warm_name in queries:
+            queries[warm_name](spark, sf_dir).count()
 
     # best-of-N: the box shows multi-second scheduler/GC noise on
     # individual runs (observed migrating between queries across
