@@ -188,6 +188,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from ai_data_pipeline_spark.plans import frontier3_queries
 
     merged.update(frontier3_queries.QUERIES)
+    from ai_data_pipeline_spark.plans import frontier4_queries
+
+    merged.update(frontier4_queries.QUERIES)
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for name in merged:
         if name not in DRIVER_EVIDENCE:
@@ -230,4 +233,7 @@ def oracle_sql() -> dict[str, str]:
     from ai_data_pipeline_spark.plans import frontier3_queries
 
     out.update(frontier3_queries.ORACLE)
+    from ai_data_pipeline_spark.plans import frontier4_queries
+
+    out.update(frontier4_queries.ORACLE)
     return out

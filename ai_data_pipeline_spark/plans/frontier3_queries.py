@@ -1335,6 +1335,24 @@ ORACLE["q287_snapshot_dedup_trend"] = _q287_oracle()
 
 
 def q288_streaming_store_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _q288_gate(spark, sf_dir, equi_join=False)
+
+
+def _q288_gate(spark: SparkSession, sf_dir: str, equi_join: bool) -> DataFrame:
+    """The admission gate with both store-access shapes.
+
+    ``equi_join=False`` (shipped): the store's band-key SET
+    broadcasts as one array; each doc tests membership via
+    arrays_overlap — right while the store fits a broadcast.
+    ``equi_join=True`` (the 100 TB fallback this docstring
+    documents): the store stays a (key) FRAME; the stream explodes
+    its 8 band keys and stream-static LEFT-joins them against the
+    store (stateless, append-mode; with broadcast disabled Spark
+    shuffles the static side — the shape that survives any store
+    size); per-doc flags are re-assembled batch-side from the
+    sink. Both paths are value-identical
+    (tests/test_frontier4_plans.py pins it with broadcast disabled).
+    """
     import uuid as _uuid
 
     from ai_data_pipeline_spark.functions.text import token_count_ws, word_ngrams
@@ -1346,14 +1364,11 @@ def q288_streaming_store_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs_hist = dedup.minhash_signatures(
         hist, "doc_id", "text", n=3, num_hashes=_Q282_HASHES
     )
+    store_kv = dedup.minhash_banded(sigs_hist, _Q282_HASHES, _Q282_BANDS).select(
+        F.xxhash64(F.concat_ws("|", F.col("band"), F.col("band_digest"))).alias("k")
+    )
     store_keys = (
-        dedup.minhash_banded(sigs_hist, _Q282_HASHES, _Q282_BANDS)
-        .select(
-            F.xxhash64(
-                F.concat_ws("|", F.col("band"), F.col("band_digest"))
-            ).alias("k")
-        )
-        .agg(F.collect_set("k").alias("store_ks"))
+        store_kv.agg(F.collect_set("k").alias("store_ks"))
         .withColumn("j", F.lit(1))
     )
 
@@ -1389,17 +1404,20 @@ def q288_streaming_store_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     staged = (
         raw.select(
+            "doc_id",
             "source",
             token_count_ws(F.col("text")).alias("n_tok"),
             word_ngrams(F.col("text"), 3).alias("sh_arr"),
         )
         .select(
+            "doc_id",
             "source",
             "n_tok",
             F.size("sh_arr").alias("n_sh"),
             F.array(*[seed_min(j) for j in range(_Q282_HASHES)]).alias("sig"),
         )
         .select(
+            "doc_id",
             "source",
             "n_tok",
             F.when(
@@ -1411,23 +1429,56 @@ def q288_streaming_store_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1).alias("j"),
         )
     )
-    gated = staged.join(F.broadcast(store_keys), "j").withColumn(
-        "flagged", F.arrays_overlap(F.col("doc_ks"), F.col("store_ks")).cast("int")
-    )
     name = f"q288_{_uuid.uuid4().hex[:8]}"
-    q = (
-        gated.select("source", "n_tok", "flagged")
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    if equi_join:
+        # 100 TB shape: explode the 8 band keys and stream-static
+        # LEFT-join against the store frame (explode_outer keeps
+        # zero-shingle docs in n_seen); per-doc flags re-assemble
+        # batch-side over the sink.
+        exploded = staged.select(
+            "doc_id",
+            "source",
+            "n_tok",
+            F.explode_outer("doc_ks").alias("k"),
+        )
+        joined = exploded.join(
+            store_kv.distinct().withColumn("hit", F.lit(1)), "k", "left"
+        )
+        q = (
+            joined.select("doc_id", "source", "n_tok", "hit")
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        per_doc = (
+            spark.table(name)
+            .groupBy("doc_id", "source", "n_tok")
+            .agg(F.max(F.coalesce(F.col("hit"), F.lit(0))).alias("flagged"))
+        )
+    else:
+        gated = staged.join(F.broadcast(store_keys), "j").withColumn(
+            "flagged",
+            F.arrays_overlap(F.col("doc_ks"), F.col("store_ks")).cast("int"),
+        )
+        q = (
+            gated.select("source", "n_tok", "flagged")
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        per_doc = spark.table(name)
     agg = (
-        spark.table(name)
+        per_doc
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_seen"),

@@ -1,0 +1,1797 @@
+"""Frontier queries, fourth batch (round 12): storage-lifecycle
+OPTIMIZE (compaction), the full-build inverted index, the
+retrieval-quality release gate, and the per-mechanism dedup
+precision audit.
+
+Reference parity: the reference (``/root/reference/app/main.py``,
+``rag_chatbot/main.py``) has no storage lifecycle at all — its JSONL
+sink appends forever (``app/main.py:99``) and its FAISS index is
+rebuilt from scratch on every service start
+(``rag_chatbot/main.py:26-28``). These rows grade what a production
+deployment of the same pipeline needs at 100 TB: the store that the
+append discipline (q294/q299) fragments must be compacted without
+changing a single answer, the inverted index must be BUILT at full
+cost once and then serve many queries from partition-pruned reads,
+an index swap must be gated on measured retrieval quality, and each
+near-dup mechanism's precision must be measured against exact truth
+(q219 measures recall; this is the other half).
+
+Float/oracle policy: plans/relational.py header. All graded numbers
+here are exact BIGINT counts, file counts, rank positions, or single
+IEEE divisions of two exact BIGINTs (< 2^53) per the repo rule.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ai_data_pipeline_spark.catalog import load_table, spread
+
+QUERIES: dict = {}
+ORACLE: dict = {}
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Q300 — vector-store COMPACTION (the OPTIMIZE half of q299's
+# append discipline — r11 verdict queue #2): three append
+# generations land in the cell-partitioned store exactly as q299's
+# daily ingest would (each generation `repartition("cell")` before
+# the partitioned write, so it adds ONE file per cell it touches —
+# the q250 rule), leaving every cell with ~3 small files; months of
+# that is the tiny-file cliff the q250 probe measured at 6.2×.
+# Compaction rewrites the store ONE FILE PER CELL into a NEW
+# snapshot directory (write-new-then-swap-the-pointer — the
+# production pattern; it also sidesteps the
+# lineage-over-overwritten-path hazard q293/q297 have to
+# localCheckpoint around), sorted by vec_id within each cell so
+# parquet row-group stats are tight. Graded claims: (a) the
+# compacted store is CONTENT-INVARIANT — the q27 top-3 cosine
+# search over the compacted store is value-identical to searching
+# the raw embeddings table (the oracle never builds a store at
+# all); (b) the FILE-COUNT audit — files before = Σ over
+# generations of cells that generation touched, files after =
+# number of non-empty cells — both read back from the stores
+# themselves via input_file_name(), never from a driver directory
+# listing. Generation split: the 40-bit md5 uniform of vec_id
+# (q228's idiom — never `id mod k`, which is degenerate against
+# source round-robin). Scale: compaction is one shuffle of the
+# store keyed by cell (the partition column — no skew beyond cell
+# geometry) and reads/writes each byte once; the audit is a
+# metadata-cardinality aggregate.
+# ---------------------------------------------------------------------------
+
+_Q300_GENS = 3
+
+
+def q300_vector_store_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ai_data_pipeline_spark.functions.vector import cosine
+    from ai_data_pipeline_spark.operators import similarity
+    from ai_data_pipeline_spark.operators.vectorized import ivf_assign_np
+    from ai_data_pipeline_spark.plans.constants import Q27_QUERY_VECS, Q28_CENTROIDS
+
+    emb = _t(spark, sf_dir, "embeddings")
+    u40 = F.conv(
+        F.substring(F.md5(F.col("vec_id").cast("string")), 1, 10), 16, 10
+    ).cast("long")
+    corpus = ivf_assign_np(emb, Q28_CENTROIDS).select(
+        "vec_id", "embedding", F.col("cell").cast("int").alias("cell"),
+        F.pmod(u40, F.lit(_Q300_GENS)).alias("gen"),
+    )
+
+    tmp = tempfile.mkdtemp(prefix="q300_")
+    raw_path = tmp + "/store_appended"
+    compact_path = tmp + "/store_compacted"
+    try:
+        # --- the fragmented store: one append per generation.
+        for g in range(_Q300_GENS):
+            mode = "overwrite" if g == 0 else "append"
+            (
+                corpus.filter(F.col("gen") == g)
+                .select("vec_id", "embedding", "cell")
+                .repartition("cell")
+                .write.mode(mode)
+                .partitionBy("cell")
+                .parquet(raw_path)
+            )
+        store = spark.read.parquet(raw_path)
+        # input_file_name is non-deterministic to the analyzer —
+        # project it into a column BEFORE aggregating over it.
+        files_before = (
+            store.select(F.input_file_name().alias("f"))
+            .agg(F.count_distinct("f").cast("long").alias("n"))
+        )
+
+        # --- compaction: new snapshot dir, one file per cell,
+        # sorted by vec_id so footer stats are tight (the
+        # compact_sorted discipline applied to a partitioned store).
+        (
+            store.repartition("cell")
+            .sortWithinPartitions("cell", "vec_id")
+            .write.mode("overwrite")
+            .partitionBy("cell")
+            .parquet(compact_path)
+        )
+        store2 = spark.read.parquet(compact_path)
+        after = store2.select(
+            F.input_file_name().alias("f"), "cell"
+        ).agg(
+            F.count_distinct("f").cast("long").alias("n_files_after"),
+            F.count_distinct("cell").cast("long").alias("n_cells"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+        )
+
+        # --- content invariance: the graded search runs over the
+        # COMPACTED store; the oracle recomputes from `embeddings`.
+        queries = similarity.queries_df(spark, Q27_QUERY_VECS)
+        cand = store2.crossJoin(F.broadcast(queries)).select(
+            "qid",
+            "vec_id",
+            cosine(F.col("embedding"), F.col("qvec")).alias("sim"),
+        )
+        top = (
+            cand.withColumn(
+                "rk",
+                F.row_number().over(
+                    Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
+                ),
+            )
+            .filter(F.col("rk") <= 3)
+            .select("qid", F.col("rk").cast("long").alias("rk"), "vec_id", "sim")
+            .orderBy("qid", "rk")
+            .collect()  # 15 rows, before temp-dir cleanup
+        )
+        nfb = int(files_before.collect()[0]["n"])  # 1 row
+        arow = after.collect()[0]  # 1 row
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    out = spark.createDataFrame(top, "qid long, rk long, vec_id long, sim double")
+    return (
+        out.withColumn("n_files_before", F.lit(nfb).cast("long"))
+        .withColumn("n_files_after", F.lit(int(arow["n_files_after"])).cast("long"))
+        .withColumn("n_cells", F.lit(int(arow["n_cells"])).cast("long"))
+        .withColumn("n_rows", F.lit(int(arow["n_rows"])).cast("long"))
+        .orderBy("qid", "rk")
+    )
+
+
+QUERIES["q300_vector_store_compaction"] = q300_vector_store_compaction
+
+
+# Oracle: full-table search (the two stores and the compaction must
+# be value-invisible); the file audit recomputed from the same md5
+# generation split + centroid assignment — files before ≡ distinct
+# (gen, cell) occupancy, files after ≡ distinct occupied cells
+# (both follow from repartition-on-the-partition-column writes
+# emitting exactly one file per cell per job — the q250 invariant).
+def _q300_oracle() -> str:
+    from ai_data_pipeline_spark.functions.vector import (
+        sql_dot,
+        sql_lit_list,
+        sql_norm,
+        sql_squared_l2,
+    )
+    from ai_data_pipeline_spark.plans.constants import (
+        EMBED_DIM,
+        Q27_QUERY_VECS,
+        Q28_CENTROIDS,
+    )
+
+    qrows = ", ".join(
+        f"({qi}, {sql_lit_list(v)})" for qi, v in enumerate(Q27_QUERY_VECS)
+    )
+    cells = ", ".join(
+        f"struct_pack(d := {sql_squared_l2('embedding', sql_lit_list(c), EMBED_DIM)}, c := {ci})"
+        for ci, c in enumerate(Q28_CENTROIDS)
+    )
+    cos = (
+        f"({sql_dot('a.embedding', 'q.qvec', EMBED_DIM)}) / "
+        f"(({sql_norm('a.embedding', EMBED_DIM)}) * ({sql_norm('q.qvec', EMBED_DIM)}))"
+    )
+    return f"""
+    WITH flags AS MATERIALIZED (
+        SELECT vec_id, embedding,
+               (('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 10))::BIGINT)
+                   % {_Q300_GENS} AS gen,
+               struct_extract((list_sort([{cells}]))[1], 'c') AS cell
+        FROM embeddings
+    ), audit AS (
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT)
+                FROM (SELECT DISTINCT gen, cell FROM flags)) AS n_files_before,
+               CAST(COUNT(DISTINCT cell) AS BIGINT) AS n_files_after,
+               CAST(COUNT(DISTINCT cell) AS BIGINT) AS n_cells,
+               CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM flags
+    ), ranked AS (
+        SELECT q.qid, a.vec_id, {cos} AS sim,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.qid
+                   ORDER BY {cos} DESC, a.vec_id) AS rk
+        FROM flags a CROSS JOIN (VALUES {qrows}) AS q(qid, qvec)
+    )
+    SELECT CAST(qid AS BIGINT) AS qid, CAST(rk AS BIGINT) AS rk,
+           vec_id, sim,
+           d.n_files_before, d.n_files_after, d.n_cells, d.n_rows
+    FROM ranked CROSS JOIN audit d
+    WHERE rk <= 3
+    ORDER BY qid, rk
+    """
+
+
+ORACLE["q300_vector_store_compaction"] = _q300_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Q301 — FULL-BUILD inverted index serving multiple query families
+# from ONE store (r11 verdict queue #3 — closes the gap it flagged
+# on q290/q296, whose postings were built pre-pruned to the probe
+# tokens): the postings store here is built UNPRUNED — a full
+# posexplode of every document (the real build cost: one scan of
+# the corpus, one shuffle keyed by the partition column) and
+# written partitioned by TOKEN BUCKET tb = md5-40(token) mod 16
+# (the token-bucket layout q290's docstring models; partitioning by
+# raw token is wrong at 100 TB where the vocabulary is millions of
+# values — buckets keep directory fan-out fixed while still letting
+# a query's PartitionFilters prune to the ≤ |query tokens| buckets
+# it needs). The store is then READ BACK and serves all three query
+# families of the keyword retrieval stack from partition-pruned
+# reads (plan-pinned in tests/test_frontier4_plans.py):
+#   * phrase queries (q290's) — k-way positional self-join on the
+#     postings, adjacency p_i = p_0 + i;
+#   * boolean AND queries (q290's) — per-doc distinct-term count;
+#   * ranked TF·IDF queries (q296's) — exact-integer log2 idf
+#     ladder, with df taken from the FULL store (not a pruned
+#     rebuild) and N from the corpus catalog stat.
+# One output shape for all three: (query_id, kind, query, n_docs,
+# n_occurrences, top_doc_id, top_score) — phrase/and rank their
+# top document as MIN(doc_id) among matches with NULL score
+# (boolean semantics have no score); ranked rows carry the rank-1
+# (score DESC, tf_total DESC, doc_id) doc and its BIGINT score.
+# Audit constants: n_postings (full store rows — the build paid for
+# the whole corpus), n_buckets (occupied tb partitions),
+# n_buckets_scanned (buckets the query side touches — a Python
+# constant derived from the same md5 both engines compute).
+# Scale: build = one corpus scan + one bucket-keyed shuffle; every
+# query reads only its tokens' buckets (PartitionFilters) and
+# filters to exact tokens inside them (dictionary-encoded column —
+# row-group pruning); the phrase join shuffles only the queried
+# tokens' postings on doc_id.
+# ---------------------------------------------------------------------------
+
+_Q301_BUCKETS = 16
+# q290's phrase + boolean queries, q296's ranked queries — same
+# constants, now served from one full-built store.
+from ai_data_pipeline_spark.plans.frontier3_queries import (  # noqa: E402
+    _Q290_ANDS,
+    _Q290_PHRASES,
+    _Q296_QUERIES,
+    _Q296_TOPK,
+)
+
+
+def _tok_bucket_py(tok: str) -> int:
+    """Python twin of the md5-40 token bucket (both engines compute
+    the same 40-bit integer; hashlib here only derives plan-time
+    literals for the PartitionFilters pushdown)."""
+    return int(hashlib.md5(tok.encode("utf-8")).hexdigest()[:10], 16) % _Q301_BUCKETS
+
+
+_Q301_TOKENS = sorted(
+    {w for _, p in _Q290_PHRASES for w in p.split()}
+    | {w for _, ts in _Q290_ANDS for w in ts}
+    | {w for _, ts in _Q296_QUERIES for w in ts}
+)
+_Q301_SCAN_BUCKETS = sorted({_tok_bucket_py(t) for t in _Q301_TOKENS})
+
+_OUT_COLS = [
+    "query_id",
+    "kind",
+    "query",
+    "n_docs",
+    "n_occurrences",
+    "top_doc_id",
+    "top_score",
+]
+
+
+def q301_build_postings_store(docs: DataFrame, path: str) -> None:
+    """Full postings build: posexplode every document, bucket by
+    md5-40(token) mod 16, one file per bucket per job (the
+    repartition-on-the-partition-column rule)."""
+    from ai_data_pipeline_spark.functions.text import ws_tokens
+
+    postings = docs.select(
+        "doc_id", F.posexplode(ws_tokens(F.col("text"))).alias("pos", "token")
+    ).withColumn(
+        "tb",
+        F.pmod(
+            F.conv(F.substring(F.md5(F.col("token")), 1, 10), 16, 10).cast("long"),
+            F.lit(_Q301_BUCKETS),
+        ),
+    )
+    (
+        postings.repartition("tb")
+        .write.mode("overwrite")
+        .partitionBy("tb")
+        .parquet(path)
+    )
+
+
+def q301_serve(spark: SparkSession, store: DataFrame, n_corpus_docs) -> DataFrame:
+    """All three query families served from the store read-back.
+
+    ``store`` is the postings read from parquet; every access below
+    filters on ``tb`` FIRST (partition pruning — plan-pinned) and
+    then on the exact token inside the surviving buckets.
+    """
+    from ai_data_pipeline_spark.functions.buckets import log2_bucket_case as lb
+
+    pruned = (
+        store.filter(
+            F.col("tb").isin([int(b) for b in _Q301_SCAN_BUCKETS])
+            & F.col("token").isin(list(_Q301_TOKENS))
+        )
+        .select("doc_id", "pos", "token")
+        .localCheckpoint()  # consumed by every query family below
+    )
+
+    frames = []
+    for qid, phrase in _Q290_PHRASES:
+        words = phrase.split()
+        cur = pruned.filter(F.col("token") == words[0]).select(
+            "doc_id", F.col("pos").alias("p0")
+        )
+        for i, w in enumerate(words[1:], start=1):
+            nxt = pruned.filter(F.col("token") == w).select(
+                "doc_id", F.col("pos").alias(f"p{i}")
+            )
+            cur = cur.join(nxt, "doc_id").filter(
+                F.col(f"p{i}") == F.col("p0") + F.lit(i)
+            )
+        frames.append(
+            cur.agg(
+                F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+                F.count_distinct("doc_id").cast("long").alias("n_docs"),
+                F.min("doc_id").cast("long").alias("top_doc_id"),
+            ).select(
+                F.lit(qid).alias("query_id"),
+                F.lit("phrase").alias("kind"),
+                F.lit(phrase).alias("query"),
+                "n_docs",
+                "n_occurrences",
+                "top_doc_id",
+                F.lit(None).cast("long").alias("top_score"),
+            )
+        )
+    for qid, terms in _Q290_ANDS:
+        per_doc = (
+            pruned.filter(F.col("token").isin(terms))
+            .groupBy("doc_id")
+            .agg(
+                F.count_distinct("token").alias("n_terms"),
+                F.count(F.lit(1)).cast("long").alias("occ"),
+            )
+            .filter(F.col("n_terms") == len(terms))
+        )
+        frames.append(
+            per_doc.agg(
+                F.coalesce(F.sum("occ"), F.lit(0)).cast("long").alias("n_occurrences"),
+                F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.min("doc_id").cast("long").alias("top_doc_id"),
+            ).select(
+                F.lit(qid).alias("query_id"),
+                F.lit("and").alias("kind"),
+                F.lit(" ".join(terms)).alias("query"),
+                "n_docs",
+                "n_occurrences",
+                "top_doc_id",
+                F.lit(None).cast("long").alias("top_score"),
+            )
+        )
+
+    # ranked TF·IDF: df from the FULL store's postings for the query
+    # tokens (identical to full-corpus df for those tokens), N from
+    # the corpus stat as a 1-row broadcast — never a driver collect.
+    ndf = n_corpus_docs.withColumn("j", F.lit(1))
+    df_t = (
+        pruned.groupBy("token")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .withColumn("j", F.lit(1))
+        .join(F.broadcast(ndf), "j")
+        .select(
+            "token",
+            (lb(F.col("n") + 1) - lb(F.col("df") + 1)).alias("idf"),
+        )
+    )
+    qterms = spark.createDataFrame(
+        [(qid, t) for qid, ts in _Q296_QUERIES for t in ts],
+        "qid string, token string",
+    )
+    scored = (
+        pruned.join(F.broadcast(qterms), "token")
+        .groupBy("qid", "doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .join(F.broadcast(df_t), "token")
+        .groupBy("qid", "doc_id")
+        .agg(
+            F.sum(F.col("tf") * F.col("idf")).cast("long").alias("score"),
+            F.sum("tf").cast("long").alias("tf_total"),
+        )
+    )
+    ranked1 = scored.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("qid").orderBy(
+                F.desc("score"), F.desc("tf_total"), F.asc("doc_id")
+            )
+        ),
+    )
+    qmeta = spark.createDataFrame(
+        [(qid, " ".join(ts)) for qid, ts in _Q296_QUERIES], "qid string, q string"
+    )
+    frames.append(
+        ranked1.groupBy("qid")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("tf_total").cast("long").alias("n_occurrences"),
+            F.min(F.when(F.col("rk") == 1, F.col("doc_id")))
+            .cast("long")
+            .alias("top_doc_id"),
+            F.min(F.when(F.col("rk") == 1, F.col("score")))
+            .cast("long")
+            .alias("top_score"),
+        )
+        .join(F.broadcast(qmeta), "qid")
+        .select(
+            F.col("qid").alias("query_id"),
+            F.lit("ranked").alias("kind"),
+            F.col("q").alias("query"),
+            "n_docs",
+            "n_occurrences",
+            "top_doc_id",
+            "top_score",
+        )
+    )
+
+    out = frames[0]
+    for fdf in frames[1:]:
+        out = out.unionByName(fdf)
+    return out
+
+
+def q301_full_postings_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    docs = spread(_t(spark, sf_dir, "documents"))
+    tmp = tempfile.mkdtemp(prefix="q301_")
+    path = tmp + "/postings_by_bucket"
+    try:
+        q301_build_postings_store(docs, path)
+        store = spark.read.parquet(path)
+        audit = store.agg(
+            F.count(F.lit(1)).cast("long").alias("n_postings"),
+            F.count_distinct("tb").cast("long").alias("n_buckets"),
+        )
+        n_docs = docs.agg(F.count(F.lit(1)).alias("n"))
+        served = q301_serve(spark, store, n_docs)
+        rows = served.select(*_OUT_COLS).orderBy("query_id").collect()  # 8 rows
+        arow = audit.collect()[0]  # 1 row
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    out = spark.createDataFrame(
+        rows,
+        "query_id string, kind string, query string, n_docs long, "
+        "n_occurrences long, top_doc_id long, top_score long",
+    )
+    return (
+        out.withColumn("n_postings", F.lit(int(arow["n_postings"])).cast("long"))
+        .withColumn("n_buckets", F.lit(int(arow["n_buckets"])).cast("long"))
+        .withColumn(
+            "n_buckets_scanned",
+            F.lit(len(_Q301_SCAN_BUCKETS)).cast("long"),
+        )
+        .orderBy("query_id")
+    )
+
+
+QUERIES["q301_full_postings_index"] = q301_full_postings_index
+
+
+# Oracle: semantics recomputed straight off `documents` — phrase
+# counts via k-gram list_filter (q290's equivalence: positional
+# adjacency on postings ≡ sliding k-gram), AND via per-doc token
+# counts, ranked via the same exact-integer idf ladder; the store,
+# the bucketed write and the pruned read-back must all be
+# value-invisible. Audit: n_postings = total token count,
+# n_buckets = distinct md5-40 bucket over the full vocabulary,
+# n_buckets_scanned = the same constant both engines derive.
+def _q301_oracle() -> str:
+    from ai_data_pipeline_spark.functions.buckets import sql_log2_bucket_case
+    from ai_data_pipeline_spark.functions.text import sql_word_ngrams
+
+    toks = sql_word_ngrams("text", 1)
+    parts = []
+    for qid, phrase in _Q290_PHRASES:
+        k = len(phrase.split())
+        grams = sql_word_ngrams("text", k)
+        parts.append(f"""
+        SELECT '{qid}' AS query_id, 'phrase' AS kind, '{phrase}' AS query,
+               CAST(COUNT(DISTINCT CASE WHEN n > 0 THEN doc_id END) AS BIGINT)
+                   AS n_docs,
+               CAST(COALESCE(SUM(n), 0) AS BIGINT) AS n_occurrences,
+               CAST(MIN(CASE WHEN n > 0 THEN doc_id END) AS BIGINT) AS top_doc_id,
+               CAST(NULL AS BIGINT) AS top_score
+        FROM (
+            SELECT doc_id,
+                   len(list_filter({grams}, g -> g = '{phrase}')) AS n
+            FROM documents)
+        """)
+    for qid, terms in _Q290_ANDS:
+        conds = " AND ".join(
+            f"len(list_filter({toks}, t -> t = '{w}')) > 0" for w in terms
+        )
+        occ = " + ".join(
+            f"len(list_filter({toks}, t -> t = '{w}'))" for w in terms
+        )
+        q = " ".join(terms)
+        parts.append(f"""
+        SELECT '{qid}' AS query_id, 'and' AS kind, '{q}' AS query,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(COALESCE(SUM(occ), 0) AS BIGINT) AS n_occurrences,
+               CAST(MIN(doc_id) AS BIGINT) AS top_doc_id,
+               CAST(NULL AS BIGINT) AS top_score
+        FROM (
+            SELECT doc_id, {occ} AS occ
+            FROM documents
+            WHERE {conds})
+        """)
+    ranked_needed = sorted({w for _, ts in _Q296_QUERIES for w in ts})
+    lits = ", ".join(f"'{w}'" for w in ranked_needed)
+    qvals = ", ".join(
+        f"('{qid}', '{t}')" for qid, ts in _Q296_QUERIES for t in ts
+    )
+    qmeta = ", ".join(
+        f"('{qid}', '{' '.join(ts)}')" for qid, ts in _Q296_QUERIES
+    )
+    parts.append(f"""
+    SELECT s.qid AS query_id, 'ranked' AS kind, m.q AS query,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(tf_total) AS BIGINT) AS n_occurrences,
+           CAST(MIN(CASE WHEN rk = 1 THEN doc_id END) AS BIGINT) AS top_doc_id,
+           CAST(MIN(CASE WHEN rk = 1 THEN score END) AS BIGINT) AS top_score
+    FROM (
+        SELECT qid, doc_id, score, tf_total,
+               ROW_NUMBER() OVER (
+                   PARTITION BY qid
+                   ORDER BY score DESC, tf_total DESC, doc_id) AS rk
+        FROM (
+            SELECT qid, doc_id, CAST(SUM(tf * idf) AS BIGINT) AS score,
+                   CAST(SUM(tf) AS BIGINT) AS tf_total
+            FROM (
+                SELECT q.qid, p.doc_id, p.token, COUNT(*) AS tf
+                FROM (
+                    SELECT doc_id, u.token
+                    FROM documents,
+                    LATERAL (SELECT unnest({toks}) AS token) u
+                    WHERE u.token IN ({lits})
+                ) p JOIN (VALUES {qvals}) AS q(qid, token)
+                  ON q.token = p.token
+                GROUP BY 1, 2, 3
+            ) tfs JOIN (
+                SELECT token,
+                       {sql_log2_bucket_case("((SELECT COUNT(*) FROM documents) + 1)")}
+                         - {sql_log2_bucket_case("(COUNT(DISTINCT doc_id) + 1)")} AS idf
+                FROM (
+                    SELECT doc_id, u.token
+                    FROM documents,
+                    LATERAL (SELECT unnest({toks}) AS token) u
+                    WHERE u.token IN ({lits})
+                )
+                GROUP BY token
+            ) dfs ON dfs.token = tfs.token
+            GROUP BY qid, doc_id)
+    ) s JOIN (VALUES {qmeta}) AS m(qid, q) ON m.qid = s.qid
+    GROUP BY s.qid, m.q
+    """)
+    body = " UNION ALL ".join(parts)
+    return f"""
+    WITH results AS MATERIALIZED ({body}),
+    vocab AS (
+        SELECT u.token
+        FROM documents, LATERAL (SELECT unnest({toks}) AS token) u
+    ), audit AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_postings,
+               CAST(COUNT(DISTINCT
+                   (('0x' || substr(md5(token), 1, 10))::BIGINT)
+                       % {_Q301_BUCKETS}) AS BIGINT) AS n_buckets
+        FROM vocab
+    )
+    SELECT r.*, a.n_postings, a.n_buckets,
+           CAST({len(_Q301_SCAN_BUCKETS)} AS BIGINT) AS n_buckets_scanned
+    FROM results r CROSS JOIN audit a
+    ORDER BY query_id
+    """
+
+
+ORACLE["q301_full_postings_index"] = _q301_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Q302 — retrieval-quality regression GATE (r11 verdict queue #4 —
+# the builder's own round-12 item): q285 measures rank quality and
+# q233 the recall/cost curve; a deployment needs those composed
+# into ONE pass/fail row it can wire into CI before swapping an
+# index generation. Over the fixed q27 query set, for each
+# candidate operating point (IVF at nprobe ∈ {1, 2} against the
+# q28 centroid geometry): brute-force cosine top-10 is truth;
+# the gate aggregates three EXACT-INTEGER metrics and compares each
+# against its threshold by CROSS-MULTIPLICATION — no float enters a
+# pass/fail decision (the repo's float policy taken to its
+# conclusion: a gate that flips on a 1-ulp drift is a broken gate):
+#   * recall@10: Σ_q |BF top-10 ∩ ANN top-10| ≥ 70% of Σ_q 10
+#     — recall_num·100 ≥ 70·recall_den;
+#   * MRR of the true top-1: per-query reciprocal rank scaled by
+#     2520 = lcm(1..10) (a CASE ladder — rank r contributes
+#     2520/r exactly, 0 on a miss), MRR ≥ 0.60 ⟺
+#     mrr_num·100 ≥ 60·mrr_den with mrr_den = n_queries·2520;
+#   * rank concordance: Σ concordant ≥ Σ discordant Kendall pairs
+#     over the common items (τ ≥ 0).
+# release_pass = all three. The emitted recall/mrr doubles are each
+# ONE IEEE division of two exact BIGINTs (display only — the gate
+# flags are graded integers). Scale: the expensive inputs are the
+# graded search operators themselves; the gate is O(k²) per query
+# per operating point, corpus-size-independent (q285's property).
+# ---------------------------------------------------------------------------
+
+_Q302_NPROBES = [1, 2]
+_Q302_K = 10
+_Q302_RECALL_PCT = 70
+_Q302_MRR_PCT = 60
+# 2520 = lcm(1..10); rank r in the top-10 contributes exactly
+# 2520/r (all integers by construction — hardcoded, no division).
+_Q302_RR_SCALED = {1: 2520, 2: 1260, 3: 840, 4: 630, 5: 504,
+                   6: 420, 7: 360, 8: 315, 9: 280, 10: 252}
+
+
+def _q302_metrics(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
+    """Per-query (qid, n_common, truth_rank, concordant, discordant)
+    for the IVF search at ``nprobe`` vs brute-force truth — q285's
+    metric frame, parameterized by operating point."""
+    from ai_data_pipeline_spark.operators import similarity
+    from ai_data_pipeline_spark.operators.vectorized import (
+        cosine_topk_np,
+        ivf_assign_np,
+        ivf_search_cosine_np,
+    )
+    from ai_data_pipeline_spark.plans.constants import Q27_QUERY_VECS, Q28_CENTROIDS
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = similarity.queries_df(spark, Q27_QUERY_VECS)
+    bf = cosine_topk_np(emb, queries, k=_Q302_K).select(
+        "qid", "vec_id", F.col("rk").cast("long").alias("rk_bf")
+    )
+    corpus = ivf_assign_np(emb, Q28_CENTROIDS)
+    ann = ivf_search_cosine_np(
+        corpus, queries, Q28_CENTROIDS, k=_Q302_K, nprobe=nprobe
+    ).select("qid", "vec_id", F.col("rk").cast("long").alias("rk_ann"))
+
+    qids = bf.select("qid").distinct()
+    truth = bf.filter(F.col("rk_bf") == 1).select("qid", "vec_id")
+    tr = truth.join(ann, ["qid", "vec_id"], "left").select(
+        "qid", F.coalesce(F.col("rk_ann"), F.lit(0)).alias("truth_rank")
+    )
+    common = bf.join(ann, ["qid", "vec_id"]).select(
+        "qid", "vec_id", "rk_bf", "rk_ann"
+    )
+    ncom = common.groupBy("qid").agg(
+        F.count(F.lit(1)).cast("long").alias("n_common")
+    )
+    a, b = common.alias("a"), common.alias("b")
+    cd = (
+        a.join(
+            b,
+            (F.col("a.qid") == F.col("b.qid"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.qid").alias("qid"),
+            (
+                (F.col("a.rk_bf") - F.col("b.rk_bf"))
+                * (F.col("a.rk_ann") - F.col("b.rk_ann"))
+                > 0
+            ).alias("conc"),
+        )
+        .groupBy("qid")
+        .agg(
+            F.sum(F.when(F.col("conc"), 1).otherwise(0)).cast("long").alias("concordant"),
+            F.sum(F.when(~F.col("conc"), 1).otherwise(0)).cast("long").alias("discordant"),
+        )
+    )
+    return (
+        qids.join(tr, "qid", "left")
+        .join(ncom, "qid", "left")
+        .join(cd, "qid", "left")
+        .select(
+            "qid",
+            F.coalesce(F.col("n_common"), F.lit(0)).cast("long").alias("n_common"),
+            F.col("truth_rank").cast("long").alias("truth_rank"),
+            F.coalesce(F.col("concordant"), F.lit(0)).cast("long").alias("concordant"),
+            F.coalesce(F.col("discordant"), F.lit(0)).cast("long").alias("discordant"),
+        )
+    )
+
+
+def q302_retrieval_release_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rr = F.lit(0).cast("long")
+    for r, contrib in sorted(_Q302_RR_SCALED.items()):
+        rr = F.when(F.col("truth_rank") == r, F.lit(contrib).cast("long")).otherwise(rr)
+
+    frames = []
+    for nprobe in _Q302_NPROBES:
+        m = _q302_metrics(spark, sf_dir, nprobe)
+        agg = m.agg(
+            F.count(F.lit(1)).cast("long").alias("n_queries"),
+            F.sum("n_common").cast("long").alias("recall_num"),
+            F.sum(rr).cast("long").alias("mrr_num"),
+            F.sum("concordant").cast("long").alias("concordant"),
+            F.sum("discordant").cast("long").alias("discordant"),
+        ).select(
+            F.lit(nprobe).cast("long").alias("nprobe"),
+            "n_queries",
+            "recall_num",
+            (F.col("n_queries") * _Q302_K).cast("long").alias("recall_den"),
+            "mrr_num",
+            (F.col("n_queries") * 2520).cast("long").alias("mrr_den"),
+            "concordant",
+            "discordant",
+        )
+        frames.append(agg)
+    out = frames[0]
+    for fdf in frames[1:]:
+        out = out.unionByName(fdf)
+    return (
+        out.withColumn(
+            "recall",
+            F.col("recall_num").cast("double") / F.col("recall_den").cast("double"),
+        )
+        .withColumn(
+            "mrr", F.col("mrr_num").cast("double") / F.col("mrr_den").cast("double")
+        )
+        .withColumn(
+            "recall_pass",
+            (F.col("recall_num") * 100 >= F.col("recall_den") * _Q302_RECALL_PCT)
+            .cast("long"),
+        )
+        .withColumn(
+            "mrr_pass",
+            (F.col("mrr_num") * 100 >= F.col("mrr_den") * _Q302_MRR_PCT)
+            .cast("long"),
+        )
+        .withColumn(
+            "kendall_pass",
+            (F.col("concordant") >= F.col("discordant")).cast("long"),
+        )
+        .withColumn(
+            "release_pass",
+            (
+                (F.col("recall_pass") == 1)
+                & (F.col("mrr_pass") == 1)
+                & (F.col("kendall_pass") == 1)
+            ).cast("long"),
+        )
+        .select(
+            "nprobe", "n_queries",
+            "recall_num", "recall_den", "recall", "recall_pass",
+            "mrr_num", "mrr_den", "mrr", "mrr_pass",
+            "concordant", "discordant", "kendall_pass", "release_pass",
+        )
+        .orderBy("nprobe")
+    )
+
+
+QUERIES["q302_retrieval_release_gate"] = q302_retrieval_release_gate
+
+
+# Oracle: q285's CTE chain per operating point (probed cells
+# precomputed per nprobe — ivf_search_cosine_np's lexsort policy),
+# aggregated to the same integer gate row; the reciprocal-rank CASE
+# ladder uses the identical hardcoded 2520/r constants.
+def _q302_oracle() -> str:
+    from ai_data_pipeline_spark.functions.vector import (
+        sql_dot,
+        sql_lit_list,
+        sql_norm,
+        sql_squared_l2,
+    )
+    from ai_data_pipeline_spark.plans.constants import (
+        EMBED_DIM,
+        Q27_QUERY_VECS,
+        Q28_CENTROIDS,
+    )
+    from ai_data_pipeline_spark.plans.pipeline_queries import _sqdist_py
+
+    cells = ", ".join(
+        f"struct_pack(d := {sql_squared_l2('embedding', sql_lit_list(c), EMBED_DIM)}, c := {ci})"
+        for ci, c in enumerate(Q28_CENTROIDS)
+    )
+    cos = (
+        f"({sql_dot('a.embedding', 'q.qvec', EMBED_DIM)}) / "
+        f"(({sql_norm('a.embedding', EMBED_DIM)}) * ({sql_norm('q.qvec', EMBED_DIM)}))"
+    )
+    rr_case = " ".join(
+        f"WHEN truth_rank = {r} THEN {c}"
+        for r, c in sorted(_Q302_RR_SCALED.items())
+    )
+    blocks = []
+    for nprobe in _Q302_NPROBES:
+        probes = {}
+        for qi, qv in enumerate(Q27_QUERY_VECS):
+            cdist = [_sqdist_py(c, qv) for c in Q28_CENTROIDS]
+            probes[qi] = sorted(
+                range(len(Q28_CENTROIDS)), key=lambda c: (cdist[c], c)
+            )[:nprobe]
+        qrows = ", ".join(
+            f"({qi}, {sql_lit_list(v)}, {list(probes[qi])})"
+            for qi, v in enumerate(Q27_QUERY_VECS)
+        )
+        blocks.append(f"""
+        SELECT CAST({nprobe} AS BIGINT) AS nprobe, *
+        FROM (
+            WITH qs AS (
+                SELECT * FROM (VALUES {qrows}) AS t(qid, qvec, cells)
+            ), bf AS MATERIALIZED (
+                SELECT qid, vec_id, rk_bf FROM (
+                    SELECT q.qid, a.vec_id,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY q.qid
+                               ORDER BY {cos} DESC, a.vec_id) AS rk_bf
+                    FROM embeddings a CROSS JOIN qs q)
+                WHERE rk_bf <= {_Q302_K}
+            ), assigned AS (
+                SELECT vec_id, embedding,
+                       struct_extract((list_sort([{cells}]))[1], 'c') AS cell
+                FROM embeddings
+            ), ann AS MATERIALIZED (
+                SELECT qid, vec_id, rk_ann FROM (
+                    SELECT q.qid, a.vec_id,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY q.qid
+                               ORDER BY {cos} DESC, a.vec_id) AS rk_ann
+                    FROM assigned a JOIN qs q ON list_contains(q.cells, a.cell))
+                WHERE rk_ann <= {_Q302_K}
+            ), truth AS (
+                SELECT bf.qid, COALESCE(ann.rk_ann, 0) AS truth_rank
+                FROM bf LEFT JOIN ann
+                  ON ann.qid = bf.qid AND ann.vec_id = bf.vec_id
+                WHERE bf.rk_bf = 1
+            ), common AS MATERIALIZED (
+                SELECT bf.qid, bf.vec_id, bf.rk_bf, ann.rk_ann
+                FROM bf JOIN ann ON ann.qid = bf.qid AND ann.vec_id = bf.vec_id
+            ), percq AS (
+                SELECT q.qid,
+                       COALESCE((SELECT COUNT(*) FROM common c
+                                 WHERE c.qid = q.qid), 0) AS n_common,
+                       COALESCE((SELECT truth_rank FROM truth t
+                                 WHERE t.qid = q.qid), 0) AS truth_rank,
+                       COALESCE((SELECT SUM(CASE WHEN (a.rk_bf - b.rk_bf)
+                                     * (a.rk_ann - b.rk_ann) > 0
+                                     THEN 1 ELSE 0 END)
+                                 FROM common a JOIN common b
+                                   ON a.qid = b.qid AND a.vec_id < b.vec_id
+                                 WHERE a.qid = q.qid), 0) AS concordant,
+                       COALESCE((SELECT SUM(CASE WHEN (a.rk_bf - b.rk_bf)
+                                     * (a.rk_ann - b.rk_ann) > 0
+                                     THEN 0 ELSE 1 END)
+                                 FROM common a JOIN common b
+                                   ON a.qid = b.qid AND a.vec_id < b.vec_id
+                                 WHERE a.qid = q.qid), 0) AS discordant
+                FROM (SELECT DISTINCT qid FROM qs) q
+            )
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+                   CAST(SUM(n_common) AS BIGINT) AS recall_num,
+                   CAST(COUNT(*) * {_Q302_K} AS BIGINT) AS recall_den,
+                   CAST(SUM(CASE {rr_case} ELSE 0 END) AS BIGINT) AS mrr_num,
+                   CAST(COUNT(*) * 2520 AS BIGINT) AS mrr_den,
+                   CAST(SUM(concordant) AS BIGINT) AS concordant,
+                   CAST(SUM(discordant) AS BIGINT) AS discordant
+            FROM percq)
+        """)
+    body = " UNION ALL ".join(blocks)
+    return f"""
+    SELECT nprobe, n_queries,
+           recall_num, recall_den,
+           CAST(recall_num AS DOUBLE) / CAST(recall_den AS DOUBLE) AS recall,
+           CAST(CASE WHEN recall_num * 100 >= recall_den * {_Q302_RECALL_PCT}
+                THEN 1 ELSE 0 END AS BIGINT) AS recall_pass,
+           mrr_num, mrr_den,
+           CAST(mrr_num AS DOUBLE) / CAST(mrr_den AS DOUBLE) AS mrr,
+           CAST(CASE WHEN mrr_num * 100 >= mrr_den * {_Q302_MRR_PCT}
+                THEN 1 ELSE 0 END AS BIGINT) AS mrr_pass,
+           concordant, discordant,
+           CAST(CASE WHEN concordant >= discordant
+                THEN 1 ELSE 0 END AS BIGINT) AS kendall_pass,
+           CAST(CASE WHEN recall_num * 100 >= recall_den * {_Q302_RECALL_PCT}
+                      AND mrr_num * 100 >= mrr_den * {_Q302_MRR_PCT}
+                      AND concordant >= discordant
+                THEN 1 ELSE 0 END AS BIGINT) AS release_pass
+    FROM ({body})
+    ORDER BY nprobe
+    """
+
+
+ORACLE["q302_retrieval_release_gate"] = _q302_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Q303 — per-mechanism dedup PRECISION audit (r11 verdict queue #5
+# — the missing half of the cross-modality story: q219 grades the
+# MinHash mechanism's RECALL against exact truth, q295 shows WHERE
+# the three mechanisms disagree; this row says WHO is right when
+# they do). Truth = the feasible exact baseline (capped word-3-gram
+# Jaccard ≥ 0.6 pairs — q219's definition, same hot-shingle cap
+# mirrored in the oracle). Each production mechanism's pair set is
+# FULL-OUTER-joined against truth and reported as one row:
+#   * minhash   — q24/q204's MinHash+LSH policy (32 hashes, 8
+#                 bands, exact-verify at 0.6);
+#   * image_dhash — q284's perceptual dHash at Hamming ≤ 3;
+#   * video_frames — q291's shot-overlap (≥ 4 of 8 frame hashes).
+# found/common/extra/missed counts are exact BIGINTs; precision =
+# common/found and recall = common/truth are each ONE IEEE division
+# of two exact ints (NULL when the denominator is 0). The dHash and
+# frame mechanisms measure DIFFERENT similarity notions than text
+# Jaccard — their "extra" pairs are exactly the cross-modality
+# disagreement surface, which is the point of auditing them against
+# a single truth. Scale: truth and each mechanism are the already-
+# audited capped/banded pair operators (pair mass bounded); the
+# audit joins are linear in pairs. Truth is localCheckpointed — it
+# is referenced by all three mechanism joins (the multi-consumer
+# re-execution rule).
+# ---------------------------------------------------------------------------
+
+_Q303_TAU = 0.6
+
+
+def q303_dedup_precision_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_data_pipeline_spark.operators import dedup
+    from ai_data_pipeline_spark.plans.frontier3_queries import (
+        _q284_pairs,
+        _q291_pairs,
+    )
+    from ai_data_pipeline_spark.plans.pipeline_queries import Q23_MAX_SHINGLE_FREQ
+
+    docs = spread(_t(spark, sf_dir, "documents"))
+    truth = (
+        dedup.ngram_jaccard_pairs(
+            docs, "doc_id", "text", n=3,
+            min_jaccard=_Q303_TAU, max_shingle_freq=Q23_MAX_SHINGLE_FREQ,
+        )
+        .select("id_a", "id_b")
+        .withColumn("t", F.lit(1))
+        .localCheckpoint()  # three mechanism joins consume it
+    )
+    mechanisms = [
+        (
+            "minhash",
+            dedup.minhash_neardup_pairs(
+                docs, "doc_id", "text", n=3, num_hashes=32, bands=8,
+                min_jaccard=_Q303_TAU,
+            ).select("id_a", "id_b"),
+        ),
+        ("image_dhash", _q284_pairs(docs)),
+        ("video_frames", _q291_pairs(docs)),
+    ]
+    frames = []
+    for name, pairs in mechanisms:
+        j = truth.join(pairs.withColumn("f", F.lit(1)), ["id_a", "id_b"], "full_outer")
+        frames.append(
+            j.agg(
+                F.sum(F.coalesce("t", F.lit(0))).cast("long").alias("n_truth"),
+                F.sum(F.coalesce("f", F.lit(0))).cast("long").alias("n_found"),
+                F.sum((F.col("t").isNotNull() & F.col("f").isNotNull()).cast("int"))
+                .cast("long").alias("n_common"),
+                F.sum((F.col("t").isNotNull() & F.col("f").isNull()).cast("int"))
+                .cast("long").alias("n_missed"),
+                F.sum((F.col("t").isNull() & F.col("f").isNotNull()).cast("int"))
+                .cast("long").alias("n_extra"),
+            ).select(F.lit(name).alias("mechanism"), "*")
+        )
+    out = frames[0]
+    for fdf in frames[1:]:
+        out = out.unionByName(fdf)
+    return (
+        out.withColumn(
+            "precision",
+            F.when(
+                F.col("n_found") > 0,
+                F.col("n_common").cast("double") / F.col("n_found").cast("double"),
+            ),
+        )
+        .withColumn(
+            "recall",
+            F.when(
+                F.col("n_truth") > 0,
+                F.col("n_common").cast("double") / F.col("n_truth").cast("double"),
+            ),
+        )
+        .orderBy("mechanism")
+    )
+
+
+QUERIES["q303_dedup_precision_audit"] = q303_dedup_precision_audit
+
+
+# Oracle: truth + minhash CTEs are q219's (verbatim policy — capped
+# exact Jaccard truth, banded md5-15 signatures verified uncapped);
+# the dHash and frame-hash pair CTEs are q284/q291's as already
+# mirrored in q295's oracle; each mechanism full-outer-joins the
+# shared truth.
+def _q303_oracle() -> str:
+    from ai_data_pipeline_spark.functions.text import sql_word_ngrams
+    from ai_data_pipeline_spark.plans.frontier3_queries import (
+        _Q284_COLS,
+        _Q284_MAX_HAMMING,
+        _Q284_ROWS,
+        _Q291_FRAMES,
+        _Q291_MAXF,
+        _Q291_MIN_SHARED,
+        _Q291_STRIDE,
+        _Q291_WIN,
+    )
+    from ai_data_pipeline_spark.plans.pipeline_queries import Q23_MAX_SHINGLE_FREQ
+
+    grams3 = sql_word_ngrams("text", 3)
+    toks = sql_word_ngrams("text", 1)
+    cells = _Q284_ROWS * _Q284_COLS
+    lum = (
+        "('0x' || substr(md5((CASE WHEN len(ws) = 0 THEN '' "
+        "ELSE ws[(k % len(ws)) + 1] END) || ':' || k), 1, 2))::BIGINT"
+    )
+    bits = " + ".join(
+        f"(CASE WHEN lums[{(i // 10) * _Q284_COLS + (i % 10) + 2}] > "
+        f"lums[{(i // 10) * _Q284_COLS + (i % 10) + 1}] "
+        f"THEN {1 << i}::BIGINT ELSE 0::BIGINT END)"
+        for i in range(60)
+    )
+    frames = ", ".join(
+        f"array_to_string(({toks})[{f * _Q291_STRIDE + 1}:{f * _Q291_STRIDE + _Q291_WIN}], ' ')"
+        for f in range(_Q291_FRAMES)
+    )
+    audit = """
+        SELECT '{name}' AS mechanism,
+               CAST(SUM(CASE WHEN in_t THEN 1 ELSE 0 END) AS BIGINT) AS n_truth,
+               CAST(SUM(CASE WHEN in_f THEN 1 ELSE 0 END) AS BIGINT) AS n_found,
+               CAST(SUM(CASE WHEN in_t AND in_f THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_common,
+               CAST(SUM(CASE WHEN in_t AND NOT in_f THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_missed,
+               CAST(SUM(CASE WHEN NOT in_t AND in_f THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_extra,
+               CASE WHEN SUM(CASE WHEN in_f THEN 1 ELSE 0 END) > 0
+                    THEN CAST(SUM(CASE WHEN in_t AND in_f THEN 1 ELSE 0 END)
+                              AS DOUBLE)
+                         / CAST(SUM(CASE WHEN in_f THEN 1 ELSE 0 END) AS DOUBLE)
+                    END AS precision,
+               CASE WHEN SUM(CASE WHEN in_t THEN 1 ELSE 0 END) > 0
+                    THEN CAST(SUM(CASE WHEN in_t AND in_f THEN 1 ELSE 0 END)
+                              AS DOUBLE)
+                         / CAST(SUM(CASE WHEN in_t THEN 1 ELSE 0 END) AS DOUBLE)
+                    END AS recall
+        FROM (
+            SELECT (t.id_a IS NOT NULL) AS in_t, (f.id_a IS NOT NULL) AS in_f
+            FROM truth t FULL OUTER JOIN {found} f
+              ON t.id_a = f.id_a AND t.id_b = f.id_b)
+    """
+    return f"""
+    WITH sh0 AS MATERIALIZED (
+        SELECT DISTINCT doc_id AS id, unnest({grams3}) AS shingle
+        FROM documents
+    ), freq AS (
+        SELECT shingle, COUNT(*) AS fq FROM sh0 GROUP BY shingle
+    ), shc AS MATERIALIZED (
+        SELECT id, sh0.shingle
+        FROM sh0 JOIN freq ON sh0.shingle = freq.shingle
+        WHERE fq <= {Q23_MAX_SHINGLE_FREQ}
+    ), sizes_c AS (
+        SELECT id, COUNT(*) AS n_sh FROM shc GROUP BY id
+    ), inter_c AS (
+        SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS inter
+        FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.id < b.id
+        GROUP BY 1, 2
+    ), truth AS MATERIALIZED (
+        SELECT id_a, id_b
+        FROM inter_c
+        JOIN sizes_c sa ON sa.id = id_a
+        JOIN sizes_c sb ON sb.id = id_b
+        WHERE inter / (sa.n_sh + sb.n_sh - inter) >= '{_Q303_TAU}'::DOUBLE
+    ), sig AS (
+        SELECT id, j, MIN((('0x' || substr(md5(shingle || ':' || j), 1, 15))::BIGINT)) AS mh
+        FROM sh0 CROSS JOIN range(32) AS t(j)
+        GROUP BY id, j
+    ), bandkey AS (
+        SELECT id, j // 4 AS band, string_agg(mh::VARCHAR, ',' ORDER BY j) AS bk
+        FROM sig GROUP BY id, j // 4
+    ), cand AS (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        FROM bandkey a
+        JOIN bandkey b ON a.band = b.band AND a.bk = b.bk AND a.id < b.id
+    ), sizes_u AS (
+        SELECT id, COUNT(*) AS n_sh FROM sh0 GROUP BY id
+    ), inter_u AS (
+        SELECT cand.id_a, cand.id_b, COUNT(*) AS inter
+        FROM cand
+        JOIN sh0 sa ON sa.id = cand.id_a
+        JOIN sh0 sb ON sb.id = cand.id_b AND sb.shingle = sa.shingle
+        GROUP BY 1, 2
+    ), found_mh AS MATERIALIZED (
+        SELECT id_a, id_b
+        FROM inter_u
+        JOIN sizes_u sa ON sa.id = id_a
+        JOIN sizes_u sb ON sb.id = id_b
+        WHERE inter / (sa.n_sh + sb.n_sh - inter) >= '{_Q303_TAU}'::DOUBLE
+    ), grids AS (
+        SELECT doc_id AS id,
+               list_transform(range(0, {cells}), k -> {lum}) AS lums
+        FROM (SELECT doc_id, {toks} AS ws FROM documents)
+    ), fp AS MATERIALIZED (
+        SELECT id, ({bits}) AS simhash FROM grids
+    ), found_img AS MATERIALIZED (
+        SELECT a.id AS id_a, b.id AS id_b
+        FROM fp a JOIN fp b ON a.id < b.id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= {_Q284_MAX_HAMMING}
+    ), framed AS MATERIALIZED (
+        SELECT DISTINCT doc_id, (('0x' || substr(md5(fs), 1, 15))::BIGINT) AS fh
+        FROM (
+            SELECT doc_id, unnest(list_filter([{frames}], s -> s != '')) AS fs
+            FROM documents)
+    ), ffreq AS (
+        SELECT fh, COUNT(*) AS df FROM framed GROUP BY fh
+    ), fcapped AS MATERIALIZED (
+        SELECT doc_id, framed.fh FROM framed
+        JOIN ffreq ON ffreq.fh = framed.fh
+        WHERE df <= {_Q291_MAXF}
+    ), found_vid AS MATERIALIZED (
+        SELECT id_a, id_b FROM (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+            FROM fcapped a JOIN fcapped b
+              ON a.fh = b.fh AND a.doc_id < b.doc_id
+            GROUP BY 1, 2)
+        WHERE n_shared >= {_Q291_MIN_SHARED}
+    )
+    SELECT * FROM (
+        {audit.format(name="minhash", found="found_mh")}
+        UNION ALL
+        {audit.format(name="image_dhash", found="found_img")}
+        UNION ALL
+        {audit.format(name="video_frames", found="found_vid")}
+    )
+    ORDER BY mechanism
+    """
+
+
+ORACLE["q303_dedup_precision_audit"] = _q303_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Q304 — FILTERED vector search (metadata predicate + ANN — the
+# production retrieval shape every vector store ships: "top-k among
+# vectors WHERE label = L"; the reference's FAISS flat index,
+# rag_chatbot/main.py:26-28, cannot express it — filtering is a
+# first-class reason to keep vectors in an analytical store): for
+# each q27 query × filter label ∈ {3, 7} (~10% selectivity each),
+# the PRE-FILTER strategy — push the label predicate to the scan,
+# THEN intersect with the nprobe=2 probed cells (q28's geometry),
+# rank survivors by (cosine DESC, vec_id), top-3. Pre-filter is the
+# right strategy at ~10% selectivity (post-filtering a top-k list
+# under-fills it when the filter is selective — the classic filtered
+# -ANN failure); probe cells are plan-time constants (centroids and
+# query vectors are both literals — q285's oracle already exploits
+# this), so the probe is a broadcast of a 10-row (qid, cell) frame,
+# never a crossJoin. Graded columns include the per-(query, label)
+# RECALL audit vs the exact filtered brute-force top-3 (n_hits3 ∈
+# 0..3 — exact int): filtering shrinks each probed cell's candidate
+# pool, so per-cell recall degrades faster than unfiltered ANN — the
+# measured number a deployment needs before trusting filtered
+# queries at low nprobe. Scale: the served path reads only probed
+# cells' filtered rows; the exact side is the eval harness (q209/
+# q219's audit posture), not the serving path.
+# ---------------------------------------------------------------------------
+
+_Q304_LABELS = [3, 7]
+_Q304_NPROBE = 2
+_Q304_K = 3
+
+
+def q304_filtered_vector_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_data_pipeline_spark.functions.vector import cosine
+    from ai_data_pipeline_spark.operators.vectorized import ivf_assign_np
+    from ai_data_pipeline_spark.plans.constants import Q27_QUERY_VECS, Q28_CENTROIDS
+    from ai_data_pipeline_spark.plans.pipeline_queries import _sqdist_py
+
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus = ivf_assign_np(emb, Q28_CENTROIDS).select(
+        "vec_id", "embedding", "label", F.col("cell").cast("int").alias("cell")
+    )
+    # probed cells per query — plan-time constants (both the
+    # centroids and the query vectors are literals; ties → lowest
+    # centroid index, ivf_search_cosine_np's policy).
+    probe_rows = []
+    for qi, qv in enumerate(Q27_QUERY_VECS):
+        cdist = [_sqdist_py(c, qv) for c in Q28_CENTROIDS]
+        for c in sorted(range(len(Q28_CENTROIDS)), key=lambda k: (cdist[k], k))[
+            :_Q304_NPROBE
+        ]:
+            probe_rows.append((qi, [float(x) for x in Q27_QUERY_VECS[qi]], c))
+    qcells = spark.createDataFrame(
+        probe_rows, "qid long, qvec array<double>, cell int"
+    )
+
+    filtered = corpus.filter(F.col("label").isin([int(x) for x in _Q304_LABELS]))
+    # pre-filter ∩ probed cells: broadcast the 10-row probe frame.
+    cand = filtered.join(F.broadcast(qcells), "cell").select(
+        "qid",
+        F.col("label").cast("long").alias("flt_label"),
+        "vec_id",
+        cosine(F.col("embedding"), F.col("qvec")).alias("sim"),
+    )
+    ann = (
+        cand.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("qid", "flt_label").orderBy(
+                    F.desc("sim"), F.asc("vec_id")
+                )
+            ),
+        )
+        .filter(F.col("rk") <= _Q304_K)
+        .select("qid", "flt_label", F.col("rk").cast("long").alias("rk"), "vec_id", "sim")
+    )
+    # exact filtered truth (the recall audit side): brute force over
+    # the FILTERED corpus only.
+    queries = spark.createDataFrame(
+        [(qi, [float(x) for x in v]) for qi, v in enumerate(Q27_QUERY_VECS)],
+        "qid long, qvec array<double>",
+    )
+    exact = (
+        filtered.crossJoin(F.broadcast(queries))
+        .select(
+            "qid",
+            F.col("label").cast("long").alias("flt_label"),
+            "vec_id",
+            cosine(F.col("embedding"), F.col("qvec")).alias("sim"),
+        )
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("qid", "flt_label").orderBy(
+                    F.desc("sim"), F.asc("vec_id")
+                )
+            ),
+        )
+        .filter(F.col("rk") <= _Q304_K)
+        .select("qid", "flt_label", "vec_id")
+    )
+    hits = (
+        ann.join(exact, ["qid", "flt_label", "vec_id"], "left_semi")
+        .groupBy("qid", "flt_label")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits3"))
+    )
+    return (
+        ann.join(hits, ["qid", "flt_label"], "left")
+        .select(
+            "qid",
+            "flt_label",
+            "rk",
+            "vec_id",
+            "sim",
+            F.coalesce(F.col("n_hits3"), F.lit(0)).cast("long").alias("n_hits3"),
+        )
+        .orderBy("qid", "flt_label", "rk")
+    )
+
+
+QUERIES["q304_filtered_vector_search"] = q304_filtered_vector_search
+
+
+def _q304_oracle() -> str:
+    from ai_data_pipeline_spark.functions.vector import (
+        sql_dot,
+        sql_lit_list,
+        sql_norm,
+        sql_squared_l2,
+    )
+    from ai_data_pipeline_spark.plans.constants import (
+        EMBED_DIM,
+        Q27_QUERY_VECS,
+        Q28_CENTROIDS,
+    )
+    from ai_data_pipeline_spark.plans.pipeline_queries import _sqdist_py
+
+    probes = {}
+    for qi, qv in enumerate(Q27_QUERY_VECS):
+        cdist = [_sqdist_py(c, qv) for c in Q28_CENTROIDS]
+        probes[qi] = sorted(
+            range(len(Q28_CENTROIDS)), key=lambda c: (cdist[c], c)
+        )[:_Q304_NPROBE]
+    qrows = ", ".join(
+        f"({qi}, {sql_lit_list(v)}, {list(probes[qi])})"
+        for qi, v in enumerate(Q27_QUERY_VECS)
+    )
+    cells = ", ".join(
+        f"struct_pack(d := {sql_squared_l2('embedding', sql_lit_list(c), EMBED_DIM)}, c := {ci})"
+        for ci, c in enumerate(Q28_CENTROIDS)
+    )
+    cos = (
+        f"({sql_dot('a.embedding', 'q.qvec', EMBED_DIM)}) / "
+        f"(({sql_norm('a.embedding', EMBED_DIM)}) * ({sql_norm('q.qvec', EMBED_DIM)}))"
+    )
+    labels = ", ".join(str(x) for x in _Q304_LABELS)
+    return f"""
+    WITH qs AS (
+        SELECT * FROM (VALUES {qrows}) AS t(qid, qvec, cells)
+    ), filt AS MATERIALIZED (
+        SELECT vec_id, embedding, label,
+               struct_extract((list_sort([{cells}]))[1], 'c') AS cell
+        FROM embeddings
+        WHERE label IN ({labels})
+    ), ann AS MATERIALIZED (
+        SELECT qid, flt_label, vec_id, sim, rk FROM (
+            SELECT q.qid, CAST(a.label AS BIGINT) AS flt_label, a.vec_id,
+                   {cos} AS sim,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.qid, a.label
+                       ORDER BY {cos} DESC, a.vec_id) AS rk
+            FROM filt a JOIN qs q ON list_contains(q.cells, a.cell))
+        WHERE rk <= {_Q304_K}
+    ), exact AS MATERIALIZED (
+        SELECT qid, flt_label, vec_id FROM (
+            SELECT q.qid, CAST(a.label AS BIGINT) AS flt_label, a.vec_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.qid, a.label
+                       ORDER BY {cos} DESC, a.vec_id) AS rk
+            FROM filt a CROSS JOIN qs q)
+        WHERE rk <= {_Q304_K}
+    ), hits AS (
+        SELECT a.qid, a.flt_label, CAST(COUNT(*) AS BIGINT) AS n_hits3
+        FROM ann a JOIN exact e
+          ON e.qid = a.qid AND e.flt_label = a.flt_label
+         AND e.vec_id = a.vec_id
+        GROUP BY 1, 2
+    )
+    SELECT CAST(a.qid AS BIGINT) AS qid, a.flt_label AS flt_label,
+           CAST(a.rk AS BIGINT) AS rk, a.vec_id, a.sim,
+           COALESCE(h.n_hits3, 0) AS n_hits3
+    FROM ann a
+    LEFT JOIN hits h ON h.qid = a.qid AND h.flt_label = a.flt_label
+    ORDER BY a.qid, a.flt_label, rk
+    """
+
+
+ORACLE["q304_filtered_vector_search"] = _q304_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Q305 — hybrid retrieval with Reciprocal-Rank Fusion (the standard
+# fusion of the two retrieval stacks this repo grades separately:
+# q296's keyword TF·IDF ranks and q27's vector cosine ranks;
+# RRF(d) = Σ_lists 1/(k + rank_d), Cormack et al. 2009, k = 60 —
+# what production search ships because it needs no score
+# calibration between BM25-scale and cosine-scale numbers, only
+# RANKS): per query, keyword top-10 (q296's exact-integer scoring
+# over the documents corpus) and vector top-10 (cosine of the doc's
+# embedding — vec_id ≡ doc_id in the testdata catalog — against a
+# per-query det_vector literal) fuse by SCALED-INTEGER RRF:
+# contributions are hardcoded L/(60+r) with L = lcm(61..70) =
+# 142_813_628_717_760, so the fused score is an exact BIGINT (≤ 20
+# terms × 2.35e12 < 2^63 — no float enters the ranking; the repo's
+# float policy applied to rank fusion). Missing-from-a-list docs
+# contribute 0 from that list (emitted kw_rank/vec_rank = 0). Final
+# top-5 by (rrf_scaled DESC, doc_id). Scale: each list is a top-k
+# per query (rank windows over candidate docs only); the fusion
+# joins two ≤ k-row frames per query — corpus-size-independent past
+# the two retrieval operators themselves.
+# ---------------------------------------------------------------------------
+
+_Q305_K_LISTS = 10
+_Q305_TOPK = 5
+# L = lcm(61..70); entry r holds exactly L/(60+r) — precomputed so
+# no division (of any kind) appears in the scoring path.
+_Q305_RRF_L = 142_813_628_717_760
+_Q305_RRF_SCALED = {
+    1: 2_341_207_028_160, 2: 2_303_445_624_480, 3: 2_266_882_995_520,
+    4: 2_231_462_948_715, 5: 2_197_132_749_504, 6: 2_163_842_859_360,
+    7: 2_131_546_697_280, 8: 2_100_200_422_320, 9: 2_069_762_735_040,
+    10: 2_040_194_695_968,
+}
+_Q305_VEC_SEED = 3050  # det_vector(3050 + query index)
+
+
+def q305_rrf_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_data_pipeline_spark.functions.buckets import log2_bucket_case as lb
+    from ai_data_pipeline_spark.functions.text import ws_tokens
+    from ai_data_pipeline_spark.functions.vector import cosine
+    from ai_data_pipeline_spark.plans.constants import det_vector
+
+    docs = spread(_t(spark, sf_dir, "documents"))
+    emb = _t(spark, sf_dir, "embeddings")
+
+    # ---- keyword side: q296's exact-integer TF·IDF, top-10.
+    needed = sorted({w for _, ts in _Q296_QUERIES for w in ts})
+    postings = (
+        docs.select("doc_id", F.explode(ws_tokens(F.col("text"))).alias("token"))
+        .filter(F.col("token").isin(needed))
+        .localCheckpoint()  # df agg + scoring join
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n")).withColumn("j", F.lit(1))
+    df_t = (
+        postings.groupBy("token")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .withColumn("j", F.lit(1))
+        .join(F.broadcast(n_docs), "j")
+        .select("token", (lb(F.col("n") + 1) - lb(F.col("df") + 1)).alias("idf"))
+    )
+    qterms = spark.createDataFrame(
+        [(qid, t) for qid, ts in _Q296_QUERIES for t in ts],
+        "qid string, token string",
+    )
+    kw = (
+        postings.join(F.broadcast(qterms), "token")
+        .groupBy("qid", "doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .join(F.broadcast(df_t), "token")
+        .groupBy("qid", "doc_id")
+        .agg(
+            F.sum(F.col("tf") * F.col("idf")).cast("long").alias("score"),
+            F.sum("tf").cast("long").alias("tf_total"),
+        )
+        .withColumn(
+            "kw_rank",
+            F.row_number()
+            .over(
+                Window.partitionBy("qid").orderBy(
+                    F.desc("score"), F.desc("tf_total"), F.asc("doc_id")
+                )
+            )
+            .cast("long"),
+        )
+        .filter(F.col("kw_rank") <= _Q305_K_LISTS)
+        .select("qid", "doc_id", "kw_rank")
+    )
+
+    # ---- vector side: per-query literal det_vector, cosine top-10
+    # over the doc embeddings (vec_id ≡ doc_id).
+    qvecs = spark.createDataFrame(
+        [
+            (qid, det_vector(_Q305_VEC_SEED + i))
+            for i, (qid, _) in enumerate(_Q296_QUERIES)
+        ],
+        "qid string, qvec array<double>",
+    )
+    vec = (
+        emb.crossJoin(F.broadcast(qvecs))
+        .select(
+            "qid",
+            F.col("vec_id").alias("doc_id"),
+            cosine(F.col("embedding"), F.col("qvec")).alias("sim"),
+        )
+        .withColumn(
+            "vec_rank",
+            F.row_number()
+            .over(Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("doc_id")))
+            .cast("long"),
+        )
+        .filter(F.col("vec_rank") <= _Q305_K_LISTS)
+        .select("qid", "doc_id", "vec_rank")
+    )
+
+    # ---- scaled-integer RRF fusion.
+    def contrib(rank_col):
+        e = F.lit(0).cast("long")
+        for r, c in sorted(_Q305_RRF_SCALED.items()):
+            e = F.when(rank_col == r, F.lit(c).cast("long")).otherwise(e)
+        return e
+
+    fused = (
+        kw.join(vec, ["qid", "doc_id"], "full_outer")
+        .select(
+            "qid",
+            "doc_id",
+            F.coalesce(F.col("kw_rank"), F.lit(0)).cast("long").alias("kw_rank"),
+            F.coalesce(F.col("vec_rank"), F.lit(0)).cast("long").alias("vec_rank"),
+        )
+        .withColumn(
+            "rrf_scaled",
+            contrib(F.col("kw_rank")) + contrib(F.col("vec_rank")),
+        )
+        .withColumn(
+            "rank",
+            F.row_number()
+            .over(
+                Window.partitionBy("qid").orderBy(
+                    F.desc("rrf_scaled"), F.asc("doc_id")
+                )
+            )
+            .cast("long"),
+        )
+        .filter(F.col("rank") <= _Q305_TOPK)
+        .select("qid", "rank", "doc_id", "rrf_scaled", "kw_rank", "vec_rank")
+    )
+    return fused.orderBy("qid", "rank")
+
+
+QUERIES["q305_rrf_hybrid_retrieval"] = q305_rrf_hybrid_retrieval
+
+
+def _q305_oracle() -> str:
+    from ai_data_pipeline_spark.functions.buckets import sql_log2_bucket_case
+    from ai_data_pipeline_spark.functions.text import sql_word_ngrams
+    from ai_data_pipeline_spark.functions.vector import (
+        sql_dot,
+        sql_lit_list,
+        sql_norm,
+    )
+    from ai_data_pipeline_spark.plans.constants import EMBED_DIM, det_vector
+
+    toks = sql_word_ngrams("text", 1)
+    needed = sorted({w for _, ts in _Q296_QUERIES for w in ts})
+    lits = ", ".join(f"'{w}'" for w in needed)
+    qvals = ", ".join(
+        f"('{qid}', '{t}')" for qid, ts in _Q296_QUERIES for t in ts
+    )
+    qvrows = ", ".join(
+        f"('{qid}', {sql_lit_list(det_vector(_Q305_VEC_SEED + i))})"
+        for i, (qid, _) in enumerate(_Q296_QUERIES)
+    )
+    cos = (
+        f"({sql_dot('e.embedding', 'q.qvec', EMBED_DIM)}) / "
+        f"(({sql_norm('e.embedding', EMBED_DIM)}) * ({sql_norm('q.qvec', EMBED_DIM)}))"
+    )
+    case_kw = " ".join(
+        f"WHEN kw_rank = {r} THEN {c}" for r, c in sorted(_Q305_RRF_SCALED.items())
+    )
+    case_vec = " ".join(
+        f"WHEN vec_rank = {r} THEN {c}" for r, c in sorted(_Q305_RRF_SCALED.items())
+    )
+    return f"""
+    WITH post AS MATERIALIZED (
+        SELECT doc_id, u.token
+        FROM documents, LATERAL (SELECT unnest({toks}) AS token) u
+        WHERE u.token IN ({lits})
+    ), dfs AS (
+        SELECT token,
+               {sql_log2_bucket_case("((SELECT COUNT(*) FROM documents) + 1)")}
+                 - {sql_log2_bucket_case("(COUNT(DISTINCT doc_id) + 1)")} AS idf
+        FROM post GROUP BY token
+    ), kw AS MATERIALIZED (
+        SELECT qid, doc_id, kw_rank FROM (
+            SELECT qid, doc_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY qid
+                       ORDER BY score DESC, tf_total DESC, doc_id) AS kw_rank
+            FROM (
+                SELECT qid, doc_id, CAST(SUM(tf * idf) AS BIGINT) AS score,
+                       CAST(SUM(tf) AS BIGINT) AS tf_total
+                FROM (
+                    SELECT q.qid, p.doc_id, p.token, COUNT(*) AS tf
+                    FROM post p JOIN (VALUES {qvals}) AS q(qid, token)
+                      ON q.token = p.token
+                    GROUP BY 1, 2, 3
+                ) tfs JOIN dfs ON dfs.token = tfs.token
+                GROUP BY qid, doc_id))
+        WHERE kw_rank <= {_Q305_K_LISTS}
+    ), vec AS MATERIALIZED (
+        SELECT qid, doc_id, vec_rank FROM (
+            SELECT q.qid, e.vec_id AS doc_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.qid
+                       ORDER BY {cos} DESC, e.vec_id) AS vec_rank
+            FROM embeddings e CROSS JOIN (VALUES {qvrows}) AS q(qid, qvec))
+        WHERE vec_rank <= {_Q305_K_LISTS}
+    ), fused AS (
+        SELECT COALESCE(kw.qid, vec.qid) AS qid,
+               COALESCE(kw.doc_id, vec.doc_id) AS doc_id,
+               CAST(COALESCE(kw.kw_rank, 0) AS BIGINT) AS kw_rank,
+               CAST(COALESCE(vec.vec_rank, 0) AS BIGINT) AS vec_rank
+        FROM kw FULL OUTER JOIN vec
+          ON kw.qid = vec.qid AND kw.doc_id = vec.doc_id
+    ), scored AS (
+        SELECT qid, doc_id, kw_rank, vec_rank,
+               CAST((CASE {case_kw} ELSE 0 END)
+                    + (CASE {case_vec} ELSE 0 END) AS BIGINT) AS rrf_scaled
+        FROM fused
+    )
+    SELECT qid, CAST(rank AS BIGINT) AS rank, doc_id, rrf_scaled,
+           kw_rank, vec_rank
+    FROM (
+        SELECT qid, doc_id, rrf_scaled, kw_rank, vec_rank,
+               ROW_NUMBER() OVER (
+                   PARTITION BY qid
+                   ORDER BY rrf_scaled DESC, doc_id) AS rank
+        FROM scored)
+    WHERE rank <= {_Q305_TOPK}
+    ORDER BY qid, rank
+    """
+
+
+ORACLE["q305_rrf_hybrid_retrieval"] = _q305_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Q306 — postings-store COMPACTION (q300's OPTIMIZE applied to the
+# SECOND store family — the r11 verdict's #2 names both: "q299/q294
+# admit by appending small files per cell/token partition"): three
+# md5-split ingest generations append FULL (unpruned) postings into
+# the q301 token-bucketed layout — each generation adds one file
+# per bucket it touches (the q250 invariant via
+# repartition-on-the-partition-column), so every bucket carries ~3
+# small files whose parquet stats all span the same token ranges
+# (pushdown skips nothing — the tiny-file cliff). Compaction
+# rewrites ONE file per bucket, sorted by (token, doc_id, pos), into
+# a NEW snapshot directory (write-then-swap, q300's pattern), so
+# within a bucket the token column is clustered and row-group
+# pruning works for single-token reads. Graded invariance: the
+# per-token digest (distinct docs, posting rows, bit_xor of
+# md5-60(doc:pos) — q294's order-independent digest) computed from a
+# BUCKET-PRUNED read of the COMPACTED store over the probe tokens
+# must equal the oracle's recompute straight off `documents`; plus
+# the file-count audit (before = Σ per-gen buckets touched, after =
+# occupied buckets) via input_file_name(). Scale: compaction
+# shuffles the store once keyed by the partition column; the digest
+# read prunes to |probe-token buckets| directories.
+# ---------------------------------------------------------------------------
+
+_Q306_GENS = 3
+
+
+def q306_postings_store_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ai_data_pipeline_spark.functions.text import ws_tokens
+
+    docs = spread(_t(spark, sf_dir, "documents"))
+    u40 = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 10), 16, 10
+    ).cast("long")
+    postings = docs.select(
+        "doc_id",
+        F.posexplode(ws_tokens(F.col("text"))).alias("pos", "token"),
+    ).select(
+        "doc_id",
+        "pos",
+        "token",
+        F.pmod(
+            F.conv(F.substring(F.md5(F.col("token")), 1, 10), 16, 10).cast("long"),
+            F.lit(_Q301_BUCKETS),
+        ).alias("tb"),
+        F.pmod(u40, F.lit(_Q306_GENS)).alias("gen"),
+    )
+
+    tmp = tempfile.mkdtemp(prefix="q306_")
+    raw_path = tmp + "/postings_appended"
+    compact_path = tmp + "/postings_compacted"
+    try:
+        for g in range(_Q306_GENS):
+            mode = "overwrite" if g == 0 else "append"
+            (
+                postings.filter(F.col("gen") == g)
+                .select("doc_id", "pos", "token", "tb")
+                .repartition("tb")
+                .write.mode(mode)
+                .partitionBy("tb")
+                .parquet(raw_path)
+            )
+        store = spark.read.parquet(raw_path)
+        files_before = (
+            store.select(F.input_file_name().alias("f"))
+            .agg(F.count_distinct("f").cast("long").alias("n"))
+        )
+        (
+            store.repartition("tb")
+            .sortWithinPartitions("tb", "token", "doc_id", "pos")
+            .write.mode("overwrite")
+            .partitionBy("tb")
+            .parquet(compact_path)
+        )
+        store2 = spark.read.parquet(compact_path)
+        files_after = (
+            store2.select(F.input_file_name().alias("f"))
+            .agg(F.count_distinct("f").cast("long").alias("n"))
+        )
+        # bucket-pruned digest read over the probe tokens.
+        ph = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("doc_id").cast("string"),
+                        F.lit(":"),
+                        F.col("pos").cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        digests = (
+            store2.filter(
+                F.col("tb").isin([int(b) for b in _Q301_SCAN_BUCKETS])
+                & F.col("token").isin(list(_Q301_TOKENS))
+            )
+            .select("token", "doc_id", ph.alias("ph"))
+            .groupBy("token")
+            .agg(
+                F.count_distinct("doc_id").cast("long").alias("n_docs"),
+                F.count(F.lit(1)).cast("long").alias("n_postings"),
+                F.bit_xor("ph").cast("long").alias("postings_xor"),
+            )
+            .orderBy("token")
+            .collect()  # ≤ |probe tokens| rows, before temp-dir cleanup
+        )
+        nfb = int(files_before.collect()[0]["n"])  # 1 row
+        nfa = int(files_after.collect()[0]["n"])  # 1 row
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    out = spark.createDataFrame(
+        digests, "token string, n_docs long, n_postings long, postings_xor long"
+    )
+    return (
+        out.withColumn("n_files_before", F.lit(nfb).cast("long"))
+        .withColumn("n_files_after", F.lit(nfa).cast("long"))
+        .orderBy("token")
+    )
+
+
+QUERIES["q306_postings_store_compaction"] = q306_postings_store_compaction
+
+
+# Oracle: per-token digests straight off `documents` (q294's shape —
+# the generations, both writes, and the compaction must be
+# value-invisible); file audit = distinct (gen, bucket) occupancy
+# before vs distinct occupied buckets after, from the same md5
+# splits.
+def _q306_oracle() -> str:
+    from ai_data_pipeline_spark.functions.text import sql_word_ngrams
+
+    lits = ", ".join(f"'{w}'" for w in _Q301_TOKENS)
+    toks = sql_word_ngrams("text", 1)
+    return f"""
+    WITH post AS MATERIALIZED (
+        SELECT doc_id, u.pos - 1 AS pos, u.token,
+               (('0x' || substr(md5(u.token), 1, 10))::BIGINT)
+                   % {_Q301_BUCKETS} AS tb,
+               (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 10))::BIGINT)
+                   % {_Q306_GENS} AS gen
+        FROM documents,
+             LATERAL (SELECT unnest({toks}) AS token,
+                             generate_subscripts({toks}, 1) AS pos) u
+    ), audit AS (
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT)
+                FROM (SELECT DISTINCT gen, tb FROM post)) AS n_files_before,
+               (SELECT CAST(COUNT(DISTINCT tb) AS BIGINT) FROM post)
+                   AS n_files_after
+    )
+    SELECT token,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_postings,
+           CAST(bit_xor((('0x' || substr(md5(doc_id || ':' || pos), 1, 15))::BIGINT))
+                AS BIGINT) AS postings_xor,
+           a.n_files_before, a.n_files_after
+    FROM post CROSS JOIN audit a
+    WHERE token IN ({lits})
+    GROUP BY token, a.n_files_before, a.n_files_after
+    ORDER BY token
+    """
+
+
+ORACLE["q306_postings_store_compaction"] = _q306_oracle()

@@ -270,6 +270,13 @@ HEADLINE = [
     "q297_streaming_tombstone_deletes",
     "q298_multimodal_funnel",
     "q299_vector_store_admission",
+    "q300_vector_store_compaction",
+    "q301_full_postings_index",
+    "q302_retrieval_release_gate",
+    "q303_dedup_precision_audit",
+    "q304_filtered_vector_search",
+    "q305_rrf_hybrid_retrieval",
+    "q306_postings_store_compaction",
 ]
 
 

@@ -166,6 +166,13 @@ PROBE = [
     "q296_ranked_retrieval",            # postings-pruned tf·idf scoring + rank window
     "q298_multimodal_funnel",           # gate scan + 3 survivor pair stages + components
     "q299_vector_store_admission",      # append-only cell ingest + full-store search
+    "q300_vector_store_compaction",     # 3 append gens + one-file-per-cell rewrite + search
+    "q301_full_postings_index",         # UNPRUNED postings build + bucket-pruned serving
+    "q302_retrieval_release_gate",      # bf + 2 ANN points + integer gate aggs
+    "q303_dedup_precision_audit",       # exact truth + 3 mechanism pair stages
+    "q304_filtered_vector_search",      # label-filtered probed-cell ANN + recall audit
+    "q305_rrf_hybrid_retrieval",        # kw + vector top-k lists + integer RRF fusion
+    "q306_postings_store_compaction",   # 3 append gens + per-bucket rewrite + pruned digest
 ]
 
 

@@ -1,0 +1,87 @@
+"""Round-12 pins: q301's partition-pruned postings reads, q288's
+equi-join fallback (the 100 TB store shape), and the q302 gate
+arithmetic."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from ai_data_pipeline_spark.plans import frontier3_queries as f3
+from ai_data_pipeline_spark.plans import frontier4_queries as f4
+from tests.conftest import SF_SMOKE
+
+
+def _plan_str(df) -> str:
+    s = df._jdf.queryExecution().executedPlan().toString()
+    # AQE prints the plan twice with different expr ids — normalize
+    # so substring assertions don't depend on them.
+    return re.sub(r"#\d+|plan_id=\d+", "", s)
+
+
+def test_q301_store_read_is_partition_pruned(spark, tmp_path):
+    """The serving side must push the token-bucket predicate into
+    PartitionFilters — the whole point of the bucketed layout is
+    that a query never lists, let alone reads, buckets it doesn't
+    need."""
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    path = str(tmp_path / "postings")
+    f4.q301_build_postings_store(docs, path)
+    store = spark.read.parquet(path)
+    pruned = store.filter(
+        F.col("tb").isin([int(b) for b in f4._Q301_SCAN_BUCKETS])
+        & F.col("token").isin(list(f4._Q301_TOKENS))
+    ).select("doc_id", "pos", "token")
+    plan = _plan_str(pruned)
+    scan = plan[plan.find("PartitionFilters"):]
+    assert "PartitionFilters: [" in plan
+    # the tb predicate must appear INSIDE PartitionFilters (not just
+    # as a post-scan Filter) and must enumerate the scanned buckets.
+    pf = scan[: scan.find("]")]
+    assert "tb" in pf and ("IN (" in pf or "in(" in pf.lower())
+    # and the exact-token predicate is pushed to the data filters.
+    assert "PushedFilters" in plan
+
+
+def test_q301_bucket_twin_matches_spark_md5():
+    """The Python md5-40 bucket (plan-time literals) must equal the
+    Spark expression that partitioned the store — otherwise pruning
+    would silently read the wrong buckets."""
+    from ai_data_pipeline_spark.session import get_spark
+
+    spark = get_spark("tests")
+    toks = list(f4._Q301_TOKENS)
+    df = spark.createDataFrame([(t,) for t in toks], "token string").select(
+        "token",
+        F.pmod(
+            F.conv(F.substring(F.md5(F.col("token")), 1, 10), 16, 10).cast("long"),
+            F.lit(f4._Q301_BUCKETS),
+        ).alias("tb"),
+    )
+    got = {r["token"]: r["tb"] for r in df.collect()}
+    assert got == {t: f4._tok_bucket_py(t) for t in toks}
+
+
+def test_q288_equi_join_fallback_matches_broadcast_path(spark):
+    """The documented stream-static equi-join fallback (store too
+    large to broadcast) must be value-identical to the shipped
+    broadcast-set path — pinned with broadcasts DISABLED so the
+    static side actually exercises the shuffle shape."""
+    a = sorted(
+        map(tuple, f3.q288_streaming_store_gate(spark, SF_SMOKE).collect())
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        b = sorted(map(tuple, f3._q288_gate(spark, SF_SMOKE, equi_join=True).collect()))
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    assert a == b
+
+
+def test_q302_rr_ladder_is_exact():
+    """2520 = lcm(1..10); every hardcoded contribution is exactly
+    2520/r (integer), so the scaled-MRR sum is an exact BIGINT."""
+    assert f4._Q302_RR_SCALED == {r: 2520 // r for r in range(1, 11)}
+    for r, c in f4._Q302_RR_SCALED.items():
+        assert c * r == 2520
