@@ -1795,3 +1795,326 @@ def _q306_oracle() -> str:
 
 
 ORACLE["q306_postings_store_compaction"] = _q306_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Q307 — curated-release EXPORT with a verifiable manifest (the
+# last mile of the training-data pipeline: after curation the
+# release must ship as evenly-sharded, range-clustered files PLUS a
+# manifest the consumer can verify without trusting the producer —
+# q212 writes the dataset card, this writes the dataset): the 'en'
+# subset (the release) is sharded by NTILE(8) OVER (ORDER BY
+# doc_id) — deterministic, near-equal, RANGE-contiguous shards (the
+# ANSI NTILE split both engines implement identically; never
+# repartitionByRange, whose sampled boundaries are
+# run-dependent) — written one file per shard (repartition on the
+# partition column), sorted by doc_id within each so footer stats
+# are tight and any doc_id point-read touches one file. The graded
+# manifest is computed from the READ-BACK (never from the frame
+# that was written — the manifest must attest what's on disk):
+# per shard n_rows / min/max doc_id / bit_xor of md5-60(doc_id)
+# (order-independent content digest, q294's family) / n_files
+# (= 1, the export contract). Scale: one rank window over the
+# release (q205's prefix-sum law) + one shard-keyed shuffle;
+# manifest is a per-shard agg.
+# ---------------------------------------------------------------------------
+
+_Q307_SHARDS = 8
+_Q307_LANG = "en"
+
+
+def q307_release_export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ai_data_pipeline_spark.operators.curation import distributed_prefix_sum
+
+    docs = _t(spark, sf_dir, "documents")
+    release = docs.filter(F.col("lang") == _Q307_LANG).select(
+        "doc_id", "text", "source"
+    )
+    # Global rank WITHOUT a global single-task window: two-pass
+    # distributed prefix sum over a doc_id-monotone range bucket
+    # (doc_id/512 — power-of-two divisor, floor exact), then the
+    # NTILE split derived in PURE INTEGER comparisons: with n rows
+    # and K tiles, q = n >> 3, r = n % 8, tile s ends at
+    # cum(s) = s·q + min(s, r); shard = 1 + Σ_{s<K} [rank > cum(s)]
+    # — bit-identical to ANSI NTILE(8) ORDER BY doc_id (first r
+    # tiles carry q+1 rows), no division anywhere.
+    bucketed = release.withColumn(
+        "_rb", F.floor(F.col("doc_id") / F.lit(512.0)).cast("long")
+    ).withColumn("_one", F.lit(1).cast("long"))
+    ranked = distributed_prefix_sum(
+        bucketed, "_rb", ["doc_id"], "_one", out_col="rank"
+    )
+    n1 = release.agg(F.count(F.lit(1)).cast("long").alias("n")).withColumn(
+        "_j", F.lit(1)
+    )
+    qn = F.shiftright(F.col("n"), 3)
+    rn = F.pmod(F.col("n"), F.lit(8))
+    shard_expr = F.lit(1).cast("int")
+    for s in range(1, _Q307_SHARDS):
+        cum_s = F.lit(s) * qn + F.least(F.lit(s).cast("long"), rn)
+        shard_expr = shard_expr + (F.col("rank") > cum_s).cast("int")
+    sharded = (
+        ranked.withColumn("_j", F.lit(1))
+        .join(F.broadcast(n1), "_j")
+        .withColumn("shard", shard_expr)
+        .select("doc_id", "text", "source", "shard")
+    )
+    tmp = tempfile.mkdtemp(prefix="q307_")
+    path = tmp + "/release_sharded"
+    try:
+        (
+            sharded.repartition("shard")
+            .sortWithinPartitions("shard", "doc_id")
+            .write.mode("overwrite")
+            .partitionBy("shard")
+            .parquet(path)
+        )
+        back = spark.read.parquet(path)
+        dg = F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+        ).cast("long")
+        manifest = (
+            back.select(
+                F.col("shard").cast("long").alias("shard"),
+                "doc_id",
+                dg.alias("dg"),
+                F.input_file_name().alias("f"),
+            )
+            .groupBy("shard")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.min("doc_id").cast("long").alias("min_doc_id"),
+                F.max("doc_id").cast("long").alias("max_doc_id"),
+                F.bit_xor("dg").cast("long").alias("content_xor"),
+                F.count_distinct("f").cast("long").alias("n_files"),
+            )
+            .orderBy("shard")
+            .collect()  # |shards| rows, before temp-dir cleanup
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        manifest,
+        "shard long, n_rows long, min_doc_id long, max_doc_id long, "
+        "content_xor long, n_files long",
+    ).orderBy("shard")
+
+
+QUERIES["q307_release_export_manifest"] = q307_release_export_manifest
+
+
+# Oracle: the identical NTILE split + digests straight off
+# `documents`; n_files = 1 is the export contract the Spark side
+# must have enforced on disk (the q250 one-file-per-partition
+# invariant under repartition-on-the-partition-column).
+ORACLE["q307_release_export_manifest"] = f"""
+    SELECT CAST(shard AS BIGINT) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc_id,
+           CAST(MAX(doc_id) AS BIGINT) AS max_doc_id,
+           CAST(bit_xor((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT))
+                AS BIGINT) AS content_xor,
+           CAST(1 AS BIGINT) AS n_files
+    FROM (
+        SELECT doc_id, NTILE({_Q307_SHARDS}) OVER (ORDER BY doc_id) AS shard
+        FROM documents
+        WHERE lang = '{_Q307_LANG}')
+    GROUP BY shard
+    ORDER BY shard
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q308 — SELECTIVE compaction (the OPTIMIZE planner q300/q306 stop
+# short of: a production OPTIMIZE never rewrites the whole store —
+# it lists partitions whose file count crosses a threshold and
+# rewrites ONLY those, leaving cold partitions' files physically
+# untouched): ingest skew is modeled deterministically — the base
+# generation covers every cell, delta-1 (md5-gen 1) lands only in
+# cells ≤ 3, delta-2 (md5-gen 2) only in cells ≤ 1 (hot partitions
+# accumulate more appends, exactly the production fragmentation
+# pattern), so cells 0-1 carry 3 files, 2-3 carry 2, 4-7 carry 1.
+# The planner reads files-per-cell from the store itself
+# (input_file_name — never a driver directory listing), flags cells
+# with ≥ 2 files, and rewrites ONLY flagged cells via dynamic
+# partition overwrite (the frame localCheckpointed first — the
+# overwrite-lineage rule; the ≤ |cells| flagged list is a
+# count-gated collect). Graded per cell: rows, files before/after,
+# the compacted flag, and the bit_xor content digest (invariance —
+# compaction must not change a byte of content, and untouched cells
+# must keep their file count). Scale: the rewrite shuffles only the
+# flagged cells' rows; the planner is a metadata-cardinality agg.
+# ---------------------------------------------------------------------------
+
+_Q308_GENS = 3
+_Q308_MINFILES = 2
+_Q308_D1_MAXCELL = 3
+_Q308_D2_MAXCELL = 1
+
+
+def q308_selective_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ai_data_pipeline_spark.operators.vectorized import ivf_assign_np
+    from ai_data_pipeline_spark.plans.constants import Q28_CENTROIDS
+
+    emb = _t(spark, sf_dir, "embeddings")
+    u40 = F.conv(
+        F.substring(F.md5(F.col("vec_id").cast("string")), 1, 10), 16, 10
+    ).cast("long")
+    corpus = ivf_assign_np(emb, Q28_CENTROIDS).select(
+        "vec_id", "embedding", F.col("cell").cast("int").alias("cell"),
+        F.pmod(u40, F.lit(_Q308_GENS)).alias("gen"),
+    )
+    d1 = (F.col("gen") == 1) & (F.col("cell") <= _Q308_D1_MAXCELL)
+    d2 = (F.col("gen") == 2) & (F.col("cell") <= _Q308_D2_MAXCELL)
+
+    tmp = tempfile.mkdtemp(prefix="q308_")
+    path = tmp + "/store"
+    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    try:
+        for mode, cond in (
+            ("overwrite", ~d1 & ~d2),
+            ("append", d1),
+            ("append", d2),
+        ):
+            (
+                corpus.filter(cond)
+                .select("vec_id", "embedding", "cell")
+                .repartition("cell")
+                .write.mode(mode)
+                .partitionBy("cell")
+                .parquet(path)
+            )
+        store = spark.read.parquet(path)
+        # localCheckpoint: the planner frame is re-read AFTER the
+        # selective overwrite deletes the very files it counted —
+        # pin the ≤ |cells| rows now (same lineage-over-overwritten-
+        # path rule as the rewrite frame below).
+        before = (
+            store.select("cell", F.input_file_name().alias("f"))
+            .groupBy("cell")
+            .agg(F.count_distinct("f").cast("long").alias("files_before"))
+            .localCheckpoint()
+        )
+        flagged = sorted(
+            int(r["cell"])
+            for r in before.filter(
+                F.col("files_before") >= _Q308_MINFILES
+            ).collect()  # ≤ |cells| rows — count-gated by construction
+        )
+        # selective OPTIMIZE: rewrite ONLY the flagged cells (frame
+        # pinned before overwriting the path its lineage reads).
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        hot = (
+            store.filter(F.col("cell").cast("int").isin(flagged))
+            .select("vec_id", "embedding", "cell")
+            .localCheckpoint()
+        )
+        hot.repartition("cell").write.mode("overwrite").partitionBy(
+            "cell"
+        ).parquet(path)
+
+        store2 = spark.read.parquet(path)
+        dg = F.conv(
+            F.substring(F.md5(F.col("vec_id").cast("string")), 1, 15), 16, 10
+        ).cast("long")
+        audit = (
+            store2.select(
+                F.col("cell").cast("long").alias("cell"),
+                "vec_id",
+                dg.alias("dg"),
+                F.input_file_name().alias("f"),
+            )
+            .groupBy("cell")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.count_distinct("f").cast("long").alias("files_after"),
+                F.bit_xor("dg").cast("long").alias("content_xor"),
+            )
+            .join(
+                before.select(F.col("cell").cast("long").alias("cell"), "files_before"),
+                "cell",
+            )
+            .select(
+                "cell",
+                "n_rows",
+                "files_before",
+                "files_after",
+                F.col("cell")
+                .isin([int(c) for c in flagged])
+                .cast("long")
+                .alias("compacted"),
+                "content_xor",
+            )
+            .orderBy("cell")
+            .collect()  # |cells| rows, before temp-dir cleanup
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        audit,
+        "cell long, n_rows long, files_before long, files_after long, "
+        "compacted long, content_xor long",
+    ).orderBy("cell")
+
+
+QUERIES["q308_selective_compaction"] = q308_selective_compaction
+
+
+# Oracle: per-cell file arithmetic from the same md5 generation
+# split + the skewed delta routing (base always present — every
+# cell has ≥ 1 non-delta row at the graded SFs; deltas contribute a
+# file iff their (gen, cell-range) slice is non-empty); flagged ⇔
+# files_before ≥ 2 ⇒ files_after 1, else unchanged; digests off
+# `embeddings`.
+def _q308_oracle() -> str:
+    from ai_data_pipeline_spark.functions.vector import (
+        sql_lit_list,
+        sql_squared_l2,
+    )
+    from ai_data_pipeline_spark.plans.constants import EMBED_DIM, Q28_CENTROIDS
+
+    cells = ", ".join(
+        f"struct_pack(d := {sql_squared_l2('embedding', sql_lit_list(c), EMBED_DIM)}, c := {ci})"
+        for ci, c in enumerate(Q28_CENTROIDS)
+    )
+    return f"""
+    WITH flags AS MATERIALIZED (
+        SELECT vec_id,
+               (('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 10))::BIGINT)
+                   % {_Q308_GENS} AS gen,
+               struct_extract((list_sort([{cells}]))[1], 'c') AS cell
+        FROM embeddings
+    ), routed AS (
+        SELECT vec_id, cell,
+               CASE WHEN gen = 1 AND cell <= {_Q308_D1_MAXCELL} THEN 1
+                    WHEN gen = 2 AND cell <= {_Q308_D2_MAXCELL} THEN 2
+                    ELSE 0 END AS file_slot
+        FROM flags
+    ), percell AS (
+        SELECT CAST(cell AS BIGINT) AS cell,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(DISTINCT file_slot) AS BIGINT) AS files_before,
+               CAST(bit_xor((('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT))
+                    AS BIGINT) AS content_xor
+        FROM routed
+        GROUP BY cell
+    )
+    SELECT cell, n_rows, files_before,
+           CAST(CASE WHEN files_before >= {_Q308_MINFILES}
+                THEN 1 ELSE files_before END AS BIGINT) AS files_after,
+           CAST(CASE WHEN files_before >= {_Q308_MINFILES}
+                THEN 1 ELSE 0 END AS BIGINT) AS compacted,
+           content_xor
+    FROM percell
+    ORDER BY cell
+    """
+
+
+ORACLE["q308_selective_compaction"] = _q308_oracle()

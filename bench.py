@@ -277,6 +277,8 @@ HEADLINE = [
     "q304_filtered_vector_search",
     "q305_rrf_hybrid_retrieval",
     "q306_postings_store_compaction",
+    "q307_release_export_manifest",
+    "q308_selective_compaction",
 ]
 
 

@@ -173,6 +173,8 @@ PROBE = [
     "q304_filtered_vector_search",      # label-filtered probed-cell ANN + recall audit
     "q305_rrf_hybrid_retrieval",        # kw + vector top-k lists + integer RRF fusion
     "q306_postings_store_compaction",   # 3 append gens + per-bucket rewrite + pruned digest
+    "q307_release_export_manifest",     # distributed-rank sharded export + read-back manifest
+    "q308_selective_compaction",        # files-per-cell planner + flagged-cells-only rewrite
 ]
 
 

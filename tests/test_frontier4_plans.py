@@ -85,3 +85,94 @@ def test_q302_rr_ladder_is_exact():
     assert f4._Q302_RR_SCALED == {r: 2520 // r for r in range(1, 11)}
     for r, c in f4._Q302_RR_SCALED.items():
         assert c * r == 2520
+
+
+def test_q307_shard_ladder_equals_ntile(spark):
+    """The integer comparison ladder must reproduce ANSI NTILE(8)
+    exactly, including the n-not-divisible-by-8 case (first n%8
+    tiles get the extra row) and n < 8."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    for n in (5, 8, 17, 83, 218):
+        df = spark.range(n).select((F.col("id") * 3 + 1).alias("doc_id"))
+        want = {
+            r["doc_id"]: r["s"]
+            for r in df.select(
+                "doc_id", F.ntile(8).over(Window.orderBy("doc_id")).alias("s")
+            ).collect()
+        }
+        ranked = df.withColumn(
+            "rank", F.row_number().over(Window.orderBy("doc_id")).cast("long")
+        )
+        qn = F.lit(n >> 3).cast("long")
+        rn = F.lit(n % 8).cast("long")
+        shard = F.lit(1).cast("int")
+        for s in range(1, 8):
+            shard = shard + (
+                F.col("rank") > F.lit(s) * qn + F.least(F.lit(s).cast("long"), rn)
+            ).cast("int")
+        got = {
+            r["doc_id"]: r["s"]
+            for r in ranked.select("doc_id", shard.alias("s")).collect()
+        }
+        assert got == want, f"n={n}"
+
+
+def test_q308_untouched_cells_keep_their_physical_files(spark, tmp_path):
+    """Selective OPTIMIZE must not rewrite cold partitions: the
+    exact file paths of non-flagged cells are identical before and
+    after the flagged-cells-only overwrite."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "store")
+    base = spark.range(80).select(
+        F.col("id").alias("vec_id"), F.pmod("id", F.lit(4)).cast("int").alias("cell")
+    )
+    base.repartition("cell").write.mode("overwrite").partitionBy("cell").parquet(path)
+    # fragment cells 0 and 1 only
+    delta = base.filter(F.col("cell") <= 1)
+    delta.repartition("cell").write.mode("append").partitionBy("cell").parquet(path)
+
+    def files_by_cell():
+        rows = (
+            spark.read.parquet(path)
+            .select("cell", F.input_file_name().alias("f"))
+            .distinct()
+            .collect()
+        )
+        out: dict = {}
+        for r in rows:
+            out.setdefault(int(r["cell"]), set()).add(r["f"])
+        return out
+
+    before = files_by_cell()
+    assert {c: len(fs) for c, fs in sorted(before.items())} == {0: 2, 1: 2, 2: 1, 3: 1}
+
+    store = spark.read.parquet(path)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        hot = (
+            store.filter(F.col("cell").cast("int").isin([0, 1]))
+            .select("vec_id", "cell")
+            .localCheckpoint()
+        )
+        hot.repartition("cell").write.mode("overwrite").partitionBy("cell").parquet(
+            path
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    after = files_by_cell()
+    assert {c: len(fs) for c, fs in sorted(after.items())} == {0: 1, 1: 1, 2: 1, 3: 1}
+    # cold partitions: byte-identical file sets, not just counts.
+    assert after[2] == before[2]
+    assert after[3] == before[3]
+    # content invariance: base (80 ids) + the appended delta copy
+    # of cells 0/1 (40 ids) — sum and count both preserved.
+    expect_sum = sum(range(80)) + sum(v for v in range(80) if v % 4 <= 1)
+    got = spark.read.parquet(path).agg(
+        F.sum("vec_id").alias("s"), F.count(F.lit(1)).alias("n")
+    ).collect()[0]
+    assert (int(got["s"]), int(got["n"])) == (expect_sum, 120)
