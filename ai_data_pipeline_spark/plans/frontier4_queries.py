@@ -2118,3 +2118,128 @@ def _q308_oracle() -> str:
 
 
 ORACLE["q308_selective_compaction"] = _q308_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Q309 — boolean OR / AND-NOT retrieval (completing the
+# inverted-index query algebra: q290 grades phrase + AND, q296/q301
+# the ranked read; OR and exclusion are the two remaining
+# production verbs): served from the postings shape with q290's
+# pruning posture (postings restricted to the queried tokens —
+# bucket pruning of the materialized store, whose full build cost
+# q301 pays and grades separately). OR(t1..tk): a doc qualifies if
+# it holds ANY term; n_occurrences = total occurrences of any term
+# in qualifying docs. AND-NOT(a, b): docs holding a with ZERO
+# occurrences of b — computed INDEX-ONLY as a's postings LEFT ANTI
+# JOIN b's doc set (exclusion never needs a corpus scan, only b's
+# postings list — the property that makes negation cheap on an
+# inverted index while a scan-based engine pays a full pass).
+# Output: q301's uniform shape (top_doc_id = MIN matching doc,
+# top_score NULL — boolean semantics are scoreless). Scale: both
+# verbs touch only the queried tokens' postings; the anti-join
+# shuffles ≤ |a's postings| + |b's doc set| rows on doc_id.
+# ---------------------------------------------------------------------------
+
+_Q309_ORS = [("o1", ["dup", "merge"]), ("o2", ["spark", "window", "key"])]
+_Q309_ANDNOTS = [("n1", "batch", "dup"), ("n2", "the", "stream")]
+
+
+def q309_boolean_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_data_pipeline_spark.functions.text import ws_tokens
+
+    docs = spread(_t(spark, sf_dir, "documents"))
+    needed = sorted(
+        {w for _, ts in _Q309_ORS for w in ts}
+        | {a for _, a, _b in _Q309_ANDNOTS}
+        | {b for _, _a, b in _Q309_ANDNOTS}
+    )
+    postings = (
+        docs.select("doc_id", F.explode(ws_tokens(F.col("text"))).alias("token"))
+        .filter(F.col("token").isin(needed))
+        .localCheckpoint()  # one consumer per query block below
+    )
+
+    frames = []
+    for qid, terms in _Q309_ORS:
+        hits = postings.filter(F.col("token").isin(terms))
+        frames.append(
+            hits.agg(
+                F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+                F.count_distinct("doc_id").cast("long").alias("n_docs"),
+                F.min("doc_id").cast("long").alias("top_doc_id"),
+            ).select(
+                F.lit(qid).alias("query_id"),
+                F.lit("or").alias("kind"),
+                F.lit(" ".join(terms)).alias("query"),
+                "n_docs",
+                "n_occurrences",
+                "top_doc_id",
+                F.lit(None).cast("long").alias("top_score"),
+            )
+        )
+    for qid, a, b in _Q309_ANDNOTS:
+        a_post = postings.filter(F.col("token") == a)
+        b_docs = postings.filter(F.col("token") == b).select("doc_id").distinct()
+        kept = a_post.join(b_docs, "doc_id", "left_anti")
+        frames.append(
+            kept.agg(
+                F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+                F.count_distinct("doc_id").cast("long").alias("n_docs"),
+                F.min("doc_id").cast("long").alias("top_doc_id"),
+            ).select(
+                F.lit(qid).alias("query_id"),
+                F.lit("andnot").alias("kind"),
+                F.lit(f"{a} -{b}").alias("query"),
+                "n_docs",
+                "n_occurrences",
+                "top_doc_id",
+                F.lit(None).cast("long").alias("top_score"),
+            )
+        )
+    out = frames[0]
+    for fdf in frames[1:]:
+        out = out.unionByName(fdf)
+    return out.orderBy("query_id")
+
+
+QUERIES["q309_boolean_retrieval"] = q309_boolean_retrieval
+
+
+def _q309_oracle() -> str:
+    from ai_data_pipeline_spark.functions.text import sql_word_ngrams
+
+    toks = sql_word_ngrams("text", 1)
+    parts = []
+    for qid, terms in _Q309_ORS:
+        occ = " + ".join(
+            f"len(list_filter({toks}, t -> t = '{w}'))" for w in terms
+        )
+        q = " ".join(terms)
+        parts.append(f"""
+        SELECT '{qid}' AS query_id, 'or' AS kind, '{q}' AS query,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(COALESCE(SUM(occ), 0) AS BIGINT) AS n_occurrences,
+               CAST(MIN(doc_id) AS BIGINT) AS top_doc_id,
+               CAST(NULL AS BIGINT) AS top_score
+        FROM (
+            SELECT doc_id, {occ} AS occ FROM documents)
+        WHERE occ > 0
+        """)
+    for qid, a, b in _Q309_ANDNOTS:
+        na = f"len(list_filter({toks}, t -> t = '{a}'))"
+        nb = f"len(list_filter({toks}, t -> t = '{b}'))"
+        parts.append(f"""
+        SELECT '{qid}' AS query_id, 'andnot' AS kind, '{a} -{b}' AS query,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(COALESCE(SUM(na), 0) AS BIGINT) AS n_occurrences,
+               CAST(MIN(doc_id) AS BIGINT) AS top_doc_id,
+               CAST(NULL AS BIGINT) AS top_score
+        FROM (
+            SELECT doc_id, {na} AS na, {nb} AS nb FROM documents)
+        WHERE na > 0 AND nb = 0
+        """)
+    body = " UNION ALL ".join(parts)
+    return f"SELECT * FROM ({body}) ORDER BY query_id"
+
+
+ORACLE["q309_boolean_retrieval"] = _q309_oracle()

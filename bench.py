@@ -279,6 +279,7 @@ HEADLINE = [
     "q306_postings_store_compaction",
     "q307_release_export_manifest",
     "q308_selective_compaction",
+    "q309_boolean_retrieval",
 ]
 
 

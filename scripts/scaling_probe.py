@@ -175,6 +175,7 @@ PROBE = [
     "q306_postings_store_compaction",   # 3 append gens + per-bucket rewrite + pruned digest
     "q307_release_export_manifest",     # distributed-rank sharded export + read-back manifest
     "q308_selective_compaction",        # files-per-cell planner + flagged-cells-only rewrite
+    "q309_boolean_retrieval",           # OR / index-only AND-NOT over pruned postings
 ]
 
 
