@@ -2243,3 +2243,323 @@ def _q309_oracle() -> str:
 
 
 ORACLE["q309_boolean_retrieval"] = _q309_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Q310 — incremental MANIFEST maintenance (q307's export artifact
+# gets the q289/q294 lifecycle treatment: a daily append must
+# update the release manifest WITHOUT re-digesting the whole store
+# — at 100 TB the manifest refresh reads only the shards the delta
+# touched): shards here are FIXED doc_id ranges (width 64 — range
+# sharding is what makes appends LOCAL: new arrivals carry high ids
+# and land in the tail shard(s); q307's NTILE resharding would
+# move every row on every append, which is exactly why production
+# manifests shard by fixed ranges or hash, never by global rank).
+# The base store (doc_id ≤ max−64) is written and its manifest
+# digested; the delta (the last range width of ids) APPENDS —
+# existing shard files untouched; the manifest UPDATE re-digests
+# ONLY shards present in the delta, read back BUCKET-PRUNED from
+# the store (PartitionFilters on shard), and merges with the
+# untouched base manifest rows. Graded: the merged manifest ≡ the
+# oracle's full recompute (update-vs-rebuild equivalence — the
+# invariant that keeps an incrementally-maintained manifest
+# trustworthy), with per-shard n_files (1 for untouched, 2 for
+# appended — append adds a file; compaction is q300/q306/q308's
+# job) and the updated flag. Scale: the delta write shuffles
+# |delta| rows; the refresh reads |touched shards| directories.
+# ---------------------------------------------------------------------------
+
+_Q310_WIDTH = 64
+_Q310_LANG = "en"
+
+
+def q310_incremental_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    docs = _t(spark, sf_dir, "documents")
+    release = docs.filter(F.col("lang") == _Q310_LANG).select("doc_id", "text")
+    # fixed-width range shard: power-of-two divisor → floor exact.
+    shard_of = F.floor(F.col("doc_id") / F.lit(float(_Q310_WIDTH))).cast("int")
+    maxid = release.agg(F.max("doc_id").alias("m")).withColumn("_j", F.lit(1))
+    flagged = (
+        release.withColumn("_j", F.lit(1))
+        .join(F.broadcast(maxid), "_j")
+        .withColumn("is_delta", (F.col("doc_id") > F.col("m") - _Q310_WIDTH))
+        .select("doc_id", "text", shard_of.alias("shard"), "is_delta")
+    )
+
+    dg = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+
+    def manifest_of(frame):
+        return (
+            frame.select(
+                F.col("shard").cast("long").alias("shard"),
+                "doc_id",
+                dg.alias("dg"),
+                F.input_file_name().alias("f"),
+            )
+            .groupBy("shard")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.min("doc_id").cast("long").alias("min_doc_id"),
+                F.max("doc_id").cast("long").alias("max_doc_id"),
+                F.bit_xor("dg").cast("long").alias("content_xor"),
+                F.count_distinct("f").cast("long").alias("n_files"),
+            )
+        )
+
+    tmp = tempfile.mkdtemp(prefix="q310_")
+    path = tmp + "/release_by_shard"
+    try:
+        base = flagged.filter(~F.col("is_delta")).select("doc_id", "text", "shard")
+        delta = flagged.filter(F.col("is_delta")).select("doc_id", "text", "shard")
+        base.repartition("shard").write.mode("overwrite").partitionBy(
+            "shard"
+        ).parquet(path)
+        # manifest v1 — pinned: its rows must survive the append
+        # untouched (and its lineage must not re-read the store).
+        m1 = manifest_of(spark.read.parquet(path)).localCheckpoint()
+        # the daily append: existing shard files untouched.
+        delta.repartition("shard").write.mode("append").partitionBy(
+            "shard"
+        ).parquet(path)
+        # the incremental refresh: ONLY shards the delta touched,
+        # read PARTITION-PRUNED from the store via a literal isin
+        # (the delta spans one range width → ≤ 2 consecutive shards;
+        # the collect is count-gated by construction). A literal
+        # predicate lands in PartitionFilters; a semi-join would
+        # also defeat input_file_name (single-source only).
+        touched = sorted(
+            int(r["shard"]) for r in delta.select("shard").distinct().collect()
+        )
+        store = spark.read.parquet(path)
+        refreshed = manifest_of(
+            store.filter(F.col("shard").cast("int").isin(touched))
+        ).withColumn("updated", F.lit(1).cast("long"))
+        merged = (
+            m1.filter(~F.col("shard").isin([int(t) for t in touched]))
+            .withColumn("updated", F.lit(0).cast("long"))
+            .unionByName(refreshed)
+        )
+        out = merged.orderBy("shard").collect()  # |shards| rows
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        out,
+        "shard long, n_rows long, min_doc_id long, max_doc_id long, "
+        "content_xor long, n_files long, updated long",
+    ).orderBy("shard")
+
+
+QUERIES["q310_incremental_manifest"] = q310_incremental_manifest
+
+
+# Oracle: the FULL manifest recompute straight off `documents` —
+# update-vs-rebuild equivalence is the graded claim; n_files and
+# updated derived from the same range split (a shard is touched iff
+# it holds a delta id; touched shards carry 2 files — base + the
+# appended delta file — unless the shard is delta-only, created by
+# the append with 1 file).
+ORACLE["q310_incremental_manifest"] = f"""
+    WITH rel AS MATERIALIZED (
+        SELECT doc_id,
+               CAST(floor(doc_id / {_Q310_WIDTH}.0) AS BIGINT) AS shard,
+               (doc_id > (SELECT MAX(doc_id) FROM documents
+                          WHERE lang = '{_Q310_LANG}') - {_Q310_WIDTH})
+                   AS is_delta
+        FROM documents
+        WHERE lang = '{_Q310_LANG}'
+    )
+    SELECT shard,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc_id,
+           CAST(MAX(doc_id) AS BIGINT) AS max_doc_id,
+           CAST(bit_xor((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT))
+                AS BIGINT) AS content_xor,
+           CAST(CASE WHEN BOOL_OR(is_delta) AND BOOL_OR(NOT is_delta) THEN 2
+                     ELSE 1 END AS BIGINT) AS n_files,
+           CAST(CASE WHEN BOOL_OR(is_delta) THEN 1 ELSE 0 END AS BIGINT) AS updated
+    FROM rel
+    GROUP BY shard
+    ORDER BY shard
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q311 — filtered-ANN nprobe ESCALATION (the production fallback
+# q304's docstring names: a selective filter can leave the probed
+# cells with FEWER than k candidates — post-hoc under-filled top-k
+# is the classic filtered-ANN failure; the deployed behavior is to
+# escalate nprobe until the pool fills, terminally falling back to
+# a full filtered scan): per (q27 query × label ∈ {3, 7}), the
+# candidate pool is counted at the probe ladder nprobe ∈ {1, 2, 4}
+# (cell ranks per query are plan-time constants — one broadcast of
+# an 8-row (qid, cell, rk) frame; each vector lives in exactly one
+# cell, so its ladder tier is its cell's rank); chosen_nprobe =
+# the first rung with ≥ K candidates, else 8 (= all cells: the
+# full-filtered-scan terminal fallback). The served answer is the
+# top-1 by (cosine DESC, vec_id) within the CHOSEN pool. Graded:
+# the pool counts at every rung, the chosen rung, and the served
+# top-1 — the decision procedure itself is the operator. Scale:
+# ONE join of the filtered corpus against the 8-row rank frame
+# computes every rung's count simultaneously (conditional aggs on
+# the cell rank — never one pass per rung).
+# ---------------------------------------------------------------------------
+
+_Q311_LABELS = [3, 7]
+_Q311_K = 5
+_Q311_LADDER = [1, 2, 4]
+
+
+def q311_nprobe_escalation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_data_pipeline_spark.functions.vector import cosine
+    from ai_data_pipeline_spark.operators.vectorized import ivf_assign_np
+    from ai_data_pipeline_spark.plans.constants import Q27_QUERY_VECS, Q28_CENTROIDS
+    from ai_data_pipeline_spark.plans.pipeline_queries import _sqdist_py
+
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus = ivf_assign_np(emb, Q28_CENTROIDS).select(
+        "vec_id", "embedding", "label", F.col("cell").cast("int").alias("cell")
+    )
+    rows = []
+    for qi, qv in enumerate(Q27_QUERY_VECS):
+        cdist = [_sqdist_py(c, qv) for c in Q28_CENTROIDS]
+        order = sorted(range(len(Q28_CENTROIDS)), key=lambda k: (cdist[k], k))
+        for rk, c in enumerate(order, start=1):
+            rows.append((qi, [float(x) for x in qv], c, rk))
+    qcells = spark.createDataFrame(
+        rows, "qid long, qvec array<double>, cell int, rk int"
+    )
+    cand = (
+        corpus.filter(F.col("label").isin([int(x) for x in _Q311_LABELS]))
+        .join(F.broadcast(qcells), "cell")
+        .select(
+            "qid",
+            F.col("label").cast("long").alias("flt_label"),
+            "vec_id",
+            "rk",
+            cosine(F.col("embedding"), F.col("qvec")).alias("sim"),
+        )
+    )
+    counts = cand.groupBy("qid", "flt_label").agg(
+        *[
+            F.sum((F.col("rk") <= np).cast("int"))
+            .cast("long")
+            .alias(f"n_cand_np{np}")
+            for np in _Q311_LADDER
+        ]
+    )
+    chosen = F.when(F.col(f"n_cand_np{_Q311_LADDER[0]}") >= _Q311_K, _Q311_LADDER[0])
+    for np in _Q311_LADDER[1:]:
+        chosen = chosen.when(F.col(f"n_cand_np{np}") >= _Q311_K, np)
+    counts = counts.withColumn(
+        "chosen_nprobe", chosen.otherwise(8).cast("long")
+    )
+    pool = cand.join(F.broadcast(counts), ["qid", "flt_label"]).filter(
+        F.col("rk") <= F.col("chosen_nprobe")
+    )
+    top1 = (
+        pool.withColumn(
+            "r1",
+            F.row_number().over(
+                Window.partitionBy("qid", "flt_label").orderBy(
+                    F.desc("sim"), F.asc("vec_id")
+                )
+            ),
+        )
+        .filter(F.col("r1") == 1)
+        .select("qid", "flt_label", F.col("vec_id").alias("top1_vec_id"),
+                F.col("sim").alias("top1_sim"))
+    )
+    return (
+        counts.join(top1, ["qid", "flt_label"])
+        .select(
+            "qid", "flt_label",
+            *[f"n_cand_np{np}" for np in _Q311_LADDER],
+            "chosen_nprobe", "top1_vec_id", "top1_sim",
+        )
+        .orderBy("qid", "flt_label")
+    )
+
+
+QUERIES["q311_nprobe_escalation"] = q311_nprobe_escalation
+
+
+def _q311_oracle() -> str:
+    from ai_data_pipeline_spark.functions.vector import (
+        sql_dot,
+        sql_lit_list,
+        sql_norm,
+        sql_squared_l2,
+    )
+    from ai_data_pipeline_spark.plans.constants import (
+        EMBED_DIM,
+        Q27_QUERY_VECS,
+        Q28_CENTROIDS,
+    )
+    from ai_data_pipeline_spark.plans.pipeline_queries import _sqdist_py
+
+    qc = []
+    for qi, qv in enumerate(Q27_QUERY_VECS):
+        cdist = [_sqdist_py(c, qv) for c in Q28_CENTROIDS]
+        order = sorted(range(len(Q28_CENTROIDS)), key=lambda k: (cdist[k], k))
+        for rk, c in enumerate(order, start=1):
+            qc.append(f"({qi}, {sql_lit_list(qv)}, {c}, {rk})")
+    qcells = ", ".join(qc)
+    cells = ", ".join(
+        f"struct_pack(d := {sql_squared_l2('embedding', sql_lit_list(c), EMBED_DIM)}, c := {ci})"
+        for ci, c in enumerate(Q28_CENTROIDS)
+    )
+    cos = (
+        f"({sql_dot('a.embedding', 'q.qvec', EMBED_DIM)}) / "
+        f"(({sql_norm('a.embedding', EMBED_DIM)}) * ({sql_norm('q.qvec', EMBED_DIM)}))"
+    )
+    labels = ", ".join(str(x) for x in _Q311_LABELS)
+    n_aggs = ", ".join(
+        f"CAST(SUM(CASE WHEN rk <= {np} THEN 1 ELSE 0 END) AS BIGINT) AS n_cand_np{np}"
+        for np in _Q311_LADDER
+    )
+    chosen = "CASE " + " ".join(
+        f"WHEN n_cand_np{np} >= {_Q311_K} THEN {np}" for np in _Q311_LADDER
+    ) + " ELSE 8 END"
+    return f"""
+    WITH filt AS MATERIALIZED (
+        SELECT vec_id, embedding, label,
+               struct_extract((list_sort([{cells}]))[1], 'c') AS cell
+        FROM embeddings
+        WHERE label IN ({labels})
+    ), cand AS MATERIALIZED (
+        SELECT q.qid, CAST(a.label AS BIGINT) AS flt_label, a.vec_id,
+               q.rk, {cos} AS sim
+        FROM filt a JOIN (VALUES {qcells}) AS q(qid, qvec, cell, rk)
+          ON q.cell = a.cell
+    ), counts AS (
+        SELECT qid, flt_label, {n_aggs}
+        FROM cand GROUP BY qid, flt_label
+    ), chosen AS (
+        SELECT *, CAST({chosen} AS BIGINT) AS chosen_nprobe FROM counts
+    ), top1 AS (
+        SELECT qid, flt_label, vec_id AS top1_vec_id, sim AS top1_sim
+        FROM (
+            SELECT c.qid, c.flt_label, c.vec_id, c.sim,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY c.qid, c.flt_label
+                       ORDER BY c.sim DESC, c.vec_id) AS r1
+            FROM cand c JOIN chosen h
+              ON h.qid = c.qid AND h.flt_label = c.flt_label
+            WHERE c.rk <= h.chosen_nprobe)
+        WHERE r1 = 1
+    )
+    SELECT CAST(h.qid AS BIGINT) AS qid, h.flt_label,
+           {", ".join(f"h.n_cand_np{np}" for np in _Q311_LADDER)},
+           h.chosen_nprobe, t.top1_vec_id, t.top1_sim
+    FROM chosen h JOIN top1 t
+      ON t.qid = h.qid AND t.flt_label = h.flt_label
+    ORDER BY h.qid, h.flt_label
+    """
+
+
+ORACLE["q311_nprobe_escalation"] = _q311_oracle()

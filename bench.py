@@ -280,6 +280,8 @@ HEADLINE = [
     "q307_release_export_manifest",
     "q308_selective_compaction",
     "q309_boolean_retrieval",
+    "q310_incremental_manifest",
+    "q311_nprobe_escalation",
 ]
 
 

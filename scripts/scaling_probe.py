@@ -176,6 +176,8 @@ PROBE = [
     "q307_release_export_manifest",     # distributed-rank sharded export + read-back manifest
     "q308_selective_compaction",        # files-per-cell planner + flagged-cells-only rewrite
     "q309_boolean_retrieval",           # OR / index-only AND-NOT over pruned postings
+    "q310_incremental_manifest",        # range-shard append + touched-shards-only manifest refresh
+    "q311_nprobe_escalation",           # probe-ladder pool counts + chosen-rung top-1
 ]
 
 

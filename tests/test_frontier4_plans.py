@@ -176,3 +176,42 @@ def test_q308_untouched_cells_keep_their_physical_files(spark, tmp_path):
         F.sum("vec_id").alias("s"), F.count(F.lit(1)).alias("n")
     ).collect()[0]
     assert (int(got["s"]), int(got["n"])) == (expect_sum, 120)
+
+
+def test_q311_terminal_full_scan_branch(spark, tmp_path):
+    """chosen_nprobe rungs 1/2/4 all fire on the graded corpora
+    (verified against the oracle); the terminal 8 = full-filtered-
+    scan branch never does — pin it: a label with fewer than K
+    candidates in ANY 4 probed cells must escalate to 8 and still
+    serve its global filtered top-1."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from ai_data_pipeline_spark.plans import frontier4_queries as f4
+    from ai_data_pipeline_spark.plans.constants import EMBED_DIM
+
+    rng = random.Random(311)
+    rows = []
+    # 3 vectors of label 3 (< K=5 total, so no rung can fill) and
+    # plenty of label 7.
+    for vid in range(40):
+        label = 3 if vid < 3 else 7
+        vec = [rng.uniform(-0.5, 0.5) for _ in range(EMBED_DIM)]
+        rows.append((vid, vec, label))
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    out = {
+        (r["qid"], r["flt_label"]): r
+        for r in f4.q311_nprobe_escalation(spark, str(tmp_path)).collect()
+    }
+    label3 = [v for (q, l), v in out.items() if l == 3]
+    assert label3, "label-3 rows must appear"
+    for r in label3:
+        assert r["chosen_nprobe"] == 8
+        assert r["n_cand_np4"] < f4._Q311_K
+        # the terminal pool is ALL label-3 vectors → top1 is the
+        # global filtered best (one of vec_id 0..2).
+        assert r["top1_vec_id"] in (0, 1, 2)
