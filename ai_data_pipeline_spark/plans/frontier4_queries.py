@@ -2563,3 +2563,203 @@ def _q311_oracle() -> str:
 
 
 ORACLE["q311_nprobe_escalation"] = _q311_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Q312 — copy-on-write SNAPSHOT isolation / time-travel reads (the
+# table-format guarantee — Iceberg/Delta's essence — expressed with
+# nothing but parquet files and a file-list manifest, so the
+# engine's store lifecycle is complete: build q250, append q299,
+# merge q289, delete q293/q297, compact q300/q306/q308, export
+# manifest q307/q310, and now VERSIONED READS): snapshot v1 = the
+# base corpus written one file per cell; the delta batch APPENDS
+# new files to the same directory — v1's files are never touched,
+# so snapshot v2's manifest = v1's file list + the delta's files
+# (copy-on-write: the two snapshots SHARE v1's files; nothing is
+# rewritten). A reader pinned to either manifest sees exactly that
+# state: the graded claim is that the top-3 search over the
+# v1-manifest read equals the oracle's BASE-state recompute while
+# the v2-manifest read equals the FULL-state recompute — i.e. the
+# append is invisible to v1 readers (snapshot isolation) and fully
+# visible to v2 readers — plus the file-accounting audit
+# (n_files_v1 / n_files_v2 / n_shared = n_files_v1, the COW
+# sharing property). File lists come from the store's own
+# input_file_name read-back (≤ |cells| files per snapshot — the
+# collect is count-gated by construction; at 100 TB the manifest
+# lives in the catalog, exactly as here). Scale: the append
+# shuffles |batch| rows; neither snapshot read lists the other's
+# files.
+# ---------------------------------------------------------------------------
+
+_Q312_MOD = 5
+_Q312_PICK = 0
+
+
+def q312_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ai_data_pipeline_spark.functions.vector import cosine
+    from ai_data_pipeline_spark.operators import similarity
+    from ai_data_pipeline_spark.operators.vectorized import ivf_assign_np
+    from ai_data_pipeline_spark.plans.constants import Q27_QUERY_VECS, Q28_CENTROIDS
+
+    emb = _t(spark, sf_dir, "embeddings")
+    u40 = F.conv(
+        F.substring(F.md5(F.col("vec_id").cast("string")), 1, 10), 16, 10
+    ).cast("long")
+    corpus = ivf_assign_np(emb, Q28_CENTROIDS).select(
+        "vec_id", "embedding", "cell",
+        (F.pmod(u40, F.lit(_Q312_MOD)) == _Q312_PICK).alias("is_new"),
+    )
+
+    tmp = tempfile.mkdtemp(prefix="q312_")
+    path = tmp + "/store"
+    try:
+        base = corpus.filter(~F.col("is_new")).select("vec_id", "embedding", "cell")
+        batch = corpus.filter(F.col("is_new")).select("vec_id", "embedding", "cell")
+        base.repartition("cell").write.mode("overwrite").partitionBy(
+            "cell"
+        ).parquet(path)
+        # manifest v1: the snapshot's file list, read back from the
+        # store itself (≤ |cells| files — count-gated collect).
+        v1_files = sorted(
+            r["f"]
+            for r in spark.read.parquet(path)
+            .select(F.input_file_name().alias("f"))
+            .distinct()
+            .collect()
+        )
+        # the append: COW — v1 files untouched, new files added.
+        batch.repartition("cell").write.mode("append").partitionBy(
+            "cell"
+        ).parquet(path)
+        all_files = sorted(
+            r["f"]
+            for r in spark.read.parquet(path)
+            .select(F.input_file_name().alias("f"))
+            .distinct()
+            .collect()
+        )
+        v2_files = all_files  # v1's list + the delta's files
+        assert set(v1_files) <= set(v2_files)
+
+        queries = similarity.queries_df(spark, Q27_QUERY_VECS)
+
+        def search(files, state):
+            # a reader pinned to a manifest: reads exactly those
+            # files (basePath keeps the cell partition column).
+            snap = spark.read.option("basePath", path).parquet(*files)
+            cand = snap.crossJoin(F.broadcast(queries)).select(
+                "qid",
+                "vec_id",
+                cosine(F.col("embedding"), F.col("qvec")).alias("sim"),
+            )
+            return (
+                cand.withColumn(
+                    "rk",
+                    F.row_number().over(
+                        Window.partitionBy("qid").orderBy(
+                            F.desc("sim"), F.asc("vec_id")
+                        )
+                    ),
+                )
+                .filter(F.col("rk") <= 3)
+                .select(
+                    F.lit(state).cast("long").alias("snapshot"),
+                    "qid",
+                    F.col("rk").cast("long").alias("rk"),
+                    "vec_id",
+                    "sim",
+                )
+            )
+
+        out = (
+            search(v1_files, 1)
+            .unionByName(search(v2_files, 2))
+            .orderBy("snapshot", "qid", "rk")
+            .collect()  # 30 rows, before temp-dir cleanup
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    res = spark.createDataFrame(
+        out, "snapshot long, qid long, rk long, vec_id long, sim double"
+    )
+    return (
+        res.withColumn("n_files_v1", F.lit(len(v1_files)).cast("long"))
+        .withColumn("n_files_v2", F.lit(len(v2_files)).cast("long"))
+        .withColumn(
+            "n_shared_files",
+            F.lit(len(set(v1_files) & set(v2_files))).cast("long"),
+        )
+        .orderBy("snapshot", "qid", "rk")
+    )
+
+
+QUERIES["q312_snapshot_time_travel"] = q312_snapshot_time_travel
+
+
+# Oracle: the two states recomputed straight off `embeddings` (v1 =
+# the md5 base split, v2 = everything); file audit from (split,
+# cell) occupancy — v1 files = base cells, v2 = base cells + batch
+# cells, shared = all of v1 (COW).
+def _q312_oracle() -> str:
+    from ai_data_pipeline_spark.functions.vector import (
+        sql_dot,
+        sql_lit_list,
+        sql_norm,
+        sql_squared_l2,
+    )
+    from ai_data_pipeline_spark.plans.constants import (
+        EMBED_DIM,
+        Q27_QUERY_VECS,
+        Q28_CENTROIDS,
+    )
+
+    qrows = ", ".join(
+        f"({qi}, {sql_lit_list(v)})" for qi, v in enumerate(Q27_QUERY_VECS)
+    )
+    cells = ", ".join(
+        f"struct_pack(d := {sql_squared_l2('embedding', sql_lit_list(c), EMBED_DIM)}, c := {ci})"
+        for ci, c in enumerate(Q28_CENTROIDS)
+    )
+    cos = (
+        f"({sql_dot('a.embedding', 'q.qvec', EMBED_DIM)}) / "
+        f"(({sql_norm('a.embedding', EMBED_DIM)}) * ({sql_norm('q.qvec', EMBED_DIM)}))"
+    )
+    return f"""
+    WITH flags AS MATERIALIZED (
+        SELECT vec_id, embedding,
+               ((('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 10))::BIGINT)
+                    % {_Q312_MOD} = {_Q312_PICK}) AS is_new,
+               struct_extract((list_sort([{cells}]))[1], 'c') AS cell
+        FROM embeddings
+    ), audit AS (
+        SELECT (SELECT CAST(COUNT(DISTINCT cell) AS BIGINT) FROM flags
+                WHERE NOT is_new) AS n_files_v1,
+               (SELECT CAST(COUNT(DISTINCT cell) AS BIGINT) FROM flags
+                WHERE NOT is_new)
+               + (SELECT CAST(COUNT(DISTINCT cell) AS BIGINT) FROM flags
+                  WHERE is_new) AS n_files_v2,
+               (SELECT CAST(COUNT(DISTINCT cell) AS BIGINT) FROM flags
+                WHERE NOT is_new) AS n_shared_files
+    ), ranked AS (
+        SELECT s.snapshot, q.qid, a.vec_id, {cos} AS sim,
+               ROW_NUMBER() OVER (
+                   PARTITION BY s.snapshot, q.qid
+                   ORDER BY {cos} DESC, a.vec_id) AS rk
+        FROM flags a
+        CROSS JOIN (VALUES {qrows}) AS q(qid, qvec)
+        JOIN (VALUES (1), (2)) AS s(snapshot)
+          ON s.snapshot = 2 OR NOT a.is_new
+    )
+    SELECT CAST(snapshot AS BIGINT) AS snapshot, CAST(qid AS BIGINT) AS qid,
+           CAST(rk AS BIGINT) AS rk, vec_id, sim,
+           d.n_files_v1, d.n_files_v2, d.n_shared_files
+    FROM ranked CROSS JOIN audit d
+    WHERE rk <= 3
+    ORDER BY snapshot, qid, rk
+    """
+
+
+ORACLE["q312_snapshot_time_travel"] = _q312_oracle()

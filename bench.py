@@ -282,6 +282,7 @@ HEADLINE = [
     "q309_boolean_retrieval",
     "q310_incremental_manifest",
     "q311_nprobe_escalation",
+    "q312_snapshot_time_travel",
 ]
 
 
