@@ -2763,3 +2763,135 @@ def _q312_oracle() -> str:
 
 
 ORACLE["q312_snapshot_time_travel"] = _q312_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Q313 — deterministic EPOCH SHUFFLE (the training-dataloader
+# contract: every epoch must present the corpus in a different but
+# REPRODUCIBLE pseudo-random order, sliced into fixed-size global
+# batches — at 100 TB the shuffle must be a sort by a content-
+# derived key, never an RNG whose state depends on partitioning):
+# epoch e orders docs by the 40-bit md5 of "e:doc_id" (doc_id
+# tiebreak — total order), the global batch index is
+# floor((rank−1)/64) with the rank from the two-pass distributed
+# prefix sum (bucket = hash >> 32 — monotone in the order key by
+# construction; NO global single-task window), and each (epoch,
+# batch) is graded by size, its FIRST document (min_by rank — the
+# deterministic-replay anchor: a resumed job must re-materialize
+# batch b identically), and the order-independent bit_xor content
+# digest. Cross-epoch decorrelation is graded too: n_same_batch =
+# docs landing in the SAME batch index in both epochs (≈ uniform
+# collision mass — reshuffling actually reshuffles). Scale: one
+# hash projection + prefix-sum rank per epoch; batch stats are a
+# per-(epoch, batch) agg; nothing is ever collected.
+# ---------------------------------------------------------------------------
+
+_Q313_EPOCHS = [0, 1]
+_Q313_BATCH = 64
+
+
+def q313_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_data_pipeline_spark.operators.curation import distributed_prefix_sum
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    frames = []
+    for e in _Q313_EPOCHS:
+        key = F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{e}:"), F.col("doc_id").cast("string"))),
+                1,
+                10,
+            ),
+            16,
+            10,
+        ).cast("long")
+        keyed = (
+            docs.withColumn("k", key)
+            .withColumn("_kb", F.shiftright(F.col("k"), 32))
+            .withColumn("_one", F.lit(1).cast("long"))
+        )
+        ranked = distributed_prefix_sum(
+            keyed, "_kb", ["k", "doc_id"], "_one", out_col="rank"
+        )
+        frames.append(
+            ranked.select(
+                F.lit(e).cast("long").alias("epoch"),
+                "doc_id",
+                F.floor((F.col("rank") - 1) / F.lit(float(_Q313_BATCH)))
+                .cast("long")
+                .alias("batch"),
+                "rank",
+            )
+        )
+    both = frames[0].unionByName(frames[1])
+    dg = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    stats = (
+        both.withColumn("dg", dg)
+        .groupBy("epoch", "batch")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min_by("doc_id", "rank").cast("long").alias("first_doc"),
+            F.bit_xor("dg").cast("long").alias("content_xor"),
+        )
+    )
+    e0 = frames[0].select("doc_id", F.col("batch").alias("b0"))
+    e1 = frames[1].select("doc_id", F.col("batch").alias("b1"))
+    same = (
+        e0.join(e1, "doc_id")
+        .agg(
+            F.sum((F.col("b0") == F.col("b1")).cast("int"))
+            .cast("long")
+            .alias("n_same_batch")
+        )
+        .withColumn("_j", F.lit(1))
+    )
+    return (
+        stats.withColumn("_j", F.lit(1))
+        .join(F.broadcast(same), "_j")
+        .select(
+            "epoch", "batch", "n_docs", "first_doc", "content_xor", "n_same_batch"
+        )
+        .orderBy("epoch", "batch")
+    )
+
+
+QUERIES["q313_epoch_shuffle"] = q313_epoch_shuffle
+
+
+def _q313_oracle() -> str:
+    blocks = []
+    for e in _Q313_EPOCHS:
+        blocks.append(f"""
+        SELECT {e} AS epoch, doc_id,
+               CAST(floor((rn - 1) / {_Q313_BATCH}.0) AS BIGINT) AS batch, rn
+        FROM (
+            SELECT doc_id,
+                   ROW_NUMBER() OVER (
+                       ORDER BY (('0x' || substr(md5('{e}:' || doc_id), 1, 10))::BIGINT),
+                                doc_id) AS rn
+            FROM documents)
+        """)
+    body = " UNION ALL ".join(blocks)
+    return f"""
+    WITH ep AS MATERIALIZED ({body}),
+    same AS (
+        SELECT CAST(SUM(CASE WHEN a.batch = b.batch THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_same_batch
+        FROM ep a JOIN ep b
+          ON a.doc_id = b.doc_id AND a.epoch = 0 AND b.epoch = 1
+    )
+    SELECT CAST(epoch AS BIGINT) AS epoch, batch,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(arg_min(doc_id, rn) AS BIGINT) AS first_doc,
+           CAST(bit_xor((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT))
+                AS BIGINT) AS content_xor,
+           s.n_same_batch
+    FROM ep CROSS JOIN same s
+    GROUP BY epoch, batch, s.n_same_batch
+    ORDER BY epoch, batch
+    """
+
+
+ORACLE["q313_epoch_shuffle"] = _q313_oracle()

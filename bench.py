@@ -283,6 +283,7 @@ HEADLINE = [
     "q310_incremental_manifest",
     "q311_nprobe_escalation",
     "q312_snapshot_time_travel",
+    "q313_epoch_shuffle",
 ]
 
 

@@ -179,6 +179,7 @@ PROBE = [
     "q310_incremental_manifest",        # range-shard append + touched-shards-only manifest refresh
     "q311_nprobe_escalation",           # probe-ladder pool counts + chosen-rung top-1
     "q312_snapshot_time_travel",        # COW manifests: v1/v2 pinned reads + shared-file audit
+    "q313_epoch_shuffle",               # hash-order epoch permutation + prefix-sum batch slicing
 ]
 
 
