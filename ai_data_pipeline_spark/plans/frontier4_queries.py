@@ -663,10 +663,14 @@ _Q302_RR_SCALED = {1: 2520, 2: 1260, 3: 840, 4: 630, 5: 504,
                    6: 420, 7: 360, 8: 315, 9: 280, 10: 252}
 
 
-def _q302_metrics(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
+def _q302_metrics(spark: SparkSession, sf_dir: str, nprobe: int,
+                  bf: DataFrame | None = None,
+                  corpus: DataFrame | None = None) -> DataFrame:
     """Per-query (qid, n_common, truth_rank, concordant, discordant)
     for the IVF search at ``nprobe`` vs brute-force truth — q285's
-    metric frame, parameterized by operating point."""
+    metric frame, parameterized by operating point. ``bf`` and
+    ``corpus`` are nprobe-independent — the gate computes them once
+    (localCheckpointed) and shares them across operating points."""
     from ai_data_pipeline_spark.operators import similarity
     from ai_data_pipeline_spark.operators.vectorized import (
         cosine_topk_np,
@@ -677,10 +681,12 @@ def _q302_metrics(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     queries = similarity.queries_df(spark, Q27_QUERY_VECS)
-    bf = cosine_topk_np(emb, queries, k=_Q302_K).select(
-        "qid", "vec_id", F.col("rk").cast("long").alias("rk_bf")
-    )
-    corpus = ivf_assign_np(emb, Q28_CENTROIDS)
+    if bf is None:
+        bf = cosine_topk_np(emb, queries, k=_Q302_K).select(
+            "qid", "vec_id", F.col("rk").cast("long").alias("rk_bf")
+        )
+    if corpus is None:
+        corpus = ivf_assign_np(emb, Q28_CENTROIDS)
     ann = ivf_search_cosine_np(
         corpus, queries, Q28_CENTROIDS, k=_Q302_K, nprobe=nprobe
     ).select("qid", "vec_id", F.col("rk").cast("long").alias("rk_ann"))
@@ -736,9 +742,29 @@ def q302_retrieval_release_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r, contrib in sorted(_Q302_RR_SCALED.items()):
         rr = F.when(F.col("truth_rank") == r, F.lit(contrib).cast("long")).otherwise(rr)
 
+    from ai_data_pipeline_spark.operators import similarity
+    from ai_data_pipeline_spark.operators.vectorized import (
+        cosine_topk_np,
+        ivf_assign_np,
+    )
+    from ai_data_pipeline_spark.plans.constants import Q27_QUERY_VECS, Q28_CENTROIDS
+
+    # the nprobe-INDEPENDENT inputs (brute-force truth + cell
+    # assignment) computed once and pinned — both operating points
+    # consume them (the multi-consumer rule; bf is k×|queries| rows,
+    # corpus is the assigned table the ANN kernel scans).
+    emb = _t(spark, sf_dir, "embeddings")
+    qdf = similarity.queries_df(spark, Q27_QUERY_VECS)
+    bf = (
+        cosine_topk_np(emb, qdf, k=_Q302_K)
+        .select("qid", "vec_id", F.col("rk").cast("long").alias("rk_bf"))
+        .localCheckpoint()
+    )
+    corpus = ivf_assign_np(emb, Q28_CENTROIDS).localCheckpoint()
+
     frames = []
     for nprobe in _Q302_NPROBES:
-        m = _q302_metrics(spark, sf_dir, nprobe)
+        m = _q302_metrics(spark, sf_dir, nprobe, bf=bf, corpus=corpus)
         agg = m.agg(
             F.count(F.lit(1)).cast("long").alias("n_queries"),
             F.sum("n_common").cast("long").alias("recall_num"),
