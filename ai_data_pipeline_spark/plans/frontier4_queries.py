@@ -2921,3 +2921,267 @@ def _q313_oracle() -> str:
 
 
 ORACLE["q313_epoch_shuffle"] = _q313_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Q314 — cross-artifact ERASURE audit (GDPR right-to-be-forgotten
+# at the SYSTEM level: a deletion request must land consistently in
+# EVERY derived artifact — the vector store (q293's path), the
+# inverted index (q294's), and the release export (q307/q310's) —
+# and each artifact must prove it with a digest; auditing one store
+# at a time is how production systems leak deleted data through a
+# forgotten index): the delete set D = docs with md5-40(doc_id)
+# mod 53 = 0 (~2%, the q228 uniform idiom). Each artifact is built
+# partitioned (cell / token / doc_id-range shard), then D is erased
+# via dynamic partition overwrite of ONLY the partitions holding D
+# rows (each affected-partition list is a count-gated collect
+# bounded by that store's partition geometry; every rewrite frame
+# localCheckpointed — the overwrite-lineage rule). Graded one row
+# per artifact from the READ-BACK: rows after, bit_xor content
+# digest (vec ids / doc:pos postings / doc ids — each ≡ the
+# oracle's recompute-without-D, so a single surviving deleted row
+# flips the hash), partitions total vs rewritten. Scale: each
+# rewrite shuffles only affected partitions' surviving rows; the
+# three audits are partition-pruned digest reads.
+# ---------------------------------------------------------------------------
+
+_Q314_MOD = 53
+
+
+def q314_cross_store_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ai_data_pipeline_spark.functions.text import ws_tokens
+    from ai_data_pipeline_spark.operators.vectorized import ivf_assign_np
+    from ai_data_pipeline_spark.plans.constants import Q28_CENTROIDS
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    u40 = lambda c: F.conv(  # noqa: E731
+        F.substring(F.md5(c.cast("string")), 1, 10), 16, 10
+    ).cast("long")
+    is_del = lambda c: F.pmod(u40(c), F.lit(_Q314_MOD)) == 0  # noqa: E731
+
+    tmp = tempfile.mkdtemp(prefix="q314_")
+    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    results = []
+    try:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+        def erase(store_df, pcol, digest_col):
+            """Partition-pruned erasure + read-back audit over one
+            artifact; returns (n_rows, xor, n_parts, n_rewritten)."""
+            flagged = (
+                store_df.groupBy(pcol)
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum(F.col("_del").cast("int")).alias("nd"),
+                )
+                .localCheckpoint()  # counted files get overwritten below
+            )
+            affected = sorted(
+                r[pcol]
+                for r in flagged.filter(F.col("nd") > 0).collect()
+                # bounded by the store's partition geometry
+            )
+            return flagged, affected
+
+        # ---- artifact 1: cell-partitioned vector store.
+        vpath = tmp + "/vectors"
+        vec = ivf_assign_np(emb, Q28_CENTROIDS).select(
+            "vec_id", "embedding", F.col("cell").cast("int").alias("cell")
+        )
+        vec.repartition("cell").write.mode("overwrite").partitionBy(
+            "cell"
+        ).parquet(vpath)
+        vstore = spark.read.parquet(vpath).withColumn("_del", is_del(F.col("vec_id")))
+        vflag, vaff = erase(vstore, "cell", "vec_id")
+        vkeep = (
+            vstore.filter(F.col("cell").cast("int").isin([int(a) for a in vaff]))
+            .filter(~F.col("_del"))
+            .select("vec_id", "embedding", "cell")
+            .localCheckpoint()
+        )
+        vkeep.repartition("cell").write.mode("overwrite").partitionBy(
+            "cell"
+        ).parquet(vpath)
+        vback = spark.read.parquet(vpath)
+        vrow = vback.agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.bit_xor(
+                F.conv(
+                    F.substring(F.md5(F.col("vec_id").cast("string")), 1, 15), 16, 10
+                ).cast("long")
+            ).cast("long").alias("content_xor"),
+        ).collect()[0]  # 1 row
+        results.append(
+            ("vector_store", int(vrow["n_rows"]), int(vrow["content_xor"]),
+             vflag.count(), len(vaff))
+        )
+
+        # ---- artifact 2: token-partitioned postings (probe tokens).
+        ppath = tmp + "/postings"
+        needed = sorted(_Q301_TOKENS)
+        postings = docs.select(
+            "doc_id", F.posexplode(ws_tokens(F.col("text"))).alias("pos", "token")
+        ).filter(F.col("token").isin(needed))
+        postings.repartition("token").write.mode("overwrite").partitionBy(
+            "token"
+        ).parquet(ppath)
+        pstore = spark.read.parquet(ppath).withColumn("_del", is_del(F.col("doc_id")))
+        pflag, paff = erase(pstore, "token", None)
+        pkeep = (
+            pstore.filter(F.col("token").isin([str(a) for a in paff]))
+            .filter(~F.col("_del"))
+            .select("doc_id", "pos", "token")
+            .localCheckpoint()
+        )
+        pkeep.repartition("token").write.mode("overwrite").partitionBy(
+            "token"
+        ).parquet(ppath)
+        pback = spark.read.parquet(ppath)
+        prow = pback.agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.bit_xor(
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.col("doc_id").cast("string"),
+                                F.lit(":"),
+                                F.col("pos").cast("string"),
+                            )
+                        ),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+            ).cast("long").alias("content_xor"),
+        ).collect()[0]  # 1 row
+        results.append(
+            ("postings", int(prow["n_rows"]), int(prow["content_xor"]),
+             pflag.count(), len(paff))
+        )
+
+        # ---- artifact 3: range-sharded release export.
+        epath = tmp + "/export"
+        rel = docs.select(
+            "doc_id",
+            "text",
+            F.floor(F.col("doc_id") / F.lit(64.0)).cast("int").alias("shard"),
+        )
+        rel.repartition("shard").write.mode("overwrite").partitionBy(
+            "shard"
+        ).parquet(epath)
+        estore = spark.read.parquet(epath).withColumn("_del", is_del(F.col("doc_id")))
+        eflag, eaff = erase(estore, "shard", None)
+        ekeep = (
+            estore.filter(F.col("shard").cast("int").isin([int(a) for a in eaff]))
+            .filter(~F.col("_del"))
+            .select("doc_id", "text", "shard")
+            .localCheckpoint()
+        )
+        ekeep.repartition("shard").write.mode("overwrite").partitionBy(
+            "shard"
+        ).parquet(epath)
+        eback = spark.read.parquet(epath)
+        erow = eback.agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.bit_xor(
+                F.conv(
+                    F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+                ).cast("long")
+            ).cast("long").alias("content_xor"),
+        ).collect()[0]  # 1 row
+        results.append(
+            ("release_export", int(erow["n_rows"]), int(erow["content_xor"]),
+             eflag.count(), len(eaff))
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        results,
+        "artifact string, n_rows long, content_xor long, "
+        "n_partitions long, n_rewritten long",
+    ).orderBy("artifact")
+
+
+QUERIES["q314_cross_store_erasure"] = q314_cross_store_erasure
+
+
+# Oracle: each artifact's post-erasure state recomputed WITHOUT the
+# delete set straight off the base tables; partition counts from
+# the same assignments.
+def _q314_oracle() -> str:
+    from ai_data_pipeline_spark.functions.text import sql_word_ngrams
+    from ai_data_pipeline_spark.functions.vector import (
+        sql_lit_list,
+        sql_squared_l2,
+    )
+    from ai_data_pipeline_spark.plans.constants import EMBED_DIM, Q28_CENTROIDS
+
+    cells = ", ".join(
+        f"struct_pack(d := {sql_squared_l2('embedding', sql_lit_list(c), EMBED_DIM)}, c := {ci})"
+        for ci, c in enumerate(Q28_CENTROIDS)
+    )
+    toks = sql_word_ngrams("text", 1)
+    lits = ", ".join(f"'{w}'" for w in sorted(_Q301_TOKENS))
+    isdel = (
+        "((('0x' || substr(md5(CAST({c} AS VARCHAR)), 1, 10))::BIGINT)"
+        f" % {_Q314_MOD} = 0)"
+    )
+    return f"""
+    WITH vec AS MATERIALIZED (
+        SELECT vec_id,
+               struct_extract((list_sort([{cells}]))[1], 'c') AS cell,
+               {isdel.format(c='vec_id')} AS is_del
+        FROM embeddings
+    ), post AS MATERIALIZED (
+        SELECT doc_id, u.pos - 1 AS pos, u.token,
+               {isdel.format(c='doc_id')} AS is_del
+        FROM documents,
+             LATERAL (SELECT unnest({toks}) AS token,
+                             generate_subscripts({toks}, 1) AS pos) u
+        WHERE u.token IN ({lits})
+    ), rel AS MATERIALIZED (
+        SELECT doc_id, CAST(floor(doc_id / 64.0) AS BIGINT) AS shard,
+               {isdel.format(c='doc_id')} AS is_del
+        FROM documents
+    )
+    SELECT * FROM (
+        SELECT 'vector_store' AS artifact,
+               CAST(COUNT(CASE WHEN NOT is_del THEN 1 END) AS BIGINT) AS n_rows,
+               CAST(bit_xor(CASE WHEN NOT is_del THEN
+                    (('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT)
+                    END) AS BIGINT) AS content_xor,
+               CAST(COUNT(DISTINCT cell) AS BIGINT) AS n_partitions,
+               CAST(COUNT(DISTINCT CASE WHEN is_del THEN cell END) AS BIGINT)
+                   AS n_rewritten
+        FROM vec
+        UNION ALL
+        SELECT 'postings',
+               CAST(COUNT(CASE WHEN NOT is_del THEN 1 END) AS BIGINT),
+               CAST(bit_xor(CASE WHEN NOT is_del THEN
+                    (('0x' || substr(md5(doc_id || ':' || pos), 1, 15))::BIGINT)
+                    END) AS BIGINT),
+               CAST(COUNT(DISTINCT token) AS BIGINT),
+               CAST(COUNT(DISTINCT CASE WHEN is_del THEN token END) AS BIGINT)
+        FROM post
+        UNION ALL
+        SELECT 'release_export',
+               CAST(COUNT(CASE WHEN NOT is_del THEN 1 END) AS BIGINT),
+               CAST(bit_xor(CASE WHEN NOT is_del THEN
+                    (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT)
+                    END) AS BIGINT),
+               CAST(COUNT(DISTINCT shard) AS BIGINT),
+               CAST(COUNT(DISTINCT CASE WHEN is_del THEN shard END) AS BIGINT)
+        FROM rel)
+    ORDER BY artifact
+    """
+
+
+ORACLE["q314_cross_store_erasure"] = _q314_oracle()

@@ -284,6 +284,7 @@ HEADLINE = [
     "q311_nprobe_escalation",
     "q312_snapshot_time_travel",
     "q313_epoch_shuffle",
+    "q314_cross_store_erasure",
 ]
 
 

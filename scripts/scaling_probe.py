@@ -180,6 +180,7 @@ PROBE = [
     "q311_nprobe_escalation",           # probe-ladder pool counts + chosen-rung top-1
     "q312_snapshot_time_travel",        # COW manifests: v1/v2 pinned reads + shared-file audit
     "q313_epoch_shuffle",               # hash-order epoch permutation + prefix-sum batch slicing
+    "q314_cross_store_erasure",         # one delete set erased from 3 partitioned artifacts + digests
 ]
 
 
