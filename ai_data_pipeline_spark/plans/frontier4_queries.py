@@ -2969,9 +2969,10 @@ def q314_cross_store_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
-        def erase(store_df, pcol, digest_col):
-            """Partition-pruned erasure + read-back audit over one
-            artifact; returns (n_rows, xor, n_parts, n_rewritten)."""
+        def erase(store_df, pcol):
+            """Planner for one artifact: per-partition row/delete
+            counts (pinned — the rewrite overwrites the counted
+            files) + the affected-partition list."""
             flagged = (
                 store_df.groupBy(pcol)
                 .agg(
@@ -2996,7 +2997,7 @@ def q314_cross_store_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cell"
         ).parquet(vpath)
         vstore = spark.read.parquet(vpath).withColumn("_del", is_del(F.col("vec_id")))
-        vflag, vaff = erase(vstore, "cell", "vec_id")
+        vflag, vaff = erase(vstore, "cell")
         vkeep = (
             vstore.filter(F.col("cell").cast("int").isin([int(a) for a in vaff]))
             .filter(~F.col("_del"))
@@ -3030,7 +3031,7 @@ def q314_cross_store_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
             "token"
         ).parquet(ppath)
         pstore = spark.read.parquet(ppath).withColumn("_del", is_del(F.col("doc_id")))
-        pflag, paff = erase(pstore, "token", None)
+        pflag, paff = erase(pstore, "token")
         pkeep = (
             pstore.filter(F.col("token").isin([str(a) for a in paff]))
             .filter(~F.col("_del"))
@@ -3077,7 +3078,7 @@ def q314_cross_store_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
             "shard"
         ).parquet(epath)
         estore = spark.read.parquet(epath).withColumn("_del", is_del(F.col("doc_id")))
-        eflag, eaff = erase(estore, "shard", None)
+        eflag, eaff = erase(estore, "shard")
         ekeep = (
             estore.filter(F.col("shard").cast("int").isin([int(a) for a in eaff]))
             .filter(~F.col("_del"))
