@@ -3186,3 +3186,221 @@ def _q314_oracle() -> str:
 
 
 ORACLE["q314_cross_store_erasure"] = _q314_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Q315 — STREAMING export appends with incremental manifest refresh
+# (q310's maintenance AT INGEST — the streaming half of the export
+# lifecycle, in q297's foreachBatch transactional-sink shape): the
+# release arrives as a base load + three delta files replayed one
+# micro-batch each (maxFilesPerTrigger=1; the feed is written by
+# Spark itself — no driver-side data collects anywhere in this
+# row). Deltas are RANGE-LOCAL — the population is the last two
+# doc_id range-widths, dealt into three arrival batches by the md5
+# uniform (log-structured appends arrive in id order; that
+# range-locality, not hope, is what makes the manifest refresh
+# PRUNED — a delta spread uniformly over doc_id would touch every
+# shard and re-digest the whole store, q310's lesson). Each batch
+# appends its rows to the range-sharded store
+# (one file per touched shard per batch — the q250 invariant) and
+# refreshes the manifest: touched shards re-digested from a
+# PARTITION-PRUNED store read (literal isin — the per-batch touched
+# list is a count-gated collect bounded by |shards|), untouched
+# rows carried forward from the PREVIOUS manifest version, and the
+# result written to a NEW manifest version directory (q312's COW
+# versioning — a manifest is immutable once written; readers pin a
+# version). Graded: the FINAL manifest version read back ≡ the
+# oracle's full recompute (per-shard rows / min-max / bit_xor
+# digest), plus n_files (base file + one per touching delta — real
+# file counts from input_file_name) and n_updates (micro-batches
+# that touched the shard). Stream-of-appends ≡ one-shot export by
+# design — the same full-oracle posture as q297. Scale: each batch
+# shuffles |delta| rows and re-digests only touched shard
+# directories; manifests are metadata-sized.
+# ---------------------------------------------------------------------------
+
+_Q315_WIDTH = 64
+_Q315_MOD = 7
+_Q315_NDELTAS = 3
+
+
+def q315_streaming_export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+    import shutil
+    import tempfile
+
+    docs = _t(spark, sf_dir, "documents")
+    u40 = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 10), 16, 10
+    ).cast("long")
+    shard_of = F.floor(F.col("doc_id") / F.lit(float(_Q315_WIDTH))).cast("int")
+    maxid = docs.agg(F.max("doc_id").alias("m")).withColumn("_j", F.lit(1))
+    rel = (
+        docs.withColumn("_j", F.lit(1))
+        .join(F.broadcast(maxid), "_j")
+        .select(
+            "doc_id",
+            "text",
+            shard_of.alias("shard"),
+            # range-local delta population: the last two range
+            # widths of ids; arrival batch = md5 uniform within it.
+            F.when(
+                F.col("doc_id") > F.col("m") - 2 * _Q315_WIDTH,
+                F.pmod(u40, F.lit(_Q315_NDELTAS)),
+            )
+            .otherwise(F.lit(-1))
+            .alias("slot"),
+        )
+    )
+
+    tmp = tempfile.mkdtemp(prefix="q315_")
+    path = tmp + "/export_by_shard"
+    feed = tmp + "/delta_feed"
+    ckpt = tmp + "/ckpt"
+    _os.makedirs(feed)
+    mdirs = [tmp + f"/manifest_v{v}" for v in range(_Q315_NDELTAS + 1)]
+    mver = 0
+
+    dg = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+
+    def digest(frame, n_updates_col):
+        return (
+            frame.select(
+                F.col("shard").cast("long").alias("shard"),
+                "doc_id",
+                dg.alias("dg"),
+                F.input_file_name().alias("f"),
+            )
+            .groupBy("shard")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.min("doc_id").cast("long").alias("min_doc_id"),
+                F.max("doc_id").cast("long").alias("max_doc_id"),
+                F.bit_xor("dg").cast("long").alias("content_xor"),
+                F.count_distinct("f").cast("long").alias("n_files"),
+            )
+            .withColumn("n_updates", n_updates_col)
+        )
+
+    try:
+        base = rel.filter(F.col("slot") < 0)
+        base.select("doc_id", "text", "shard").repartition("shard").write.mode(
+            "overwrite"
+        ).partitionBy("shard").parquet(path)
+        digest(
+            spark.read.parquet(path), F.lit(0).cast("long")
+        ).write.mode("overwrite").parquet(mdirs[0])
+
+        # the delta feed, written BY SPARK one file per delta (no
+        # driver-side data collect; coalesce(1) → exactly one part
+        # file per append job, replayed one micro-batch each).
+        for b in range(_Q315_NDELTAS):
+            (
+                rel.filter(F.col("slot") == b)
+                .select("doc_id", "text")
+                .coalesce(1)
+                .write.mode("append")
+                .parquet(feed)
+            )
+
+        def apply_batch(batch_df, epoch_id):
+            nonlocal mver
+            batch = batch_df.withColumn("shard", shard_of)
+            touched = sorted(
+                int(r["shard"])
+                for r in batch.select("shard").distinct().collect()
+                # bounded by |shards| (range geometry) by construction
+            )
+            if not touched:
+                return
+            batch.repartition("shard").write.mode("append").partitionBy(
+                "shard"
+            ).parquet(path)
+            prev = spark.read.parquet(mdirs[mver])
+            refreshed = digest(
+                spark.read.parquet(path).filter(
+                    F.col("shard").cast("int").isin(touched)
+                ),
+                F.lit(0).cast("long"),  # placeholder, replaced below
+            ).drop("n_updates")
+            prev_upd = prev.select(
+                "shard", F.col("n_updates").alias("prev_upd")
+            )
+            refreshed = (
+                refreshed.join(prev_upd, "shard", "left")
+                .withColumn(
+                    "n_updates", F.coalesce(F.col("prev_upd"), F.lit(0)) + 1
+                )
+                .drop("prev_upd")
+            )
+            merged = (
+                prev.filter(~F.col("shard").isin([int(t) for t in touched]))
+                .unionByName(refreshed)
+            )
+            merged.write.mode("overwrite").parquet(mdirs[mver + 1])
+            mver += 1
+
+        q = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed)
+            .writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+        out = (
+            spark.read.parquet(mdirs[mver])
+            .select(
+                "shard", "n_rows", "min_doc_id", "max_doc_id",
+                "content_xor", "n_files",
+                F.col("n_updates").cast("long").alias("n_updates"),
+            )
+            .orderBy("shard")
+            .collect()  # |shards| rows, before temp-dir cleanup
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        out,
+        "shard long, n_rows long, min_doc_id long, max_doc_id long, "
+        "content_xor long, n_files long, n_updates long",
+    ).orderBy("shard")
+
+
+QUERIES["q315_streaming_export_manifest"] = q315_streaming_export_manifest
+
+
+# Oracle: the full per-shard recompute (stream-of-appends ≡ one-shot
+# export); delta population = the last two range widths of ids,
+# arrival batch = md5 mod 3 within it; n_files = base file (iff the
+# shard has base rows) + one per arrival batch present; n_updates =
+# arrival batches present.
+ORACLE["q315_streaming_export_manifest"] = f"""
+    WITH rel AS MATERIALIZED (
+        SELECT doc_id,
+               CAST(floor(doc_id / {_Q315_WIDTH}.0) AS BIGINT) AS shard,
+               CASE WHEN doc_id > (SELECT MAX(doc_id) FROM documents)
+                                  - {2 * _Q315_WIDTH}
+                    THEN (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 10))::BIGINT)
+                         % {_Q315_NDELTAS}
+                    ELSE -1 END AS slot
+        FROM documents
+    )
+    SELECT shard,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc_id,
+           CAST(MAX(doc_id) AS BIGINT) AS max_doc_id,
+           CAST(bit_xor((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT))
+                AS BIGINT) AS content_xor,
+           CAST(COUNT(DISTINCT slot) AS BIGINT) AS n_files,
+           CAST(COUNT(DISTINCT CASE WHEN slot >= 0 THEN slot END) AS BIGINT)
+               AS n_updates
+    FROM rel
+    GROUP BY shard
+    ORDER BY shard
+"""

@@ -285,6 +285,7 @@ HEADLINE = [
     "q312_snapshot_time_travel",
     "q313_epoch_shuffle",
     "q314_cross_store_erasure",
+    "q315_streaming_export_manifest",
 ]
 
 

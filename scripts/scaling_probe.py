@@ -181,6 +181,7 @@ PROBE = [
     "q312_snapshot_time_travel",        # COW manifests: v1/v2 pinned reads + shared-file audit
     "q313_epoch_shuffle",               # hash-order epoch permutation + prefix-sum batch slicing
     "q314_cross_store_erasure",         # one delete set erased from 3 partitioned artifacts + digests
+    "q315_streaming_export_manifest",   # foreachBatch appends + per-batch pruned manifest refresh
 ]
 
 
