@@ -3404,3 +3404,204 @@ ORACLE["q315_streaming_export_manifest"] = f"""
     GROUP BY shard
     ORDER BY shard
 """
+
+
+# ---------------------------------------------------------------------------
+# Q316 — snapshot RETENTION / reference-counted GC (the round-13
+# queue item, composing q308's selective compaction with q312's COW
+# manifests — the last piece of the storage lifecycle: COW snapshots
+# accumulate files forever unless an expiry policy deletes them, and
+# a correct GC deletes ONLY files referenced by NO live snapshot —
+# deleting by age instead of by reference is how table-format
+# deployments corrupt live readers): the store is fragmented with
+# q308's deterministic skew (base everywhere, delta-1 cells ≤ 3,
+# delta-2 cells ≤ 1 → 3/2/1 files per cell); snapshot v1 = all
+# files. Compaction then runs COPY-ON-WRITE: flagged cells (≥ 2
+# files) are rewritten as NEW files APPENDED to the directory — v1's
+# files are never touched — and snapshot v2's manifest = v1's
+# untouched-cell files ∪ the new compacted files. Retention expires
+# v1; GC deletes exactly (v1 − v2) — the flagged cells' original
+# fragments — and must leave every shared file (untouched cells)
+# alive. Graded per cell from the POST-GC v2-pinned read: rows,
+# bit_xor content digest (≡ recompute — GC lost nothing), files in
+# v1/v2, files GC'd; the cold cells' rows show files_v1 = files_v2
+# and gc_deleted = 0 (the reference-counting property). Manifests
+# are ≤ |cells|·3 file paths (count-gated collects; the catalog's
+# job at 100 TB); the GC unlink loop is driver-side FILE PLUMBING
+# over that bounded list, not data work. Scale: compaction shuffles
+# only flagged cells' rows; GC touches no data bytes at all.
+# ---------------------------------------------------------------------------
+
+_Q316_GENS = 3
+_Q316_MINFILES = 2
+_Q316_D1_MAXCELL = 3
+_Q316_D2_MAXCELL = 1
+
+
+def q316_snapshot_gc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+    import shutil
+    import tempfile
+
+    from ai_data_pipeline_spark.operators.vectorized import ivf_assign_np
+    from ai_data_pipeline_spark.plans.constants import Q28_CENTROIDS
+
+    emb = _t(spark, sf_dir, "embeddings")
+    u40 = F.conv(
+        F.substring(F.md5(F.col("vec_id").cast("string")), 1, 10), 16, 10
+    ).cast("long")
+    corpus = ivf_assign_np(emb, Q28_CENTROIDS).select(
+        "vec_id", "embedding", F.col("cell").cast("int").alias("cell"),
+        F.pmod(u40, F.lit(_Q316_GENS)).alias("gen"),
+    )
+    d1 = (F.col("gen") == 1) & (F.col("cell") <= _Q316_D1_MAXCELL)
+    d2 = (F.col("gen") == 2) & (F.col("cell") <= _Q316_D2_MAXCELL)
+
+    tmp = tempfile.mkdtemp(prefix="q316_")
+    path = tmp + "/store"
+    try:
+        for mode, cond in (
+            ("overwrite", ~d1 & ~d2),
+            ("append", d1),
+            ("append", d2),
+        ):
+            (
+                corpus.filter(cond)
+                .select("vec_id", "embedding", "cell")
+                .repartition("cell")
+                .write.mode(mode)
+                .partitionBy("cell")
+                .parquet(path)
+            )
+
+        def file_cells(files_df):
+            rows = files_df.select(
+                "cell", F.input_file_name().alias("f")
+            ).distinct().collect()  # ≤ |cells|·gens — count-gated
+            return {(int(r["cell"]), r["f"]) for r in rows}
+
+        v1 = file_cells(spark.read.parquet(path))
+        per_cell_files: dict = {}
+        for c, f in v1:
+            per_cell_files.setdefault(c, set()).add(f)
+        flagged = sorted(
+            c for c, fs in per_cell_files.items() if len(fs) >= _Q316_MINFILES
+        )
+
+        # COW compaction: flagged cells rewritten as NEW files
+        # APPENDED — v1's files untouched (no dynamic overwrite, no
+        # checkpoint needed: nothing this lineage reads is deleted).
+        hot = (
+            spark.read.parquet(path)
+            .filter(F.col("cell").cast("int").isin([int(c) for c in flagged]))
+            .select("vec_id", "embedding", "cell")
+        )
+        hot.repartition("cell").write.mode("append").partitionBy(
+            "cell"
+        ).parquet(path)
+        allf = file_cells(spark.read.parquet(path))
+        new_files = allf - v1  # the compacted files
+        # v2 = untouched cells' v1 files ∪ the new compacted files
+        v2 = {(c, f) for (c, f) in v1 if c not in flagged} | new_files
+
+        # retention expires v1; GC deletes exactly v1 − v2 (file
+        # plumbing over the bounded manifest diff).
+        to_delete = v1 - v2
+        for _c, f in sorted(to_delete):
+            _os.remove(f.replace("file://", "").replace("file:", ""))
+
+        # post-GC v2-pinned read: content must be fully intact.
+        v2_paths = sorted(f for _c, f in v2)
+        snap = spark.read.option("basePath", path).parquet(*v2_paths)
+        dg = F.conv(
+            F.substring(F.md5(F.col("vec_id").cast("string")), 1, 15), 16, 10
+        ).cast("long")
+        per_cell = {
+            int(r["cell"]): r
+            for r in snap.select(
+                F.col("cell").cast("long").alias("cell"), "vec_id", dg.alias("dg")
+            )
+            .groupBy("cell")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.bit_xor("dg").cast("long").alias("content_xor"),
+            )
+            .collect()  # |cells| rows, before temp-dir cleanup
+        }
+        v2_by_cell: dict = {}
+        for c, f in v2:
+            v2_by_cell.setdefault(c, set()).add(f)
+        del_by_cell: dict = {}
+        for c, f in to_delete:
+            del_by_cell.setdefault(c, set()).add(f)
+        out = [
+            (
+                int(c),
+                int(per_cell[c]["n_rows"]),
+                int(per_cell[c]["content_xor"]),
+                len(per_cell_files[c]),
+                len(v2_by_cell[c]),
+                len(del_by_cell.get(c, ())),
+            )
+            for c in sorted(per_cell_files)
+        ]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        out,
+        "cell long, n_rows long, content_xor long, files_v1 long, "
+        "files_v2 long, gc_deleted long",
+    ).orderBy("cell")
+
+
+QUERIES["q316_snapshot_gc"] = q316_snapshot_gc
+
+
+# Oracle: per-cell digests off `embeddings` (GC must lose nothing);
+# file arithmetic from the q308 skew — files_v1 = slots present
+# (base/d1/d2), flagged ⇔ ≥ 2 ⇒ files_v2 = 1 and gc_deleted =
+# files_v1, else files_v2 = files_v1 and gc_deleted = 0.
+def _q316_oracle() -> str:
+    from ai_data_pipeline_spark.functions.vector import (
+        sql_lit_list,
+        sql_squared_l2,
+    )
+    from ai_data_pipeline_spark.plans.constants import EMBED_DIM, Q28_CENTROIDS
+
+    cells = ", ".join(
+        f"struct_pack(d := {sql_squared_l2('embedding', sql_lit_list(c), EMBED_DIM)}, c := {ci})"
+        for ci, c in enumerate(Q28_CENTROIDS)
+    )
+    return f"""
+    WITH flags AS MATERIALIZED (
+        SELECT vec_id,
+               (('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 10))::BIGINT)
+                   % {_Q316_GENS} AS gen,
+               struct_extract((list_sort([{cells}]))[1], 'c') AS cell
+        FROM embeddings
+    ), routed AS (
+        SELECT vec_id, cell,
+               CASE WHEN gen = 1 AND cell <= {_Q316_D1_MAXCELL} THEN 1
+                    WHEN gen = 2 AND cell <= {_Q316_D2_MAXCELL} THEN 2
+                    ELSE 0 END AS file_slot
+        FROM flags
+    ), percell AS (
+        SELECT CAST(cell AS BIGINT) AS cell,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(bit_xor((('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT))
+                    AS BIGINT) AS content_xor,
+               CAST(COUNT(DISTINCT file_slot) AS BIGINT) AS files_v1
+        FROM routed
+        GROUP BY cell
+    )
+    SELECT cell, n_rows, content_xor, files_v1,
+           CAST(CASE WHEN files_v1 >= {_Q316_MINFILES}
+                THEN 1 ELSE files_v1 END AS BIGINT) AS files_v2,
+           CAST(CASE WHEN files_v1 >= {_Q316_MINFILES}
+                THEN files_v1 ELSE 0 END AS BIGINT) AS gc_deleted
+    FROM percell
+    ORDER BY cell
+    """
+
+
+ORACLE["q316_snapshot_gc"] = _q316_oracle()

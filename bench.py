@@ -286,6 +286,7 @@ HEADLINE = [
     "q313_epoch_shuffle",
     "q314_cross_store_erasure",
     "q315_streaming_export_manifest",
+    "q316_snapshot_gc",
 ]
 
 

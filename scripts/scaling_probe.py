@@ -182,6 +182,7 @@ PROBE = [
     "q313_epoch_shuffle",               # hash-order epoch permutation + prefix-sum batch slicing
     "q314_cross_store_erasure",         # one delete set erased from 3 partitioned artifacts + digests
     "q315_streaming_export_manifest",   # foreachBatch appends + per-batch pruned manifest refresh
+    "q316_snapshot_gc",                 # COW compaction + reference-counted expiry GC + v2-pinned read
 ]
 
 

@@ -74,8 +74,8 @@ def test_declared_surface_does_not_shrink():
     a breakage in any one must fail THIS test loudly, never silently
     shrink the graded surface (review finding r03). Bump the floor
     when queries are added — never lower it."""
-    assert len(_QUERIES) >= 316
-    assert len(entrymod.oracle_sql()) >= 316
+    assert len(_QUERIES) >= 317
+    assert len(entrymod.oracle_sql()) >= 317
 
 
 def test_query_modules_do_not_collide():
