@@ -153,6 +153,12 @@ DRIVER_EVIDENCE = frozenset({
     "q291_video_frame_dedup", "q292_decontaminated_split", "q293_vector_store_delete",
     "q294_incremental_postings_merge", "q295_cross_modality_agreement", "q296_ranked_retrieval",
     "q297_streaming_tombstone_deletes", "q298_multimodal_funnel", "q299_vector_store_admission",
+    "q300_vector_store_compaction", "q301_full_postings_index", "q302_retrieval_release_gate",
+    "q303_dedup_precision_audit", "q304_filtered_vector_search", "q305_rrf_hybrid_retrieval",
+    "q306_postings_store_compaction", "q307_release_export_manifest", "q308_selective_compaction",
+    "q309_boolean_retrieval", "q310_incremental_manifest", "q311_nprobe_escalation",
+    "q312_snapshot_time_travel", "q313_epoch_shuffle", "q314_cross_store_erasure",
+    "q315_streaming_export_manifest", "q316_snapshot_gc",
 })
 
 # Backward-compatible alias (pre-r03 name).

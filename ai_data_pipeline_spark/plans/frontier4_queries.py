@@ -2668,7 +2668,23 @@ def q312_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
             .collect()
         )
         v2_files = all_files  # v1's list + the delta's files
-        assert set(v1_files) <= set(v2_files)
+        # COW verification (a real check, not an assert — survives
+        # python -O and fails loudly): every v1 file must still be
+        # on disk untouched after the append, and the delta must be
+        # exactly one new file per cell the batch touched (the
+        # append repartitions on "cell" before the partitioned
+        # write, so each touched cell gains ONE file — the q250
+        # rule). A rewrite-in-place or a tiny-file spray would both
+        # break this.
+        missing = set(v1_files) - set(all_files)
+        delta = set(all_files) - set(v1_files)
+        n_batch_cells = batch.select("cell").distinct().count()  # ≤ |centroids|
+        if missing or len(delta) != n_batch_cells:
+            raise RuntimeError(
+                f"q312: append was not copy-on-write: {len(missing)} v1 "
+                f"files vanished, {len(delta)} new files for "
+                f"{n_batch_cells} touched cells"
+            )
 
         queries = similarity.queries_df(spark, Q27_QUERY_VECS)
 
@@ -2964,15 +2980,20 @@ def q314_cross_store_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
     is_del = lambda c: F.pmod(u40(c), F.lit(_Q314_MOD)) == 0  # noqa: E731
 
     tmp = tempfile.mkdtemp(prefix="q314_")
-    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     results = []
     try:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
         def erase(store_df, pcol):
             """Planner for one artifact: per-partition row/delete
             counts (pinned — the rewrite overwrites the counted
-            files) + the affected-partition list."""
+            files) + the affected-partition list, split into
+            partitions with survivors (rewritten via dynamic
+            overwrite) and FULLY-EMPTIED partitions (every row
+            deleted — dynamic overwrite can't touch a partition
+            absent from the written frame, so their directories are
+            dropped explicitly, q293's documented drop-partition
+            step; without it a low-df token whose only docs are
+            deleted would survive erasure on disk)."""
             flagged = (
                 store_df.groupBy(pcol)
                 .agg(
@@ -2981,12 +3002,11 @@ def q314_cross_store_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
                 .localCheckpoint()  # counted files get overwritten below
             )
-            affected = sorted(
-                r[pcol]
-                for r in flagged.filter(F.col("nd") > 0).collect()
-                # bounded by the store's partition geometry
-            )
-            return flagged, affected
+            hit = flagged.filter(F.col("nd") > 0).collect()
+            # bounded by the store's partition geometry
+            affected = sorted(r[pcol] for r in hit)
+            emptied = sorted(r[pcol] for r in hit if r["nd"] == r["n"])
+            return flagged, affected, emptied
 
         # ---- artifact 1: cell-partitioned vector store.
         vpath = tmp + "/vectors"
@@ -2997,16 +3017,20 @@ def q314_cross_store_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cell"
         ).parquet(vpath)
         vstore = spark.read.parquet(vpath).withColumn("_del", is_del(F.col("vec_id")))
-        vflag, vaff = erase(vstore, "cell")
+        vflag, vaff, vempty = erase(vstore, "cell")
         vkeep = (
             vstore.filter(F.col("cell").cast("int").isin([int(a) for a in vaff]))
             .filter(~F.col("_del"))
             .select("vec_id", "embedding", "cell")
             .localCheckpoint()
         )
-        vkeep.repartition("cell").write.mode("overwrite").partitionBy(
-            "cell"
-        ).parquet(vpath)
+        # per-write dynamic overwrite (q215's idiom — no session
+        # conf, so the driver's vanilla session behaves identically)
+        vkeep.repartition("cell").write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("cell").parquet(vpath)
+        for c in vempty:
+            shutil.rmtree(f"{vpath}/cell={c}", ignore_errors=True)
         vback = spark.read.parquet(vpath)
         vrow = vback.agg(
             F.count(F.lit(1)).cast("long").alias("n_rows"),
@@ -3031,16 +3055,18 @@ def q314_cross_store_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
             "token"
         ).parquet(ppath)
         pstore = spark.read.parquet(ppath).withColumn("_del", is_del(F.col("doc_id")))
-        pflag, paff = erase(pstore, "token")
+        pflag, paff, pempty = erase(pstore, "token")
         pkeep = (
             pstore.filter(F.col("token").isin([str(a) for a in paff]))
             .filter(~F.col("_del"))
             .select("doc_id", "pos", "token")
             .localCheckpoint()
         )
-        pkeep.repartition("token").write.mode("overwrite").partitionBy(
-            "token"
-        ).parquet(ppath)
+        pkeep.repartition("token").write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("token").parquet(ppath)
+        for t in pempty:
+            shutil.rmtree(f"{ppath}/token={t}", ignore_errors=True)
         pback = spark.read.parquet(ppath)
         prow = pback.agg(
             F.count(F.lit(1)).cast("long").alias("n_rows"),
@@ -3078,16 +3104,18 @@ def q314_cross_store_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
             "shard"
         ).parquet(epath)
         estore = spark.read.parquet(epath).withColumn("_del", is_del(F.col("doc_id")))
-        eflag, eaff = erase(estore, "shard")
+        eflag, eaff, eempty = erase(estore, "shard")
         ekeep = (
             estore.filter(F.col("shard").cast("int").isin([int(a) for a in eaff]))
             .filter(~F.col("_del"))
             .select("doc_id", "text", "shard")
             .localCheckpoint()
         )
-        ekeep.repartition("shard").write.mode("overwrite").partitionBy(
-            "shard"
-        ).parquet(epath)
+        ekeep.repartition("shard").write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("shard").parquet(epath)
+        for s in eempty:
+            shutil.rmtree(f"{epath}/shard={s}", ignore_errors=True)
         eback = spark.read.parquet(epath)
         erow = eback.agg(
             F.count(F.lit(1)).cast("long").alias("n_rows"),
@@ -3102,7 +3130,6 @@ def q314_cross_store_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
              eflag.count(), len(eaff))
         )
     finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
         shutil.rmtree(tmp, ignore_errors=True)
     return spark.createDataFrame(
         results,

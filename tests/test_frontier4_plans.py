@@ -215,3 +215,54 @@ def test_q311_terminal_full_scan_branch(spark, tmp_path):
         # the terminal pool is ALL label-3 vectors → top1 is the
         # global filtered best (one of vec_id 0..2).
         assert r["top1_vec_id"] in (0, 1, 2)
+
+
+def test_q314_emptied_partitions_dropped(spark, tmp_path):
+    """A partition whose rows are ALL in the delete set must not
+    survive erasure: dynamic overwrite cannot touch a partition
+    absent from the written frame, so q314 must drop those
+    directories explicitly (q293's rule) — in ALL THREE artifacts.
+    Fixture: cell 0 holds only deleted vectors, probe token
+    'window' appears only in deleted docs, and shard 3 holds only a
+    deleted doc. Before the fix every n_rows below read high."""
+    import numpy as np
+
+    from ai_data_pipeline_spark.plans.constants import Q28_CENTROIDS
+
+    # u40(id) % 53 == 0 for 18, 26, 230; not for 0..3.
+    c0 = np.array(Q28_CENTROIDS[0], dtype=np.float64)
+    c1 = np.array(Q28_CENTROIDS[1], dtype=np.float64)
+    vrows = []
+    for vid in (18, 26):  # deleted, alone in cell 0
+        vrows.append((vid, [float(x) for x in (c0 + 0.001 * vid)]))
+    for vid in (0, 1, 2, 3):  # survivors near centroid 1
+        vrows.append((vid, [float(x) for x in (c1 + 0.001 * (vid + 1))]))
+    spark.createDataFrame(vrows, "vec_id long, embedding array<float>").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "embeddings.parquet"))
+
+    drows = [
+        (0, "spark merge", "en", "src0", 11),
+        (1, "spark merge", "en", "src1", 11),
+        (2, "spark merge", "en", "src2", 11),
+        (18, "window window", "en", "src3", 13),  # deleted
+        (26, "window", "en", "src4", 6),  # deleted
+        (230, "window", "en", "src5", 6),  # deleted, alone in shard 3
+    ]
+    spark.createDataFrame(
+        drows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    out = {
+        r["artifact"]: r
+        for r in f4.q314_cross_store_erasure(spark, str(tmp_path)).collect()
+    }
+    v = out["vector_store"]
+    assert (v["n_rows"], v["n_partitions"], v["n_rewritten"]) == (4, 2, 1)
+    p = out["postings"]
+    # survivors: docs 0,1,2 x tokens (spark, merge) = 6 postings;
+    # the 'window' partition (deleted-only) must be gone entirely.
+    assert (p["n_rows"], p["n_partitions"], p["n_rewritten"]) == (6, 3, 1)
+    e = out["release_export"]
+    # shards 0 (mixed) and 3 (deleted-only): 3 survivors remain.
+    assert (e["n_rows"], e["n_partitions"], e["n_rewritten"]) == (3, 2, 2)
