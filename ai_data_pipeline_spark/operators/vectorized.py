@@ -350,6 +350,20 @@ def cosine_pairs_np(
     if block_col is None:
         n_rows = emb.count()
         n_sub = max(1, -(-n_rows // rows_per_block))
+        # Parallelism floor (r13 q26 profile): a small corpus at the
+        # default block size yields a handful of block-pair tasks on a
+        # wide session — n=2000 at rpb=1024 is 2 sub-blocks → 3 tasks
+        # on 32 threads, measured 1.11–1.96 s/rep vs a stable 0.93 s
+        # at 8 sub-blocks (36 tasks). Split until the triangle
+        # m(m+1)/2 covers defaultParallelism, but never below ~64
+        # rows/block (kernel overhead dominates under that). Values
+        # are blocking-invariant: each pair's dot/norm is the same
+        # ltr fold whichever block holds the rows.
+        import math
+
+        par = emb.sparkSession.sparkContext.defaultParallelism
+        m = math.ceil((math.sqrt(8 * par + 1) - 1) / 2)
+        n_sub = max(n_sub, min(m, max(1, n_rows // 64)))
         blk = F.lit(0)
     else:
         # sub-split sized by the LARGEST block (one tiny agg): every
