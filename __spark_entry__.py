@@ -197,6 +197,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from ai_data_pipeline_spark.plans import frontier4_queries
 
     merged.update(frontier4_queries.QUERIES)
+    from ai_data_pipeline_spark.plans import frontier5_queries
+
+    merged.update(frontier5_queries.QUERIES)
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for name in merged:
         if name not in DRIVER_EVIDENCE:
@@ -242,4 +245,7 @@ def oracle_sql() -> dict[str, str]:
     from ai_data_pipeline_spark.plans import frontier4_queries
 
     out.update(frontier4_queries.ORACLE)
+    from ai_data_pipeline_spark.plans import frontier5_queries
+
+    out.update(frontier5_queries.ORACLE)
     return out

@@ -1,0 +1,607 @@
+"""Frontier queries, fifth batch (round 13): the last missing store
+lifecycle verb (CDC UPSERT/MERGE), incremental dedup-component
+maintenance with stable cluster ids, snapshot SCHEMA evolution, the
+BPE encode round-trip at a fixed vocabulary, and the change-data-feed
+read between snapshots.
+
+Reference parity: the reference (``/root/reference/app/main.py``,
+``rag_chatbot/main.py``) rebuilds its FAISS index from scratch on
+every service start (``rag_chatbot/main.py:26-28``) and its JSONL
+sink appends forever (``app/main.py:99``) — it has no update path, no
+stable cluster identity, no schema versioning, and no change feed.
+These rows grade what the same pipeline needs at 100 TB to be
+OPERABLE as a system of record: a re-embedded document must land as
+an in-place UPSERT of only the partitions it touches (not a
+delete+append pair of uncoordinated passes), dedup cluster labels
+must survive appends (downstream keeper decisions reference them),
+a schema change must not rewrite history, and downstream consumers
+must be able to read WHAT CHANGED between two snapshots without
+diffing full snapshots.
+
+Float/oracle policy: plans/relational.py header. Graded numbers are
+exact BIGINT counts, file counts, rank positions, xor digests, or
+raw per-row doubles where both engines compute the identical
+expression tree in the identical order (the HOF-ltr ≡
+list_transform-ltr law established by q27/q312).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ai_data_pipeline_spark.catalog import load_table, spread
+
+QUERIES: dict = {}
+ORACLE: dict = {}
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def _u40(col):
+    """The 40-bit md5 uniform of an id (q228's idiom — never
+    ``id mod k``, which is degenerate against source round-robin)."""
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 10), 16, 10).cast(
+        "long"
+    )
+
+
+_SQL_U40 = "(('0x' || substr(md5(CAST({c} AS VARCHAR)), 1, 10))::BIGINT)"
+
+
+# ---------------------------------------------------------------------------
+# Q317 — CDC UPSERT/MERGE into the cell-partitioned vector store
+# (the r12 verdict's #2: the ONE lifecycle verb still missing — the
+# stores could build/append/delete/compact/snapshot/GC but not
+# UPDATE in place; a re-embedded document today needs
+# delete-then-append as two uncoordinated passes). One CDC batch of
+# (update, delete, insert) ops is MERGED into the store in a single
+# coordinated pass: affected partitions = the OLD cells of
+# updated/deleted rows ∪ the NEW cells of incoming vectors (an
+# update whose re-embedded vector lands in a different cell moves
+# across partitions — the case a naive same-partition rewrite
+# silently corrupts); only those cells are rewritten (dynamic
+# partition overwrite, per-write option), fully-emptied cells'
+# directories dropped explicitly (q293's rule). Ops are derived
+# deterministically from the corpus (u40 % 19: 5 → update with the
+# NEGATED embedding — negation is float-exact on both engines and
+# moves the vector to a different cell; 7 → delete; 11 → insert a
+# NEW id (+1e6) with the negated vector; the r=11 source row itself
+# stays). Graded claims: (a) post-merge cosine top-3 over the
+# READ-BACK ≡ recompute from base-with-ops-applied (the oracle
+# never sees a store); (b) the merge audit — rows, op counts,
+# affected-cell count, and a store-content xor digest over
+# (vec_id, cell) so one row left in its old cell flips the hash.
+# Scale: merge cost is |affected cells|/K of the store plus |ops|
+# — never a full rewrite; all collects are bounded by centroid
+# geometry (≤ K cells).
+# ---------------------------------------------------------------------------
+
+_Q317_MOD = 19
+_Q317_UPD = 5
+_Q317_DEL = 7
+_Q317_INS = 11
+_Q317_INS_OFF = 1_000_000
+
+
+def q317_store_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ai_data_pipeline_spark.functions.vector import cosine
+    from ai_data_pipeline_spark.operators import similarity
+    from ai_data_pipeline_spark.operators.vectorized import ivf_assign_np
+    from ai_data_pipeline_spark.plans.constants import Q27_QUERY_VECS, Q28_CENTROIDS
+
+    emb = _t(spark, sf_dir, "embeddings")
+    r = F.pmod(_u40(F.col("vec_id")), F.lit(_Q317_MOD))
+    base = ivf_assign_np(emb, Q28_CENTROIDS).select("vec_id", "embedding", "cell")
+
+    tmp = tempfile.mkdtemp(prefix="q317_")
+    path = tmp + "/store"
+    try:
+        base.repartition("cell").write.mode("overwrite").partitionBy(
+            "cell"
+        ).parquet(path)
+        store = spark.read.parquet(path).withColumn("_r", r)
+
+        # ---- the CDC batch (production: arrives as a table; here
+        # derived from the corpus so the query is self-contained).
+        # Negation is exact in float32 on both engines, and the
+        # negated vector's nearest centroid generally DIFFERS — the
+        # cross-partition move case.
+        neg = emb.select(
+            "vec_id",
+            F.transform("embedding", lambda x: -x).alias("embedding"),
+            r.alias("_r"),
+        )
+        incoming = ivf_assign_np(
+            neg.filter(F.col("_r") == _Q317_UPD)
+            .select("vec_id", "embedding")
+            .unionByName(
+                neg.filter(F.col("_r") == _Q317_INS).select(
+                    (F.col("vec_id") + _Q317_INS_OFF).alias("vec_id"),
+                    "embedding",
+                )
+            ),
+            Q28_CENTROIDS,
+        ).select("vec_id", "embedding", "cell")
+        # referenced 3x (audit counts, affected cells, rewrite) and
+        # kernel-produced — materialize once (the ≥2×-consumed rule)
+        incoming = incoming.localCheckpoint()
+
+        n_upd = incoming.filter(F.col("vec_id") < _Q317_INS_OFF).count()
+        n_ins = incoming.filter(F.col("vec_id") >= _Q317_INS_OFF).count()
+
+        # ---- affected partitions: old cells of touched rows ∪ new
+        # cells of incoming vectors. Collects bounded by centroid
+        # geometry (≤ |Q28_CENTROIDS| values each).
+        old_cells = (
+            store.filter(F.col("_r").isin(_Q317_UPD, _Q317_DEL))
+            .select(F.col("cell").cast("int").alias("c"))
+            .distinct()
+            .collect()
+        )
+        new_cells = (
+            incoming.select(F.col("cell").cast("int").alias("c"))
+            .distinct()
+            .collect()
+        )
+        affected = sorted({int(x["c"]) for x in old_cells}
+                          | {int(x["c"]) for x in new_cells})
+        n_del = store.filter(F.col("_r") == _Q317_DEL).count()
+
+        # ---- the single coordinated rewrite: survivors of affected
+        # cells (minus updated/deleted ids) + ALL incoming rows
+        # (their cells are affected by construction). Checkpoint
+        # BEFORE the write: the survivors' lineage reads the files
+        # the commit replaces (the overwrite-lineage rule).
+        survivors = store.filter(
+            F.col("cell").cast("int").isin(affected)
+            & ~F.col("_r").isin(_Q317_UPD, _Q317_DEL)
+        ).select("vec_id", "embedding", "cell")
+        rewrite = survivors.unionByName(incoming).localCheckpoint()
+        rewrite.repartition("cell").write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("cell").parquet(path)
+        # a cell emptied by the merge (every row updated-away or
+        # deleted, nothing incoming) keeps its old files under
+        # dynamic overwrite — drop it explicitly (q293's rule)
+        present = {
+            int(x["c"])
+            for x in rewrite.select(F.col("cell").cast("int").alias("c"))
+            .distinct()
+            .collect()  # ≤ K cells
+        }
+        for c in affected:
+            if c not in present:
+                shutil.rmtree(f"{path}/cell={c}", ignore_errors=True)
+
+        # ---- read-back: audit digest + exact cosine top-3
+        store2 = spark.read.parquet(path)
+        audit = store2.agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.bit_xor(
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.col("vec_id").cast("string"),
+                                F.lit(":"),
+                                F.col("cell").cast("string"),
+                            )
+                        ),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+            ).cast("long").alias("content_xor"),
+        ).collect()[0]  # 1 row
+
+        queries = similarity.queries_df(spark, Q27_QUERY_VECS)
+        cand = store2.crossJoin(F.broadcast(queries)).select(
+            "qid",
+            "vec_id",
+            cosine(F.col("embedding"), F.col("qvec")).alias("sim"),
+        )
+        out = (
+            cand.withColumn(
+                "rk",
+                F.row_number().over(
+                    Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
+                ),
+            )
+            .filter(F.col("rk") <= 3)
+            .select("qid", F.col("rk").cast("long").alias("rk"), "vec_id", "sim")
+            .collect()  # 15 rows, before temp-dir cleanup
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    res = spark.createDataFrame(out, "qid long, rk long, vec_id long, sim double")
+    return (
+        res.withColumn("n_rows", F.lit(int(audit["n_rows"])).cast("long"))
+        .withColumn("n_upserts", F.lit(int(n_upd)).cast("long"))
+        .withColumn("n_deletes", F.lit(int(n_del)).cast("long"))
+        .withColumn("n_inserts", F.lit(int(n_ins)).cast("long"))
+        .withColumn("n_cells_rewritten", F.lit(len(affected)).cast("long"))
+        .withColumn("content_xor", F.lit(int(audit["content_xor"])).cast("long"))
+        .orderBy("qid", "rk")
+    )
+
+
+QUERIES["q317_store_upsert_merge"] = q317_store_upsert_merge
+
+
+# Oracle: base-with-ops-applied recomputed straight off `embeddings`
+# (no store): final corpus = rows not updated/deleted + negated
+# updates + negated inserts at vec_id+1e6; cells re-derived per
+# final vector with the list_sort struct idiom; affected cells from
+# old cells of touched rows ∪ new cells of incoming.
+def _q317_oracle() -> str:
+    from ai_data_pipeline_spark.functions.vector import (
+        sql_dot,
+        sql_lit_list,
+        sql_norm,
+        sql_squared_l2,
+    )
+    from ai_data_pipeline_spark.plans.constants import (
+        EMBED_DIM,
+        Q27_QUERY_VECS,
+        Q28_CENTROIDS,
+    )
+
+    qrows = ", ".join(
+        f"({qi}, {sql_lit_list(v)})" for qi, v in enumerate(Q27_QUERY_VECS)
+    )
+
+    def cell_expr(vec: str) -> str:
+        cells = ", ".join(
+            f"struct_pack(d := {sql_squared_l2(vec, sql_lit_list(c), EMBED_DIM)}, c := {ci})"
+            for ci, c in enumerate(Q28_CENTROIDS)
+        )
+        return f"struct_extract((list_sort([{cells}]))[1], 'c')"
+
+    cos = (
+        f"({sql_dot('a.embedding', 'q.qvec', EMBED_DIM)}) / "
+        f"(({sql_norm('a.embedding', EMBED_DIM)}) * ({sql_norm('q.qvec', EMBED_DIM)}))"
+    )
+    u40 = _SQL_U40.format(c="vec_id")
+    return f"""
+    WITH base AS MATERIALIZED (
+        SELECT vec_id, embedding, {u40} % {_Q317_MOD} AS r,
+               {cell_expr('embedding')} AS cell
+        FROM embeddings
+    ), incoming AS MATERIALIZED (
+        SELECT CASE WHEN r = {_Q317_INS} THEN vec_id + {_Q317_INS_OFF}
+                    ELSE vec_id END AS vec_id,
+               list_transform(embedding, x -> -x) AS embedding, r
+        FROM base WHERE r IN ({_Q317_UPD}, {_Q317_INS})
+    ), newc AS MATERIALIZED (
+        SELECT vec_id, embedding, r, {cell_expr('embedding')} AS cell
+        FROM incoming
+    ), final AS MATERIALIZED (
+        SELECT vec_id, embedding, cell FROM base
+        WHERE r NOT IN ({_Q317_UPD}, {_Q317_DEL})
+        UNION ALL
+        SELECT vec_id, embedding, cell FROM newc
+    ), aff AS (
+        SELECT CAST(COUNT(DISTINCT cell) AS BIGINT) AS n_cells_rewritten
+        FROM (SELECT cell FROM base WHERE r IN ({_Q317_UPD}, {_Q317_DEL})
+              UNION SELECT cell FROM newc)
+    ), audit AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM base
+                WHERE r = {_Q317_UPD}) AS n_upserts,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM base
+                WHERE r = {_Q317_DEL}) AS n_deletes,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM base
+                WHERE r = {_Q317_INS}) AS n_inserts,
+               CAST(bit_xor((('0x' || substr(md5(vec_id || ':' || cell), 1, 15))::BIGINT))
+                    AS BIGINT) AS content_xor
+        FROM final
+    ), ranked AS (
+        SELECT q.qid, a.vec_id, {cos} AS sim,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.qid ORDER BY {cos} DESC, a.vec_id) AS rk
+        FROM final a CROSS JOIN (VALUES {qrows}) AS q(qid, qvec)
+    )
+    SELECT CAST(qid AS BIGINT) AS qid, CAST(rk AS BIGINT) AS rk, vec_id, sim,
+           d.n_rows, d.n_upserts, d.n_deletes, d.n_inserts,
+           f.n_cells_rewritten, d.content_xor
+    FROM ranked CROSS JOIN audit d CROSS JOIN aff f
+    WHERE rk <= 3
+    ORDER BY qid, rk
+    """
+
+
+ORACLE["q317_store_upsert_merge"] = _q317_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Q318 — incremental dedup-COMPONENT maintenance (stable cluster
+# labels under appends — the r12 verdict's #3): q282 admits a batch
+# against the signature store, but cluster LABELS were recomputed
+# from scratch each run — at 100 TB the components pass over months
+# of accumulated pairs is the cost sink, and re-labeling breaks
+# downstream keeper decisions. Here a persisted (doc →
+# cluster_min_id) label store is UPDATED incrementally: the batch's
+# new pairs touch some components; ONLY those components are
+# re-contracted (their members' (label → id) store rows form a
+# spanning STAR of each old component, so the original edge list is
+# never needed again — re-resolution input = new pairs ∪ the
+# touched stars); untouched labels are carried forward byte-for-
+# byte. The graded claim is the equivalence theorem of min-id
+# labeling: carried ∪ re-contracted ≡ the from-scratch contraction
+# over ALL pairs (the oracle computes the from-scratch transitive
+# closure and never sees a store). Pair universe (mirrored exactly
+# in SQL): history-history pairs under the HISTORY-corpus shingle
+# cap (the store predates the batch — its cap was computed when
+# only history existed), batch-involving pairs under the FULL-
+# corpus cap; both capped at max_shingle_freq (the q105 rule) and
+# thresholded on int/int jaccard. Graded output: per-source label
+# digests over the FINAL store read-back + the touched-component
+# fraction (the verdict's asked-for column — at scale it is the
+# cost ratio of incremental vs from-scratch). Scale: the
+# re-contraction input is |new pairs| + |touched members| — months
+# of untouched components are never shuffled again.
+# ---------------------------------------------------------------------------
+
+_Q318_N = 4
+_Q318_TAU = "0.6"
+_Q318_TAU_F = 0.6  # same literal; float twin for the Spark call sites
+_Q318_MAXF = 50
+
+
+def q318_incremental_cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ai_data_pipeline_spark.operators import dedup
+
+    docs = spread(_t(spark, sf_dir, "documents"))
+    is_batch = F.col("source") == "src0"
+    hist_docs = docs.filter(~is_batch)
+
+    tmp = tempfile.mkdtemp(prefix="q318_")
+    v1 = tmp + "/labels_v1"
+    v2 = tmp + "/labels_v2"
+    try:
+        # ---- store v1: from-scratch over HISTORY pairs (amortized
+        # across months in production; built once here so the query
+        # is self-contained). History-corpus shingle cap.
+        hist_pairs = dedup.ngram_jaccard_pairs(
+            hist_docs,
+            "doc_id",
+            "text",
+            n=_Q318_N,
+            min_jaccard=_Q318_TAU_F,
+            max_shingle_freq=_Q318_MAXF,
+        ).select("id_a", "id_b")
+        labels0 = dedup.dedup_clusters_star(hist_pairs)
+        labels0.repartition(8).write.mode("overwrite").parquet(v1)
+        store = spark.read.parquet(v1)
+
+        # ---- the batch's NEW pairs: batch-batch + batch-history,
+        # under the FULL-corpus cap. The capped shingle frame feeds
+        # three consumers (batch side, join side, sizes) —
+        # materialize once (the ≥2×-consumed rule).
+        sh_full = dedup.shingle_table(
+            docs.withColumn("is_batch", is_batch), "doc_id", "text", _Q318_N,
+            hashed=True,
+        )
+        w = Window.partitionBy("sh")
+        sh_full = (
+            sh_full.join(
+                docs.select(F.col("doc_id").alias("id"), is_batch.alias("is_b")),
+                "id",
+            )
+            .withColumn("f", F.count(F.lit(1)).over(w))
+            .filter(F.col("f") <= _Q318_MAXF)
+            .select("id", "is_b", "sh")
+            .localCheckpoint()
+        )
+        sizes = sh_full.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+        a = sh_full.alias("a")
+        b = sh_full.alias("b")
+        inter = (
+            a.join(
+                b,
+                (F.col("a.sh") == F.col("b.sh"))
+                & (F.col("a.id") < F.col("b.id"))
+                & (F.col("a.is_b") | F.col("b.is_b")),
+            )
+            .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
+        new_pairs = (
+            inter.join(
+                sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a")),
+                "id_a",
+            )
+            .join(
+                sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b")),
+                "id_b",
+            )
+            .filter(
+                F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
+                >= F.lit(_Q318_TAU_F)
+            )
+            .select("id_a", "id_b")
+            # consumed by touched-discovery AND re-contraction — and
+            # the shingle self-join above is expensive
+            .localCheckpoint()
+        )
+
+        # ---- touched components: store components with a member
+        # incident to a new pair.
+        new_nodes = (
+            new_pairs.select(F.col("id_a").alias("id"))
+            .union(new_pairs.select(F.col("id_b").alias("id")))
+            .distinct()
+        )
+        touched = (
+            store.join(new_nodes, "id", "semi")
+            .select("cluster_id")
+            .distinct()
+            .localCheckpoint()  # feeds the member fetch AND the carry-forward anti-join
+        )
+        members = store.join(touched, "cluster_id", "semi")
+        # the (label → id) rows of a component form a spanning star:
+        # connectivity is preserved without the original edge list.
+        star_edges = members.filter(F.col("id") != F.col("cluster_id")).select(
+            F.col("cluster_id").alias("id_a"), F.col("id").alias("id_b")
+        )
+        relabels = dedup.dedup_clusters_star(new_pairs.unionByName(star_edges))
+        carried = store.join(touched, "cluster_id", "anti")
+        final = carried.unionByName(relabels)
+        final.repartition(8).write.mode("overwrite").parquet(v2)
+
+        # ---- graded read-back: per-source label digests + the
+        # touched fraction.
+        n_before = store.select("cluster_id").distinct().count()
+        n_touched = touched.count()
+        out = (
+            spark.read.parquet(v2)
+            .join(docs.select(F.col("doc_id").alias("id"), "source"), "id")
+            .groupBy("source")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.countDistinct("cluster_id").cast("long").alias("n_clusters"),
+                F.bit_xor(
+                    F.conv(
+                        F.substring(
+                            F.md5(
+                                F.concat(
+                                    F.col("id").cast("string"),
+                                    F.lit(":"),
+                                    F.col("cluster_id").cast("string"),
+                                )
+                            ),
+                            1,
+                            15,
+                        ),
+                        16,
+                        10,
+                    ).cast("long")
+                ).cast("long").alias("label_xor"),
+            )
+            .orderBy("source")
+            .collect()  # ≤ |sources| rows, before temp-dir cleanup
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    res = spark.createDataFrame(
+        out, "source string, n_docs long, n_clusters long, label_xor long"
+    )
+    return (
+        res.withColumn("n_components_before", F.lit(int(n_before)).cast("long"))
+        .withColumn("n_touched_components", F.lit(int(n_touched)).cast("long"))
+        # single IEEE division of two exact BIGINTs — bit-identical
+        # cross-engine (the shares/ratios rule)
+        .withColumn(
+            "touched_frac",
+            F.lit(float(n_touched)) / F.lit(float(n_before)),
+        )
+        .orderBy("source")
+    )
+
+
+QUERIES["q318_incremental_cluster_labels"] = q318_incremental_cluster_labels
+
+
+# Oracle: the from-scratch transitive closure over the SAME pair
+# universe (hist pairs under the history cap ∪ batch-involving pairs
+# under the full cap) — the equivalence theorem IS the graded claim;
+# store v1's components recomputed for the touched-fraction columns.
+def _q318_oracle() -> str:
+    from ai_data_pipeline_spark.functions.text import sql_word_ngrams
+
+    grams = sql_word_ngrams("text", _Q318_N)
+    return f"""
+    WITH RECURSIVE sh0 AS MATERIALIZED (
+        SELECT DISTINCT doc_id AS id, source = 'src0' AS is_b,
+               unnest({grams}) AS shingle
+        FROM documents
+    ), hfreq AS (
+        SELECT shingle, COUNT(*) AS f FROM sh0 WHERE NOT is_b GROUP BY shingle
+    ), ffreq AS (
+        SELECT shingle, COUNT(*) AS f FROM sh0 GROUP BY shingle
+    ), shh AS MATERIALIZED (
+        SELECT id, sh0.shingle FROM sh0 JOIN hfreq USING (shingle)
+        WHERE NOT is_b AND hfreq.f <= {_Q318_MAXF}
+    ), shf AS MATERIALIZED (
+        SELECT id, is_b, sh0.shingle FROM sh0 JOIN ffreq USING (shingle)
+        WHERE ffreq.f <= {_Q318_MAXF}
+    ), hsizes AS (
+        SELECT id, COUNT(*) AS n_sh FROM shh GROUP BY id
+    ), fsizes AS (
+        SELECT id, COUNT(*) AS n_sh FROM shf GROUP BY id
+    ), hinter AS (
+        SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS inter
+        FROM shh a JOIN shh b ON a.shingle = b.shingle AND a.id < b.id
+        GROUP BY 1, 2
+    ), hist_pairs AS MATERIALIZED (
+        SELECT id_a, id_b FROM hinter
+        JOIN hsizes za ON za.id = id_a
+        JOIN hsizes zb ON zb.id = id_b
+        WHERE inter / (za.n_sh + zb.n_sh - inter) >= '{_Q318_TAU}'::DOUBLE
+    ), finter AS (
+        SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS inter
+        FROM shf a JOIN shf b
+          ON a.shingle = b.shingle AND a.id < b.id AND (a.is_b OR b.is_b)
+        GROUP BY 1, 2
+    ), new_pairs AS MATERIALIZED (
+        SELECT id_a, id_b FROM finter
+        JOIN fsizes za ON za.id = id_a
+        JOIN fsizes zb ON zb.id = id_b
+        WHERE inter / (za.n_sh + zb.n_sh - inter) >= '{_Q318_TAU}'::DOUBLE
+    ), edges AS (
+        SELECT id_a AS a, id_b AS b FROM hist_pairs
+        UNION SELECT id_b, id_a FROM hist_pairs
+        UNION SELECT id_a, id_b FROM new_pairs
+        UNION SELECT id_b, id_a FROM new_pairs
+    ), reach AS (
+        SELECT a AS id, a AS lab FROM edges
+        UNION
+        SELECT e.a AS id, r.lab AS lab FROM edges e JOIN reach r ON r.id = e.b
+    ), comp AS MATERIALIZED (
+        SELECT id, MIN(lab) AS cluster_id FROM reach GROUP BY id
+    ), hedges AS (
+        SELECT id_a AS a, id_b AS b FROM hist_pairs
+        UNION SELECT id_b, id_a FROM hist_pairs
+    ), hreach AS (
+        SELECT a AS id, a AS lab FROM hedges
+        UNION
+        SELECT e.a AS id, r.lab AS lab FROM hedges e JOIN hreach r ON r.id = e.b
+    ), hcomp AS MATERIALIZED (
+        SELECT id, MIN(lab) AS cluster_id FROM hreach GROUP BY id
+    ), consts AS (
+        SELECT (SELECT CAST(COUNT(DISTINCT cluster_id) AS BIGINT) FROM hcomp)
+                   AS n_components_before,
+               (SELECT CAST(COUNT(DISTINCT hc.cluster_id) AS BIGINT)
+                FROM hcomp hc
+                WHERE hc.id IN (SELECT id_a FROM new_pairs
+                                UNION SELECT id_b FROM new_pairs))
+                   AS n_touched_components
+    )
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT c.cluster_id) AS BIGINT) AS n_clusters,
+           CAST(bit_xor((('0x' || substr(md5(c.id || ':' || c.cluster_id), 1, 15))::BIGINT))
+                AS BIGINT) AS label_xor,
+           k.n_components_before, k.n_touched_components,
+           CAST(k.n_touched_components AS DOUBLE)
+             / CAST(k.n_components_before AS DOUBLE) AS touched_frac
+    FROM comp c
+    JOIN documents d ON d.doc_id = c.id
+    CROSS JOIN consts k
+    GROUP BY d.source, k.n_components_before, k.n_touched_components
+    ORDER BY d.source
+    """
+
+
+ORACLE["q318_incremental_cluster_labels"] = _q318_oracle()

@@ -1,0 +1,117 @@
+"""Round-13 pins: q317's cross-cell upsert move + emptied-cell drop,
+q318's carry-forward / touched re-contraction / merge-to-global-min
+semantics."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ai_data_pipeline_spark.plans import frontier5_queries as F5
+from ai_data_pipeline_spark.plans.constants import Q28_CENTROIDS
+
+
+def test_q317_cross_cell_move_and_emptied_cell(spark, tmp_path):
+    """An update whose re-embedded vector assigns to a DIFFERENT
+    cell must move across partitions, and a cell emptied by the
+    merge (its only rows updated-away/deleted) must have its
+    directory dropped. Fixture (u40 % 19): id 2 → update, id 7 →
+    delete, id 3 → insert-source; ids 0,1,4,5 survivors. ids 2,7
+    sit alone in cell 0 (near centroid 0; the negation of a
+    cell-0 vector assigns to cell 2), the rest near centroid 1."""
+    c0 = np.array(Q28_CENTROIDS[0], dtype=np.float64)
+    c1 = np.array(Q28_CENTROIDS[1], dtype=np.float64)
+    rows = []
+    for vid in (2, 7):  # update / delete — alone in cell 0
+        rows.append((vid, [float(x) for x in (c0 + 0.001 * (vid + 1))]))
+    for vid in (0, 1, 3, 4, 5):  # survivors + the insert source, cell 1
+        rows.append((vid, [float(x) for x in (c1 + 0.001 * (vid + 1))]))
+    spark.createDataFrame(rows, "vec_id long, embedding array<float>").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "embeddings.parquet"))
+
+    out = F5.q317_store_upsert_merge(spark, str(tmp_path)).collect()
+    r0 = out[0]
+    # final store: 0,1,3,4,5 (cell 1) + updated 2 (moved to cell 2)
+    # + inserted 1000003 (cell of -v(3)); id 7 gone.
+    assert r0["n_rows"] == 7
+    assert (r0["n_upserts"], r0["n_deletes"], r0["n_inserts"]) == (1, 1, 1)
+    # affected = old cell {0} of ids 2/7 ∪ new cells of the two
+    # incoming vectors (≠ 0 and ≠ each other's source cells is not
+    # guaranteed, but 0 is emptied so ≥ 2 distinct non-zero cells
+    # would make 3; pin the exact value computed from geometry).
+    neg2_cell = int(
+        np.argmin([((-(c0 + 0.001 * 3)) - np.array(c)) @ ((-(c0 + 0.001 * 3)) - np.array(c)) for c in Q28_CENTROIDS])
+    )
+    neg3_cell = int(
+        np.argmin([((-(c1 + 0.001 * 4)) - np.array(c)) @ ((-(c1 + 0.001 * 4)) - np.array(c)) for c in Q28_CENTROIDS])
+    )
+    assert r0["n_cells_rewritten"] == len({0, neg2_cell, neg3_cell})
+    returned = {r["vec_id"] for r in out}
+    assert 7 not in returned  # deleted id never served
+    assert returned <= {0, 1, 2, 3, 4, 5, 1_000_003}
+
+
+def test_q318_carry_forward_and_touched(spark, tmp_path):
+    """Untouched components carry their labels forward; components
+    contacted by a batch doc are re-contracted (labels stay the
+    min member id); singleton docs never enter the store."""
+    t1 = "alpha beta gamma delta epsilon zeta"
+    t2 = "one two three four five six"
+    t4 = "red green blue cyan magenta yellow"
+    rows = [
+        (10, t1, "en", "src1", len(t1)),
+        (30, t1, "en", "src2", len(t1)),
+        (11, t2, "en", "src1", len(t2)),
+        (31, t2, "en", "src2", len(t2)),
+        (13, t4, "en", "src3", len(t4)),
+        (33, t4, "en", "src4", len(t4)),
+        (12, "lonely words with no duplicate partner here", "en", "src5", 44),
+        (20, t1, "en", "src0", len(t1)),  # batch — touches comp 10
+        (40, t2, "en", "src0", len(t2)),  # batch — touches comp 11
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    out = {r["source"]: r for r in
+           F5.q318_incremental_cluster_labels(spark, str(tmp_path)).collect()}
+    # store v1: comps {10,30}, {11,31}, {13,33}; batch touches 2 of 3
+    any_row = next(iter(out.values()))
+    assert any_row["n_components_before"] == 3
+    assert any_row["n_touched_components"] == 2
+    assert "src5" not in out  # singleton never enters the store
+    assert (out["src0"]["n_docs"], out["src0"]["n_clusters"]) == (2, 2)
+    assert (out["src1"]["n_docs"], out["src1"]["n_clusters"]) == (2, 2)
+    assert (out["src3"]["n_docs"], out["src3"]["n_clusters"]) == (1, 1)
+    assert (out["src4"]["n_docs"], out["src4"]["n_clusters"]) == (1, 1)
+
+
+def test_q318_batch_merge_gets_global_min(spark, tmp_path, monkeypatch):
+    """A batch doc bridging TWO history components merges them, and
+    the merged label is the GLOBAL min member — exactly what the
+    from-scratch contraction would produce (the equivalence
+    theorem's crux). tau lowered so a concat-doc bridges."""
+    monkeypatch.setattr(F5, "_Q318_TAU_F", 0.4)
+    t5 = "a b c d e f g h i j k l"
+    t6 = "m n o p q r s t u v w x"
+    bridge = t5 + " " + t6
+    rows = [
+        (14, t5, "en", "src1", len(t5)),
+        (34, t5, "en", "src2", len(t5)),
+        (15, t6, "en", "src1", len(t6)),
+        (35, t6, "en", "src2", len(t6)),
+        (60, bridge, "en", "src0", len(bridge)),  # batch bridge
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    out = {r["source"]: r for r in
+           F5.q318_incremental_cluster_labels(spark, str(tmp_path)).collect()}
+    any_row = next(iter(out.values()))
+    assert any_row["n_components_before"] == 2
+    assert any_row["n_touched_components"] == 2
+    # all five docs collapse into ONE component labeled min=14
+    assert out["src0"]["n_clusters"] == 1
+    assert out["src1"]["n_clusters"] == 1
+    assert out["src2"]["n_clusters"] == 1
