@@ -605,3 +605,242 @@ def _q318_oracle() -> str:
 
 
 ORACLE["q318_incremental_cluster_labels"] = _q318_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Q319 — snapshot SCHEMA EVOLUTION (the r12 verdict's #4: q312's
+# COW manifests version the file LIST; a production table format
+# must version the SCHEMA too — adding a column must NEVER rewrite
+# history): the v2 delta lands WITH a new `quality` column (a
+# per-doc score; here n_chars stands in for any computed score —
+# the semantics under test are schema semantics); v1 files are
+# untouched (verified by a real file-set check, not an assert).
+# A v1-PINNED reader (manifest file list + basePath) sees the OLD
+# 3-column schema — the new column simply does not exist for it; a
+# v2 reader (mergeSchema) sees the evolved 4-column schema with
+# NULL-padded history (unionByName-allowMissingColumns semantics at
+# the store level, q75's idiom). The manifest records a SCHEMA HASH
+# computed from the READ-BACK schema (name:type list, sorted) — the
+# oracle pins the expected hash as a literal, so a reader-side
+# schema drift (wrong type inference, a dropped column) flips the
+# graded string even when row counts survive. Graded one row per
+# snapshot: rows, n_cols, quality presence/null accounting, exact
+# BIGINT sum over the new column, content xor digest, schema md5.
+# Scale: evolution is metadata-only — zero data bytes rewritten;
+# readers pay only the null-pad.
+# ---------------------------------------------------------------------------
+
+_Q319_MOD = 7
+_Q319_PICK = 2
+_Q319_SHARD_W = 64
+
+
+def q319_snapshot_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ai_data_pipeline_spark.functions.text import ws_tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    is_new = F.pmod(_u40(F.col("doc_id")), F.lit(_Q319_MOD)) == _Q319_PICK
+    framed = docs.select(
+        "doc_id",
+        F.size(ws_tokens(F.col("text"))).cast("long").alias("n_tokens"),
+        F.col("n_chars").cast("long").alias("quality"),
+        (F.floor(F.col("doc_id") / F.lit(float(_Q319_SHARD_W))))
+        .cast("int")
+        .alias("shard"),
+        is_new.alias("is_new"),
+    )
+
+    tmp = tempfile.mkdtemp(prefix="q319_")
+    path = tmp + "/store"
+    try:
+        # v1: history, 3-column schema (no quality yet)
+        framed.filter(~F.col("is_new")).select(
+            "doc_id", "n_tokens", "shard"
+        ).repartition("shard").write.mode("overwrite").partitionBy(
+            "shard"
+        ).parquet(path)
+        v1_files = sorted(
+            r["f"]
+            for r in spark.read.parquet(path)
+            .select(F.input_file_name().alias("f"))
+            .distinct()
+            .collect()  # ≤ |shards| files — count-gated
+        )
+        # v2 delta: the EVOLVED schema (quality added) — plain
+        # append; parquet files are self-describing, so the store
+        # now holds two physical schemas side by side.
+        framed.filter(F.col("is_new")).select(
+            "doc_id", "n_tokens", "quality", "shard"
+        ).repartition("shard").write.mode("append").partitionBy(
+            "shard"
+        ).parquet(path)
+        all_files = sorted(
+            r["f"]
+            for r in spark.read.option("mergeSchema", "true")
+            .parquet(path)
+            .select(F.input_file_name().alias("f"))
+            .distinct()
+            .collect()
+        )
+        # evolution must be metadata-only: every v1 file survives
+        # byte-for-byte (same path ⇒ parquet immutability) and the
+        # delta only ADDED files — a real check that fails loudly
+        missing = set(v1_files) - set(all_files)
+        if missing or len(all_files) <= len(v1_files):
+            raise RuntimeError(
+                f"q319: schema evolution rewrote history: {len(missing)} v1 "
+                f"files vanished, {len(all_files) - len(v1_files)} files added"
+            )
+
+        def schema_sig(df):
+            # name:type signature from the READ-BACK schema, emitted
+            # as a literal — the oracle pins the expected md5
+            return ",".join(f"{n}:{t}" for n, t in sorted(df.dtypes))
+
+        # v1-pinned reader: old schema, no quality column at all
+        v1r = spark.read.option("basePath", path).parquet(*v1_files)
+        v1_row = v1r.agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.bit_xor(
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(
+                                ":",
+                                F.col("doc_id").cast("string"),
+                                F.col("n_tokens").cast("string"),
+                            )
+                        ),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+            ).cast("long").alias("content_xor"),
+        ).collect()[0]  # 1 row
+        v1_out = (
+            1,
+            int(v1_row["n_rows"]),
+            len(v1r.columns),
+            0,
+            0,
+            0,
+            int(v1_row["content_xor"]),
+            schema_sig(v1r),
+        )
+
+        # v2 reader: merged schema, history null-padded
+        v2r = spark.read.option("mergeSchema", "true").option(
+            "basePath", path
+        ).parquet(path)
+        v2_row = v2r.agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.col("quality").isNull().cast("int")).cast("long").alias("n_null"),
+            F.sum(F.col("quality").isNotNull().cast("int"))
+            .cast("long")
+            .alias("n_with"),
+            F.sum(F.coalesce(F.col("quality"), F.lit(0)))
+            .cast("long")
+            .alias("sum_quality"),
+            F.bit_xor(
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(
+                                ":",
+                                F.col("doc_id").cast("string"),
+                                F.col("n_tokens").cast("string"),
+                                F.coalesce(
+                                    F.col("quality").cast("string"), F.lit("-")
+                                ),
+                            )
+                        ),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+            ).cast("long").alias("content_xor"),
+        ).collect()[0]  # 1 row
+        v2_out = (
+            2,
+            int(v2_row["n_rows"]),
+            len(v2r.columns),
+            int(v2_row["n_null"]),
+            int(v2_row["n_with"]),
+            int(v2_row["sum_quality"]),
+            int(v2_row["content_xor"]),
+            schema_sig(v2r),
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    res = spark.createDataFrame(
+        [v1_out, v2_out],
+        "snapshot long, n_rows long, n_cols long, n_null_quality long, "
+        "n_with_quality long, sum_quality long, content_xor long, schema_sig string",
+    )
+    return res.withColumn("schema_md5", F.md5(F.col("schema_sig"))).select(
+        "snapshot",
+        "n_rows",
+        "n_cols",
+        "n_null_quality",
+        "n_with_quality",
+        "sum_quality",
+        "content_xor",
+        "schema_md5",
+    ).orderBy("snapshot")
+
+
+QUERIES["q319_snapshot_schema_evolution"] = q319_snapshot_schema_evolution
+
+
+# Oracle: both snapshot states recomputed straight off `documents`;
+# the schema hashes are EXPECTED literals (the graded claim is that
+# the reader-derived name:type signature lands exactly on them).
+def _q319_oracle() -> str:
+    from ai_data_pipeline_spark.functions.text import sql_word_ngrams
+
+    ntok = f"len({sql_word_ngrams('text', 1)})"
+    u40 = _SQL_U40.format(c="doc_id")
+    sig_v1 = "doc_id:bigint,n_tokens:bigint,shard:int"
+    sig_v2 = "doc_id:bigint,n_tokens:bigint,quality:bigint,shard:int"
+    return f"""
+    WITH base AS MATERIALIZED (
+        SELECT doc_id, CAST({ntok} AS BIGINT) AS n_tokens,
+               CAST(n_chars AS BIGINT) AS quality,
+               ({u40} % {_Q319_MOD} = {_Q319_PICK}) AS is_new
+        FROM documents
+    )
+    SELECT * FROM (
+        SELECT CAST(1 AS BIGINT) AS snapshot,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(3 AS BIGINT) AS n_cols,
+               CAST(0 AS BIGINT) AS n_null_quality,
+               CAST(0 AS BIGINT) AS n_with_quality,
+               CAST(0 AS BIGINT) AS sum_quality,
+               CAST(bit_xor((('0x' || substr(md5(doc_id || ':' || n_tokens), 1, 15))::BIGINT))
+                    AS BIGINT) AS content_xor,
+               md5('{sig_v1}') AS schema_md5
+        FROM base WHERE NOT is_new
+        UNION ALL
+        SELECT CAST(2 AS BIGINT),
+               CAST(COUNT(*) AS BIGINT),
+               CAST(4 AS BIGINT),
+               CAST(SUM(CASE WHEN NOT is_new THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(SUM(CASE WHEN is_new THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(SUM(CASE WHEN is_new THEN quality ELSE 0 END) AS BIGINT),
+               CAST(bit_xor((('0x' || substr(md5(doc_id || ':' || n_tokens || ':' ||
+                    (CASE WHEN is_new THEN quality::VARCHAR ELSE '-' END)), 1, 15))::BIGINT))
+                    AS BIGINT),
+               md5('{sig_v2}')
+        FROM base)
+    ORDER BY snapshot
+    """
+
+
+ORACLE["q319_snapshot_schema_evolution"] = _q319_oracle()

@@ -1,6 +1,6 @@
 """Round-13 pins: q317's cross-cell upsert move + emptied-cell drop,
 q318's carry-forward / touched re-contraction / merge-to-global-min
-semantics."""
+semantics, q319's metadata-only schema evolution."""
 
 from __future__ import annotations
 
@@ -115,3 +115,55 @@ def test_q318_batch_merge_gets_global_min(spark, tmp_path, monkeypatch):
     assert out["src0"]["n_clusters"] == 1
     assert out["src1"]["n_clusters"] == 1
     assert out["src2"]["n_clusters"] == 1
+
+
+def test_q319_v1_files_untouched_and_schemas(spark, tmp_path):
+    """Schema evolution must be metadata-only: after the evolved
+    append, every v1 physical file survives at the same path with
+    the same size; a v1-pinned reader sees the OLD schema (no
+    quality column), a mergeSchema reader sees null-padded
+    history."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "store")
+    v1 = spark.range(40).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") * 2).alias("n_tokens"),
+        F.pmod("id", F.lit(4)).cast("int").alias("shard"),
+    )
+    v1.repartition("shard").write.mode("overwrite").partitionBy("shard").parquet(path)
+
+    def file_stats():
+        out = {}
+        for root, _, files in os.walk(path):
+            for f in files:
+                if f.endswith(".parquet"):
+                    p = os.path.join(root, f)
+                    out[p] = os.path.getsize(p)
+        return out
+
+    before = file_stats()
+    delta = spark.range(40, 60).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") * 2).alias("n_tokens"),
+        (F.col("id") * 7).alias("quality"),
+        F.pmod("id", F.lit(4)).cast("int").alias("shard"),
+    )
+    delta.repartition("shard").write.mode("append").partitionBy("shard").parquet(path)
+    after = file_stats()
+    for p, sz in before.items():
+        assert after.get(p) == sz  # same path, same bytes
+    assert len(after) > len(before)
+
+    v1_files = sorted(before)
+    v1r = spark.read.option("basePath", path).parquet(*v1_files)
+    assert "quality" not in v1r.columns
+    v2r = spark.read.option("mergeSchema", "true").option("basePath", path).parquet(path)
+    assert "quality" in v2r.columns
+    nulls = v2r.agg(
+        F.sum(F.col("quality").isNull().cast("int")).alias("n_null"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    assert (int(nulls["n_null"]), int(nulls["n"])) == (40, 60)
