@@ -844,3 +844,199 @@ def _q319_oracle() -> str:
 
 
 ORACLE["q319_snapshot_schema_evolution"] = _q319_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Q320 — BPE ENCODE round-trip at a FIXED vocabulary (the r12
+# verdict's #6, completing the tokenizer story: q218/q278/q283
+# grade the TRAINER — candidate scoring and two merge rounds; this
+# row grades the operator every training-data pipeline actually
+# runs at scale: apply a FROZEN merge list to encode the corpus
+# into token ids). The 32-merge list below was trained ONCE,
+# offline, on the sf0.01 corpus snapshot with q283's exact
+# semantics (word-frequency table, per round: count adjacent
+# symbol pairs weighted by word freq, winner = n DESC / pair ASC,
+# apply left-to-right non-overlapping) — the production shape:
+# train rarely, encode always; the list is a shared literal on
+# both engines. Encoding: DISTINCT words encode once (the vocab
+# table is Heaps-sublinear in the corpus — the word-level cache
+# every real tokenizer service runs), each word's char stream is
+# space-padded and the 32 merges applied IN ORDER as literal
+# padded replaces (q283's idiom: replace ' s1  s2 ' → ' s1s2 ' is
+# exactly a left-to-right non-overlapping merge pass); symbol →
+# token id by the BPE convention (single char → codepoint; merge
+# output k → 256 + k — a pure literal map, no corpus-dependent
+# vocab pass). Graded per source: doc count, whitespace-word count
+# (the q162 baseline), BPE token count, fertility (one IEEE
+# division of two exact BIGINTs), and the per-source xor digest of
+# doc-level ID SEQUENCES (md5 of doc_id : comma-joined ids in word
+# order) — one wrong id, one swapped position, one dropped word
+# flips it. Scale: encode cost is |vocab| × 32 literal replaces +
+# one join back to the word stream + one doc-keyed reassembly
+# shuffle — linear, fixed-depth.
+# ---------------------------------------------------------------------------
+
+_Q320_MERGES = [
+    ("e", "r"), ("i", "n"), ("o", "w"), ("o", "r"), ("s", "t"),
+    ("m", "er"), ("a", "t"), ("l", "u"), ("a", "r"), ("p", "ar"),
+    ("j", "o"), ("jo", "in"), ("a", "s"), ("as", "h"), ("h", "ash"),
+    ("r", "ow"), ("at", "c"), ("atc", "h"), ("b", "atch"), ("a", "n"),
+    ("c", "an"), ("s", "can"), ("c", "o"), ("c", "u"), ("co", "lu"),
+    ("colu", "m"), ("colum", "n"), ("cu", "st"), ("cust", "o"),
+    ("custo", "mer"), ("f", "i"), ("fi", "l"),
+]
+
+
+def q320_bpe_encode_fixed_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_data_pipeline_spark.functions.text import ws_tokens
+
+    docs = spread(_t(spark, sf_dir, "documents"))
+    stream = docs.select(
+        "doc_id",
+        "source",
+        F.posexplode(ws_tokens(F.col("text"))).alias("pos", "w"),
+    )
+    vocab = stream.select("w").distinct()
+
+    # chars double-space-joined with single-space boundaries; each
+    # merge is one literal padded replace, applied in training order
+    s = F.concat(
+        F.lit(" "),
+        F.array_join(
+            F.expr("transform(sequence(1, length(w)), i -> substr(w, i, 1))"),
+            "  ",
+        ),
+        F.lit(" "),
+    )
+    for a, b in _Q320_MERGES:
+        s = F.replace(s, F.lit(f" {a}  {b} "), F.lit(f" {a}{b} "))
+    syms = F.filter(F.split(s, " "), lambda x: x != F.lit(""))
+
+    # BPE id convention: merge output k → 256 + k, single char →
+    # codepoint (the corpus is printable ASCII; pinned by the digest)
+    id_map = {a + b: 256 + k for k, (a, b) in enumerate(_Q320_MERGES)}
+
+    def sym_id(c):
+        out = F.ascii(c)
+        for sym, tid in id_map.items():
+            out = F.when(c == sym, F.lit(tid)).otherwise(out)
+        return out
+
+    enc = vocab.select(
+        "w",
+        F.array_join(
+            F.transform(syms, lambda c: sym_id(c).cast("string")), ","
+        ).alias("ids"),
+        F.size(syms).cast("long").alias("n_sym"),
+    )
+
+    per_doc = (
+        stream.join(enc, "w")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("n_sym").cast("long").alias("n_tokens"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "ids"))),
+                    lambda x: x["ids"],
+                ),
+                ",",
+            ).alias("seq"),
+        )
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_words").cast("long").alias("n_words"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.bit_xor(
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.col("doc_id").cast("string"),
+                                F.lit(":"),
+                                F.col("seq"),
+                            )
+                        ),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+            ).cast("long").alias("seq_xor"),
+        )
+        # fertility: BPE tokens per whitespace word (the q162
+        # baseline) — one IEEE division of two exact BIGINTs
+        .withColumn(
+            "fertility",
+            F.col("n_tokens").cast("double") / F.col("n_words").cast("double"),
+        )
+        .orderBy("source")
+    )
+
+
+QUERIES["q320_bpe_encode_fixed_vocab"] = q320_bpe_encode_fixed_vocab
+
+
+# Oracle: the same frozen merge list as nested literal replaces over
+# the distinct-word table; doc sequences reassembled by position.
+def _q320_oracle() -> str:
+    from ai_data_pipeline_spark.functions.text import sql_word_ngrams
+
+    toks = sql_word_ngrams("text", 1)
+    padded = (
+        "' ' || array_to_string(list_transform(range(1, length(w) + 1), "
+        "i -> substr(w, i, 1)), '  ') || ' '"
+    )
+    expr = padded
+    for a, b in _Q320_MERGES:
+        expr = f"replace({expr}, ' {a}  {b} ', ' {a}{b} ')"
+    id_case = "CASE s "
+    for k, (a, b) in enumerate(_Q320_MERGES):
+        id_case += f"WHEN '{a}{b}' THEN {256 + k} "
+    id_case += "ELSE ascii(s) END"
+    return f"""
+    WITH stream AS MATERIALIZED (
+        -- the lateral aliases must not shadow the tokenizer
+        -- lambda's parameter name (w) — DuckDB's lateral-alias
+        -- binder resolves the lambda var against the SELECT list
+        SELECT doc_id, source, u.pos, u.tok AS w
+        FROM documents,
+             LATERAL (SELECT unnest({toks}) AS tok,
+                             generate_subscripts({toks}, 1) AS pos) u
+    ), vocab AS MATERIALIZED (
+        SELECT DISTINCT w FROM stream
+    ), enc AS MATERIALIZED (
+        SELECT w,
+               array_to_string(list_transform(syms, s -> CAST(({id_case}) AS VARCHAR)), ',')
+                   AS ids,
+               CAST(len(syms) AS BIGINT) AS n_sym
+        FROM (SELECT w,
+                     list_filter(string_split({expr}, ' '), x -> x != '') AS syms
+              FROM vocab)
+    ), per_doc AS MATERIALIZED (
+        SELECT s.doc_id, s.source,
+               CAST(COUNT(*) AS BIGINT) AS n_words,
+               CAST(SUM(e.n_sym) AS BIGINT) AS n_tokens,
+               string_agg(e.ids, ',' ORDER BY s.pos) AS seq
+        FROM stream s JOIN enc e ON e.w = s.w
+        GROUP BY s.doc_id, s.source
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_words) AS BIGINT) AS n_words,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(bit_xor((('0x' || substr(md5(doc_id || ':' || seq), 1, 15))::BIGINT))
+                AS BIGINT) AS seq_xor,
+           CAST(SUM(n_tokens) AS DOUBLE) / CAST(SUM(n_words) AS DOUBLE) AS fertility
+    FROM per_doc
+    GROUP BY source
+    ORDER BY source
+    """
+
+
+ORACLE["q320_bpe_encode_fixed_vocab"] = _q320_oracle()

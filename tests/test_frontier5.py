@@ -167,3 +167,47 @@ def test_q319_v1_files_untouched_and_schemas(spark, tmp_path):
         F.count(F.lit(1)).alias("n"),
     ).collect()[0]
     assert (int(nulls["n_null"]), int(nulls["n"])) == (40, 60)
+
+
+def test_q320_encode_matches_python_twin(spark, tmp_path):
+    """The padded-replace merge chain must reproduce exact BPE
+    apply semantics (in-order, left-to-right non-overlapping, each
+    merge over the current symbol stream) — pinned against a
+    pure-Python applier on words exercising chained merges
+    ('customer' needs 6 dependent merges, 'batch' 4) and the
+    codepoint fallback ('xyz')."""
+    import hashlib
+
+    def py_encode(word):
+        syms = list(word)
+        for k, (a, b) in enumerate(F5._Q320_MERGES):
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        ids = {a + b: 256 + k for k, (a, b) in enumerate(F5._Q320_MERGES)}
+        return [ids[s] if s in ids else ord(s) for s in syms]
+
+    text = "customer batch xyz scanning"
+    rows = [(1, text, "en", "srcA", len(text))]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    out = F5.q320_bpe_encode_fixed_vocab(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    expect_ids = [i for w in text.split() for i in py_encode(w)]
+    assert py_encode("customer") == [256 + 29]
+    assert py_encode("batch") == [256 + 18]
+    assert py_encode("xyz") == [120, 121, 122]
+    assert r["n_words"] == 4
+    assert r["n_tokens"] == len(expect_ids)
+    seq = ",".join(str(i) for i in expect_ids)
+    expect_xor = int(hashlib.md5(f"1:{seq}".encode()).hexdigest()[:15], 16)
+    assert r["seq_xor"] == expect_xor
