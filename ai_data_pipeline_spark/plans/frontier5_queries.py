@@ -1040,3 +1040,248 @@ def _q320_oracle() -> str:
 
 
 ORACLE["q320_bpe_encode_fixed_vocab"] = _q320_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Q321 — CHANGE DATA FEED between snapshots (the table-format verb
+# downstream consumers need: after q317's merge, the inverted index
+# (q294), the export (q310), and the training refresh must learn
+# WHAT CHANGED without diffing full snapshots — at 100 TB a full
+# diff is a full double scan). The store is COW (q300/q316's
+# write-new-then-swap: the merge writes rewritten partitions to a
+# NEW generation directory; no file is ever deleted in-place, so
+# the pre-image stays readable until GC): v1 manifest = base files,
+# v2 manifest = untouched cells' v1 files + the merge generation's
+# files. The FEED is derived purely from the MANIFEST DIFF: pre =
+# read of v1−v2 files, post = read of v2−v1 files — untouched
+# partitions are never opened (the file counts are graded as the
+# pruning evidence). Row-level classification by full-outer join on
+# vec_id within that bounded set: post-only → insert, pre-only →
+# delete, content-equal → carryover (rewrite amplification — a real
+# cost metric), else update (+ a cell-move count: the cross-
+# partition case). Ops reuse q317's derivation (u40 % 19), so the
+# oracle classifies every row from flags alone and never sees a
+# store — the graded claim is that the file-diff feed lands exactly
+# on the flag truth. Scale: feed cost is O(changed partitions),
+# never O(store); the classification join input is bounded by the
+# rewrite size.
+# ---------------------------------------------------------------------------
+
+
+def q321_snapshot_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ai_data_pipeline_spark.operators.vectorized import ivf_assign_np
+    from ai_data_pipeline_spark.plans.constants import Q28_CENTROIDS
+
+    emb = _t(spark, sf_dir, "embeddings")
+    r = F.pmod(_u40(F.col("vec_id")), F.lit(_Q317_MOD))
+    base = ivf_assign_np(emb, Q28_CENTROIDS).select("vec_id", "embedding", "cell")
+
+    tmp = tempfile.mkdtemp(prefix="q321_")
+    g1 = tmp + "/store/gen=1"
+    g2 = tmp + "/store/gen=2"
+    try:
+        base.repartition("cell").write.mode("overwrite").partitionBy(
+            "cell"
+        ).parquet(g1)
+        store = spark.read.parquet(g1).withColumn("_r", r)
+        # v1 manifest: (file, cell) read back from the store itself
+        v1_rows = (
+            store.select(F.input_file_name().alias("f"), F.col("cell").cast("int").alias("c"))
+            .distinct()
+            .collect()  # ≤ |cells| files — count-gated
+        )
+        v1_files = {x["f"]: x["c"] for x in v1_rows}
+
+        # ---- q317's CDC ops, COW-applied: rewritten partitions land
+        # in generation 2; generation 1 files are never touched.
+        neg = emb.select(
+            "vec_id",
+            F.transform("embedding", lambda x: -x).alias("embedding"),
+            r.alias("_r"),
+        )
+        incoming = ivf_assign_np(
+            neg.filter(F.col("_r") == _Q317_UPD)
+            .select("vec_id", "embedding")
+            .unionByName(
+                neg.filter(F.col("_r") == _Q317_INS).select(
+                    (F.col("vec_id") + _Q317_INS_OFF).alias("vec_id"),
+                    "embedding",
+                )
+            ),
+            Q28_CENTROIDS,
+        ).select("vec_id", "embedding", "cell").localCheckpoint()
+
+        old_cells = {
+            int(x["c"])
+            for x in store.filter(F.col("_r").isin(_Q317_UPD, _Q317_DEL))
+            .select(F.col("cell").cast("int").alias("c"))
+            .distinct()
+            .collect()
+        }
+        new_cells = {
+            int(x["c"])
+            for x in incoming.select(F.col("cell").cast("int").alias("c"))
+            .distinct()
+            .collect()
+        }
+        affected = sorted(old_cells | new_cells)
+
+        survivors = store.filter(
+            F.col("cell").cast("int").isin(affected)
+            & ~F.col("_r").isin(_Q317_UPD, _Q317_DEL)
+        ).select("vec_id", "embedding", "cell")
+        # COW: no overwrite of counted/read files — no checkpoint
+        # needed; gen1 is immutable by construction
+        survivors.unionByName(incoming).repartition("cell").write.mode(
+            "overwrite"
+        ).partitionBy("cell").parquet(g2)
+
+        g2_rows = (
+            spark.read.parquet(g2)
+            .select(F.input_file_name().alias("f"), F.col("cell").cast("int").alias("c"))
+            .distinct()
+            .collect()
+        )
+        # v2 manifest: untouched cells keep their v1 files; affected
+        # cells are served by gen-2 files. v1−v2 = affected cells'
+        # gen-1 files (the PRE image), v2−v1 = gen-2 (the POST).
+        removed = sorted(f for f, c in v1_files.items() if c in set(affected))
+        added = sorted(x["f"] for x in g2_rows)
+        n_files_v2 = (len(v1_files) - len(removed)) + len(added)
+
+        pre = spark.read.option("basePath", g1).parquet(*removed).select(
+            "vec_id",
+            F.col("embedding").alias("pre_emb"),
+            F.col("cell").cast("int").alias("pre_cell"),
+        )
+        post = spark.read.option("basePath", g2).parquet(*added).select(
+            "vec_id",
+            F.col("embedding").alias("post_emb"),
+            F.col("cell").cast("int").alias("post_cell"),
+        )
+        feed = pre.join(post, "vec_id", "full").select(
+            "vec_id",
+            F.when(F.col("pre_cell").isNull(), F.lit("insert"))
+            .when(F.col("post_cell").isNull(), F.lit("delete"))
+            .when(
+                (F.col("pre_cell") == F.col("post_cell"))
+                & (F.col("pre_emb") == F.col("post_emb")),
+                F.lit("carryover"),
+            )
+            .otherwise(F.lit("update"))
+            .alias("change_type"),
+            (
+                F.col("pre_cell").isNotNull()
+                & F.col("post_cell").isNotNull()
+                & (F.col("pre_cell") != F.col("post_cell"))
+            ).cast("int").alias("moved"),
+        )
+        out = (
+            feed.groupBy("change_type")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.bit_xor(
+                    F.conv(
+                        F.substring(F.md5(F.col("vec_id").cast("string")), 1, 15),
+                        16,
+                        10,
+                    ).cast("long")
+                ).cast("long").alias("id_xor"),
+                F.sum("moved").cast("long").alias("n_cell_moves"),
+            )
+            .orderBy("change_type")
+            .collect()  # ≤ 4 rows, before temp-dir cleanup
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    res = spark.createDataFrame(
+        out, "change_type string, n_rows long, id_xor long, n_cell_moves long"
+    )
+    return (
+        res.withColumn("n_files_pre_read", F.lit(len(removed)).cast("long"))
+        .withColumn("n_files_post_read", F.lit(len(added)).cast("long"))
+        .withColumn("n_files_v2", F.lit(int(n_files_v2)).cast("long"))
+        .orderBy("change_type")
+    )
+
+
+QUERIES["q321_snapshot_change_feed"] = q321_snapshot_change_feed
+
+
+# Oracle: every row classified from the op flags alone (the
+# file-diff feed must land exactly on this truth); file counts from
+# (cell, generation) occupancy.
+def _q321_oracle() -> str:
+    from ai_data_pipeline_spark.functions.vector import (
+        sql_lit_list,
+        sql_squared_l2,
+    )
+    from ai_data_pipeline_spark.plans.constants import EMBED_DIM, Q28_CENTROIDS
+
+    def cell_expr(vec: str) -> str:
+        cells = ", ".join(
+            f"struct_pack(d := {sql_squared_l2(vec, sql_lit_list(c), EMBED_DIM)}, c := {ci})"
+            for ci, c in enumerate(Q28_CENTROIDS)
+        )
+        return f"struct_extract((list_sort([{cells}]))[1], 'c')"
+
+    u40 = _SQL_U40.format(c="vec_id")
+    return f"""
+    WITH base AS MATERIALIZED (
+        SELECT vec_id, {u40} % {_Q317_MOD} AS r,
+               {cell_expr('embedding')} AS cell,
+               {cell_expr('list_transform(embedding, x -> -x)')} AS neg_cell
+        FROM embeddings
+    ), aff AS MATERIALIZED (
+        SELECT DISTINCT cell FROM (
+            SELECT cell FROM base WHERE r IN ({_Q317_UPD}, {_Q317_DEL})
+            UNION SELECT neg_cell FROM base WHERE r IN ({_Q317_UPD}, {_Q317_INS}))
+    ), feed AS MATERIALIZED (
+        SELECT vec_id, 'update' AS change_type,
+               CASE WHEN cell != neg_cell THEN 1 ELSE 0 END AS moved
+        FROM base WHERE r = {_Q317_UPD}
+        UNION ALL
+        SELECT vec_id, 'delete', 0 FROM base WHERE r = {_Q317_DEL}
+        UNION ALL
+        SELECT vec_id + {_Q317_INS_OFF}, 'insert', 0
+        FROM base WHERE r = {_Q317_INS}
+        UNION ALL
+        SELECT vec_id, 'carryover', 0 FROM base
+        WHERE r NOT IN ({_Q317_UPD}, {_Q317_DEL})
+          AND cell IN (SELECT cell FROM aff)
+    ), counts AS (
+        -- pre-read files exist only for affected cells that have
+        -- base occupancy (a cell born by an insert has no v1 file)
+        SELECT (SELECT CAST(COUNT(DISTINCT cell) AS BIGINT) FROM base
+                WHERE cell IN (SELECT cell FROM aff)) AS n_files_pre_read,
+               (SELECT CAST(COUNT(DISTINCT c) AS BIGINT) FROM (
+                    SELECT cell AS c FROM base
+                    WHERE r NOT IN ({_Q317_UPD}, {_Q317_DEL})
+                      AND cell IN (SELECT cell FROM aff)
+                    UNION ALL
+                    SELECT neg_cell FROM base WHERE r = {_Q317_UPD}
+                    UNION ALL
+                    SELECT neg_cell FROM base WHERE r = {_Q317_INS}))
+                   AS n_files_post_read,
+               (SELECT CAST(COUNT(DISTINCT cell) AS BIGINT) FROM base
+                WHERE cell NOT IN (SELECT cell FROM aff))
+                   AS n_files_untouched
+    )
+    SELECT change_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(bit_xor((('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT))
+                AS BIGINT) AS id_xor,
+           CAST(SUM(moved) AS BIGINT) AS n_cell_moves,
+           k.n_files_pre_read, k.n_files_post_read,
+           k.n_files_untouched + k.n_files_post_read AS n_files_v2
+    FROM feed CROSS JOIN counts k
+    GROUP BY change_type, k.n_files_pre_read, k.n_files_post_read,
+             k.n_files_untouched
+    ORDER BY change_type
+    """
+
+
+ORACLE["q321_snapshot_change_feed"] = _q321_oracle()
