@@ -1285,3 +1285,165 @@ def _q321_oracle() -> str:
 
 
 ORACLE["q321_snapshot_change_feed"] = _q321_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Q322 — IVF REINDEX under RETRAINED centroid geometry (the ANN
+# lifecycle verb none of q300/q308/q312 exercise: compaction and
+# snapshots preserve cell geometry, but a production vector store
+# periodically RETRAINS its coarse quantizer as the corpus drifts
+# and must MIGRATE every vector to its new cell — a full-store
+# shuffle, staged as a COW generation swap so serving never sees a
+# half-migrated store). The new geometry below is one exact Lloyd
+# step over the sf0.01 snapshot, computed ONCE offline (q320's
+# frozen-artifact discipline; retraining itself is graded by
+# q224/q237 — this row grades the MIGRATION). Graded: the
+# old→new migration matrix (only non-empty pairs), the stay
+# fraction (one IEEE division of two exact BIGINTs — how much a
+# one-step retrain moves), and the (vec_id, new_cell) xor digest
+# from the GEN-2 READ-BACK — content invariance + correct
+# placement in one number. Scale: reindex cost is ONE shuffle of
+# the store keyed by the new cell + two assignment kernel passes —
+# the honest linear cost; the matrix agg is K² rows.
+# ---------------------------------------------------------------------------
+
+_Q322_CENTROIDS = [
+    [-0.02532, 0.005632, -0.01641, -0.037527, 0.008618, 0.033757, -0.020065, 0.029893, 0.020629, 0.008776, 0.031334, 0.026905, -0.011605, -0.014656, 0.00011, 0.007105, -0.02611, 0.018435, 0.009849, -0.04704, -0.000216, -0.013299, 0.008484, -0.014847, -0.023853, 0.004291, -0.012649, -0.019851, -0.022623, -0.00364, 0.016131, 0.002134, 0.037408, -0.029418, -0.012223, -0.021279, 0.006884, 0.025171, 0.018895, -0.01388, 0.007534, -0.027443, -0.045397, -0.020435, -0.027507, 0.007303, 0.027572, 0.026786, 0.016004, -0.024531, 0.019181, -0.012062, 0.008204, 0.03473, -0.005418, -0.014168, -0.03899, 0.030625, 0.001053, 0.015648, 0.008607, 0.016014, -0.026404, 0.015802],
+    [-0.047368, -0.213272, 0.049568, 0.031948, -0.010949, -0.003133, -0.201497, 0.016156, -0.123071, -0.119376, -0.012661, 0.090315, -0.007413, 0.145479, 0.091872, 0.158243, -0.096316, -0.189473, -0.11265, -0.167438, 0.02179, 0.251971, -0.074472, 0.013813, -0.142809, 0.095314, 0.095996, 0.123259, -0.09151, -0.115541, 0.048064, -0.126296, 0.021593, -0.008222, -0.046744, -0.089661, 0.068194, -0.139245, -0.019053, 0.062899, -0.035925, -0.056563, -0.02671, -0.249638, 0.043895, -0.064415, -0.054433, 0.067603, 0.004593, -0.016873, -0.100631, -0.111904, -0.10052, 0.075418, -0.011853, 0.008689, -0.133441, -0.043109, 0.025262, -0.042357, -0.08352, -0.015635, 0.056311, -0.109394],
+    [0.042348, -0.072978, 0.068739, 0.0871, -0.003692, 0.092818, -0.097742, 0.091196, -0.064263, -0.018126, 0.040504, -0.017579, 0.030999, 0.031024, -0.074699, 0.000176, -0.134643, -0.072508, -0.092791, -0.014556, 0.01727, 0.02133, -0.042262, -0.022388, -0.167146, -0.010839, -0.0901, -0.029562, 0.013437, -0.045053, 0.003831, 0.030332, -0.035634, -0.026923, 0.078819, 0.001104, -0.086397, -0.011692, 0.031144, 0.036724, -0.038478, -0.073365, 0.02188, -0.02753, -0.016228, -0.06797, -0.028006, 0.107862, -0.019143, 0.038711, 0.014235, -0.061035, 0.080872, 0.035359, -0.003011, 0.005903, -0.062064, -0.014352, -0.066952, -0.073491, -0.031332, -0.025133, 0.044492, -0.110518],
+    [-0.041944, 0.00116, 0.080362, -0.10348, 0.061395, 0.084273, -0.110131, 0.063789, 0.063897, -0.016104, 0.122714, -0.0107, 0.036657, 0.006313, -0.020143, -0.01137, 0.058483, -0.033357, -0.008532, 0.028702, 0.064999, 0.038489, -0.00765, 0.023269, -0.020634, 0.006471, 0.02369, 0.150312, -0.128569, -0.050618, -0.046905, -0.073633, 0.200953, 0.018015, 0.122817, 0.029753, 0.005245, 0.086704, -0.003792, -0.057073, -0.143752, -0.130648, -0.040009, 0.089184, -0.049184, -0.025399, 0.03251, -0.013471, 0.024578, 0.004899, 0.112276, 0.011337, -0.051767, -0.033621, 0.087475, -0.012334, -0.05297, -0.050553, 0.048111, -0.004059, -0.020858, 0.042879, 0.001804, 0.075223],
+    [-0.00818, -0.019319, -0.012353, 0.05355, -0.027448, 0.011107, -0.0021, -0.003548, 0.040136, 0.018922, 0.045656, 0.053835, -0.007737, -0.052726, 0.049572, 0.03524, 0.090248, -0.056636, -0.008502, -0.037627, -0.073491, -0.061253, -0.026758, -0.0334, -0.102955, 0.003453, 0.004185, 0.045953, 0.025173, 0.039799, 0.030837, -0.083456, -0.022743, 0.007082, 0.084239, -0.075198, -0.061444, -0.078268, 0.053123, 0.018089, 0.024248, 0.027979, -0.01922, -0.041178, -0.059113, -0.011949, -0.024488, 0.057889, -0.012735, 0.070972, -0.000849, 0.057102, -0.002856, 0.049766, -0.001366, 0.033581, 0.028776, 0.028424, 0.036904, -0.108699, -0.004827, 0.044352, 0.004501, -0.098842],
+    [0.072471, -0.00825, 0.012832, 0.074911, -0.012778, 0.02517, -0.0207, -0.071865, -0.006357, -0.03738, -0.00322, -0.017939, 0.006423, 0.043333, -0.052062, -0.046257, 0.026732, 0.01724, -0.050959, -0.010801, -0.075629, 0.009421, -0.045369, 0.033134, 0.031737, -0.069503, 0.019121, -0.008869, 0.087554, -0.024315, -0.011612, -0.02472, -0.075518, -0.077312, 0.003238, 0.064818, 0.007976, -0.060289, -0.018072, -0.042684, -0.011621, -0.050488, -0.041486, -0.011449, -0.030599, -0.010369, 0.027837, 0.093156, -0.033255, 0.024405, 0.023692, -0.06153, 0.091305, -0.033016, 0.005891, -0.025132, 0.044072, -0.014163, 0.012704, 0.051856, 0.009739, 0.011119, 0.007289, -0.005526],
+    [-0.015179, -0.018715, 0.016439, -0.002891, 0.037758, 0.011461, -0.051243, -0.034214, -0.028624, -0.039706, -0.017428, 0.040023, -0.000901, -7.6e-05, -0.019114, 0.031085, 0.021975, -0.019952, 0.022804, 0.028921, -0.023377, -0.002642, 0.02076, -0.037434, 0.023821, -0.003648, 0.038057, 0.033418, 0.009385, -0.018988, 0.007304, -0.035292, -0.004085, -0.022991, 0.018643, -0.032582, -0.014644, 0.012021, 0.026794, -0.001553, -0.022876, 0.014628, 0.037555, -0.016807, -0.002245, -0.008164, -0.033395, -0.026667, -0.011661, 0.013971, 0.018939, -0.014833, 0.019277, -0.023625, -0.02346, -0.01704, 0.025793, -0.004159, -0.015552, 0.00731, -0.002784, 0.017868, 0.028555, -0.031657],
+    [0.024703, 0.002563, 0.00586, 0.00378, -0.001263, -0.01733, 0.007489, 0.023099, -0.002436, 0.019227, -0.001099, -0.033657, -0.000283, 0.011473, 0.013753, -0.007677, 0.010241, 0.020645, -0.011108, 0.021721, 0.012052, 0.014483, 0.000401, 0.010971, 0.009162, 0.034767, -0.016804, 0.014698, 0.001177, 0.017439, -0.001629, 0.012794, 0.002668, 0.022252, -0.000273, 0.034632, -0.003543, -0.017619, -0.03234, 0.008433, 0.007944, -0.010901, 0.013425, 0.026393, -0.001807, 0.014379, -0.00017, -0.003157, -0.009297, -0.024238, -0.004001, 0.017279, -0.005484, -0.02037, 0.026307, 0.010084, 0.021829, -0.022047, -0.005301, -0.029706, -0.002729, -0.011515, -0.00497, -0.014349],
+]
+
+
+def q322_ivf_reindex_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ai_data_pipeline_spark.operators.vectorized import ivf_assign_np
+    from ai_data_pipeline_spark.plans.constants import Q28_CENTROIDS
+
+    emb = _t(spark, sf_dir, "embeddings")
+    base = ivf_assign_np(emb, Q28_CENTROIDS).select("vec_id", "embedding", "cell")
+
+    tmp = tempfile.mkdtemp(prefix="q322_")
+    g1 = tmp + "/store/gen=1"
+    g2 = tmp + "/store/gen=2"
+    try:
+        base.repartition("cell").write.mode("overwrite").partitionBy(
+            "cell"
+        ).parquet(g1)
+        store = spark.read.parquet(g1).select(
+            "vec_id", "embedding", F.col("cell").cast("int").alias("old_cell")
+        )
+        # re-assignment under the retrained geometry, from the
+        # read-back; referenced by the matrix agg AND the rewrite —
+        # materialize the (8-byte id, two cells) projection is NOT
+        # enough (the rewrite needs embeddings), so checkpoint the
+        # whole assigned frame once (the ≥2×-consumed kernel rule)
+        assigned = (
+            ivf_assign_np(store, _Q322_CENTROIDS)
+            .select("vec_id", "embedding", "old_cell", F.col("cell").cast("int").alias("cell"))
+            .localCheckpoint()
+        )
+        matrix = (
+            assigned.groupBy("old_cell", "cell")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_vecs"))
+            .collect()  # ≤ K² rows — count-gated by centroid geometry
+        )
+        # COW generation swap: gen-1 untouched, gen-2 is the new
+        # layout — one shuffle keyed by the NEW cell
+        assigned.select("vec_id", "embedding", "cell").repartition(
+            "cell"
+        ).write.mode("overwrite").partitionBy("cell").parquet(g2)
+        audit = spark.read.parquet(g2).agg(
+            F.count(F.lit(1)).cast("long").alias("n_total"),
+            F.bit_xor(
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.col("vec_id").cast("string"),
+                                F.lit(":"),
+                                F.col("cell").cast("string"),
+                            )
+                        ),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+            ).cast("long").alias("content_xor"),
+        ).collect()[0]  # 1 row
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    n_total = int(audit["n_total"])
+    n_stayed = sum(int(r["n_vecs"]) for r in matrix
+                   if int(r["old_cell"]) == int(r["cell"]))
+    res = spark.createDataFrame(
+        [(int(r["old_cell"]), int(r["cell"]), int(r["n_vecs"])) for r in matrix],
+        "old_cell long, new_cell long, n_vecs long",
+    )
+    return (
+        res.withColumn("n_total", F.lit(n_total).cast("long"))
+        .withColumn("n_stayed", F.lit(n_stayed).cast("long"))
+        # single IEEE division of two exact BIGINTs
+        .withColumn(
+            "stay_frac", F.lit(float(n_stayed)) / F.lit(float(n_total))
+        )
+        .withColumn("content_xor", F.lit(int(audit["content_xor"])).cast("long"))
+        .orderBy("old_cell", "new_cell")
+    )
+
+
+QUERIES["q322_ivf_reindex_migration"] = q322_ivf_reindex_migration
+
+
+# Oracle: both assignments recomputed from `embeddings` with the
+# shared literal centroid sets; the migration matrix, stay
+# fraction, and placement digest must land exactly.
+def _q322_oracle() -> str:
+    from ai_data_pipeline_spark.functions.vector import (
+        sql_lit_list,
+        sql_squared_l2,
+    )
+    from ai_data_pipeline_spark.plans.constants import EMBED_DIM, Q28_CENTROIDS
+
+    def cell_expr(cents) -> str:
+        cells = ", ".join(
+            f"struct_pack(d := {sql_squared_l2('embedding', sql_lit_list(c), EMBED_DIM)}, c := {ci})"
+            for ci, c in enumerate(cents)
+        )
+        return f"struct_extract((list_sort([{cells}]))[1], 'c')"
+
+    return f"""
+    WITH assigned AS MATERIALIZED (
+        SELECT vec_id,
+               {cell_expr(Q28_CENTROIDS)} AS old_cell,
+               {cell_expr(_Q322_CENTROIDS)} AS new_cell
+        FROM embeddings
+    ), consts AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+               CAST(SUM(CASE WHEN old_cell = new_cell THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_stayed,
+               CAST(bit_xor((('0x' || substr(md5(vec_id || ':' || new_cell), 1, 15))::BIGINT))
+                    AS BIGINT) AS content_xor
+        FROM assigned
+    )
+    SELECT CAST(old_cell AS BIGINT) AS old_cell,
+           CAST(new_cell AS BIGINT) AS new_cell,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           k.n_total, k.n_stayed,
+           CAST(k.n_stayed AS DOUBLE) / CAST(k.n_total AS DOUBLE) AS stay_frac,
+           k.content_xor
+    FROM assigned CROSS JOIN consts k
+    GROUP BY old_cell, new_cell, k.n_total, k.n_stayed, k.content_xor
+    ORDER BY old_cell, new_cell
+    """
+
+
+ORACLE["q322_ivf_reindex_migration"] = _q322_oracle()
