@@ -1447,3 +1447,207 @@ def _q322_oracle() -> str:
 
 
 ORACLE["q322_ivf_reindex_migration"] = _q322_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Q323 — STREAMING CDC upserts (the foreachBatch half of q317, as
+# q297 is to q293 and q315 to q310 — in production the CDC feed
+# arrives continuously from outside; the merge discipline must hold
+# PER MICRO-BATCH, and the final store must land exactly on the
+# one-shot batch merge): q317's op set (u40 % 19 → update/delete/
+# insert, disjoint id sets so sequential application commutes) is
+# dealt into 3 micro-batch files (vec_id mod 3 — ops travel WITH
+# their new embeddings as JSON, surviving the float32→JSON→float32
+# round trip exactly) and replayed with availableNow +
+# maxFilesPerTrigger=1; each batch runs the full q317 merge: old
+# cells of its hits ∪ new cells of its incoming, survivors
+# checkpointed BEFORE the dynamic overwrite (the overwrite-lineage
+# rule), fully-emptied cells dropped. Graded: post-stream cosine
+# top-3 + the SAME audit schema as q317 — the oracle IS q317's
+# (base-with-ops-applied; the one-shot/streaming equivalence is the
+# graded claim). Scale: per-batch cost is that batch's affected
+# cells only; the accumulated rewritten-cell set equals the
+# one-shot affected set because op id sets are disjoint. Wall is
+# micro-batch replay class (adjudicate vs stream_canary_sec).
+# ---------------------------------------------------------------------------
+
+
+def q323_streaming_cdc_upserts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json as _json
+    import os as _os
+    import shutil
+    import tempfile
+
+    from ai_data_pipeline_spark.functions.vector import cosine
+    from ai_data_pipeline_spark.operators import similarity
+    from ai_data_pipeline_spark.operators.vectorized import ivf_assign_np
+    from ai_data_pipeline_spark.plans.constants import Q27_QUERY_VECS, Q28_CENTROIDS
+
+    emb = _t(spark, sf_dir, "embeddings")
+    r = F.pmod(_u40(F.col("vec_id")), F.lit(_Q317_MOD))
+    base = ivf_assign_np(emb, Q28_CENTROIDS).select("vec_id", "embedding", "cell")
+
+    tmp = tempfile.mkdtemp(prefix="q323_")
+    path = tmp + "/store"
+    ops_dir = tmp + "/ops"
+    ckpt = tmp + "/ckpt"
+    _os.makedirs(ops_dir)
+    rewritten: set[int] = set()
+    try:
+        base.repartition("cell").write.mode("overwrite").partitionBy(
+            "cell"
+        ).parquet(path)
+
+        # the CDC feed (TEST-HARNESS setup, q297's precedent: in
+        # production this arrives from outside — a Kafka topic, a
+        # re-embedding service's output table; the collect is the
+        # op set, ~3/19 of the corpus, not the store)
+        ops = (
+            emb.withColumn("_r", r)
+            .filter(F.col("_r").isin(_Q317_UPD, _Q317_DEL, _Q317_INS))
+            .select(
+                "vec_id",
+                "_r",
+                F.transform("embedding", lambda x: -x).alias("nemb"),
+            )
+            .collect()
+        )
+        n_upd = sum(1 for o in ops if o["_r"] == _Q317_UPD)
+        n_del = sum(1 for o in ops if o["_r"] == _Q317_DEL)
+        n_ins = sum(1 for o in ops if o["_r"] == _Q317_INS)
+        for b in range(3):
+            with open(f"{ops_dir}/batch{b}.json", "w") as f:
+                for o in ops:
+                    if int(o["vec_id"]) % 3 != b:
+                        continue
+                    if o["_r"] == _Q317_UPD:
+                        rec = {"vec_id": int(o["vec_id"]), "op": "U",
+                               "embedding": [float(x) for x in o["nemb"]]}
+                    elif o["_r"] == _Q317_DEL:
+                        rec = {"vec_id": int(o["vec_id"]), "op": "D",
+                               "embedding": None}
+                    else:
+                        rec = {"vec_id": int(o["vec_id"]) + _Q317_INS_OFF,
+                               "op": "I",
+                               "embedding": [float(x) for x in o["nemb"]]}
+                    f.write(_json.dumps(rec) + "\n")
+
+        def apply_batch(batch_df, epoch_id):
+            if batch_df.isEmpty():
+                return
+            store = spark.read.parquet(path)
+            touched_ids = batch_df.filter(F.col("op").isin("U", "D")).select(
+                "vec_id"
+            )
+            incoming = ivf_assign_np(
+                batch_df.filter(F.col("op").isin("U", "I")).select(
+                    "vec_id", "embedding"
+                ),
+                Q28_CENTROIDS,
+            ).select("vec_id", "embedding", "cell").localCheckpoint()
+            old_cells = {
+                int(x["c"])
+                for x in store.join(touched_ids, "vec_id", "semi")
+                .select(F.col("cell").cast("int").alias("c"))
+                .distinct()
+                .collect()  # ≤ |centroids|
+            }
+            new_cells = {
+                int(x["c"])
+                for x in incoming.select(F.col("cell").cast("int").alias("c"))
+                .distinct()
+                .collect()
+            }
+            affected = sorted(old_cells | new_cells)
+            if not affected:
+                return
+            survivors = store.filter(
+                F.col("cell").cast("int").isin(affected)
+            ).join(touched_ids, "vec_id", "anti").select(
+                "vec_id", "embedding", "cell"
+            )
+            rewrite = survivors.unionByName(incoming).localCheckpoint()
+            rewrite.repartition("cell").write.mode("overwrite").option(
+                "partitionOverwriteMode", "dynamic"
+            ).partitionBy("cell").parquet(path)
+            present = {
+                int(x["c"])
+                for x in rewrite.select(F.col("cell").cast("int").alias("c"))
+                .distinct()
+                .collect()
+            }
+            for c in affected:
+                if c not in present:
+                    shutil.rmtree(f"{path}/cell={c}", ignore_errors=True)
+            rewritten.update(affected)
+
+        q = (
+            spark.readStream.schema("vec_id long, op string, embedding array<float>")
+            .option("maxFilesPerTrigger", 1)
+            .json(ops_dir)
+            .writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+        store2 = spark.read.parquet(path)
+        audit = store2.agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.bit_xor(
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.col("vec_id").cast("string"),
+                                F.lit(":"),
+                                F.col("cell").cast("string"),
+                            )
+                        ),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+            ).cast("long").alias("content_xor"),
+        ).collect()[0]  # 1 row
+        queries = similarity.queries_df(spark, Q27_QUERY_VECS)
+        cand = store2.crossJoin(F.broadcast(queries)).select(
+            "qid",
+            "vec_id",
+            cosine(F.col("embedding"), F.col("qvec")).alias("sim"),
+        )
+        out = (
+            cand.withColumn(
+                "rk",
+                F.row_number().over(
+                    Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
+                ),
+            )
+            .filter(F.col("rk") <= 3)
+            .select("qid", F.col("rk").cast("long").alias("rk"), "vec_id", "sim")
+            .collect()  # 15 rows, before temp-dir cleanup
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    res = spark.createDataFrame(out, "qid long, rk long, vec_id long, sim double")
+    return (
+        res.withColumn("n_rows", F.lit(int(audit["n_rows"])).cast("long"))
+        .withColumn("n_upserts", F.lit(int(n_upd)).cast("long"))
+        .withColumn("n_deletes", F.lit(int(n_del)).cast("long"))
+        .withColumn("n_inserts", F.lit(int(n_ins)).cast("long"))
+        .withColumn("n_cells_rewritten", F.lit(len(rewritten)).cast("long"))
+        .withColumn("content_xor", F.lit(int(audit["content_xor"])).cast("long"))
+        .orderBy("qid", "rk")
+    )
+
+
+QUERIES["q323_streaming_cdc_upserts"] = q323_streaming_cdc_upserts
+
+
+# Oracle: q317's — the streaming replay must land exactly on the
+# one-shot batch merge (op id sets are disjoint, so application
+# order cannot matter; that equivalence IS the graded claim).
+ORACLE["q323_streaming_cdc_upserts"] = _q317_oracle()

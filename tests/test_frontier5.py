@@ -211,3 +211,26 @@ def test_q320_encode_matches_python_twin(spark, tmp_path):
     seq = ",".join(str(i) for i in expect_ids)
     expect_xor = int(hashlib.md5(f"1:{seq}".encode()).hexdigest()[:15], 16)
     assert r["seq_xor"] == expect_xor
+
+
+def test_q323_stream_matches_batch_merge(spark, tmp_path):
+    """The 3-micro-batch CDC replay must land exactly on q317's
+    one-shot merge — including the cross-cell move and the
+    emptied-cell drop (q317's fixture replayed through the
+    stream)."""
+    c0 = np.array(Q28_CENTROIDS[0], dtype=np.float64)
+    c1 = np.array(Q28_CENTROIDS[1], dtype=np.float64)
+    rows = []
+    for vid in (2, 7):
+        rows.append((vid, [float(x) for x in (c0 + 0.001 * (vid + 1))]))
+    for vid in (0, 1, 3, 4, 5):
+        rows.append((vid, [float(x) for x in (c1 + 0.001 * (vid + 1))]))
+    spark.createDataFrame(rows, "vec_id long, embedding array<float>").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "embeddings.parquet"))
+
+    batch = [r.asDict() for r in
+             F5.q317_store_upsert_merge(spark, str(tmp_path)).collect()]
+    stream = [r.asDict() for r in
+              F5.q323_streaming_cdc_upserts(spark, str(tmp_path)).collect()]
+    assert batch == stream
