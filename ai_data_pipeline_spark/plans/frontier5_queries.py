@@ -632,7 +632,15 @@ ORACLE["q318_incremental_cluster_labels"] = _q318_oracle()
 
 _Q319_MOD = 7
 _Q319_PICK = 2
-_Q319_SHARD_W = 64
+# FIXED shard COUNT, not fixed width: the first cut used
+# shard = doc_id div 64 and probed 15.1x at 16x — the shard (and
+# file) count grew linearly with the corpus, so partitioned-write
+# directory overhead and the 1250-path pinned reader dominated.
+# Production table formats size files to a byte target (shard
+# count ∝ data / target_file_size); on a fixed-size test corpus
+# the equivalent is a fixed shard count with 16x the rows per
+# shard. Physical layout only — content and schema are unchanged.
+_Q319_N_SHARDS = 16
 
 
 def q319_snapshot_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -647,7 +655,7 @@ def q319_snapshot_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFram
         "doc_id",
         F.size(ws_tokens(F.col("text"))).cast("long").alias("n_tokens"),
         F.col("n_chars").cast("long").alias("quality"),
-        (F.floor(F.col("doc_id") / F.lit(float(_Q319_SHARD_W))))
+        F.pmod(_u40(F.col("doc_id")), F.lit(_Q319_N_SHARDS))
         .cast("int")
         .alias("shard"),
         is_new.alias("is_new"),
@@ -1651,3 +1659,318 @@ QUERIES["q323_streaming_cdc_upserts"] = q323_streaming_cdc_upserts
 # one-shot batch merge (op id sets are disjoint, so application
 # order cannot matter; that equivalence IS the graded claim).
 ORACLE["q323_streaming_cdc_upserts"] = _q317_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Q324 — merge-on-read DELETION VECTORS (the other half of the
+# delete design space: q293/q297/q314 delete copy-on-write — every
+# affected partition is rewritten at delete time, which at 100 TB
+# turns a 0.1% row-level delete into a multi-TB rewrite; the
+# production alternative — Delta deletion vectors / Iceberg v2
+# merge-on-read — records deletes in a tiny per-file SIDECAR and
+# lets READERS apply them, deferring the rewrite until a compaction
+# decides it pays). Here: the cell-partitioned vector store takes a
+# row-level delete set (u40 % 7 < cell % 3 — a per-cell skew by
+# construction: cells ≡0 (mod 3) take no deletes, ≡1 take ~1/7,
+# ≡2 take ~2/7, so the maintenance decision below has all three
+# regimes on one store); the DV write shuffles ONLY the delete set,
+# keyed by the data file it masks — an in-path check raises if any
+# DATA file changed (the merge-on-read property). A MOR reader
+# anti-joins the broadcast sidecar on (file, vec_id) — DVs are tiny
+# relative to data by construction, the broadcast is the honest
+# physical plan. Then selective MATERIALIZATION (q308's OPTIMIZE
+# discipline applied to DVs): only cells whose deleted fraction
+# crosses the integer-cross-multiplied threshold 5·n_del ≥ n_rows
+# (≥ 20%) are rewritten without their DVs (survivors checkpointed
+# BEFORE the dynamic overwrite — the overwrite-lineage rule;
+# fully-emptied cells dropped — q293's rule; the materialized
+# cells' DV directories unlinked — a manifest operation touching no
+# data bytes, q316's class); an in-path check raises if a kept-DV
+# or clean cell's physical files changed. Graded: MOR top-3 search
+# ≡ the oracle's base-minus-deletes recompute (the oracle never
+# sees a store), the delete/cell-regime audit, and the MOR digest
+# emitted TWICE — once from the sidecar read, once from the
+# post-materialization read — equality is the claim that deferred
+# and eager deletes converge. Scale: delete cost is |delete set|,
+# not |affected partitions|; the rewrite happens only where a
+# threshold says it pays, exactly like production MOR tables.
+# ---------------------------------------------------------------------------
+
+_Q324_MOD = 7
+
+
+def q324_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ai_data_pipeline_spark.functions.vector import cosine
+    from ai_data_pipeline_spark.operators import similarity
+    from ai_data_pipeline_spark.operators.vectorized import ivf_assign_np
+    from ai_data_pipeline_spark.plans.constants import Q27_QUERY_VECS, Q28_CENTROIDS
+
+    emb = _t(spark, sf_dir, "embeddings")
+    base = ivf_assign_np(emb, Q28_CENTROIDS).select("vec_id", "embedding", "cell")
+
+    tmp = tempfile.mkdtemp(prefix="q324_")
+    path = tmp + "/store"
+    dv_path = tmp + "/dv"
+    try:
+        base.repartition("cell").write.mode("overwrite").partitionBy(
+            "cell"
+        ).parquet(path)
+
+        def file_map():
+            # (cell → sorted file list) from the store's own
+            # read-back; collect bounded by |cells| ≤ |centroids|
+            rows = (
+                spark.read.parquet(path)
+                .select(F.col("cell").cast("int").alias("c"),
+                        F.input_file_name().alias("f"))
+                .distinct()
+                .collect()
+            )
+            out: dict[int, list] = {}
+            for r_ in rows:
+                out.setdefault(int(r_["c"]), []).append(r_["f"])
+            return {c: sorted(fs) for c, fs in out.items()}
+
+        files_v0 = file_map()
+
+        # the store scan projects its own file name at the source
+        # (input_file_name is single-source: project BEFORE joins)
+        store = spark.read.parquet(path).select(
+            "vec_id", "embedding",
+            F.col("cell").cast("int").alias("cell"),
+            F.input_file_name().alias("f"),
+        )
+        deleted = F.pmod(_u40(F.col("vec_id")), F.lit(_Q324_MOD)) < F.pmod(
+            F.col("cell"), F.lit(3)
+        )
+
+        # ---- the DV write: ONLY the delete set moves; keyed by the
+        # data file each entry masks (the sidecar contract)
+        dv = store.filter(deleted).select("cell", "f", "vec_id")
+        dv.repartition("cell").write.mode("overwrite").partitionBy(
+            "cell"
+        ).parquet(dv_path)
+        if file_map() != files_v0:
+            raise RuntimeError("q324: DV write touched data files (not MOR)")
+
+        dv_r = spark.read.parquet(dv_path).select(
+            F.col("f").alias("dv_f"), F.col("vec_id").alias("dv_id"),
+            F.col("cell").cast("int").alias("dv_cell"),
+        )
+        # per-cell regime audit + the materialization decision;
+        # collects bounded by centroid geometry (≤ |centroids| rows)
+        totals = {
+            int(r_["cell"]): int(r_["n"])
+            for r_ in store.groupBy("cell").agg(
+                F.count(F.lit(1)).alias("n")
+            ).collect()
+        }
+        dels = {
+            int(r_["dv_cell"]): int(r_["n"])
+            for r_ in dv_r.groupBy("dv_cell").agg(
+                F.count(F.lit(1)).alias("n")
+            ).collect()
+        }
+        flagged = sorted(
+            c for c in totals if 5 * dels.get(c, 0) >= totals[c] and c in dels
+        )
+        kept_dv = sorted(c for c in dels if c not in flagged)
+        clean = sorted(c for c in totals if c not in dels)
+        n_deleted = sum(dels.values())
+
+        def mor_read():
+            st = spark.read.parquet(path).select(
+                "vec_id", "embedding",
+                F.col("cell").cast("int").alias("cell"),
+                F.input_file_name().alias("f"),
+            )
+            sidecar = spark.read.parquet(dv_path).select(
+                F.col("f").alias("dv_f"), F.col("vec_id").alias("dv_id")
+            )
+            return st.join(
+                F.broadcast(sidecar),
+                (F.col("f") == F.col("dv_f"))
+                & (F.col("vec_id") == F.col("dv_id")),
+                "left_anti",
+            )
+
+        def digest(df):
+            row = df.agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.bit_xor(
+                    F.conv(
+                        F.substring(
+                            F.md5(
+                                F.concat(
+                                    F.col("vec_id").cast("string"),
+                                    F.lit(":"),
+                                    F.col("cell").cast("string"),
+                                )
+                            ),
+                            1,
+                            15,
+                        ),
+                        16,
+                        10,
+                    ).cast("long")
+                ).cast("long").alias("x"),
+            ).collect()[0]  # 1 row
+            return int(row["n"]), int(row["x"])
+
+        live = mor_read()
+        n_live, xor_mor = digest(live)
+
+        # ---- MOR top-3 search (pre-materialization — the state a
+        # reader sees the moment the DV commit lands)
+        queries = similarity.queries_df(spark, Q27_QUERY_VECS)
+        cand = live.crossJoin(F.broadcast(queries)).select(
+            "qid",
+            "vec_id",
+            cosine(F.col("embedding"), F.col("qvec")).alias("sim"),
+        )
+        out = (
+            cand.withColumn(
+                "rk",
+                F.row_number().over(
+                    Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
+                ),
+            )
+            .filter(F.col("rk") <= 3)
+            .select("qid", F.col("rk").cast("long").alias("rk"), "vec_id", "sim")
+            .collect()  # 15 rows, before temp-dir cleanup
+        )
+
+        # ---- selective materialization: rewrite ONLY threshold-
+        # flagged cells without their DV rows; checkpoint BEFORE
+        # the dynamic overwrite replaces the files this frame reads
+        if flagged:
+            rewrite = live.filter(F.col("cell").isin(flagged)).select(
+                "vec_id", "embedding", "cell"
+            ).localCheckpoint()
+            rewrite.repartition("cell").write.mode("overwrite").option(
+                "partitionOverwriteMode", "dynamic"
+            ).partitionBy("cell").parquet(path)
+            present = {
+                int(r_["cell"])
+                for r_ in rewrite.select("cell").distinct().collect()
+            }
+            for c in flagged:
+                if c not in present:  # fully-emptied cell (q293)
+                    shutil.rmtree(f"{path}/cell={c}", ignore_errors=True)
+                # the cell's DV is now materialized: unlink the
+                # sidecar partition (manifest op, no data bytes)
+                shutil.rmtree(f"{dv_path}/cell={c}", ignore_errors=True)
+        files_v1 = file_map()
+        for c in kept_dv + clean:
+            if files_v1.get(c) != files_v0.get(c):
+                raise RuntimeError(
+                    f"q324: materialization touched unflagged cell {c}"
+                )
+        for c in flagged:
+            if set(files_v1.get(c, [])) & set(files_v0.get(c, [])):
+                raise RuntimeError(
+                    f"q324: flagged cell {c} kept a pre-materialization file"
+                )
+
+        # ---- post-materialization MOR read: deferred and eager
+        # deletes must converge on the same content
+        n_live2, xor_after = digest(mor_read())
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    res = spark.createDataFrame(out, "qid long, rk long, vec_id long, sim double")
+    return (
+        res.withColumn("n_live", F.lit(n_live).cast("long"))
+        .withColumn("n_live_compacted", F.lit(n_live2).cast("long"))
+        .withColumn("n_deleted", F.lit(n_deleted).cast("long"))
+        .withColumn("n_cells_materialized", F.lit(len(flagged)).cast("long"))
+        .withColumn("n_cells_kept_dv", F.lit(len(kept_dv)).cast("long"))
+        .withColumn("n_cells_clean", F.lit(len(clean)).cast("long"))
+        .withColumn("content_xor_mor", F.lit(xor_mor).cast("long"))
+        .withColumn("content_xor_compacted", F.lit(xor_after).cast("long"))
+        .orderBy("qid", "rk")
+    )
+
+
+QUERIES["q324_deletion_vectors"] = q324_deletion_vectors
+
+
+# Oracle: base-minus-deletes recomputed straight off `embeddings`
+# (no store, no sidecar): cells re-derived with the list_sort
+# struct idiom, the delete flag from the same u40/cell arithmetic,
+# per-cell regime counts from a group-by, and the live digest
+# emitted twice — the MOR read and the post-materialization read
+# must both land on it.
+def _q324_oracle() -> str:
+    from ai_data_pipeline_spark.functions.vector import (
+        sql_dot,
+        sql_lit_list,
+        sql_norm,
+        sql_squared_l2,
+    )
+    from ai_data_pipeline_spark.plans.constants import (
+        EMBED_DIM,
+        Q27_QUERY_VECS,
+        Q28_CENTROIDS,
+    )
+
+    qrows = ", ".join(
+        f"({qi}, {sql_lit_list(v)})" for qi, v in enumerate(Q27_QUERY_VECS)
+    )
+    cells = ", ".join(
+        f"struct_pack(d := {sql_squared_l2('embedding', sql_lit_list(c), EMBED_DIM)}, c := {ci})"
+        for ci, c in enumerate(Q28_CENTROIDS)
+    )
+    cos = (
+        f"({sql_dot('a.embedding', 'q.qvec', EMBED_DIM)}) / "
+        f"(({sql_norm('a.embedding', EMBED_DIM)}) * ({sql_norm('q.qvec', EMBED_DIM)}))"
+    )
+    u40 = _SQL_U40.format(c="vec_id")
+    return f"""
+    WITH assigned AS MATERIALIZED (
+        SELECT vec_id, embedding,
+               struct_extract((list_sort([{cells}]))[1], 'c') AS cell,
+               {u40} AS u
+        FROM embeddings
+    ), flags AS MATERIALIZED (
+        SELECT vec_id, embedding, cell,
+               (u % {_Q324_MOD}) < (cell % 3) AS deleted
+        FROM assigned
+    ), cellstats AS (
+        SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_tot,
+               CAST(COUNT(*) FILTER (WHERE deleted) AS BIGINT) AS n_del
+        FROM flags GROUP BY cell
+    ), regimes AS (
+        SELECT CAST(COUNT(*) FILTER (WHERE n_del > 0 AND 5 * n_del >= n_tot)
+                    AS BIGINT) AS n_cells_materialized,
+               CAST(COUNT(*) FILTER (WHERE n_del > 0 AND 5 * n_del < n_tot)
+                    AS BIGINT) AS n_cells_kept_dv,
+               CAST(COUNT(*) FILTER (WHERE n_del = 0) AS BIGINT) AS n_cells_clean,
+               CAST(SUM(n_del) AS BIGINT) AS n_deleted
+        FROM cellstats
+    ), audit AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_live,
+               CAST(bit_xor((('0x' || substr(md5(vec_id || ':' || cell), 1, 15))::BIGINT))
+                    AS BIGINT) AS content_xor
+        FROM flags WHERE NOT deleted
+    ), ranked AS (
+        SELECT q.qid, a.vec_id, {cos} AS sim,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.qid ORDER BY {cos} DESC, a.vec_id) AS rk
+        FROM flags a CROSS JOIN (VALUES {qrows}) AS q(qid, qvec)
+        WHERE NOT a.deleted
+    )
+    SELECT CAST(qid AS BIGINT) AS qid, CAST(rk AS BIGINT) AS rk, vec_id, sim,
+           d.n_live, d.n_live AS n_live_compacted, g.n_deleted,
+           g.n_cells_materialized, g.n_cells_kept_dv, g.n_cells_clean,
+           d.content_xor AS content_xor_mor,
+           d.content_xor AS content_xor_compacted
+    FROM ranked CROSS JOIN audit d CROSS JOIN regimes g
+    WHERE rk <= 3
+    ORDER BY qid, rk
+    """
+
+
+ORACLE["q324_deletion_vectors"] = _q324_oracle()

@@ -183,6 +183,14 @@ PROBE = [
     "q314_cross_store_erasure",         # one delete set erased from 3 partitioned artifacts + digests
     "q315_streaming_export_manifest",   # foreachBatch appends + per-batch pruned manifest refresh
     "q316_snapshot_gc",                 # COW compaction + reference-counted expiry GC + v2-pinned read
+    "q317_store_upsert_merge",          # CDC merge: affected-cells-only rewrite + full-store search
+    "q318_incremental_cluster_labels",  # hist pairs + batch pairs + touched-components re-contraction
+    "q319_snapshot_schema_evolution",   # metadata-only evolved append + two pinned reads
+    "q320_bpe_encode_fixed_vocab",      # distinct-word 32-merge encode + doc reassembly shuffle
+    "q321_snapshot_change_feed",        # COW merge + manifest-diff pre/post reads + feed join
+    "q322_ivf_reindex_migration",       # 2 assignment kernel passes + one new-cell shuffle
+    "q323_streaming_cdc_upserts",       # 3 foreachBatch merges (streaming-replay wall class)
+    "q324_deletion_vectors",            # DV sidecar write + MOR anti-join + selective materialize
 ]
 
 

@@ -234,3 +234,53 @@ def test_q323_stream_matches_batch_merge(spark, tmp_path):
     stream = [r.asDict() for r in
               F5.q323_streaming_cdc_upserts(spark, str(tmp_path)).collect()]
     assert batch == stream
+
+
+def test_q324_mor_deletes_match_python_truth(spark, tmp_path):
+    """Deletion-vector semantics pinned against a pure-Python twin:
+    per-cell regimes (clean / kept-DV / materialized at the
+    5·n_del ≥ n_rows threshold), live count, the MOR digest, its
+    equality with the post-materialization digest (deferred ≡
+    eager), and no deleted id ever served. The in-path MOR check
+    (DV write touches no data file) and the unflagged-cells-
+    untouched check raise inside the query itself."""
+    import hashlib
+
+    rows = []
+    for c in (0, 1, 2):
+        cv = np.array(Q28_CENTROIDS[c], dtype=np.float64)
+        for i in range(10):
+            vid = c * 100 + i
+            rows.append((vid, [float(x) for x in (cv + 0.001 * (i + 1))]))
+    spark.createDataFrame(rows, "vec_id long, embedding array<float>").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "embeddings.parquet"))
+
+    def u40(vid):
+        return int(hashlib.md5(str(vid).encode()).hexdigest()[:10], 16)
+
+    truth = {}  # vid -> (cell, deleted)
+    for c in (0, 1, 2):
+        for i in range(10):
+            vid = c * 100 + i
+            truth[vid] = (c, u40(vid) % 7 < c % 3)
+    per_cell = {c: [v for v, (cc, _) in truth.items() if cc == c] for c in (0, 1, 2)}
+    dels = {c: sum(1 for v in per_cell[c] if truth[v][1]) for c in per_cell}
+    flagged = {c for c in per_cell if dels[c] > 0 and 5 * dels[c] >= len(per_cell[c])}
+    kept = {c for c in per_cell if dels[c] > 0 and c not in flagged}
+    clean = {c for c in per_cell if dels[c] == 0}
+    live = [v for v, (_, d) in truth.items() if not d]
+    xor = 0
+    for v in live:
+        xor ^= int(hashlib.md5(f"{v}:{truth[v][0]}".encode()).hexdigest()[:15], 16)
+
+    out = F5.q324_deletion_vectors(spark, str(tmp_path)).collect()
+    r0 = out[0]
+    assert r0["n_live"] == len(live) == r0["n_live_compacted"]
+    assert r0["n_deleted"] == sum(dels.values())
+    assert r0["n_cells_materialized"] == len(flagged)
+    assert r0["n_cells_kept_dv"] == len(kept)
+    assert r0["n_cells_clean"] == len(clean)
+    assert r0["content_xor_mor"] == xor == r0["content_xor_compacted"]
+    served = {r["vec_id"] for r in out}
+    assert served <= set(live)
