@@ -1974,3 +1974,171 @@ def _q324_oracle() -> str:
 
 
 ORACLE["q324_deletion_vectors"] = _q324_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Q325 — manifest ZONE-MAP data skipping (the table-format read
+# optimization the store rows write toward: q310/q312/q315 version
+# and attest FILE LISTS; production manifests also carry per-file
+# column MIN/MAX so a range query PLANS its file set from the
+# manifest and never opens the rest — Iceberg/Delta data skipping,
+# Snowflake micro-partition pruning). The corpus is written
+# CLUSTERED on the filter key: a fixed 16-way range bucketing
+# ((doc_id − min)·16 div span — monotone in the key, fixed fan-out
+# at every scale; the fixed-WIDTH alternative was rejected in q319
+# for file-count-∝-corpus overhead, and the 16× corpus's sparse
+# strided ids would degenerate it here), one file per bucket (the
+# q250 repartition-then-partitionBy rule). The manifest is per-file
+# (min, max) from the store's own read-back (≤ 16 rows — count-
+# gated); the planner selects files overlapping the middle-decile
+# band [min + 45%·span, min + 55%·span] (integer percent
+# arithmetic, non-negative by construction) and the pruned reader
+# opens ONLY those paths. Graded: the file accounting
+# (total/read/pruned — the skipping evidence) and the band
+# aggregate computed TWICE — from the pruned read and from a full
+# scan — equal counts/digests being the claim that pruning lost
+# nothing. Scale: the manifest is metadata (16 rows regardless of
+# corpus size); the pruned read's I/O is proportional to the band,
+# not the corpus.
+# ---------------------------------------------------------------------------
+
+_Q325_FANOUT = 16
+_Q325_LO_PCT = 45
+_Q325_HI_PCT = 55
+
+
+def q325_zonemap_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    b = docs.agg(
+        F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx")
+    ).collect()[0]  # 1 row — corpus key bounds
+    mn0, mx0 = int(b["mn"]), int(b["mx"])
+    span = mx0 - mn0 + 1
+    # middle-decile band; dividends 45/55·(mx−mn) ≥ 0 — Python //
+    # == truncation == floor on non-negatives
+    lo = mn0 + (_Q325_LO_PCT * (mx0 - mn0)) // 100
+    hi = mn0 + (_Q325_HI_PCT * (mx0 - mn0)) // 100
+
+    tmp = tempfile.mkdtemp(prefix="q325_")
+    path = tmp + "/store"
+    try:
+        framed = docs.withColumn(
+            "bucket",
+            F.expr(
+                f"((doc_id - {mn0}) * {_Q325_FANOUT}) div {span}"
+            ).cast("int"),
+        )
+        framed.repartition("bucket").write.mode("overwrite").partitionBy(
+            "bucket"
+        ).parquet(path)
+
+        store = spark.read.parquet(path).select(
+            "doc_id", "source", "n_chars", F.input_file_name().alias("f")
+        )
+        manifest = store.groupBy("f").agg(
+            F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx")
+        ).collect()  # ≤ fan-out rows — the zone map
+        n_files_total = len(manifest)
+        selected = sorted(
+            m["f"] for m in manifest if int(m["mx"]) >= lo and int(m["mn"]) <= hi
+        )
+
+        def band_agg(df):
+            row = df.filter(F.col("doc_id").between(lo, hi)).agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum(F.col("n_chars").cast("long")).cast("long").alias("s"),
+                F.bit_xor(
+                    F.conv(
+                        F.substring(
+                            F.md5(
+                                F.concat_ws(
+                                    ":",
+                                    F.col("doc_id").cast("string"),
+                                    F.col("source"),
+                                    F.col("n_chars").cast("string"),
+                                )
+                            ),
+                            1,
+                            15,
+                        ),
+                        16,
+                        10,
+                    ).cast("long")
+                ).cast("long").alias("x"),
+            ).collect()[0]  # 1 row
+            return int(row["n"]), int(row["s"]), int(row["x"])
+
+        pruned = spark.read.option("basePath", path).parquet(*selected)
+        n_p, s_p, x_p = band_agg(pruned)
+        n_f, s_f, x_f = band_agg(spark.read.parquet(path))
+        if s_p != s_f:
+            raise RuntimeError("q325: pruned band sum diverged from full scan")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        [
+            (
+                n_files_total,
+                len(selected),
+                n_files_total - len(selected),
+                n_p,
+                s_p,
+                x_p,
+                n_f,
+                x_f,
+            )
+        ],
+        "n_files_total long, n_files_read long, n_files_pruned long, "
+        "n_rows_matched long, sum_chars long, content_xor long, "
+        "n_rows_full long, content_xor_full long",
+    ).orderBy("n_files_total")
+
+
+QUERIES["q325_zonemap_skipping"] = q325_zonemap_skipping
+
+
+# Oracle: the zone map reconstructed relationally — per-bucket
+# (min, max) over the same range bucketing, the same overlap
+# predicate, and the band aggregate computed once and emitted for
+# both the pruned and full columns (pruning must lose nothing).
+def _q325_oracle() -> str:
+    return f"""
+    WITH d AS MATERIALIZED (
+        SELECT doc_id, source, n_chars FROM documents
+    ), bounds AS (
+        SELECT MIN(doc_id) AS mn0, MAX(doc_id) AS mx0 FROM d
+    ), rng AS (
+        SELECT mn0 + ({_Q325_LO_PCT} * (mx0 - mn0)) // 100 AS lo,
+               mn0 + ({_Q325_HI_PCT} * (mx0 - mn0)) // 100 AS hi
+        FROM bounds
+    ), man AS (
+        SELECT ((doc_id - mn0) * {_Q325_FANOUT}) // (mx0 - mn0 + 1) AS bucket,
+               MIN(doc_id) AS mn, MAX(doc_id) AS mx
+        FROM d CROSS JOIN bounds GROUP BY 1
+    ), files AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_files_total,
+               CAST(COUNT(*) FILTER (WHERE mx >= (SELECT lo FROM rng)
+                                       AND mn <= (SELECT hi FROM rng))
+                    AS BIGINT) AS n_files_read
+        FROM man
+    ), band AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows_matched,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+               CAST(bit_xor((('0x' || substr(md5(doc_id || ':' || source || ':' || n_chars),
+                    1, 15))::BIGINT)) AS BIGINT) AS content_xor
+        FROM d CROSS JOIN rng WHERE doc_id BETWEEN lo AND hi
+    )
+    SELECT f.n_files_total, f.n_files_read,
+           f.n_files_total - f.n_files_read AS n_files_pruned,
+           b.n_rows_matched, b.sum_chars, b.content_xor,
+           b.n_rows_matched AS n_rows_full,
+           b.content_xor AS content_xor_full
+    FROM files f CROSS JOIN band b
+    ORDER BY n_files_total
+    """
+
+
+ORACLE["q325_zonemap_skipping"] = _q325_oracle()

@@ -191,6 +191,7 @@ PROBE = [
     "q322_ivf_reindex_migration",       # 2 assignment kernel passes + one new-cell shuffle
     "q323_streaming_cdc_upserts",       # 3 foreachBatch merges (streaming-replay wall class)
     "q324_deletion_vectors",            # DV sidecar write + MOR anti-join + selective materialize
+    "q325_zonemap_skipping",            # 16-way range-clustered write + manifest-planned band read
 ]
 
 

@@ -61,6 +61,16 @@ def test_plan_files_glob_found_the_known_modules():
 #   * props.'$.k' — generator emits k >= 0 (verified at sf0.001/0.01)
 #   * (s6 + 8388608*n) div n - 8388608 / oracle twin — THE offset form
 ALLOWED_DIV_SITES = {
+    # q325 both engines: doc_id - mn0 >= 0 (mn0 = corpus MIN),
+    # 45/55*(mx0-mn0) >= 0 (mx0 = MAX >= mn0) — every zone-map
+    # bucket/band division has a non-negative dividend by
+    # construction.
+    ' ) ) // 100 hi = mn0 + ( _Q325_HI_PCT * ( mx0 - mn0 ) ) //',
+    '), rng AS ( SELECT mn0 + ({_Q325_LO_PCT} * (mx0 - mn0)) //',
+    '0 - mn0 + 1 lo = mn0 + ( _Q325_LO_PCT * ( mx0 - mn0 ) ) //',
+    'ds ), man AS ( SELECT ((doc_id - mn0) * {_Q325_FANOUT}) //',
+    'ket" , F . expr ( f"((doc_id - {mn0}) * {_Q325_FANOUT}) div',
+    'n0)) // 100 AS lo, mn0 + ({_Q325_HI_PCT} * (mx0 - mn0)) //',
     # q282 oracle: j ∈ range(32) (hash index) — non-negative by
     # construction; rpb is the Python constant 32 // 8.
     "',' ORDER BY j) AS bk FROM sig GROUP BY id, is_batch, j //",

@@ -284,3 +284,34 @@ def test_q324_mor_deletes_match_python_truth(spark, tmp_path):
     assert r0["content_xor_mor"] == xor == r0["content_xor_compacted"]
     served = {r["vec_id"] for r in out}
     assert served <= set(live)
+
+
+def test_q325_zonemap_prunes_and_loses_nothing(spark, tmp_path):
+    """Zone-map pruning pinned against a pure-Python twin: with
+    dense ids 0..159 and 16-way range bucketing, bucket = id//10;
+    the middle-decile band [71, 87] overlaps exactly files 7 and 8,
+    and the pruned aggregate must equal the full-scan aggregate."""
+    import hashlib
+
+    rows = [(i, f"s{i % 4}", 10 + i, "t") for i in range(160)]
+    spark.createDataFrame(
+        rows, "doc_id long, source string, n_chars long, text string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    out = F5.q325_zonemap_skipping(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    lo, hi = 0 + (45 * 159) // 100, 0 + (55 * 159) // 100
+    assert (lo, hi) == (71, 87)
+    band = list(range(71, 88))
+    xor = 0
+    for i in band:
+        xor ^= int(
+            hashlib.md5(f"{i}:s{i % 4}:{10 + i}".encode()).hexdigest()[:15], 16
+        )
+    assert r["n_files_total"] == 16
+    assert r["n_files_read"] == 2  # buckets 7 (70..79) and 8 (80..89)
+    assert r["n_files_pruned"] == 14
+    assert r["n_rows_matched"] == len(band) == r["n_rows_full"]
+    assert r["sum_chars"] == sum(10 + i for i in band)
+    assert r["content_xor"] == xor == r["content_xor_full"]
