@@ -287,6 +287,18 @@ HEADLINE = [
     "q314_cross_store_erasure",
     "q315_streaming_export_manifest",
     "q316_snapshot_gc",
+    # round-13 additions (inherited mid-build rows, added to the bench
+    # during the r13 optimization round — ADD-only per the driver
+    # contract; existing entries untouched)
+    "q317_store_upsert_merge",
+    "q318_incremental_cluster_labels",
+    "q319_snapshot_schema_evolution",
+    "q320_bpe_encode_fixed_vocab",
+    "q321_snapshot_change_feed",
+    "q322_ivf_reindex_migration",
+    "q323_streaming_cdc_upserts",
+    "q324_deletion_vectors",
+    "q325_zonemap_skipping",
 ]
 
 
