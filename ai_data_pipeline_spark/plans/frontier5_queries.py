@@ -132,16 +132,24 @@ def q317_store_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         # kernel-produced — materialize once (the ≥2×-consumed rule)
         incoming = incoming.localCheckpoint()
 
-        n_upd = incoming.filter(F.col("vec_id") < _Q317_INS_OFF).count()
-        n_ins = incoming.filter(F.col("vec_id") >= _Q317_INS_OFF).count()
+        # one job over the checkpointed batch for both op counts (r13
+        # opt: was two count() jobs)
+        opc = incoming.agg(
+            F.sum((F.col("vec_id") < _Q317_INS_OFF).cast("int")).alias("u"),
+            F.sum((F.col("vec_id") >= _Q317_INS_OFF).cast("int")).alias("i"),
+        ).collect()[0]
+        n_upd, n_ins = int(opc["u"]), int(opc["i"])
 
         # ---- affected partitions: old cells of touched rows ∪ new
         # cells of incoming vectors. Collects bounded by centroid
-        # geometry (≤ |Q28_CENTROIDS| values each).
-        old_cells = (
+        # geometry (≤ |Q28_CENTROIDS| values each). ONE store scan
+        # yields both the old-cell set and the delete count (r13 opt:
+        # was two separate scans, each re-evaluating the md5 op
+        # derivation over the whole store).
+        old_rows = (
             store.filter(F.col("_r").isin(_Q317_UPD, _Q317_DEL))
-            .select(F.col("cell").cast("int").alias("c"))
-            .distinct()
+            .groupBy(F.col("cell").cast("int").alias("c"))
+            .agg(F.sum((F.col("_r") == _Q317_DEL).cast("long")).alias("nd"))
             .collect()
         )
         new_cells = (
@@ -149,9 +157,9 @@ def q317_store_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct()
             .collect()
         )
-        affected = sorted({int(x["c"]) for x in old_cells}
+        affected = sorted({int(x["c"]) for x in old_rows}
                           | {int(x["c"]) for x in new_cells})
-        n_del = store.filter(F.col("_r") == _Q317_DEL).count()
+        n_del = sum(int(x["nd"]) for x in old_rows)
 
         # ---- the single coordinated rewrite: survivors of affected
         # cells (minus updated/deleted ids) + ALL incoming rows
@@ -370,39 +378,75 @@ def q318_incremental_cluster_labels(spark: SparkSession, sf_dir: str) -> DataFra
     v1 = tmp + "/labels_v1"
     v2 = tmp + "/labels_v2"
     try:
+        # ---- ONE shingle pass serves BOTH pair universes (r13 opt:
+        # the first cut tokenized/hashed/distinct'd the corpus twice —
+        # once inside ngram_jaccard_pairs(hist_docs) under the
+        # history cap, once for the full-corpus cap — and paid two
+        # shingle-keyed window shuffles. One window pass computes
+        # both frequencies: f_hist = count of HISTORY rows per
+        # shingle ≡ the frequency ngram_jaccard_pairs(hist_docs)
+        # would see (its shingle table is exactly the !is_b rows),
+        # f_full = count over all rows. Checkpoint once; both
+        # branches are filters over the same frame — 2 scans +
+        # 2 exchanges removed, values identical by construction.)
+        w = Window.partitionBy("sh")
+        sh_base = (
+            dedup.shingle_table(docs, "doc_id", "text", _Q318_N, hashed=True)
+            .join(
+                docs.select(F.col("doc_id").alias("id"), is_batch.alias("is_b")),
+                "id",
+            )
+            .withColumn("f_full", F.count(F.lit(1)).over(w))
+            .withColumn(
+                "f_hist", F.count(F.when(~F.col("is_b"), F.lit(1))).over(w)
+            )
+            .localCheckpoint()  # 6 consumers (2 caps × sizes/a/b)
+        )
+
         # ---- store v1: from-scratch over HISTORY pairs (amortized
         # across months in production; built once here so the query
-        # is self-contained). History-corpus shingle cap.
-        hist_pairs = dedup.ngram_jaccard_pairs(
-            hist_docs,
-            "doc_id",
-            "text",
-            n=_Q318_N,
-            min_jaccard=_Q318_TAU_F,
-            max_shingle_freq=_Q318_MAXF,
-        ).select("id_a", "id_b")
+        # is self-contained). History-corpus shingle cap — the exact
+        # pair set ngram_jaccard_pairs(hist_docs, max_shingle_freq)
+        # produces.
+        sh_hist = sh_base.filter(
+            ~F.col("is_b") & (F.col("f_hist") <= _Q318_MAXF)
+        ).select("id", "sh")
+        sizes_h = sh_hist.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+        ah = sh_hist.alias("a")
+        bh = sh_hist.alias("b")
+        inter_h = (
+            ah.join(
+                bh,
+                (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")),
+            )
+            .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
+        hist_pairs = (
+            inter_h.join(
+                sizes_h.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a")),
+                "id_a",
+            )
+            .join(
+                sizes_h.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b")),
+                "id_b",
+            )
+            .withColumn(
+                "jaccard",
+                F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")),
+            )
+            .filter(F.col("jaccard") >= _Q318_TAU_F)
+            .select("id_a", "id_b")
+        )
         labels0 = dedup.dedup_clusters_star(hist_pairs)
         labels0.repartition(8).write.mode("overwrite").parquet(v1)
         store = spark.read.parquet(v1)
 
         # ---- the batch's NEW pairs: batch-batch + batch-history,
-        # under the FULL-corpus cap. The capped shingle frame feeds
-        # three consumers (batch side, join side, sizes) —
-        # materialize once (the ≥2×-consumed rule).
-        sh_full = dedup.shingle_table(
-            docs.withColumn("is_batch", is_batch), "doc_id", "text", _Q318_N,
-            hashed=True,
-        )
-        w = Window.partitionBy("sh")
-        sh_full = (
-            sh_full.join(
-                docs.select(F.col("doc_id").alias("id"), is_batch.alias("is_b")),
-                "id",
-            )
-            .withColumn("f", F.count(F.lit(1)).over(w))
-            .filter(F.col("f") <= _Q318_MAXF)
-            .select("id", "is_b", "sh")
-            .localCheckpoint()
+        # under the FULL-corpus cap — a second filter over the same
+        # checkpointed base.
+        sh_full = sh_base.filter(F.col("f_full") <= _Q318_MAXF).select(
+            "id", "is_b", "sh"
         )
         sizes = sh_full.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
         a = sh_full.alias("a")
@@ -1122,20 +1166,16 @@ def q321_snapshot_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
             Q28_CENTROIDS,
         ).select("vec_id", "embedding", "cell").localCheckpoint()
 
-        old_cells = {
+        # only the union is consumed — ONE collect job (r13 opt: was
+        # two), bounded by |centroids|
+        affected = sorted(
             int(x["c"])
             for x in store.filter(F.col("_r").isin(_Q317_UPD, _Q317_DEL))
             .select(F.col("cell").cast("int").alias("c"))
+            .union(incoming.select(F.col("cell").cast("int").alias("c")))
             .distinct()
             .collect()
-        }
-        new_cells = {
-            int(x["c"])
-            for x in incoming.select(F.col("cell").cast("int").alias("c"))
-            .distinct()
-            .collect()
-        }
-        affected = sorted(old_cells | new_cells)
+        )
 
         survivors = store.filter(
             F.col("cell").cast("int").isin(affected)
@@ -1553,20 +1593,17 @@ def q323_streaming_cdc_upserts(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
                 Q28_CENTROIDS,
             ).select("vec_id", "embedding", "cell").localCheckpoint()
-            old_cells = {
+            # affected = old cells of touched rows ∪ new cells of
+            # incoming — only the union is consumed, so ONE collect
+            # job per batch (r13 opt: was two), bounded by |centroids|
+            affected = sorted(
                 int(x["c"])
                 for x in store.join(touched_ids, "vec_id", "semi")
                 .select(F.col("cell").cast("int").alias("c"))
-                .distinct()
-                .collect()  # ≤ |centroids|
-            }
-            new_cells = {
-                int(x["c"])
-                for x in incoming.select(F.col("cell").cast("int").alias("c"))
+                .union(incoming.select(F.col("cell").cast("int").alias("c")))
                 .distinct()
                 .collect()
-            }
-            affected = sorted(old_cells | new_cells)
+            )
             if not affected:
                 return
             survivors = store.filter(
