@@ -333,14 +333,21 @@ def minhash_signatures(
     full DuckDB oracle twin. The per-seed MIN aggregates combine
     map-side, so the shuffle carries H longs per document.
 
-    The per-doc distinct is kept DELIBERATELY (r13 probe): MIN over
-    duplicate occurrences equals MIN over the distinct set, so the
-    distinct looks like a removable Exchange — but the corpus has
-    heavy within-doc shingle repetition, and deduping BEFORE the
-    H-way md5 family trades one 8-byte-ish exchange for H md5
-    evaluations per duplicate occurrence. Measured (r13, sf0.1 warm,
-    distinct removed): q251 4.5→5.6 s, q105 2.4→2.9 s, q24 flat —
-    the md5 work dominates the exchange. Keep the distinct.
+    PARALLELISM CAVEAT (r13 — the q288 finding): the H·md5 family is
+    CPU-bound MAP-SIDE work, upstream of this operator's first
+    exchange — its parallelism is the INPUT's split granularity, not
+    the shuffle partition count. Fed a one-row-group parquet scan it
+    serializes on ~1 task (measured 7.0–7.9 s at sf0.1/H=32 on the
+    raw documents.parquet read vs ~1.0 s after ``spread()`` — the
+    CLAUDE.md spread rule). Callers must spread coarse scans first.
+    A hash-per-DISTINCT-shingle + join-back form (dup factor 9.1 at
+    sf0.1) was probed and REJECTED: it only looked faster on the
+    unspread input because its distinct exchange restored
+    parallelism as a side effect; on a spread input it measured
+    1.8 s vs 1.0 s interleaved — the join overhead loses to the
+    (fully parallel) duplicate md5 work. Two more rejected forms:
+    dropping the per-doc distinct (q251 4.5→5.6 s), and fusing with
+    the verification branch (see minhash_neardup_pairs).
     """
     sh = shingle_table(df, id_col, text_col, n)
     aggs = [

@@ -1360,7 +1360,14 @@ def _q288_gate(spark: SparkSession, sf_dir: str, equi_join: bool) -> DataFrame:
     from ai_data_pipeline_spark.plans.pipeline_queries import _drain_memory_sink
 
     static = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    hist = static.filter(F.col("source") != "src0")
+    # spread BEFORE the signature family (r13 opt): documents.parquet
+    # is one row group → the raw scan is ~1 task, and the 32-seed md5
+    # agg is map-side CPU work that inherits that parallelism — the
+    # static store build measured ~60% of this query's wall serialized
+    # on it (sigs noop 7.0→1.0 s after the rebalance; the CLAUDE.md
+    # spread rule). The STREAM side stays on the raw reader (its
+    # per-batch repartition below already rebalances).
+    hist = spread(static.filter(F.col("source") != "src0"))
     sigs_hist = dedup.minhash_signatures(
         hist, "doc_id", "text", n=3, num_hashes=_Q282_HASHES
     )

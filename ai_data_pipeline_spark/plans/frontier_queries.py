@@ -1596,6 +1596,9 @@ def q234_streaming_mixture_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # offline policy pass (tiny): per-lang thresholds from the corpus
     static = spark.read.parquet(f"{sf_dir}/documents.parquet")
     per_lang = (
+        # unspread DELIBERATELY (r13 probe): token_count_ws is light
+        # enough that the spread shuffle costs more than the 1-task
+        # scan — measured 1.33→1.86 s with spread added
         static.select("lang", token_count_ws(F.col("text")).alias("n_tok"))
         .groupBy("lang")
         .agg(F.sum("n_tok").cast("long").alias("tokens"))
@@ -3599,6 +3602,9 @@ def q248_streaming_decontamination_gate(spark: SparkSession, sf_dir: str) -> Dat
 
     static = spark.read.parquet(f"{sf_dir}/documents.parquet")
     bench_arr = (
+        # unspread DELIBERATELY (r13 probe): the src0 slice is ~5% of
+        # the corpus — the spread shuffle measured ≥ the serialized
+        # gram pass it parallelizes (2.08 both forms, worse cold)
         static.filter(F.col("source") == "src0")
         .select(F.explode(word_ngrams(F.col("text"), _Q238_N)).alias("gram"))
         .agg(F.collect_set(F.xxhash64("gram")).alias("bench_ghs"))
