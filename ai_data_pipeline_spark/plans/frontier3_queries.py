@@ -2454,11 +2454,23 @@ def q295_cross_modality_agreement(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         return ids.withColumn(name, F.lit(1))
 
+    # the three modality pair pipelines are independent and each
+    # construction runs an eager checkpoint job — overlap them from a
+    # thread pool (guide §2.6; the q314/q303 r13 idiom)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        f_text = pool.submit(flagged, text_pairs, "has_text")
+        f_img = pool.submit(lambda: flagged(_q284_pairs(docs), "has_image"))
+        f_vid = pool.submit(lambda: flagged(_q291_pairs(docs), "has_video"))
+        flag_text, flag_img, flag_vid = (
+            f_text.result(), f_img.result(), f_vid.result()
+        )
     combined = (
         docs.select("doc_id")
-        .join(flagged(text_pairs, "has_text"), "doc_id", "left")
-        .join(flagged(_q284_pairs(docs), "has_image"), "doc_id", "left")
-        .join(flagged(_q291_pairs(docs), "has_video"), "doc_id", "left")
+        .join(flag_text, "doc_id", "left")
+        .join(flag_img, "doc_id", "left")
+        .join(flag_vid, "doc_id", "left")
         .select(
             F.coalesce(F.col("has_text"), F.lit(0)).cast("long").alias("has_text"),
             F.coalesce(F.col("has_image"), F.lit(0)).cast("long").alias("has_image"),
@@ -2901,19 +2913,30 @@ def q298_multimodal_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     surv = docs.join(
         gated.filter(F.col("passed")).select("doc_id"), "doc_id", "semi"
     ).localCheckpoint()  # three pair stages + the keeper join consume it
-    text_pairs = dedup.ngram_jaccard_pairs(
-        surv,
-        "doc_id",
-        "text",
-        n=_Q263_N,
-        min_jaccard=_Q263_JACCARD_F,
-        max_shingle_freq=_Q263_MAXF,
-    ).select("id_a", "id_b")
-    edges = (
-        text_pairs.unionByName(_q284_pairs(surv))
-        .unionByName(_q291_pairs(surv))
-        .distinct()
-    )
+    # the three modality pair constructions are independent and the
+    # dHash/frame ones run eager checkpoint jobs — overlap them
+    # (guide §2.6; the q314/q303 r13 idiom)
+    from concurrent.futures import ThreadPoolExecutor
+
+    def build_text():
+        return dedup.ngram_jaccard_pairs(
+            surv,
+            "doc_id",
+            "text",
+            n=_Q263_N,
+            min_jaccard=_Q263_JACCARD_F,
+            max_shingle_freq=_Q263_MAXF,
+        ).select("id_a", "id_b")
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        f_text = pool.submit(build_text)
+        f_img = pool.submit(_q284_pairs, surv)
+        f_vid = pool.submit(_q291_pairs, surv)
+        edges = (
+            f_text.result().unionByName(f_img.result())
+            .unionByName(f_vid.result())
+            .distinct()
+        )
     clusters = dedup.dedup_clusters_star(edges)
     keyed = (
         docs.select("doc_id", "source")

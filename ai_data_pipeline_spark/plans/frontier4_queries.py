@@ -996,26 +996,42 @@ def q303_dedup_precision_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ai_data_pipeline_spark.plans.pipeline_queries import Q23_MAX_SHINGLE_FREQ
 
     docs = spread(_t(spark, sf_dir, "documents"))
-    truth = (
-        dedup.ngram_jaccard_pairs(
-            docs, "doc_id", "text", n=3,
-            min_jaccard=_Q303_TAU, max_shingle_freq=Q23_MAX_SHINGLE_FREQ,
+    # truth and the three mechanism frames are INDEPENDENT pipelines
+    # whose construction runs eager localCheckpoint jobs (truth here;
+    # the dHash fingerprint / frame-hash frames inside
+    # _q284_pairs/_q291_pairs) — build them from a small thread pool
+    # so the checkpoint jobs overlap instead of serializing (guide
+    # §2.6; the q314 r13 idiom).
+    from concurrent.futures import ThreadPoolExecutor
+
+    def build_truth():
+        return (
+            dedup.ngram_jaccard_pairs(
+                docs, "doc_id", "text", n=3,
+                min_jaccard=_Q303_TAU, max_shingle_freq=Q23_MAX_SHINGLE_FREQ,
+            )
+            .select("id_a", "id_b")
+            .withColumn("t", F.lit(1))
+            .localCheckpoint()  # three mechanism joins consume it
         )
-        .select("id_a", "id_b")
-        .withColumn("t", F.lit(1))
-        .localCheckpoint()  # three mechanism joins consume it
-    )
-    mechanisms = [
-        (
-            "minhash",
-            dedup.minhash_neardup_pairs(
-                docs, "doc_id", "text", n=3, num_hashes=32, bands=8,
-                min_jaccard=_Q303_TAU,
-            ).select("id_a", "id_b"),
-        ),
-        ("image_dhash", _q284_pairs(docs)),
-        ("video_frames", _q291_pairs(docs)),
-    ]
+
+    def build_minhash():
+        return dedup.minhash_neardup_pairs(
+            docs, "doc_id", "text", n=3, num_hashes=32, bands=8,
+            min_jaccard=_Q303_TAU,
+        ).select("id_a", "id_b")
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        f_truth = pool.submit(build_truth)
+        f_mh = pool.submit(build_minhash)
+        f_img = pool.submit(_q284_pairs, docs)
+        f_vid = pool.submit(_q291_pairs, docs)
+        truth = f_truth.result()
+        mechanisms = [
+            ("minhash", f_mh.result()),
+            ("image_dhash", f_img.result()),
+            ("video_frames", f_vid.result()),
+        ]
     frames = []
     for name, pairs in mechanisms:
         j = truth.join(pairs.withColumn("f", F.lit(1)), ["id_a", "id_b"], "full_outer")
@@ -3008,127 +3024,83 @@ def q314_cross_store_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
             emptied = sorted(r[pcol] for r in hit if r["nd"] == r["n"])
             return flagged, affected, emptied
 
-        # ---- artifact 1: cell-partitioned vector store.
-        vpath = tmp + "/vectors"
+        def run_artifact(store_path, build_df, pcol, id_digest, keep_cols, name, aff_cast):
+            """One artifact's full erase pipeline: build → plan →
+            rewrite survivors (per-write dynamic overwrite, q215's
+            idiom) → drop emptied partitions (q293's rule) → digest
+            the read-back. Independent per artifact."""
+            build_df.repartition(pcol).write.mode("overwrite").partitionBy(
+                pcol
+            ).parquet(store_path)
+            store = spark.read.parquet(store_path).withColumn(
+                "_del", is_del(F.col(keep_cols[0]))
+            )
+            flag, aff, empty = erase(store, pcol)
+            keep = (
+                store.filter(F.col(pcol).cast(aff_cast).isin(
+                    [a for a in aff]
+                ))
+                .filter(~F.col("_del"))
+                .select(*keep_cols, pcol)
+                .localCheckpoint()
+            )
+            keep.repartition(pcol).write.mode("overwrite").option(
+                "partitionOverwriteMode", "dynamic"
+            ).partitionBy(pcol).parquet(store_path)
+            for v in empty:
+                shutil.rmtree(f"{store_path}/{pcol}={v}", ignore_errors=True)
+            back = spark.read.parquet(store_path)
+            row = back.agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.bit_xor(
+                    F.conv(F.substring(F.md5(id_digest), 1, 15), 16, 10).cast("long")
+                ).cast("long").alias("content_xor"),
+            ).collect()[0]  # 1 row
+            return (name, int(row["n_rows"]), int(row["content_xor"]),
+                    flag.count(), len(aff))
+
+        # the three artifacts are INDEPENDENT pipelines over different
+        # paths — run them from a small thread pool so each one's
+        # straggler/commit tail backfills the others (guide §2.6
+        # "overlap independent jobs"; A/B-measured below). Results are
+        # ordered by the final orderBy("artifact"), so completion
+        # order is irrelevant.
         vec = ivf_assign_np(emb, Q28_CENTROIDS).select(
             "vec_id", "embedding", F.col("cell").cast("int").alias("cell")
         )
-        vec.repartition("cell").write.mode("overwrite").partitionBy(
-            "cell"
-        ).parquet(vpath)
-        vstore = spark.read.parquet(vpath).withColumn("_del", is_del(F.col("vec_id")))
-        vflag, vaff, vempty = erase(vstore, "cell")
-        vkeep = (
-            vstore.filter(F.col("cell").cast("int").isin([int(a) for a in vaff]))
-            .filter(~F.col("_del"))
-            .select("vec_id", "embedding", "cell")
-            .localCheckpoint()
-        )
-        # per-write dynamic overwrite (q215's idiom — no session
-        # conf, so the driver's vanilla session behaves identically)
-        vkeep.repartition("cell").write.mode("overwrite").option(
-            "partitionOverwriteMode", "dynamic"
-        ).partitionBy("cell").parquet(vpath)
-        for c in vempty:
-            shutil.rmtree(f"{vpath}/cell={c}", ignore_errors=True)
-        vback = spark.read.parquet(vpath)
-        vrow = vback.agg(
-            F.count(F.lit(1)).cast("long").alias("n_rows"),
-            F.bit_xor(
-                F.conv(
-                    F.substring(F.md5(F.col("vec_id").cast("string")), 1, 15), 16, 10
-                ).cast("long")
-            ).cast("long").alias("content_xor"),
-        ).collect()[0]  # 1 row
-        results.append(
-            ("vector_store", int(vrow["n_rows"]), int(vrow["content_xor"]),
-             vflag.count(), len(vaff))
-        )
-
-        # ---- artifact 2: token-partitioned postings (probe tokens).
-        ppath = tmp + "/postings"
         needed = sorted(_Q301_TOKENS)
         postings = docs.select(
             "doc_id", F.posexplode(ws_tokens(F.col("text"))).alias("pos", "token")
         ).filter(F.col("token").isin(needed))
-        postings.repartition("token").write.mode("overwrite").partitionBy(
-            "token"
-        ).parquet(ppath)
-        pstore = spark.read.parquet(ppath).withColumn("_del", is_del(F.col("doc_id")))
-        pflag, paff, pempty = erase(pstore, "token")
-        pkeep = (
-            pstore.filter(F.col("token").isin([str(a) for a in paff]))
-            .filter(~F.col("_del"))
-            .select("doc_id", "pos", "token")
-            .localCheckpoint()
-        )
-        pkeep.repartition("token").write.mode("overwrite").option(
-            "partitionOverwriteMode", "dynamic"
-        ).partitionBy("token").parquet(ppath)
-        for t in pempty:
-            shutil.rmtree(f"{ppath}/token={t}", ignore_errors=True)
-        pback = spark.read.parquet(ppath)
-        prow = pback.agg(
-            F.count(F.lit(1)).cast("long").alias("n_rows"),
-            F.bit_xor(
-                F.conv(
-                    F.substring(
-                        F.md5(
-                            F.concat(
-                                F.col("doc_id").cast("string"),
-                                F.lit(":"),
-                                F.col("pos").cast("string"),
-                            )
-                        ),
-                        1,
-                        15,
-                    ),
-                    16,
-                    10,
-                ).cast("long")
-            ).cast("long").alias("content_xor"),
-        ).collect()[0]  # 1 row
-        results.append(
-            ("postings", int(prow["n_rows"]), int(prow["content_xor"]),
-             pflag.count(), len(paff))
-        )
-
-        # ---- artifact 3: range-sharded release export.
-        epath = tmp + "/export"
         rel = docs.select(
             "doc_id",
             "text",
             F.floor(F.col("doc_id") / F.lit(64.0)).cast("int").alias("shard"),
         )
-        rel.repartition("shard").write.mode("overwrite").partitionBy(
-            "shard"
-        ).parquet(epath)
-        estore = spark.read.parquet(epath).withColumn("_del", is_del(F.col("doc_id")))
-        eflag, eaff, eempty = erase(estore, "shard")
-        ekeep = (
-            estore.filter(F.col("shard").cast("int").isin([int(a) for a in eaff]))
-            .filter(~F.col("_del"))
-            .select("doc_id", "text", "shard")
-            .localCheckpoint()
-        )
-        ekeep.repartition("shard").write.mode("overwrite").option(
-            "partitionOverwriteMode", "dynamic"
-        ).partitionBy("shard").parquet(epath)
-        for s in eempty:
-            shutil.rmtree(f"{epath}/shard={s}", ignore_errors=True)
-        eback = spark.read.parquet(epath)
-        erow = eback.agg(
-            F.count(F.lit(1)).cast("long").alias("n_rows"),
-            F.bit_xor(
-                F.conv(
-                    F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
-                ).cast("long")
-            ).cast("long").alias("content_xor"),
-        ).collect()[0]  # 1 row
-        results.append(
-            ("release_export", int(erow["n_rows"]), int(erow["content_xor"]),
-             eflag.count(), len(eaff))
-        )
+        jobs = [
+            lambda: run_artifact(
+                tmp + "/vectors", vec, "cell",
+                F.col("vec_id").cast("string"),
+                ["vec_id", "embedding"], "vector_store", "int",
+            ),
+            lambda: run_artifact(
+                tmp + "/postings", postings, "token",
+                F.concat(
+                    F.col("doc_id").cast("string"), F.lit(":"),
+                    F.col("pos").cast("string"),
+                ),
+                ["doc_id", "pos"], "postings", "string",
+            ),
+            lambda: run_artifact(
+                tmp + "/export", rel, "shard",
+                F.col("doc_id").cast("string"),
+                ["doc_id", "text"], "release_export", "int",
+            ),
+        ]
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            results = list(pool.map(lambda f: f(), jobs))
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return spark.createDataFrame(
