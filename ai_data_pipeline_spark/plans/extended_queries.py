@@ -2224,6 +2224,12 @@ def q216_release_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         quality.withColumn("keep_id", F.min("doc_id").over(w))
         .filter(F.col("doc_id") == F.col("keep_id"))
         .select("doc_id", "source", "text", "n_words")
+        # spread BEFORE the checkpoint (r13): AQE coalesces the small
+        # post-window exchange to ONE partition, and a checkpoint
+        # freezes that — the 32-seed minhash downstream then ran on 1
+        # task (measured 7.4–11.4 s vs 2.5–3.1 s re-spread; the q288
+        # parallelism finding at a checkpoint boundary)
+        .transform(spread)
         .localCheckpoint()  # three downstream consumers (sig, shingles, final join)
     )
     pairs = dedup.minhash_neardup_pairs(

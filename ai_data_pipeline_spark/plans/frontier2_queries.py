@@ -1266,7 +1266,13 @@ def q263_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         s1.filter(F.col("rn") == 1)
         .select("doc_id", "source", "text")
         # three consumers (pair machinery, tally anti-join, stage-3
-        # feed) — checkpoint so stage 1 runs once
+        # feed) — checkpoint so stage 1 runs once. NOT re-spread
+        # (r13 probe): unlike q216's minhash input, the downstream
+        # stage-2 shingle pass exchanges almost immediately (hash +
+        # distinct) and its map side is light, so the extra
+        # repartitions measured NET SLOWER (5.6→7.4 s with spreads on
+        # surv1/surv2/sem); the spread-before-checkpoint rule only
+        # pays ahead of heavy map-side kernels (q216/q288).
         .localCheckpoint()
     )
 

@@ -2910,8 +2910,11 @@ def q298_multimodal_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             sum(F.col(r).cast("int") for r in rules) >= _Q298_MIN_RULES
         ).alias("passed"),
     )
-    surv = docs.join(
-        gated.filter(F.col("passed")).select("doc_id"), "doc_id", "semi"
+    # spread before the checkpoint: the semi-join output AQE-coalesces
+    # to ~1 partition and all three pair stages would serialize on it
+    # (the q216/q288 r13 parallelism finding)
+    surv = spread(
+        docs.join(gated.filter(F.col("passed")).select("doc_id"), "doc_id", "semi")
     ).localCheckpoint()  # three pair stages + the keeper join consume it
     # the three modality pair constructions are independent and the
     # dHash/frame ones run eager checkpoint jobs — overlap them
