@@ -4073,27 +4073,44 @@ def q251_lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ai_data_pipeline_spark.plans.pipeline_queries import Q23_MAX_SHINGLE_FREQ
 
     docs = spread(_t(spark, sf_dir, "documents"))
-    truth = dedup.ngram_jaccard_pairs(
-        docs,
-        "doc_id",
-        "text",
-        n=3,
-        min_jaccard=0.6,
-        max_shingle_freq=Q23_MAX_SHINGLE_FREQ,
-    ).select("id_a", "id_b")
+    # checkpoint BOTH shared frames (r13 opt): truth is referenced by
+    # all three sweep configs + the recall denominator, sigs by every
+    # config's banding — without pinning, each reference re-runs the
+    # full shingle self-join / signature pipeline. Both frames are
+    # tiny (pairs; |docs|×H longs) with expensive lineage — the
+    # profitable side of the checkpoint trade-off (unlike the
+    # corpus-scale string table rejected in minhash_neardup_pairs).
+    truth = (
+        dedup.ngram_jaccard_pairs(
+            docs,
+            "doc_id",
+            "text",
+            n=3,
+            min_jaccard=0.6,
+            max_shingle_freq=Q23_MAX_SHINGLE_FREQ,
+        )
+        .select("id_a", "id_b")
+        .localCheckpoint()
+    )
     n_truth = truth.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
-    sigs = dedup.minhash_signatures(docs, "doc_id", "text", n=3, num_hashes=_Q251_H)
+    sigs = dedup.minhash_signatures(
+        docs, "doc_id", "text", n=3, num_hashes=_Q251_H
+    ).localCheckpoint()
 
     def config_row(bands: int) -> DataFrame:
         cands = dedup.minhash_lsh_candidates(sigs, _Q251_H, bands).select(
             "id_a", "id_b"
         )
-        stats = cands.join(truth, ["id_a", "id_b"], "left_semi").agg(
-            F.count(F.lit(1)).cast("long").alias("n_caught")
-        )
+        # ONE pass over cands for both counts (was a count agg + a
+        # semi-join agg — two full executions of the banded self-join)
         return (
-            cands.agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
-            .crossJoin(stats)
+            cands.join(
+                truth.withColumn("t", F.lit(1)), ["id_a", "id_b"], "left"
+            )
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_candidates"),
+                F.sum(F.coalesce(F.col("t"), F.lit(0))).cast("long").alias("n_caught"),
+            )
             .select(
                 F.lit(bands).cast("long").alias("bands"),
                 F.lit(_Q251_H // bands).cast("long").alias("rows_per_band"),
