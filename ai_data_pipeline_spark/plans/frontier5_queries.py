@@ -102,11 +102,6 @@ def q317_store_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     tmp = tempfile.mkdtemp(prefix="q317_")
     path = tmp + "/store"
     try:
-        base.repartition("cell").write.mode("overwrite").partitionBy(
-            "cell"
-        ).parquet(path)
-        store = spark.read.parquet(path).withColumn("_r", r)
-
         # ---- the CDC batch (production: arrives as a table; here
         # derived from the corpus so the query is self-contained).
         # Negation is exact in float32 on both engines, and the
@@ -117,20 +112,36 @@ def q317_store_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform("embedding", lambda x: -x).alias("embedding"),
             r.alias("_r"),
         )
-        incoming = ivf_assign_np(
-            neg.filter(F.col("_r") == _Q317_UPD)
-            .select("vec_id", "embedding")
-            .unionByName(
-                neg.filter(F.col("_r") == _Q317_INS).select(
-                    (F.col("vec_id") + _Q317_INS_OFF).alias("vec_id"),
-                    "embedding",
-                )
-            ),
-            Q28_CENTROIDS,
-        ).select("vec_id", "embedding", "cell")
-        # referenced 3x (audit counts, affected cells, rewrite) and
-        # kernel-produced — materialize once (the ≥2×-consumed rule)
-        incoming = incoming.localCheckpoint()
+
+        def build_incoming():
+            # referenced 3x (audit counts, affected cells, rewrite)
+            # and kernel-produced — materialize once (≥2×-consumed)
+            return ivf_assign_np(
+                neg.filter(F.col("_r") == _Q317_UPD)
+                .select("vec_id", "embedding")
+                .unionByName(
+                    neg.filter(F.col("_r") == _Q317_INS).select(
+                        (F.col("vec_id") + _Q317_INS_OFF).alias("vec_id"),
+                        "embedding",
+                    )
+                ),
+                Q28_CENTROIDS,
+            ).select("vec_id", "embedding", "cell").localCheckpoint()
+
+        def build_store():
+            base.repartition("cell").write.mode("overwrite").partitionBy(
+                "cell"
+            ).parquet(path)
+            return spark.read.parquet(path).withColumn("_r", r)
+
+        # the base-store write and the CDC-batch kernel checkpoint
+        # are independent — overlap them (guide §2.6, r13 idiom)
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_store = pool.submit(build_store)
+            f_inc = pool.submit(build_incoming)
+            store, incoming = f_store.result(), f_inc.result()
 
         # one job over the checkpointed batch for both op counts (r13
         # opt: was two count() jobs)
@@ -1135,18 +1146,6 @@ def q321_snapshot_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     g1 = tmp + "/store/gen=1"
     g2 = tmp + "/store/gen=2"
     try:
-        base.repartition("cell").write.mode("overwrite").partitionBy(
-            "cell"
-        ).parquet(g1)
-        store = spark.read.parquet(g1).withColumn("_r", r)
-        # v1 manifest: (file, cell) read back from the store itself
-        v1_rows = (
-            store.select(F.input_file_name().alias("f"), F.col("cell").cast("int").alias("c"))
-            .distinct()
-            .collect()  # ≤ |cells| files — count-gated
-        )
-        v1_files = {x["f"]: x["c"] for x in v1_rows}
-
         # ---- q317's CDC ops, COW-applied: rewritten partitions land
         # in generation 2; generation 1 files are never touched.
         neg = emb.select(
@@ -1154,17 +1153,41 @@ def q321_snapshot_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform("embedding", lambda x: -x).alias("embedding"),
             r.alias("_r"),
         )
-        incoming = ivf_assign_np(
-            neg.filter(F.col("_r") == _Q317_UPD)
-            .select("vec_id", "embedding")
-            .unionByName(
-                neg.filter(F.col("_r") == _Q317_INS).select(
-                    (F.col("vec_id") + _Q317_INS_OFF).alias("vec_id"),
-                    "embedding",
-                )
-            ),
-            Q28_CENTROIDS,
-        ).select("vec_id", "embedding", "cell").localCheckpoint()
+
+        def build_incoming():
+            return ivf_assign_np(
+                neg.filter(F.col("_r") == _Q317_UPD)
+                .select("vec_id", "embedding")
+                .unionByName(
+                    neg.filter(F.col("_r") == _Q317_INS).select(
+                        (F.col("vec_id") + _Q317_INS_OFF).alias("vec_id"),
+                        "embedding",
+                    )
+                ),
+                Q28_CENTROIDS,
+            ).select("vec_id", "embedding", "cell").localCheckpoint()
+
+        def build_store():
+            base.repartition("cell").write.mode("overwrite").partitionBy(
+                "cell"
+            ).parquet(g1)
+            return spark.read.parquet(g1).withColumn("_r", r)
+
+        # gen-1 write and the CDC-batch kernel checkpoint are
+        # independent — overlap them (guide §2.6, r13 idiom)
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_store = pool.submit(build_store)
+            f_inc = pool.submit(build_incoming)
+            store, incoming = f_store.result(), f_inc.result()
+        # v1 manifest: (file, cell) read back from the store itself
+        v1_rows = (
+            store.select(F.input_file_name().alias("f"), F.col("cell").cast("int").alias("c"))
+            .distinct()
+            .collect()  # ≤ |cells| files — count-gated
+        )
+        v1_files = {x["f"]: x["c"] for x in v1_rows}
 
         # only the union is consumed — ONE collect job (r13 opt: was
         # two), bounded by |centroids|
