@@ -809,10 +809,14 @@ def test_assign_exact_q6_kernel_matches_hof_fold(spark, sf_dir):
 
 
 def test_q222_span_window_partitions_by_gram_hash(spark, sf_dir):
-    """Long-span dedup at n=50 keeps q146's scale shape: the
-    first-occurrence Window partitions by the 8-byte gram hash (the
-    only corpus-sized window), covered spans anti-join, and the text
-    column never enters the gram shuffle (hash only)."""
+    """Long-span dedup at n=50 keeps q146's scale shape for the span
+    derivation: the first-occurrence Window partitions by the 8-byte
+    gram hash (the only corpus-sized window) and the text column never
+    enters the gram shuffle (hash only). Since r13 the query is
+    ACCOUNTING-ONLY (tok_after = tok_before − |covered| — the oracle's
+    own identity): the string rebuild (collect_list re-assembly, the
+    q81 value-buffer class) must be GONE, and the covered counts
+    arrive by a left join instead of the rebuild's anti-join."""
     from ai_data_pipeline_spark.plans import frontier_queries as FQ
 
     s = plan_of(FQ.q222_long_span_dedup(spark, sf_dir))
@@ -822,7 +826,10 @@ def test_q222_span_window_partitions_by_gram_hash(spark, sf_dir):
     ]
     assert gram_windows, "first-occurrence window must partition by gram hash"
     assert "CartesianProduct" not in s
-    assert "LeftAnti" in s  # covered-span removal is an anti-join
+    # the r13 accounting-only rewrite: no string rebuild anywhere
+    assert "collect_list" not in s
+    assert "ObjectHashAggregate" not in s
+    assert "LeftOuter" in s  # covered counts attach by left join
 
 
 def test_q232_coverage_is_one_window_no_join(spark, sf_dir):
