@@ -449,9 +449,11 @@ def q318_incremental_cluster_labels(spark: SparkSession, sf_dir: str) -> DataFra
             .filter(F.col("jaccard") >= _Q318_TAU_F)
             .select("id_a", "id_b")
         )
-        labels0 = dedup.dedup_clusters_star(hist_pairs)
-        labels0.repartition(8).write.mode("overwrite").parquet(v1)
-        store = spark.read.parquet(v1)
+
+        def build_store():
+            labels0 = dedup.dedup_clusters_star(hist_pairs)
+            labels0.repartition(8).write.mode("overwrite").parquet(v1)
+            return spark.read.parquet(v1)
 
         # ---- the batch's NEW pairs: batch-batch + batch-history,
         # under the FULL-corpus cap — a second filter over the same
@@ -472,24 +474,41 @@ def q318_incremental_cluster_labels(spark: SparkSession, sf_dir: str) -> DataFra
             .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
             .agg(F.count(F.lit(1)).alias("inter"))
         )
-        new_pairs = (
-            inter.join(
-                sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a")),
-                "id_a",
-            )
-            .join(
-                sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b")),
-                "id_b",
-            )
-            .filter(
-                F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
-                >= F.lit(_Q318_TAU_F)
-            )
-            .select("id_a", "id_b")
+
+        def build_new_pairs():
             # consumed by touched-discovery AND re-contraction — and
             # the shingle self-join above is expensive
-            .localCheckpoint()
-        )
+            return (
+                inter.join(
+                    sizes.select(
+                        F.col("id").alias("id_a"), F.col("n_sh").alias("n_a")
+                    ),
+                    "id_a",
+                )
+                .join(
+                    sizes.select(
+                        F.col("id").alias("id_b"), F.col("n_sh").alias("n_b")
+                    ),
+                    "id_b",
+                )
+                .filter(
+                    F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
+                    >= F.lit(_Q318_TAU_F)
+                )
+                .select("id_a", "id_b")
+                .localCheckpoint()
+            )
+
+        # the v1 store branch (hist pairs → star → write → read) and
+        # the batch-pair checkpoint both hang off the same sh_base
+        # checkpoint and are independent — overlap them (guide §2.6,
+        # the r13 idiom)
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_store = pool.submit(build_store)
+            f_new = pool.submit(build_new_pairs)
+            store, new_pairs = f_store.result(), f_new.result()
 
         # ---- touched components: store components with a member
         # incident to a new pair.
