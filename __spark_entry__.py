@@ -159,6 +159,13 @@ DRIVER_EVIDENCE = frozenset({
     "q309_boolean_retrieval", "q310_incremental_manifest", "q311_nprobe_escalation",
     "q312_snapshot_time_travel", "q313_epoch_shuffle", "q314_cross_store_erasure",
     "q315_streaming_export_manifest", "q316_snapshot_gc",
+    # --- green in CORRECTNESS_r13.json (all 50 graded rows hashed green,
+    # including the nine inherited build rows q317–q325) ---
+    "q317_store_upsert_merge", "q318_incremental_cluster_labels",
+    "q319_snapshot_schema_evolution", "q320_bpe_encode_fixed_vocab",
+    "q321_snapshot_change_feed", "q322_ivf_reindex_migration",
+    "q323_streaming_cdc_upserts", "q324_deletion_vectors",
+    "q325_zonemap_skipping",
 })
 
 # Backward-compatible alias (pre-r03 name).

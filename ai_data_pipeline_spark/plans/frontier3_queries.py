@@ -2181,7 +2181,6 @@ def q293_vector_store_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tmp = tempfile.mkdtemp(prefix="q293_")
     path = tmp + "/vectors_by_cell"
-    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     try:
         corpus.repartition("cell").write.mode("overwrite").partitionBy(
             "cell"
@@ -2208,8 +2207,8 @@ def q293_vector_store_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         # dynamic overwrite: ONLY the partitions present in the
         # written frame are replaced — the remaining rows of each
-        # affected cell (minus fully-emptied cells, handled below)
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        # affected cell (minus fully-emptied cells, handled below).
+        # Per-write option, not session conf (vanilla-session parity).
         # Pin the frame before overwriting the path its lineage reads
         # (same hazard q297's apply_batch documents: without the
         # checkpoint, the write's read tasks scan files the commit is
@@ -2219,9 +2218,9 @@ def q293_vector_store_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("vec_id", "embedding", "cell")
             .localCheckpoint()
         )
-        remaining.repartition("cell").write.mode("overwrite").partitionBy(
-            "cell"
-        ).parquet(path)
+        remaining.repartition("cell").write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("cell").parquet(path)
         for c in emptied:
             shutil.rmtree(f"{path}/cell={c}", ignore_errors=True)
 
@@ -2245,7 +2244,6 @@ def q293_vector_store_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
             .collect()  # 15 rows, before temp-dir cleanup
         )
     finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
         shutil.rmtree(tmp, ignore_errors=True)
     out = spark.createDataFrame(top, "qid long, rk long, vec_id long, sim double")
     return (
@@ -2790,7 +2788,6 @@ def q297_streaming_tombstone_deletes(spark: SparkSession, sf_dir: str) -> DataFr
     tomb_dir = tmp + "/tombstones"
     ckpt = tmp + "/ckpt"
     _os.makedirs(tomb_dir)
-    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     rewritten: set[int] = set()
     try:
         corpus.repartition("cell").write.mode("overwrite").partitionBy(
@@ -2815,8 +2812,7 @@ def q297_streaming_tombstone_deletes(spark: SparkSession, sf_dir: str) -> DataFr
                     if vid % 3 == b:
                         f.write(_json.dumps({"vec_id": vid}) + "\n")
 
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-
+        # dynamic overwrite via per-write option (vanilla-session parity)
         def apply_batch(batch_df, epoch_id):
             store = spark.read.parquet(path)
             hits = store.join(batch_df.select("vec_id"), "vec_id", "semi")
@@ -2839,9 +2835,9 @@ def q297_streaming_tombstone_deletes(spark: SparkSession, sf_dir: str) -> DataFr
                 .join(batch_df.select("vec_id"), "vec_id", "anti")
                 .localCheckpoint()  # pin content before the path is overwritten
             )
-            remaining.repartition("cell").write.mode("overwrite").partitionBy(
-                "cell"
-            ).parquet(path)
+            remaining.repartition("cell").write.mode("overwrite").option(
+                "partitionOverwriteMode", "dynamic"
+            ).partitionBy("cell").parquet(path)
             rewritten.update(affected)
             for c in emptied:
                 shutil.rmtree(f"{path}/cell={c}", ignore_errors=True)
@@ -2877,7 +2873,6 @@ def q297_streaming_tombstone_deletes(spark: SparkSession, sf_dir: str) -> DataFr
             .collect()  # 15 rows, before temp-dir cleanup
         )
     finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
         shutil.rmtree(tmp, ignore_errors=True)
     out = spark.createDataFrame(top, "qid long, rk long, vec_id long, sim double")
     return (

@@ -2017,7 +2017,6 @@ def q308_selective_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tmp = tempfile.mkdtemp(prefix="q308_")
     path = tmp + "/store"
-    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     try:
         for mode, cond in (
             ("overwrite", ~d1 & ~d2),
@@ -2051,15 +2050,15 @@ def q308_selective_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # selective OPTIMIZE: rewrite ONLY the flagged cells (frame
         # pinned before overwriting the path its lineage reads).
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        # Per-write dynamic-overwrite option (vanilla-session parity).
         hot = (
             store.filter(F.col("cell").cast("int").isin(flagged))
             .select("vec_id", "embedding", "cell")
             .localCheckpoint()
         )
-        hot.repartition("cell").write.mode("overwrite").partitionBy(
-            "cell"
-        ).parquet(path)
+        hot.repartition("cell").write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("cell").parquet(path)
 
         store2 = spark.read.parquet(path)
         dg = F.conv(
@@ -2097,7 +2096,6 @@ def q308_selective_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
             .collect()  # |cells| rows, before temp-dir cleanup
         )
     finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
         shutil.rmtree(tmp, ignore_errors=True)
     return spark.createDataFrame(
         audit,

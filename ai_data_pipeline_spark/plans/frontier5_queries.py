@@ -149,7 +149,9 @@ def q317_store_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((F.col("vec_id") < _Q317_INS_OFF).cast("int")).alias("u"),
             F.sum((F.col("vec_id") >= _Q317_INS_OFF).cast("int")).alias("i"),
         ).collect()[0]
-        n_upd, n_ins = int(opc["u"]), int(opc["i"])
+        # SUM over an empty batch is NULL — keep the empty-CDC-batch
+        # case a 0 like the pre-fusion two-count() form
+        n_upd, n_ins = int(opc["u"] or 0), int(opc["i"] or 0)
 
         # ---- affected partitions: old cells of touched rows ∪ new
         # cells of incoming vectors. Collects bounded by centroid

@@ -4109,7 +4109,11 @@ def q251_lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .agg(
                 F.count(F.lit(1)).cast("long").alias("n_candidates"),
-                F.sum(F.coalesce(F.col("t"), F.lit(0))).cast("long").alias("n_caught"),
+                # coalesce the SUM itself: over zero candidate rows SUM
+                # is NULL where the old count-based form returned 0
+                F.coalesce(F.sum(F.coalesce(F.col("t"), F.lit(0))), F.lit(0))
+                .cast("long")
+                .alias("n_caught"),
             )
             .select(
                 F.lit(bands).cast("long").alias("bands"),

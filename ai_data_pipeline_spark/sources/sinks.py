@@ -32,13 +32,11 @@ def write_jsonl_partitioned(
     are replaced; others are untouched — re-processing one document
     cannot duplicate or clobber the rest of the corpus.
     """
-    spark = df.sparkSession
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        df.write.partitionBy(partition_col).mode(mode).json(path)
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    # Per-write option, not session conf: identical semantics, and the
+    # driver's vanilla session (which sets no confs) behaves the same.
+    df.write.option("partitionOverwriteMode", "dynamic").partitionBy(
+        partition_col
+    ).mode(mode).json(path)
 
 
 def with_source_stem(df: DataFrame, source_col: str = "source_file") -> DataFrame:

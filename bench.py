@@ -21,6 +21,7 @@ import shutil
 import sys
 import tempfile
 import time
+import urllib.request
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -302,9 +303,74 @@ HEADLINE = [
 ]
 
 
+def _rest_json(url: str):
+    with urllib.request.urlopen(url, timeout=10) as r:
+        return json.loads(r.read().decode())
+
+
+class TaskTimeProbe:
+    """Per-query executor task-time via the local status REST API.
+
+    The driver's 8-vs-32-core scaling probe reads wall seconds, and at
+    sf0.1 most heavy rows sit on a fixed-overhead floor (micro-batch
+    replay, committer rounds, job round-trips) so every wall ratio is
+    ~1 regardless of cores (r13 verdict item 1).  Executor task-time
+    (sum of executorRunTime over the completed stages of the query's
+    jobs) is the number that actually scales with cores, so emitting it
+    alongside wall seconds makes core-scaling legible without a bigger
+    SF.  Read-only instrumentation: two HTTP GETs against the in-
+    process UI after the reps of each query — nothing on the timed
+    path.  Degrades to None if the UI is unavailable.
+    """
+
+    def __init__(self, spark) -> None:
+        self.base: str | None = None
+        self._watermark = -1
+        try:
+            ui = spark.sparkContext.uiWebUrl
+            app = spark.sparkContext.applicationId
+            if ui:
+                base = f"{ui}/api/v1/applications/{app}"
+                _rest_json(base + "/jobs?status=succeeded")  # availability probe
+                self.base = base
+        except Exception:
+            self.base = None
+
+    def harvest(self) -> float | None:
+        """Task-seconds of all jobs newer than the watermark; advances it."""
+        if not self.base:
+            return None
+        try:
+            jobs = _rest_json(self.base + "/jobs")
+            new = [j for j in jobs if j.get("jobId", -1) > self._watermark]
+            self._watermark = max(
+                (j.get("jobId", -1) for j in jobs), default=self._watermark
+            )
+            sids: set[int] = set()
+            for j in new:
+                sids.update(j.get("stageIds", []))
+            stages = _rest_json(self.base + "/stages?status=complete")
+            ms = sum(
+                s.get("executorRunTime", 0)
+                for s in stages
+                if s.get("stageId") in sids
+            )
+            return ms / 1000.0
+        except Exception:
+            return None
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    spark = get_spark("bench")
+    # UI retention bounds the task-time probe's REST response sizes;
+    # pure instrumentation (no effect on execution or timing).
+    spark = get_spark(
+        "bench",
+        extra_conf={
+            "spark.ui.retainedJobs": "400",
+            "spark.ui.retainedStages": "1200",
+        },
+    )
     # the driver contract's merge is the single source of truth — a
     # plan module missing HERE once cost a mid-bench KeyError that
     # the name-resolution guard (which checks against queries())
@@ -397,7 +463,13 @@ def main() -> int:
     # plan, not the noise (every rep re-executes the full query —
     # Spark caches nothing here).
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    # Executor task-time probe (read-only, off the timed path): UI
+    # retention is capped per-session so the two REST reads per query
+    # stay small; retention does not affect execution or timing.
+    probe = TaskTimeProbe(spark)
+    probe.harvest()  # discard warmup/canary jobs, set the watermark
     timings: dict[str, float] = {}
+    task_secs: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]
         best, n = None, 0
@@ -408,7 +480,15 @@ def main() -> int:
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 3)
-        print(f"# {name}: {timings[name]:.3f}s rows={n}", file=sys.stderr)
+        # average executor task-seconds per execution across the reps
+        t_task = probe.harvest()
+        if t_task is not None:
+            task_secs[name] = round(t_task / reps, 3)
+        print(
+            f"# {name}: {timings[name]:.3f}s rows={n}"
+            + (f" task={task_secs[name]:.3f}s" if name in task_secs else ""),
+            file=sys.stderr,
+        )
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -420,6 +500,11 @@ def main() -> int:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                # per-query executor task-seconds (avg per execution):
+                # the core-scaling-legible counterpart of wall seconds
+                # (task_sec ≈ wall×cores when compute-bound; task_sec
+                # ≪ wall when the row sits on the overhead floor).
+                "task_seconds": task_secs,
                 "canary_sec": round(canary, 3),
                 "stream_canary_sec": round(stream_canary, 3),
                 "sf": sf_val,
@@ -446,6 +531,11 @@ def main() -> int:
                 "stream_canary_sec": round(stream_canary, 3),
                 "sf": sf_val,
                 "queries": slowest,
+                # total executor task-seconds across all queries: the
+                # one-number core-scaling signal (halving cores should
+                # leave task_total_sec ~flat while walls stretch only
+                # on compute-bound rows).
+                "task_total_sec": round(sum(task_secs.values()), 3),
                 "note": "compact tail summary; full per-query dict on the previous line",
             }
         )
