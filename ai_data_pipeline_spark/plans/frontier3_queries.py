@@ -2790,9 +2790,17 @@ def q297_streaming_tombstone_deletes(spark: SparkSession, sf_dir: str) -> DataFr
     _os.makedirs(tomb_dir)
     rewritten: set[int] = set()
     try:
-        corpus.repartition("cell").write.mode("overwrite").partitionBy(
-            "cell"
-        ).parquet(path)
+        # r14 opt (guide §2.6): the store write and the tombstone-set
+        # collect are independent job chains — overlap them; the
+        # write pins its partition count (user-specified repartition
+        # is not AQE-coalesced → parallel write tasks, still one file
+        # per cell since each cell lives in exactly one task).
+        from concurrent.futures import ThreadPoolExecutor
+
+        def build_store():
+            corpus.repartition(
+                spark.sparkContext.defaultParallelism, "cell"
+            ).write.mode("overwrite").partitionBy("cell").parquet(path)
 
         # tombstone batches: the delete set dealt into 3 files by
         # vec_id mod 3 (non-negative) — one micro-batch each. This
@@ -2801,10 +2809,16 @@ def q297_streaming_tombstone_deletes(spark: SparkSession, sf_dir: str) -> DataFr
         # Kafka topic, an erasure-request table) — the engine's own
         # driver-side state is only the ≤ |centroids| per-batch
         # affected-cell list inside apply_batch.
-        del_ids = [
-            int(r["vec_id"])
-            for r in emb.select("vec_id").filter(is_del).collect()
-        ]
+        def collect_dels():
+            return [
+                int(r["vec_id"])
+                for r in emb.select("vec_id").filter(is_del).collect()
+            ]
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            fs, fd = pool.submit(build_store), pool.submit(collect_dels)
+            fs.result()
+            del_ids = fd.result()
         n_deleted = len(del_ids)
         for b in range(3):
             with open(f"{tomb_dir}/batch{b}.json", "w") as f:

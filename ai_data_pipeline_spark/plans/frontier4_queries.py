@@ -2355,29 +2355,53 @@ def q310_incremental_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = tmp + "/release_by_shard"
     try:
         base = flagged.filter(~F.col("is_delta")).select("doc_id", "text", "shard")
-        delta = flagged.filter(F.col("is_delta")).select("doc_id", "text", "shard")
-        base.repartition("shard").write.mode("overwrite").partitionBy(
-            "shard"
-        ).parquet(path)
-        # manifest v1 — pinned: its rows must survive the append
-        # untouched (and its lineage must not re-read the store).
-        m1 = manifest_of(spark.read.parquet(path)).localCheckpoint()
+
+        # r14 opt (guide §2.4/§2.6, the q315 pattern): the delta is
+        # ONE range width (≤ _Q310_WIDTH docs) — pin it once instead
+        # of re-scanning the corpus for the append AND the touched
+        # collect; overlap that narrow checkpoint with the (base
+        # write → manifest v1) chain, which must stay sequential
+        # (v1 must not see delta rows). The base write pins its
+        # partition count (REPARTITION_BY_NUM is not AQE-coalesced →
+        # parallel write; still one file per shard).
+        def build_base():
+            base.repartition(
+                spark.sparkContext.defaultParallelism, "shard"
+            ).write.mode("overwrite").partitionBy("shard").parquet(path)
+            # manifest v1 — pinned: its rows must survive the append
+            # untouched (and its lineage must not re-read the store).
+            return manifest_of(spark.read.parquet(path)).localCheckpoint()
+
+        def build_delta():
+            return (
+                flagged.filter(F.col("is_delta"))
+                .select("doc_id", "text", "shard")
+                .localCheckpoint()  # ≤ one range width of rows
+            )
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            fm, fd = pool.submit(build_base), pool.submit(build_delta)
+            m1, delta = fm.result(), fd.result()
         # the daily append: existing shard files untouched.
         delta.repartition("shard").write.mode("append").partitionBy(
             "shard"
         ).parquet(path)
         # the incremental refresh: ONLY shards the delta touched,
-        # read PARTITION-PRUNED from the store via a literal isin
-        # (the delta spans one range width → ≤ 2 consecutive shards;
-        # the collect is count-gated by construction). A literal
-        # predicate lands in PartitionFilters; a semi-join would
-        # also defeat input_file_name (single-source only).
+        # read PARTITION-PRUNED from the store (the delta spans one
+        # range width → ≤ 2 consecutive shards; the collect is
+        # count-gated by construction). Listing only the touched
+        # shard directories (basePath keeps the partition column)
+        # skips the full |shards|-directory store listing; literal
+        # dirs also keep input_file_name single-source.
         touched = sorted(
             int(r["shard"]) for r in delta.select("shard").distinct().collect()
         )
-        store = spark.read.parquet(path)
         refreshed = manifest_of(
-            store.filter(F.col("shard").cast("int").isin(touched))
+            spark.read.option("basePath", path).parquet(
+                *[f"{path}/shard={s}" for s in touched]
+            )
         ).withColumn("updated", F.lit(1).cast("long"))
         merged = (
             m1.filter(~F.col("shard").isin([int(t) for t in touched]))
@@ -2658,9 +2682,11 @@ def q312_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         base = corpus.filter(~F.col("is_new")).select("vec_id", "embedding", "cell")
         batch = corpus.filter(F.col("is_new")).select("vec_id", "embedding", "cell")
-        base.repartition("cell").write.mode("overwrite").partitionBy(
-            "cell"
-        ).parquet(path)
+        # pinned partition count (r14, q315 write finding): parallel
+        # write tasks, still one file per cell per write job.
+        base.repartition(
+            spark.sparkContext.defaultParallelism, "cell"
+        ).write.mode("overwrite").partitionBy("cell").parquet(path)
         # manifest v1: the snapshot's file list, read back from the
         # store itself (≤ |cells| files — count-gated collect).
         v1_files = sorted(
@@ -3027,9 +3053,13 @@ def q314_cross_store_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
             rewrite survivors (per-write dynamic overwrite, q215's
             idiom) → drop emptied partitions (q293's rule) → digest
             the read-back. Independent per artifact."""
-            build_df.repartition(pcol).write.mode("overwrite").partitionBy(
-                pcol
-            ).parquet(store_path)
+            # pinned partition count: REPARTITION_BY_NUM is not AQE-
+            # coalesced, so the build write runs parallel tasks (one
+            # file per partition value still — each value lives in
+            # exactly one task). r14; the q315 write finding.
+            build_df.repartition(
+                spark.sparkContext.defaultParallelism, pcol
+            ).write.mode("overwrite").partitionBy(pcol).parquet(store_path)
             store = spark.read.parquet(store_path).withColumn(
                 "_del", is_del(F.col(keep_cols[0]))
             )
@@ -3283,24 +3313,50 @@ def q315_streaming_export_manifest(spark: SparkSession, sf_dir: str) -> DataFram
 
     try:
         base = rel.filter(F.col("slot") < 0)
-        base.select("doc_id", "text", "shard").repartition("shard").write.mode(
-            "overwrite"
-        ).partitionBy("shard").parquet(path)
-        digest(
-            spark.read.parquet(path), F.lit(0).cast("long")
-        ).write.mode("overwrite").parquet(mdirs[0])
 
-        # the delta feed, written BY SPARK one file per delta (no
-        # driver-side data collect; coalesce(1) → exactly one part
-        # file per append job, replayed one micro-batch each).
-        for b in range(_Q315_NDELTAS):
-            (
-                rel.filter(F.col("slot") == b)
-                .select("doc_id", "text")
-                .coalesce(1)
-                .write.mode("append")
-                .parquet(feed)
+        # r14 opt (guide §2.4/§2.6; profiled: setup was 5 full corpus
+        # scans and the base write ran on 2 AQE-coalesced tasks):
+        #  * the base-store write pins an explicit partition count
+        #    (user-specified repartition is not AQE-coalesced) so the
+        #    corpus-mass shuffle write is parallel — one file per
+        #    shard still, each shard lives in exactly one task;
+        #  * the three delta feed writes share ONE narrow checkpoint
+        #    of the ≤ 2·WIDTH delta rows instead of re-scanning the
+        #    corpus per delta;
+        #  * the (base write + manifest v0) chain and the (delta
+        #    checkpoint + feed writes) chain are independent → built
+        #    from a 2-thread pool so their job tails overlap.
+        def build_base():
+            base.select("doc_id", "text", "shard").repartition(
+                spark.sparkContext.defaultParallelism, "shard"
+            ).write.mode("overwrite").partitionBy("shard").parquet(path)
+            digest(
+                spark.read.parquet(path), F.lit(0).cast("long")
+            ).write.mode("overwrite").parquet(mdirs[0])
+
+        def build_feed():
+            # the delta feed, written BY SPARK one file per delta (no
+            # driver-side data collect; coalesce(1) → exactly one part
+            # file per append job, replayed one micro-batch each).
+            deltas = (
+                rel.filter(F.col("slot") >= 0)
+                .select("doc_id", "text", "slot")
+                .localCheckpoint()  # ≤ 2·WIDTH rows by construction
             )
+            for b in range(_Q315_NDELTAS):
+                (
+                    deltas.filter(F.col("slot") == b)
+                    .select("doc_id", "text")
+                    .coalesce(1)
+                    .write.mode("append")
+                    .parquet(feed)
+                )
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            fb, ff = pool.submit(build_base), pool.submit(build_feed)
+            fb.result(), ff.result()
 
         def apply_batch(batch_df, epoch_id):
             nonlocal mver
@@ -3316,9 +3372,14 @@ def q315_streaming_export_manifest(spark: SparkSession, sf_dir: str) -> DataFram
                 "shard"
             ).parquet(path)
             prev = spark.read.parquet(mdirs[mver])
+            # r14 opt: list ONLY the touched shard directories
+            # (basePath keeps the shard partition column) — the
+            # filter form re-listed all |shards| store directories
+            # per micro-batch (profiled: a 79-path listing job every
+            # batch) before pruning.
             refreshed = digest(
-                spark.read.parquet(path).filter(
-                    F.col("shard").cast("int").isin(touched)
+                spark.read.option("basePath", path).parquet(
+                    *[f"{path}/shard={s}" for s in touched]
                 ),
                 F.lit(0).cast("long"),  # placeholder, replaced below
             ).drop("n_updates")

@@ -1637,19 +1637,52 @@ def q323_streaming_cdc_upserts(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
                 Q28_CENTROIDS,
             ).select("vec_id", "embedding", "cell").localCheckpoint()
-            # affected = old cells of touched rows ∪ new cells of
-            # incoming — only the union is consumed, so ONE collect
-            # job per batch (r13 opt: was two), bounded by |centroids|
-            affected = sorted(
-                int(x["c"])
-                for x in store.join(touched_ids, "vec_id", "semi")
-                .select(F.col("cell").cast("int").alias("c"))
-                .union(incoming.select(F.col("cell").cast("int").alias("c")))
-                .distinct()
+            # r14 opt (guide §2.4; profiled ~12 jobs/micro-batch):
+            # ONE per-cell stats job yields affected cells (old cells
+            # of touched rows ∪ new cells of incoming), the emptied
+            # set AND what the post-write `present` collect used to
+            # re-derive — survivors per cell ≡ untouched store rows,
+            # so the second collect job per batch is gone. Bounded by
+            # |centroids| rows, as before.
+            stats = (
+                store.select("vec_id", F.col("cell").cast("int").alias("c"))
+                .join(touched_ids.withColumn("t", F.lit(1)), "vec_id", "left")
+                .select(
+                    "c",
+                    F.lit(1).alias("n_total"),
+                    F.coalesce("t", F.lit(0)).alias("n_hit"),
+                    F.lit(0).alias("n_inc"),
+                )
+                .unionByName(
+                    incoming.select(
+                        F.col("cell").cast("int").alias("c"),
+                        F.lit(0).alias("n_total"),
+                        F.lit(0).alias("n_hit"),
+                        F.lit(1).alias("n_inc"),
+                    )
+                )
+                .groupBy("c")
+                .agg(
+                    F.sum("n_total").alias("n_total"),
+                    F.sum("n_hit").alias("n_hit"),
+                    F.sum("n_inc").alias("n_inc"),
+                )
                 .collect()
+            )
+            affected = sorted(
+                int(r["c"]) for r in stats if r["n_hit"] > 0 or r["n_inc"] > 0
             )
             if not affected:
                 return
+            # present ⇔ the cell keeps ≥1 survivor (untouched store
+            # row) or receives ≥1 incoming row
+            emptied = [
+                int(r["c"])
+                for r in stats
+                if (r["n_hit"] > 0 or r["n_inc"] > 0)
+                and (r["n_total"] - r["n_hit"]) == 0
+                and r["n_inc"] == 0
+            ]
             survivors = store.filter(
                 F.col("cell").cast("int").isin(affected)
             ).join(touched_ids, "vec_id", "anti").select(
@@ -1659,15 +1692,8 @@ def q323_streaming_cdc_upserts(spark: SparkSession, sf_dir: str) -> DataFrame:
             rewrite.repartition("cell").write.mode("overwrite").option(
                 "partitionOverwriteMode", "dynamic"
             ).partitionBy("cell").parquet(path)
-            present = {
-                int(x["c"])
-                for x in rewrite.select(F.col("cell").cast("int").alias("c"))
-                .distinct()
-                .collect()
-            }
-            for c in affected:
-                if c not in present:
-                    shutil.rmtree(f"{path}/cell={c}", ignore_errors=True)
+            for c in emptied:
+                shutil.rmtree(f"{path}/cell={c}", ignore_errors=True)
             rewritten.update(affected)
 
         q = (
@@ -1682,43 +1708,59 @@ def q323_streaming_cdc_upserts(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.awaitTermination()
 
         store2 = spark.read.parquet(path)
-        audit = store2.agg(
-            F.count(F.lit(1)).cast("long").alias("n_rows"),
-            F.bit_xor(
-                F.conv(
-                    F.substring(
-                        F.md5(
-                            F.concat(
-                                F.col("vec_id").cast("string"),
-                                F.lit(":"),
-                                F.col("cell").cast("string"),
-                            )
+
+        # r14 opt (guide §2.6): the content-xor audit and the cosine
+        # top-3 are independent full-store reads — overlap their jobs
+        def run_audit():
+            return store2.agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.bit_xor(
+                    F.conv(
+                        F.substring(
+                            F.md5(
+                                F.concat(
+                                    F.col("vec_id").cast("string"),
+                                    F.lit(":"),
+                                    F.col("cell").cast("string"),
+                                )
+                            ),
+                            1,
+                            15,
                         ),
-                        1,
-                        15,
-                    ),
-                    16,
-                    10,
-                ).cast("long")
-            ).cast("long").alias("content_xor"),
-        ).collect()[0]  # 1 row
-        queries = similarity.queries_df(spark, Q27_QUERY_VECS)
-        cand = store2.crossJoin(F.broadcast(queries)).select(
-            "qid",
-            "vec_id",
-            cosine(F.col("embedding"), F.col("qvec")).alias("sim"),
-        )
-        out = (
-            cand.withColumn(
-                "rk",
-                F.row_number().over(
-                    Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
-                ),
+                        16,
+                        10,
+                    ).cast("long")
+                ).cast("long").alias("content_xor"),
+            ).collect()[0]  # 1 row
+
+        def run_top3():
+            queries = similarity.queries_df(spark, Q27_QUERY_VECS)
+            cand = store2.crossJoin(F.broadcast(queries)).select(
+                "qid",
+                "vec_id",
+                cosine(F.col("embedding"), F.col("qvec")).alias("sim"),
             )
-            .filter(F.col("rk") <= 3)
-            .select("qid", F.col("rk").cast("long").alias("rk"), "vec_id", "sim")
-            .collect()  # 15 rows, before temp-dir cleanup
-        )
+            return (
+                cand.withColumn(
+                    "rk",
+                    F.row_number().over(
+                        Window.partitionBy("qid").orderBy(
+                            F.desc("sim"), F.asc("vec_id")
+                        )
+                    ),
+                )
+                .filter(F.col("rk") <= 3)
+                .select(
+                    "qid", F.col("rk").cast("long").alias("rk"), "vec_id", "sim"
+                )
+                .collect()  # 15 rows, before temp-dir cleanup
+            )
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            fa, ft = pool.submit(run_audit), pool.submit(run_top3)
+            audit, out = fa.result(), ft.result()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     res = spark.createDataFrame(out, "qid long, rk long, vec_id long, sim double")

@@ -1292,7 +1292,10 @@ def q78_array_set_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def q80_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    # spread: the lower+tokenize+bigram pass is map-side CPU work on
+    # the one-row-group documents scan — profiled 1.06 s on ONE task
+    # warm (r14; the q288/minhash_signatures parallelism class)
+    docs = spread(_t(spark, sf_dir, "documents"))
     low = F.lower(F.col("text"))
     toks = ws_tokens(low)
     base = docs.select(
